@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Text ingest pipeline: sentence split, chunking, gazetteer NER,
+  * mention edges — the Spark re-expression of the reference ingest
+  * (ref utils.py:14-38 chunking, crawler.py:88-118 chunk assembly,
+  * ner.py:13-70 entity finding + adjacent merge).
+  *
+  * Design for scale: everything here is a narrow per-document pass
+  * plus ONE shuffle on doc_id (window cumsum for chunk offsets); the
+  * gazetteer is a broadcast dictionary join (the distributed stand-in
+  * for model-based NER — at 100 TB you'd run inference the same way:
+  * a per-partition map, never a shuffle of text).
+  *
+  * Chunking semantics (re-expression of the reference's greedy
+  * sentence combiner): words are assigned to chunks by EXCLUSIVE
+  * prefix sum of (len(word)+1) — chunk_id = floor(offset / L). This
+  * is order-preserving, deterministic, and expressible identically in
+  * ANSI SQL (the DuckDB oracle) and as a single Spark window.
+  */
+object TextPipeline {
+
+  val ChunkLen = 64
+
+  /** Gazetteer: the deterministic stand-in for GLiNER labels
+    * person/organization/location (ref config.py RELEVANT_LABELS).
+    * The synthetic corpus is lowercase, so capitalization NER is void.
+    */
+  val Gazetteer: Seq[(String, String)] = Seq(
+    "customer" -> "person", "value" -> "person", "line" -> "person",
+    "spark" -> "organization", "table" -> "organization",
+    "part" -> "organization", "group" -> "organization",
+    "row" -> "location", "column" -> "location", "window" -> "location")
+
+  /** SQL literal for the gazetteer, shared by every oracle. */
+  val GazetteerSql: String = Gazetteer
+    .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  /** (doc_id, pos [1-based], word, off [exclusive char offset]). */
+  def words(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .withColumn("pos", col("p0") + 1).drop("p0")
+      .withColumn("off", coalesce(sum(length(col("word")) + 1).over(w), lit(0L)))
+  }
+
+  /** Words CTE for oracles (zipped unnest + exclusive window sum). */
+  val WordsSql: String =
+    """words AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS word,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |woff AS (
+      |  SELECT doc_id, pos, word,
+      |    coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM words)""".stripMargin
+
+  def withChunkId(wordsDf: DataFrame): DataFrame =
+    wordsDf.withColumn("chunk_id", floor(col("off") / ChunkLen).cast("int"))
+
+  /** Chunk table: (doc_id, chunk_id, chunk_text, n_chars, n_words). */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    withChunkId(words(spark, dir))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("chunk_text"),
+        count(lit(1)).cast("long").as("n_words"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+
+  val ChunksSql: String =
+    s"""$WordsSql,
+       |chunks AS (
+       |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
+       |    string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+       |    count(*) AS n_words
+       |  FROM woff GROUP BY doc_id, CAST(floor(off / $ChunkLen) AS INT))""".stripMargin
+
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Sentence segmentation (ref utils.py:19-24): split on [.:;?!],
+    * trim, keep len > 1, re-number surviving segments.
+    */
+  def qSentences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p0")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "[.:;?!]")).as(Seq("p0", "seg")))
+      .withColumn("sentence", trim(col("seg")))
+      .filter(length(col("sentence")) > 1)
+      .withColumn("seg_id", row_number().over(w))
+      .select("doc_id", "seg_id", "sentence")
+      .orderBy("doc_id", "seg_id")
+  }
+
+  /** Mention spans: gazetteer hits with ner.py:34-50 adjacent-merge —
+    * consecutive same-label tokens in a chunk merge into one span
+    * (islands via pos - row_number()).
+    */
+  def mentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gaz = Gazetteer.toDF("word", "label")
+    val hits = withChunkId(words(spark, dir))
+      .join(broadcast(gaz), "word")
+    val isl = Window.partitionBy("doc_id", "chunk_id", "label").orderBy("pos")
+    hits
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy(col("doc_id"), col("chunk_id"), col("label"), col("grp"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("name"),
+        min(col("pos")).as("start_pos"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .drop("grp")
+  }
+
+  val MentionsSql: String =
+    s"""$WordsSql,
+       |gaz(gword, label) AS (VALUES $GazetteerSql),
+       |hits AS (
+       |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
+       |    pos, word, label
+       |  FROM woff JOIN gaz ON word = gword),
+       |mentions AS (
+       |  SELECT doc_id, chunk_id, label,
+       |    string_agg(word, ' ' ORDER BY pos) AS name,
+       |    min(pos) AS start_pos, count(*) AS n_tokens
+       |  FROM (SELECT *, pos - row_number() OVER (
+       |          PARTITION BY doc_id, chunk_id, label ORDER BY pos) AS grp
+       |        FROM hits)
+       |  GROUP BY doc_id, chunk_id, label, grp)""".stripMargin
+
+  def qMentions(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir)
+      .select("doc_id", "chunk_id", "start_pos", "name", "label", "n_tokens")
+      .orderBy("doc_id", "chunk_id", "start_pos")
+
+  /** Distinct entity inventory with corpus stats (the Entity nodes). */
+  def qEntities(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir)
+      .groupBy(col("name"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_mentions").desc, col("name"))
+
+  /** Fuzzy full-text query strings (ref utils.py:46-60): strip Lucene
+    * specials, suffix each word with ~0.8, AND-join.
+    */
+  def qFulltextQuery(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir)
+      .select(col("name"), col("label")).distinct()
+      .withColumn("clean", trim(regexp_replace(col("name"), """[-+&|!(){}\[\]\^"~*?:\\]""", " ")))
+      .withColumn("ft_query",
+        concat(array_join(filter(split(col("clean"), "\\s+"), w => length(w) > 0), "~0.8 AND "),
+          lit("~0.8")))
+      .select("name", "label", "ft_query")
+      .orderBy("name", "label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> qChunk,
+    "q_sentences" -> qSentences,
+    "q_mentions" -> qMentions,
+    "q_entities" -> qEntities,
+    "q_fulltext_query" -> qFulltextQuery)
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk" ->
+      s"""WITH $ChunksSql
+         |SELECT doc_id, chunk_id, chunk_text,
+         |  length(chunk_text) AS n_chars, n_words
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_sentences" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '[.:;?!]')) AS seg,
+        |    unnest(generate_series(1, len(string_split_regex(text, '[.:;?!]')))) AS p0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS seg_id,
+        |  trim(seg) AS sentence
+        |FROM segs WHERE length(trim(seg)) > 1
+        |ORDER BY doc_id, seg_id""".stripMargin,
+    "q_mentions" ->
+      s"""WITH $MentionsSql
+         |SELECT doc_id, chunk_id, start_pos, name, label, n_tokens
+         |FROM mentions ORDER BY doc_id, chunk_id, start_pos""".stripMargin,
+    "q_entities" ->
+      s"""WITH $MentionsSql
+         |SELECT name, label, count(*) AS n_mentions,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM mentions GROUP BY name, label
+         |ORDER BY n_mentions DESC, name""".stripMargin,
+    "q_fulltext_query" ->
+      s"""WITH $MentionsSql,
+         |names AS (SELECT DISTINCT name, label FROM mentions)
+         |SELECT name, label,
+         |  array_to_string(list_filter(string_split_regex(
+         |      trim(regexp_replace(name, '[-+&|!(){}\\[\\]\\^"~*?:\\\\]', ' ', 'g')), '\\s+'),
+         |    w -> length(w) > 0), '~0.8 AND ') || '~0.8' AS ft_query
+         |FROM names ORDER BY name, label""".stripMargin)
+}
