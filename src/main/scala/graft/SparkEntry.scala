@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
-      (operators.TextPipeline.queries, operators.TextPipeline.oracles))
+      (operators.TextPipeline.queries, operators.TextPipeline.oracles),
+      (graph.NewsGraph.queries, graph.NewsGraph.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.TextPipeline
+
+/** The property-graph model + the reference's Cypher query surface.
+  *
+  * Node/edge tables (ref graph.py:28-131, schema.py): Article ≡
+  * documents row, Chunk via TextPipeline.chunks, Source ≡ documents.
+  * source dim, Person/Organization/Location via gazetteer mentions;
+  * edges CONTAINS / MENTIONS / PUBLISHED are implicit joins on the
+  * same keys, so a "graph traversal" is a join pipeline Catalyst can
+  * reorder and broadcast — the Spark-native answer to Cypher MATCH.
+  *
+  * Scale: node/edge builders are one scan + one doc_id shuffle; the
+  * Cypher-example queries are entity-filtered joins where the entity
+  * side is tiny (broadcast) and the fact side streams.
+  */
+object NewsGraph {
+
+  private def entityNodeLabel(c: org.apache.spark.sql.Column) =
+    when(c === "person", "Person")
+      .when(c === "organization", "Organization")
+      .otherwise("Location")
+
+  private val EntityNodeLabelSql =
+    "CASE label WHEN 'person' THEN 'Person' WHEN 'organization' THEN 'Organization' ELSE 'Location' END"
+
+  /** All graph nodes: (uid, label, name) — ref graph.py:28-95 node
+    * creation; uids are deterministic natural keys, not random
+    * (generate_short_uid is driver-side randomness we must not keep).
+    */
+  def qGraphNodes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val articles = docs.select(
+      concat(lit("Article:"), col("doc_id")).as("uid"),
+      lit("Article").as("label"),
+      col("doc_id").cast("string").as("name"))
+    val chunkNodes = TextPipeline.chunks(spark, dir).select(
+      concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("uid"),
+      lit("Chunk").as("label"),
+      col("chunk_id").cast("string").as("name"))
+    val sources = docs.select(col("source")).distinct().select(
+      concat(lit("Source:"), col("source")).as("uid"),
+      lit("Source").as("label"),
+      col("source").as("name"))
+    val entities = TextPipeline.mentions(spark, dir)
+      .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
+      .select(concat(col("label"), lit(":"), col("name")).as("uid"),
+        col("label"), col("name"))
+    articles.unionByName(chunkNodes).unionByName(sources).unionByName(entities)
+      .orderBy("uid")
+  }
+
+  /** Schema introspection: label/edge cardinalities — the summary the
+    * reference feeds the LLM as `db.graph.schema` (chat.py:18).
+    */
+  def qGraphSchema(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextPipeline.chunks(spark, dir)
+    val mentions = TextPipeline.mentions(spark, dir)
+    val nodeCounts = Seq(
+      docs.select(lit("node").as("kind"), lit("Article").as("label"), count(lit(1)).as("cnt")),
+      chunks.select(lit("node").as("kind"), lit("Chunk").as("label"), count(lit(1)).as("cnt")),
+      docs.select(col("source")).distinct()
+        .select(lit("node").as("kind"), lit("Source").as("label"), count(lit(1)).as("cnt")),
+      mentions.select(col("name"), entityNodeLabel(col("label")).as("elabel")).distinct()
+        .groupBy(col("elabel").as("label"))
+        .agg(count(lit(1)).as("cnt")).select(lit("node").as("kind"), col("label"), col("cnt")),
+      chunks.select(lit("rel").as("kind"), lit("CONTAINS").as("label"), count(lit(1)).as("cnt")),
+      mentions.select(lit("rel").as("kind"), lit("MENTIONS").as("label"), count(lit(1)).as("cnt")),
+      docs.select(lit("rel").as("kind"), lit("PUBLISHED").as("label"), count(lit(1)).as("cnt")))
+    nodeCounts.reduce(_ unionByName _).orderBy("kind", "label")
+  }
+
+  /** Cypher example 1 (chat.py:24-26): DISTINCT articles mentioning
+    * any of the given entity names, LIMIT 10.
+    */
+  def qArticlesMentioning(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.mentions(spark, dir)
+      .filter(col("name").isin("customer", "spark"))
+      .select("doc_id").distinct()
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .orderBy("doc_id").limit(10)
+
+  /** Cypher example 2 (chat.py:28-30): count of DISTINCT sources
+    * publishing an article that mentions the entity.
+    */
+  def qSourcesMentioning(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.mentions(spark, dir)
+      .filter(col("name") === "spark")
+      .select("doc_id").distinct()
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .agg(countDistinct(col("source")).as("n_sources"))
+
+  /** Cypher example 3 (chat.py:32-34): UNION of chunks mentioning
+    * either entity, LIMIT 10.
+    */
+  def qChunksByEntities(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextPipeline.chunks(spark, dir)
+    val m = TextPipeline.mentions(spark, dir)
+    val hitKeys = m.filter(col("name") === "customer")
+      .select("doc_id", "chunk_id")
+      .union(m.filter(col("name") === "spark").select("doc_id", "chunk_id"))
+      .distinct()
+    chunks.join(hitKeys, Seq("doc_id", "chunk_id"))
+      .select("doc_id", "chunk_id", "chunk_text")
+      .orderBy("doc_id", "chunk_id").limit(10)
+  }
+
+  /** Candidate probes for fuzzy entity lookup (graph.py:150-168):
+    * stand-in for the Lucene fulltext index — edit-distance scoring
+    * against the entity-name dim, top-5 per probe.
+    */
+  val CandidateProbes: Seq[String] = Seq("custmer", "sprak", "windw", "tble grp")
+
+  def qEntityCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = CandidateProbes.toDF("probe")
+    val names = TextPipeline.mentions(spark, dir)
+      .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
+    val scored = names.crossJoin(broadcast(probes))
+      .withColumn("score", round(
+        lit(1.0) - levenshtein(col("probe"), col("name")) /
+          greatest(length(col("probe")), length(col("name"))).cast("double"), 6))
+    val w = Window.partitionBy("probe").orderBy(col("score").desc, col("name"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("probe", "name", "label", "score", "rk")
+      .orderBy("probe", "rk")
+  }
+
+  /** Chunks grouped per article (graph.py:142-148) for doc_id < 10;
+    * chunk list flattened to a join-stable string.
+    */
+  def qChunksFromArticles(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.chunks(spark, dir)
+      .filter(col("doc_id") < 10)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        concat_ws(" | ", transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("chunks_text"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_nodes" -> qGraphNodes,
+    "q_graph_schema" -> qGraphSchema,
+    "q_articles_mentioning" -> qArticlesMentioning,
+    "q_sources_mentioning" -> qSourcesMentioning,
+    "q_chunks_by_entities" -> qChunksByEntities,
+    "q_entity_candidates" -> qEntityCandidates,
+    "q_chunks_from_articles" -> qChunksFromArticles)
+
+  private val P = TextPipeline.PipelineSql
+  private val M = TextPipeline.MentionsSql
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_nodes" ->
+      s"""WITH $P,
+         |nodes AS (
+         |  SELECT 'Article:' || doc_id AS uid, 'Article' AS label,
+         |    CAST(doc_id AS VARCHAR) AS name FROM documents
+         |  UNION ALL
+         |  SELECT 'Chunk:' || doc_id || ':' || chunk_id, 'Chunk',
+         |    CAST(chunk_id AS VARCHAR) FROM chunks
+         |  UNION ALL
+         |  SELECT 'Source:' || source, 'Source', source
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |  UNION ALL
+         |  SELECT el || ':' || name, el, name FROM (
+         |    SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions))
+         |SELECT uid, label, name FROM nodes ORDER BY uid""".stripMargin,
+    "q_graph_schema" ->
+      s"""WITH $P
+         |SELECT 'node' AS kind, 'Article' AS label, count(*) AS cnt FROM documents
+         |UNION ALL SELECT 'node', 'Chunk', count(*) FROM chunks
+         |UNION ALL SELECT 'node', 'Source', count(DISTINCT source) FROM documents
+         |UNION ALL SELECT 'node', el, count(*) FROM
+         |  (SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions) GROUP BY el
+         |UNION ALL SELECT 'rel', 'CONTAINS', count(*) FROM chunks
+         |UNION ALL SELECT 'rel', 'MENTIONS', count(*) FROM mentions
+         |UNION ALL SELECT 'rel', 'PUBLISHED', count(*) FROM documents
+         |ORDER BY kind, label""".stripMargin,
+    "q_articles_mentioning" ->
+      s"""WITH $M
+         |SELECT doc_id, source FROM (
+         |  SELECT DISTINCT doc_id FROM mentions WHERE name IN ('customer','spark'))
+         |JOIN documents USING (doc_id)
+         |ORDER BY doc_id LIMIT 10""".stripMargin,
+    "q_sources_mentioning" ->
+      s"""WITH $M
+         |SELECT count(DISTINCT source) AS n_sources FROM (
+         |  SELECT DISTINCT doc_id FROM mentions WHERE name = 'spark')
+         |JOIN documents USING (doc_id)""".stripMargin,
+    "q_chunks_by_entities" ->
+      s"""WITH $P,
+         |hitkeys AS (
+         |  SELECT DISTINCT doc_id, chunk_id FROM mentions WHERE name = 'customer'
+         |  UNION
+         |  SELECT DISTINCT doc_id, chunk_id FROM mentions WHERE name = 'spark')
+         |SELECT doc_id, chunk_id, chunk_text
+         |FROM chunks JOIN hitkeys USING (doc_id, chunk_id)
+         |ORDER BY doc_id, chunk_id LIMIT 10""".stripMargin,
+    "q_entity_candidates" ->
+      s"""WITH $M,
+         |probes(probe) AS (VALUES ${CandidateProbes.map(p => s"('$p')").mkString(", ")}),
+         |names AS (SELECT DISTINCT name, $EntityNodeLabelSql AS label FROM mentions),
+         |scored AS (
+         |  SELECT probe, name, label,
+         |    round(1.0 - levenshtein(probe, name) /
+         |      CAST(greatest(length(probe), length(name)) AS DOUBLE), 6) AS score
+         |  FROM names CROSS JOIN probes)
+         |SELECT probe, name, label, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe
+         |    ORDER BY score DESC, name) AS rk FROM scored)
+         |WHERE rk <= 5 ORDER BY probe, rk""".stripMargin,
+    "q_chunks_from_articles" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  string_agg(chunk_text, ' | ' ORDER BY chunk_id) AS chunks_text
+         |FROM chunks WHERE doc_id < 10
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

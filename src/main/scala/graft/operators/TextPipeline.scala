@@ -77,13 +77,14 @@ object TextPipeline {
         count(lit(1)).cast("long").as("n_words"))
       .withColumn("n_chars", length(col("chunk_text")).cast("long"))
 
-  val ChunksSql: String =
-    s"""$WordsSql,
-       |chunks AS (
+  val ChunksPieceSql: String =
+    s"""chunks AS (
        |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
        |    string_agg(word, ' ' ORDER BY pos) AS chunk_text,
        |    count(*) AS n_words
        |  FROM woff GROUP BY doc_id, CAST(floor(off / $ChunkLen) AS INT))""".stripMargin
+
+  val ChunksSql: String = s"$WordsSql,\n$ChunksPieceSql"
 
   def qChunk(spark: SparkSession, dir: String): DataFrame =
     chunks(spark, dir)
@@ -125,9 +126,8 @@ object TextPipeline {
       .drop("grp")
   }
 
-  val MentionsSql: String =
-    s"""$WordsSql,
-       |gaz(gword, label) AS (VALUES $GazetteerSql),
+  val MentionsPieceSql: String =
+    s"""gaz(gword, label) AS (VALUES $GazetteerSql),
        |hits AS (
        |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
        |    pos, word, label
@@ -140,6 +140,11 @@ object TextPipeline {
        |          PARTITION BY doc_id, chunk_id, label ORDER BY pos) AS grp
        |        FROM hits)
        |  GROUP BY doc_id, chunk_id, label, grp)""".stripMargin
+
+  val MentionsSql: String = s"$WordsSql,\n$MentionsPieceSql"
+
+  /** Full pipeline CTE block: words + chunks + mentions. */
+  val PipelineSql: String = s"$WordsSql,\n$ChunksPieceSql,\n$MentionsPieceSql"
 
   def qMentions(spark: SparkSession, dir: String): DataFrame =
     mentions(spark, dir)
