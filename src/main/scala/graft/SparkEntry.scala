@@ -15,7 +15,9 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.TextPipeline.queries, operators.TextPipeline.oracles),
-      (graph.NewsGraph.queries, graph.NewsGraph.oracles))
+      (graph.NewsGraph.queries, graph.NewsGraph.oracles),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.Events.queries, operators.Events.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Batch event analytics — the batch twins of the structured-streaming
+  * module (graft.streaming.EventStream). Window aggs and sessionization
+  * shuffle once on their natural keys (bucket/event_type, user_id);
+  * at scale the events source would be bucketed by user_id so the
+  * sessionize window is shuffle-free.
+  */
+object Events {
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** Tumbling 1-hour window counts/sums per event type. */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("bucket", "event_type")
+
+  /** Sessionization: 30-min inactivity gap splits sessions per user. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us",
+        "duration_us", "sum_value")
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Top-20 users by total purchase value (dense_rank on rounded sum). */
+  def qTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 2).as("total_value"),
+        count(lit(1)).as("n_purchases"))
+    val w = Window.orderBy(col("total_value").desc, col("user_id"))
+    totals.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .orderBy("rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window" -> qEventsWindow,
+    "q_sessionize" -> qSessionize,
+    "q_top_users" -> qTopUsers)
+
+  val oracles: Map[String, String] = Map(
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > ${SessionGapUs} THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM e)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  max(ts_us) - min(ts_us) AS duration_us,
+         |  round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_top_users" ->
+      """WITH t AS (
+        |  SELECT user_id, round(sum(value), 2) AS total_value,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, total_value, n_purchases, rk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rk
+        |  FROM t)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin)
+}

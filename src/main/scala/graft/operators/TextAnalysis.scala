@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All are single
+  * narrow passes over the documents scan — zero shuffles, codegen'd
+  * `functions._` only (no UDFs), so they run at scan speed at 100 TB.
+  */
+object TextAnalysis {
+
+  val EnStops: Seq[String] = Seq("the", "a")
+  val DeStops: Seq[String] = Seq("der", "die", "das")
+  val EsStops: Seq[String] = Seq("el", "la")
+  val FrStops: Seq[String] = Seq("le", "et")
+
+  private def hits(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => w.isin(stops.map(lit): _*)))
+
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(list_filter(words, w -> w IN (${stops.map(s => s"'$s'").mkString(",")})))"
+
+  /** Stopword-hit language ID (n-gram heuristic re-expression). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("en_hits", hits(col("words"), EnStops))
+      .withColumn("de_hits", hits(col("words"), DeStops))
+      .withColumn("es_hits", hits(col("words"), EsStops))
+      .withColumn("fr_hits", hits(col("words"), FrStops))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
+          && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits")
+            && col("de_hits") > 0, "de")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+      .select("doc_id", "pred_lang", "en_hits", "de_hits", "es_hits", "fr_hits")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/token/type stats + composite score. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("n_stop", hits(col("words"), EnStops).cast("long"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
+        round((length(col("text")) - col("n_tokens") + 1) / col("n_tokens").cast("double"), 6)
+          .as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
+        round(lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0))
+          + lit(0.3) * (col("n_types") / col("n_tokens").cast("double"))
+          + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")), 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of normalized text + min word-3-gram
+    * hash (winnowing-style witness).
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("words", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        array_min(transform(sequence(lit(0), size(col("words")) - 3),
+          i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(3)))))).as("min_shingle_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> qLangId,
+    "q_quality" -> qQuality,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${sqlHits(EnStops)} AS en_hits, ${sqlHits(DeStops)} AS de_hits,
+         |  ${sqlHits(EsStops)} AS es_hits, ${sqlHits(FrStops)} AS fr_hits
+         |FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |        AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |    WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |    WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS pred_lang,
+         |  en_hits, de_hits, es_hits, fr_hits
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+         |s AS (SELECT doc_id, length(text) AS n_chars, len(words) AS n_tokens,
+         |  len(list_distinct(words)) AS n_types, ${sqlHits(EnStops)} AS n_stop FROM w)
+         |SELECT doc_id, n_chars, n_tokens, n_types,
+         |  round(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+         |  round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+         |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+         |  round(0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))
+         |    + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  list_aggregate(list_transform(generate_series(1, len(words) - 2),
+        |    i -> md5(array_to_string(words[i:i+2], ' '))), 'min') AS min_shingle_hash
+        |FROM w ORDER BY doc_id""".stripMargin)
+}
