@@ -17,7 +17,9 @@ object SparkEntry {
       (operators.TextPipeline.queries, operators.TextPipeline.oracles),
       (graph.NewsGraph.queries, graph.NewsGraph.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
-      (operators.Events.queries, operators.Events.oracles))
+      (operators.Events.queries, operators.Events.oracles),
+      (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Similarity.queries, operators.Similarity.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

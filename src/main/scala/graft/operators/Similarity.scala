@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Vector similarity search (ref embedding.py cos_sim,
+  * vector_index.ipynb vector/hybrid/retrieval-query search).
+  *
+  * Cosine is pure `zip_with`/`aggregate` HOFs over double-cast arrays
+  * — codegen'd, no UDF, deterministic left-to-right fold so the DuckDB
+  * oracle (same fold) matches bit-for-bit before rounding.
+  *
+  * Scale: query vectors are a broadcast side (a handful of rows);
+  * brute-force top-k is one narrow pass + a k-row ordered take. The
+  * IVF variant is the 100 TB path: K centroids broadcast, each vector
+  * assigned map-side, probes touch nprobe/K of the data.
+  */
+object Similarity {
+
+  val TopK = 20
+  val KnnK = 10
+  val IvfStride = 97   // deterministic centroid pick: vec_id % 97 == 0
+  val IvfProbes = 2
+
+  /** dot(a,b) via zip_with + left fold (arrays must be double). */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normCol(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** The same fold in DuckDB SQL (a, b are double-list expressions). */
+  def cosineDuckSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+       |   i -> $a[i] * $b[i]))
+       | / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |  * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin.replace("\n", " ")
+
+  /** embeddings with double-cast vectors. */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private val VecSql =
+    """e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** The deterministic probe vector: embedding of vec_id = 0. */
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+
+  private val QVecSql = "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
+
+  /** Brute-force cosine top-k against the probe vector. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .select("vec_id", "label", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(TopK)
+
+  /** k-NN join: top-k neighbors for each of 5 query vectors. */
+  def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val queries = vectors(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cands = vectors(spark, dir).filter(col("vec_id") >= 5)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val HybridTerms: Seq[String] = Seq("spark", "join", "fast")
+
+  /** Hybrid retrieval: 0.6·cosine + 0.4·keyword-coverage
+    * (vector_index.ipynb hybrid search re-expression; keyword side is
+    * term-coverage over the doc's token set instead of a Lucene score).
+    */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val kw = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        (size(filter(array_distinct(col("words")),
+          w => w.isin(HybridTerms.map(lit): _*)))
+          / lit(HybridTerms.size.toDouble)).as("kw_score"))
+    vectors(spark, dir)
+      .join(kw, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(
+        lit(0.6) * cosineCol(col("v"), col("qv")) + lit(0.4) * col("kw_score"), 6))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  /** Graph-expansion retrieval (vector_index.ipynb retrieval_query):
+    * top-5 chunks by cosine, expanded to article + source metadata.
+    */
+  def qExpandRetrieval(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .join(Tables.documents(spark, dir), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("score"),
+        concat(lit("Title: doc "), col("doc_id"), lit(" ["), col("source"), lit("]"),
+          lit(" Text: "), substring(col("text"), 1, 60)).as("text_out"),
+        col("source"), col("lang"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+
+  /** IVF-style ANN: vectors assigned to nearest of K deterministic
+    * centroids (vec_id % 97 == 0); query probes the 2 nearest cells.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineCol(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cid")
+    val wProbe = Window.orderBy(col("qcos").desc, col("cid"))
+    val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
+      .withColumn("qcos", cosineCol(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IvfProbes)
+      .select("cid")
+    val wTop = Window.orderBy(col("score").desc, col("vec_id"))
+    assigned.join(probed, "cid")
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= KnnK)
+      .select("vec_id", "cid", "score", "rk")
+      .orderBy("rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> qCosineTopk,
+    "q_knn_join" -> qKnnJoin,
+    "q_hybrid_search" -> qHybridSearch,
+    "q_expand_retrieval" -> qExpandRetrieval,
+    "q_ann_ivf" -> qAnnIvf)
+
+  private def cos(a: String, b: String) = cosineDuckSql(a, b)
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH $VecSql, $QVecSql
+         |SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
+         |FROM e CROSS JOIN q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH $VecSql,
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, vec_id, round(${cos("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN qs WHERE vec_id >= 5)
+         |SELECT query_id, vec_id, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id) AS rk FROM scored)
+         |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,
+    "q_hybrid_search" ->
+      s"""WITH $VecSql, $QVecSql,
+         |kw AS (
+         |  SELECT doc_id, len(list_filter(list_distinct(string_split(text, ' ')),
+         |    w -> w IN (${HybridTerms.map(t => s"'$t'").mkString(",")})))
+         |    / ${HybridTerms.size}.0 AS kw_score
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(0.6 * ${cos("v", "qv")} + 0.4 * kw_score, 6) AS score
+         |FROM e JOIN kw ON vec_id = doc_id CROSS JOIN q
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
+    "q_expand_retrieval" ->
+      s"""WITH $VecSql, $QVecSql
+         |SELECT vec_id, round(${cos("v", "qv")}, 6) AS score,
+         |  'Title: doc ' || doc_id || ' [' || source || ']' ||
+         |    ' Text: ' || substr(text, 1, 60) AS text_out,
+         |  source, lang
+         |FROM e CROSS JOIN q
+         |JOIN documents ON vec_id = doc_id
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $VecSql, $QVecSql,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${cos("c.cv", "qv")} DESC, c.cid) AS rn
+         |    FROM cents c CROSS JOIN q)
+         |  WHERE rn <= $IvfProbes)
+         |SELECT vec_id, cid, score, rk FROM (
+         |  SELECT a.vec_id, a.cid, round(${cos("a.v", "qv")}, 6) AS score,
+         |    row_number() OVER (ORDER BY round(${cos("a.v", "qv")}, 6) DESC, a.vec_id) AS rk
+         |  FROM assigned a JOIN probed USING (cid) CROSS JOIN q
+         |  WHERE a.vec_id <> 0)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin)
+}
