@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Events.queries, operators.Events.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
-      (operators.Similarity.queries, operators.Similarity.oracles))
+      (operators.Similarity.queries, operators.Similarity.oracles),
+      (graph.Analytics.queries, graph.Analytics.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

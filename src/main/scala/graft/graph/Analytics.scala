@@ -1,0 +1,166 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextPipeline
+
+/** Graph analytics over the entity co-occurrence graph — the "GraphX
+  * for analytics, bulk queries" half of the north star. Implemented as
+  * DataFrame iteration (Pregel-style power iteration) rather than RDD
+  * GraphX: each step is a shuffle-on-src join the optimizer can plan,
+  * AQE can re-balance, and the oracle can replay; at cluster scale the
+  * edge table is hash-partitioned on src once and every iteration
+  * reuses that exchange. localCheckpoint() truncates lineage so 10
+  * iterations don't stack 10 plans.
+  */
+object Analytics {
+
+  val PrIters = 10
+  val Damping = 0.85
+  val CcIters = 8
+
+  /** Undirected co-occurrence edges: entities sharing a chunk.
+    * weight = number of chunks where the pair co-occurs.
+    */
+  def cooccur(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextPipeline.mentions(spark, dir)
+      .select("doc_id", "chunk_id", "name").distinct()
+    val a = m.select(col("doc_id"), col("chunk_id"), col("name").as("e1"))
+    val b = m.select(col("doc_id"), col("chunk_id"), col("name").as("e2"))
+    a.join(b, Seq("doc_id", "chunk_id"))
+      .filter(col("e1") < col("e2"))
+      .groupBy("e1", "e2")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  val CooccurSql: String =
+    s"""${TextPipeline.MentionsSql},
+       |m AS MATERIALIZED (SELECT DISTINCT doc_id, chunk_id, name FROM mentions),
+       |cooccur AS MATERIALIZED (
+       |  SELECT a.name AS e1, b.name AS e2, count(*) AS weight
+       |  FROM m a JOIN m b
+       |    ON a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id AND a.name < b.name
+       |  GROUP BY a.name, b.name),
+       |edges AS MATERIALIZED (
+       |  SELECT e1 AS src, e2 AS dst, weight FROM cooccur
+       |  UNION ALL SELECT e2, e1, weight FROM cooccur),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS d, CAST(sum(weight) AS BIGINT) AS wd
+       |  FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS c FROM deg)""".stripMargin
+
+  /** Both-direction edge list (src, dst, weight). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir)
+    co.select(col("e1").as("src"), col("e2").as("dst"), col("weight"))
+      .unionByName(co.select(col("e2").as("src"), col("e1").as("dst"), col("weight")))
+  }
+
+  def qCooccur(spark: SparkSession, dir: String): DataFrame =
+    cooccur(spark, dir).orderBy("e1", "e2")
+
+  def qEntityDegree(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy(col("src").as("name"))
+      .agg(count(lit(1)).as("degree"), sum(col("weight")).cast("long").as("wdegree"))
+      .orderBy(col("degree").desc, col("name"))
+
+  /** PageRank by power iteration (fixed PrIters, damping 0.85),
+    * uniform weights, undirected graph restricted to degree ≥ 1 nodes
+    * (no dangling mass).
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count()
+    var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val inc = pr.withColumnRenamed("node", "src")
+        .join(e, "src").join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("d")).as("m"))
+        .groupBy("node").agg(sum(col("m")).as("inc"))
+      pr = deg.select(col("src").as("node"))
+        .join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - Damping) / n) + lit(Damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("name"), round(col("rank"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("name"))
+  }
+
+  /** Connected components: fixed CcIters rounds of min-label
+    * propagation (label = lexicographic min entity name reachable).
+    */
+  def qComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var lbl = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    for (_ <- 1 to CcIters) {
+      val nbrMin = lbl.join(e, lbl("node") === e("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      lbl = lbl.join(nbrMin, lbl("node") === col("node2"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+    }
+    lbl.select(col("node").as("name"), col("comp"))
+      .orderBy("name")
+  }
+
+  /** Unrolled PageRank iteration CTEs for the oracle (recursive CTEs
+    * can't aggregate in the recursive term, so we unroll — the oracle
+    * mirrors the power iteration exactly).
+    */
+  private def pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    0.15 / (SELECT c FROM nn) + 0.85 * coalesce(s.inc, 0) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / dd.d) AS inc
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |      JOIN deg dd ON dd.src = p.node
+         |    GROUP BY e.dst) s ON s.node = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |p0 AS MATERIALIZED (SELECT src AS node, 1.0 / (SELECT c FROM nn) AS rank FROM deg),
+       |$iters
+       |SELECT node AS name, round(rank, 6) AS pagerank FROM p$PrIters
+       |ORDER BY pagerank DESC, name""".stripMargin
+  }
+
+  private def componentsSql: String = {
+    val iters = (1 to CcIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.comp, coalesce(s.nbr_comp, l.comp)) AS comp
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.dst AS node, min(p.comp) AS nbr_comp
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM edges),
+       |$iters
+       |SELECT node AS name, comp FROM c$CcIters ORDER BY name""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooccur" -> qCooccur,
+    "q_entity_degree" -> qEntityDegree,
+    "q_pagerank" -> qPagerank,
+    "q_components" -> qComponents)
+
+  val oracles: Map[String, String] = Map(
+    "q_cooccur" ->
+      s"""WITH $CooccurSql
+         |SELECT e1, e2, weight FROM cooccur ORDER BY e1, e2""".stripMargin,
+    "q_entity_degree" ->
+      s"""WITH $CooccurSql
+         |SELECT src AS name, d AS degree, wd AS wdegree
+         |FROM deg ORDER BY degree DESC, name""".stripMargin,
+    "q_pagerank" -> pagerankSql,
+    "q_components" -> componentsSql)
+}

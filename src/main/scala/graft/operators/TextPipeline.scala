@@ -53,12 +53,12 @@ object TextPipeline {
 
   /** Words CTE for oracles (zipped unnest + exclusive window sum). */
   val WordsSql: String =
-    """words AS (
+    """words AS MATERIALIZED (
       |  SELECT doc_id,
       |    unnest(string_split(text, ' ')) AS word,
       |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
       |  FROM documents),
-      |woff AS (
+      |woff AS MATERIALIZED (
       |  SELECT doc_id, pos, word,
       |    coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
@@ -78,7 +78,7 @@ object TextPipeline {
       .withColumn("n_chars", length(col("chunk_text")).cast("long"))
 
   val ChunksPieceSql: String =
-    s"""chunks AS (
+    s"""chunks AS MATERIALIZED (
        |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
        |    string_agg(word, ' ' ORDER BY pos) AS chunk_text,
        |    count(*) AS n_words
@@ -128,11 +128,11 @@ object TextPipeline {
 
   val MentionsPieceSql: String =
     s"""gaz(gword, label) AS (VALUES $GazetteerSql),
-       |hits AS (
+       |hits AS MATERIALIZED (
        |  SELECT doc_id, CAST(floor(off / $ChunkLen) AS INT) AS chunk_id,
        |    pos, word, label
        |  FROM woff JOIN gaz ON word = gword),
-       |mentions AS (
+       |mentions AS MATERIALIZED (
        |  SELECT doc_id, chunk_id, label,
        |    string_agg(word, ' ' ORDER BY pos) AS name,
        |    min(pos) AS start_pos, count(*) AS n_tokens
