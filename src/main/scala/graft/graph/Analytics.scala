@@ -74,7 +74,7 @@ object Analytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
     val n = deg.count()
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to PrIters) {
+    for (i <- 1 to PrIters) {
       val inc = pr.withColumnRenamed("node", "src")
         .join(e, "src").join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("d")).as("m"))
@@ -83,7 +83,9 @@ object Analytics {
         .join(inc, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - Damping) / n) + lit(Damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // Truncate lineage every few rounds — every round costs a full
+      // eager job; never truncating costs quadratic re-analysis.
+      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
     }
     pr.select(col("node").as("name"), round(col("rank"), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("name"))
@@ -96,13 +98,13 @@ object Analytics {
     val e = edges(spark, dir).select("src", "dst").localCheckpoint()
     var lbl = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
-    for (_ <- 1 to CcIters) {
+    for (i <- 1 to CcIters) {
       val nbrMin = lbl.join(e, lbl("node") === e("src"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("comp")).as("nbr_comp"))
       lbl = lbl.join(nbrMin, lbl("node") === col("node2"), "left")
         .select(col("node"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      if (i % 3 == 0 || i == CcIters) lbl = lbl.localCheckpoint()
     }
     lbl.select(col("node").as("name"), col("comp"))
       .orderBy("name")

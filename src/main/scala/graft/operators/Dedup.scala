@@ -55,32 +55,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signature array: sig[j] = min over shingles of
-    * md5(shingle || '#' || j) — string minhash, portable to SQL.
+  /** MinHash signatures: ONE md5 per shingle → 32-bit base hash, then
+    * K affine rehashes (h·A_j + B_j mod P) — 16× fewer md5 calls than
+    * per-seed hashing, identical arithmetic in the SQL oracle.
     */
+  val MinhashP = 1000000007L
+  private def affineA(j: Int): Long = 1000003L + 7919L * j
+  private def affineB(j: Int): Long = 12345L + 911L * j
+
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).withColumn("sig",
-      transform(sequence(lit(0), lit(MinhashK - 1)),
-        j => array_min(transform(col("s"),
-          x => md5(concat(x, lit("#"), j.cast("string")))))))
+      // Single fold: the hash array is the aggregate INPUT (evaluated
+      // once — CollapseProject can't inline it 16×); the accumulator
+      // carries all K running minima.
+      aggregate(
+        transform(col("s"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
+        array_repeat(lit(MinhashP), MinhashK),
+        (acc, h) => zip_with(acc, sequence(lit(0L), lit(MinhashK - 1L)),
+          (m, j) => least(m,
+            (h * (lit(1000003L) + lit(7919L) * j) + lit(12345L) + lit(911L) * j) % MinhashP))))
+      // Materialization barrier: without it CollapseProject inlines the
+      // 300-step fold into every downstream lambda reference (~30×
+      // slowdown measured). Lazy, so only queries that use it pay.
+      .localCheckpoint(false)
 
-  /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard. */
+  /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
+    * Bands shuffle only (doc_id, 16-byte band key) — candidate ids are
+    * deduped BEFORE the shingle arrays are joined back for
+    * verification, so text-sized payloads never ride the LSH shuffle.
+    */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val r = MinhashK / LshBands
     val bands = minhashSigs(spark, dir)
-      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
-      .join(minhashSigs(spark, dir).select(col("doc_id"), col("sig")), "doc_id")
-      .withColumn("bkey", md5(concat(
-        array_join(slice(col("sig"), col("band") * r + 1, lit(r)), "|"),
-        lit("#"), col("band").cast("string"))))
-      .select("doc_id", "s", "bkey")
-    val a = bands.select(col("doc_id").as("doc_id_a"), col("s").as("sa"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_id_b"), col("s").as("sb"), col("bkey"))
-    val cand = a.join(b, Seq("bkey"))
+      .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
+        band => md5(concat(
+          array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
+          lit("#"), band.cast("string")))))
+      .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+    val cand = bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_id_b"), col("bkey")), Seq("bkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sa", "sb")
-      .dropDuplicates("doc_id_a", "doc_id_b")
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    val sh = shingles(spark, dir)
     cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
@@ -89,20 +109,27 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** 16-bit SimHash per row via nested HOF folds (portable width; the
-    * 64-bit native-Expression variant is the bench path — SURVEY §5).
+  /** 16-bit SimHash per row via HOF folds (portable width; the 64-bit
+    * native-Expression variant is the bench path — SURVEY §5). The
+    * token hashes `hs` are materialized once per row so the per-bit
+    * fold does integer ops only (one md5 per token, not per token·bit).
     */
-  private val SimhashSparkSql: String = {
-    val h16 = "cast(conv(substring(md5(w), 1, 4), 16, 10) as int)"
-    s"""cast(aggregate(sequence(0, ${SimhashBits - 1}), 0, (acc, b) ->
-       |  acc + if(aggregate(words, 0, (a2, w) ->
-       |    a2 + ((shiftright($h16, b) & 1) * 2 - 1)) > 0, shiftleft(1, b), 0)) as int)""".stripMargin
-  }
+  private val SimhashSigSql: String =
+    s"""cast(aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform(split(text, ' '),
+       |        w -> cast(conv(substring(md5(w), 1, 4), 16, 10) as int)),
+       |      array_repeat(0, $SimhashBits),
+       |      (acc, h) -> zip_with(acc, sequence(0, ${SimhashBits - 1}),
+       |        (c, b) -> c + ((shiftright(h, b) & 1) * 2 - 1))),
+       |    sequence(0, ${SimhashBits - 1}),
+       |    (c, b) -> if(c > 0, shiftleft(1, b), 0)),
+       |  0, (a, x) -> a + x) as int)""".stripMargin
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("sig", expr(SimhashSparkSql))
+      .withColumn("sig", expr(SimhashSigSql))
       .select("doc_id", "sig")
     val a = sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
@@ -121,10 +148,14 @@ object Dedup {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val keyed = shingles(spark, dir)
       .withColumn("block", array_min(transform(col("s"), x => md5(x))))
-    val a = keyed.select(col("doc_id").as("doc_id_a"), col("s").as("sa"), col("block"))
-    val b = keyed.select(col("doc_id").as("doc_id_b"), col("s").as("sb"), col("block"))
-    a.join(b, Seq("block"))
+      .localCheckpoint(false)   // barrier: see minhashSigs
+    val cand = keyed.select(col("doc_id").as("doc_id_a"), col("block"))
+      .join(keyed.select(col("doc_id").as("doc_id_b"), col("block")), Seq("block"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "block")
+    cand
+      .join(keyed.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
+      .join(keyed.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
@@ -133,16 +164,23 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by cluster label. */
+  /** Embedding-cosine near-dup pairs, blocked by cluster label.
+    * Norms are computed once per vector (narrow pass), so the pair
+    * join does one dot product per pair, not three folds.
+    */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("vec_id_a"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("label"), col("v").as("vb"))
+      .withColumn("nrm", Similarity.normCol(col("v")))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cosine", round(Similarity.cosineCol(col("va"), col("vb")), 6))
+      .withColumn("cosine", round(
+        Similarity.dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= CosineThreshold)
       .select("vec_id_a", "vec_id_b", "label", "cosine")
       .orderBy("vec_id_a", "vec_id_b")
@@ -155,12 +193,10 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding)
 
-  private val SimhashDuckSql: String = {
-    val h16 = "CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)"
+  private val SimhashDuckSql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}), b ->
-       |  CASE WHEN list_sum(list_transform(words, w ->
-       |    ((($h16 >> b) & 1) * 2 - 1))) > 0 THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
-  }
+       |  CASE WHEN list_sum(list_transform(hs, h ->
+       |    (((h >> b) & 1) * 2 - 1))) > 0 THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -173,10 +209,15 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $ShinglesSql,
+         |hsh AS MATERIALIZED (
+         |  SELECT doc_id, s, list_transform(s,
+         |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+         |  FROM sh),
          |sigs AS (
          |  SELECT doc_id, s, list_transform(generate_series(0, ${MinhashK - 1}),
-         |    j -> list_aggregate(list_transform(s, x -> md5(x || '#' || j)), 'min')) AS sig
-         |  FROM sh),
+         |    j -> list_aggregate(list_transform(hs,
+         |      h -> (h * (1000003 + 7919 * j) + 12345 + 911 * j) % $MinhashP), 'min')) AS sig
+         |  FROM hsh),
          |bands AS (
          |  SELECT doc_id, s,
          |    md5(array_to_string(sig[1 + 4*band : 4 + 4*band], '|') || '#' || band) AS bkey
@@ -194,8 +235,9 @@ object Dedup {
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |sigs AS (SELECT doc_id, $SimhashDuckSql AS sig FROM docs)
+      s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
+         |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),
+         |sigs AS MATERIALIZED (SELECT doc_id, $SimhashDuckSql AS sig FROM docs)
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          |  bit_count(xor(a.sig, b.sig)) AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -214,14 +256,18 @@ object Dedup {
          |WHERE len(list_intersect(a.s, b.s)) /
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
-    "q_dedup_embedding" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, label,
+    "q_dedup_embedding" -> {
+      val dot = Similarity.dotDuckSql("a.v", "b.v")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM (SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings)
+         |    FROM embeddings))
          |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
-         |  round(${Similarity.cosineDuckSql("a.v", "b.v")}, 6) AS cosine
+         |  round($dot / (a.nrm * b.nrm), 6) AS cosine
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${Similarity.cosineDuckSql("a.v", "b.v")} >= $CosineThreshold
-         |ORDER BY vec_id_a, vec_id_b""".stripMargin)
+         |WHERE $dot / (a.nrm * b.nrm) >= $CosineThreshold
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin
+    })
 }

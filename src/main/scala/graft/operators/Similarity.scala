@@ -35,6 +35,10 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  /** dot-product fold in DuckDB SQL (a, b are double-list expressions). */
+  def dotDuckSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"""
+
   /** The same fold in DuckDB SQL (a, b are double-list expressions). */
   def cosineDuckSql(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)),
@@ -46,6 +50,7 @@ object Similarity {
   def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", normCol(col("v")))
 
   private val VecSql =
     """e AS (SELECT vec_id, label,
@@ -54,7 +59,8 @@ object Similarity {
 
   /** The deterministic probe vector: embedding of vec_id = 0. */
   private def queryVec(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+    vectors(spark, dir).filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
 
   private val QVecSql = "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
 
@@ -63,7 +69,7 @@ object Similarity {
     vectors(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
-      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .select("vec_id", "label", "score")
       .orderBy(col("score").desc, col("vec_id"))
       .limit(TopK)
@@ -71,12 +77,12 @@ object Similarity {
   /** k-NN join: top-k neighbors for each of 5 query vectors. */
   def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val queries = vectors(spark, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cands = vectors(spark, dir).filter(col("vec_id") >= 5)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     cands.crossJoin(broadcast(queries))
-      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
       .select("query_id", "vec_id", "score", "rk")
@@ -101,7 +107,7 @@ object Similarity {
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
       .withColumn("score", round(
-        lit(0.6) * cosineCol(col("v"), col("qv")) + lit(0.4) * col("kw_score"), 6))
+        lit(0.6) * (dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm"))) + lit(0.4) * col("kw_score"), 6))
       .select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopK)
@@ -114,7 +120,7 @@ object Similarity {
     vectors(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
-      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .join(Tables.documents(spark, dir), col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("score"),
         concat(lit("Title: doc "), col("doc_id"), lit(" ["), col("source"), lit("]"),
@@ -129,17 +135,17 @@ object Similarity {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % IvfStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosineCol(col("v"), col("cv")))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select("vec_id", "v", "cid")
+      .select("vec_id", "v", "nrm", "cid")
     val wProbe = Window.orderBy(col("qcos").desc, col("cid"))
     val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
-      .withColumn("qcos", cosineCol(col("cv"), col("qv")))
+      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= IvfProbes)
       .select("cid")
@@ -147,7 +153,7 @@ object Similarity {
     assigned.join(probed, "cid")
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
-      .withColumn("score", round(cosineCol(col("v"), col("qv")), 6))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= KnnK)
       .select("vec_id", "cid", "score", "rk")
