@@ -1,0 +1,235 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextPipeline
+
+/** CypherLite: a compiler for the linear-path Cypher subset that the
+  * reference's LLM emits (chat.py CYPHER_GENERATION_TEMPLATE examples
+  * 1-3) onto DataFrame join pipelines.
+  *
+  * Supported grammar (one line, case-sensitive keywords):
+  *   query      := match [where] [with] return [orderby] [limit]
+  *                 | query UNION query
+  *   match      := MATCH (v:Label)(-[:REL]->(v:Label))*
+  *   where      := WHERE v.prop IN ['a','b'] | WHERE v.prop = 'a'
+  *   with       := WITH DISTINCT v
+  *   return     := RETURN [DISTINCT] item (, item)*
+  *   item       := v.prop | count(v)
+  *   orderby    := ORDER BY v.prop (, v.prop)*
+  *   limit      := LIMIT n
+  *
+  * The LLM that *writes* the Cypher stays external (as in the
+  * reference); this module is the engine that executes it. Each edge
+  * hop is an equi-join on uid keys — Catalyst broadcasts the tiny
+  * entity side and reorders freely, which is exactly why the graph is
+  * stored relationally.
+  */
+object CypherLite {
+
+  // ---------- graph schema: node + edge tables ----------
+
+  /** Node table for a label: `uid` + properties. */
+  def nodes(spark: SparkSession, dir: String, label: String): DataFrame = label match {
+    case "Article" =>
+      Tables.documents(spark, dir).select(
+        concat(lit("Article:"), col("doc_id")).as("uid"),
+        col("doc_id"), col("source"), col("lang"))
+    case "Chunk" =>
+      TextPipeline.chunks(spark, dir).select(
+        concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("uid"),
+        col("chunk_text").as("text"), col("chunk_id").as("position"))
+    case "Source" =>
+      Tables.documents(spark, dir).select(col("source")).distinct()
+        .select(concat(lit("Source:"), col("source")).as("uid"), col("source").as("name"))
+    case "Person" | "Organization" | "Location" =>
+      val want = label.toLowerCase
+      TextPipeline.mentions(spark, dir)
+        .filter(col("label") === want)
+        .select(col("name")).distinct()
+        .select(concat(lit(label), lit(":"), col("name")).as("uid"), col("name"))
+    case other => throw new IllegalArgumentException(s"unknown node label $other")
+  }
+
+  /** Edge table for a relationship type: (src_uid, dst_uid).
+    * dstLabel disambiguates MENTIONS (entity label in the uid).
+    */
+  def edges(spark: SparkSession, dir: String, rel: String, dstLabel: String): DataFrame = rel match {
+    case "CONTAINS" =>
+      TextPipeline.chunks(spark, dir).select(
+        concat(lit("Article:"), col("doc_id")).as("src_uid"),
+        concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("dst_uid"))
+    case "MENTIONS" =>
+      TextPipeline.mentions(spark, dir)
+        .filter(col("label") === dstLabel.toLowerCase)
+        .select(
+          concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("src_uid"),
+          concat(lit(dstLabel), lit(":"), col("name")).as("dst_uid"))
+        .distinct()
+    case "PUBLISHED" =>
+      Tables.documents(spark, dir).select(
+        concat(lit("Source:"), col("source")).as("src_uid"),
+        concat(lit("Article:"), col("doc_id")).as("dst_uid"))
+    case other => throw new IllegalArgumentException(s"unknown relationship $other")
+  }
+
+  // ---------- AST ----------
+
+  case class NodePat(v: String, label: String)
+  case class PathPat(nodes: Seq[NodePat], rels: Seq[String])
+  sealed trait Pred
+  case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
+  case class EqPred(v: String, prop: String, value: String) extends Pred
+  sealed trait RetItem
+  case class PropItem(v: String, prop: String) extends RetItem
+  case class CountItem(v: String) extends RetItem
+  case class Query(path: PathPat, where: Option[Pred], withDistinct: Option[String],
+    retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
+
+  // ---------- parser (regex-token recursive descent) ----------
+
+  private val NodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
+  private val RelRe = """-\s*\[\s*:\s*(\w+)\s*\]\s*->""".r
+
+  def parse(cypher: String): Seq[Query] =
+    cypher.split("(?i)\\bUNION\\b").map(q => parseOne(q.trim)).toSeq
+
+  private def parseOne(q: String): Query = {
+    def section(start: String, enders: Seq[String]): Option[String] = {
+      val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(q).map(_.end)
+      si.map { s =>
+        val ends = enders.flatMap(e => ("(?i)\\b" + e + "\\b").r.findFirstMatchIn(q.substring(s)).map(_.start + s))
+        q.substring(s, if (ends.isEmpty) q.length else ends.min).trim
+      }
+    }
+    val matchS = section("MATCH", Seq("WHERE", "WITH", "RETURN")).getOrElse(
+      throw new IllegalArgumentException(s"no MATCH in: $q"))
+    val nodes = NodeRe.findAllMatchIn(matchS).map(m => NodePat(m.group(1), m.group(2))).toSeq
+    val rels = RelRe.findAllMatchIn(matchS).map(_.group(1)).toSeq
+    require(nodes.size == rels.size + 1, s"path shape mismatch in: $matchS")
+
+    val where = section("WHERE", Seq("WITH", "RETURN")).map { w =>
+      val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
+      val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+      w match {
+        case inRe(v, p, vals) =>
+          InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+        case eqRe(v, p, value) => EqPred(v, p, value)
+        case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
+      }
+    }
+    val withDistinct = section("WITH", Seq("RETURN"))
+      .map(_.replaceAll("(?i)DISTINCT", "").trim)
+    val retS = section("RETURN", Seq("ORDER", "LIMIT")).getOrElse(
+      throw new IllegalArgumentException(s"no RETURN in: $q"))
+    val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
+    val items = retS.replaceAll("(?i)^\\s*DISTINCT", "").split(",").map(_.trim).map {
+      case s if s.matches("(?i)count\\(\\s*\\w+\\s*\\)") =>
+        CountItem(s.replaceAll("(?i)count\\(\\s*(\\w+)\\s*\\)", "$1"))
+      case s if s.matches("""\w+\.\w+""") =>
+        val Array(v, p) = s.split("\\."); PropItem(v, p)
+      case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
+    }.toSeq
+    val orderBy = section("ORDER", Seq("LIMIT")).toSeq.flatMap {
+      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).collect {
+        case s if s.matches("""\w+\.\w+""") =>
+          val Array(v, p) = s.split("\\."); PropItem(v, p)
+      }
+    }
+    val limit = section("LIMIT", Seq.empty).map(_.trim.toInt)
+    Query(PathPat(nodes, rels), where, withDistinct, retDistinct, items, orderBy, limit)
+  }
+
+  // ---------- compiler ----------
+
+  /** Compile one parsed query to a DataFrame plan. Node columns are
+    * prefixed `<var>_`; each hop joins the edge table then the next
+    * node table.
+    */
+  def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
+    def nodeDf(n: NodePat): DataFrame = {
+      val d = nodes(spark, dir, n.label)
+      d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"${n.v}_$c"))
+    }
+    var df = nodeDf(q.path.nodes.head)
+    q.path.rels.zipWithIndex.foreach { case (rel, i) =>
+      val src = q.path.nodes(i)
+      val dst = q.path.nodes(i + 1)
+      val e = edges(spark, dir, rel, dst.label)
+        .withColumnRenamed("src_uid", s"${src.v}_uid")
+        .withColumnRenamed("dst_uid", s"${dst.v}_uid")
+      df = df.join(e, s"${src.v}_uid").join(nodeDf(dst), s"${dst.v}_uid")
+    }
+    q.where.foreach {
+      case InPred(v, p, vals) => df = df.filter(col(s"${v}_$p").isin(vals.map(lit): _*))
+      case EqPred(v, p, value) => df = df.filter(col(s"${v}_$p") === value)
+    }
+    q.withDistinct.foreach { v =>
+      df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
+    }
+    val counts = q.ret.collect { case c: CountItem => c }
+    if (counts.nonEmpty) {
+      val c = counts.head
+      df = df.agg(count(col(s"${c.v}_uid")).as(s"count_${c.v}"))
+    } else {
+      val cols: Seq[Column] = q.ret.collect { case PropItem(v, p) => col(s"${v}_$p").as(s"${v}_$p") }
+      df = df.select(cols: _*)
+      if (q.retDistinct) df = df.distinct()
+    }
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map(i => col(s"${i.v}_${i.prop}")): _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** Parse + compile (UNION = distinct union of branch plans). */
+  def run(spark: SparkSession, dir: String, cypher: String): DataFrame =
+    parse(cypher).map(q => compile(spark, dir, q)).reduce((a, b) => a.union(b).distinct())
+
+  // ---------- driver-contract queries (the chat.py examples) ----------
+
+  val Ex1: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Person) " +
+      "WHERE o.name IN ['customer', 'line customer'] " +
+      "RETURN DISTINCT a.uid, a.source ORDER BY a.uid LIMIT 10"
+
+  val Ex2: String =
+    "MATCH (s:Source)-[:PUBLISHED]->(a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name IN ['spark group'] WITH DISTINCT s RETURN count(s)"
+
+  val Ex3: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Location) WHERE o.name = 'row window' " +
+      "RETURN c.uid, c.text ORDER BY c.uid LIMIT 10"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
+    "q_cypher_ex2" -> ((s, d) => run(s, d, Ex2)),
+    "q_cypher_ex3" -> ((s, d) => run(s, d, Ex3)))
+
+  private val M = TextPipeline.MentionsSql
+  private val P = TextPipeline.PipelineSql
+
+  val oracles: Map[String, String] = Map(
+    "q_cypher_ex1" ->
+      s"""WITH $M
+         |SELECT DISTINCT 'Article:' || m.doc_id AS a_uid, d.source AS a_source
+         |FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+         |WHERE m.label = 'person' AND m.name IN ('customer', 'line customer')
+         |ORDER BY a_uid LIMIT 10""".stripMargin,
+    "q_cypher_ex2" ->
+      s"""WITH $M
+         |SELECT count(*) AS count_s FROM (
+         |  SELECT DISTINCT d.source
+         |  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+         |  WHERE m.label = 'organization' AND m.name = 'spark group')""".stripMargin,
+    "q_cypher_ex3" ->
+      s"""WITH $P
+         |SELECT DISTINCT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS c_uid,
+         |  c.chunk_text AS c_text
+         |FROM chunks c JOIN mentions m
+         |  ON m.doc_id = c.doc_id AND m.chunk_id = c.chunk_id
+         |WHERE m.label = 'location' AND m.name = 'row window'
+         |ORDER BY c_uid LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.CypherLite
+import graft.cypher.CypherLite._
+
+class CypherLiteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("parses a linear path with WHERE IN and LIMIT") {
+    val Seq(q) = parse(Ex1)
+    assert(q.path.nodes.map(_.label) == Seq("Article", "Chunk", "Person"))
+    assert(q.path.rels == Seq("CONTAINS", "MENTIONS"))
+    assert(q.where.contains(InPred("o", "name", Seq("customer", "line customer"))))
+    assert(q.retDistinct && q.limit.contains(10))
+  }
+
+  test("parses WITH DISTINCT + count()") {
+    val Seq(q) = parse(Ex2)
+    assert(q.withDistinct.contains("s"))
+    assert(q.ret == Seq(CountItem("s")))
+  }
+
+  test("UNION compiles to a distinct union (chat.py example 3 shape)") {
+    val cypher =
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Location) WHERE o.name = 'row window' RETURN c.uid " +
+        "UNION MATCH (c:Chunk)-[:MENTIONS]->(o:Person) WHERE o.name = 'line customer' RETURN c.uid"
+    val df = CypherLite.run(spark, TestSpark.sf, cypher)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.distinct().count() == n, "UNION must deduplicate")
+  }
+
+  test("unknown label fails loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (x:Nope) RETURN x.uid")
+    }
+  }
+
+  test("all three reference examples return rows") {
+    Seq(Ex1, Ex2, Ex3).foreach { c =>
+      assert(CypherLite.run(spark, TestSpark.sf, c).count() > 0)
+    }
+  }
+}
