@@ -186,7 +186,28 @@ object Dedup {
       .orderBy("vec_id_a", "vec_id_b")
   }
 
+  /** 60-bit SimHash via the native codegen Expression (the scale path;
+    * graft.functions.SimHash64) — same pair semantics at a tighter
+    * hamming radius than the 16-bit portable variant.
+    */
+  val Hamming64Max = 6
+
+  def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("sig", graft.functions.SimHash64.simhash64(split(col("text"), " ")))
+      .select("doc_id", "sig")
+    val a = sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    a.crossJoin(b)
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= Hamming64Max)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -199,6 +220,20 @@ object Dedup {
        |    (((h >> b) & 1) * 2 - 1))) > 0 THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash64" ->
+      s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
+         |    w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM documents),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |      (((h >> b) & 1) * 2 - 1))) > 0 THEN (CAST(1 AS BIGINT) << b)
+         |    ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM docs)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $Hamming64Max
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, min(doc_id) AS canonical_id,
