@@ -60,10 +60,56 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** ROLLUP aggregation (subtotal + grand-total rows; NULL group keys
+    * labeled 'ALL' so the hash compare is type-stable).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact percentiles of event value per type (linear interpolation —
+    * identical convention in Spark `percentile` and DuckDB
+    * `quantile_cont`).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** As-of join: for each purchase, the user's most recent click at or
+    * before it — the classic point-in-time join, expressed as a
+    * carry-forward window (single shuffle on user_id, no range scan).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("us_since_click"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
-    "q_topn_per_group" -> qTopnPerGroup)
+    "q_topn_per_group" -> qTopnPerGroup,
+    "q_rollup" -> qRollup,
+    "q_percentiles" -> qPercentiles,
+    "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -87,6 +133,30 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, last_click_us,
+        |  ts_us - last_click_us AS us_since_click
+        |FROM e WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
         |FROM (

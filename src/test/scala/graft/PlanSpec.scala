@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity, TextPipeline}
+
+/** Physical-plan audits: the properties that make these plans survive
+  * a 100× scale-up — filter/column pushdown to parquet, broadcast of
+  * dimension sides, whole-stage codegen — asserted so regressions in
+  * plan shape fail CI, not the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan(Relational.q1Agg(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+    assert(!p.contains("l_orderkey"), "pruned column still read")
+  }
+
+  test("q3_join broadcasts the dimension side (no shuffle of lineitem)") {
+    val p = plan(Relational.q3Join(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("gazetteer NER join is a broadcast join") {
+    val p = plan(TextPipeline.mentions(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast gazetteer:\n$p")
+  }
+
+  test("cosine top-k is TakeOrdered (no full sort shuffle)") {
+    val p = plan(Similarity.qCosineTopk(spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
+  test("scan of documents for token counting reads only needed columns") {
+    val p = plan(operators.TextAnalysis.qTokenCount(spark, TestSpark.sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected 2-column read schema:\n$p")
+  }
+
+  test("relational anchors run inside whole-stage codegen") {
+    val df = Relational.q1Agg(spark, TestSpark.sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = plan(df)
+    // '*(n)' is the WholeStageCodegen marker in the finalized AQE plan
+    assert(p.contains("*("), s"expected codegen spans:\n$p")
+  }
+}
