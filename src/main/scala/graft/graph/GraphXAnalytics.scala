@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX interop: the same entity co-occurrence graph materialized as
+  * a GraphX `Graph`, with PageRank and connected components run on the
+  * Pregel engine. Exists as (a) a second, independent implementation
+  * to cross-validate the DataFrame analytics (GraphXSpec asserts they
+  * agree), and (b) the escape hatch for algorithms where vertex-program
+  * iteration beats join-per-superstep.
+  *
+  * Vertex ids are assigned with `zipWithUniqueId` (distributed, no
+  * driver collect) — GraphX needs Long ids; names stay as vertex attrs.
+  */
+object GraphXAnalytics {
+
+  /** Build the GraphX graph from the co-occurrence edge list. */
+  def graph(spark: SparkSession, dir: String): Graph[String, Long] = {
+    val co = Analytics.cooccur(spark, dir)
+      .select("e1", "e2", "weight").cache()
+    val verts: RDD[(String, VertexId)] = co
+      .select(col("e1").as("n")).union(co.select(col("e2")))
+      .distinct().rdd.map(_.getString(0)).zipWithUniqueId()
+    val vertsDf = verts.toDF_(spark)
+    val withIds = co
+      .join(vertsDf.withColumnRenamed("name", "e1").withColumnRenamed("vid", "vid1"), "e1")
+      .join(vertsDf.withColumnRenamed("name", "e2").withColumnRenamed("vid", "vid2"), "e2")
+    val edges: RDD[Edge[Long]] = withIds
+      .select("vid1", "vid2", "weight").rdd
+      .flatMap(r => Seq(
+        Edge(r.getLong(0), r.getLong(1), r.getLong(2)),
+        Edge(r.getLong(1), r.getLong(0), r.getLong(2))))
+    Graph(verts.map(_.swap), edges)
+  }
+
+  private implicit class RddToDf(rdd: RDD[(String, Long)]) {
+    def toDF_(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      rdd.toDF("name", "vid")
+    }
+  }
+
+  /** Static PageRank (10 iters, reset 0.15). GraphX leaves ranks
+    * unnormalized (they sum to N); callers can divide by vertex count
+    * to compare with Analytics.qPagerank.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = Analytics.PrIters): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    g.staticPageRank(iters, 0.15)
+      .vertices.join(g.vertices)
+      .map { case (_, (rank, name)) => (name, rank) }
+      .toDF("name", "graphx_rank")
+  }
+
+  /** Connected components (labels are min vertex id per component). */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    g.connectedComponents()
+      .vertices.join(g.vertices)
+      .map { case (_, (comp, name)) => (name, comp) }
+      .toDF("name", "graphx_comp")
+  }
+}

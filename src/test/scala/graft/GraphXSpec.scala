@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Analytics, GraphXAnalytics}
+
+/** Cross-validation: the DataFrame analytics and GraphX must agree —
+  * two independent engines computing the same graph measures.
+  */
+class GraphXSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("GraphX static PageRank matches the DataFrame power iteration (×N scale)") {
+    val df = Analytics.qPagerank(spark, TestSpark.sf)
+    val n = df.count()
+    val gx = GraphXAnalytics.pagerank(spark, TestSpark.sf)
+    val joined = df.join(gx, "name")
+      .select(col("name"), col("pagerank"), (col("graphx_rank") / n).as("gx_norm"))
+    val maxDiff = joined
+      .select(max(abs(col("pagerank") - col("gx_norm")))).head().getDouble(0)
+    assert(maxDiff < 1e-4, s"PageRank engines disagree by $maxDiff")
+  }
+
+  test("GraphX connected components partition nodes identically") {
+    val df = Analytics.qComponents(spark, TestSpark.sf)
+    val gx = GraphXAnalytics.components(spark, TestSpark.sf)
+    val joined = df.join(gx, "name")
+    // bijection between label sets: each df comp ↔ one graphx comp
+    val a = joined.groupBy("comp")
+      .agg(countDistinct("graphx_comp").as("k")).filter(col("k") > 1).count()
+    val b = joined.groupBy("graphx_comp")
+      .agg(countDistinct("comp").as("k")).filter(col("k") > 1).count()
+    assert(a == 0 && b == 0)
+    assert(joined.count() == df.count())
+  }
+}
