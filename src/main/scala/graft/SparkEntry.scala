@@ -22,7 +22,8 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (graph.Analytics.queries, graph.Analytics.oracles),
       (multimodal.Media.queries, multimodal.Media.oracles),
-      (cypher.CypherLite.queries, cypher.CypherLite.oracles))
+      (cypher.CypherLite.queries, cypher.CypherLite.oracles),
+      (operators.Retrieval.queries, operators.Retrieval.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

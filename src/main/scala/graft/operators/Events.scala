@@ -59,12 +59,39 @@ object Events {
       .orderBy("rk")
   }
 
+  /** 3-day moving average of daily event value per type (ROWS frame
+    * over the pre-aggregated daily series — the rolling-metric shape).
+    */
+  def qRollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"),
+        col("event_type"))
+      .agg(sum(col("value")).as("day_value"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-2, 0)
+    daily
+      .withColumn("ma3", round(avg(col("day_value")).over(w), 6))
+      .select(col("day"), col("event_type"),
+        round(col("day_value"), 2).as("day_value"), col("ma3"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_avg" -> qRollingAvg,
     "q_events_window" -> qEventsWindow,
     "q_sessionize" -> qSessionize,
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |    sum(value) AS day_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, round(day_value, 2) AS day_value,
+        |  round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         |  count(*) AS n_events,

@@ -103,7 +103,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Semi/anti join: customers with ≥1 high-priority order vs none
+    * (EXISTS / NOT EXISTS — left_semi/left_anti, no row duplication).
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val semi = cust.join(urgent, Seq("c_custkey"), "left_semi")
+      .withColumn("has_urgent", lit(true))
+    val anti = cust.join(urgent, Seq("c_custkey"), "left_anti")
+      .withColumn("has_urgent", lit(false))
+    semi.unionByName(anti).orderBy("c_custkey")
+  }
+
+  /** Skew-resistant two-phase (salted) aggregation: pre-aggregate on
+    * (key, salt), then merge — same answer as a direct groupBy, which
+    * is exactly what the oracle checks. The salt is deterministic
+    * (orderkey % 8) so the plan is replayable.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", col("l_orderkey") % 8)
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("partial_qty")), 2).as("sum_qty"),
+        sum(col("partial_n")).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_anti" -> qSemiAnti,
+    "q_salted_agg" -> qSaltedAgg,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_topn_per_group" -> qTopnPerGroup,
@@ -112,6 +144,17 @@ object Relational {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders
+        |          WHERE o_custkey = c_custkey
+        |            AND o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
