@@ -133,7 +133,21 @@ object Relational {
         sum(col("partial_n")).as("n"))
       .orderBy("l_returnflag")
 
+  /** Per-group top-N via the custom TopKPerGroup physical operator
+    * (graft.plans: LogicalPlan + Strategy + partial/final heap exec) —
+    * same answer as the window variant, radically less shuffle.
+    */
+  def qTopkCustom(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopKPerGroup.topK(base, 3, Seq("o_custkey"), "o_totalprice", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_custom" -> qTopkCustom,
     "q_semi_anti" -> qSemiAnti,
     "q_salted_agg" -> qSaltedAgg,
     "q1_agg" -> q1Agg,
@@ -144,6 +158,15 @@ object Relational {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_mktsegment,
         |  EXISTS (SELECT 1 FROM orders

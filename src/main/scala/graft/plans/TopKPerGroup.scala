@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Whole-operator extension (brief option (c)): per-group top-k as a
+  * custom LogicalPlan + Strategy + physical operator, instead of the
+  * window `row_number ≤ k` pattern.
+  *
+  * Why it wins at scale: the window plan sorts EVERY row of every
+  * group after a full shuffle. This operator keeps a bounded k-heap
+  * per group: a PARTIAL pass runs map-side before the exchange (like
+  * partial aggregation, shrinking each partition to ≤k rows per
+  * group), then a FINAL pass after a ClusteredDistribution exchange
+  * picks the true top-k. Shuffle volume drops from O(rows) to
+  * O(groups·k·partitions); nothing is globally sorted.
+  *
+  * Ordering: `orderValue` descending, `tieBreak` ascending (must be
+  * unique within a group for deterministic output).
+  */
+case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
+    orderValue: Expression, tieBreak: Expression,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
+    orderValue: Expression, tieBreak: Expression,
+    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val groupeExprs = groupExprs
+    val ordExpr = orderValue
+    val tieExpr = tieBreak
+    val childOutput = child.output
+    child.execute().mapPartitions({ rows =>
+      val groupProj = UnsafeProjection.create(groupeExprs, childOutput)
+      val ordBound = BindReferences.bindReference(ordExpr, childOutput)
+      val tieBound = BindReferences.bindReference(tieExpr, childOutput)
+      // per group: a min-heap of (value, tie, row) keeping the k best
+      // (highest value, lowest tie) — the heap root is the WORST kept.
+      val heapOrd = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
+        case (v, t, _) => (-v, t)
+      }
+      val heaps = new scala.collection.mutable.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]()
+      rows.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]()(heapOrd))
+        val v = ordBound.eval(row) match {
+          case null => Double.NegativeInfinity
+          case d: java.lang.Double => d.doubleValue()
+          case l: java.lang.Long => l.toDouble
+          case i: java.lang.Integer => i.toDouble
+          case other => other.toString.toDouble
+        }
+        val t = tieExpr.dataType match {
+          case _ => tieBound.eval(row) match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.toLong
+            case null => Long.MaxValue
+            case other => other.toString.toLong
+          }
+        }
+        if (heap.size < kk) {
+          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val worst = heap.head
+          if (v > worst._1 || (v == worst._1 && t < worst._2)) {
+            heap.dequeue()
+            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Plans TopKPerGroup as partial → exchange(cluster) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(k, g, o, t, child) =>
+      TopKPerGroupExec(k, g, o, t, partial = false,
+        TopKPerGroupExec(k, g, o, t, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKStrategy)
+}
+
+object TopKPerGroup {
+
+  /** Ensure the strategy is installed on this session (idempotent —
+    * works even when the session was built without extensions).
+    */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKStrategy))
+      spark.experimental.extraStrategies = cur :+ TopKStrategy
+  }
+
+  /** Public API: top-k rows per group, `orderCol` desc / `tieCol` asc. */
+  def topK(df: DataFrame, k: Int, groupCols: Seq[String],
+      orderCol: String, tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val child = shims.analyzed(df)
+    val byName = child.output.map(a => a.name -> a).toMap
+    def attr(n: String) = byName.getOrElse(n,
+      throw new IllegalArgumentException(s"no column $n in ${byName.keys}"))
+    shims.ofRows(spark,
+      TopKPerGroup(k, groupCols.map(attr), attr(orderCol), attr(tieCol), child))
+  }
+}
