@@ -20,12 +20,23 @@ object Analytics {
   val Damping = 0.85
   val CcIters = 8
 
+  /** Skew cap: chunks carrying more than this many distinct entities
+    * are dropped from pairing — the quadratic fan-out guard (a single
+    * pathological chunk with 10k entities would emit 50M pairs).
+    */
+  val MaxEntitiesPerChunk = 20
+
   /** Undirected co-occurrence edges: entities sharing a chunk.
     * weight = number of chunks where the pair co-occurs.
     */
   def cooccur(spark: SparkSession, dir: String): DataFrame = {
-    val m = TextPipeline.mentions(spark, dir)
+    val m0 = TextPipeline.mentions(spark, dir)
       .select("doc_id", "chunk_id", "name").distinct()
+    val small = m0.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_ents"))
+      .filter(col("n_ents") <= MaxEntitiesPerChunk)
+      .select("doc_id", "chunk_id")
+    val m = m0.join(small, Seq("doc_id", "chunk_id"))
     val a = m.select(col("doc_id"), col("chunk_id"), col("name").as("e1"))
     val b = m.select(col("doc_id"), col("chunk_id"), col("name").as("e2"))
     a.join(b, Seq("doc_id", "chunk_id"))
@@ -36,7 +47,12 @@ object Analytics {
 
   val CooccurSql: String =
     s"""${TextPipeline.MentionsSql},
-       |m AS MATERIALIZED (SELECT DISTINCT doc_id, chunk_id, name FROM mentions),
+       |m0 AS MATERIALIZED (SELECT DISTINCT doc_id, chunk_id, name FROM mentions),
+       |m AS MATERIALIZED (
+       |  SELECT m0.* FROM m0 JOIN (
+       |    SELECT doc_id, chunk_id FROM m0 GROUP BY doc_id, chunk_id
+       |    HAVING count(*) <= $MaxEntitiesPerChunk) s
+       |  USING (doc_id, chunk_id)),
        |cooccur AS MATERIALIZED (
        |  SELECT a.name AS e1, b.name AS e2, count(*) AS weight
        |  FROM m a JOIN m b

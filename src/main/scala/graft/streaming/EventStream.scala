@@ -87,6 +87,25 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup twin: drop duplicate event_ids within the
+    * watermark horizon (the streaming analogue of Dedup.qDedupExact's
+    * grouping — bounded state via the event-time watermark).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run the dedup stream into a memory sink (synchronous; test/demo). */
+  def runDedupToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = dedupStream(readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */
