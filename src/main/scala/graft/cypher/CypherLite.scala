@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.graph.NewsGraph
 import graft.operators.TextPipeline
 
 /** CypherLite: a compiler for the linear-path Cypher subset that the
@@ -44,12 +45,24 @@ object CypherLite {
     case "Source" =>
       Tables.documents(spark, dir).select(col("source")).distinct()
         .select(concat(lit("Source:"), col("source")).as("uid"), col("source").as("name"))
-    case "Person" | "Organization" | "Location" =>
+    case "Person" =>
+      // gazetteer persons ∪ author-persons (publisher fallback,
+      // crawler.py:44) — both carry the Person label in the reference
+      TextPipeline.mentions(spark, dir)
+        .filter(col("label") === "person").select(col("name"))
+        .union(Tables.documents(spark, dir).select(col("source")))
+        .distinct()
+        .select(concat(lit("Person:"), col("name")).as("uid"), col("name"))
+    case "Organization" | "Location" =>
       val want = label.toLowerCase
       TextPipeline.mentions(spark, dir)
         .filter(col("label") === want)
         .select(col("name")).distinct()
         .select(concat(lit(label), lit(":"), col("name")).as("uid"), col("name"))
+    case "Topic" =>
+      NewsGraph.qArticleTopics(spark, dir).select(col("topic")).distinct()
+        .select(concat(lit("Topic:"), col("topic")).as("uid"),
+          col("topic").as("name"))
     case other => throw new IllegalArgumentException(s"unknown node label $other")
   }
 
@@ -72,26 +85,37 @@ object CypherLite {
       Tables.documents(spark, dir).select(
         concat(lit("Source:"), col("source")).as("src_uid"),
         concat(lit("Article:"), col("doc_id")).as("dst_uid"))
+    case "AUTHORED" =>
+      Tables.documents(spark, dir).select(
+        concat(lit("Person:"), col("source")).as("src_uid"),
+        concat(lit("Article:"), col("doc_id")).as("dst_uid"))
+    case "HAS_TOPIC" =>
+      NewsGraph.qArticleTopics(spark, dir).select(
+        concat(lit("Article:"), col("doc_id")).as("src_uid"),
+        concat(lit("Topic:"), col("topic")).as("dst_uid"))
     case other => throw new IllegalArgumentException(s"unknown relationship $other")
   }
 
   // ---------- AST ----------
 
-  case class NodePat(v: String, label: String)
-  case class PathPat(nodes: Seq[NodePat], rels: Seq[String])
+  case class NodePat(v: String, label: String,
+    inlineProp: Option[(String, String)] = None)
+  /** rel = (type, reversed): `-[:R]->` forward, `<-[:R]-` reversed. */
+  case class PathPat(nodes: Seq[NodePat], rels: Seq[(String, Boolean)])
   sealed trait Pred
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
   sealed trait RetItem
   case class PropItem(v: String, prop: String) extends RetItem
-  case class CountItem(v: String) extends RetItem
+  case class CountItem(v: String, distinct: Boolean = false) extends RetItem
   case class Query(path: PathPat, where: Option[Pred], withDistinct: Option[String],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
 
-  private val NodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
-  private val RelRe = """-\s*\[\s*:\s*(\w+)\s*\]\s*->""".r
+  private val NodeRe =
+    """\(\s*(\w+)\s*:\s*(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""".r
+  private val RelRe = """(<-|-)\s*\[\s*:\s*(\w+)\s*\]\s*(->|-)""".r
 
   def parse(cypher: String): Seq[Query] =
     cypher.split("(?i)\\bUNION\\b").map(q => parseOne(q.trim)).toSeq
@@ -106,8 +130,15 @@ object CypherLite {
     }
     val matchS = section("MATCH", Seq("WHERE", "WITH", "RETURN")).getOrElse(
       throw new IllegalArgumentException(s"no MATCH in: $q"))
-    val nodes = NodeRe.findAllMatchIn(matchS).map(m => NodePat(m.group(1), m.group(2))).toSeq
-    val rels = RelRe.findAllMatchIn(matchS).map(_.group(1)).toSeq
+    val nodes = NodeRe.findAllMatchIn(matchS).map(m =>
+      NodePat(m.group(1), m.group(2),
+        Option(m.group(3)).map(pn => pn -> m.group(4)))).toSeq
+    val rels = RelRe.findAllMatchIn(matchS).map { m =>
+      val reversed = m.group(1) == "<-"
+      require(reversed != (m.group(3) == "->"),
+        s"ambiguous arrow in: ${m.matched}")
+      (m.group(2), reversed)
+    }.toSeq
     require(nodes.size == rels.size + 1, s"path shape mismatch in: $matchS")
 
     val where = section("WHERE", Seq("WITH", "RETURN")).map { w =>
@@ -126,8 +157,9 @@ object CypherLite {
       throw new IllegalArgumentException(s"no RETURN in: $q"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
     val items = retS.replaceAll("(?i)^\\s*DISTINCT", "").split(",").map(_.trim).map {
-      case s if s.matches("(?i)count\\(\\s*\\w+\\s*\\)") =>
-        CountItem(s.replaceAll("(?i)count\\(\\s*(\\w+)\\s*\\)", "$1"))
+      case s if s.matches("(?i)count\\(\\s*(?:DISTINCT\\s+)?\\w+\\s*\\)") =>
+        val distinct = s.matches("(?i)count\\(\\s*DISTINCT\\s+.*")
+        CountItem(s.replaceAll("(?i)count\\(\\s*(?:DISTINCT\\s+)?(\\w+)\\s*\\)", "$1"), distinct)
       case s if s.matches("""\w+\.\w+""") =>
         val Array(v, p) = s.split("\\."); PropItem(v, p)
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
@@ -154,13 +186,20 @@ object CypherLite {
       d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"${n.v}_$c"))
     }
     var df = nodeDf(q.path.nodes.head)
-    q.path.rels.zipWithIndex.foreach { case (rel, i) =>
-      val src = q.path.nodes(i)
-      val dst = q.path.nodes(i + 1)
-      val e = edges(spark, dir, rel, dst.label)
-        .withColumnRenamed("src_uid", s"${src.v}_uid")
-        .withColumnRenamed("dst_uid", s"${dst.v}_uid")
-      df = df.join(e, s"${src.v}_uid").join(nodeDf(dst), s"${dst.v}_uid")
+    q.path.rels.zipWithIndex.foreach { case ((rel, reversed), i) =>
+      val here = q.path.nodes(i)
+      val next = q.path.nodes(i + 1)
+      // forward: here -R-> next; reversed: next -R-> here
+      val (srcPat, dstPat) = if (reversed) (next, here) else (here, next)
+      val e = edges(spark, dir, rel, dstPat.label)
+        .withColumnRenamed("src_uid", s"${srcPat.v}_uid")
+        .withColumnRenamed("dst_uid", s"${dstPat.v}_uid")
+      df = df.join(e, s"${here.v}_uid").join(nodeDf(next), s"${next.v}_uid")
+    }
+    q.path.nodes.foreach { n =>
+      n.inlineProp.foreach { case (prop, value) =>
+        df = df.filter(col(s"${n.v}_$prop") === value)
+      }
     }
     q.where.foreach {
       case InPred(v, p, vals) => df = df.filter(col(s"${v}_$p").isin(vals.map(lit): _*))
@@ -172,7 +211,9 @@ object CypherLite {
     val counts = q.ret.collect { case c: CountItem => c }
     if (counts.nonEmpty) {
       val c = counts.head
-      df = df.agg(count(col(s"${c.v}_uid")).as(s"count_${c.v}"))
+      df = if (c.distinct)
+        df.agg(countDistinct(col(s"${c.v}_uid")).as(s"count_${c.v}"))
+      else df.agg(count(col(s"${c.v}_uid")).as(s"count_${c.v}"))
     } else {
       val cols: Seq[Column] = q.ret.collect { case PropItem(v, p) => col(s"${v}_$p").as(s"${v}_$p") }
       df = df.select(cols: _*)
@@ -203,10 +244,24 @@ object CypherLite {
     "MATCH (c:Chunk)-[:MENTIONS]->(o:Location) WHERE o.name = 'row window' " +
       "RETURN c.uid, c.text ORDER BY c.uid LIMIT 10"
 
+  /** Reverse arrow + inline property pattern (AUTHORED is
+    * publisher-fallback authorship, crawler.py:44).
+    */
+  val Ex4: String =
+    "MATCH (a:Article)<-[:AUTHORED]-(p:Person {name: 'src3'}) " +
+      "RETURN a.uid, a.lang ORDER BY a.uid LIMIT 10"
+
+  /** count(DISTINCT …) over a HAS_TOPIC hop. */
+  val Ex5: String =
+    "MATCH (a:Article)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) " +
+      "RETURN count(DISTINCT a)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
     "q_cypher_ex2" -> ((s, d) => run(s, d, Ex2)),
-    "q_cypher_ex3" -> ((s, d) => run(s, d, Ex3)))
+    "q_cypher_ex3" -> ((s, d) => run(s, d, Ex3)),
+    "q_cypher_ex4" -> ((s, d) => run(s, d, Ex4)),
+    "q_cypher_ex5" -> ((s, d) => run(s, d, Ex5)))
 
   private val M = TextPipeline.MentionsSql
   private val P = TextPipeline.PipelineSql
@@ -224,6 +279,15 @@ object CypherLite {
          |  SELECT DISTINCT d.source
          |  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
          |  WHERE m.label = 'organization' AND m.name = 'spark group')""".stripMargin,
+    "q_cypher_ex4" ->
+      """SELECT 'Article:' || doc_id AS a_uid, lang AS a_lang
+        |FROM documents WHERE source = 'src3'
+        |ORDER BY a_uid LIMIT 10""".stripMargin,
+    "q_cypher_ex5" ->
+      s"""WITH $M,
+         |${graft.graph.NewsGraph.ArticleTopicsSql}
+         |SELECT count(DISTINCT doc_id) AS count_a
+         |FROM topics WHERE topic = 'organization'""".stripMargin,
     "q_cypher_ex3" ->
       s"""WITH $P
          |SELECT DISTINCT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS c_uid,

@@ -30,6 +30,33 @@ object NewsGraph {
   private val EntityNodeLabelSql =
     "CASE label WHEN 'person' THEN 'Person' WHEN 'organization' THEN 'Organization' ELSE 'Location' END"
 
+  /** Article topics (ref graph.py merge_article_topics / HAS_TOPIC):
+    * the synthetic corpus has no topic field, so the topic is derived
+    * deterministically as the entity label with the most mentions in
+    * the doc (ties → alphabetical). Authors (ref crawler.py:44:
+    * `authors = article.authors or [source.publisher]`) fall back to
+    * the publisher — faithfully reproduced: author ≡ source.
+    */
+  def qArticleTopics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("label"))
+    TextPipeline.mentions(spark, dir)
+      .groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("topic"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source").as("author")), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val ArticleTopicsSql: String =
+    """topics AS MATERIALIZED (
+      |  SELECT doc_id, label AS topic FROM (
+      |    SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, label) AS rn
+      |    FROM mentions GROUP BY doc_id, label)
+      |  WHERE rn = 1)""".stripMargin
+
   /** All graph nodes: (uid, label, name) — ref graph.py:28-95 node
     * creation; uids are deterministic natural keys, not random
     * (generate_short_uid is driver-side randomness we must not keep).
@@ -52,7 +79,15 @@ object NewsGraph {
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
       .select(concat(col("label"), lit(":"), col("name")).as("uid"),
         col("label"), col("name"))
-    articles.unionByName(chunkNodes).unionByName(sources).unionByName(entities)
+    // authors ≡ publisher fallback (crawler.py:44), labeled Person
+    val authors = docs.select(col("source")).distinct().select(
+      concat(lit("Person:"), col("source")).as("uid"),
+      lit("Person").as("label"), col("source").as("name"))
+    val topics = qArticleTopics(spark, dir).select(col("topic")).distinct()
+      .select(concat(lit("Topic:"), col("topic")).as("uid"),
+        lit("Topic").as("label"), col("topic").as("name"))
+    articles.unionByName(chunkNodes).unionByName(sources)
+      .unionByName(entities).unionByName(authors).unionByName(topics)
       .orderBy("uid")
   }
 
@@ -63,17 +98,27 @@ object NewsGraph {
     val docs = Tables.documents(spark, dir)
     val chunks = TextPipeline.chunks(spark, dir)
     val mentions = TextPipeline.mentions(spark, dir)
+    // Person = gazetteer persons ∪ author-persons (publisher fallback)
+    val personNames = mentions.filter(col("label") === "person")
+      .select(col("name")).union(docs.select(col("source"))).distinct()
+    val topics = qArticleTopics(spark, dir)
     val nodeCounts = Seq(
       docs.select(lit("node").as("kind"), lit("Article").as("label"), count(lit(1)).as("cnt")),
       chunks.select(lit("node").as("kind"), lit("Chunk").as("label"), count(lit(1)).as("cnt")),
       docs.select(col("source")).distinct()
         .select(lit("node").as("kind"), lit("Source").as("label"), count(lit(1)).as("cnt")),
-      mentions.select(col("name"), entityNodeLabel(col("label")).as("elabel")).distinct()
+      personNames.select(lit("node").as("kind"), lit("Person").as("label"), count(lit(1)).as("cnt")),
+      mentions.filter(col("label") =!= "person")
+        .select(col("name"), entityNodeLabel(col("label")).as("elabel")).distinct()
         .groupBy(col("elabel").as("label"))
         .agg(count(lit(1)).as("cnt")).select(lit("node").as("kind"), col("label"), col("cnt")),
+      topics.select(col("topic")).distinct()
+        .select(lit("node").as("kind"), lit("Topic").as("label"), count(lit(1)).as("cnt")),
       chunks.select(lit("rel").as("kind"), lit("CONTAINS").as("label"), count(lit(1)).as("cnt")),
       mentions.select(lit("rel").as("kind"), lit("MENTIONS").as("label"), count(lit(1)).as("cnt")),
-      docs.select(lit("rel").as("kind"), lit("PUBLISHED").as("label"), count(lit(1)).as("cnt")))
+      docs.select(lit("rel").as("kind"), lit("PUBLISHED").as("label"), count(lit(1)).as("cnt")),
+      docs.select(lit("rel").as("kind"), lit("AUTHORED").as("label"), count(lit(1)).as("cnt")),
+      topics.select(lit("rel").as("kind"), lit("HAS_TOPIC").as("label"), count(lit(1)).as("cnt")))
     nodeCounts.reduce(_ unionByName _).orderBy("kind", "label")
   }
 
@@ -147,6 +192,7 @@ object NewsGraph {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_article_topics" -> qArticleTopics,
     "q_graph_nodes" -> qGraphNodes,
     "q_graph_schema" -> qGraphSchema,
     "q_articles_mentioning" -> qArticlesMentioning,
@@ -159,8 +205,15 @@ object NewsGraph {
   private val M = TextPipeline.MentionsSql
 
   val oracles: Map[String, String] = Map(
+    "q_article_topics" ->
+      s"""WITH $M,
+         |$ArticleTopicsSql
+         |SELECT t.doc_id, t.topic, d.source AS author
+         |FROM topics t JOIN documents d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q_graph_nodes" ->
       s"""WITH $P,
+         |$ArticleTopicsSql,
          |nodes AS (
          |  SELECT 'Article:' || doc_id AS uid, 'Article' AS label,
          |    CAST(doc_id AS VARCHAR) AS name FROM documents
@@ -172,18 +225,32 @@ object NewsGraph {
          |  FROM (SELECT DISTINCT source FROM documents)
          |  UNION ALL
          |  SELECT el || ':' || name, el, name FROM (
-         |    SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions))
+         |    SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions)
+         |  UNION ALL
+         |  SELECT 'Person:' || source, 'Person', source
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |  UNION ALL
+         |  SELECT 'Topic:' || topic, 'Topic', topic
+         |  FROM (SELECT DISTINCT topic FROM topics))
          |SELECT uid, label, name FROM nodes ORDER BY uid""".stripMargin,
     "q_graph_schema" ->
-      s"""WITH $P
+      s"""WITH $P,
+         |$ArticleTopicsSql
          |SELECT 'node' AS kind, 'Article' AS label, count(*) AS cnt FROM documents
          |UNION ALL SELECT 'node', 'Chunk', count(*) FROM chunks
          |UNION ALL SELECT 'node', 'Source', count(DISTINCT source) FROM documents
+         |UNION ALL SELECT 'node', 'Person', count(*) FROM (
+         |  SELECT name FROM mentions WHERE label = 'person'
+         |  UNION SELECT source FROM documents)
          |UNION ALL SELECT 'node', el, count(*) FROM
-         |  (SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions) GROUP BY el
+         |  (SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions
+         |   WHERE label <> 'person') GROUP BY el
+         |UNION ALL SELECT 'node', 'Topic', count(DISTINCT topic) FROM topics
          |UNION ALL SELECT 'rel', 'CONTAINS', count(*) FROM chunks
          |UNION ALL SELECT 'rel', 'MENTIONS', count(*) FROM mentions
          |UNION ALL SELECT 'rel', 'PUBLISHED', count(*) FROM documents
+         |UNION ALL SELECT 'rel', 'AUTHORED', count(*) FROM documents
+         |UNION ALL SELECT 'rel', 'HAS_TOPIC', count(*) FROM topics
          |ORDER BY kind, label""".stripMargin,
     "q_articles_mentioning" ->
       s"""WITH $M

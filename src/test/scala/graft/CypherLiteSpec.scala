@@ -11,7 +11,7 @@ class CypherLiteSpec extends AnyFunSuite {
   test("parses a linear path with WHERE IN and LIMIT") {
     val Seq(q) = parse(Ex1)
     assert(q.path.nodes.map(_.label) == Seq("Article", "Chunk", "Person"))
-    assert(q.path.rels == Seq("CONTAINS", "MENTIONS"))
+    assert(q.path.rels == Seq("CONTAINS" -> false, "MENTIONS" -> false))
     assert(q.where.contains(InPred("o", "name", Seq("customer", "line customer"))))
     assert(q.retDistinct && q.limit.contains(10))
   }
@@ -39,9 +39,17 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
-  test("all three reference examples return rows") {
-    Seq(Ex1, Ex2, Ex3).foreach { c =>
+  test("all five examples return rows (incl. reverse arrow + inline prop)") {
+    Seq(Ex1, Ex2, Ex3, Ex4, Ex5).foreach { c =>
       assert(CypherLite.run(spark, TestSpark.sf, c).count() > 0)
     }
+  }
+
+  test("reverse arrow binds direction correctly") {
+    val fwd = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (p:Person {name: 'src3'})-[:AUTHORED]->(a:Article) RETURN a.uid")
+    val rev = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)<-[:AUTHORED]-(p:Person {name: 'src3'}) RETURN a.uid")
+    assert(fwd.except(rev).count() == 0 && rev.except(fwd).count() == 0)
   }
 }
