@@ -23,7 +23,8 @@ object SparkEntry {
       (graph.Analytics.queries, graph.Analytics.oracles),
       (multimodal.Media.queries, multimodal.Media.oracles),
       (cypher.CypherLite.queries, cypher.CypherLite.oracles),
-      (operators.Retrieval.queries, operators.Retrieval.oracles))
+      (operators.Retrieval.queries, operators.Retrieval.oracles),
+      (operators.Training.queries, operators.Training.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
