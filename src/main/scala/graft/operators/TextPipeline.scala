@@ -67,7 +67,13 @@ object TextPipeline {
   def withChunkId(wordsDf: DataFrame): DataFrame =
     wordsDf.withColumn("chunk_id", floor(col("off") / ChunkLen).cast("int"))
 
-  /** Chunk table: (doc_id, chunk_id, chunk_text, n_chars, n_words). */
+  /** Chunk table: (doc_id, chunk_id, chunk_text, n_chars, n_words).
+    * NOTE: deliberately NOT cache()d — an InMemoryRelation here hides
+    * runtime statistics from AQE and downstream joins lose their
+    * broadcast/coalesce decisions (measured 7x slowdown on the
+    * iterative graph queries). Cross-query reuse belongs to the
+    * bucketed tables Catalog.materializeGraph writes.
+    */
   def chunks(spark: SparkSession, dir: String): DataFrame =
     withChunkId(words(spark, dir))
       .groupBy(col("doc_id"), col("chunk_id"))
