@@ -28,19 +28,24 @@ object Analytics {
 
   /** Undirected co-occurrence edges: entities sharing a chunk.
     * weight = number of chunks where the pair co-occurs.
+    *
+    * Single-pass shape: distinct entity names are collected per chunk
+    * (ONE shuffle over the mentions pipeline), the i<j pairs are
+    * generated per row with nested HOFs (bounded by the skew cap), and
+    * one groupBy counts them — the self-join formulation re-executed
+    * the mentions pipeline four times.
     */
   def cooccur(spark: SparkSession, dir: String): DataFrame = {
-    val m0 = TextPipeline.mentions(spark, dir)
-      .select("doc_id", "chunk_id", "name").distinct()
-    val small = m0.groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_ents"))
-      .filter(col("n_ents") <= MaxEntitiesPerChunk)
-      .select("doc_id", "chunk_id")
-    val m = m0.join(small, Seq("doc_id", "chunk_id"))
-    val a = m.select(col("doc_id"), col("chunk_id"), col("name").as("e1"))
-    val b = m.select(col("doc_id"), col("chunk_id"), col("name").as("e2"))
-    a.join(b, Seq("doc_id", "chunk_id"))
-      .filter(col("e1") < col("e2"))
+    val ents = TextPipeline.mentions(spark, dir)
+      .groupBy("doc_id", "chunk_id")
+      .agg(array_sort(collect_set(col("name"))).as("ents"))
+      .filter(size(col("ents")) >= 2 && size(col("ents")) <= MaxEntitiesPerChunk)
+    ents
+      .select(explode(flatten(transform(col("ents"),
+        (x, i) => transform(
+          slice(col("ents"), i + 2, size(col("ents"))),
+          y => struct(x.as("e1"), y.as("e2")))))).as("p"))
+      .select(col("p.e1"), col("p.e2"))
       .groupBy("e1", "e2")
       .agg(count(lit(1)).as("weight"))
   }
