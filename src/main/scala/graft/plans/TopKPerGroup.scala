@@ -62,8 +62,11 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]()
       rows.foreach { row =>
         val key = groupProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]()(heapOrd))
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = new scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]()(heapOrd)
+          heaps.put(key.copy(), heap) // copy only when the key is new
+        }
         val v = ordBound.eval(row) match {
           case null => Double.NegativeInfinity
           case d: java.lang.Double => d.doubleValue()
@@ -71,13 +74,11 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           case i: java.lang.Integer => i.toDouble
           case other => other.toString.toDouble
         }
-        val t = tieExpr.dataType match {
-          case _ => tieBound.eval(row) match {
-            case l: java.lang.Long => l.longValue()
-            case i: java.lang.Integer => i.toLong
-            case null => Long.MaxValue
-            case other => other.toString.toLong
-          }
+        val t = tieBound.eval(row) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.toLong
+          case null => Long.MaxValue
+          case other => other.toString.toLong
         }
         if (heap.size < kk) {
           heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))

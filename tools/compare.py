@@ -12,6 +12,8 @@ import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# spill outside the repo (a cwd .tmp/ once ballooned git history)
+con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
