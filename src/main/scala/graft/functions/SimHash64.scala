@@ -47,9 +47,13 @@ object SimHash64 {
 
   val Bits = 60
 
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
   /** h60(token): first 15 hex chars of md5 as long (0 ≤ h < 2^60). */
   def hash60(s: UTF8String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = digests.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
     var h = 0L

@@ -53,6 +53,8 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       val groupProj = UnsafeProjection.create(groupeExprs, childOutput)
       val ordBound = BindReferences.bindReference(ordExpr, childOutput)
       val tieBound = BindReferences.bindReference(tieExpr, childOutput)
+      // not every child emits UnsafeRow — convert defensively
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // per group: a min-heap of (value, tie, row) keeping the k best
       // (highest value, lowest tie) — the heap root is the WORST kept.
       val heapOrd = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
@@ -81,12 +83,12 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           case other => other.toString.toLong
         }
         if (heap.size < kk) {
-          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue((v, t, toUnsafe(row).copy()))
         } else {
           val worst = heap.head
           if (v > worst._1 || (v == worst._1 && t < worst._2)) {
             heap.dequeue()
-            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+            heap.enqueue((v, t, toUnsafe(row).copy()))
           }
         }
       }
