@@ -206,7 +206,26 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Corpus-level MinHash per source via the custom typed Aggregator
+    * (graft.functions.MinHashAgg): the signature of the UNION of all
+    * shingle sets published by a source — flattened to rows for the
+    * oracle.
+    */
+  def qSourceMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg(MinhashK))
+    shingles(spark, dir)
+      .select(col("doc_id"),
+        explode(transform(col("s"),
+          x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("h"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(agg(col("h")).as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("j", "sig_j")))
+      .orderBy("source", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -220,6 +239,16 @@ object Dedup {
        |    (((h >> b) & 1) * 2 - 1))) > 0 THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_source_minhash" ->
+      s"""WITH $ShinglesSql,
+         |hs AS MATERIALIZED (
+         |  SELECT d.source, CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(s) AS x FROM sh)
+         |  JOIN documents d USING (doc_id))
+         |SELECT source, j,
+         |  min((h * (1000003 + 7919 * j) + 12345 + 911 * j) % $MinhashP) AS sig_j
+         |FROM hs, (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS j)
+         |GROUP BY source, j ORDER BY source, j""".stripMargin,
     "q_dedup_simhash64" ->
       s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
          |    w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM documents),

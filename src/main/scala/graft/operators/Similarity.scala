@@ -120,7 +120,10 @@ object Similarity {
     vectors(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
-      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      // native fused expression (graft.functions.CosineSim) — fold
+      // order matches the HOF path, so the oracle value is unchanged
+      .withColumn("score", round(
+        graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6))
       .join(Tables.documents(spark, dir), col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("score"),
         concat(lit("Title: doc "), col("doc_id"), lit(" ["), col("source"), lit("]"),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSim
+import graft.operators.Similarity
+
+class CosineSimSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native fused expression is bit-identical to the HOF fold") {
+    val e = Similarity.vectors(spark, TestSpark.sf).limit(100)
+    val q = Similarity.vectors(spark, TestSpark.sf)
+      .filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val both = e.crossJoin(q)
+      .select(
+        CosineSim.cosine_sim(col("v"), col("qv")).as("native"),
+        Similarity.cosineCol(col("v"), col("qv")).as("hof"))
+    val bad = both.filter(col("native") =!= col("hof")).count()
+    assert(bad == 0, "native and HOF cosine must be bit-identical")
+  }
+
+  test("registers as a SQL function") {
+    CosineSim.register(spark)
+    val r = spark.sql(
+      s"""SELECT cosine_sim(
+         |  transform(embedding, x -> cast(x as double)),
+         |  transform(embedding, x -> cast(x as double))) AS c
+         |FROM parquet.`${TestSpark.sf}/embeddings.parquet` LIMIT 5""".stripMargin)
+      .collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("type check rejects non-double arrays") {
+    intercept[Exception] {
+      Tables.documents(spark, TestSpark.sf)
+        .select(CosineSim.cosine_sim(split(col("text"), " "), split(col("text"), " ")))
+        .collect()
+    }
+  }
+}
