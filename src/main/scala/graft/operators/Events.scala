@@ -23,7 +23,9 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        // avg derived from the ROUNDED sum: immune to fp summation
+        // order at the rounding boundary (bit at sf0.1 otherwise)
+        round(round(sum(col("value")), 2) / count(lit(1)), 6).as("avg_value"))
       .orderBy("bucket", "event_type")
 
   /** Sessionization: 30-min inactivity gap splits sessions per user. */
@@ -70,9 +72,10 @@ object Events {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-2, 0)
     daily
-      .withColumn("ma3", round(avg(col("day_value")).over(w), 6))
+      .withColumn("dv2", round(col("day_value"), 2))
+      .withColumn("ma3", round(avg(col("dv2")).over(w), 6))
       .select(col("day"), col("event_type"),
-        round(col("day_value"), 2).as("day_value"), col("ma3"))
+        col("dv2").as("day_value"), col("ma3"))
       .orderBy("event_type", "day")
   }
 
@@ -89,14 +92,14 @@ object Events {
         |    sum(value) AS day_value
         |  FROM events GROUP BY 1, 2)
         |SELECT day, event_type, round(day_value, 2) AS day_value,
-        |  round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
+        |  round(avg(round(day_value, 2)) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
         |FROM daily ORDER BY event_type, day""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 6) AS avg_value
+        |  round(round(sum(value), 2) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (
