@@ -106,6 +106,22 @@ object EventStream {
     spark.table(name)
   }
 
+  /** End-to-end streaming job: parquet source → windowed agg →
+    * parquet sink with checkpointing (the production shape: restart
+    * picks up from the checkpoint). Synchronous for the test path.
+    */
+  def runWindowedToParquet(spark: SparkSession, dir: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = windowedAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */

@@ -23,6 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(stream).count() == 0)
   }
 
+  test("streaming parquet sink + checkpoint round-trips the agg") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    EventStream.runWindowedToParquet(spark, TestSpark.sf, out, ckpt)
+    val sunk = spark.read.parquet(out)
+    // append-mode emits only watermark-closed windows; every emitted
+    // row must match the batch result exactly
+    val batch = Events.qEventsWindow(spark, TestSpark.sf)
+      .select("bucket", "event_type", "n_events", "sum_value")
+    assert(sunk.count() > 0)
+    assert(sunk.select("bucket", "event_type", "n_events", "sum_value")
+      .except(batch).count() == 0)
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
