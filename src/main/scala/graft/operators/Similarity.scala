@@ -163,7 +163,69 @@ object Similarity {
       .orderBy("rk")
   }
 
+  // ---- signed-random-projection LSH ANN --------------------------------
+  val LshBits = 8
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes: w(j)(i) derived from
+    * md5(i#j) — computed once here and embedded as literals in BOTH
+    * the Spark plan and the oracle SQL (no per-row hashing).
+    */
+  lazy val Hyperplanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshBits, Dim) { (j, i) =>
+      val d = md.digest(s"$i#$j".getBytes("UTF-8"))
+      md.reset()
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      ((h % 1001L) - 500L) / 500.0
+    }
+  }
+
+  private def lshSigCol(v: Column): Column = {
+    val bitCols = (0 until LshBits).map { j =>
+      val w = Hyperplanes(j)
+      val wLit = array(w.map(lit): _*)
+      when(aggregate(zip_with(v, wLit, (x, wi) => x * wi),
+        lit(0.0), (acc, x) => acc + x) > 0, 1 << j).otherwise(0)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  private def lshSigSql(v: String): String = {
+    val terms = (0 until LshBits).map { j =>
+      val wList = Hyperplanes(j).mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+         |  i -> $v[i] * ($wList)[i])) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Signed-random-projection LSH ANN: vectors hashed to one of 2^8
+    * buckets by hyperplane signs; the query probes only its own
+    * bucket. The LSH-bucketed scale path alongside IVF. Note the
+    * classic tradeoff: a single table + single probe has low recall on
+    * near-orthogonal corpora (this one peaks at cosine ≈ 0.37) —
+    * production deployments run several hash tables or multi-probe;
+    * the per-table machinery here is the unit they repeat.
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).withColumn("sig", lshSigCol(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("sig") === col("qsig") && col("vec_id") =!= 0)
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select("vec_id", "sig", "score", "rk")
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_join" -> qKnnJoin,
     "q_hybrid_search" -> qHybridSearch,
@@ -173,6 +235,22 @@ object Similarity {
   private def cos(a: String, b: String) = cosineDuckSql(a, b)
 
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH $VecSql,
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         |    ${lshSigSql("v")} AS sig
+         |  FROM e),
+         |q AS (SELECT v AS qv, nrm AS qnrm, sig AS qsig FROM sigs WHERE vec_id = 0)
+         |SELECT vec_id, sig, score, rk FROM (
+         |  SELECT s.vec_id, s.sig,
+         |    round(${dotDuckSql("s.v", "qv")} / (s.nrm * qnrm), 6) AS score,
+         |    row_number() OVER (ORDER BY
+         |      round(${dotDuckSql("s.v", "qv")} / (s.nrm * qnrm), 6) DESC,
+         |      s.vec_id) AS rk
+         |  FROM sigs s CROSS JOIN q
+         |  WHERE s.sig = qsig AND s.vec_id <> 0)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH $VecSql, $QVecSql
          |SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
