@@ -165,15 +165,17 @@ object Similarity {
 
   // ---- signed-random-projection LSH ANN --------------------------------
   val LshBits = 8
+  val LshTables = 4
   val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes: w(j)(i) derived from
-    * md5(i#j) — computed once here and embedded as literals in BOTH
-    * the Spark plan and the oracle SQL (no per-row hashing).
+  /** Deterministic pseudo-random hyperplanes (LshTables·LshBits of
+    * them): w(j)(i) derived from md5(i#j) — computed once here and
+    * embedded as literals in BOTH the Spark plan and the oracle SQL
+    * (no per-row hashing). Table t uses planes t·8 .. t·8+7.
     */
   lazy val Hyperplanes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshBits, Dim) { (j, i) =>
+    Array.tabulate(LshTables * LshBits, Dim) { (j, i) =>
       val d = md.digest(s"$i#$j".getBytes("UTF-8"))
       md.reset()
       var h = 0L
@@ -183,9 +185,9 @@ object Similarity {
     }
   }
 
-  private def lshSigCol(v: Column): Column = {
+  private def lshSigCol(v: Column, table: Int): Column = {
     val bitCols = (0 until LshBits).map { j =>
-      val w = Hyperplanes(j)
+      val w = Hyperplanes(table * LshBits + j)
       val wLit = array(w.map(lit): _*)
       when(aggregate(zip_with(v, wLit, (x, wi) => x * wi),
         lit(0.0), (acc, x) => acc + x) > 0, 1 << j).otherwise(0)
@@ -193,34 +195,41 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  private def lshSigSql(v: String): String = {
+  private def lshSigSql(v: String, table: Int): String = {
     val terms = (0 until LshBits).map { j =>
-      val wList = Hyperplanes(j).mkString("[", ", ", "]")
+      val wList = Hyperplanes(table * LshBits + j).mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
          |  i -> $v[i] * ($wList)[i])) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }
     terms.mkString("(", " + ", ")")
   }
 
-  /** Signed-random-projection LSH ANN: vectors hashed to one of 2^8
-    * buckets by hyperplane signs; the query probes only its own
-    * bucket. The LSH-bucketed scale path alongside IVF. Note the
-    * classic tradeoff: a single table + single probe has low recall on
-    * near-orthogonal corpora (this one peaks at cosine ≈ 0.37) —
-    * production deployments run several hash tables or multi-probe;
-    * the per-table machinery here is the unit they repeat.
+  /** Signed-random-projection LSH ANN: LshTables independent hash
+    * tables of LshBits hyperplane signs each; a vector is a candidate
+    * if it shares the query's bucket in ANY table (the standard
+    * multi-table recall mechanism). This corpus is adversarial for
+    * LSH (max cosine ≈ 0.37 → per-bit agreement only ~0.62), which is
+    * exactly why the multi-table structure matters; IVF remains the
+    * higher-recall scale path here.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir).withColumn("sig", lshSigCol(col("v")))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("sig").as("qsig"))
+    var e = vectors(spark, dir)
+    (0 until LshTables).foreach { t =>
+      e = e.withColumn(s"sig$t", lshSigCol(col("v"), t))
+    }
+    val q = e.filter(col("vec_id") === 0).select(
+      (Seq(col("v").as("qv"), col("nrm").as("qnrm")) ++
+        (0 until LshTables).map(t => col(s"sig$t").as(s"qsig$t"))): _*)
+    val anyTableHit = (0 until LshTables)
+      .map(t => col(s"sig$t") === col(s"qsig$t"))
+      .reduce(_ || _)
     val w = Window.orderBy(col("score").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
-      .filter(col("sig") === col("qsig") && col("vec_id") =!= 0)
+      .filter(anyTableHit && col("vec_id") =!= 0)
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
-      .select("vec_id", "sig", "score", "rk")
+      .select("vec_id", "score", "rk")
       .orderBy("rk")
   }
 
@@ -235,22 +244,27 @@ object Similarity {
   private def cos(a: String, b: String) = cosineDuckSql(a, b)
 
   val oracles: Map[String, String] = Map(
-    "q_ann_lsh" ->
+    "q_ann_lsh" -> {
+      val sigCols = (0 until LshTables)
+        .map(t => s"${lshSigSql("v", t)} AS sig$t").mkString(",\n    ")
+      val qCols = (0 until LshTables).map(t => s"sig$t AS qsig$t").mkString(", ")
+      val hit = (0 until LshTables).map(t => s"s.sig$t = qsig$t").mkString(" OR ")
       s"""WITH $VecSql,
          |sigs AS MATERIALIZED (
          |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-         |    ${lshSigSql("v")} AS sig
+         |    $sigCols
          |  FROM e),
-         |q AS (SELECT v AS qv, nrm AS qnrm, sig AS qsig FROM sigs WHERE vec_id = 0)
-         |SELECT vec_id, sig, score, rk FROM (
-         |  SELECT s.vec_id, s.sig,
+         |q AS (SELECT v AS qv, nrm AS qnrm, $qCols FROM sigs WHERE vec_id = 0)
+         |SELECT vec_id, score, rk FROM (
+         |  SELECT s.vec_id,
          |    round(${dotDuckSql("s.v", "qv")} / (s.nrm * qnrm), 6) AS score,
          |    row_number() OVER (ORDER BY
          |      round(${dotDuckSql("s.v", "qv")} / (s.nrm * qnrm), 6) DESC,
          |      s.vec_id) AS rk
          |  FROM sigs s CROSS JOIN q
-         |  WHERE s.sig = qsig AND s.vec_id <> 0)
-         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
+         |  WHERE ($hit) AND s.vec_id <> 0)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin
+    },
     "q_cosine_topk" ->
       s"""WITH $VecSql, $QVecSql
          |SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
