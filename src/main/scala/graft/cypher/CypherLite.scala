@@ -105,6 +105,7 @@ object CypherLite {
   sealed trait Pred
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
+  case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   sealed trait RetItem
   case class PropItem(v: String, prop: String) extends RetItem
   case class CountItem(v: String, distinct: Boolean = false) extends RetItem
@@ -144,10 +145,12 @@ object CypherLite {
     val where = section("WHERE", Seq("WITH", "RETURN")).map { w =>
       val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
       val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+      val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
       w match {
         case inRe(v, p, vals) =>
           InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
         case eqRe(v, p, value) => EqPred(v, p, value)
+        case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
         case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
       }
     }
@@ -204,6 +207,15 @@ object CypherLite {
     q.where.foreach {
       case InPred(v, p, vals) => df = df.filter(col(s"${v}_$p").isin(vals.map(lit): _*))
       case EqPred(v, p, value) => df = df.filter(col(s"${v}_$p") === value)
+      case NumPred(v, p, op, value) =>
+        val c = col(s"${v}_$p")
+        df = df.filter(op match {
+          case "<" => c < value
+          case "<=" => c <= value
+          case ">" => c > value
+          case ">=" => c >= value
+          case "=" => c === value
+        })
     }
     q.withDistinct.foreach { v =>
       df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
@@ -256,7 +268,13 @@ object CypherLite {
     "MATCH (a:Article)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) " +
       "RETURN count(DISTINCT a)"
 
+  /** Numeric predicate over an article property. */
+  val Ex6: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.doc_id < 5 " +
+      "RETURN a.uid, c.uid ORDER BY a.uid, c.uid LIMIT 20"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex6" -> ((s, d) => run(s, d, Ex6)),
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
     "q_cypher_ex2" -> ((s, d) => run(s, d, Ex2)),
     "q_cypher_ex3" -> ((s, d) => run(s, d, Ex3)),
@@ -267,6 +285,12 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex6" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT 'Article:' || doc_id AS a_uid,
+         |  'Chunk:' || doc_id || ':' || chunk_id AS c_uid
+         |FROM chunks WHERE doc_id < 5
+         |ORDER BY a_uid, c_uid LIMIT 20""".stripMargin,
     "q_cypher_ex1" ->
       s"""WITH $M
          |SELECT DISTINCT 'Article:' || m.doc_id AS a_uid, d.source AS a_source
@@ -279,6 +303,12 @@ object CypherLite {
          |  SELECT DISTINCT d.source
          |  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
          |  WHERE m.label = 'organization' AND m.name = 'spark group')""".stripMargin,
+"q_cypher_ex6" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT 'Article:' || doc_id AS a_uid,
+         |  'Chunk:' || doc_id || ':' || chunk_id AS c_uid
+         |FROM chunks WHERE doc_id < 5
+         |ORDER BY a_uid, c_uid LIMIT 20""".stripMargin,
     "q_cypher_ex4" ->
       """SELECT 'Article:' || doc_id AS a_uid, lang AS a_lang
         |FROM documents WHERE source = 'src3'
