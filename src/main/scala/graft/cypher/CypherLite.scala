@@ -109,7 +109,7 @@ object CypherLite {
   sealed trait RetItem
   case class PropItem(v: String, prop: String) extends RetItem
   case class CountItem(v: String, distinct: Boolean = false) extends RetItem
-  case class Query(path: PathPat, where: Option[Pred], withDistinct: Option[String],
+  case class Query(path: PathPat, where: Seq[Pred], withDistinct: Option[String],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
@@ -142,17 +142,21 @@ object CypherLite {
     }.toSeq
     require(nodes.size == rels.size + 1, s"path shape mismatch in: $matchS")
 
-    val where = section("WHERE", Seq("WITH", "RETURN")).map { w =>
-      val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
-      val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
-      val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
-      w match {
-        case inRe(v, p, vals) =>
-          InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-        case eqRe(v, p, value) => EqPred(v, p, value)
-        case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
-        case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
-      }
+    val where: Seq[Pred] = section("WHERE", Seq("WITH", "RETURN")).toSeq.flatMap { ws =>
+      // conjunction only (the subset LLM queries use); IN lists never
+      // contain AND so a flat split is safe
+      ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
+        val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
+        val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+        val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
+        w match {
+          case inRe(v, p, vals) =>
+            InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+          case eqRe(v, p, value) => EqPred(v, p, value)
+          case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
+          case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
+        }
+      }.toSeq
     }
     val withDistinct = section("WITH", Seq("RETURN"))
       .map(_.replaceAll("(?i)DISTINCT", "").trim)

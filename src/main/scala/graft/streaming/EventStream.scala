@@ -87,6 +87,25 @@ object EventStream {
       }
   }
 
+  case class SpendTotal(user_id: Long, total: Double, n: Long)
+
+  /** Stateful running leaderboard: per-user purchase totals maintained
+    * in `mapGroupsWithState` (Update-mode state shape; the batch twin
+    * is Events.qTopUsers' aggregation).
+    */
+  def runningTotals(events: Dataset[Ev]): Dataset[SpendTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SpendTotal, SpendTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SpendTotal]) =>
+          val prev = state.getOption.getOrElse(SpendTotal(user, 0.0, 0L))
+          val next = evs.foldLeft(prev)((acc, e) =>
+            acc.copy(total = acc.total + e.value, n = acc.n + 1))
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming exact dedup twin: drop duplicate event_ids within the
     * watermark horizon (the streaming analogue of Dedup.qDedupExact's
     * grouping — bounded state via the event-time watermark).

@@ -45,6 +45,17 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("AND-chained predicates conjoin (string + numeric)") {
+    val df = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "WHERE a.lang = 'en' AND a.doc_id < 50 RETURN a.uid, c.uid")
+    val n = df.count()
+    assert(n > 0)
+    val langOnly = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.lang = 'en' RETURN a.uid, c.uid")
+    assert(n < langOnly.count(), "conjunction must be more selective")
+  }
+
   test("reverse arrow binds direction correctly") {
     val fwd = CypherLite.run(spark, TestSpark.sf,
       "MATCH (p:Person {name: 'src3'})-[:AUTHORED]->(a:Article) RETURN a.uid")

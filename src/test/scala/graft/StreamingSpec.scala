@@ -37,6 +37,23 @@ class StreamingSpec extends AnyFunSuite {
       .except(batch).count() == 0)
   }
 
+  test("stateful running totals equal the batch purchase aggregation") {
+    val evs = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .as[EventStream.Ev]
+    val stream = EventStream.runningTotals(evs).toDF()
+      .select(col("user_id"), round(col("total"), 2).as("total_value"),
+        col("n").as("n_purchases"))
+    val batch = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 2).as("total_value"),
+        count(lit(1)).as("n_purchases"))
+    assert(stream.except(batch).count() == 0)
+    assert(batch.except(stream).count() == 0)
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
