@@ -146,7 +146,42 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Window-function breadth: lead/lag, ntile, cume_dist, running
+    * rank over the order history of one customer segment.
+    */
+  def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .select("o_custkey", "o_orderkey", "prev_order", "next_order", "quartile", "cdist")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** FULL OUTER join coverage: every customer and every order priority
+    * bucket, including unmatched sides.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+    bigCust.join(urgent, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("c_mktsegment"), lit("<none>")).as("c_mktsegment"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_suite" -> qWindowSuite,
+    "q_full_outer" -> qFullOuter,
     "q_topk_custom" -> qTopkCustom,
     "q_semi_anti" -> qSemiAnti,
     "q_salted_agg" -> qSaltedAgg,
@@ -158,6 +193,25 @@ object Relational {
     "q_asof_join" -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+        |  coalesce(c.c_mktsegment, '<none>') AS c_mktsegment,
+        |  coalesce(u.n_urgent, 0) AS n_urgent
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS c_custkey, count(*) AS n_urgent
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+        |ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM (
