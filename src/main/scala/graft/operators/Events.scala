@@ -79,13 +79,55 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Semi-structured coverage: extract the numeric `k` from the JSON
+    * props column and aggregate it per event type (integer sums —
+    * exact, no rounding exposure).
+    */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event counts pivoted into one column per event type. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"))
+      .pivot("event_type", EventTypes).count()
+    EventTypes.foldLeft(daily)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props" -> qJsonProps,
+    "q_pivot" -> qPivot,
     "q_rolling_avg" -> qRollingAvg,
     "q_events_window" -> qEventsWindow,
     "q_sessionize" -> qSessionize,
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"count(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
     "q_rolling_avg" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
