@@ -114,7 +114,7 @@ object Dedup {
     * token hashes `hs` are materialized once per row so the per-bit
     * fold does integer ops only (one md5 per token, not per token·bit).
     */
-  private val SimhashSigSql: String =
+  private[graft] val SimhashSigSql: String =
     s"""cast(aggregate(
        |  zip_with(
        |    aggregate(
@@ -127,17 +127,48 @@ object Dedup {
        |    (c, b) -> if(c > 0, shiftleft(1, b), 0)),
        |  0, (a, x) -> a + x) as int)""".stripMargin
 
+  /** Pigeonhole segmentation: for hamming ≤ d over `bits` bits, split
+    * the signature into d+1 contiguous segments — d bit flips can dirty
+    * at most d segments, so any pair within distance d agrees EXACTLY
+    * on ≥1 segment. Candidate generation becomes an equi-join on
+    * (segment_idx, segment_value): shuffle O(n·(d+1)) 8-byte keys
+    * instead of O(n²) pairs (the Manku et al. WWW'07 table layout).
+    * Returns (bit offset, width) per segment; widths sum to `bits`.
+    */
+  private[graft] def pigeonholeSegments(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    val widths = Seq.tabulate(n)(i => bits / n + (if (i < bits % n) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Banded near-dup pairs over integer `sig`natures: explode the
+    * pigeonhole segments, equi-join on the segment key, verify true
+    * hamming. Provably the SAME pairs as the all-pairs filter
+    * (DedupSpec asserts it), with no CartesianProduct anywhere
+    * (PlanSpec asserts that).
+    */
+  private def simhashPairs(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val segVals = array(pigeonholeSegments(bits, maxHamming).map { case (off, w) =>
+      shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1)) }: _*)
+    val seg = sigs.select(col("doc_id"), col("sig"),
+      posexplode(segVals).as(Seq("seg_idx", "seg_val")))
+    seg.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"),
+        col("seg_idx"), col("seg_val"))
+      .join(seg.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"),
+        col("seg_idx"), col("seg_val")), Seq("seg_idx", "seg_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .distinct()
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", expr(SimhashSigSql))
       .select("doc_id", "sig")
-    val a = sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
-    a.crossJoin(b)
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= HammingMax)
-      .select("doc_id_a", "doc_id_b", "hamming")
+      .localCheckpoint(false)   // barrier: the sig fold runs once (see minhashSigs)
+    simhashPairs(sigs, SimhashBits, HammingMax)
       .orderBy("doc_id_a", "doc_id_b")
   }
 
@@ -164,25 +195,41 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by cluster label.
-    * Norms are computed once per vector (narrow pass), so the pair
-    * join does one dot product per pair, not three folds.
+  /** Embedding-cosine near-dup pairs, blocked on SRP-LSH buckets
+    * (reusing Similarity.Hyperplanes regrouped into EmbLshTables
+    * narrow tables for recall): candidates share a bucket in ANY
+    * table, then verify cosine ≥ τ. Bucket population is data-
+    * independent of corpus size per key count (2^bits per table), so
+    * the block join never degenerates to all-pairs the way a small
+    * fixed cluster-label blocking does. Norms ride the candidate join
+    * precomputed — one dot product per verified pair.
     */
+  val EmbLshTables = 8
+  val EmbLshBits = 4
+
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.normCol(col("v")))
-    val a = e.select(col("vec_id").as("vec_id_a"), col("label"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("label"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+      .localCheckpoint(false)   // barrier: vectors + norms materialized once
+    val sigArr = array((0 until EmbLshTables).map(t =>
+      Similarity.srpSigCol(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
+    val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
+      .localCheckpoint(false)   // 32 plane projections once per vector
+    val cand = buckets.select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_id_b"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
       .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("nrm").as("na")), "vec_id_a")
+      .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_id_b")
       .withColumn("cosine", round(
         Similarity.dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= CosineThreshold)
-      .select("vec_id_a", "vec_id_b", "label", "cosine")
+      .select("vec_id_a", "vec_id_b", "cosine")
       .orderBy("vec_id_a", "vec_id_b")
   }
 
@@ -196,13 +243,8 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", graft.functions.SimHash64.simhash64(split(col("text"), " ")))
       .select("doc_id", "sig")
-    val a = sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
-    a.crossJoin(b)
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= Hamming64Max)
-      .select("doc_id_a", "doc_id_b", "hamming")
+      .localCheckpoint(false)   // barrier: one native-sig pass, reused by both join sides
+    simhashPairs(sigs, 60, Hamming64Max)
       .orderBy("doc_id_a", "doc_id_b")
   }
 
@@ -233,6 +275,24 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding)
 
+  /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
+    * of simhashPairs' posexplode).
+    */
+  private def segCaseSql(bits: Int, maxHamming: Int): String = {
+    val cases = pigeonholeSegments(bits, maxHamming).zipWithIndex.map {
+      case ((off, w), i) => s"WHEN $i THEN (sig >> $off) & ${(1L << w) - 1}"
+    }.mkString(" ")
+    s"CASE seg_idx $cases END"
+  }
+
+  private def bandedPairsSql(maxHamming: Int): String =
+    s"""SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM seg a JOIN seg b
+       |  ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   private val SimhashDuckSql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}), b ->
        |  CASE WHEN list_sum(list_transform(hs, h ->
@@ -257,12 +317,11 @@ object Dedup {
          |    CASE WHEN list_sum(list_transform(hs, h ->
          |      (((h >> b) & 1) * 2 - 1))) > 0 THEN (CAST(1 AS BIGINT) << b)
          |    ELSE 0 END)) AS BIGINT) AS sig
-         |  FROM docs)
-         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.sig, b.sig)) AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= $Hamming64Max
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+         |  FROM docs),
+         |seg AS MATERIALIZED (
+         |  SELECT doc_id, sig, seg_idx, ${segCaseSql(60, Hamming64Max)} AS seg_val
+         |  FROM sigs, (SELECT unnest(generate_series(0, $Hamming64Max)) AS seg_idx))
+         |${bandedPairsSql(Hamming64Max)}""".stripMargin,
     "q_dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, min(doc_id) AS canonical_id,
@@ -301,12 +360,11 @@ object Dedup {
     "q_dedup_simhash" ->
       s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
          |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),
-         |sigs AS MATERIALIZED (SELECT doc_id, $SimhashDuckSql AS sig FROM docs)
-         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.sig, b.sig)) AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+         |sigs AS MATERIALIZED (SELECT doc_id, $SimhashDuckSql AS sig FROM docs),
+         |seg AS MATERIALIZED (
+         |  SELECT doc_id, sig, seg_idx, ${segCaseSql(SimhashBits, HammingMax)} AS seg_val
+         |  FROM sigs, (SELECT unnest(generate_series(0, $HammingMax)) AS seg_idx))
+         |${bandedPairsSql(HammingMax)}""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $ShinglesSql,
          |keyed AS (
@@ -321,17 +379,26 @@ object Dedup {
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_embedding" -> {
-      val dot = Similarity.dotDuckSql("a.v", "b.v")
+      val dot = Similarity.dotDuckSql("ea.v", "eb.v")
+      val sigCase = (0 until EmbLshTables).map(t =>
+        s"WHEN $t THEN ${Similarity.srpSigSql("v", t * EmbLshBits until (t + 1) * EmbLshBits)}")
+        .mkString(" ")
       s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id, label, v,
+         |  SELECT vec_id, v,
          |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-         |  FROM (SELECT vec_id, label,
+         |  FROM (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |    FROM embeddings))
-         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
-         |  round($dot / (a.nrm * b.nrm), 6) AS cosine
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE $dot / (a.nrm * b.nrm) >= $CosineThreshold
+         |    FROM embeddings)),
+         |bk AS MATERIALIZED (
+         |  SELECT vec_id, t, CASE t $sigCase END AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, ${EmbLshTables - 1})) AS t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_id_a, vec_id_b,
+         |  round($dot / (ea.nrm * eb.nrm), 6) AS cosine
+         |FROM cand JOIN e ea ON ea.vec_id = vec_id_a JOIN e eb ON eb.vec_id = vec_id_b
+         |WHERE round($dot / (ea.nrm * eb.nrm), 6) >= $CosineThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin
     })
 }

@@ -48,16 +48,18 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
-  /** Top-20 users by total purchase value (dense_rank on rounded sum). */
+  /** Top-20 users by total purchase value. TakeOrdered (orderBy+limit)
+    * picks the 20 survivors — never a global rank window over every
+    * user's aggregate (that plan funnels all users into one task).
+    */
   def qTopUsers(spark: SparkSession, dir: String): DataFrame = {
     val totals = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(round(sum(col("value")), 2).as("total_value"),
         count(lit(1)).as("n_purchases"))
-    val w = Window.orderBy(col("total_value").desc, col("user_id"))
-    totals.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
+    TopKUtil.globalTopK(totals, 20, "user_id",
+        col("total_value").desc, col("user_id"))
       .orderBy("rk")
   }
 

@@ -74,17 +74,26 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(TopK)
 
-  /** k-NN join: top-k neighbors for each of 5 query vectors. */
+  /** k-NN join: top-k neighbors for each of 5 query vectors.
+    *
+    * Per-query top-k goes through the custom TopKPerGroup operator
+    * (partial map-side heaps → cluster exchange → final heap), NOT a
+    * `Window.partitionBy(query_id)` — the window plan funnels ALL N
+    * candidates of a query into one partition; the heap plan shuffles
+    * ≤ k rows per query per input partition. The rank window after it
+    * only ever sees ≤ k rows per query.
+    */
   def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val queries = vectors(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cands = vectors(spark, dir).filter(col("vec_id") >= 5)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("vec_id"))
-    cands.crossJoin(broadcast(queries))
+    val scored = cands.crossJoin(broadcast(queries))
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+      .select("query_id", "vec_id", "score")
+    val top = graft.plans.TopKPerGroup.topK(scored, KnnK,
+      Seq("query_id"), orderCol = "score", tieCol = "vec_id")
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
       .select("query_id", "vec_id", "score", "rk")
       .orderBy("query_id", "rk")
   }
@@ -139,6 +148,8 @@ object Similarity {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % IvfStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // assignment: window partitioned by vec_id — one partition per
+    // vector's K centroid rows, fully distributed
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
@@ -146,19 +157,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "v", "nrm", "cid")
-    val wProbe = Window.orderBy(col("qcos").desc, col("cid"))
+    // probe pick + final top-k: TakeOrdered (orderBy+limit), never a
+    // global window over the candidate set — the centroid list and the
+    // probed cells both grow with the corpus
     val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
       .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= IvfProbes)
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(IvfProbes)
       .select("cid")
-    val wTop = Window.orderBy(col("score").desc, col("vec_id"))
-    assigned.join(probed, "cid")
+    val scored = assigned.join(probed, "cid")
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= KnnK)
+    TopKUtil.globalTopK(scored, KnnK, "vec_id", col("score").desc, col("vec_id"))
       .select("vec_id", "cid", "score", "rk")
       .orderBy("rk")
   }
@@ -185,24 +196,32 @@ object Similarity {
     }
   }
 
-  private def lshSigCol(v: Column, table: Int): Column = {
-    val bitCols = (0 until LshBits).map { j =>
-      val w = Hyperplanes(table * LshBits + j)
-      val wLit = array(w.map(lit): _*)
+  /** SRP bucket id over an explicit plane list: bit j = sign(v·plane(planes(j))).
+    * Public so Dedup can regroup the same 32 hyperplanes into more,
+    * narrower tables (higher-recall blocking) without new constants.
+    */
+  def srpSigCol(v: Column, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val wLit = array(Hyperplanes(p).map(lit): _*)
       when(aggregate(zip_with(v, wLit, (x, wi) => x * wi),
         lit(0.0), (acc, x) => acc + x) > 0, 1 << j).otherwise(0)
-    }
-    bitCols.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
-  private def lshSigSql(v: String, table: Int): String = {
-    val terms = (0 until LshBits).map { j =>
-      val wList = Hyperplanes(table * LshBits + j).mkString("[", ", ", "]")
+  /** The same bucket id in DuckDB SQL (identical sign fold → identical buckets). */
+  def srpSigSql(v: String, planes: Seq[Int]): String = {
+    val terms = planes.zipWithIndex.map { case (p, j) =>
+      val wList = Hyperplanes(p).mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
          |  i -> $v[i] * ($wList)[i])) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }
     terms.mkString("(", " + ", ")")
   }
+
+  private def lshSigCol(v: Column, table: Int): Column =
+    srpSigCol(v, table * LshBits until (table + 1) * LshBits)
+
+  private def lshSigSql(v: String, table: Int): String =
+    srpSigSql(v, table * LshBits until (table + 1) * LshBits)
 
   /** Signed-random-projection LSH ANN: LshTables independent hash
     * tables of LshBits hyperplane signs each; a vector is a candidate
@@ -223,12 +242,12 @@ object Similarity {
     val anyTableHit = (0 until LshTables)
       .map(t => col(s"sig$t") === col(s"qsig$t"))
       .reduce(_ || _)
-    val w = Window.orderBy(col("score").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    // top-k over the candidate set via TakeOrdered — the bucket-hit
+    // candidates grow with the corpus, so no global rank window here
+    val scored = e.crossJoin(broadcast(q))
       .filter(anyTableHit && col("vec_id") =!= 0)
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+    TopKUtil.globalTopK(scored, KnnK, "vec_id", col("score").desc, col("vec_id"))
       .select("vec_id", "score", "rk")
       .orderBy("rk")
   }

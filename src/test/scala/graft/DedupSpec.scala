@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-design invariants of the dedup family: the banded (pigeonhole
+  * / LSH-blocked) plans must return EXACTLY the pairs the quadratic
+  * all-pairs filter would, and blocking must actually split the data.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pigeonhole segments partition the signature bits exactly") {
+    for ((bits, d) <- Seq((16, 2), (60, 6))) {
+      val segs = Dedup.pigeonholeSegments(bits, d)
+      assert(segs.size == d + 1)
+      assert(segs.map(_._2).sum == bits)
+      segs.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o2 == o1 + w1)
+        case _ =>
+      }
+    }
+  }
+
+  /** All-pairs reference (test-only — the O(n²) plan the operators avoid). */
+  private def brutePairs(sig: Column, maxHamming: Int): Set[(Long, Long, Int)] = {
+    val sigs = Tables.documents(spark, TestSpark.sf)
+      .withColumn("sig", sig).select("doc_id", "sig")
+    sigs.select(col("doc_id").as("ida"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("idb"), col("sig").as("sb")))
+      .filter(col("ida") < col("idb"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("h") <= maxHamming)
+      .select("ida", "idb", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+  }
+
+  test("banded 16-bit simhash == brute-force all-pairs") {
+    val banded = Dedup.qDedupSimhash(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+    assert(banded == brutePairs(expr(Dedup.SimhashSigSql), Dedup.HammingMax))
+    assert(banded.nonEmpty)
+  }
+
+  test("banded 60-bit simhash == brute-force all-pairs") {
+    val banded = Dedup.qDedupSimhash64(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+    val sig64 = graft.functions.SimHash64.simhash64(split(col("text"), " "))
+    assert(banded == brutePairs(sig64, Dedup.Hamming64Max))
+    assert(banded.nonEmpty)
+  }
+
+  test("embedding dedup LSH blocking bounds the largest block") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.count()
+    val sigArr = array((0 until Dedup.EmbLshTables).map(t =>
+      Similarity.srpSigCol(col("v"),
+        t * Dedup.EmbLshBits until (t + 1) * Dedup.EmbLshBits)): _*)
+    val maxBlock = e.select(posexplode(sigArr).as(Seq("t", "bucket")))
+      .groupBy("t", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    // blocking must genuinely split: no (table, bucket) holds more than
+    // half the corpus, so per-block pairing can't degenerate to all-pairs
+    assert(maxBlock <= n / 2, s"largest LSH block $maxBlock of $n vectors")
+  }
+
+  test("embedding dedup verified pairs are all >= threshold and bucket-witnessed") {
+    val rows = Dedup.qDedupEmbedding(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= Dedup.CosineThreshold))
+  }
+}

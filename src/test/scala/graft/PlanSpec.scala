@@ -43,6 +43,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2-column read schema:\n$p")
   }
 
+  test("dedup candidate joins are banded equi-joins — no cartesian product") {
+    val qs = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "simhash" -> operators.Dedup.qDedupSimhash(spark, TestSpark.sf),
+      "simhash64" -> operators.Dedup.qDedupSimhash64(spark, TestSpark.sf),
+      "embedding" -> operators.Dedup.qDedupEmbedding(spark, TestSpark.sf))
+    for ((name, df) <- qs) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a NL join:\n$p")
+    }
+  }
+
+  test("global top-k paths are TakeOrdered, not a full-data rank window") {
+    val qs = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q_top_users" -> operators.Events.qTopUsers(spark, TestSpark.sf),
+      "q_ann_lsh" -> Similarity.qAnnLsh(spark, TestSpark.sf),
+      "q_ann_ivf" -> Similarity.qAnnIvf(spark, TestSpark.sf))
+    for ((name, df) <- qs)
+      assert(plan(df).contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrdered plan:\n${plan(df)}")
+  }
+
+  test("knn join per-group top-k runs through TopKPerGroupExec") {
+    val p = plan(Similarity.qKnnJoin(spark, TestSpark.sf))
+    assert(p.contains("TopKPerGroup"), s"expected TopKPerGroupExec:\n$p")
+  }
+
   test("relational anchors run inside whole-stage codegen") {
     val df = Relational.q1Agg(spark, TestSpark.sf)
     df.collect() // AQE finalizes the plan only on execution
