@@ -21,6 +21,13 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects —
     * read it as epoch-nanos long (column name stays `ts`).
+    *
+    * The nanosAsLong flag is a session conf (no per-read parquet
+    * option exists for it), set once at session construction in every
+    * graft entrypoint (Verify/Bench/TestSpark builders). The set here
+    * is a belt-and-braces for EXTERNAL sessions (the driver builds its
+    * own); it is process-global for nanos parquet, which this corpus's
+    * single nanos table tolerates.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -307,12 +307,6 @@ object CypherLite {
          |  SELECT DISTINCT d.source
          |  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
          |  WHERE m.label = 'organization' AND m.name = 'spark group')""".stripMargin,
-"q_cypher_ex6" ->
-      s"""WITH ${TextPipeline.ChunksSql}
-         |SELECT 'Article:' || doc_id AS a_uid,
-         |  'Chunk:' || doc_id || ':' || chunk_id AS c_uid
-         |FROM chunks WHERE doc_id < 5
-         |ORDER BY a_uid, c_uid LIMIT 20""".stripMargin,
     "q_cypher_ex4" ->
       """SELECT 'Article:' || doc_id AS a_uid, lang AS a_lang
         |FROM documents WHERE source = 'src3'

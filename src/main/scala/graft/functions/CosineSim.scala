@@ -25,14 +25,25 @@ case class CosineSim(left: Expression, right: Expression)
         s"cosine_sim requires array<double> args, got ${l.simpleString}, ${r.simpleString}")
     }
   override def dataType: DataType = DoubleType
+  // nullable even for non-null children: dimension mismatch → null
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (aa.numElements() != bb.numElements()) null
+    else CosineSim.compute(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSim.compute($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSim.compute($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -41,9 +52,14 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
 
-  /** Fused dot/norm loop, left-to-right accumulation (fold parity). */
+  /** Fused dot/norm loop, left-to-right accumulation (fold parity).
+    * Callers guarantee equal lengths (mismatch → null upstream, the
+    * same outcome as zip_with's null padding propagating through the
+    * fold). Zero-norm inputs yield NaN — identical to the HOF path's
+    * 0.0/0.0.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

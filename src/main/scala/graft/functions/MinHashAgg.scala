@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Custom typed aggregate: a MinHash signature over a GROUP — the
@@ -38,8 +38,11 @@ class MinHashAgg(k: Int = 16) extends Aggregator[Long, Array[Long], Seq[Long]] {
 
   override def finish(acc: Array[Long]): Seq[Long] = acc.toSeq
 
+  // Tungsten-format buffer (primitive long array), NOT Java
+  // serialization — the buffer is ser/deserialized on every partial
+  // merge, so the encoder is on the aggregation hot path.
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

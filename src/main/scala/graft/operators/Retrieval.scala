@@ -27,14 +27,19 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
 
-  /** Top-5 TF-IDF terms per document (doc_id < 50 keeps output bounded). */
+  /** Top-5 TF-IDF terms per document (doc_id < 50 keeps output bounded).
+    * The corpus size N rides the plan as a broadcast 1-row aggregate —
+    * no synchronous driver `count()` job before the query even starts.
+    */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val tf = termFreqs(spark, dir)
-    val n = Tables.documents(spark, dir).count()
+    val nDf = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val df = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("dfreq"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
     tf.join(df, "word")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("dfreq")), 6))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("dfreq")), 6))
       .filter(col("doc_id") < 50)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -42,20 +47,26 @@ object Retrieval {
       .orderBy("doc_id", "rk")
   }
 
-  /** BM25 top-20 documents for the fixed query terms. */
+  /** BM25 top-20 documents for the fixed query terms. N and avgdl are
+    * folded in as ONE broadcast 1-row aggregate over a single documents
+    * scan — the whole query is one job, not three driver round-trips
+    * (count + count + head) plus a double scan.
+    */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
     val tf = termFreqs(spark, dir)
       .filter(col("word").isin(QueryTerms.map(lit): _*))
     val dfreq = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("dfreq"))
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
-    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
     tf.join(dfreq, "word").join(dl, "doc_id")
-      .withColumn("idf", log((lit(n.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
       .withColumn("term_score",
         col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)))
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum(col("term_score")), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.SparkSessionExtensions
@@ -53,42 +54,59 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       val groupProj = UnsafeProjection.create(groupeExprs, childOutput)
       val ordBound = BindReferences.bindReference(ordExpr, childOutput)
       val tieBound = BindReferences.bindReference(tieExpr, childOutput)
+      // native-type interpreted orderings — no lossy Double/Long
+      // coercion (a BIGINT beyond 2^53 keeps full precision; decimal,
+      // string, date order/tie columns compare by their own semantics)
+      val valueOrd = TypeUtils.getInterpretedOrdering(ordExpr.dataType)
+      val tieOrd = TypeUtils.getInterpretedOrdering(tieExpr.dataType)
+      // null orderValue sorts worst (NULLS LAST under DESC);
+      // null tie sorts worst (NULLS LAST under ASC)
+      def cmpValue(a: Any, b: Any): Int =
+        if (a == null) { if (b == null) 0 else -1 }
+        else if (b == null) 1
+        else valueOrd.compare(a, b)
+      def cmpTie(a: Any, b: Any): Int =
+        if (a == null) { if (b == null) 0 else 1 }
+        else if (b == null) -1
+        else tieOrd.compare(a, b)
+      // eval results may point into the reused input row buffer —
+      // copy the non-primitive ones before they outlive the iteration
+      def owned(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case r: InternalRow => r.copy()
+        case other => other
+      }
       // not every child emits UnsafeRow — convert defensively
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-      // per group: a min-heap of (value, tie, row) keeping the k best
-      // (highest value, lowest tie) — the heap root is the WORST kept.
-      val heapOrd = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
-        case (v, t, _) => (-v, t)
+      // per group: a heap of (value, tie, row) keeping the k best
+      // (highest value, lowest tie) — the heap ROOT is the WORST kept,
+      // so `compare` puts the worst (lowest value, highest tie) first.
+      val heapOrd = new Ordering[(Any, Any, UnsafeRow)] {
+        override def compare(x: (Any, Any, UnsafeRow), y: (Any, Any, UnsafeRow)): Int = {
+          val c = cmpValue(y._1, x._1)
+          if (c != 0) c else cmpTie(x._2, y._2)
+        }
       }
       val heaps = new scala.collection.mutable.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]()
+        scala.collection.mutable.PriorityQueue[(Any, Any, UnsafeRow)]]()
       rows.foreach { row =>
         val key = groupProj(row)
         var heap = heaps.getOrElse(key, null)
         if (heap == null) {
-          heap = new scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]()(heapOrd)
+          heap = new scala.collection.mutable.PriorityQueue[(Any, Any, UnsafeRow)]()(heapOrd)
           heaps.put(key.copy(), heap) // copy only when the key is new
         }
-        val v = ordBound.eval(row) match {
-          case null => Double.NegativeInfinity
-          case d: java.lang.Double => d.doubleValue()
-          case l: java.lang.Long => l.toDouble
-          case i: java.lang.Integer => i.toDouble
-          case other => other.toString.toDouble
-        }
-        val t = tieBound.eval(row) match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.toLong
-          case null => Long.MaxValue
-          case other => other.toString.toLong
-        }
+        val v = ordBound.eval(row)
+        val t = tieBound.eval(row)
         if (heap.size < kk) {
-          heap.enqueue((v, t, toUnsafe(row).copy()))
+          heap.enqueue((owned(v), owned(t), toUnsafe(row).copy()))
         } else {
           val worst = heap.head
-          if (v > worst._1 || (v == worst._1 && t < worst._2)) {
+          val cv = cmpValue(v, worst._1)
+          if (cv > 0 || (cv == 0 && cmpTie(t, worst._2) < 0)) {
             heap.dequeue()
-            heap.enqueue((v, t, toUnsafe(row).copy()))
+            heap.enqueue((owned(v), owned(t), toUnsafe(row).copy()))
           }
         }
       }
@@ -127,7 +145,12 @@ object TopKPerGroup {
       spark.experimental.extraStrategies = cur :+ TopKStrategy
   }
 
-  /** Public API: top-k rows per group, `orderCol` desc / `tieCol` asc. */
+  /** Public API: top-k rows per group, `orderCol` desc / `tieCol` asc.
+    * Order/tie columns may be any orderable type (compared with their
+    * native interpreted ordering — no Double coercion); non-orderable
+    * types (map, binary of nested unorderables…) are rejected HERE,
+    * at plan build, not mid-task at runtime.
+    */
   def topK(df: DataFrame, k: Int, groupCols: Seq[String],
       orderCol: String, tieCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -136,6 +159,12 @@ object TopKPerGroup {
     val byName = child.output.map(a => a.name -> a).toMap
     def attr(n: String) = byName.getOrElse(n,
       throw new IllegalArgumentException(s"no column $n in ${byName.keys}"))
+    for (c <- Seq(orderCol, tieCol)) {
+      val dt = attr(c).dataType
+      if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
+        throw new IllegalArgumentException(
+          s"topK order/tie column $c has non-orderable type ${dt.simpleString}")
+    }
     shims.ofRows(spark,
       TopKPerGroup(k, groupCols.map(attr), attr(orderCol), attr(tieCol), child))
   }

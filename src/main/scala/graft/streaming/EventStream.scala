@@ -50,9 +50,14 @@ object EventStream {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)
 
-  /** Custom-state sessionizer: emits a session row when 30 min pass
-    * with no events for the user (ProcessingTime timeout fires on the
-    * next micro-batch after the gap in event time is observed).
+  /** Batch-scoped sessionizer (test/demo path): state is DROPPED at
+    * the end of every invocation — the trailing open session is
+    * flushed and `state.remove()`d, so results are correct ONLY when
+    * the whole input arrives in one batch (as in the batch-parity
+    * spec). A session spanning two micro-batches would be emitted as
+    * two rows. The production path is [[sessionizeStreaming]], which
+    * keeps open sessions in state across batches and closes them via
+    * event-time timeout.
     */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -84,6 +89,57 @@ object EventStream {
           open.foreach(s => out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value))
           state.remove()
           out.result().iterator
+      }
+  }
+
+  case class EvT(user_id: Long, ts_us: Long, value: Double, ts_t: java.sql.Timestamp)
+
+  /** Production sessionizer: open sessions LIVE IN STATE across
+    * micro-batches. A session is emitted exactly once — either when a
+    * later event of the same user opens a new session (gap logic), or
+    * when the event-time watermark passes last_event + gap and the
+    * EventTimeTimeout fires. Input: a streaming DataFrame with
+    * (user_id, ts_us µs, value); watermarking happens here.
+    */
+  def sessionizeStreaming(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[EvT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // inactivity close: watermark passed last_us + gap
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
+            val out = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  open = Some(s.copy(last_us = e.ts_us, n = s.n + 1,
+                    sum_value = s.sum_value + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value)
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapUs / 1000L)
+            }
+            out.result().iterator
+          }
       }
   }
 

@@ -54,6 +54,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(stream).count() == 0)
   }
 
+  test("production sessionizer keeps a session open across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000000L // 1 min in µs
+    val t0 = 1700000000L * 1000000L
+    val input = MemoryStream[(Long, Long, Double)]
+    val sessions = EventStream.sessionizeStreaming(
+      input.toDF().toDF("user_id", "ts_us", "value"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_xbatch").start()
+    try {
+      input.addData((1L, t0, 1.0), (1L, t0 + min, 2.0)) // batch 1: open session
+      q.processAllAvailable()
+      input.addData((1L, t0 + 10 * min, 3.0)) // batch 2: SAME session continues
+      q.processAllAvailable()
+      // nothing emitted yet: the session lives in state, not split per batch
+      assert(spark.table("sess_xbatch").filter(col("user_id") === 1).count() == 0)
+      input.addData((2L, t0 + 120 * min, 9.0)) // batch 3: watermark advances
+      q.processAllAvailable()
+      input.addData((2L, t0 + 121 * min, 9.0)) // batch 4: u1 timeout fires
+      q.processAllAvailable()
+      val u1 = spark.table("sess_xbatch").filter(col("user_id") === 1).collect()
+      assert(u1.length == 1, s"expected exactly one closed session, got ${u1.toSeq}")
+      assert(u1(0).getAs[Long]("start_us") == t0)
+      assert(u1(0).getAs[Long]("end_us") == t0 + 10 * min)
+      assert(u1(0).getAs[Long]("n_events") == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))

@@ -44,4 +44,38 @@ class TopKPerGroupSpec extends AnyFunSuite {
       TopKPerGroup.topK(base, 3, Seq("o_custkey"), "nope", "o_orderkey")
     }
   }
+
+  test("BIGINT order values beyond 2^53 keep full precision") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 are the SAME Double — a double-coerced ordering
+    // would pick either; the native long ordering must pick 2^53+1
+    val big = (1L << 53)
+    val df = Seq((1L, 10L, big), (1L, 11L, big + 1), (1L, 12L, big - 1))
+      .toDF("g", "id", "v")
+    val top = TopKPerGroup.topK(df, 1, Seq("g"), "v", "id").collect()
+    assert(top.length == 1 && top(0).getLong(2) == big + 1,
+      s"lost long precision: ${top.toSeq}")
+  }
+
+  test("string and date order columns compare by native semantics") {
+    import spark.implicits._
+    val sdf = Seq((1L, 1L, "apple"), (1L, 2L, "Pear"), (1L, 3L, "zeta"))
+      .toDF("g", "id", "s")
+    val topS = TopKPerGroup.topK(sdf, 1, Seq("g"), "s", "id").collect()
+    assert(topS(0).getString(2) == "zeta")
+    val ddf = Seq((1L, 1L, java.sql.Date.valueOf("2020-01-02")),
+      (1L, 2L, java.sql.Date.valueOf("2021-03-01")))
+      .toDF("g", "id", "d")
+    val topD = TopKPerGroup.topK(ddf, 1, Seq("g"), "d", "id").collect()
+    assert(topD(0).getDate(2) == java.sql.Date.valueOf("2021-03-01"))
+  }
+
+  test("non-orderable order column is rejected at plan build") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("g", "id")
+      .withColumn("m", map(lit("k"), lit(1)))
+    intercept[IllegalArgumentException] {
+      TopKPerGroup.topK(df, 1, Seq("g"), "m", "id")
+    }
+  }
 }
