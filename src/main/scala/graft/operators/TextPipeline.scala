@@ -178,14 +178,114 @@ object TextPipeline {
       .select("name", "label", "ft_query")
       .orderBy("name", "label")
 
+  // ---- sentence-combining chunker (ref utils.py:27-38) ----------------
+
+  /** Greedy combiner threshold (ref min_combination_len=1000 on ~5k-char
+    * news articles; scaled to this corpus's ~300-char docs).
+    */
+  val MinCombineLen = 100
+
+  /** The synthetic corpus carries no sentence punctuation, so the filler
+    * tokens 'a'/'the' serve as the deterministic sentence delimiter — the
+    * same stand-in style as the gazetteer for NER. Real corpora would use
+    * the reference's `[.:;?!]` class (qSentences).
+    */
+  val SentenceDelimRe = """\b(?:a|the)\b"""
+
+  /** Delimiter-token sentence segmentation: (doc_id, seg_id, sentence),
+    * trim + len>1 survivors renumbered — the same shape as qSentences.
+    */
+  def delimSentences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p0")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), SentenceDelimRe)).as(Seq("p0", "seg")))
+      .withColumn("sentence", trim(col("seg")))
+      .filter(length(col("sentence")) > 1)
+      .withColumn("seg_id", row_number().over(w))
+      .select("doc_id", "seg_id", "sentence")
+  }
+
+  /** The reference's greedy sentence combiner (utils.py:27-38), exactly:
+    * while the buffer's total char length < L, append the sentence;
+    * otherwise emit '.'.join(buffer), reset — DROPPING the sentence that
+    * triggered the flush — and the trailing under-filled buffer is never
+    * emitted. Sequential per document, so it runs as ONE `aggregate` HOF
+    * fold over each doc's sentence array: one doc_id shuffle total, per-doc
+    * work bounded by doc length, fully distributed across documents (the
+    * scale axis at 100 TB is #docs, not sentences-per-doc).
+    */
+  def combineSentences(sents: DataFrame, minLen: Int): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    def st(buf: org.apache.spark.sql.Column, blen: org.apache.spark.sql.Column,
+        chunks: org.apache.spark.sql.Column) =
+      struct(buf.as("buf"), blen.as("blen"), chunks.as("chunks"))
+    sents
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("seg_id"), col("sentence")))),
+        s => s.getField("sentence")).as("sarr"))
+      .withColumn("chunks", aggregate(
+        col("sarr"),
+        st(emptyArr, lit(0), emptyArr),
+        (acc, s) => when(acc.getField("blen") < minLen,
+            st(concat(acc.getField("buf"), array(s)),
+              acc.getField("blen") + length(s),
+              acc.getField("chunks")))
+          .otherwise(st(emptyArr, lit(0),
+            concat(acc.getField("chunks"), array(array_join(acc.getField("buf"), "."))))),
+        acc => acc.getField("chunks")))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+      .withColumn("n_sentences", size(split(col("chunk_text"), "\\.")).cast("long"))
+  }
+
+  def qChunkSentences(spark: SparkSession, dir: String): DataFrame =
+    combineSentences(delimSentences(spark, dir), MinCombineLen)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_sentences")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Oracle: the identical greedy walk as a per-doc recursive CTE. */
+  val ChunkSentencesSql: String =
+    s"""WITH RECURSIVE segs AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\b(?:a|the)\\b')) AS seg,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\b(?:a|the)\\b')))) AS p0
+       |  FROM documents),
+       |sents AS MATERIALIZED (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS seg_id,
+       |    trim(seg) AS sentence
+       |  FROM segs WHERE length(trim(seg)) > 1),
+       |walk(doc_id, seg_id, blen, buf, chunks) AS (
+       |  SELECT doc_id, 0, 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+       |  FROM (SELECT DISTINCT doc_id FROM sents)
+       |  UNION ALL
+       |  SELECT w.doc_id, w.seg_id + 1,
+       |    CASE WHEN w.blen < $MinCombineLen THEN w.blen + length(s.sentence) ELSE 0 END,
+       |    CASE WHEN w.blen < $MinCombineLen THEN list_append(w.buf, s.sentence)
+       |         ELSE CAST([] AS VARCHAR[]) END,
+       |    CASE WHEN w.blen < $MinCombineLen THEN w.chunks
+       |         ELSE list_append(w.chunks, array_to_string(w.buf, '.')) END
+       |  FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.seg_id = w.seg_id + 1),
+       |final AS (
+       |  SELECT w.doc_id, w.chunks
+       |  FROM walk w JOIN (SELECT doc_id, max(seg_id) mx FROM sents GROUP BY doc_id) n
+       |    ON w.doc_id = n.doc_id AND w.seg_id = n.mx)
+       |SELECT doc_id,
+       |  unnest(generate_series(1, len(chunks))) - 1 AS chunk_id,
+       |  unnest(chunks) AS chunk_text,
+       |  unnest(list_transform(chunks, c -> CAST(length(c) AS BIGINT))) AS n_chars,
+       |  unnest(list_transform(chunks, c -> CAST(len(string_split(c, '.')) AS BIGINT))) AS n_sentences
+       |FROM final ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk" -> qChunk,
+    "q_chunk_sentences" -> qChunkSentences,
     "q_sentences" -> qSentences,
     "q_mentions" -> qMentions,
     "q_entities" -> qEntities,
     "q_fulltext_query" -> qFulltextQuery)
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_sentences" -> ChunkSentencesSql,
     "q_chunk" ->
       s"""WITH $ChunksSql
          |SELECT doc_id, chunk_id, chunk_text,

@@ -43,6 +43,47 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("sentence-combining chunker replays the reference greedy loop exactly") {
+    // sequential reimplementation of ref utils.py:27-38 on the driver
+    def splitSents(text: String): Seq[String] =
+      TextPipeline.SentenceDelimRe.r.split(text).map(_.trim).filter(_.length > 1).toSeq
+    def combine(sents: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var temp = List.empty[String]
+      sents.foreach { s =>
+        if (temp.map(_.length).sum < TextPipeline.MinCombineLen) temp = temp :+ s
+        else { out += temp.mkString("."); temp = Nil }
+      }
+      out.toSeq
+    }
+    val expected = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .flatMap(r => combine(splitSents(r.getString(1))).zipWithIndex
+        .map { case (c, i) => (r.getLong(0), i, c) })
+      .toSet
+    val got = TextPipeline.qChunkSentences(spark, TestSpark.sf)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "combiner must produce chunks on this corpus")
+  }
+
+  test("combined chunks are a '.'-join of consecutive sentences in order") {
+    val sents = TextPipeline.delimSentences(spark, TestSpark.sf)
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("seg_id"), col("sentence")))),
+        s => s.getField("sentence"))).as("all_sents"))
+    // every chunk, re-split on '.', must appear as a contiguous
+    // subsequence of the doc's sentence list
+    val bad = TextPipeline.qChunkSentences(spark, TestSpark.sf)
+      .join(sents, "doc_id")
+      .filter(!col("all_sents").contains(
+        regexp_replace(col("chunk_text"), "\\.", "")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("every mention token is a gazetteer word") {
     val gazWords = TextPipeline.Gazetteer.map(_._1).toSet
     val bad = TextPipeline.mentions(spark, TestSpark.sf)
