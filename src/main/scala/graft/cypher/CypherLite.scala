@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.NewsGraph
+import graft.graph.{NewsGraph, Props}
 import graft.operators.TextPipeline
 
 /** CypherLite: a compiler for the linear-path Cypher subset that the
@@ -35,13 +35,24 @@ object CypherLite {
   /** Node table for a label: `uid` + properties. */
   def nodes(spark: SparkSession, dir: String, label: String): DataFrame = label match {
     case "Article" =>
+      // reference property names (graph.py:31-42): title,
+      // publishing_date, language, url — derived via Props; `lang`
+      // kept as a legacy alias
       Tables.documents(spark, dir).select(
         concat(lit("Article:"), col("doc_id")).as("uid"),
-        col("doc_id"), col("source"), col("lang"))
+        col("doc_id"), col("source"), col("lang"),
+        col("lang").as("language"),
+        Props.title(col("text")).as("title"),
+        Props.publishingDate(col("doc_id")).as("publishing_date"),
+        Props.url(col("doc_id"), col("source")).as("url"))
     case "Chunk" =>
+      // schema.py:17-32: text, category, section, position
       TextPipeline.chunks(spark, dir).select(
         concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("uid"),
-        col("chunk_text").as("text"), col("chunk_id").as("position"))
+        col("chunk_text").as("text"),
+        col("chunk_id").as("position"),
+        Props.category(col("chunk_id")).as("category"),
+        Props.section(col("chunk_id")).as("section"))
     case "Source" =>
       Tables.documents(spark, dir).select(col("source")).distinct()
         .select(concat(lit("Source:"), col("source")).as("uid"), col("source").as("name"))
@@ -250,7 +261,7 @@ object CypherLite {
   val Ex1: String =
     "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Person) " +
       "WHERE o.name IN ['customer', 'line customer'] " +
-      "RETURN DISTINCT a.uid, a.source ORDER BY a.uid LIMIT 10"
+      "RETURN DISTINCT a.uid, a.title ORDER BY a.uid LIMIT 10"
 
   val Ex2: String =
     "MATCH (s:Source)-[:PUBLISHED]->(a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Organization) " +
@@ -297,7 +308,8 @@ object CypherLite {
          |ORDER BY a_uid, c_uid LIMIT 20""".stripMargin,
     "q_cypher_ex1" ->
       s"""WITH $M
-         |SELECT DISTINCT 'Article:' || m.doc_id AS a_uid, d.source AS a_source
+         |SELECT DISTINCT 'Article:' || m.doc_id AS a_uid,
+         |  ${Props.TitleSql} AS a_title
          |FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
          |WHERE m.label = 'person' AND m.name IN ('customer', 'line customer')
          |ORDER BY a_uid LIMIT 10""".stripMargin,

@@ -63,29 +63,45 @@ object NewsGraph {
     */
   def qGraphNodes(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val nullStr = lit(null).cast("string")
+    val nullLong = lit(null).cast("long")
+    // labels without a property column carry typed NULLs — the sparse
+    // relational encoding of heterogeneous node properties
+    def bare(df: DataFrame): DataFrame = df.select(
+      col("uid"), col("label"), col("name"),
+      nullStr.as("title"), nullStr.as("publishing_date"), nullStr.as("url"),
+      nullStr.as("category"), nullLong.as("section"), nullLong.as("position"))
     val articles = docs.select(
       concat(lit("Article:"), col("doc_id")).as("uid"),
       lit("Article").as("label"),
-      col("doc_id").cast("string").as("name"))
+      col("doc_id").cast("string").as("name"),
+      Props.title(col("text")).as("title"),
+      Props.publishingDate(col("doc_id")).as("publishing_date"),
+      Props.url(col("doc_id"), col("source")).as("url"),
+      nullStr.as("category"), nullLong.as("section"), nullLong.as("position"))
     val chunkNodes = TextPipeline.chunks(spark, dir).select(
       concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("uid"),
       lit("Chunk").as("label"),
-      col("chunk_id").cast("string").as("name"))
-    val sources = docs.select(col("source")).distinct().select(
+      col("chunk_id").cast("string").as("name"),
+      nullStr.as("title"), nullStr.as("publishing_date"), nullStr.as("url"),
+      Props.category(col("chunk_id")).as("category"),
+      Props.section(col("chunk_id")).as("section"),
+      col("chunk_id").cast("long").as("position"))
+    val sources = bare(docs.select(col("source")).distinct().select(
       concat(lit("Source:"), col("source")).as("uid"),
       lit("Source").as("label"),
-      col("source").as("name"))
-    val entities = TextPipeline.mentions(spark, dir)
+      col("source").as("name")))
+    val entities = bare(TextPipeline.mentions(spark, dir)
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
       .select(concat(col("label"), lit(":"), col("name")).as("uid"),
-        col("label"), col("name"))
+        col("label"), col("name")))
     // authors ≡ publisher fallback (crawler.py:44), labeled Person
-    val authors = docs.select(col("source")).distinct().select(
+    val authors = bare(docs.select(col("source")).distinct().select(
       concat(lit("Person:"), col("source")).as("uid"),
-      lit("Person").as("label"), col("source").as("name"))
-    val topics = qArticleTopics(spark, dir).select(col("topic")).distinct()
+      lit("Person").as("label"), col("source").as("name")))
+    val topics = bare(qArticleTopics(spark, dir).select(col("topic")).distinct()
       .select(concat(lit("Topic:"), col("topic")).as("uid"),
-        lit("Topic").as("label"), col("topic").as("name"))
+        lit("Topic").as("label"), col("topic").as("name")))
     articles.unionByName(chunkNodes).unionByName(sources)
       .unionByName(entities).unionByName(authors).unionByName(topics)
       .orderBy("uid")
@@ -216,23 +232,40 @@ object NewsGraph {
          |$ArticleTopicsSql,
          |nodes AS (
          |  SELECT 'Article:' || doc_id AS uid, 'Article' AS label,
-         |    CAST(doc_id AS VARCHAR) AS name FROM documents
+         |    CAST(doc_id AS VARCHAR) AS name,
+         |    ${Props.TitleSql} AS title,
+         |    ${Props.PublishingDateSql} AS publishing_date,
+         |    ${Props.UrlSql} AS url,
+         |    CAST(NULL AS VARCHAR) AS category,
+         |    CAST(NULL AS BIGINT) AS section,
+         |    CAST(NULL AS BIGINT) AS position
+         |  FROM documents
          |  UNION ALL
          |  SELECT 'Chunk:' || doc_id || ':' || chunk_id, 'Chunk',
-         |    CAST(chunk_id AS VARCHAR) FROM chunks
+         |    CAST(chunk_id AS VARCHAR), NULL, NULL, NULL,
+         |    ${Props.CategorySql}, ${Props.SectionSql},
+         |    CAST(chunk_id AS BIGINT)
+         |  FROM chunks
          |  UNION ALL
-         |  SELECT 'Source:' || source, 'Source', source
+         |  SELECT 'Source:' || source, 'Source', source,
+         |    NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (SELECT DISTINCT source FROM documents)
          |  UNION ALL
-         |  SELECT el || ':' || name, el, name FROM (
+         |  SELECT el || ':' || name, el, name,
+         |    NULL, NULL, NULL, NULL, NULL, NULL
+         |  FROM (
          |    SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions)
          |  UNION ALL
-         |  SELECT 'Person:' || source, 'Person', source
+         |  SELECT 'Person:' || source, 'Person', source,
+         |    NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (SELECT DISTINCT source FROM documents)
          |  UNION ALL
-         |  SELECT 'Topic:' || topic, 'Topic', topic
+         |  SELECT 'Topic:' || topic, 'Topic', topic,
+         |    NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (SELECT DISTINCT topic FROM topics))
-         |SELECT uid, label, name FROM nodes ORDER BY uid""".stripMargin,
+         |SELECT uid, label, name, title, publishing_date, url,
+         |  category, section, position
+         |FROM nodes ORDER BY uid""".stripMargin,
     "q_graph_schema" ->
       s"""WITH $P,
          |$ArticleTopicsSql

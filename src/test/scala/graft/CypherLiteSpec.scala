@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.cypher.CypherLite
 import graft.cypher.CypherLite._
@@ -54,6 +55,25 @@ class CypherLiteSpec extends AnyFunSuite {
     val langOnly = CypherLite.run(spark, TestSpark.sf,
       "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.lang = 'en' RETURN a.uid, c.uid")
     assert(n < langOnly.count(), "conjunction must be more selective")
+  }
+
+  test("article/chunk nodes expose reference metadata properties") {
+    val a = CypherLite.nodes(spark, TestSpark.sf, "Article")
+    assert(Seq("title", "publishing_date", "language", "url").forall(a.columns.contains))
+    val r = a.orderBy("doc_id").select("title", "publishing_date", "url").head()
+    assert(r.getString(0).nonEmpty)
+    assert(r.getString(1).matches("""\d{4}-\d{2}-\d{2}"""))
+    assert(r.getString(2).startsWith("https://"))
+    val c = CypherLite.nodes(spark, TestSpark.sf, "Chunk")
+    val cats = c.select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(Set("headline", "summary", "paragraph")))
+    assert(c.filter(col("position") === 0 && col("category") =!= "headline").count() == 0)
+  }
+
+  test("Ex1 returns article titles (chat.py:26 a.title)") {
+    val df = CypherLite.run(spark, TestSpark.sf, Ex1)
+    assert(df.columns.toSeq == Seq("a_uid", "a_title"))
+    assert(df.count() > 0)
   }
 
   test("reverse arrow binds direction correctly") {
