@@ -14,11 +14,17 @@ import graft.operators.TextPipeline
   * Supported grammar (one line, case-sensitive keywords):
   *   query      := match [where] [with] return [orderby] [limit]
   *                 | query UNION query
-  *   match      := MATCH (v:Label)(-[:REL]->(v:Label))*
-  *   where      := WHERE v.prop IN ['a','b'] | WHERE v.prop = 'a'
+  *   match      := MATCH pattern (, pattern)*
+  *   pattern    := (v[:Label])(-[:REL]->(v[:Label]))*     -- bare (v)
+  *                 re-binds a variable labeled in another pattern
+  *   where      := WHERE term (AND term)*
+  *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
+  *   pred       := v.prop IN ['a','b'] | v.prop = 'a' | v.prop < n ...
   *   with       := WITH DISTINCT v
   *   return     := RETURN [DISTINCT] item (, item)*
-  *   item       := v.prop | count(v)
+  *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
+  *                 | collect(v[.prop]) [AS alias]
+  *                 -- aggregates group implicitly by the plain props
   *   orderby    := ORDER BY v.prop (, v.prop)*
   *   limit      := LIMIT n
   *
@@ -109,7 +115,10 @@ object CypherLite {
 
   // ---------- AST ----------
 
-  case class NodePat(v: String, label: String,
+  /** label=None is a re-binding of a variable labeled elsewhere in the
+    * MATCH (Cypher's `(c)` in a second comma-pattern).
+    */
+  case class NodePat(v: String, label: Option[String],
     inlineProp: Option[(String, String)] = None)
   /** rel = (type, reversed): `-[:R]->` forward, `<-[:R]-` reversed. */
   case class PathPat(nodes: Seq[NodePat], rels: Seq[(String, Boolean)])
@@ -117,20 +126,65 @@ object CypherLite {
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
+  /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
+    * binds tighter in Cypher; this subset allows OR only between
+    * simple predicates inside one AND-conjunct (no parens), which is
+    * the shape LLM-generated queries use.
+    */
+  case class OrPred(preds: Seq[Pred]) extends Pred
   sealed trait RetItem
-  case class PropItem(v: String, prop: String) extends RetItem
-  case class CountItem(v: String, distinct: Boolean = false) extends RetItem
-  case class Query(path: PathPat, where: Seq[Pred], withDistinct: Option[String],
+  case class PropItem(v: String, prop: String, alias: Option[String] = None) extends RetItem
+  case class CountItem(v: String, distinct: Boolean = false,
+    alias: Option[String] = None) extends RetItem
+  /** collect(v) gathers node uids, collect(v.prop) gathers values;
+    * flattened to a sorted ' | '-joined string (Neo4j's list order is
+    * unspecified, so the sorted form is the deterministic analogue).
+    */
+  case class CollectItem(v: String, prop: Option[String] = None,
+    alias: Option[String] = None) extends RetItem
+  case class Query(paths: Seq[PathPat], where: Seq[Pred], withDistinct: Option[String],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
 
   private val NodeRe =
-    """\(\s*(\w+)\s*:\s*(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""".r
+    """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""".r
   private val RelRe = """(<-|-)\s*\[\s*:\s*(\w+)\s*\]\s*(->|-)""".r
+  private val CountRe =
+    """(?i)count\(\s*(DISTINCT\s+)?(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val CollectRe =
+    """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
 
   def parse(cypher: String): Seq[Query] =
     cypher.split("(?i)\\bUNION\\b").map(q => parseOne(q.trim)).toSeq
+
+  private def parsePath(p: String): PathPat = {
+    val nodes = NodeRe.findAllMatchIn(p).map(m =>
+      NodePat(m.group(1), Option(m.group(2)),
+        Option(m.group(3)).map(pn => pn -> m.group(4)))).toSeq
+    val rels = RelRe.findAllMatchIn(p).map { m =>
+      val reversed = m.group(1) == "<-"
+      require(reversed != (m.group(3) == "->"),
+        s"ambiguous arrow in: ${m.matched}")
+      (m.group(2), reversed)
+    }.toSeq
+    require(nodes.size == rels.size + 1, s"path shape mismatch in: $p")
+    PathPat(nodes, rels)
+  }
+
+  private def parseSimplePred(w: String): Pred = {
+    val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
+    val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+    val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
+    w.trim match {
+      case inRe(v, p, vals) =>
+        InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+      case eqRe(v, p, value) => EqPred(v, p, value)
+      case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
+      case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
+    }
+  }
 
   private def parseOne(q: String): Query = {
     def section(start: String, enders: Seq[String]): Option[String] = {
@@ -142,31 +196,16 @@ object CypherLite {
     }
     val matchS = section("MATCH", Seq("WHERE", "WITH", "RETURN")).getOrElse(
       throw new IllegalArgumentException(s"no MATCH in: $q"))
-    val nodes = NodeRe.findAllMatchIn(matchS).map(m =>
-      NodePat(m.group(1), m.group(2),
-        Option(m.group(3)).map(pn => pn -> m.group(4)))).toSeq
-    val rels = RelRe.findAllMatchIn(matchS).map { m =>
-      val reversed = m.group(1) == "<-"
-      require(reversed != (m.group(3) == "->"),
-        s"ambiguous arrow in: ${m.matched}")
-      (m.group(2), reversed)
-    }.toSeq
-    require(nodes.size == rels.size + 1, s"path shape mismatch in: $matchS")
+    // comma-separated multi-pattern MATCH: each pattern starts with '('
+    val paths = matchS.split(",\\s*(?=\\()").map(p => parsePath(p.trim)).toSeq
 
     val where: Seq[Pred] = section("WHERE", Seq("WITH", "RETURN")).toSeq.flatMap { ws =>
-      // conjunction only (the subset LLM queries use); IN lists never
-      // contain AND so a flat split is safe
+      // AND-conjunction of terms; a term may be an OR-disjunction of
+      // simple predicates (Cypher precedence: AND binds tighter). IN
+      // lists never contain AND/OR so the flat splits are safe.
       ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
-        val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
-        val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
-        val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
-        w match {
-          case inRe(v, p, vals) =>
-            InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-          case eqRe(v, p, value) => EqPred(v, p, value)
-          case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
-          case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
-        }
+        val disjuncts = w.split("(?i)\\s+OR\\s+").map(parseSimplePred).toSeq
+        if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
       }.toSeq
     }
     val withDistinct = section("WITH", Seq("RETURN"))
@@ -175,11 +214,11 @@ object CypherLite {
       throw new IllegalArgumentException(s"no RETURN in: $q"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
     val items = retS.replaceAll("(?i)^\\s*DISTINCT", "").split(",").map(_.trim).map {
-      case s if s.matches("(?i)count\\(\\s*(?:DISTINCT\\s+)?\\w+\\s*\\)") =>
-        val distinct = s.matches("(?i)count\\(\\s*DISTINCT\\s+.*")
-        CountItem(s.replaceAll("(?i)count\\(\\s*(?:DISTINCT\\s+)?(\\w+)\\s*\\)", "$1"), distinct)
-      case s if s.matches("""\w+\.\w+""") =>
-        val Array(v, p) = s.split("\\."); PropItem(v, p)
+      case CountRe(distinct, v, alias) =>
+        CountItem(v, distinct != null, Option(alias))
+      case CollectRe(v, prop, alias) =>
+        CollectItem(v, Option(prop), Option(alias))
+      case PropRe(v, p, alias) => PropItem(v, p, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }.toSeq
     val orderBy = section("ORDER", Seq("LIMIT")).toSeq.flatMap {
@@ -189,65 +228,117 @@ object CypherLite {
       }
     }
     val limit = section("LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(PathPat(nodes, rels), where, withDistinct, retDistinct, items, orderBy, limit)
+    Query(paths, where, withDistinct, retDistinct, items, orderBy, limit)
   }
 
   // ---------- compiler ----------
 
   /** Compile one parsed query to a DataFrame plan. Node columns are
     * prefixed `<var>_`; each hop joins the edge table then the next
-    * node table.
+    * node table. Comma-patterns extend the same join pipeline through
+    * their shared variables (each hop must touch an already-bound
+    * variable — no cartesian pattern products).
     */
   def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
-    def nodeDf(n: NodePat): DataFrame = {
-      val d = nodes(spark, dir, n.label)
-      d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"${n.v}_$c"))
+    val allNodes = q.paths.flatMap(_.nodes)
+    val labelOf: Map[String, String] =
+      allNodes.flatMap(n => n.label.map(n.v -> _)).toMap
+    def nodeDf(v: String): DataFrame = {
+      val lbl = labelOf.getOrElse(v,
+        throw new IllegalArgumentException(s"variable $v is never labeled in MATCH"))
+      val d = nodes(spark, dir, lbl)
+      d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"${v}_$c"))
     }
-    var df = nodeDf(q.path.nodes.head)
-    q.path.rels.zipWithIndex.foreach { case ((rel, reversed), i) =>
-      val here = q.path.nodes(i)
-      val next = q.path.nodes(i + 1)
-      // forward: here -R-> next; reversed: next -R-> here
-      val (srcPat, dstPat) = if (reversed) (next, here) else (here, next)
-      val e = edges(spark, dir, rel, dstPat.label)
-        .withColumnRenamed("src_uid", s"${srcPat.v}_uid")
-        .withColumnRenamed("dst_uid", s"${dstPat.v}_uid")
-      df = df.join(e, s"${here.v}_uid").join(nodeDf(next), s"${next.v}_uid")
+    var df: DataFrame = null
+    var bound = Set.empty[String]
+    def bind(v: String): Unit = if (!bound.contains(v)) {
+      val nd = nodeDf(v)
+      df = if (df == null) nd else df.join(nd, s"${v}_uid")
+      bound += v
     }
-    q.path.nodes.foreach { n =>
+    q.paths.foreach { path =>
+      if (df == null || path.rels.isEmpty) {
+        require(df == null || bound.contains(path.nodes.head.v),
+          s"pattern starting at ${path.nodes.head.v} is disconnected (cartesian product)")
+        bind(path.nodes.head.v)
+      }
+      path.rels.zipWithIndex.foreach { case ((rel, reversed), i) =>
+        val here = path.nodes(i)
+        val next = path.nodes(i + 1)
+        // forward: here -R-> next; reversed: next -R-> here
+        val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
+        val e = edges(spark, dir, rel, labelOf.getOrElse(dstV,
+            throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
+          .withColumnRenamed("src_uid", s"${srcV}_uid")
+          .withColumnRenamed("dst_uid", s"${dstV}_uid")
+        val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
+        require(joinKeys.nonEmpty,
+          s"hop ${here.v}-[:$rel]-${next.v} is disconnected from bound variables $bound")
+        df = df.join(e, joinKeys)
+        Seq(here.v, next.v).filterNot(bound.contains).foreach(bind)
+      }
+    }
+    allNodes.foreach { n =>
       n.inlineProp.foreach { case (prop, value) =>
         df = df.filter(col(s"${n.v}_$prop") === value)
       }
     }
-    q.where.foreach {
-      case InPred(v, p, vals) => df = df.filter(col(s"${v}_$p").isin(vals.map(lit): _*))
-      case EqPred(v, p, value) => df = df.filter(col(s"${v}_$p") === value)
-      case NumPred(v, p, op, value) =>
-        val c = col(s"${v}_$p")
-        df = df.filter(op match {
+    def predCol(p: Pred): Column = p match {
+      case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
+      case EqPred(v, pr, value) => col(s"${v}_$pr") === value
+      case NumPred(v, pr, op, value) =>
+        val c = col(s"${v}_$pr")
+        op match {
           case "<" => c < value
           case "<=" => c <= value
           case ">" => c > value
           case ">=" => c >= value
           case "=" => c === value
-        })
+        }
+      case OrPred(ps) => ps.map(predCol).reduce(_ || _)
     }
+    q.where.foreach(p => df = df.filter(predCol(p)))
     q.withDistinct.foreach { v =>
       df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
     }
-    val counts = q.ret.collect { case c: CountItem => c }
-    if (counts.nonEmpty) {
-      val c = counts.head
-      df = if (c.distinct)
-        df.agg(countDistinct(col(s"${c.v}_uid")).as(s"count_${c.v}"))
-      else df.agg(count(col(s"${c.v}_uid")).as(s"count_${c.v}"))
+    def outName(it: RetItem): String = it match {
+      case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
+      case CountItem(v, _, a) => a.getOrElse(s"count_$v")
+      case CollectItem(v, p, a) =>
+        a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
+    }
+    val aggExprs: Seq[Column] = q.ret.collect {
+      case it @ CountItem(v, distinct, _) =>
+        val c = col(s"${v}_uid")
+        (if (distinct) countDistinct(c) else count(c)).as(outName(it))
+      case it @ CollectItem(v, prop, _) =>
+        val c = prop.fold(col(s"${v}_uid"))(p => col(s"${v}_$p"))
+        concat_ws(" | ", array_sort(collect_list(c.cast("string")))).as(outName(it))
+    }
+    if (aggExprs.nonEmpty) {
+      // Cypher's implicit grouping: plain props alongside aggregates
+      // become the grouping keys
+      val keys = q.ret.collect { case it @ PropItem(v, p, _) =>
+        col(s"${v}_$p").as(outName(it)) }
+      df = if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
+        else df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+      df = df.select(q.ret.map(it => col(outName(it))): _*)
     } else {
-      val cols: Seq[Column] = q.ret.collect { case PropItem(v, p) => col(s"${v}_$p").as(s"${v}_$p") }
-      df = df.select(cols: _*)
+      df = df.select(q.ret.map { case it @ PropItem(v, p, _) =>
+        col(s"${v}_$p").as(outName(it)) }: _*)
       if (q.retDistinct) df = df.distinct()
     }
-    if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map(i => col(s"${i.v}_${i.prop}")): _*)
+    if (q.orderBy.nonEmpty) {
+      // ORDER BY v.prop resolves to the aliased output column if the
+      // RETURN list renamed it
+      val orderCols = q.orderBy.map { o =>
+        val name = q.ret.collectFirst {
+          case PropItem(v, p, Some(a)) if v == o.v && p == o.prop => a
+        }.getOrElse(s"${o.v}_${o.prop}")
+        col(name)
+      }
+      df = df.orderBy(orderCols: _*)
+    }
     q.limit.foreach(n => df = df.limit(n))
     df
   }
@@ -288,13 +379,31 @@ object CypherLite {
     "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.doc_id < 5 " +
       "RETURN a.uid, c.uid ORDER BY a.uid, c.uid LIMIT 20"
 
+  /** collect() with implicit grouping + AS aliases — the reference's
+    * get_chunks_from_article_ids (graph.py:131-135) compiled, not
+    * hand-built.
+    */
+  val Ex7: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE a.uid IN ['Article:1', 'Article:3', 'Article:7'] " +
+      "RETURN a.uid AS article_id, collect(c) AS chunks ORDER BY a.uid"
+
+  /** Comma-separated multi-pattern MATCH (shared variable c) + OR. */
+  val Ex8: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk), (c)-[:MENTIONS]->(o:Location) " +
+      "WHERE o.name = 'row' OR o.name = 'column window' " +
+      "RETURN DISTINCT a.uid, c.position, o.name " +
+      "ORDER BY a.uid, c.position, o.name LIMIT 15"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cypher_ex6" -> ((s, d) => run(s, d, Ex6)),
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
     "q_cypher_ex2" -> ((s, d) => run(s, d, Ex2)),
     "q_cypher_ex3" -> ((s, d) => run(s, d, Ex3)),
     "q_cypher_ex4" -> ((s, d) => run(s, d, Ex4)),
-    "q_cypher_ex5" -> ((s, d) => run(s, d, Ex5)))
+    "q_cypher_ex5" -> ((s, d) => run(s, d, Ex5)),
+    "q_cypher_ex7" -> ((s, d) => run(s, d, Ex7)),
+    "q_cypher_ex8" -> ((s, d) => run(s, d, Ex8)))
 
   private val M = TextPipeline.MentionsSql
   private val P = TextPipeline.PipelineSql
@@ -328,6 +437,22 @@ object CypherLite {
          |${graft.graph.NewsGraph.ArticleTopicsSql}
          |SELECT count(DISTINCT doc_id) AS count_a
          |FROM topics WHERE topic = 'organization'""".stripMargin,
+    "q_cypher_ex7" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT 'Article:' || doc_id AS article_id,
+         |  string_agg('Chunk:' || doc_id || ':' || chunk_id, ' | '
+         |    ORDER BY 'Chunk:' || doc_id || ':' || chunk_id) AS chunks
+         |FROM chunks
+         |WHERE 'Article:' || doc_id IN ('Article:1', 'Article:3', 'Article:7')
+         |GROUP BY doc_id
+         |ORDER BY article_id""".stripMargin,
+    "q_cypher_ex8" ->
+      s"""WITH $M
+         |SELECT DISTINCT 'Article:' || doc_id AS a_uid,
+         |  chunk_id AS c_position, name AS o_name
+         |FROM mentions
+         |WHERE label = 'location' AND (name = 'row' OR name = 'column window')
+         |ORDER BY a_uid, c_position, o_name LIMIT 15""".stripMargin,
     "q_cypher_ex3" ->
       s"""WITH $P
          |SELECT DISTINCT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS c_uid,

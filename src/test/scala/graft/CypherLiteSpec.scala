@@ -11,8 +11,8 @@ class CypherLiteSpec extends AnyFunSuite {
 
   test("parses a linear path with WHERE IN and LIMIT") {
     val Seq(q) = parse(Ex1)
-    assert(q.path.nodes.map(_.label) == Seq("Article", "Chunk", "Person"))
-    assert(q.path.rels == Seq("CONTAINS" -> false, "MENTIONS" -> false))
+    assert(q.paths.head.nodes.flatMap(_.label) == Seq("Article", "Chunk", "Person"))
+    assert(q.paths.head.rels == Seq("CONTAINS" -> false, "MENTIONS" -> false))
     assert(q.where.contains(InPred("o", "name", Seq("customer", "line customer"))))
     assert(q.retDistinct && q.limit.contains(10))
   }
@@ -55,6 +55,44 @@ class CypherLiteSpec extends AnyFunSuite {
     val langOnly = CypherLite.run(spark, TestSpark.sf,
       "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.lang = 'en' RETURN a.uid, c.uid")
     assert(n < langOnly.count(), "conjunction must be more selective")
+  }
+
+  test("collect() groups implicitly by the plain return props (graph.py:135)") {
+    val Seq(q) = parse(Ex7)
+    assert(q.ret == Seq(PropItem("a", "uid", Some("article_id")),
+      CollectItem("c", None, Some("chunks"))))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex7).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1).contains(" | ")), "chunks flatten sorted-joined")
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      Array("Article:1", "Article:3", "Article:7")))
+  }
+
+  test("multi-pattern MATCH joins on the shared variable; OR disjoins") {
+    val Seq(q) = parse(Ex8)
+    assert(q.paths.size == 2)
+    assert(q.paths(1).nodes.head == NodePat("c", None, None))
+    assert(q.where.head.isInstanceOf[OrPred])
+    val multi = CypherLite.run(spark, TestSpark.sf, Ex8)
+    // the same query as one linear path must give identical rows
+    val linear = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Location) " +
+        "WHERE o.name = 'row' OR o.name = 'column window' " +
+        "RETURN DISTINCT a.uid, c.position, o.name " +
+        "ORDER BY a.uid, c.position, o.name LIMIT 15")
+    assert(multi.collect().toSeq == linear.collect().toSeq)
+    assert(multi.count() > 0)
+  }
+
+  test("OR widens selectivity vs a single disjunct") {
+    val both = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Location) " +
+        "WHERE o.name = 'row' OR o.name = 'window' RETURN DISTINCT c.uid")
+    val one = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Location) " +
+        "WHERE o.name = 'row' RETURN DISTINCT c.uid")
+    assert(both.count() >= one.count())
+    assert(both.count() > 0)
   }
 
   test("article/chunk nodes expose reference metadata properties") {
