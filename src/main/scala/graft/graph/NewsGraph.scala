@@ -173,24 +173,39 @@ object NewsGraph {
       .orderBy("doc_id", "chunk_id").limit(10)
   }
 
-  /** Candidate probes for fuzzy entity lookup (graph.py:150-168):
-    * stand-in for the Lucene fulltext index — edit-distance scoring
-    * against the entity-name dim, top-5 per probe.
+  /** Candidate probes for fuzzy entity lookup (graph.py:148-168):
+    * stand-in for the Lucene fulltext index. Score = 0.5·token-set
+    * Jaccard + 0.5·(1 − normalized Levenshtein): the token component
+    * models Lucene's per-word fuzzy AND query (utils.py:51-61), the
+    * edit component its ~0.8 per-word fuzziness. Top-10 per probe
+    * (per_entity_limit=10, graph.py:140) through the TopKPerGroup
+    * heap operator — the entity-name dim grows with the corpus, so no
+    * corpus-sized rank window here; the rank window after it sees ≤10
+    * rows per probe.
     */
-  val CandidateProbes: Seq[String] = Seq("custmer", "sprak", "windw", "tble grp")
+  val CandidateProbes: Seq[String] =
+    Seq("custmer", "sprak", "windw", "tble grp", "spark grp", "line custmer")
+
+  val CandidateLimit = 10
 
   def qEntityCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val probes = CandidateProbes.toDF("probe")
     val names = TextPipeline.mentions(spark, dir)
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
+    val pTok = array_distinct(split(col("probe"), " "))
+    val nTok = array_distinct(split(col("name"), " "))
     val scored = names.crossJoin(broadcast(probes))
       .withColumn("score", round(
-        lit(1.0) - levenshtein(col("probe"), col("name")) /
-          greatest(length(col("probe")), length(col("name"))).cast("double"), 6))
-    val w = Window.partitionBy("probe").orderBy(col("score").desc, col("name"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+        lit(0.5) * (size(array_intersect(pTok, nTok)) /
+          size(array_union(pTok, nTok)).cast("double")) +
+        lit(0.5) * (lit(1.0) - levenshtein(col("probe"), col("name")) /
+          greatest(length(col("probe")), length(col("name"))).cast("double")), 6))
+      .select("probe", "name", "label", "score")
+    val top = graft.plans.TopKPerGroup.topK(
+      scored, CandidateLimit, Seq("probe"), orderCol = "score", tieCol = "name")
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("probe").orderBy(col("score").desc, col("name"))))
       .select("probe", "name", "label", "score", "rk")
       .orderBy("probe", "rk")
   }
@@ -311,13 +326,18 @@ object NewsGraph {
          |names AS (SELECT DISTINCT name, $EntityNodeLabelSql AS label FROM mentions),
          |scored AS (
          |  SELECT probe, name, label,
-         |    round(1.0 - levenshtein(probe, name) /
-         |      CAST(greatest(length(probe), length(name)) AS DOUBLE), 6) AS score
+         |    round(
+         |      0.5 * (len(list_filter(list_distinct(string_split(probe, ' ')),
+         |          w -> list_contains(list_distinct(string_split(name, ' ')), w)))
+         |        / CAST(len(list_distinct(list_concat(string_split(probe, ' '),
+         |            string_split(name, ' ')))) AS DOUBLE))
+         |    + 0.5 * (1.0 - levenshtein(probe, name) /
+         |        CAST(greatest(length(probe), length(name)) AS DOUBLE)), 6) AS score
          |  FROM names CROSS JOIN probes)
          |SELECT probe, name, label, score, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY probe
          |    ORDER BY score DESC, name) AS rk FROM scored)
-         |WHERE rk <= 5 ORDER BY probe, rk""".stripMargin,
+         |WHERE rk <= $CandidateLimit ORDER BY probe, rk""".stripMargin,
     "q_chunks_from_articles" ->
       s"""WITH ${TextPipeline.ChunksSql}
          |SELECT doc_id, count(*) AS n_chunks,

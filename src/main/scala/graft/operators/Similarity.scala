@@ -74,6 +74,31 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(TopK)
 
+  val FilterLang = "en"
+
+  /** Filtered vector search (vector_index.ipynb passes a metadata
+    * `filter` to similarity_search): restrict candidates by article
+    * language BEFORE scoring. The predicate reaches the documents
+    * scan — PushedFilters on flat parquet, PartitionFilters (whole
+    * directories never read) when the corpus is laid out via
+    * Catalog.writePartitioned — so the scored set shrinks at the
+    * source instead of post-hoc. `docs` is pluggable so the same
+    * operator runs on either layout.
+    */
+  def cosineTopkFiltered(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    vectors(spark, dir)
+      .join(docs.select(col("doc_id"), col("lang")), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("vec_id", "lang", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(TopK)
+
+  def qCosineTopkFiltered(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkFiltered(spark, dir,
+      Tables.documents(spark, dir).filter(col("lang") === FilterLang))
+
   /** k-NN join: top-k neighbors for each of 5 query vectors.
     *
     * Per-query top-k goes through the custom TopKPerGroup operator
@@ -255,6 +280,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
+    "q_cosine_topk_filtered" -> qCosineTopkFiltered,
     "q_knn_join" -> qKnnJoin,
     "q_hybrid_search" -> qHybridSearch,
     "q_expand_retrieval" -> qExpandRetrieval,
@@ -288,6 +314,12 @@ object Similarity {
       s"""WITH $VecSql, $QVecSql
          |SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
          |FROM e CROSS JOIN q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_cosine_topk_filtered" ->
+      s"""WITH $VecSql, $QVecSql
+         |SELECT vec_id, lang, round(${cos("v", "qv")}, 6) AS score
+         |FROM e JOIN documents d ON vec_id = d.doc_id CROSS JOIN q
+         |WHERE d.lang = '$FilterLang' AND vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT $TopK""".stripMargin,
     "q_knn_join" ->
       s"""WITH $VecSql,

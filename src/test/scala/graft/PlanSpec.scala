@@ -37,6 +37,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
   }
 
+  test("filtered vector search pushes lang to the scan; prunes partitions on the partitioned layout") {
+    val p = plan(Similarity.qCosineTopkFiltered(spark, TestSpark.sf))
+    assert(p.contains("EqualTo(lang,en)"), s"lang filter not pushed to scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    // same operator over the lang-partitioned layout → directory pruning
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    sources.Catalog.writePartitioned(spark, TestSpark.sf, out)
+    val pp = plan(Similarity.cosineTopkFiltered(spark, TestSpark.sf,
+      sources.Catalog.readLang(spark, out, Similarity.FilterLang)))
+    assert(pp.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning:\n$pp")
+  }
+
   test("scan of documents for token counting reads only needed columns") {
     val p = plan(operators.TextAnalysis.qTokenCount(spark, TestSpark.sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

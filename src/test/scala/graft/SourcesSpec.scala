@@ -39,6 +39,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(de.count() == expected)
   }
 
+  test("mergeDocuments: MERGE-semantics upsert, idempotent, touches only dirty buckets") {
+    val path = Files.createTempDirectory("graft_merge").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+    Catalog.initMerged(spark, docs, path)
+    val before = Catalog.readMerged(spark, path).count()
+
+    val changed = docs.filter(col("doc_id") < 3)
+      .withColumn("text", lit("updated text"))
+    val added = docs.filter(col("doc_id") < 2)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val batch = changed.unionByName(added)
+
+    // record file listings of buckets the batch does NOT touch
+    val touched = batch
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(Catalog.MergeBuckets)))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    def listing(b: Int): Seq[String] = {
+      val d = new java.io.File(path, s"bucket=$b")
+      Option(d.listFiles()).map(_.map(f => f.getName + ":" + f.length).toSeq.sorted)
+        .getOrElse(Seq.empty)
+    }
+    val untouched = (0 until Catalog.MergeBuckets).filterNot(touched)
+    val prior = untouched.map(b => b -> listing(b)).toMap
+
+    Catalog.mergeDocuments(spark, path, batch)
+    val after = Catalog.readMerged(spark, path)
+    assert(after.count() == before + 2, "new keys append")
+    assert(after.filter(col("doc_id") === 1).select("text").head().getString(0)
+      == "updated text", "changed key wins over stored row")
+    assert(after.filter(col("doc_id") === 1000000).count() == 1)
+    // clean buckets' files must be byte-identical (never rewritten)
+    untouched.foreach(b => assert(listing(b) == prior(b), s"bucket $b was rewritten"))
+
+    val afterChars = after.select(sum(length(col("text")))).head().getLong(0)
+
+    // idempotent re-ingest: same batch again changes nothing
+    Catalog.mergeDocuments(spark, path, batch)
+    val again = Catalog.readMerged(spark, path)
+    assert(again.count() == before + 2)
+    assert(again.select(sum(length(col("text")))).head().getLong(0) == afterChars)
+  }
+
   test("csv round-trip preserves the quality table") {
     val out = Files.createTempDirectory("graft_csv").toString
     val orig = operators.TextAnalysis.qTokenCount(spark, TestSpark.sf)
