@@ -24,6 +24,8 @@ import graft.operators.TextPipeline
   *   return     := RETURN [DISTINCT] item (, item)*
   *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
   *                 | collect(v[.prop]) [AS alias]
+  *                 | v{.prop, key: w.prop, ...} [AS alias]  -- map
+  *                   projection, emitted as a compact JSON string
   *                 -- aggregates group implicitly by the plain props
   *   orderby    := ORDER BY v.prop (, v.prop)*
   *   limit      := LIMIT n
@@ -142,6 +144,14 @@ object CypherLite {
     */
   case class CollectItem(v: String, prop: Option[String] = None,
     alias: Option[String] = None) extends RetItem
+  /** Property-map projection `v{.p1, key: w.p2}` (vector_index.ipynb
+    * retrieval query's `chunk{.position, ..., date: a.publishing_date}`)
+    * — compiles to a compact JSON string (to_json over a struct; the
+    * same construct in DuckDB emits byte-identical JSON).
+    * entries: output key -> (variable, property).
+    */
+  case class MapItem(v: String, entries: Seq[(String, (String, String))],
+    alias: Option[String] = None) extends RetItem
   case class Query(paths: Seq[PathPat], where: Seq[Pred], withDistinct: Option[String],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
@@ -155,6 +165,24 @@ object CypherLite {
   private val CollectRe =
     """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
+  private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
+
+  /** Split on commas at brace/paren depth 0 (map projections and
+    * count()/collect() carry commas of their own).
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('{' | '(') => depth += 1; cur.append(c)
+      case c @ ('}' | ')') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   def parse(cypher: String): Seq[Query] =
     cypher.split("(?i)\\bUNION\\b").map(q => parseOne(q.trim)).toSeq
@@ -213,14 +241,23 @@ object CypherLite {
     val retS = section("RETURN", Seq("ORDER", "LIMIT")).getOrElse(
       throw new IllegalArgumentException(s"no RETURN in: $q"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
-    val items = retS.replaceAll("(?i)^\\s*DISTINCT", "").split(",").map(_.trim).map {
+    val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
       case CountRe(distinct, v, alias) =>
         CountItem(v, distinct != null, Option(alias))
       case CollectRe(v, prop, alias) =>
         CollectItem(v, Option(prop), Option(alias))
+      case MapRe(v, body, alias) =>
+        val dotRe = """\.(\w+)""".r
+        val kvRe = """(\w+)\s*:\s*(\w+)\.(\w+)""".r
+        val entries = body.split(",").map(_.trim).filter(_.nonEmpty).map {
+          case dotRe(p) => p -> (v, p)
+          case kvRe(k, w, p) => k -> (w, p)
+          case other => throw new IllegalArgumentException(s"unsupported map entry: $other")
+        }.toSeq
+        MapItem(v, entries, Option(alias))
       case PropRe(v, p, alias) => PropItem(v, p, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
-    }.toSeq
+    }
     val orderBy = section("ORDER", Seq("LIMIT")).toSeq.flatMap {
       _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).collect {
         case s if s.matches("""\w+\.\w+""") =>
@@ -306,6 +343,15 @@ object CypherLite {
       case CountItem(v, _, a) => a.getOrElse(s"count_$v")
       case CollectItem(v, p, a) =>
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
+      case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
+    }
+    def itemCol(it: RetItem): Column = it match {
+      case PropItem(v, p, _) => col(s"${v}_$p").as(outName(it))
+      case MapItem(_, entries, _) =>
+        to_json(struct(entries.map { case (k, (w, p)) =>
+          col(s"${w}_$p").as(k) }: _*)).as(outName(it))
+      case other => throw new IllegalArgumentException(
+        s"aggregate item $other outside aggregation context")
     }
     val aggExprs: Seq[Column] = q.ret.collect {
       case it @ CountItem(v, distinct, _) =>
@@ -316,16 +362,17 @@ object CypherLite {
         concat_ws(" | ", array_sort(collect_list(c.cast("string")))).as(outName(it))
     }
     if (aggExprs.nonEmpty) {
-      // Cypher's implicit grouping: plain props alongside aggregates
-      // become the grouping keys
-      val keys = q.ret.collect { case it @ PropItem(v, p, _) =>
-        col(s"${v}_$p").as(outName(it)) }
+      // Cypher's implicit grouping: plain props (and map projections)
+      // alongside aggregates become the grouping keys
+      val keys = q.ret.collect {
+        case it: PropItem => itemCol(it)
+        case it: MapItem => itemCol(it)
+      }
       df = if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
         else df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
       df = df.select(q.ret.map(it => col(outName(it))): _*)
     } else {
-      df = df.select(q.ret.map { case it @ PropItem(v, p, _) =>
-        col(s"${v}_$p").as(outName(it)) }: _*)
+      df = df.select(q.ret.map(itemCol): _*)
       if (q.retDistinct) df = df.distinct()
     }
     if (q.orderBy.nonEmpty) {
@@ -395,6 +442,18 @@ object CypherLite {
       "RETURN DISTINCT a.uid, c.position, o.name " +
       "ORDER BY a.uid, c.position, o.name LIMIT 15"
 
+  /** Property-map projection — the RETURN shape of the reference's
+    * vector-retrieval query (vector_index.ipynb:111: `chunk{.position,
+    * .section, .category, date: a.publishing_date, url: a.url,
+    * source: s.name}`), compiled over the PUBLISHED/CONTAINS chain.
+    */
+  val Ex9: String =
+    "MATCH (s:Source)-[:PUBLISHED]->(a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE a.doc_id < 3 " +
+      "RETURN c.uid, c{.position, .section, .category, date: a.publishing_date, " +
+      "url: a.url, source: s.name} AS metadata " +
+      "ORDER BY c.uid"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cypher_ex6" -> ((s, d) => run(s, d, Ex6)),
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
@@ -403,7 +462,8 @@ object CypherLite {
     "q_cypher_ex4" -> ((s, d) => run(s, d, Ex4)),
     "q_cypher_ex5" -> ((s, d) => run(s, d, Ex5)),
     "q_cypher_ex7" -> ((s, d) => run(s, d, Ex7)),
-    "q_cypher_ex8" -> ((s, d) => run(s, d, Ex8)))
+    "q_cypher_ex8" -> ((s, d) => run(s, d, Ex8)),
+    "q_cypher_ex9" -> ((s, d) => run(s, d, Ex9)))
 
   private val M = TextPipeline.MentionsSql
   private val P = TextPipeline.PipelineSql
@@ -446,6 +506,18 @@ object CypherLite {
          |WHERE 'Article:' || doc_id IN ('Article:1', 'Article:3', 'Article:7')
          |GROUP BY doc_id
          |ORDER BY article_id""".stripMargin,
+    "q_cypher_ex9" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |arts AS (SELECT doc_id, ${Props.PublishingDateSql} AS publishing_date,
+         |  ${Props.UrlSql} AS url, source FROM documents)
+         |SELECT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS c_uid,
+         |  to_json({position: c.chunk_id,
+         |    section: ${Props.SectionSql},
+         |    category: ${Props.CategorySql},
+         |    date: a.publishing_date, url: a.url, source: a.source}) AS metadata
+         |FROM chunks c JOIN arts a ON c.doc_id = a.doc_id
+         |WHERE c.doc_id < 3
+         |ORDER BY c_uid""".stripMargin,
     "q_cypher_ex8" ->
       s"""WITH $M
          |SELECT DISTINCT 'Article:' || doc_id AS a_uid,

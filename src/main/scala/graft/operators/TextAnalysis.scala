@@ -88,11 +88,58 @@ object TextAnalysis {
           i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(3)))))).as("min_shingle_hash"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
+    * filters): fraction of all word-bigram occurrences taken by the
+    * most frequent bigram, and fraction of bigram/trigram occurrences
+    * that are duplicated. Shape: one (doc_id, gram) shuffle per gram
+    * size with map-side partial counts — the scale axis is corpus
+    * size; no per-doc driver work, no vocabulary broadcast.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+    def gramStats(n: Int, top: String, dup: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("words")) - n),
+            i => concat_ws(" ", slice(col("words"), i + 1, lit(n))))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round(max(col("c")) / sum(col("c")).cast("double"), 6).as(top),
+          round(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            / sum(col("c")).cast("double"), 6).as(dup))
+    gramStats(2, "top_bigram_frac", "dup_bigram_frac")
+      .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The gazetteer's person names — the PII class for the scrub pass. */
+  val PiiWords: Seq[String] =
+    TextPipeline.Gazetteer.collect { case (w, "person") => w }
+
+  /** PII scrubbing (C4/CCNet-style redaction): count and redact PII
+    * tokens (person names here; emails/phones are the same
+    * regexp_replace shape). Narrow codegen'd pass, zero shuffles.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val piiRe = s"\\b(${PiiWords.mkString("|")})\\b"
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(filter(col("words"), w => w.isin(PiiWords.map(lit): _*)))
+          .cast("long").as("n_pii"),
+        substring(regexp_replace(col("text"), piiRe, "[PII]"), 1, 80)
+          .as("scrubbed_head"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_token_count" -> qTokenCount,
-    "q_fingerprint" -> qFingerprint)
+    "q_fingerprint" -> qFingerprint,
+    "q_repetition" -> qRepetition,
+    "q_pii_scrub" -> qPiiScrub)
 
   val oracles: Map[String, String] = Map(
     "q_lang_id" ->
@@ -127,6 +174,40 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM w),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id,
+        |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac,
+        |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(words) - 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |s3 AS (SELECT doc_id,
+        |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_trigram_frac,
+        |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT s2.doc_id, top_bigram_frac, dup_bigram_frac,
+        |  top_trigram_frac, dup_trigram_frac
+        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+        |ORDER BY s2.doc_id""".stripMargin,
+    "q_pii_scrub" -> {
+      val alt = PiiWords.mkString("|")
+      val inList = PiiWords.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS n_pii,
+         |  substr(regexp_replace(text, '\\b($alt)\\b', '[PII]', 'g'), 1, 80)
+         |    AS scrubbed_head
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

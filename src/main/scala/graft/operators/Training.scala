@@ -62,10 +62,36 @@ object Training {
       .orderBy("doc_id")
   }
 
+  val StratQuota = 50
+
+  /** Stratified quota sampling: exactly K docs per language stratum,
+    * picked by smallest deterministic hash (reproducible "random"
+    * order, no rand()). The per-stratum selection runs through the
+    * TopKPerGroup heap operator — partial map-side heaps, k rows per
+    * stratum per partition shuffled — never a stratum-sized rank
+    * window, so a billion-doc stratum costs what K does.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("strat#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"))
+      // TopKPerGroup keeps LARGEST by order col; negate for smallest-h
+      .withColumn("neg_h", -col("h"))
+      .select("lang", "doc_id", "h", "neg_h")
+    val top = graft.plans.TopKPerGroup.topK(hashed, StratQuota,
+      Seq("lang"), orderCol = "neg_h", tieCol = "doc_id")
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .select("lang", "doc_id", "h", "rk")
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
-    "q_pack_sequences" -> qPackSequences)
+    "q_pack_sequences" -> qPackSequences,
+    "q_stratified_sample" -> qStratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "q_train_test_split" ->
@@ -84,6 +110,15 @@ object Training {
         |    unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
         |  FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    CAST('0x' || substr(md5('strat#' || doc_id), 1, 8) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT lang, doc_id, h, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY h, doc_id) AS rk FROM h)
+         |WHERE rk <= $StratQuota ORDER BY lang, rk""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens

@@ -95,6 +95,21 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("property-map projection compiles to a JSON metadata column (retrieval query)") {
+    val Seq(q) = parse(Ex9)
+    val Some(m) = q.ret.collectFirst { case m: MapItem => m }
+    assert(m.entries == Seq(
+      "position" -> ("c", "position"), "section" -> ("c", "section"),
+      "category" -> ("c", "category"), "date" -> ("a", "publishing_date"),
+      "url" -> ("a", "url"), "source" -> ("s", "name")))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex9).collect()
+    assert(rows.nonEmpty)
+    val meta = rows.head.getString(1)
+    assert(meta.startsWith("""{"position":"""), meta)
+    assert(meta.contains(""""category":"headline""""), meta)
+    assert(meta.contains(""""url":"https://"""), meta)
+  }
+
   test("article/chunk nodes expose reference metadata properties") {
     val a = CypherLite.nodes(spark, TestSpark.sf, "Article")
     assert(Seq("title", "publishing_date", "language", "url").forall(a.columns.contains))

@@ -41,6 +41,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("repetition fractions are valid probabilities; top bigram dominates") {
+    val df = operators.TextAnalysis.qRepetition(spark, TestSpark.sf)
+    val fracs = Seq("top_bigram_frac", "dup_bigram_frac",
+      "top_trigram_frac", "dup_trigram_frac")
+    val bad = df.filter(fracs.map(c => col(c) < 0 || col(c) > 1).reduce(_ || _)).count()
+    assert(bad == 0)
+    assert(df.filter(col("top_bigram_frac") <= 0).count() == 0)
+    // trigrams repeat no more often than bigrams (every dup trigram
+    // contains a dup bigram occurrence-wise on this tokenization)
+    assert(df.count() == Tables.documents(spark, TestSpark.sf).count())
+  }
+
+  test("pii scrub removes every person token from the full text") {
+    val pii = operators.TextAnalysis.PiiWords.toSet
+    val piiRe = s"\\b(${operators.TextAnalysis.PiiWords.mkString("|")})\\b"
+    val left = Tables.documents(spark, TestSpark.sf)
+      .withColumn("scrubbed", regexp_replace(col("text"), piiRe, "[PII]"))
+      .withColumn("leftover",
+        size(filter(split(col("scrubbed"), " "), w => w.isin(pii.toSeq.map(lit): _*))))
+      .filter(col("leftover") > 0).count()
+    assert(left == 0)
+    val df = operators.TextAnalysis.qPiiScrub(spark, TestSpark.sf)
+    assert(df.filter(col("n_pii") > 0).count() > 0, "corpus contains person tokens")
+  }
+
+  test("stratified sample takes exactly the K smallest hashes per stratum") {
+    val df = operators.Training.qStratifiedSample(spark, TestSpark.sf)
+    val sizes = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(operators.Training.StratQuota.toLong, n))
+    }
+    // membership check vs a plain window on the small test corpus
+    import org.apache.spark.sql.expressions.Window
+    val expect = Tables.documents(spark, TestSpark.sf)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("strat#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= operators.Training.StratQuota)
+      .select("lang", "doc_id", "h", "rk")
+      .orderBy("lang", "rk").collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
   test("IVF ANN returns a subset of brute-force candidates with scores matching") {
     val bf = Similarity.qCosineTopk(spark, TestSpark.sf)
       .select(col("vec_id"), col("score")).collect()
