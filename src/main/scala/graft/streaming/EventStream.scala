@@ -197,6 +197,26 @@ object EventStream {
     q.stop()
   }
 
+  /** Streaming ingest → MERGE upsert: every micro-batch lands in the
+    * Catalog.initMerged layout through foreachBatch + mergeDocuments —
+    * the standard idempotent-sink pattern for continuous re-crawl (the
+    * reference's MERGE loop, graph.py:44-131, as a stream). Because
+    * the sink is a key-compacting MERGE, a replayed batch after
+    * failure re-applies to the same end state: exactly-once per key
+    * without a transactional sink. Batches are key-deduped (arbitrary
+    * row per key within one batch — upstream should emit one version
+    * per key per batch, as with MERGE on a unique uid).
+    */
+  def upsertStream(stream: DataFrame, basePath: String, checkpoint: String,
+      keyCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Catalog.mergeDocuments(
+          batch.sparkSession, basePath, batch.dropDuplicates(keyCol), keyCol)
+      }
+      .start()
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */

@@ -83,6 +83,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert merges micro-batches into the catalog (exactly-once per key)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sources.Catalog.initMerged(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), path)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.upsertStream(
+      input.toDF().toDF("doc_id", "text"), path, ckpt)
+    try {
+      input.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((3L, "c2"), (4L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = sources.Catalog.readMerged(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
