@@ -266,6 +266,41 @@ object Dedup {
       .orderBy("source", "j")
   }
 
+  val ClusterIters = 6
+
+  /** Near-dup cluster assignment — the step after pair generation in
+    * a production dedup pipeline: every document gets canonical_id =
+    * min doc_id reachable through verified near-dup pairs, plus the
+    * cluster size; keep `doc_id == canonical_id`, drop the rest.
+    * Fixed-round min-label propagation over the (pair-sized, not
+    * corpus-sized) edge list — the same checkpointed-join shape as
+    * Analytics.qComponents; singletons stay their own canonical. The
+    * oracle replays the identical rounds, so the output matches even
+    * for cluster diameters beyond the round count.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(spark, dir).select("doc_id_a", "doc_id_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
+      .toDF("src", "dst").localCheckpoint()
+    var lbl = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node")).withColumn("comp", col("node"))
+    for (i <- 1 to ClusterIters) {
+      val nbrMin = lbl.join(edges, lbl("node") === edges("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      lbl = lbl.join(nbrMin, lbl("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      if (i % 3 == 0 || i == ClusterIters) lbl = lbl.localCheckpoint()
+    }
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, "comp")
+      .select(col("node").as("doc_id"), col("comp").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -273,7 +308,8 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
-    "q_dedup_embedding" -> qDedupEmbedding)
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_clusters" -> qDedupClusters)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
     * of simhashPairs' posexplode).
@@ -297,6 +333,62 @@ object Dedup {
     s"""CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}), b ->
        |  CASE WHEN list_sum(list_transform(hs, h ->
        |    (((h >> b) & 1) * 2 - 1))) > 0 THEN (1 << b) ELSE 0 END)) AS INTEGER)""".stripMargin
+
+  /** Shared oracle CTE chain: shingles → minhash sigs → LSH bands →
+    * candidate pairs → jaccard-verified pairs (`verified`).
+    */
+  private val MinhashPairsCtes: String =
+    s"""$ShinglesSql,
+       |hsh AS MATERIALIZED (
+       |  SELECT doc_id, s, list_transform(s,
+       |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, s, list_transform(generate_series(0, ${MinhashK - 1}),
+       |    j -> list_aggregate(list_transform(hs,
+       |      h -> (h * (1000003 + 7919 * j) + 12345 + 911 * j) % $MinhashP), 'min')) AS sig
+       |  FROM hsh),
+       |bands AS (
+       |  SELECT doc_id, s,
+       |    md5(array_to_string(sig[1 + 4*band : 4 + 4*band], '|') || '#' || band) AS bkey
+       |  FROM sigs, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |verified AS MATERIALIZED (
+       |  SELECT doc_id_a, doc_id_b,
+       |    round(len(list_intersect(sa.s, sb.s)) /
+       |      CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6)
+       |      AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
+       |            JOIN sh sb ON sb.doc_id = doc_id_b)""".stripMargin
+
+  /** Min-label propagation rounds replayed in SQL (same fixed
+    * iteration count as qDedupClusters).
+    */
+  private def dedupClustersSql: String = {
+    val iters = (1 to ClusterIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.comp, coalesce(s.nbr_comp, l.comp)) AS comp
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.dst AS node, min(p.comp) AS nbr_comp
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $MinhashPairsCtes,
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_id_a, doc_id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+       |c0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |$iters,
+       |sizes AS (SELECT comp, count(*) AS cluster_size FROM c$ClusterIters GROUP BY comp)
+       |SELECT node AS doc_id, comp AS canonical_id, cluster_size
+       |FROM c$ClusterIters JOIN sizes USING (comp)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_source_minhash" ->
@@ -331,32 +423,10 @@ object Dedup {
         |FROM documents JOIN g ON md5(text) = h
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH $ShinglesSql,
-         |hsh AS MATERIALIZED (
-         |  SELECT doc_id, s, list_transform(s,
-         |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
-         |  FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, s, list_transform(generate_series(0, ${MinhashK - 1}),
-         |    j -> list_aggregate(list_transform(hs,
-         |      h -> (h * (1000003 + 7919 * j) + 12345 + 911 * j) % $MinhashP), 'min')) AS sig
-         |  FROM hsh),
-         |bands AS (
-         |  SELECT doc_id, s,
-         |    md5(array_to_string(sig[1 + 4*band : 4 + 4*band], '|') || '#' || band) AS bkey
-         |  FROM sigs, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT doc_id_a, doc_id_b,
-         |    round(len(list_intersect(sa.s, sb.s)) /
-         |      CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6)
-         |      AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
-         |            JOIN sh sb ON sb.doc_id = doc_id_b)
+      s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_simhash" ->
       s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
          |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),

@@ -133,7 +133,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val VocabK = 100
+
+  /** Corpus vocabulary statistics: global top-K tokens by frequency.
+    * One map-side-combined groupBy over (token) + a TakeOrdered k-row
+    * take — the Zipf-head report a tokenizer-training pipeline pulls
+    * from a 100 TB corpus in a single pass.
+    */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(VocabK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk" -> qVocabTopk,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_token_count" -> qTokenCount,
@@ -142,6 +157,10 @@ object TextAnalysis {
     "q_pii_scrub" -> qPiiScrub)
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
     "q_lang_id" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |h AS (SELECT doc_id,

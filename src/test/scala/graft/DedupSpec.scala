@@ -73,4 +73,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getDouble(2) >= Dedup.CosineThreshold))
   }
+
+  test("cluster assignment is consistent with the verified pairs") {
+    val clusters = Dedup.qDedupClusters(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc present, canonical <= doc_id
+    assert(clusters.size == Tables.documents(spark, TestSpark.sf).count())
+    clusters.foreach { case (d, (c, sz)) =>
+      assert(c <= d); assert(sz >= 1)
+    }
+    // both ends of every near-dup pair share a cluster label
+    val pairs = Dedup.qDedupMinhash(spark, TestSpark.sf)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_size is the label's cardinality
+    val byLabel = clusters.values.groupBy(_._1).view.mapValues(_.size).toMap
+    clusters.values.foreach { case (c, sz) => assert(sz == byLabel(c)) }
+    // dedup keeps exactly one canonical per cluster
+    val kept = clusters.count { case (d, (c, _)) => d == c }
+    assert(kept == byLabel.size)
+  }
 }

@@ -72,7 +72,8 @@ class PlanSpec extends AnyFunSuite {
     val qs = Seq[(String, org.apache.spark.sql.DataFrame)](
       "q_top_users" -> operators.Events.qTopUsers(spark, TestSpark.sf),
       "q_ann_lsh" -> Similarity.qAnnLsh(spark, TestSpark.sf),
-      "q_ann_ivf" -> Similarity.qAnnIvf(spark, TestSpark.sf))
+      "q_ann_ivf" -> Similarity.qAnnIvf(spark, TestSpark.sf),
+      "q_vocab_topk" -> operators.TextAnalysis.qVocabTopk(spark, TestSpark.sf))
     for ((name, df) <- qs)
       assert(plan(df).contains("TakeOrderedAndProject"),
         s"$name lost its TakeOrdered plan:\n${plan(df)}")
