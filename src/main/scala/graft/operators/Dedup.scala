@@ -279,12 +279,19 @@ object Dedup {
     * for cluster diameters beyond the round count.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupMinhash(spark, dir).select("doc_id_a", "doc_id_b")
+    // materialize the (tiny) pair list ONCE — both union branches and
+    // every propagation round read the checkpoint, not the LSH pipeline
+    val pairs = qDedupMinhash(spark, dir)
+      .select("doc_id_a", "doc_id_b").localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var lbl = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node")).withColumn("comp", col("node"))
+      .toDF("src", "dst")
+    // Iterate ONLY over the dup subgraph — a singleton's label never
+    // changes, so the corpus-sized side joins in once at the end. At
+    // 100 TB the propagation loop runs on the (pairs-sized) dup set,
+    // not the corpus.
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
     for (i <- 1 to ClusterIters) {
       val nbrMin = lbl.join(edges, lbl("node") === edges("src"))
         .groupBy(col("dst").as("node2"))
@@ -295,9 +302,14 @@ object Dedup {
       if (i % 3 == 0 || i == ClusterIters) lbl = lbl.localCheckpoint()
     }
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    lbl.join(sizes, "comp")
+    val dupDocs = lbl.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"),
         col("cluster_size"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dupDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .orderBy("doc_id")
   }
 
@@ -382,12 +394,16 @@ object Dedup {
        |edges AS MATERIALIZED (
        |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-       |c0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM edges),
        |$iters,
-       |sizes AS (SELECT comp, count(*) AS cluster_size FROM c$ClusterIters GROUP BY comp)
-       |SELECT node AS doc_id, comp AS canonical_id, cluster_size
-       |FROM c$ClusterIters JOIN sizes USING (comp)
-       |ORDER BY doc_id""".stripMargin
+       |sizes AS (SELECT comp, count(*) AS cluster_size FROM c$ClusterIters GROUP BY comp),
+       |dup AS (SELECT node AS doc_id, comp AS canonical_id, cluster_size
+       |  FROM c$ClusterIters JOIN sizes USING (comp))
+       |SELECT d.doc_id,
+       |  coalesce(dup.canonical_id, d.doc_id) AS canonical_id,
+       |  coalesce(dup.cluster_size, 1) AS cluster_size
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
