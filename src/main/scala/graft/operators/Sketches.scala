@@ -31,4 +31,18 @@ object Sketches {
       .agg(
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
         expr("percentile(value, 0.5)").as("exact_p50"))
+
+  /** Misra–Gries heavy hitters over the corpus token stream via the
+    * custom typed Aggregator (graft.functions.FreqItemsAgg): ≤ k
+    * counters of state however large the vocabulary. Returns
+    * (word, est) rows for the sketch's survivors.
+    */
+  def freqItems(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val agg = udaf(new graft.functions.FreqItemsAgg(k))
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(agg(col("word")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("word", "est")))
+      .orderBy(col("est").desc, col("word"))
+  }
 }

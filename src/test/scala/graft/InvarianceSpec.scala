@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism under re-partitioning: the same query must return
+  * byte-identical rows whether the cluster shuffles into 2 or 32
+  * partitions — the property that makes results reproducible when
+  * the same job runs on a laptop and on 1000 executors. Exercises a
+  * codegen agg, the LSH dedup pipeline, the sentence-combining fold,
+  * the TopKPerGroup heap operator, and a compiled Cypher aggregate.
+  */
+class InvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("representative queries are partition-count invariant") {
+    val names = Seq("q1_agg", "q_dedup_minhash", "q_chunk_sentences",
+      "q_stratified_sample", "q_cypher_ex7")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
+      names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val low = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", orig)
+      val high = runAll()
+      low.zip(high).foreach { case ((n, a), (_, b)) =>
+        assert(a == b, s"$n differs between 2 and $orig shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}

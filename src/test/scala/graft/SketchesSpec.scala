@@ -25,6 +25,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("Misra-Gries sketch honors the paper guarantees vs exact counts") {
+    val k = 8
+    val est = Sketches.freqItems(spark, TestSpark.sf, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= k, s"sketch kept ${est.size} > k=$k counters")
+    val exact = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1)
+    // estimates never exceed truth; undercount bounded by n/(k+1)
+    est.foreach { case (w, e) =>
+      assert(e <= exact(w), s"$w overestimated: $e > ${exact(w)}")
+      assert(exact(w) - e <= bound, s"$w undercount ${exact(w) - e} > $bound")
+    }
+    // every true heavy hitter survives the sketch
+    exact.collect { case (w, c) if c > bound => w }
+      .foreach(w => assert(est.contains(w), s"heavy hitter $w missing"))
+  }
+
   test("streaming dedup keeps exactly the distinct event_ids") {
     val out = EventStream.runDedupToMemory(spark, TestSpark.sf, "dedup_out")
     val exact = Tables.events(spark, TestSpark.sf)
