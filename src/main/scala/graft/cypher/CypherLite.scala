@@ -21,6 +21,10 @@ import graft.operators.TextPipeline
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a' | v.prop < n ...
   *   with       := WITH DISTINCT v
+  *                 | WITH witem (, witem)* [WHERE term (AND term)*]
+  *                 -- pipeline stage: carried vars + aggregates with
+  *                 implicit grouping; its WHERE is Cypher's HAVING
+  *   witem      := v | v.prop [AS alias] | count/collect as in item
   *   return     := RETURN [DISTINCT] item (, item)*
   *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
   *                 | collect(v[.prop]) [AS alias]
@@ -152,7 +156,19 @@ object CypherLite {
     */
   case class MapItem(v: String, entries: Seq[(String, (String, String))],
     alias: Option[String] = None) extends RetItem
+  /** Bare column reference (an alias introduced by a WITH stage). */
+  case class BareItem(name: String, alias: Option[String] = None) extends RetItem
+  /** Numeric predicate on a bare WITH alias (`n_chunks >= 3`). */
+  case class BarePred(name: String, op: String, value: Long) extends Pred
+  /** A `WITH` pipeline stage (Cypher's HAVING idiom): carried
+    * variables + aggregates with implicit grouping, then an optional
+    * post-aggregation WHERE. `vars` keep ALL their node columns (the
+    * grouping key is the full column set — functionally dependent on
+    * the uid, so semantics match grouping by the node).
+    */
+  case class WithClause(vars: Seq[String], items: Seq[RetItem], preds: Seq[Pred])
   case class Query(paths: Seq[PathPat], where: Seq[Pred], withDistinct: Option[String],
+    withAgg: Option[WithClause],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
@@ -166,6 +182,7 @@ object CypherLite {
     """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
   private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
+  private val BareNameRe = """(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
 
   /** Split on commas at brace/paren depth 0 (map projections and
     * count()/collect() carry commas of their own).
@@ -205,41 +222,82 @@ object CypherLite {
     val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
+    val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     w.trim match {
       case inRe(v, p, vals) =>
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
       case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
+      case bareRe(n, op, value) => BarePred(n, op, value.toLong)
       case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
     }
   }
 
-  private def parseOne(q: String): Query = {
-    def section(start: String, enders: Seq[String]): Option[String] = {
-      val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(q).map(_.end)
+  /** AND-conjunction of terms; a term may be an OR-disjunction of
+    * simple predicates (Cypher precedence: AND binds tighter). IN
+    * lists never contain AND/OR so the flat splits are safe.
+    */
+  private def parsePreds(ws: String): Seq[Pred] =
+    ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
+      val disjuncts = w.split("(?i)\\s+OR\\s+").map(parseSimplePred).toSeq
+      if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
+    }.toSeq
+
+  private def parseOne(q0: String): Query = {
+    // Slice at WITH first: a WHERE before WITH filters the match, a
+    // WHERE inside the WITH stage filters the aggregate (HAVING).
+    val withM = "(?i)\\bWITH\\b".r.findFirstMatchIn(q0)
+    val retStart = "(?i)\\bRETURN\\b".r.findFirstMatchIn(q0).map(_.start)
+    val head = q0.substring(0,
+      withM.map(_.start).orElse(retStart).getOrElse(q0.length))
+    val withTail = withM.map(m => q0.substring(m.end))
+    def section(src: String, start: String, enders: Seq[String]): Option[String] = {
+      val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(src).map(_.end)
       si.map { s =>
-        val ends = enders.flatMap(e => ("(?i)\\b" + e + "\\b").r.findFirstMatchIn(q.substring(s)).map(_.start + s))
-        q.substring(s, if (ends.isEmpty) q.length else ends.min).trim
+        val ends = enders.flatMap(e => ("(?i)\\b" + e + "\\b").r.findFirstMatchIn(src.substring(s)).map(_.start + s))
+        src.substring(s, if (ends.isEmpty) src.length else ends.min).trim
       }
     }
-    val matchS = section("MATCH", Seq("WHERE", "WITH", "RETURN")).getOrElse(
-      throw new IllegalArgumentException(s"no MATCH in: $q"))
+    val matchS = section(head, "MATCH", Seq("WHERE")).getOrElse(
+      throw new IllegalArgumentException(s"no MATCH in: $q0"))
     // comma-separated multi-pattern MATCH: each pattern starts with '('
     val paths = matchS.split(",\\s*(?=\\()").map(p => parsePath(p.trim)).toSeq
 
-    val where: Seq[Pred] = section("WHERE", Seq("WITH", "RETURN")).toSeq.flatMap { ws =>
-      // AND-conjunction of terms; a term may be an OR-disjunction of
-      // simple predicates (Cypher precedence: AND binds tighter). IN
-      // lists never contain AND/OR so the flat splits are safe.
-      ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
-        val disjuncts = w.split("(?i)\\s+OR\\s+").map(parseSimplePred).toSeq
-        if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
-      }.toSeq
+    val where: Seq[Pred] =
+      section(head, "WHERE", Seq.empty).toSeq.flatMap(parsePreds)
+
+    val withBody = withTail.map { t =>
+      val i = "(?i)\\bRETURN\\b".r.findFirstMatchIn(t).map(_.start).getOrElse(
+        throw new IllegalArgumentException(s"no RETURN after WITH in: $q0"))
+      t.substring(0, i).trim
     }
-    val withDistinct = section("WITH", Seq("RETURN"))
-      .map(_.replaceAll("(?i)DISTINCT", "").trim)
-    val retS = section("RETURN", Seq("ORDER", "LIMIT")).getOrElse(
-      throw new IllegalArgumentException(s"no RETURN in: $q"))
+    // `WITH DISTINCT v` keeps the legacy dedup path; anything else is
+    // a pipeline stage (vars + aggregates [+ WHERE])
+    val isDistinctVar = withBody.exists(_.matches("(?is)\\s*DISTINCT\\s+\\w+\\s*"))
+    val withDistinct =
+      if (isDistinctVar) withBody.map(_.replaceAll("(?i)DISTINCT", "").trim) else None
+    val withAgg: Option[WithClause] = withBody.filterNot(_ => isDistinctVar).map { b =>
+      val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(b) match {
+        case Some(m) => (b.substring(0, m.start), Some(b.substring(m.end)))
+        case None => (b, None)
+      }
+      val vars = Seq.newBuilder[String]
+      val items = Seq.newBuilder[RetItem]
+      splitTop(itemsPart).foreach {
+        case CountRe(distinct, v, alias) =>
+          items += CountItem(v, distinct != null, Option(alias))
+        case CollectRe(v, prop, alias) =>
+          items += CollectItem(v, Option(prop), Option(alias))
+        case PropRe(v, p, alias) => items += PropItem(v, p, Option(alias))
+        case bare if bare.matches("""\w+""") => vars += bare
+        case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
+      }
+      WithClause(vars.result(), items.result(),
+        predPart.toSeq.flatMap(parsePreds))
+    }
+    val retSrc = withTail.getOrElse(q0)
+    val retS = section(retSrc, "RETURN", Seq("ORDER", "LIMIT")).getOrElse(
+      throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
     val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
       case CountRe(distinct, v, alias) =>
@@ -256,16 +314,18 @@ object CypherLite {
         }.toSeq
         MapItem(v, entries, Option(alias))
       case PropRe(v, p, alias) => PropItem(v, p, Option(alias))
+      case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
-    val orderBy = section("ORDER", Seq("LIMIT")).toSeq.flatMap {
+    val orderBy = section(retSrc, "ORDER", Seq("LIMIT")).toSeq.flatMap {
       _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).collect {
         case s if s.matches("""\w+\.\w+""") =>
           val Array(v, p) = s.split("\\."); PropItem(v, p)
+        case s if s.matches("""\w+""") => PropItem("", s) // bare WITH alias
       }
     }
-    val limit = section("LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(paths, where, withDistinct, retDistinct, items, orderBy, limit)
+    val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
+    Query(paths, where, withDistinct, withAgg, retDistinct, items, orderBy, limit)
   }
 
   // ---------- compiler ----------
@@ -320,18 +380,18 @@ object CypherLite {
         df = df.filter(col(s"${n.v}_$prop") === value)
       }
     }
+    def cmp(c: Column, op: String, value: Long): Column = op match {
+      case "<" => c < value
+      case "<=" => c <= value
+      case ">" => c > value
+      case ">=" => c >= value
+      case "=" => c === value
+    }
     def predCol(p: Pred): Column = p match {
       case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
       case EqPred(v, pr, value) => col(s"${v}_$pr") === value
-      case NumPred(v, pr, op, value) =>
-        val c = col(s"${v}_$pr")
-        op match {
-          case "<" => c < value
-          case "<=" => c <= value
-          case ">" => c > value
-          case ">=" => c >= value
-          case "=" => c === value
-        }
+      case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
+      case BarePred(n, op, value) => cmp(col(n), op, value)
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
     }
     q.where.foreach(p => df = df.filter(predCol(p)))
@@ -344,29 +404,48 @@ object CypherLite {
       case CollectItem(v, p, a) =>
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
+      case BareItem(n, a) => a.getOrElse(n)
     }
     def itemCol(it: RetItem): Column = it match {
       case PropItem(v, p, _) => col(s"${v}_$p").as(outName(it))
       case MapItem(_, entries, _) =>
         to_json(struct(entries.map { case (k, (w, p)) =>
           col(s"${w}_$p").as(k) }: _*)).as(outName(it))
+      case BareItem(n, _) => col(n).as(outName(it))
       case other => throw new IllegalArgumentException(
         s"aggregate item $other outside aggregation context")
     }
-    val aggExprs: Seq[Column] = q.ret.collect {
+    def aggCol(it: RetItem): Option[Column] = it match {
       case it @ CountItem(v, distinct, _) =>
         val c = col(s"${v}_uid")
-        (if (distinct) countDistinct(c) else count(c)).as(outName(it))
+        Some((if (distinct) countDistinct(c) else count(c)).as(outName(it)))
       case it @ CollectItem(v, prop, _) =>
         val c = prop.fold(col(s"${v}_uid"))(p => col(s"${v}_$p"))
-        concat_ws(" | ", array_sort(collect_list(c.cast("string")))).as(outName(it))
+        Some(concat_ws(" | ", array_sort(collect_list(c.cast("string")))).as(outName(it)))
+      case _ => None
     }
+    // WITH pipeline stage: implicit grouping over carried vars (their
+    // full column sets — functionally dependent on the uid) + plain
+    // props, then the post-aggregation WHERE (Cypher's HAVING)
+    q.withAgg.foreach { wc =>
+      val aggs = wc.items.flatMap(aggCol)
+      val keys: Seq[Column] =
+        wc.vars.flatMap(v => df.columns.filter(_.startsWith(s"${v}_")).map(col)) ++
+          wc.items.collect { case it: PropItem => itemCol(it) }
+      df =
+        if (aggs.isEmpty) df.select(keys: _*)
+        else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      wc.preds.foreach(p => df = df.filter(predCol(p)))
+    }
+    val aggExprs: Seq[Column] = q.ret.flatMap(aggCol)
     if (aggExprs.nonEmpty) {
-      // Cypher's implicit grouping: plain props (and map projections)
-      // alongside aggregates become the grouping keys
+      // Cypher's implicit grouping: plain props (and map projections /
+      // WITH aliases) alongside aggregates become the grouping keys
       val keys = q.ret.collect {
         case it: PropItem => itemCol(it)
         case it: MapItem => itemCol(it)
+        case it: BareItem => itemCol(it)
       }
       df = if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
         else df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
@@ -377,11 +456,12 @@ object CypherLite {
     }
     if (q.orderBy.nonEmpty) {
       // ORDER BY v.prop resolves to the aliased output column if the
-      // RETURN list renamed it
+      // RETURN list renamed it; v == "" is a bare WITH alias
       val orderCols = q.orderBy.map { o =>
         val name = q.ret.collectFirst {
           case PropItem(v, p, Some(a)) if v == o.v && p == o.prop => a
-        }.getOrElse(s"${o.v}_${o.prop}")
+          case BareItem(n, Some(a)) if o.v.isEmpty && n == o.prop => a
+        }.getOrElse(if (o.v.isEmpty) o.prop else s"${o.v}_${o.prop}")
         col(name)
       }
       df = df.orderBy(orderCols: _*)
@@ -454,7 +534,16 @@ object CypherLite {
       "url: a.url, source: s.name} AS metadata " +
       "ORDER BY c.uid"
 
+  /** WITH-aggregation chaining (`WITH a, count(c) AS n WHERE n >= k`)
+    * — the HAVING idiom of graph.py-style per-article rollups.
+    */
+  val Ex10: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks WHERE n_chunks >= 3 " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex10" -> ((s, d) => run(s, d, Ex10)),
     "q_cypher_ex6" -> ((s, d) => run(s, d, Ex6)),
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
     "q_cypher_ex2" -> ((s, d) => run(s, d, Ex2)),
@@ -469,6 +558,11 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex10" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT 'Article:' || doc_id AS a_uid, count(*) AS n_chunks
+         |FROM chunks GROUP BY doc_id HAVING count(*) >= 3
+         |ORDER BY a_uid LIMIT 10""".stripMargin,
     "q_cypher_ex6" ->
       s"""WITH ${TextPipeline.ChunksSql}
          |SELECT 'Article:' || doc_id AS a_uid,

@@ -110,6 +110,22 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(meta.contains(""""url":"https://"""), meta)
   }
 
+  test("WITH aggregation stage filters like HAVING and carries the variable") {
+    val Seq(q) = parse(Ex10)
+    val Some(wc) = q.withAgg
+    assert(wc.vars == Seq("a"))
+    assert(wc.items == Seq(CountItem("c", false, Some("n_chunks"))))
+    assert(wc.preds == Seq(BarePred("n_chunks", ">=", 3)))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 3))
+    // unfiltered variant must be a superset
+    val all = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "WITH a, count(c) AS n_chunks RETURN a.uid, n_chunks").count()
+    assert(all >= rows.length)
+  }
+
   test("article/chunk nodes expose reference metadata properties") {
     val a = CypherLite.nodes(spark, TestSpark.sf, "Article")
     assert(Seq("title", "publishing_date", "language", "url").forall(a.columns.contains))
