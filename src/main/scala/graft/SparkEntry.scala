@@ -24,7 +24,8 @@ object SparkEntry {
       (multimodal.Media.queries, multimodal.Media.oracles),
       (cypher.CypherLite.queries, cypher.CypherLite.oracles),
       (operators.Retrieval.queries, operators.Retrieval.oracles),
-      (operators.Training.queries, operators.Training.oracles))
+      (operators.Training.queries, operators.Training.oracles),
+      (operators.Curation.queries, operators.Curation.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

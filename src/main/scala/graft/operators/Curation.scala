@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus curation: the C4/Gopher-style keep/drop decision
+  * that composes the individual quality signals into one verdict per
+  * document — length floor, bigram-repetition ceiling, type-token
+  * diversity floor, and near-duplicate suppression (only a cluster's
+  * canonical survives). First failing rule wins as the reject reason,
+  * mirroring how curation pipelines report drop statistics.
+  *
+  * Scale shape: length/diversity are narrow scan passes; repetition is
+  * one map-side-combined (doc_id, gram) shuffle; the duplicate signal
+  * joins the pair-graph cluster table (Dedup.qDedupClusters — the
+  * propagation loop runs on the dup subgraph, not the corpus).
+  */
+object Curation {
+
+  val MinTokens = 15
+  val MaxDupBigramFrac = 0.15
+  val MinTypeTokenRatio = 0.35
+
+  def qFilterPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+    val base = docs.select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("n_tokens"),
+      (size(array_distinct(col("words"))) /
+        size(col("words")).cast("double")).as("ttr"))
+    val rep = docs
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("words")) - 2),
+          i => concat_ws(" ", slice(col("words"), i + 1, lit(2))))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          / sum(col("c")).cast("double")).as("dupfrac"))
+    val clusters = Dedup.qDedupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    base.join(rep, "doc_id").join(clusters, "doc_id")
+      .withColumn("reason",
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("dupfrac") > MaxDupBigramFrac, "repetitive")
+          .when(col("ttr") < MinTypeTokenRatio, "low_diversity")
+          .when(col("canonical_id") =!= col("doc_id"), "near_duplicate")
+          .otherwise("keep"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("ttr"), 6).as("ttr"),
+        round(col("dupfrac"), 6).as("dup_bigram_frac"),
+        (col("reason") === "keep").as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_pipeline" -> qFilterPipeline)
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_pipeline" ->
+      s"""WITH ${Dedup.clusterCtes},
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |fs AS (SELECT doc_id, len(words) AS n_tokens,
+         |  len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS ttr FROM fw),
+         |fg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(words) - 1),
+         |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM fw),
+         |fc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY doc_id, g),
+         |fr AS (SELECT doc_id,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupfrac
+         |  FROM fc GROUP BY doc_id),
+         |canon AS (SELECT d.doc_id,
+         |    coalesce(dup.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id),
+         |verdict AS (
+         |  SELECT fs.doc_id, n_tokens, ttr, dupfrac,
+         |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+         |      WHEN dupfrac > $MaxDupBigramFrac THEN 'repetitive'
+         |      WHEN ttr < $MinTypeTokenRatio THEN 'low_diversity'
+         |      WHEN canonical_id <> fs.doc_id THEN 'near_duplicate'
+         |      ELSE 'keep' END AS reason
+         |  FROM fs JOIN fr USING (doc_id) JOIN canon ON canon.doc_id = fs.doc_id)
+         |SELECT doc_id, n_tokens, round(ttr, 6) AS ttr,
+         |  round(dupfrac, 6) AS dup_bigram_frac,
+         |  (reason = 'keep') AS keep, reason
+         |FROM verdict ORDER BY doc_id""".stripMargin)
+}

@@ -376,9 +376,11 @@ object Dedup {
        |            JOIN sh sb ON sb.doc_id = doc_id_b)""".stripMargin
 
   /** Min-label propagation rounds replayed in SQL (same fixed
-    * iteration count as qDedupClusters).
+    * iteration count as qDedupClusters) — `dup` holds (doc_id,
+    * canonical_id, cluster_size) for docs that belong to a pair.
+    * Public pieces so downstream curation oracles can compose them.
     */
-  private def dedupClustersSql: String = {
+  private[operators] def clusterCtes: String = {
     val iters = (1 to ClusterIters).map { i =>
       val prev = s"c${i - 1}"
       s"""c$i AS MATERIALIZED (
@@ -388,7 +390,7 @@ object Dedup {
          |    FROM $prev p JOIN edges e ON p.node = e.src
          |    GROUP BY e.dst) s ON s.node = l.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $MinhashPairsCtes,
+    s"""$MinhashPairsCtes,
        |pairs AS MATERIALIZED (
        |  SELECT doc_id_a, doc_id_b FROM verified WHERE jaccard >= $JaccardThreshold),
        |edges AS MATERIALIZED (
@@ -398,13 +400,16 @@ object Dedup {
        |$iters,
        |sizes AS (SELECT comp, count(*) AS cluster_size FROM c$ClusterIters GROUP BY comp),
        |dup AS (SELECT node AS doc_id, comp AS canonical_id, cluster_size
-       |  FROM c$ClusterIters JOIN sizes USING (comp))
+       |  FROM c$ClusterIters JOIN sizes USING (comp))""".stripMargin
+  }
+
+  private def dedupClustersSql: String =
+    s"""WITH $clusterCtes
        |SELECT d.doc_id,
        |  coalesce(dup.canonical_id, d.doc_id) AS canonical_id,
        |  coalesce(dup.cluster_size, 1) AS cluster_size
        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_source_minhash" ->

@@ -90,6 +90,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.collect().toSeq == expect)
   }
 
+  test("filter pipeline verdicts are consistent with their signals") {
+    val df = operators.Curation.qFilterPipeline(spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, TestSpark.sf).count())
+    assert(rows.exists(_.getBoolean(4)), "some docs must survive")
+    assert(rows.exists(!_.getBoolean(4)), "thresholds must reject some docs")
+    rows.foreach { r =>
+      val (n, ttr, dup, keep, reason) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4), r.getString(5))
+      assert(keep == (reason == "keep"))
+      if (keep) {
+        assert(n >= operators.Curation.MinTokens)
+        assert(dup <= operators.Curation.MaxDupBigramFrac + 1e-6)
+        assert(ttr >= operators.Curation.MinTypeTokenRatio - 1e-6)
+      }
+      if (reason == "too_short") assert(n < operators.Curation.MinTokens)
+    }
+    // near-duplicate suppression keeps exactly one doc per cluster
+    val clusters = operators.Dedup.qDedupClusters(spark, TestSpark.sf)
+      .filter(col("cluster_size") > 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val verdicts = rows.map(r => r.getLong(0) -> r.getString(5)).toMap
+    clusters.foreach { case (d, c) =>
+      if (d != c && Seq("keep", "near_duplicate").contains(verdicts(d)))
+        assert(verdicts(d) == "near_duplicate")
+    }
+  }
+
   test("IVF ANN returns a subset of brute-force candidates with scores matching") {
     val bf = Similarity.qCosineTopk(spark, TestSpark.sf)
       .select(col("vec_id"), col("score")).collect()
