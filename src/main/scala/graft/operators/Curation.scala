@@ -39,9 +39,12 @@ object Curation {
       .groupBy("doc_id").agg(
         (sum(when(col("c") >= 2, col("c")).otherwise(0L))
           / sum(col("c")).cast("double")).as("dupfrac"))
-    val clusters = Dedup.qDedupClusters(spark, dir)
-      .select(col("doc_id"), col("canonical_id"))
-    base.join(rep, "doc_id").join(clusters, "doc_id")
+    // near-dup signal needs canonical labels only — skip the
+    // cluster-size aggregation qDedupClusters adds on top
+    val clusters = Dedup.clusterLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
+    base.join(rep, "doc_id").join(clusters, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
       .withColumn("reason",
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("dupfrac") > MaxDupBigramFrac, "repetitive")
@@ -75,8 +78,8 @@ object Curation {
          |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupfrac
          |  FROM fc GROUP BY doc_id),
          |canon AS (SELECT d.doc_id,
-         |    coalesce(dup.canonical_id, d.doc_id) AS canonical_id
-         |  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id),
+         |    coalesce(c.comp, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN c${Dedup.ClusterIters} c ON d.doc_id = c.node),
          |verdict AS (
          |  SELECT fs.doc_id, n_tokens, ttr, dupfrac,
          |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'

@@ -278,7 +278,13 @@ object Dedup {
     * oracle replays the identical rounds, so the output matches even
     * for cluster diameters beyond the round count.
     */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** (node, comp) min-label propagation over the dup subgraph only —
+    * a singleton's label never changes, so the corpus-sized side
+    * joins in once downstream. At 100 TB the loop runs on the
+    * (pairs-sized) dup set, not the corpus. Shared by qDedupClusters
+    * and Curation's near-duplicate signal.
+    */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     // materialize the (tiny) pair list ONCE — both union branches and
     // every propagation round read the checkpoint, not the LSH pipeline
     val pairs = qDedupMinhash(spark, dir)
@@ -286,10 +292,6 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
       .toDF("src", "dst")
-    // Iterate ONLY over the dup subgraph — a singleton's label never
-    // changes, so the corpus-sized side joins in once at the end. At
-    // 100 TB the propagation loop runs on the (pairs-sized) dup set,
-    // not the corpus.
     var lbl = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     for (i <- 1 to ClusterIters) {
@@ -301,6 +303,11 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       if (i % 3 == 0 || i == ClusterIters) lbl = lbl.localCheckpoint()
     }
+    lbl
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = clusterLabels(spark, dir)
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     val dupDocs = lbl.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"),
