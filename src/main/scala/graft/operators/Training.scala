@@ -87,11 +87,38 @@ object Training {
       .orderBy("lang", "rk")
   }
 
+  /** Int8 max-abs embedding quantization with reconstruction-error
+    * report — the 4× storage cut applied before embeddings land in a
+    * 100 TB vector store. Pure narrow HOF folds per row (codegen'd,
+    * no UDF, zero shuffles); the oracle replays the identical
+    * arithmetic, so scale/max_err/mse hash-match.
+    */
+  def qQuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("maxabs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("qv",
+        transform(col("v"), x => round(x * col("scale")).cast("int")))
+      .withColumn("err",
+        zip_with(col("v"), col("qv"), (x, q) => x - q / col("scale")))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        round(aggregate(col("err"), lit(0.0), (a, x) => greatest(a, abs(x))), 6)
+          .as("max_err"),
+        round(aggregate(col("err"), lit(0.0), (a, x) => a + x * x)
+          / size(col("v")), 6).as("mse"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
     "q_pack_sequences" -> qPackSequences,
-    "q_stratified_sample" -> qStratifiedSample)
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
   val oracles: Map[String, String] = Map(
     "q_train_test_split" ->
@@ -110,6 +137,21 @@ object Training {
         |    unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
         |  FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs FROM e),
+        |s AS (SELECT vec_id, v, 127.0 / maxabs AS scale FROM m WHERE maxabs > 0),
+        |q AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(round(x * scale) AS INT)) AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_aggregate(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - qv[i] / scale)), 'max'), 6) AS max_err,
+        |  round(list_sum(list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - qv[i] / scale) * (v[i] - qv[i] / scale))) / len(v), 6) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id,

@@ -90,6 +90,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.collect().toSeq == expect)
   }
 
+  test("int8 quantization bounds: codes in range, small reconstruction error") {
+    val df = operators.Training.qQuantizeEmbeddings(spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (scale, maxErr, mse) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(scale > 0)
+      // max-abs scaling bounds per-element error by half a code step
+      // (5e-7 slack: max_err is rounded to 6 decimals in the output)
+      assert(maxErr <= 0.5 / scale + 5e-7, s"max_err $maxErr vs step ${1.0 / scale}")
+      assert(mse <= maxErr * maxErr + 1e-12)
+    }
+  }
+
   test("filter pipeline verdicts are consistent with their signals") {
     val df = operators.Curation.qFilterPipeline(spark, TestSpark.sf)
     val rows = df.collect()
