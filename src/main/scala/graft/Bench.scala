@@ -17,12 +17,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up so the first timed query isn't charged startup.
+    // JVM/codegen warm-up so the first timed query isn't charged
+    // startup: run the whole suite once at the smallest scale factor
+    // (same plan shapes, tiny data) — whole-stage codegen compiles and
+    // Janino caches once here, and the timed pass below measures
+    // steady-state execution, not who-ran-first compilation order.
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Optional comma-separated subset for local iteration; the driver
+    // never sets it, so the full suite runs per round.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     // A failing query is REPORTED, not silently timed at -1: per-query
     // err strings and a failure count ride the emitted JSON.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.toString.linesIterator.next().take(200))

@@ -44,6 +44,13 @@ object Dedup {
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shingleCol(col("words")).as("s"))
 
+  /** Shingles materialized once (lazy): qDedupMinhash reads them for
+    * the signature fold AND the verification join — one split/3-gram/
+    * distinct pass over the corpus instead of two.
+    */
+  private def shinglesCk(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).localCheckpoint(false)
+
   /** Exact dedup: md5(text) groups; every doc maps to its canonical. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val byHash = Window.partitionBy("h")
@@ -63,8 +70,8 @@ object Dedup {
   private def affineA(j: Int): Long = 1000003L + 7919L * j
   private def affineB(j: Int): Long = 12345L + 911L * j
 
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).withColumn("sig",
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh.withColumn("sig",
       // Single fold: the hash array is the aggregate INPUT (evaluated
       // once — CollapseProject can't inline it 16×); the accumulator
       // carries all K running minima.
@@ -74,9 +81,11 @@ object Dedup {
         (acc, h) => zip_with(acc, sequence(lit(0L), lit(MinhashK - 1L)),
           (m, j) => least(m,
             (h * (lit(1000003L) + lit(7919L) * j) + lit(12345L) + lit(911L) * j) % MinhashP))))
+      .select("doc_id", "sig")
       // Materialization barrier: without it CollapseProject inlines the
-      // 300-step fold into every downstream lambda reference (~30×
-      // slowdown measured). Lazy, so only queries that use it pay.
+      // 300-step fold into the 4 per-band slice references (fold
+      // re-evaluated per band; ~30× slowdown measured on the pattern).
+      // Lazy, so only queries that use it pay.
       .localCheckpoint(false)
 
   /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
@@ -86,7 +95,10 @@ object Dedup {
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val r = MinhashK / LshBands
-    val bands = minhashSigs(spark, dir)
+    // one split/shingle pass, read by BOTH the signature fold and the
+    // verification join (was two full corpus scans)
+    val sh = shinglesCk(spark, dir)
+    val bands = minhashSigs(sh)
       .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
         band => md5(concat(
           array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
@@ -97,7 +109,6 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct()
-    val sh = shingles(spark, dir)
     cand
       .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
       .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
