@@ -61,10 +61,68 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  val DecontamN = 4    // word n-gram width for overlap detection
+  val EvalBucket = 90  // md5 split buckets >= this form the held-out set
+
+  /** Benchmark decontamination (GPT-3 §C / PaLM-style n-gram overlap):
+    * flag training documents sharing any word 4-gram with the held-out
+    * evaluation split (the same deterministic md5 bucketing as
+    * qTrainTestSplit — bucket >= 90 is "test").
+    *
+    * Scale shape: grams are md5-hashed per row (narrow), so only
+    * 16-byte keys ever shuffle; the eval side is benchmark-sized by
+    * construction and broadcast — contamination check is a broadcast
+    * semi-join at scan speed over the 100 TB training side, then one
+    * (doc_id) count aggregation over the (rare) hits.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+    val grams = d.filter(size(col("words")) >= DecontamN)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("words")) - DecontamN),
+          i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(DecontamN))))))).as("gh"))
+    val evalGrams = grams.filter(col("bucket") >= EvalBucket).select("gh").distinct()
+    val hits = grams.filter(col("bucket") < EvalBucket)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hit_grams"))
+    d.filter(col("bucket") < EvalBucket)
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train").otherwise("valid").as("split"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_filter_pipeline" -> qFilterPipeline)
+    "q_filter_pipeline" -> qFilterPipeline,
+    "q_decontaminate" -> qDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
+         |    CAST('0x' || substr(md5('split#' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(words) - ${DecontamN - 1}),
+         |    i -> md5(array_to_string(words[i:i+${DecontamN - 1}], ' '))))) AS gh
+         |  FROM d WHERE len(words) >= $DecontamN),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE bucket >= $EvalBucket),
+         |hits AS (
+         |  SELECT doc_id, count(DISTINCT gh) AS n_hit_grams
+         |  FROM g JOIN ev USING (gh) WHERE bucket < $EvalBucket GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train' ELSE 'valid' END AS split,
+         |  coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin,
     "q_filter_pipeline" ->
       s"""WITH ${Dedup.clusterCtes},
          |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -147,7 +147,40 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(VocabK)
 
+  /** Corpus-unigram language-model scoring (the CCNet-style
+    * perplexity-bucket signal, with the corpus itself as the LM):
+    * p(w) = count(w)/total, doc score = mean log p over its tokens.
+    *
+    * Cross-engine float discipline: each word's log-probability is
+    * quantized ONCE per vocabulary entry to integer micro-nats
+    * (round(ln(p)·10⁶)); the per-document aggregation then sums exact
+    * integers, so the result is independent of summation order — the
+    * rule that keeps averages hash-stable across engines (a float
+    * fold over millions of tokens would not be).
+    *
+    * Scale shape: vocabulary build is one map-side-combined groupBy;
+    * the corpus total folds in as a 1-row broadcast (no driver-side
+    * scalar job); scoring is a (word) equi-join — the Zipf head that
+    * dominates token mass makes the vocab side broadcast-able after
+    * frequency truncation at real scale.
+    */
+  def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    val lq = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log(col("c").cast("double") / col("t")) * 1e6).cast("long").as("lq"))
+    toks.join(lq, "w")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum("lq").as("slq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slq").cast("double") / col("n_tokens") / lit(1e6), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_lm" -> qUnigramLm,
     "q_vocab_topk" -> qVocabTopk,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
@@ -157,6 +190,18 @@ object TextAnalysis {
     "q_pii_scrub" -> qPiiScrub)
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+        |lq AS MATERIALIZED (
+        |  SELECT w, CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS lq
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_logp
+        |FROM toks JOIN lq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_topk" ->
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -113,7 +113,37 @@ object Training {
           / size(col("v")), 6).as("mse"))
       .orderBy("vec_id")
 
+  val MixBudget = 1000L // token budget per source domain
+
+  /** Domain-mixture sampling: cap every source at a fixed token budget
+    * by deterministic hash-rate sampling — the "domain weights" step
+    * of a training-data mix. The acceptance threshold is pure integer
+    * arithmetic (budget·10⁶ div src_tokens, capped at 10⁶), so the
+    * same docs are selected in any engine — no float rate, no rand().
+    *
+    * Scale shape: one map-side-combined per-source token aggregation
+    * (as many rows as sources), broadcast back, then a narrow
+    * hash-compare pass over the corpus — selection costs one scan no
+    * matter how skewed the domains are.
+    */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    toks.join(broadcast(totals), "source")
+      .withColumn("threshold",
+        least(lit(1000000L), expr(s"${MixBudget * 1000000L} div src_tokens")))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("mix#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("selected", col("h") < col("threshold"))
+      .select("doc_id", "source", "n_tokens", "threshold", "selected")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mix" -> qDomainMix,
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
     "q_pack_sequences" -> qPackSequences,
@@ -121,6 +151,18 @@ object Training {
     "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
   val oracles: Map[String, String] = Map(
+    "q_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM t GROUP BY source)
+         |SELECT doc_id, t.source, n_tokens,
+         |  least(1000000, ${MixBudget * 1000000L} // src_tokens) AS threshold,
+         |  CAST('0x' || substr(md5('mix#' || doc_id), 1, 8) AS BIGINT) % 1000000
+         |    < least(1000000, ${MixBudget * 1000000L} // src_tokens) AS selected
+         |FROM t JOIN s ON t.source = s.source
+         |ORDER BY doc_id""".stripMargin,
     "q_train_test_split" ->
       """SELECT doc_id, lang,
         |  CAST('0x' || substr(md5('split#' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket,

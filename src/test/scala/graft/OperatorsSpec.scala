@@ -142,4 +142,60 @@ class OperatorsSpec extends AnyFunSuite {
       bf.get(r.getLong(0)).foreach(s => assert(s == r.getDouble(1)))
     }
   }
+
+  test("decontamination flags exactly the docs sharing a 4-gram with the eval split") {
+    val df = operators.Curation.qDecontaminate(spark, TestSpark.sf).collect()
+    // held-out docs never appear; flag is consistent with the count
+    assert(df.forall(r => Seq("train", "valid").contains(r.getString(1))))
+    df.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) > 0)))
+    // independent recomputation of one contaminated doc's overlap
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split#$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val evalGrams = docs.collect { case (id, w) if bucket(id) >= operators.Curation.EvalBucket =>
+      w.sliding(operators.Curation.DecontamN).map(_.mkString(" ")).toSet
+    }.flatten.toSet
+    df.filter(_.getLong(2) > 0).take(5).foreach { r =>
+      val grams = docs(r.getLong(0)).sliding(operators.Curation.DecontamN)
+        .map(_.mkString(" ")).toSet
+      assert(grams.count(evalGrams.contains) == r.getLong(2),
+        s"doc ${r.getLong(0)} overlap recomputation")
+    }
+  }
+
+  test("domain mix: thresholds are the capped integer rates, selection matches hash") {
+    val rows = operators.Training.qDomainMix(spark, TestSpark.sf).collect()
+    val srcTokens = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      val expect = math.min(1000000L,
+        operators.Training.MixBudget * 1000000L / srcTokens(r.getString(1)))
+      assert(r.getLong(3) == expect, s"threshold for ${r.getString(1)}")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "budget below the corpus size must select a strict subset")
+    // expected selected token mass per source is <= ~budget (hash-rate sampling)
+    val sel = rows.filter(_.getBoolean(4)).groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    sel.foreach { case (s, tok) =>
+      assert(tok <= 3 * operators.Training.MixBudget,
+        s"source $s selected $tok tokens against budget ${operators.Training.MixBudget}")
+    }
+  }
+
+  test("unigram LM scores are negative log-probs; uniform doc scores the word's logp") {
+    val rows = operators.TextAnalysis.qUnigramLm(spark, TestSpark.sf).collect()
+    assert(rows.length == Tables.documents(spark, TestSpark.sf).count())
+    rows.foreach(r => assert(r.getDouble(2) < 0, "log p < 0 for p < 1"))
+    // total tokens across docs equals the corpus token count
+    val total = rows.map(_.getLong(1)).sum
+    val expect = Tables.documents(spark, TestSpark.sf)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(total == expect)
+  }
 }
