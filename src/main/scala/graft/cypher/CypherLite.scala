@@ -20,11 +20,15 @@ import graft.operators.TextPipeline
   *   where      := WHERE term (AND term)*
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a' | v.prop < n ...
-  *   with       := WITH DISTINCT v
-  *                 | WITH witem (, witem)* [WHERE term (AND term)*]
-  *                 -- pipeline stage: carried vars + aggregates with
-  *                 implicit grouping; its WHERE is Cypher's HAVING
-  *   witem      := v | v.prop [AS alias] | count/collect as in item
+  *   with       := (WITH DISTINCT v
+  *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
+  *                 -- pipeline stages CHAIN: each WITH re-groups the
+  *                 previous stage's output; bare aliases introduced by
+  *                 one stage are grouping vars / aggregate inputs /
+  *                 predicates of later stages; a stage's WHERE is
+  *                 Cypher's HAVING
+  *   witem      := v | v.prop [AS alias] | count/collect/sum as in
+  *                 item (sum over a carried alias: sum(n) AS total)
   *   return     := RETURN [DISTINCT] item (, item)*
   *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
   *                 | collect(v[.prop]) [AS alias]
@@ -160,15 +164,25 @@ object CypherLite {
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
   /** Numeric predicate on a bare WITH alias (`n_chunks >= 3`). */
   case class BarePred(name: String, op: String, value: Long) extends Pred
+  /** sum(name) / sum(v.prop) — re-aggregation of a value carried out
+    * of an earlier WITH stage (prop=None: bare alias).
+    */
+  case class SumItem(v: String, prop: Option[String] = None,
+    alias: Option[String] = None) extends RetItem
+  sealed trait WithStage
+  /** `WITH DISTINCT v` — dedup on one carried variable. */
+  case class WithDistinct(v: String) extends WithStage
   /** A `WITH` pipeline stage (Cypher's HAVING idiom): carried
     * variables + aggregates with implicit grouping, then an optional
     * post-aggregation WHERE. `vars` keep ALL their node columns (the
     * grouping key is the full column set — functionally dependent on
-    * the uid, so semantics match grouping by the node).
+    * the uid, so semantics match grouping by the node); a var that is
+    * a bare alias from an earlier stage carries that single column.
     */
   case class WithClause(vars: Seq[String], items: Seq[RetItem], preds: Seq[Pred])
-  case class Query(paths: Seq[PathPat], where: Seq[Pred], withDistinct: Option[String],
-    withAgg: Option[WithClause],
+    extends WithStage
+  case class Query(paths: Seq[PathPat], where: Seq[Pred],
+    stages: Seq[WithStage],
     retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
@@ -180,6 +194,8 @@ object CypherLite {
     """(?i)count\(\s*(DISTINCT\s+)?(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
   private val CollectRe =
     """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val SumRe =
+    """(?i)sum\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
   private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
   private val BareNameRe = """(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
@@ -244,13 +260,14 @@ object CypherLite {
     }.toSeq
 
   private def parseOne(q0: String): Query = {
-    // Slice at WITH first: a WHERE before WITH filters the match, a
-    // WHERE inside the WITH stage filters the aggregate (HAVING).
-    val withM = "(?i)\\bWITH\\b".r.findFirstMatchIn(q0)
+    // Slice positionally at WITH/RETURN boundaries first (a WHERE can
+    // appear both before a WITH and inside every WITH stage, so
+    // keyword slicing alone is ambiguous). Each WITH starts a new
+    // pipeline stage; the RETURN terminates the chain.
+    val withMs = "(?i)\\bWITH\\b".r.findAllMatchIn(q0).toSeq
     val retStart = "(?i)\\bRETURN\\b".r.findFirstMatchIn(q0).map(_.start)
     val head = q0.substring(0,
-      withM.map(_.start).orElse(retStart).getOrElse(q0.length))
-    val withTail = withM.map(m => q0.substring(m.end))
+      withMs.headOption.map(_.start).orElse(retStart).getOrElse(q0.length))
     def section(src: String, start: String, enders: Seq[String]): Option[String] = {
       val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(src).map(_.end)
       si.map { s =>
@@ -266,36 +283,39 @@ object CypherLite {
     val where: Seq[Pred] =
       section(head, "WHERE", Seq.empty).toSeq.flatMap(parsePreds)
 
-    val withBody = withTail.map { t =>
-      val i = "(?i)\\bRETURN\\b".r.findFirstMatchIn(t).map(_.start).getOrElse(
-        throw new IllegalArgumentException(s"no RETURN after WITH in: $q0"))
-      t.substring(0, i).trim
+    // stage bodies: text between each WITH and the next WITH/RETURN
+    val stageBodies = withMs.zipWithIndex.map { case (m, i) =>
+      val end = withMs.lift(i + 1).map(_.start)
+        .orElse(retStart)
+        .getOrElse(throw new IllegalArgumentException(s"no RETURN after WITH in: $q0"))
+      q0.substring(m.end, end).trim
     }
-    // `WITH DISTINCT v` keeps the legacy dedup path; anything else is
-    // a pipeline stage (vars + aggregates [+ WHERE])
-    val isDistinctVar = withBody.exists(_.matches("(?is)\\s*DISTINCT\\s+\\w+\\s*"))
-    val withDistinct =
-      if (isDistinctVar) withBody.map(_.replaceAll("(?i)DISTINCT", "").trim) else None
-    val withAgg: Option[WithClause] = withBody.filterNot(_ => isDistinctVar).map { b =>
-      val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(b) match {
-        case Some(m) => (b.substring(0, m.start), Some(b.substring(m.end)))
-        case None => (b, None)
+    val stages: Seq[WithStage] = stageBodies.map { b =>
+      if (b.matches("(?is)\\s*DISTINCT\\s+\\w+\\s*"))
+        WithDistinct(b.replaceAll("(?i)DISTINCT", "").trim)
+      else {
+        val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(b) match {
+          case Some(m) => (b.substring(0, m.start), Some(b.substring(m.end)))
+          case None => (b, None)
+        }
+        val vars = Seq.newBuilder[String]
+        val items = Seq.newBuilder[RetItem]
+        splitTop(itemsPart).foreach {
+          case CountRe(distinct, v, alias) =>
+            items += CountItem(v, distinct != null, Option(alias))
+          case CollectRe(v, prop, alias) =>
+            items += CollectItem(v, Option(prop), Option(alias))
+          case SumRe(v, prop, alias) =>
+            items += SumItem(v, Option(prop), Option(alias))
+          case PropRe(v, p, alias) => items += PropItem(v, p, Option(alias))
+          case bare if bare.matches("""\w+""") => vars += bare
+          case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
+        }
+        WithClause(vars.result(), items.result(),
+          predPart.toSeq.flatMap(parsePreds))
       }
-      val vars = Seq.newBuilder[String]
-      val items = Seq.newBuilder[RetItem]
-      splitTop(itemsPart).foreach {
-        case CountRe(distinct, v, alias) =>
-          items += CountItem(v, distinct != null, Option(alias))
-        case CollectRe(v, prop, alias) =>
-          items += CollectItem(v, Option(prop), Option(alias))
-        case PropRe(v, p, alias) => items += PropItem(v, p, Option(alias))
-        case bare if bare.matches("""\w+""") => vars += bare
-        case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
-      }
-      WithClause(vars.result(), items.result(),
-        predPart.toSeq.flatMap(parsePreds))
     }
-    val retSrc = withTail.getOrElse(q0)
+    val retSrc = withMs.lastOption.map(m => q0.substring(m.end)).getOrElse(q0)
     val retS = section(retSrc, "RETURN", Seq("ORDER", "LIMIT")).getOrElse(
       throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
@@ -304,6 +324,8 @@ object CypherLite {
         CountItem(v, distinct != null, Option(alias))
       case CollectRe(v, prop, alias) =>
         CollectItem(v, Option(prop), Option(alias))
+      case SumRe(v, prop, alias) =>
+        SumItem(v, Option(prop), Option(alias))
       case MapRe(v, body, alias) =>
         val dotRe = """\.(\w+)""".r
         val kvRe = """(\w+)\s*:\s*(\w+)\.(\w+)""".r
@@ -325,7 +347,7 @@ object CypherLite {
       }
     }
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(paths, where, withDistinct, withAgg, retDistinct, items, orderBy, limit)
+    Query(paths, where, stages, retDistinct, items, orderBy, limit)
   }
 
   // ---------- compiler ----------
@@ -395,14 +417,13 @@ object CypherLite {
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
     }
     q.where.foreach(p => df = df.filter(predCol(p)))
-    q.withDistinct.foreach { v =>
-      df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
-    }
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
       case CountItem(v, _, a) => a.getOrElse(s"count_$v")
       case CollectItem(v, p, a) =>
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
+      case SumItem(v, p, a) =>
+        a.getOrElse(p.fold(s"sum_$v")(pp => s"sum_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
       case BareItem(n, a) => a.getOrElse(n)
     }
@@ -415,28 +436,47 @@ object CypherLite {
       case other => throw new IllegalArgumentException(
         s"aggregate item $other outside aggregation context")
     }
+    // count(v)/collect(v) aggregate the node's uid; a variable with no
+    // `v_uid` column is a bare alias carried out of an earlier WITH
+    // stage, aggregated directly (`sum(n_chunks)`).
+    def varCol(v: String, prop: Option[String]): Column = prop match {
+      case Some(p) => col(s"${v}_$p")
+      case None if df.columns.contains(s"${v}_uid") => col(s"${v}_uid")
+      case None => col(v)
+    }
     def aggCol(it: RetItem): Option[Column] = it match {
       case it @ CountItem(v, distinct, _) =>
-        val c = col(s"${v}_uid")
+        val c = varCol(v, None)
         Some((if (distinct) countDistinct(c) else count(c)).as(outName(it)))
       case it @ CollectItem(v, prop, _) =>
-        val c = prop.fold(col(s"${v}_uid"))(p => col(s"${v}_$p"))
-        Some(concat_ws(" | ", array_sort(collect_list(c.cast("string")))).as(outName(it)))
+        Some(concat_ws(" | ",
+          array_sort(collect_list(varCol(v, prop).cast("string")))).as(outName(it)))
+      case it @ SumItem(v, prop, _) =>
+        Some(sum(varCol(v, prop)).as(outName(it)))
       case _ => None
     }
-    // WITH pipeline stage: implicit grouping over carried vars (their
-    // full column sets — functionally dependent on the uid) + plain
-    // props, then the post-aggregation WHERE (Cypher's HAVING)
-    q.withAgg.foreach { wc =>
-      val aggs = wc.items.flatMap(aggCol)
-      val keys: Seq[Column] =
-        wc.vars.flatMap(v => df.columns.filter(_.startsWith(s"${v}_")).map(col)) ++
-          wc.items.collect { case it: PropItem => itemCol(it) }
-      df =
-        if (aggs.isEmpty) df.select(keys: _*)
-        else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-        else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-      wc.preds.foreach(p => df = df.filter(predCol(p)))
+    // WITH pipeline stages, in order: DISTINCT-dedup, or implicit
+    // grouping over carried vars (their full column sets when node
+    // variables — functionally dependent on the uid — or the single
+    // column when a bare alias from an earlier stage) + plain props,
+    // then the post-aggregation WHERE (Cypher's HAVING)
+    q.stages.foreach {
+      case WithDistinct(v) =>
+        df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
+      case wc: WithClause =>
+        val aggs = wc.items.flatMap(aggCol)
+        val keys: Seq[Column] =
+          wc.vars.flatMap { v =>
+            val pref = df.columns.filter(_.startsWith(s"${v}_"))
+            if (pref.nonEmpty) pref.toSeq.map(col)
+            else if (df.columns.contains(v)) Seq(col(v))
+            else throw new IllegalArgumentException(s"unknown WITH variable $v")
+          } ++ wc.items.collect { case it: PropItem => itemCol(it) }
+        df =
+          if (aggs.isEmpty) df.select(keys: _*)
+          else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        wc.preds.foreach(p => df = df.filter(predCol(p)))
     }
     val aggExprs: Seq[Column] = q.ret.flatMap(aggCol)
     if (aggExprs.nonEmpty) {
@@ -542,7 +582,31 @@ object CypherLite {
       "WITH a, count(c) AS n_chunks WHERE n_chunks >= 3 " +
       "RETURN a.uid, n_chunks ORDER BY a.uid LIMIT 10"
 
+  /** Multi-stage WITH pipeline: per-article chunk counts re-aggregated
+    * per source (`sum` over a carried alias), HAVING on the second
+    * stage — the two-hop rollup shape (graph.py's per-article stats
+    * rolled up to publishers) that needs true WITH chaining.
+    */
+  val Ex11: String =
+    "MATCH (s:Source)-[:PUBLISHED]->(a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH s, a, count(c) AS n_chunks " +
+      "WITH s, count(a) AS n_articles, sum(n_chunks) AS total_chunks " +
+      "WHERE n_articles >= 2 " +
+      "RETURN s.name, n_articles, total_chunks ORDER BY s.name LIMIT 10"
+
+  /** Property aliasing inside WITH (`p.name AS author`) with the bare
+    * alias re-used as the NEXT stage's grouping variable, and ORDER BY
+    * over bare aliases.
+    */
+  val Ex12: String =
+    "MATCH (p:Person)-[:AUTHORED]->(a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH p.name AS author, a, count(c) AS n " +
+      "WITH author, sum(n) AS total WHERE total >= 5 " +
+      "RETURN author, total ORDER BY total, author LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex11" -> ((s, d) => run(s, d, Ex11)),
+    "q_cypher_ex12" -> ((s, d) => run(s, d, Ex12)),
     "q_cypher_ex10" -> ((s, d) => run(s, d, Ex10)),
     "q_cypher_ex6" -> ((s, d) => run(s, d, Ex6)),
     "q_cypher_ex1" -> ((s, d) => run(s, d, Ex1)),
@@ -558,6 +622,24 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex11" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |st1 AS (SELECT d.source, c.doc_id, count(*) AS n_chunks
+         |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+         |  GROUP BY d.source, c.doc_id),
+         |st2 AS (SELECT source, count(*) AS n_articles,
+         |    CAST(sum(n_chunks) AS BIGINT) AS total_chunks
+         |  FROM st1 GROUP BY source HAVING count(*) >= 2)
+         |SELECT source AS s_name, n_articles, total_chunks
+         |FROM st2 ORDER BY s_name LIMIT 10""".stripMargin,
+    "q_cypher_ex12" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |st1 AS (SELECT d.source AS author, c.doc_id, count(*) AS n
+         |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+         |  GROUP BY d.source, c.doc_id),
+         |st2 AS (SELECT author, CAST(sum(n) AS BIGINT) AS total
+         |  FROM st1 GROUP BY author HAVING CAST(sum(n) AS BIGINT) >= 5)
+         |SELECT author, total FROM st2 ORDER BY total, author LIMIT 10""".stripMargin,
     "q_cypher_ex10" ->
       s"""WITH ${TextPipeline.ChunksSql}
          |SELECT 'Article:' || doc_id AS a_uid, count(*) AS n_chunks

@@ -19,7 +19,7 @@ class CypherLiteSpec extends AnyFunSuite {
 
   test("parses WITH DISTINCT + count()") {
     val Seq(q) = parse(Ex2)
-    assert(q.withDistinct.contains("s"))
+    assert(q.stages == Seq(WithDistinct("s")))
     assert(q.ret == Seq(CountItem("s")))
   }
 
@@ -112,7 +112,7 @@ class CypherLiteSpec extends AnyFunSuite {
 
   test("WITH aggregation stage filters like HAVING and carries the variable") {
     val Seq(q) = parse(Ex10)
-    val Some(wc) = q.withAgg
+    val Seq(wc: WithClause) = q.stages
     assert(wc.vars == Seq("a"))
     assert(wc.items == Seq(CountItem("c", false, Some("n_chunks"))))
     assert(wc.preds == Seq(BarePred("n_chunks", ">=", 3)))
@@ -151,5 +151,37 @@ class CypherLiteSpec extends AnyFunSuite {
     val rev = CypherLite.run(spark, TestSpark.sf,
       "MATCH (a:Article)<-[:AUTHORED]-(p:Person {name: 'src3'}) RETURN a.uid")
     assert(fwd.except(rev).count() == 0 && rev.except(fwd).count() == 0)
+  }
+
+  test("multi-stage WITH chains re-aggregate carried aliases (Ex11)") {
+    val Seq(q) = parse(Ex11)
+    assert(q.stages.size == 2)
+    val Seq(s1: WithClause, s2: WithClause) = q.stages
+    assert(s1.vars == Seq("s", "a") &&
+      s1.items == Seq(CountItem("c", false, Some("n_chunks"))))
+    assert(s2.vars == Seq("s") && s2.items == Seq(
+      CountItem("a", false, Some("n_articles")),
+      SumItem("n_chunks", None, Some("total_chunks"))))
+    assert(s2.preds == Seq(BarePred("n_articles", ">=", 2)))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex11).collect()
+    assert(rows.nonEmpty)
+    // per-source totals must equal the directly-computed chunk counts
+    val direct = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (s:Source)-[:PUBLISHED]->(a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "RETURN s.name, count(c) AS total_chunks ORDER BY s.name LIMIT 10")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(direct(r.getString(0)) == r.getLong(2),
+        s"two-stage rollup for ${r.getString(0)}")
+    }
+  }
+
+  test("WITH property alias becomes the next stage's grouping variable (Ex12)") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex12).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 5))
+    // ORDER BY total, author holds
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy(identity)))
   }
 }
