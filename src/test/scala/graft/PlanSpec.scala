@@ -91,4 +91,22 @@ class PlanSpec extends AnyFunSuite {
     // '*(n)' is the WholeStageCodegen marker in the finalized AQE plan
     assert(p.contains("*("), s"expected codegen spans:\n$p")
   }
+
+  test("decontamination joins the benchmark-sized eval grams as a broadcast side") {
+    val p = plan(operators.Curation.qDecontaminate(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-gram join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram overlap must be an equi-join:\n$p")
+  }
+
+  test("domain mix broadcasts per-source totals; selection is a narrow pass") {
+    val p = plan(operators.Training.qDomainMix(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast totals join:\n$p")
+  }
+
+  test("unigram LM folds the corpus total in as a broadcast, not a driver scalar") {
+    val p = plan(operators.TextAnalysis.qUnigramLm(spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected 1-row broadcast total:\n$p")
+  }
 }
