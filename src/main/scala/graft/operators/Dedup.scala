@@ -225,7 +225,7 @@ object Dedup {
       .withColumn("nrm", Similarity.normCol(col("v")))
       .localCheckpoint(false)   // barrier: vectors + norms materialized once
     val sigArr = array((0 until EmbLshTables).map(t =>
-      Similarity.srpSigCol(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
+      Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
     val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
       .localCheckpoint(false)   // 32 plane projections once per vector
     val cand = buckets.select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"))

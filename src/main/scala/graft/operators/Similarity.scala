@@ -232,6 +232,16 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
+  /** The same buckets through the native fused expression
+    * (graft.functions.SrpSig): all planes of a table in one generated
+    * loop instead of a zip_with+aggregate fold (two array allocations)
+    * per plane. Bit-identical to srpSigCol — same left-to-right
+    * accumulation — which the spec asserts over the full corpus; the
+    * hot paths (LSH ANN, embedding dedup blocking) use this one.
+    */
+  def srpSigNative(v: Column, planes: Seq[Int]): Column =
+    graft.functions.SrpSig.srp_sig(v, planes.map(Hyperplanes(_)).toArray)
+
   /** The same bucket id in DuckDB SQL (identical sign fold → identical buckets). */
   def srpSigSql(v: String, planes: Seq[Int]): String = {
     val terms = planes.zipWithIndex.map { case (p, j) =>
@@ -243,7 +253,7 @@ object Similarity {
   }
 
   private def lshSigCol(v: Column, table: Int): Column =
-    srpSigCol(v, table * LshBits until (table + 1) * LshBits)
+    srpSigNative(v, table * LshBits until (table + 1) * LshBits)
 
   private def lshSigSql(v: String, table: Int): String =
     srpSigSql(v, table * LshBits until (table + 1) * LshBits)
