@@ -173,15 +173,18 @@ object Similarity {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % IvfStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // assignment: window partitioned by vec_id — one partition per
-    // vector's K centroid rows, fully distributed
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
+    // assignment: map-side-combined max_by per vector — the broadcast
+    // cross keeps a vector's K centroid rows in its input partition,
+    // so the partial aggregate collapses them locally and the exchange
+    // carries ONE narrow (vec_id, cid) row per vector. (The previous
+    // Window.partitionBy(vec_id) plan shuffled all K candidate rows
+    // per vector WITH the 64-double payload riding each.) Tie-break
+    // lives inside the ordering struct: highest cosine, then lowest
+    // centroid id — same assignment as rn=1 over (ccos DESC, cid).
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "nrm", "cid")
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
     // probe pick + final top-k: TakeOrdered (orderBy+limit), never a
     // global window over the candidate set — the centroid list and the
     // probed cells both grow with the corpus
@@ -190,7 +193,10 @@ object Similarity {
       .orderBy(col("qcos").desc, col("cid"))
       .limit(IvfProbes)
       .select("cid")
+    // vector payloads are fetched AFTER the probe filter — only the
+    // nprobe/K of the corpus that lives in probed cells is re-read
     val scored = assigned.join(probed, "cid")
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))

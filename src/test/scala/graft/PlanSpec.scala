@@ -92,6 +92,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"expected codegen spans:\n$p")
   }
 
+  test("IVF assignment is a map-side-combined aggregate, not a per-vector window") {
+    val p = plan(Similarity.qAnnIvf(spark, TestSpark.sf))
+    assert(p.contains("partial_max_by"),
+      s"expected map-side max_by partial aggregation:\n$p")
+    // the only Window is the k-row rank ABOVE TakeOrdered (tree prints
+    // top-down, so its index must precede the TakeOrdered line); no
+    // window ever sees the full candidate set
+    val wins = "Window".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(wins.size <= 1 && wins.forall(_ < p.indexOf("TakeOrderedAndProject")),
+      s"unexpected window below the top-k take:\n$p")
+  }
+
   test("decontamination joins the benchmark-sized eval grams as a broadcast side") {
     val p = plan(operators.Curation.qDecontaminate(spark, TestSpark.sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-gram join:\n$p")
