@@ -205,6 +205,72 @@ object Similarity {
       .orderBy("rk")
   }
 
+  // ---- product quantization ANN ----------------------------------------
+  val PqM = 8       // subspaces
+  val PqSubDim = 8  // dims per subspace (PqM * PqSubDim = Dim)
+  val PqK = 16      // codewords per subspace
+  val PqStride = 31 // codeword k of every subspace comes from vec_id = 31k
+
+  /** (vec_id, m, sv): the M subvectors of each vector. */
+  private def pqSubspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+      slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
+
+  /** Product-quantization ANN — the 100 TB vector-search design: each
+    * vector is encoded as M=8 nibble codes (argmin-distance codeword
+    * per subspace; deterministic codebook = subvectors of vec_id=31k),
+    * and query scoring is ADC: the query's 128 codeword distances are
+    * computed ONCE, then every vector's approximate distance is a sum
+    * of M table lookups — no full-vector arithmetic per candidate, and
+    * the stored corpus is 8 bytes/vector instead of 256.
+    *
+    * Cross-engine float discipline: per-(m,codeword) query distances
+    * are quantized once to integer micro-units, so per-vector ADC sums
+    * are exact integers — independent of summation order (the same
+    * rule as the unigram LM). Encoding argmins compare raw doubles,
+    * which both engines fold identically.
+    *
+    * Scale shape: codebook and query-distance tables are 128 rows —
+    * broadcast; encoding is a map-side-combined max_by per (vec_id,
+    * m); the only corpus-sized shuffle carries (vec_id, m, code)
+    * triples (17 bytes). Top-k is TakeOrdered.
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    pqSubspaces(e.filter(col("vec_id") % PqStride === 0
+        && col("vec_id") < PqStride * PqK))
+      .select(expr(s"vec_id div $PqStride").cast("int").as("k"),
+        col("m"), col("sv").as("cv"))
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, code): argmin-distance codeword per subspace (ties →
+    * smallest k), via map-side-combined max_by. Spec-visible.
+    */
+  private[graft] def pqEncode(e: DataFrame): DataFrame =
+    pqSubspaces(e).join(broadcast(pqCodebook(e)), "m")
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("k"), struct(-col("d2"), -col("k"))).as("code"))
+
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val subs = pqSubspaces(e)
+    val cb = pqCodebook(e)
+    val enc = pqEncode(e)
+    val qd = cb.join(broadcast(subs.filter(col("vec_id") === 0)
+        .select(col("m"), col("sv").as("qsv"))), "m")
+      .select(col("m"), col("k").as("code"),
+        round(sqDist(col("qsv"), col("cv")) * 1e6).cast("long").as("qmicro"))
+    val adc = enc.join(broadcast(qd), Seq("m", "code"))
+      .groupBy("vec_id").agg(sum("qmicro").as("adc_micro"))
+      .filter(col("vec_id") =!= 0)
+    TopKUtil.globalTopK(adc, KnnK, "vec_id", col("adc_micro"), col("vec_id"))
+      .select(col("vec_id"),
+        round(col("adc_micro") / lit(1e6), 6).as("adc_dist"), col("rk"))
+      .orderBy("rk")
+  }
+
   // ---- signed-random-projection LSH ANN --------------------------------
   val LshBits = 8
   val LshTables = 4
@@ -294,6 +360,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> qAnnPq,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -305,6 +372,36 @@ object Similarity {
   private def cos(a: String, b: String) = cosineDuckSql(a, b)
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""WITH $VecSql,
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+         |cb AS MATERIALIZED (
+         |  SELECT CAST(vec_id // $PqStride AS INT) AS k, m, sv AS cv
+         |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqK}),
+         |d AS MATERIALIZED (
+         |  SELECT s.vec_id, s.m, c.k,
+         |    list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+         |  FROM sub s JOIN cb c ON s.m = c.m),
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+         |    FROM d)
+         |  WHERE rn = 1),
+         |qd AS (SELECT m, k AS code, CAST(round(d2 * 1000000) AS BIGINT) AS qmicro
+         |  FROM d WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT enc.vec_id, CAST(sum(qmicro) AS BIGINT) AS adc_micro
+         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id)
+         |SELECT vec_id, round(adc_micro / 1000000.0, 6) AS adc_dist, rk FROM (
+         |  SELECT vec_id, adc_micro,
+         |    row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
     "q_ann_lsh" -> {
       val sigCols = (0 until LshTables)
         .map(t => s"${lshSigSql("v", t)} AS sig$t").mkString(",\n    ")

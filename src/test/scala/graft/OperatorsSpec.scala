@@ -143,6 +143,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encoding picks the argmin codeword per subspace (ties to smallest k)") {
+    val e = Similarity.vectors(spark, TestSpark.sf)
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codebook: Map[(Int, Int), Array[Double]] = // (m, k) -> subvector
+      (0 until Similarity.PqK).flatMap { k =>
+        val v = vecs(k.toLong * Similarity.PqStride)
+        (0 until Similarity.PqM).map(m =>
+          (m, k) -> v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim))
+      }.toMap
+    val enc = Similarity.pqEncode(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(enc.size == vecs.size * Similarity.PqM, "8 codes per vector")
+    vecs.take(30).foreach { case (id, v) =>
+      (0 until Similarity.PqM).foreach { m =>
+        val sv = v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        val best = (0 until Similarity.PqK).minBy { k =>
+          val cv = codebook((m, k))
+          // same left-to-right fold as the plan
+          var s = 0.0; var i = 0
+          while (i < sv.length) { val dx = sv(i) - cv(i); s += dx * dx; i += 1 }
+          (s, k)
+        }
+        assert(enc((id, m)) == best, s"code for vec $id subspace $m")
+      }
+    }
+  }
+
+  test("PQ ANN returns k rows with nonnegative ADC distances in rank order") {
+    val rows = Similarity.qAnnPq(spark, TestSpark.sf).collect()
+    assert(rows.length == Similarity.KnnK)
+    assert(rows.map(_.getInt(2)).toSeq == (1 to Similarity.KnnK))
+    val dists = rows.map(_.getDouble(1))
+    assert(dists.forall(_ >= 0) && dists.sameElements(dists.sorted))
+  }
+
   test("decontamination flags exactly the docs sharing a 4-gram with the eval split") {
     val df = operators.Curation.qDecontaminate(spark, TestSpark.sf).collect()
     // held-out docs never appear; flag is consistent with the count
