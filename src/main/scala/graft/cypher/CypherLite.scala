@@ -35,7 +35,8 @@ import graft.operators.TextPipeline
   *                 | v{.prop, key: w.prop, ...} [AS alias]  -- map
   *                   projection, emitted as a compact JSON string
   *                 -- aggregates group implicitly by the plain props
-  *   orderby    := ORDER BY v.prop (, v.prop)*
+  *   orderby    := ORDER BY key [ASC|DESC] (, key [ASC|DESC])*
+  *                 where key := v.prop | bare-alias
   *   limit      := LIMIT n
   *
   * The LLM that *writes* the Cypher stays external (as in the
@@ -183,7 +184,9 @@ object CypherLite {
     extends WithStage
   case class Query(paths: Seq[PathPat], where: Seq[Pred],
     stages: Seq[WithStage],
-    retDistinct: Boolean, ret: Seq[RetItem], orderBy: Seq[PropItem], limit: Option[Int])
+    retDistinct: Boolean, ret: Seq[RetItem],
+    orderBy: Seq[(PropItem, Boolean)], // (key, descending)
+    limit: Option[Int])
 
   // ---------- parser (regex-token recursive descent) ----------
 
@@ -340,10 +343,16 @@ object CypherLite {
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
     val orderBy = section(retSrc, "ORDER", Seq("LIMIT")).toSeq.flatMap {
-      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).collect {
-        case s if s.matches("""\w+\.\w+""") =>
-          val Array(v, p) = s.split("\\."); PropItem(v, p)
-        case s if s.matches("""\w+""") => PropItem("", s) // bare WITH alias
+      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).flatMap { raw =>
+        val desc = raw.matches("(?is).*\\bDESC\\s*$")
+        val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim
+        s match {
+          case ss if ss.matches("""\w+\.\w+""") =>
+            val Array(v, p) = ss.split("\\."); Some(PropItem(v, p) -> desc)
+          case ss if ss.matches("""\w+""") =>
+            Some(PropItem("", ss) -> desc) // bare WITH alias
+          case _ => None
+        }
       }
     }
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
@@ -497,12 +506,12 @@ object CypherLite {
     if (q.orderBy.nonEmpty) {
       // ORDER BY v.prop resolves to the aliased output column if the
       // RETURN list renamed it; v == "" is a bare WITH alias
-      val orderCols = q.orderBy.map { o =>
+      val orderCols = q.orderBy.map { case (o, desc) =>
         val name = q.ret.collectFirst {
           case PropItem(v, p, Some(a)) if v == o.v && p == o.prop => a
           case BareItem(n, Some(a)) if o.v.isEmpty && n == o.prop => a
         }.getOrElse(if (o.v.isEmpty) o.prop else s"${o.v}_${o.prop}")
-        col(name)
+        if (desc) col(name).desc else col(name)
       }
       df = df.orderBy(orderCols: _*)
     }
@@ -604,7 +613,17 @@ object CypherLite {
       "WITH author, sum(n) AS total WHERE total >= 5 " +
       "RETURN author, total ORDER BY total, author LIMIT 10"
 
+  /** ORDER BY … DESC over an aggregated alias — the "most mentioned
+    * entities" leaderboard shape every LLM-generated retrieval query
+    * uses.
+    */
+  val Ex13: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WITH o.name AS org, count(c) AS n " +
+      "RETURN org, n ORDER BY n DESC, org LIMIT 5"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex13" -> ((s, d) => run(s, d, Ex13)),
     "q_cypher_ex11" -> ((s, d) => run(s, d, Ex11)),
     "q_cypher_ex12" -> ((s, d) => run(s, d, Ex12)),
     "q_cypher_ex10" -> ((s, d) => run(s, d, Ex10)),
@@ -622,6 +641,14 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex13" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization')
+         |SELECT name AS org, count(*) AS n
+         |FROM edges GROUP BY name
+         |ORDER BY n DESC, org LIMIT 5""".stripMargin,
     "q_cypher_ex11" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |st1 AS (SELECT d.source, c.doc_id, count(*) AS n_chunks

@@ -176,6 +176,15 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("ORDER BY DESC sorts descending with ascending tiebreak (Ex13)") {
+    val Seq(q) = parse(Ex13)
+    assert(q.orderBy == Seq(PropItem("", "n") -> true, PropItem("", "org") -> false))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex13).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val pairs = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy(identity)), "descending count order")
+  }
+
   test("WITH property alias becomes the next stage's grouping variable (Ex12)") {
     val rows = CypherLite.run(spark, TestSpark.sf, Ex12).collect()
     assert(rows.nonEmpty)
