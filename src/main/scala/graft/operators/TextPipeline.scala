@@ -97,6 +97,60 @@ object TextPipeline {
       .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
       .orderBy("doc_id", "chunk_id")
 
+  /** The SAME chunk table as `chunks`, computed as one per-document
+    * HOF fold instead of the word-explode + window-cumsum plan: the
+    * accumulator walks a doc's words carrying (char offset, current
+    * chunk id, buffer, emitted chunks), flushing whenever
+    * floor(off/L) advances — chunk ids may skip (a long word can jump
+    * a chunk boundary), so each emitted chunk carries its id.
+    *
+    * ZERO exchanges (PlanSpec asserts it): chunking is embarrassingly
+    * parallel per document, and this plan keeps it that way — at
+    * 100 TB the windowed variant shuffles every word on doc_id; this
+    * one runs at scan speed. The windowed twin stays as the
+    * cross-validated portable form (ChunkFoldSpec proves row
+    * equality); the oracle is the same SQL as q_chunk.
+    */
+  def chunksFold(spark: SparkSession, dir: String): DataFrame = {
+    val emptyBuf = array().cast("array<string>")
+    val emptyChunks = array().cast("array<struct<cid:int,text:string>>")
+    def st(off: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column,
+        buf: org.apache.spark.sql.Column, chunks: org.apache.spark.sql.Column) =
+      struct(off.as("off"), cid.as("cid"), buf.as("buf"), chunks.as("chunks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("chunks", aggregate(
+        col("ws"),
+        st(lit(0L), lit(0), emptyBuf, emptyChunks),
+        (acc, w) => {
+          val wCid = floor(acc.getField("off") / ChunkLen).cast("int")
+          val nextOff = acc.getField("off") + length(w) + 1
+          when(wCid === acc.getField("cid"),
+            st(nextOff, acc.getField("cid"),
+              concat(acc.getField("buf"), array(w)), acc.getField("chunks")))
+            .otherwise(st(nextOff, wCid, array(w),
+              concat(acc.getField("chunks"),
+                array(struct(acc.getField("cid").as("cid"),
+                  array_join(acc.getField("buf"), " ").as("text"))))))
+        },
+        acc => when(size(acc.getField("buf")) > 0,
+          concat(acc.getField("chunks"),
+            array(struct(acc.getField("cid").as("cid"),
+              array_join(acc.getField("buf"), " ").as("text")))))
+          .otherwise(acc.getField("chunks"))))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"),
+        col("c.cid").as("chunk_id"),
+        col("c.text").as("chunk_text"),
+        length(col("c.text")).cast("long").as("n_chars"),
+        size(split(col("c.text"), " ")).cast("long").as("n_words"))
+  }
+
+  def qChunkFold(spark: SparkSession, dir: String): DataFrame =
+    chunksFold(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
+      .orderBy("doc_id", "chunk_id")
+
   /** Sentence segmentation (ref utils.py:19-24): split on [.:;?!],
     * trim, keep len > 1, re-number surviving segments.
     */
@@ -278,6 +332,7 @@ object TextPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk" -> qChunk,
+    "q_chunk_fold" -> qChunkFold,
     "q_chunk_sentences" -> qChunkSentences,
     "q_sentences" -> qSentences,
     "q_mentions" -> qMentions,
@@ -287,6 +342,13 @@ object TextPipeline {
   val oracles: Map[String, String] = Map(
     "q_chunk_sentences" -> ChunkSentencesSql,
     "q_chunk" ->
+      s"""WITH $ChunksSql
+         |SELECT doc_id, chunk_id, chunk_text,
+         |  length(chunk_text) AS n_chars, n_words
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    // same rows as q_chunk by construction (the fold is an alternate
+    // physical strategy, not different semantics) — same oracle
+    "q_chunk_fold" ->
       s"""WITH $ChunksSql
          |SELECT doc_id, chunk_id, chunk_text,
          |  length(chunk_text) AS n_chars, n_words

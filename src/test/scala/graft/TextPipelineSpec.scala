@@ -92,4 +92,15 @@ class TextPipelineSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("fold chunker produces exactly the windowed chunker's rows with zero exchanges") {
+    val windowed = TextPipeline.qChunk(spark, TestSpark.sf)
+    val fold = TextPipeline.qChunkFold(spark, TestSpark.sf)
+    assert(fold.except(windowed).count() == 0 && windowed.except(fold).count() == 0,
+      "the two physical strategies must agree row-for-row")
+    // the scan-speed claim: per-document fold, no shuffle anywhere
+    val p = TextPipeline.chunksFold(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"fold chunker must be narrow:\n$p")
+  }
 }
