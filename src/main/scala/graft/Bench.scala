@@ -41,19 +41,21 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // The driver captures only the trailing ~2000 chars of output, so the
-    // whole JSON line (plus sbt's epilogue) must fit in that window:
-    // 2-decimal timings, sf basename, and the errors map only on failure.
-    def r2(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
+    // The driver captures only the trailing ~2000 chars of output, so
+    // the whole JSON line (plus sbt's epilogue) must fit in that
+    // window: 1-decimal per-query timings (the totals carry the
+    // precision), sf basename, failures/errors fields only on failure.
+    def r1(v: Double): String = "%.1f".format(v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
     val nFail = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val errField = if (nFail > 0) s""","errors":$errs""" else ""
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failures":$nFail$errField,"sf":"$sfName"}""")
+    val errField =
+      if (nFail > 0) s""","failures":$nFail,"errors":$errs""" else ""
+    println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}""")
     spark.stop()
     if (nFail > 0) System.err.println(s"[bench] $nFail queries FAILED: $errs")
   }

@@ -104,12 +104,15 @@ object TextPipeline {
     * floor(off/L) advances — chunk ids may skip (a long word can jump
     * a chunk boundary), so each emitted chunk carries its id.
     *
-    * ZERO exchanges (PlanSpec asserts it): chunking is embarrassingly
-    * parallel per document, and this plan keeps it that way — at
-    * 100 TB the windowed variant shuffles every word on doc_id; this
-    * one runs at scan speed. The windowed twin stays as the
-    * cross-validated portable form (ChunkFoldSpec proves row
-    * equality); the oracle is the same SQL as q_chunk.
+    * ZERO exchanges (TextPipelineSpec asserts it): chunking is
+    * embarrassingly parallel per document, and this plan keeps it that
+    * way — the windowed variant shuffles every word on doc_id.
+    * Honest local cost: HOF lambdas are CodegenFallback (interpreted),
+    * so this measures ~3× the windowed plan's CPU at sf0.1 (2.0s vs
+    * 0.7s); the trade wins when the corpus-wide word shuffle — not
+    * CPU — is the bottleneck, which is the 100 TB regime. Row
+    * equality with the windowed twin is spec-proved; the oracle is
+    * the same SQL as q_chunk.
     */
   def chunksFold(spark: SparkSession, dir: String): DataFrame = {
     val emptyBuf = array().cast("array<string>")
