@@ -63,6 +63,45 @@ object Events {
       .orderBy("rk")
   }
 
+  val RangeWindowUs: Long = 300L * 1000000L // ±5 min correlation window
+
+  /** Time-range join — the operator Spark has no native plan for: a
+    * naive `ON abs(c.ts - p.ts) <= W` compiles to a
+    * BroadcastNestedLoopJoin (O(n·m) comparisons). Bucketization makes
+    * it an equi-join: with bucket width = W, any click within W of a
+    * purchase lives in the purchase's bucket ±1, so the purchase side
+    * explodes to 3 bucket keys, the join is a hash join on bucket, and
+    * the band predicate filters inside matched buckets — each
+    * qualifying (purchase, click) pair matches on exactly one exploded
+    * row, so no dedup is needed. Shuffle is O(3·|purchases| + |clicks|)
+    * narrow rows; PlanSpec forbids the nested-loop plan.
+    *
+    * Click values are summed as exact integer cents so the per-purchase
+    * totals are independent of float summation order across engines.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us").as("p_ts"))
+    val pb = p.withColumn("bucket", explode(array(
+      expr(s"p_ts div $RangeWindowUs - 1"),
+      expr(s"p_ts div $RangeWindowUs"),
+      expr(s"p_ts div $RangeWindowUs + 1"))))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("ts_us").as("c_ts"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr(s"(ts div 1000) div $RangeWindowUs").as("bucket"))
+    val agg = pb.join(c, Seq("bucket"))
+      .filter(abs(col("c_ts") - col("p_ts")) <= RangeWindowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"), sum(col("cents")).as("cents"))
+    p.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_nearby_clicks"), lit(0L)).as("n_nearby_clicks"),
+        round(coalesce(col("cents"), lit(0L)) / lit(100.0), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** 3-day moving average of daily event value per type (ROWS frame
     * over the pre-aggregated daily series — the rolling-metric shape).
     */
@@ -108,6 +147,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> qRangeJoin,
     "q_json_props" -> qJsonProps,
     "q_pivot" -> qPivot,
     "q_rolling_avg" -> qRollingAvg,
@@ -116,6 +156,19 @@ object Events {
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+         |  FROM events),
+         |p AS (SELECT event_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT ts_us AS c_ts, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM e WHERE event_type = 'click'),
+         |j AS (SELECT p.event_id, count(*) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM p JOIN c ON abs(c.c_ts - p.p_ts) <= $RangeWindowUs
+         |  GROUP BY p.event_id)
+         |SELECT p.event_id, coalesce(n, 0) AS n_nearby_clicks,
+         |  round(coalesce(cents, 0) / 100.0, 2) AS click_value
+         |FROM p LEFT JOIN j USING (event_id) ORDER BY event_id""".stripMargin,
     "q_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,

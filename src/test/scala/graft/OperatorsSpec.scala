@@ -179,6 +179,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dists.forall(_ >= 0) && dists.sameElements(dists.sorted))
   }
 
+  test("bucketized range join equals the direct band predicate") {
+    val rows = operators.Events.qRangeJoin(spark, TestSpark.sf).collect()
+    val ev = Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "ts div 1000 AS ts_us", "event_type",
+        "cast(round(value * 100) as long) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase").map(e => e._1 -> e._2).toMap
+    assert(rows.length == purchases.size, "every purchase appears (left semantics)")
+    rows.take(50).foreach { r =>
+      val pts = purchases(r.getLong(0))
+      val near = clicks.filter(c => math.abs(c._2 - pts) <= operators.Events.RangeWindowUs)
+      assert(r.getLong(1) == near.length, s"click count for purchase ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - near.map(_._4).sum / 100.0) < 1e-9)
+    }
+    assert(rows.exists(_.getLong(1) > 0), "window must catch some pairs")
+  }
+
   test("decontamination flags exactly the docs sharing a 4-gram with the eval split") {
     val df = operators.Curation.qDecontaminate(spark, TestSpark.sf).collect()
     // held-out docs never appear; flag is consistent with the count

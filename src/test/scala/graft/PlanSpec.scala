@@ -104,6 +104,12 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected window below the top-k take:\n$p")
   }
 
+  test("range join is a bucketized equi-join, never a nested-loop band join") {
+    val p = plan(operators.Events.qRangeJoin(spark, TestSpark.sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band predicate must ride an equi-join on bucket:\n$p")
+  }
+
   test("decontamination joins the benchmark-sized eval grams as a broadcast side") {
     val p = plan(operators.Curation.qDecontaminate(spark, TestSpark.sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-gram join:\n$p")
