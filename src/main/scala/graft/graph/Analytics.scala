@@ -170,10 +170,58 @@ object Analytics {
        |SELECT node AS name, comp FROM c$CcIters ORDER BY name""".stripMargin
   }
 
+  /** Per-entity triangle count + local clustering coefficient over the
+    * co-occurrence graph, via DEGREE-ORIENTED wedge counting (the
+    * node-iterator++ / Suri-Vassilvitskii MapReduce formulation):
+    * each undirected edge is oriented from its lower-(degree, name)
+    * endpoint to the higher, wedges are enumerated at the LOW-degree
+    * center only, and a wedge closes iff its (x, y) arm pair is itself
+    * an oriented edge. Every triangle is counted exactly once, and the
+    * wedge fan-out is bounded by the oriented out-degree — O(m^{3/2})
+    * total wedges regardless of skew (a celebrity entity with degree
+    * 10^6 generates no wedges at its own center because nearly all its
+    * edges point INTO it).
+    *
+    * Scale shape: two equi-joins on entity keys (wedge build on u,
+    * closure probe on (x, y)) + one explode/groupBy for per-node
+    * counts; no window, no cartesian.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir).select("e1", "e2")
+    val deg = co.select(col("e1").as("n")).unionByName(co.select(col("e2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)   // degree table read by orientation AND the final report
+    val lt = struct(col("d1"), col("e1")) < struct(col("d2"), col("e2"))
+    val o = co
+      .join(deg.select(col("n").as("e1"), col("d").as("d1")), "e1")
+      .join(deg.select(col("n").as("e2"), col("d").as("d2")), "e2")
+      .select(
+        when(lt, col("e1")).otherwise(col("e2")).as("u"),
+        when(lt, col("e2")).otherwise(col("e1")).as("v"),
+        when(lt, col("d2")).otherwise(col("d1")).as("dv"))
+      .localCheckpoint(false)   // oriented edges read by both wedge arms AND the closure probe
+    val wedges = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(o.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select("u", "x", "y")
+    val pern = tri.select(explode(array(col("u"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(pern, Seq("n"), "left")
+      .select(col("n").as("name"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+          .otherwise(0.0), 6).as("clustering"))
+      .orderBy("name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles,
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
@@ -185,5 +233,32 @@ object Analytics {
          |SELECT src AS name, d AS degree, wd AS wdegree
          |FROM deg ORDER BY degree DESC, name""".stripMargin,
     "q_pagerank" -> pagerankSql,
+    "q_triangles" ->
+      s"""WITH $CooccurSql,
+         |dg AS MATERIALIZED (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT e1 AS n FROM cooccur UNION ALL SELECT e2 FROM cooccur)
+         |  GROUP BY n),
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN (da.d, e1) < (db.d, e2) THEN e1 ELSE e2 END AS u,
+         |    CASE WHEN (da.d, e1) < (db.d, e2) THEN e2 ELSE e1 END AS v,
+         |    CASE WHEN (da.d, e1) < (db.d, e2) THEN db.d ELSE da.d END AS dv
+         |  FROM cooccur JOIN dg da ON da.n = e1 JOIN dg db ON db.n = e2),
+         |tri AS MATERIALIZED (
+         |  SELECT w.u, w.x, w.y FROM (
+         |    SELECT a.u, a.v AS x, a.dv AS dx, b.v AS y, b.dv AS dy
+         |    FROM o a JOIN o b ON a.u = b.u AND (a.dv, a.v) < (b.dv, b.v)) w
+         |  JOIN o c ON c.u = w.x AND c.v = w.y),
+         |pern AS (
+         |  SELECT n, count(*) AS t FROM (
+         |    SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+         |    UNION ALL SELECT y FROM tri)
+         |  GROUP BY n)
+         |SELECT dg.n AS name, dg.d AS degree, coalesce(t, 0) AS triangles,
+         |  round(CASE WHEN dg.d >= 2
+         |    THEN CAST(2 AS DOUBLE) * coalesce(t, 0) / (dg.d * (dg.d - 1))
+         |    ELSE 0 END, 6) AS clustering
+         |FROM dg LEFT JOIN pern ON pern.n = dg.n
+         |ORDER BY name""".stripMargin,
     "q_components" -> componentsSql)
 }

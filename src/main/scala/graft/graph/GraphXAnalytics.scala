@@ -65,4 +65,21 @@ object GraphXAnalytics {
       .map { case (_, (comp, name)) => (name, comp) }
       .toDF("name", "graphx_comp")
   }
+
+  /** Per-vertex triangle counts on the Pregel engine — the independent
+    * reference for Analytics.qTriangles' degree-oriented wedge join.
+    * TriangleCount requires canonical edges (src < dst, no duplicates),
+    * so the graph is rebuilt in canonical orientation here.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val canon = Graph(g.vertices,
+      g.edges.map(e => if (e.srcId < e.dstId) e
+        else Edge(e.dstId, e.srcId, e.attr)).distinct())
+    canon.triangleCount()
+      .vertices.join(g.vertices)
+      .map { case (_, (t, name)) => (name, t.toLong) }
+      .toDF("name", "graphx_triangles")
+  }
 }

@@ -75,21 +75,24 @@ object Curation {
     * semi-join at scan speed over the 100 TB training side, then one
     * (doc_id) count aggregation over the (rare) hits.
     */
-  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** documents + split bucket (the qTrainTestSplit md5 bucketing). */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("bucket",
         conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8), 16, 10)
           .cast("long") % 100)
-    val grams = d.filter(size(col("words")) >= DecontamN)
+
+  /** (doc_id, bucket, gh): distinct word-4-gram hashes per document. */
+  private def decontamGrams(d: DataFrame): DataFrame =
+    d.filter(size(col("words")) >= DecontamN)
       .select(col("doc_id"), col("bucket"),
         explode(array_distinct(transform(
           sequence(lit(0), size(col("words")) - DecontamN),
           i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(DecontamN))))))).as("gh"))
-    val evalGrams = grams.filter(col("bucket") >= EvalBucket).select("gh").distinct()
-    val hits = grams.filter(col("bucket") < EvalBucket)
-      .join(broadcast(evalGrams), "gh")
-      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hit_grams"))
+
+  /** hits (doc_id → distinct contaminated gram count) → report rows. */
+  private def decontamReport(d: DataFrame, hits: DataFrame): DataFrame =
     d.filter(col("bucket") < EvalBucket)
       .select(col("doc_id"),
         when(col("bucket") < 80, "train").otherwise("valid").as("split"))
@@ -97,14 +100,70 @@ object Curation {
       .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
       .withColumn("contaminated", col("n_hit_grams") > 0)
       .orderBy("doc_id")
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = bucketed(spark, dir)
+    val grams = decontamGrams(d)
+    val evalGrams = grams.filter(col("bucket") >= EvalBucket).select("gh").distinct()
+    val hits = grams.filter(col("bucket") < EvalBucket)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hit_grams"))
+    decontamReport(d, hits)
+  }
+
+  val BloomNumItems = 1000000L   // capacity sized for the eval grams (fpp ~1% at 8 bits/item)
+
+  /** The same decontamination check through Spark's runtime-filter
+    * machinery: the eval grams are folded into ONE Bloom filter (the
+    * engine's own `BloomFilterAggregate`, the aggregate behind AQE's
+    * injected runtime bloom filters), broadcast as a scalar, and the
+    * training side is pruned by codegen'd `BloomFilterMightContain`
+    * BEFORE any shuffle; only might-contain survivors reach the exact
+    * gram join that removes false positives. Output is byte-identical
+    * to qDecontaminate (the oracle is the same SQL).
+    *
+    * Why this is the 100 TB shape: the broadcast-hash-join check in
+    * qDecontaminate already avoids shuffling the training grams, but
+    * it still streams EVERY training gram row through a hash probe of
+    * a table carrying the gram strings; here the first-pass probe is a
+    * fixed 1 MB bit array with xxhash64 keys — no strings, no hash
+    * table build per task — and the expensive exact join sees only the
+    * (rare) contaminated tail. At a 4M-gram eval set the bloom is
+    * ~4 MB where the broadcast hash table is hundreds — the difference
+    * between a per-executor memory non-event and an OOM risk.
+    */
+  def qBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shims
+    val d = bucketed(spark, dir)
+    val grams = decontamGrams(d)
+    val evalGrams = grams.filter(col("bucket") >= EvalBucket).select("gh").distinct()
+      .localCheckpoint(false)   // benchmark-sized; feeds the bloom AND the exact confirm join
+    val bloom = evalGrams.agg(shims.column(
+      new BloomFilterAggregate(shims.expression(xxhash64(col("gh"))), BloomNumItems)
+        .toAggregateExpression()).as("bf"))
+    // might_contain requires its bloom input as a scalar subquery (the
+    // same wiring InjectRuntimeFilter emits), not a join column
+    val mightContain = shims.column(BloomFilterMightContain(
+      ScalarSubquery(shims.analyzed(bloom)),
+      shims.expression(xxhash64(col("gh")))))
+    val hits = grams.filter(col("bucket") < EvalBucket)
+      .filter(mightContain)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hit_grams"))
+    decontamReport(d, hits)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_pipeline" -> qFilterPipeline,
-    "q_decontaminate" -> qDecontaminate)
+    "q_decontaminate" -> qDecontaminate,
+    "q_bloom_decontaminate" -> qBloomDecontaminate)
 
-  val oracles: Map[String, String] = Map(
-    "q_decontaminate" ->
+  /** Bloom pruning is a pure pre-filter (false positives die in the
+    * exact gram join), so the oracle is the exact-semantics SQL.
+    */
+  private def decontamSql: String =
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
          |    CAST('0x' || substr(md5('split#' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket
          |  FROM documents),
@@ -122,7 +181,11 @@ object Curation {
          |  coalesce(h.n_hit_grams, 0) AS n_hit_grams,
          |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
          |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
-         |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin,
+         |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontamSql,
+    "q_bloom_decontaminate" -> decontamSql,
     "q_filter_pipeline" ->
       s"""WITH ${Dedup.clusterCtes},
          |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

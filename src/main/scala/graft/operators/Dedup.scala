@@ -331,6 +331,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  val SubW = 8   // word-window width for substring-level dedup
+
+  /** Substring-level exact dedup (the span-granularity pass of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better"):
+    * every SubW-word span that occurs in ≥2 distinct documents is a
+    * duplicated span; report per document the span count, how many of
+    * its spans are duplicated, and the fraction of its tokens covered
+    * by at least one duplicated span (the "how much of this doc is
+    * boilerplate" number a curation pipeline thresholds on).
+    *
+    * Scale shape: spans travel as 16-byte md5 keys + an int position —
+    * text never shuffles. The duplicated-span set is one map-side-
+    * combined groupBy on the hash; marking is a hash-key join of the
+    * span stream against that (rare, duplication-sized) set; the
+    * coverage explode multiplies only duplicated spans by SubW, never
+    * the corpus.
+    */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= SubW)
+    val grams = d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("words")) - SubW),
+          i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(SubW))))))
+          .as(Seq("pos", "gh")))
+      .localCheckpoint(false)   // one split/md5 pass, read by dup-set agg AND the mark join
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    val hits = grams.join(dup, "gh")
+      .select("doc_id", "pos")
+      .localCheckpoint(false)   // duplication-sized; read by the span count AND the coverage pass
+    val nDup = hits.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val cover = hits
+      .select(col("doc_id"), explode(sequence(col("pos") + 1, col("pos") + SubW)).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("covered"))
+    d.select(col("doc_id"), size(col("words")).as("n_words"))
+      .join(nDup, Seq("doc_id"), "left")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_words") - SubW + 1).cast("long").as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("covered"), lit(0L)) / col("n_words").cast("double"), 6)
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -339,6 +387,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_clusters" -> qDedupClusters)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
@@ -466,6 +515,28 @@ object Dedup {
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $SubW),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(words) - ${SubW - 1}),
+         |      i -> {'pos': i,
+         |            'gh': md5(array_to_string(words[i:i+${SubW - 1}], ' '))})) AS u
+         |    FROM d)),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS MATERIALIZED (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |nd AS (SELECT doc_id, count(*) AS n_dup_spans FROM hits GROUP BY doc_id),
+         |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos + ${SubW - 1})) AS p
+         |  FROM hits) GROUP BY doc_id)
+         |SELECT d.doc_id, len(words) - ${SubW - 1} AS n_spans,
+         |  coalesce(nd.n_dup_spans, 0) AS n_dup_spans,
+         |  round(coalesce(cov.covered, 0) / CAST(len(words) AS DOUBLE), 6)
+         |    AS dup_token_frac
+         |FROM d LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
          |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),

@@ -47,12 +47,13 @@ object Retrieval {
       .orderBy("doc_id", "rk")
   }
 
-  /** BM25 top-20 documents for the fixed query terms. N and avgdl are
-    * folded in as ONE broadcast 1-row aggregate over a single documents
-    * scan — the whole query is one job, not three driver round-trips
-    * (count + count + head) plus a double scan.
+  /** (doc_id, bm25, n_terms_hit) for every document hitting ≥1 query
+    * term. N and avgdl are folded in as ONE broadcast 1-row aggregate
+    * over a single documents scan — the whole query is one job, not
+    * three driver round-trips (count + count + head) plus a double
+    * scan.
     */
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -70,13 +71,59 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(round(sum(col("term_score")), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** BM25 top-20 documents for the fixed query terms. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+
+  val RrfK = 60      // the standard reciprocal-rank-fusion damping constant
+  val RrfPool = 50   // per-leg candidate pool
+  val RrfTopK = 20
+
+  /** Reciprocal-rank fusion of the keyword leg (BM25) and the vector
+    * leg (cosine vs the vec_id=0 probe): score = Σ 1/(60 + rank) over
+    * the legs that retrieved the doc — the standard hybrid-retrieval
+    * combiner when the two scorers' scales aren't comparable (the
+    * weighted-sum variant is qHybridSearch). Rank 0 in the output
+    * means "not in that leg's pool".
+    *
+    * Scale shape: each leg is TakeOrdered into a 50-row pool (per-
+    * partition heaps — no global sort, no single-partition window over
+    * the corpus); ranking and fusion then run on 2×50 bounded rows.
+    */
+  def qRrf(spark: SparkSession, dir: String): DataFrame = {
+    val bm = TopKUtil.globalTopK(bm25Scored(spark, dir), RrfPool, "doc_id",
+        col("bm25").desc, col("doc_id"))
+      .select(col("doc_id"), col("rk").cast("long").as("rank_bm25"))
+    val e = Similarity.vectors(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(
+        Similarity.dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val vec = TopKUtil.globalTopK(scored, RrfPool, "vec_id",
+        col("score").desc, col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("rk").cast("long").as("rank_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)), 6))
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfTopK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> qTfidf,
-    "q_bm25" -> qBm25)
+    "q_bm25" -> qBm25,
+    "q_rrf" -> qRrf)
 
   private val TfSql =
     """tf AS MATERIALIZED (
@@ -97,22 +144,52 @@ object Retrieval {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, word) AS rk FROM scored)
          |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
-    "q_bm25" -> {
-      val terms = QueryTerms.map(t => s"'$t'").mkString(",")
-      s"""WITH $TfSql,
-         |qtf AS (SELECT * FROM tf WHERE word IN ($terms)),
-         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM qtf GROUP BY word),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
-         |ad AS (SELECT avg(dl) AS avgdl FROM dl)
-         |SELECT doc_id,
-         |  round(sum(
-         |    ln(((SELECT n FROM nn) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-         |    * (tf * ($Bm25K1 + 1.0)) /
-         |      (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / (SELECT avgdl FROM ad)))), 6)
-         |    AS bm25,
-         |  count(*) AS n_terms_hit
-         |FROM qtf JOIN dfreq USING (word) JOIN dl USING (doc_id)
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    })
+    "q_bm25" ->
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, bm25, n_terms_hit FROM bmdocs
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rrf" ->
+      s"""WITH $Bm25Ctes,
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |bmleg AS (
+         |  SELECT doc_id, rank_bm25 FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+         |    FROM bmdocs)
+         |  WHERE rank_bm25 <= $RrfPool),
+         |vecleg AS (
+         |  SELECT doc_id, rank_vec FROM (
+         |    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+         |      round(${Similarity.cosineDuckSql("v", "qv")}, 6) DESC, vec_id) AS rank_vec
+         |    FROM e CROSS JOIN q WHERE vec_id <> 0)
+         |  WHERE rank_vec <= $RrfPool)
+         |SELECT doc_id, coalesce(rank_bm25, 0) AS rank_bm25,
+         |  coalesce(rank_vec, 0) AS rank_vec, rrf
+         |FROM (
+         |  SELECT doc_id, rank_bm25, rank_vec,
+         |    round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_bm25), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_vec), 0), 6) AS rrf
+         |  FROM bmleg FULL OUTER JOIN vecleg USING (doc_id))
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin)
+
+  /** Shared CTE chain ending in `bmdocs(doc_id, bm25, n_terms_hit)`. */
+  private def Bm25Ctes: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(",")
+    s"""$TfSql,
+       |qtf AS (SELECT * FROM tf WHERE word IN ($terms)),
+       |dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM qtf GROUP BY word),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |bmdocs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    round(sum(
+       |      ln(((SELECT n FROM nn) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+       |      * (tf * ($Bm25K1 + 1.0)) /
+       |        (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / (SELECT avgdl FROM ad)))), 6)
+       |      AS bm25,
+       |    count(*) AS n_terms_hit
+       |  FROM qtf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+       |  GROUP BY doc_id)""".stripMargin
+  }
 }

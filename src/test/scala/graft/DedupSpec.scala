@@ -97,4 +97,32 @@ class DedupSpec extends AnyFunSuite {
     val kept = clusters.count { case (d, (c, _)) => d == c }
     assert(kept == byLabel.size)
   }
+
+  test("substring dedup matches an in-memory reference implementation") {
+    val sub = Dedup.qDedupSubstring(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sub.nonEmpty)
+    assert(sub.values.exists(_._2 > 0), "corpus lost its near-dup span fixtures")
+    // brute-force reference over the collected corpus (raw span strings,
+    // no hashing — md5 keying must not change the answer)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.size >= Dedup.SubW)
+    val spans = docs.flatMap { case (id, ws) =>
+      ws.sliding(Dedup.SubW).zipWithIndex.map { case (w, p) => (id, p, w.mkString(" ")) }
+    }
+    val dup = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val ref = docs.map { case (id, ws) =>
+      val hits = spans.filter(s => s._1 == id && dup(s._3))
+      val covered = hits.flatMap(s => s._2 until s._2 + Dedup.SubW).distinct.size
+      id -> ((ws.size - Dedup.SubW + 1).toLong, hits.size.toLong,
+        BigDecimal(covered.toDouble / ws.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(sub.keySet == ref.keySet)
+    sub.foreach { case (id, got) =>
+      assert(got == ref(id), s"doc $id: got $got want ${ref(id)}")
+    }
+  }
 }

@@ -34,4 +34,16 @@ class GraphXSpec extends AnyFunSuite {
     assert(a == 0 && b == 0)
     assert(joined.count() == df.count())
   }
+
+  test("GraphX triangle counts match the degree-oriented wedge join") {
+    val df = Analytics.qTriangles(spark, TestSpark.sf)
+    val gx = GraphXAnalytics.triangles(spark, TestSpark.sf)
+    val joined = df.join(gx, "name")
+    assert(joined.count() == df.count(), "vertex sets differ")
+    val disagree = joined
+      .filter(col("triangles") =!= col("graphx_triangles")).count()
+    assert(disagree == 0, s"$disagree vertices disagree on triangle count")
+    // sanity: the fixture graph actually has triangles
+    assert(df.agg(sum("triangles")).head().getLong(0) > 0)
+  }
 }

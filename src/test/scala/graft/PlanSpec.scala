@@ -127,4 +127,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"expected 1-row broadcast total:\n$p")
   }
+
+  test("substring dedup shuffles hash keys only — no cartesian, 2-column scan") {
+    val p = plan(operators.Dedup.qDedupSubstring(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span marking must be an equi-join on the gram hash:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected 2-column read schema:\n$p")
+  }
+
+  test("bloom decontamination prunes with might_contain before the exact join") {
+    val df = operators.Curation.qBloomDecontaminate(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"expected BloomFilterMightContain filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected exact confirm join:\n$p")
+    // identical verdicts to the exact-only variant (bloom FPs must die
+    // in the confirm join; FNs are impossible)
+    val exact = operators.Curation.qDecontaminate(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == exact)
+  }
+
+  test("RRF legs are TakeOrdered pools; fusion never windows the corpus") {
+    val p = plan(operators.Retrieval.qRrf(spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered legs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
