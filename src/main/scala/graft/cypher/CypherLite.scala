@@ -15,8 +15,11 @@ import graft.operators.TextPipeline
   *   query      := match [where] [with] return [orderby] [limit]
   *                 | query UNION query
   *   match      := MATCH pattern (, pattern)*
-  *   pattern    := (v[:Label])(-[:REL]->(v[:Label]))*     -- bare (v)
-  *                 re-binds a variable labeled in another pattern
+  *   pattern    := (v[:Label])(-[:REL[*a..b]]->(v[:Label]))*  -- bare
+  *                 (v) re-binds a variable labeled in another pattern;
+  *                 *a..b is a variable-length hop (1 <= a <= b <= 2)
+  *                 with Cypher semantics: one output row PER PATH, and
+  *                 a relationship may not repeat within a path
   *   where      := WHERE term (AND term)*
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a' | v.prop < n ...
@@ -91,6 +94,10 @@ object CypherLite {
       NewsGraph.qArticleTopics(spark, dir).select(col("topic")).distinct()
         .select(concat(lit("Topic:"), col("topic")).as("uid"),
           col("topic").as("name"))
+    case "Entity" =>
+      // label-agnostic entity view — the node set of the CO_OCCURS graph
+      TextPipeline.mentions(spark, dir).select(col("name")).distinct()
+        .select(concat(lit("Entity:"), col("name")).as("uid"), col("name"))
     case other => throw new IllegalArgumentException(s"unknown node label $other")
   }
 
@@ -121,7 +128,34 @@ object CypherLite {
       NewsGraph.qArticleTopics(spark, dir).select(
         concat(lit("Article:"), col("doc_id")).as("src_uid"),
         concat(lit("Topic:"), col("topic")).as("dst_uid"))
+    case "CO_OCCURS" =>
+      // undirected co-mention graph (Analytics.cooccur), stored as the
+      // both-direction edge list so `->` traversal is undirected
+      graft.graph.Analytics.edges(spark, dir).select(
+        concat(lit("Entity:"), col("src")).as("src_uid"),
+        concat(lit("Entity:"), col("dst")).as("dst_uid"))
     case other => throw new IllegalArgumentException(s"unknown relationship $other")
+  }
+
+  /** Variable-length expansion `*lo..hi` of an edge table, unrolled to
+    * a union of fixed-length compositions — one row per PATH (Cypher's
+    * row semantics), with Cypher's relationship-uniqueness rule: a
+    * 2-hop path may not reuse its first edge, which on an undirected
+    * (both-direction) edge list is exactly the dst≠origin filter.
+    * Bounded hi (≤2) keeps the unrolled plan a fixed join chain the
+    * optimizer can reorder; each composition is an equi-join on the
+    * midpoint uid.
+    */
+  private def varLenExpand(e0: DataFrame, lo: Int, hi: Int): DataFrame = {
+    require(lo >= 1 && lo <= hi && hi <= 2, s"unsupported var-length bounds *$lo..$hi")
+    val legs = (lo to hi).map {
+      case 1 => e0
+      case 2 => e0.select(col("src_uid"), col("dst_uid").as("mid_uid"))
+        .join(e0.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
+        .filter(col("dst_uid") =!= col("src_uid"))
+        .select("src_uid", "dst_uid")
+    }
+    legs.reduce(_ unionByName _)
   }
 
   // ---------- AST ----------
@@ -131,8 +165,10 @@ object CypherLite {
     */
   case class NodePat(v: String, label: Option[String],
     inlineProp: Option[(String, String)] = None)
-  /** rel = (type, reversed): `-[:R]->` forward, `<-[:R]-` reversed. */
-  case class PathPat(nodes: Seq[NodePat], rels: Seq[(String, Boolean)])
+  /** rel = (type, reversed, varLen): `-[:R]->` forward, `<-[:R]-`
+    * reversed; varLen = Some((lo, hi)) for `-[:R*lo..hi]->`.
+    */
+  case class PathPat(nodes: Seq[NodePat], rels: Seq[(String, Boolean, Option[(Int, Int)])])
   sealed trait Pred
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
@@ -192,7 +228,8 @@ object CypherLite {
 
   private val NodeRe =
     """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""".r
-  private val RelRe = """(<-|-)\s*\[\s*:\s*(\w+)\s*\]\s*(->|-)""".r
+  private val RelRe =
+    """(<-|-)\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)""".r
   private val CountRe =
     """(?i)count\(\s*(DISTINCT\s+)?(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
   private val CollectRe =
@@ -229,9 +266,10 @@ object CypherLite {
         Option(m.group(3)).map(pn => pn -> m.group(4)))).toSeq
     val rels = RelRe.findAllMatchIn(p).map { m =>
       val reversed = m.group(1) == "<-"
-      require(reversed != (m.group(3) == "->"),
+      require(reversed != (m.group(5) == "->"),
         s"ambiguous arrow in: ${m.matched}")
-      (m.group(2), reversed)
+      val varLen = Option(m.group(3)).map(lo => (lo.toInt, m.group(4).toInt))
+      (m.group(2), reversed, varLen)
     }.toSeq
     require(nodes.size == rels.size + 1, s"path shape mismatch in: $p")
     PathPat(nodes, rels)
@@ -390,13 +428,14 @@ object CypherLite {
           s"pattern starting at ${path.nodes.head.v} is disconnected (cartesian product)")
         bind(path.nodes.head.v)
       }
-      path.rels.zipWithIndex.foreach { case ((rel, reversed), i) =>
+      path.rels.zipWithIndex.foreach { case ((rel, reversed, varLen), i) =>
         val here = path.nodes(i)
         val next = path.nodes(i + 1)
         // forward: here -R-> next; reversed: next -R-> here
         val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
-        val e = edges(spark, dir, rel, labelOf.getOrElse(dstV,
-            throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
+        val base = edges(spark, dir, rel, labelOf.getOrElse(dstV,
+          throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
+        val e = varLen.fold(base) { case (lo, hi) => varLenExpand(base, lo, hi) }
           .withColumnRenamed("src_uid", s"${srcV}_uid")
           .withColumnRenamed("dst_uid", s"${dstV}_uid")
         val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
@@ -622,7 +661,17 @@ object CypherLite {
       "WITH o.name AS org, count(c) AS n " +
       "RETURN org, n ORDER BY n DESC, org LIMIT 5"
 
+  /** Variable-length path — the graph-RAG neighborhood expansion
+    * (expand a seed entity to everything within 2 co-mention hops;
+    * the compiled twin of q_expand_retrieval's hand-built walk).
+    * n_paths counts PATHS, not endpoints — Cypher row semantics.
+    */
+  val Ex14: String =
+    "MATCH (e:Entity {name: 'spark group'})-[:CO_OCCURS*1..2]->(o:Entity) " +
+      "RETURN o.name, count(o) AS n_paths ORDER BY o.name"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex14" -> ((s, d) => run(s, d, Ex14)),
     "q_cypher_ex13" -> ((s, d) => run(s, d, Ex13)),
     "q_cypher_ex11" -> ((s, d) => run(s, d, Ex11)),
     "q_cypher_ex12" -> ((s, d) => run(s, d, Ex12)),
@@ -641,6 +690,14 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex14" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |l1 AS (SELECT dst FROM edges WHERE src = 'spark group'),
+         |l2 AS (SELECT b.dst FROM edges a JOIN edges b ON a.dst = b.src
+         |  WHERE a.src = 'spark group' AND b.dst <> 'spark group'),
+         |p AS (SELECT dst FROM l1 UNION ALL SELECT dst FROM l2)
+         |SELECT dst AS o_name, count(*) AS n_paths
+         |FROM p GROUP BY dst ORDER BY o_name""".stripMargin,
     "q_cypher_ex13" ->
       s"""WITH $M,
          |edges AS (

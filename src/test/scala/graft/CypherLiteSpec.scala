@@ -12,7 +12,8 @@ class CypherLiteSpec extends AnyFunSuite {
   test("parses a linear path with WHERE IN and LIMIT") {
     val Seq(q) = parse(Ex1)
     assert(q.paths.head.nodes.flatMap(_.label) == Seq("Article", "Chunk", "Person"))
-    assert(q.paths.head.rels == Seq("CONTAINS" -> false, "MENTIONS" -> false))
+    assert(q.paths.head.rels ==
+      Seq(("CONTAINS", false, None), ("MENTIONS", false, None)))
     assert(q.where.contains(InPred("o", "name", Seq("customer", "line customer"))))
     assert(q.retDistinct && q.limit.contains(10))
   }
@@ -192,5 +193,25 @@ class CypherLiteSpec extends AnyFunSuite {
     // ORDER BY total, author holds
     val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
     assert(pairs.sameElements(pairs.sortBy(identity)))
+  }
+
+  test("variable-length hop counts paths with relationship uniqueness (Ex14)") {
+    val Seq(q) = parse(Ex14)
+    assert(q.paths.head.rels == Seq(("CO_OCCURS", false, Some((1, 2)))))
+    val got = CypherLite.run(spark, TestSpark.sf, Ex14).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // in-memory reference: adjacency from the co-occurrence edge list
+    val adj = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seed = "spark group"
+    val l1 = adj.getOrElse(seed, Seq.empty)
+    val l2 = l1.flatMap(m => adj.getOrElse(m, Seq.empty)).filter(_ != seed)
+    val want = (l1 ++ l2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"path counts diverge: got ${got.size} want ${want.size} names")
+    // the seed itself never appears (a 2-path back reuses its edge)
+    assert(!got.contains(seed))
   }
 }
