@@ -217,11 +217,39 @@ object Analytics {
       .orderBy("name")
   }
 
+  val BfsSeed = "spark group"
+  val BfsHops = 4
+
+  /** Single-source shortest hop-distance (bounded BFS, BfsHops rounds
+    * of frontier relaxation) from a seed entity over the co-occurrence
+    * graph — the "how far is X from Y" primitive graph-RAG uses to
+    * bound context expansion. Same checkpointed-join loop shape as
+    * qComponents: each round is one shuffle on the edge key; distances
+    * only ever tighten, so the fixed-round unrolled oracle replays it
+    * exactly. Nodes farther than BfsHops are absent (a production run
+    * stops when the frontier empties).
+    */
+  def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(BfsSeed).as("node"), lit(0).as("dist"))
+    for (i <- 1 to BfsHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 || i == BfsHops) dist = dist.localCheckpoint()
+    }
+    dist.select(col("node").as("name"), col("dist"))
+      .orderBy("dist", "name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
+    "q_shortest_path" -> qShortestPath,
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +261,23 @@ object Analytics {
          |SELECT src AS name, d AS degree, wd AS wdegree
          |FROM deg ORDER BY degree DESC, name""".stripMargin,
     "q_pagerank" -> pagerankSql,
+    "q_shortest_path" -> {
+      val iters = (1 to BfsHops).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $CooccurSql,
+         |d0 AS (SELECT '$BfsSeed' AS node, 0 AS dist),
+         |$iters
+         |SELECT node AS name, dist FROM d$BfsHops
+         |ORDER BY dist, name""".stripMargin
+    },
     "q_triangles" ->
       s"""WITH $CooccurSql,
          |dg AS MATERIALIZED (

@@ -66,6 +66,26 @@ object GraphXAnalytics {
       .toDF("name", "graphx_comp")
   }
 
+  /** Single-source shortest hop distances via the Pregel ShortestPaths
+    * library — the independent reference for Analytics.qShortestPath's
+    * bounded BFS (GraphX runs to fixpoint; the spec restricts the
+    * comparison to distances within the BFS bound).
+    */
+  def shortestPaths(spark: SparkSession, dir: String, seed: String): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val seedId = g.vertices.filter(_._2 == seed).map(_._1).collect() match {
+      case Array(id) => id
+      case other => throw new IllegalArgumentException(
+        s"seed $seed matched ${other.length} vertices")
+    }
+    org.apache.spark.graphx.lib.ShortestPaths.run(g, Seq(seedId))
+      .vertices.join(g.vertices)
+      .flatMap { case (_, (spmap, name)) =>
+        spmap.get(seedId).map(d => (name, d.toLong)) }
+      .toDF("name", "graphx_dist")
+  }
+
   /** Per-vertex triangle counts on the Pregel engine — the independent
     * reference for Analytics.qTriangles' degree-oriented wedge join.
     * TriangleCount requires canonical edges (src < dst, no duplicates),

@@ -46,4 +46,17 @@ class GraphXSpec extends AnyFunSuite {
     // sanity: the fixture graph actually has triangles
     assert(df.agg(sum("triangles")).head().getLong(0) > 0)
   }
+
+  test("GraphX ShortestPaths agrees with the bounded BFS within its hop budget") {
+    val df = Analytics.qShortestPath(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val gx = GraphXAnalytics.shortestPaths(spark, TestSpark.sf, Analytics.BfsSeed)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(df.nonEmpty && df(Analytics.BfsSeed) == 0)
+    // within the hop budget the distances must be identical; nodes the
+    // BFS reached are exactly the GraphX nodes within the budget
+    val gxInBudget = gx.filter(_._2 <= Analytics.BfsHops)
+    assert(df == gxInBudget,
+      s"BFS(${df.size}) vs GraphX-in-budget(${gxInBudget.size}) diverge")
+  }
 }
