@@ -41,16 +41,47 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // Amortized graph path: materialize the bucketed chunk/mention
+    // tables once (timed), then re-run the graph-query family against
+    // them via the MaterializedConf indirection — the production
+    // "ingest once, query many" shape. Reported as two pseudo-query
+    // entries so the one-line JSON contract is unchanged.
+    val amortized: Seq[(String, Double, Option[String])] =
+      if (only.isEmpty) {
+        val gq = Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
+          "q_chunks_by_entities", "q_article_topics", "q_cypher_ex1")
+          .filter(SparkEntry.queries.contains)
+        try {
+          val t0 = System.nanoTime()
+          sources.Catalog.materializeGraph(spark, sfDir)
+          val tMat = (System.nanoTime() - t0) / 1e9
+          spark.conf.set(operators.TextPipeline.MaterializedConf, sfDir)
+          val t1 = System.nanoTime()
+          gq.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+          val tRun = (System.nanoTime() - t1) / 1e9
+          Seq(("x_materialize_graph", tMat, None),
+            (s"x_graph_amortized_${gq.size}q", tRun, None))
+        } catch {
+          case e: Throwable =>
+            Seq(("x_graph_amortized", -1.0,
+              Some(e.toString.linesIterator.next().take(200))))
+        } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
+      } else Seq.empty
+    val all = results.toSeq ++ amortized
     // The driver captures only the trailing ~2000 chars of output, so
     // the whole JSON line (plus sbt's epilogue) must fit in that
     // window: 1-decimal per-query timings (the totals carry the
     // precision), sf basename, failures/errors fields only on failure.
     def r1(v: Double): String = "%.1f".format(v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r1(v) }
+    // keys drop the uniform "q_" prefix: with 90+ queries the line
+    // must stay inside the driver's ~2000-char log tail (epilogue
+    // included) or the round's bench JSON records parsed:null
+    def key(k: String): String = k.stripPrefix("q_")
+    val qs = all.map { case (k, v, _) => s"\"" + key(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+    val errs = all.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val nFail = results.count(_._3.isDefined)
+    val nFail = all.count(_._3.isDefined)
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val errField =

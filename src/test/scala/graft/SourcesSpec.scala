@@ -27,6 +27,24 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("materialized-graph indirection serves identical rows from the bucketed tables") {
+    import graft.operators.TextPipeline
+    val pipeline = TextPipeline.qMentions(spark, TestSpark.sf).collect().map(_.toSeq)
+    Catalog.materializeGraph(spark, TestSpark.sf)
+    spark.conf.set(TextPipeline.MaterializedConf, TestSpark.sf)
+    try {
+      val df = TextPipeline.qMentions(spark, TestSpark.sf)
+      // the plan must scan the table, not rebuild the word pipeline
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_mentions"),
+        "expected the bucketed table scan")
+      assert(df.collect().map(_.toSeq).sameElements(pipeline))
+      // dir-keyed: a different sf dir must NOT be served the tables
+      val other = TextPipeline.mentions(spark, "/root/testdata/sf0.01")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_mentions"),
+        "stale materialization served for the wrong dir")
+    } finally spark.conf.unset(TextPipeline.MaterializedConf)
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
