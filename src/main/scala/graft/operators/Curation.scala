@@ -83,13 +83,25 @@ object Curation {
         conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8), 16, 10)
           .cast("long") % 100)
 
+  /** explode of the distinct word-4-gram md5 hashes of a `words` column. */
+  private def gramExplode =
+    explode(array_distinct(transform(
+      sequence(lit(0), size(col("words")) - DecontamN),
+      i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(DecontamN))))))).as("gh")
+
   /** (doc_id, bucket, gh): distinct word-4-gram hashes per document. */
   private def decontamGrams(d: DataFrame): DataFrame =
     d.filter(size(col("words")) >= DecontamN)
-      .select(col("doc_id"), col("bucket"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("words")) - DecontamN),
-          i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(DecontamN))))))).as("gh"))
+      .select(col("doc_id"), col("bucket"), gramExplode)
+
+  /** (doc_id, gh) for any (doc_id, text) frame — batch or streaming
+    * (narrow per-row transform, so it is stream-safe); shared with the
+    * streaming decontamination screen.
+    */
+  private[graft] def gramsOfDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= DecontamN)
+      .select(col("doc_id"), gramExplode)
 
   /** hits (doc_id → distinct contaminated gram count) → report rows. */
   private def decontamReport(d: DataFrame, hits: DataFrame): DataFrame =

@@ -331,6 +331,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  val ContainmentThreshold = 0.8
+  val ContainSampleMod = 4   // shingle-hash sampling: h % 4 == 0 → 25% of the universe
+
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ —
+    * the asymmetric measure that catches a short document embedded in
+    * a long one (quotes, excerpts, syndicated fragments), which
+    * Jaccard structurally misses (|A∩B|/|A∪B| shrinks as the long doc
+    * grows). Production curation runs BOTH: Jaccard for same-size
+    * near-dups, containment for subset relations.
+    *
+    * Blocking is min-wise shingle sampling (an inverted-index sample):
+    * candidates are pairs sharing ANY shingle whose 32-bit hash falls
+    * in the 1/ContainSampleMod sample of the universe. Deterministic
+    * (hash-keyed, the oracle replays it), and the shuffle carries only
+    * sampled (doc_id, hash) rows — a pair with k shared shingles is
+    * caught unless ALL k hashes miss the sample, so recall rises
+    * exactly with the overlap a containment pair must have anyway.
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesCk(spark, dir)
+    val sampled = sh.select(col("doc_id"), explode(col("s")).as("x"))
+      .withColumn("h", conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
+      .filter(col("h") % ContainSampleMod === 0)
+      .select("doc_id", "h")
+    val cand = sampled.select(col("doc_id").as("doc_id_a"), col("h"))
+      .join(sampled.select(col("doc_id").as("doc_id_b"), col("h")), Seq("h"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
+      .withColumn("containment", round(
+        size(array_intersect(col("sa"), col("sb")))
+          / least(size(col("sa")), size(col("sb"))).cast("double"), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("doc_id_a", "doc_id_b", "containment")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val SubW = 8   // word-window width for substring-level dedup
 
   /** Substring-level exact dedup (the span-granularity pass of Lee et
@@ -388,6 +428,7 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_substring" -> qDedupSubstring,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_clusters" -> qDedupClusters)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
@@ -515,6 +556,24 @@ object Dedup {
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_containment" ->
+      s"""WITH $ShinglesSql,
+         |sx AS MATERIALIZED (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) AS h
+         |    FROM (SELECT doc_id, unnest(s) AS x FROM sh))
+         |  WHERE h % $ContainSampleMod = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM sx a JOIN sx b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b,
+         |  round(len(list_intersect(sa.s, sb.s)) /
+         |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE), 6) AS containment
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
+         |          JOIN sh sb ON sb.doc_id = doc_id_b
+         |WHERE round(len(list_intersect(sa.s, sb.s)) /
+         |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE), 6) >= $ContainmentThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_substring" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
          |  WHERE len(string_split(text, ' ')) >= $SubW),

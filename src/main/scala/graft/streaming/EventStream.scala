@@ -217,6 +217,21 @@ object EventStream {
       }
       .start()
 
+  /** Streaming decontamination screen: documents are checked against
+    * the STATIC held-out gram set as they arrive — the continuous-
+    * ingest twin of Curation.qDecontaminate. Per-row 4-gram hashing is
+    * a stateless narrow pass; the membership check is a stream-static
+    * broadcast join (stateless — no stream state grows with the eval
+    * set); only the per-doc hit counter is streaming state, keyed by
+    * doc_id in update mode. At scale the static side is the same
+    * benchmark-sized broadcast the batch plan uses.
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    graft.operators.Curation.gramsOfDocs(docs)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */

@@ -98,6 +98,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == byLabel.size)
   }
 
+  test("containment pairs = brute force over sampled-witness candidates") {
+    val got = Dedup.qDedupContainment(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // in-memory reference: 3-gram shingle sets, min-wise sampled blocking
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8")); md.reset()
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.size >= 3)
+      .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = sa & sb
+      if inter.exists(x => h32(x) % Dedup.ContainSampleMod == 0)
+      c = BigDecimal(inter.size.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= Dedup.ContainmentThreshold
+    } yield (ia, ib) -> c).toMap
+    assert(got == want, s"got ${got.size} want ${want.size} pairs")
+    // containment dominates jaccard: every Jaccard-verified minhash
+    // pair that the sampler catches has containment >= its jaccard
+    val jac = Dedup.qDedupMinhash(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    jac.foreach { case (k, j) =>
+      got.get(k).foreach(c => assert(c >= j, s"pair $k: containment $c < jaccard $j"))
+    }
+  }
+
   test("substring dedup matches an in-memory reference implementation") {
     val sub = Dedup.qDedupSubstring(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

@@ -104,6 +104,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
   }
 
+  test("streaming decontamination screen matches the batch gram join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static held-out side: the grams of two fixture docs
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val evalGrams = graft.operators.Curation.gramsOfDocs(evalDocs)
+      .select("gh").distinct()
+    // training docs: d1 shares a 4-gram with 100, d2 with 101 (two),
+    // d3 is clean, d4 is too short to produce any gram
+    val d1 = (1L, "x alpha beta gamma delta y")
+    val d2 = (2L, "one two three four five z")
+    val d3 = (3L, "totally clean text with no overlap at all")
+    val d4 = (4L, "too short")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decontam_stream").start()
+    try {
+      input.addData(d1, d3)
+      q.processAllAvailable()
+      input.addData(d2, d4)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode sink: last emitted row per doc is the final count
+    val got = spark.table("decontam_stream")
+      .groupBy("doc_id").agg(max("n_hit_grams").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch reference over the same rows
+    val want = graft.operators.Curation
+      .gramsOfDocs(Seq(d1, d2, d3, d4).toDF("doc_id", "text"))
+      .join(evalGrams, "gh")
+      .groupBy("doc_id").agg(count("*").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.contains(1L) && got.contains(2L) && !got.contains(3L) && !got.contains(4L))
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
