@@ -128,10 +128,58 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` registration. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration:
+  * the planner strategy for TopKPerGroup plus the native scalar
+  * functions in the SQL FunctionRegistry, so `SELECT cosine_sim(a, b)`
+  * / `simhash64(tokens)` work from plain SQL exactly like built-ins
+  * (ExpressionInfo included — DESCRIBE FUNCTION documents them).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      e.injectFunction((ident, info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two array<double> (fused codegen loop)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"cosine_sim takes 2 arguments, got ${args.size}")
+        graft.functions.CosineSim(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(tokens) - 60-bit SimHash of an array<string> (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"simhash64 takes 1 argument, got ${args.size}")
+        graft.functions.SimHash64(args.head)
+      }))
+
+  /** Ensure the functions exist on an already-built session
+    * (idempotent) — the extensions path covers sessions constructed
+    * with spark.sql.extensions=graft.plans.GraftExtensions.
+    */
+  def installFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, inf, builder)
+    }
 }
 
 object TopKPerGroup {

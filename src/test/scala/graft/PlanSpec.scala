@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{array, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Relational, Similarity, TextPipeline}
@@ -152,5 +153,36 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.Retrieval.qRrf(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered legs:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("triangle/shortest-path/containment/var-length plans stay equi-join only") {
+    val qs = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "triangles" -> graph.Analytics.qTriangles(spark, TestSpark.sf),
+      "shortest_path" -> graph.Analytics.qShortestPath(spark, TestSpark.sf),
+      "containment" -> operators.Dedup.qDedupContainment(spark, TestSpark.sf),
+      "cypher_ex14" -> cypher.CypherLite.run(spark, TestSpark.sf, cypher.CypherLite.Ex14))
+    for ((name, df) <- qs) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a NL join:\n$p")
+    }
+  }
+
+  test("native functions are SQL-callable through the registry (extensions surface)") {
+    graft.plans.GraftExtensions.installFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c, " +
+        "simhash64(array('alpha', 'beta', 'gamma')) AS s").head()
+    // identical to the Column-API path of the same expressions
+    val viaCol = spark.range(1).select(
+      graft.functions.CosineSim.cosine_sim(
+        array(lit(3.0), lit(4.0)), array(lit(4.0), lit(3.0))).as("c"),
+      graft.functions.SimHash64.simhash64(
+        array(lit("alpha"), lit("beta"), lit("gamma"))).as("s")).head()
+    assert(viaSql.getDouble(0) == viaCol.getDouble(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    val desc = spark.sql("DESCRIBE FUNCTION cosine_sim")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("cosine_sim"), desc)
   }
 }
