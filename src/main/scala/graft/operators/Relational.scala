@@ -60,6 +60,29 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** The same per-customer top-3 written the NAIVE way — window rank,
+    * filter, rank dropped — and left to the optimizer: TopKRewriteRule
+    * (installed via TopKPerGroup.install / GraftExtensions) rewrites
+    * the Project/Filter/Window stack into the TopKPerGroup heap
+    * operator because the rank column is discarded. The tie is
+    * asc_nulls_last so the rewrite provably matches the heap's null
+    * ordering. PlanSpec asserts the Window is gone from the physical
+    * plan; the oracle is the plain window SQL it must still equal.
+    */
+  def qTopnAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerGroup.install(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc_nulls_last)
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** ROLLUP aggregation (subtotal + grand-total rows; NULL group keys
     * labeled 'ALL' so the hash compare is type-stable).
     */
@@ -188,6 +211,7 @@ object Relational {
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_topn_per_group" -> qTopnPerGroup,
+    "q_topn_auto" -> qTopnAuto,
     "q_rollup" -> qRollup,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin)
@@ -285,5 +309,14 @@ object Relational {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3
-        |ORDER BY o_custkey, rk""".stripMargin)
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q_topn_auto" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

@@ -140,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewriteRule)
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
@@ -184,13 +185,17 @@ object GraftExtensions {
 
 object TopKPerGroup {
 
-  /** Ensure the strategy is installed on this session (idempotent —
-    * works even when the session was built without extensions).
+  /** Ensure the strategy + rewrite rule are installed on this session
+    * (idempotent — works even when the session was built without
+    * extensions).
     */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKStrategy))
       spark.experimental.extraStrategies = cur :+ TopKStrategy
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations = curOpt :+ TopKRewriteRule
   }
 
   /** Public API: top-k rows per group, `orderCol` desc / `tieCol` asc.

@@ -168,6 +168,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKRewriteRule replaces the discarded-rank window with the heap operator") {
+    val df = Relational.qTopnAuto(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"), s"rule did not fire:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    // rank kept in the output → the rule must NOT fire
+    val kept = plan(Relational.qTopnPerGroup(spark, TestSpark.sf))
+    assert(kept.contains("Window") && !kept.contains("TopKPerGroup"),
+      s"rule misfired on a rank-keeping query:\n$kept")
+    // same rows as the window formulation (modulo the rank column)
+    val viaWindow = Relational.qTopnPerGroup(spark, TestSpark.sf)
+      .select("o_custkey", "o_orderkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHeap = df.select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHeap == viaWindow)
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
