@@ -25,6 +25,7 @@ object SparkEntry {
       (cypher.CypherLite.queries, cypher.CypherLite.oracles),
       (operators.Retrieval.queries, operators.Retrieval.oracles),
       (operators.Training.queries, operators.Training.oracles),
+      (operators.Tokenize.queries, operators.Tokenize.oracles),
       (operators.Curation.queries, operators.Curation.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -252,4 +252,34 @@ class OperatorsSpec extends AnyFunSuite {
       .select(sum(size(split(col("text"), " ")))).head().getLong(0)
     assert(total == expect)
   }
+
+  test("subword fold matches an in-memory greedy longest-match tokenizer") {
+    import graft.operators.Tokenize
+    // in-memory reference
+    val byLen = Tokenize.Subwords.groupBy(_.length)
+    val lens = byLen.keys.toSeq.sorted(Ordering[Int].reverse)
+    def segment(w: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var p = 0
+      while (p < w.length) {
+        val l = lens.find(l => p + l <= w.length &&
+          byLen(l).contains(w.substring(p, p + l))).getOrElse(1)
+        out += w.substring(p, p + l)
+        p += l
+      }
+      out.result()
+    }
+    val words = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val got = words.withColumn("parts", Tokenize.subwordPieces(col("w")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, parts) =>
+      assert(parts == segment(w), s"'$w': got $parts want ${segment(w)}")
+      assert(parts.mkString("") == w, s"'$w' pieces don't reassemble")
+    }
+    // the vocab actually bites: some multi-char piece is used
+    assert(got.values.exists(_.exists(_.length > 1)))
+  }
 }
