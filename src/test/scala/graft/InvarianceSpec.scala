@@ -14,7 +14,10 @@ class InvarianceSpec extends AnyFunSuite {
 
   test("representative queries are partition-count invariant") {
     val names = Seq("q1_agg", "q_dedup_minhash", "q_chunk_sentences",
-      "q_stratified_sample", "q_cypher_ex7")
+      "q_stratified_sample", "q_cypher_ex7",
+      // round-3 additions: span-dedup coverage counts, degree-oriented
+      // wedge triangles, the rewrite-rule heap plan, subword fold
+      "q_dedup_substring", "q_triangles", "q_topn_auto", "q_tokenize_subword")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
