@@ -88,8 +88,44 @@ object Media {
       .select("doc_id", "mime", "n_bytes", "content_md5", "n_space_bytes", "first_byte")
       .orderBy("doc_id")
 
+  val PhashBits = 16
+  val PhashHammingMax = 2
+
+  /** Media near-dup pairs by perceptual hash — the image-dedup shape
+    * of a multimodal curation pipeline (aHash over decoded features):
+    * bit b of the signature is "histogram bucket b above the mean"
+    * (16·count > total, exact integer compare), computed per row from
+    * the payload bytes; candidate pairs then ride the SAME pigeonhole
+    * banding as text SimHash (Dedup.simhashPairs) — a hamming ≤ 2
+    * equi-join on 8-byte segment keys, never payload×payload. A real
+    * deployment swaps the histogram for decoded image features; the
+    * signature-then-band plan is unchanged.
+    */
+  def qMediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("media").cast("string")
+    // position-shifted binning — the cheap analogue of pHash's spatial
+    // sensitivity; a pure byte histogram is near-constant across docs
+    // drawn from one character distribution (measured: 98k/125k pairs
+    // within hamming 2 at sf0.001 vs 325 with the position term)
+    val buckets = transform(sequence(lit(1), length(payload)),
+      i => (ascii(substr(payload, i, lit(1))) + i) % PhashBits)
+    val sig = aggregate(
+      sequence(lit(0), lit(PhashBits - 1)),
+      lit(0),
+      // 1 << b as an exact power (codegen'd pow over ints ≤ 2^15)
+      (acc, b) => acc + when(
+        size(filter(buckets, x => x === b)) * PhashBits > length(payload),
+        pow(lit(2.0), b).cast("int")).otherwise(0))
+    val sigs = mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), sig.as("sig"))
+      .localCheckpoint(false)   // one histogram pass; both band-join sides read it
+    graft.operators.Dedup.simhashPairs(sigs, PhashBits, PhashHammingMax)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> qMediaFeatures)
+    "q_media_features" -> qMediaFeatures,
+    "q_media_phash" -> qMediaPhash)
 
   val oracles: Map[String, String] = Map(
     "q_media_features" ->
@@ -101,5 +137,22 @@ object Media {
         |  md5(text) AS content_md5,
         |  length(text) - length(replace(text, ' ', '')) AS n_space_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_phash" ->
+      s"""WITH bs AS MATERIALIZED (
+         |  SELECT doc_id, length(text) AS n,
+         |    list_transform(generate_series(1, length(text)),
+         |      i -> (ascii(substr(text, i, 1)) + i) % $PhashBits) AS b
+         |  FROM documents),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, CAST(list_sum(list_transform(
+         |    generate_series(0, ${PhashBits - 1}), bb ->
+         |      CASE WHEN $PhashBits * len(list_filter(b, x -> x = bb)) > n
+         |        THEN (1 << bb) ELSE 0 END)) AS INTEGER) AS sig
+         |  FROM bs),
+         |seg AS MATERIALIZED (
+         |  SELECT doc_id, sig, seg_idx,
+         |    ${graft.operators.Dedup.segCaseSql(PhashBits, PhashHammingMax)} AS seg_val
+         |  FROM sigs, (SELECT unnest(generate_series(0, $PhashHammingMax)) AS seg_idx))
+         |${graft.operators.Dedup.bandedPairsSql(PhashHammingMax)}""".stripMargin)
 }

@@ -158,7 +158,7 @@ object Dedup {
     * (DedupSpec asserts it), with no CartesianProduct anywhere
     * (PlanSpec asserts that).
     */
-  private def simhashPairs(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairs(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     val segVals = array(pigeonholeSegments(bits, maxHamming).map { case (off, w) =>
       shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1)) }: _*)
     val seg = sigs.select(col("doc_id"), col("sig"),
@@ -434,14 +434,14 @@ object Dedup {
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
     * of simhashPairs' posexplode).
     */
-  private def segCaseSql(bits: Int, maxHamming: Int): String = {
+  private[graft] def segCaseSql(bits: Int, maxHamming: Int): String = {
     val cases = pigeonholeSegments(bits, maxHamming).zipWithIndex.map {
       case ((off, w), i) => s"WHEN $i THEN (sig >> $off) & ${(1L << w) - 1}"
     }.mkString(" ")
     s"CASE seg_idx $cases END"
   }
 
-  private def bandedPairsSql(maxHamming: Int): String =
+  private[graft] def bandedPairsSql(maxHamming: Int): String =
     s"""SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        |  bit_count(xor(a.sig, b.sig)) AS hamming
        |FROM seg a JOIN seg b

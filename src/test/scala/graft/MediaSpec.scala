@@ -33,4 +33,27 @@ class MediaSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("media phash pairs match a brute-force in-memory signature compare") {
+    val got = Media.qMediaPhash(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+    assert(got.nonEmpty && got.forall(_._3 <= Media.PhashHammingMax))
+    // reference signatures straight from the definition
+    val sigs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1)
+        val h = new Array[Int](Media.PhashBits)
+        t.zipWithIndex.foreach { case (c, i0) =>
+          h((c.toInt + i0 + 1) % Media.PhashBits) += 1 }
+        val sig = (0 until Media.PhashBits)
+          .filter(b => Media.PhashBits * h(b) > t.length).map(1 << _).sum
+        r.getLong(0) -> sig
+      }
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = Integer.bitCount(sa ^ sb) if d <= Media.PhashHammingMax
+    } yield (ia, ib, d)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size} pairs")
+  }
 }
