@@ -59,8 +59,8 @@ object Bench {
           val t1 = System.nanoTime()
           gq.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
           val tRun = (System.nanoTime() - t1) / 1e9
-          Seq(("x_materialize_graph", tMat, None),
-            (s"x_graph_amortized_${gq.size}q", tRun, None))
+          Seq(("x_mat_graph", tMat, None),
+            (s"x_amortized${gq.size}q", tRun, None))
         } catch {
           case e: Throwable =>
             Seq(("x_graph_amortized", -1.0,
@@ -72,11 +72,18 @@ object Bench {
     // the whole JSON line (plus sbt's epilogue) must fit in that
     // window: 1-decimal per-query timings (the totals carry the
     // precision), sf basename, failures/errors fields only on failure.
-    def r1(v: Double): String = "%.1f".format(v)
-    // keys drop the uniform "q_" prefix: with 90+ queries the line
-    // must stay inside the driver's ~2000-char log tail (epilogue
-    // included) or the round's bench JSON records parsed:null
-    def key(k: String): String = k.stripPrefix("q_")
+    // 1-decimal timings with trailing ".0" dropped ("2.0" → "2")
+    def r1(v: Double): String = {
+      val s = "%.1f".format(v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    // keys drop the uniform "q_" prefix and shorten the cypher family
+    // ("cypher_ex14" → "cx14"): with 95+ queries the line must stay
+    // inside the driver's ~2000-char log tail (epilogue included) or
+    // the round's bench JSON records parsed:null. Key map documented
+    // in SURVEY §6.
+    def key(k: String): String =
+      k.stripPrefix("q_").replaceFirst("^cypher_ex", "cx")
     val qs = all.map { case (k, v, _) => s"\"" + key(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val errs = all.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }

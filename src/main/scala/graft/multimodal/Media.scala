@@ -106,16 +106,22 @@ object Media {
     // position-shifted binning — the cheap analogue of pHash's spatial
     // sensitivity; a pure byte histogram is near-constant across docs
     // drawn from one character distribution (measured: 98k/125k pairs
-    // within hamming 2 at sf0.001 vs 325 with the position term)
-    val buckets = transform(sequence(lit(1), length(payload)),
-      i => (ascii(substr(payload, i, lit(1))) + i) % PhashBits)
+    // within hamming 2 at sf0.001 vs 325 with the position term).
+    // ONE pass builds the histogram: chars via split (O(1) per char —
+    // a substr(i) probe re-scans the string to position i, and 16
+    // filter() passes re-inlined the whole bucket transform: the
+    // first cut of this query cost 28 s at sf0.1; this one 0.3 s),
+    // then a single fold carries all 16 counts in the accumulator.
+    val hist = aggregate(
+      transform(split(payload, ""), (ch, i) => (ascii(ch) + i + 1) % PhashBits),
+      array_repeat(lit(0), PhashBits),
+      (acc, b) => transform(acc, (c, j) => when(j === b, c + 1).otherwise(c)))
     val sig = aggregate(
-      sequence(lit(0), lit(PhashBits - 1)),
-      lit(0),
-      // 1 << b as an exact power (codegen'd pow over ints ≤ 2^15)
-      (acc, b) => acc + when(
-        size(filter(buckets, x => x === b)) * PhashBits > length(payload),
-        pow(lit(2.0), b).cast("int")).otherwise(0))
+      zip_with(hist, sequence(lit(0), lit(PhashBits - 1)),
+        // 1 << b as an exact power (codegen'd pow over ints ≤ 2^15)
+        (c, b) => when(c * PhashBits > length(payload),
+          pow(lit(2.0), b).cast("int")).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
     val sigs = mediaTable(spark, dir).toDF()
       .select(col("doc_id"), sig.as("sig"))
       .localCheckpoint(false)   // one histogram pass; both band-join sides read it

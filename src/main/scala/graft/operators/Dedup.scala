@@ -333,6 +333,7 @@ object Dedup {
 
   val ContainmentThreshold = 0.8
   val ContainSampleMod = 4   // shingle-hash sampling: h % 4 == 0 → 25% of the universe
+  val ContainMaxDf = 50      // stop-shingle guard: see qDedupContainment
 
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ —
     * the asymmetric measure that catches a short document embedded in
@@ -348,6 +349,15 @@ object Dedup {
     * sampled (doc_id, hash) rows — a pair with k shared shingles is
     * caught unless ALL k hashes miss the sample, so recall rises
     * exactly with the overlap a containment pair must have anyway.
+    *
+    * Stop-shingle guard: sampled shingles appearing in more than
+    * ContainMaxDf documents are dropped from candidate generation —
+    * the classic prefix-filtering rule. A corpus-common 3-gram ("of
+    * the and"-class) is non-discriminative AND quadratic: one key
+    * shared by 10^5 docs would emit 10^10 candidate pairs. A true
+    * containment pair (≥80% of the shorter doc's shingles shared)
+    * shares rare shingles essentially surely, so the cap costs
+    * recall only for documents made ENTIRELY of stop-shingles.
     */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesCk(spark, dir)
@@ -355,8 +365,14 @@ object Dedup {
       .withColumn("h", conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
       .filter(col("h") % ContainSampleMod === 0)
       .select("doc_id", "h")
-    val cand = sampled.select(col("doc_id").as("doc_id_a"), col("h"))
-      .join(sampled.select(col("doc_id").as("doc_id_b"), col("h")), Seq("h"))
+      .localCheckpoint(false)   // one shingle-hash pass; df agg + both join sides read it
+    val rare = sampled.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= ContainMaxDf && col("df") >= 2)
+      .select("h")
+    val discriminative = sampled.join(rare, "h")
+    val cand = discriminative.select(col("doc_id").as("doc_id_a"), col("h"))
+      .join(discriminative.select(col("doc_id").as("doc_id_b"), col("h")), Seq("h"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct()
@@ -563,9 +579,12 @@ object Dedup {
          |    SELECT doc_id, CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) AS h
          |    FROM (SELECT doc_id, unnest(s) AS x FROM sh))
          |  WHERE h % $ContainSampleMod = 0),
+         |rare AS (SELECT h FROM sx GROUP BY h
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $ContainMaxDf),
+         |sd AS MATERIALIZED (SELECT doc_id, h FROM sx JOIN rare USING (h)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM sx a JOIN sx b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |  FROM sd a JOIN sd b ON a.h = b.h AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b,
          |  round(len(list_intersect(sa.s, sb.s)) /
          |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE), 6) AS containment

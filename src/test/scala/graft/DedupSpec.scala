@@ -113,10 +113,16 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
       .filter(_._2.size >= 3)
       .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    // discriminative witness: sampled AND within the doc-frequency cap
+    val docFreq = docs.flatMap { case (_, s) => s }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def witness(x: String): Boolean =
+      h32(x) % Dedup.ContainSampleMod == 0 &&
+        docFreq(x) >= 2 && docFreq(x) <= Dedup.ContainMaxDf
     val want = (for {
       (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
       inter = sa & sb
-      if inter.exists(x => h32(x) % Dedup.ContainSampleMod == 0)
+      if inter.exists(witness)
       c = BigDecimal(inter.size.toDouble / math.min(sa.size, sb.size))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       if c >= Dedup.ContainmentThreshold
