@@ -145,12 +145,22 @@ object CypherLite {
     * Bounded hi (≤2) keeps the unrolled plan a fixed join chain the
     * optimizer can reorder; each composition is an equi-join on the
     * midpoint uid.
+    *
+    * `seed` (the already-bound-and-filtered source frontier, when the
+    * hop starts at a bound variable) restricts the FIRST leg of every
+    * composition BEFORE composing — expansion is O(frontier·deg^L)
+    * instead of O(E^L). Without it an anchored `(e {name:'x'})-[*1..2]`
+    * would enumerate every 2-path in the graph and throw all but the
+    * seed's away at the final join (Neo4j anchors the same way through
+    * its label/property index).
     */
-  private def varLenExpand(e0: DataFrame, lo: Int, hi: Int): DataFrame = {
+  private def varLenExpand(e0: DataFrame, lo: Int, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
     require(lo >= 1 && lo <= hi && hi <= 2, s"unsupported var-length bounds *$lo..$hi")
+    val e0s = seed.fold(e0)(s => e0.join(s, Seq("src_uid"), "left_semi"))
     val legs = (lo to hi).map {
-      case 1 => e0
-      case 2 => e0.select(col("src_uid"), col("dst_uid").as("mid_uid"))
+      case 1 => e0s
+      case 2 => e0s.select(col("src_uid"), col("dst_uid").as("mid_uid"))
         .join(e0.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
         .filter(col("dst_uid") =!= col("src_uid"))
         .select("src_uid", "dst_uid")
@@ -417,8 +427,16 @@ object CypherLite {
     }
     var df: DataFrame = null
     var bound = Set.empty[String]
+    // inline {prop:'v'} filters apply AT BIND TIME, not after all the
+    // joins: the predicate reaches the node scan, and every subsequent
+    // hop expands only the filtered frontier (load-bearing for the
+    // seed-anchored var-length expansion below)
+    val inlineOf: Map[String, (String, String)] =
+      allNodes.flatMap(n => n.inlineProp.map(n.v -> _)).toMap
     def bind(v: String): Unit = if (!bound.contains(v)) {
-      val nd = nodeDf(v)
+      val nd = inlineOf.get(v).fold(nodeDf(v)) { case (prop, value) =>
+        nodeDf(v).filter(col(s"${v}_$prop") === value)
+      }
       df = if (df == null) nd else df.join(nd, s"${v}_uid")
       bound += v
     }
@@ -435,7 +453,12 @@ object CypherLite {
         val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
         val base = edges(spark, dir, rel, labelOf.getOrElse(dstV,
           throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
-        val e = varLen.fold(base) { case (lo, hi) => varLenExpand(base, lo, hi) }
+        val e = varLen.fold(base) { case (lo, hi) =>
+          val seed = if (df != null && bound.contains(srcV))
+            Some(df.select(col(s"${srcV}_uid").as("src_uid")).distinct())
+          else None
+          varLenExpand(base, lo, hi, seed)
+        }
           .withColumnRenamed("src_uid", s"${srcV}_uid")
           .withColumnRenamed("dst_uid", s"${dstV}_uid")
         val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
@@ -443,11 +466,6 @@ object CypherLite {
           s"hop ${here.v}-[:$rel]-${next.v} is disconnected from bound variables $bound")
         df = df.join(e, joinKeys)
         Seq(here.v, next.v).filterNot(bound.contains).foreach(bind)
-      }
-    }
-    allNodes.foreach { n =>
-      n.inlineProp.foreach { case (prop, value) =>
-        df = df.filter(col(s"${n.v}_$prop") === value)
       }
     }
     def cmp(c: Column, op: String, value: Long): Column = op match {
