@@ -205,6 +205,45 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Batch ANN retrieval — the RAG serving shape at scale: every query
+    * vector probes its IvfProbes nearest IVF cells and scores ONLY the
+    * vectors assigned there, so per-query cost is nprobe/K of the
+    * corpus (qKnnJoin's exact crossJoin is the recall baseline this
+    * trades against). All three per-group top-k steps — probe pick and
+    * final neighbors — run through the TopKPerGroup heap, never a
+    * query-sized window; the query batch and centroid table are
+    * broadcast sides.
+    */
+  def qKnnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val centScores = cents.crossJoin(broadcast(queries))
+      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .select("query_id", "cid", "qcos")
+    val probed = graft.plans.TopKPerGroup.topK(centScores, IvfProbes,
+        Seq("query_id"), orderCol = "qcos", tieCol = "cid")
+      .select("query_id", "cid")
+    val scored = assigned.join(probed, "cid")
+      .filter(col("vec_id") >= 5)
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "score")
+    val top = graft.plans.TopKPerGroup.topK(scored, KnnK,
+      Seq("query_id"), orderCol = "score", tieCol = "vec_id")
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---- product quantization ANN ----------------------------------------
   val PqM = 8       // subspaces
   val PqSubDim = 8  // dims per subspace (PqM * PqSubDim = Dim)
@@ -365,6 +404,7 @@ object Similarity {
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
     "q_knn_join" -> qKnnJoin,
+    "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_hybrid_search" -> qHybridSearch,
     "q_expand_retrieval" -> qExpandRetrieval,
     "q_ann_ivf" -> qAnnIvf)
@@ -440,6 +480,33 @@ object Similarity {
          |scored AS (
          |  SELECT query_id, vec_id, round(${cos("v", "qv")}, 6) AS score
          |  FROM e CROSS JOIN qs WHERE vec_id >= 5)
+         |SELECT query_id, vec_id, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id) AS rk FROM scored)
+         |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,
+    "q_knn_join_ivf" ->
+      s"""WITH $VecSql,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probed AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, c.cid, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cos("c.cv", "qv")} DESC, c.cid) AS rn
+         |    FROM cents c CROSS JOIN qs)
+         |  WHERE rn <= $IvfProbes),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, round(${cos("e.v", "qv")}, 6) AS score
+         |  FROM assigned a JOIN probed p USING (cid)
+         |  JOIN e ON e.vec_id = a.vec_id
+         |  JOIN qs ON qs.query_id = p.query_id
+         |  WHERE a.vec_id >= 5)
          |SELECT query_id, vec_id, score, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, vec_id) AS rk FROM scored)

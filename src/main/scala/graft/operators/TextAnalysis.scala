@@ -63,6 +63,29 @@ object TextAnalysis {
           .as("quality_score"))
       .orderBy("doc_id")
 
+  /** Curriculum buckets: documents split into low/mid/high terciles of
+    * the composite quality score — the "easy data last" ordering a
+    * curriculum or data-mixing schedule consumes. The tercile
+    * thresholds are ONE broadcast 1-row percentile aggregate (exact
+    * interpolated percentile, same convention as qPercentiles); the
+    * bucketing itself is a narrow compare — no rank window, no global
+    * sort, no ntile (which would funnel the corpus through one
+    * partition).
+    */
+  def qQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val q = qQuality(spark, dir).select("doc_id", "quality_score")
+    val th = q.agg(
+      round(expr("percentile(quality_score, 0.33)"), 6).as("p33"),
+      round(expr("percentile(quality_score, 0.66)"), 6).as("p66"))
+    q.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("quality_score") <= col("p33"), "low")
+          .when(col("quality_score") <= col("p66"), "mid")
+          .otherwise("high"))
+      .select("doc_id", "quality_score", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -184,6 +207,7 @@ object TextAnalysis {
     "q_vocab_topk" -> qVocabTopk,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_quality_buckets" -> qQualityBuckets,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_repetition" -> qRepetition,
@@ -232,6 +256,22 @@ object TextAnalysis {
          |    + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))
          |    + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality_buckets" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+         |s AS (SELECT doc_id, length(text) AS n_chars, len(words) AS n_tokens,
+         |  len(list_distinct(words)) AS n_types, ${sqlHits(EnStops)} AS n_stop FROM w),
+         |qs AS MATERIALIZED (SELECT doc_id,
+         |  round(0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))
+         |    + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality_score
+         |  FROM s),
+         |th AS (SELECT round(quantile_cont(quality_score, 0.33), 6) AS p33,
+         |  round(quantile_cont(quality_score, 0.66), 6) AS p66 FROM qs)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score <= p33 THEN 'low'
+         |       WHEN quality_score <= p66 THEN 'mid'
+         |       ELSE 'high' END AS bucket
+         |FROM qs CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -253,6 +253,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == expect)
   }
 
+  test("IVF knn join: k rows per query, scores agree with the exact join on shared pairs") {
+    val ivf = Similarity.qKnnJoinIvf(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val perQuery = ivf.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == Similarity.KnnK), s"per-query counts: $perQuery")
+    val exact = Similarity.qKnnJoin(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = ivf.keySet & exact.keySet
+    assert(shared.nonEmpty, "IVF retrieval found none of the exact top-k")
+    shared.foreach(k => assert(ivf(k) == exact(k), s"score mismatch on $k"))
+  }
+
+  test("quality buckets are monotone terciles covering the corpus") {
+    val rows = operators.TextAnalysis.qQualityBuckets(spark, TestSpark.sf).collect()
+      .map(r => (r.getDouble(1), r.getString(2)))
+    assert(rows.length == Tables.documents(spark, TestSpark.sf).count())
+    val by = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(Set("low", "mid", "high").subsetOf(by.keySet))
+    assert(by("low").max <= by("mid").min)
+    assert(by("mid").max <= by("high").min)
+    // thresholds are percentiles: low holds roughly a third
+    assert(math.abs(by("low").size - rows.length / 3.0) < rows.length * 0.15)
+  }
+
   test("subword fold matches an in-memory greedy longest-match tokenizer") {
     import graft.operators.Tokenize
     // in-memory reference
