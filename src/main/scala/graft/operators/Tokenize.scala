@@ -61,11 +61,17 @@ object Tokenize {
       },
       acc => acc.getField("parts"))
 
+  /** (doc_id, word, parts) via the NATIVE segmentation expression
+    * (graft.functions.SubwordSplit): the HOF fold is CodegenFallback
+    * (lambda-bearing), and driving it from a Generate costs ~4 s at
+    * sf0.1; the generated-code walk is ~20× faster and spec-proved
+    * piece-identical to the portable fold (`subwordPieces`).
+    */
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .withColumn("parts", subwordPieces(col("word")))
+      .withColumn("parts", graft.functions.SubwordSplit.subword_split(col("word")))
 
   /** Per-document subword statistics (the packing-input numbers). */
   def qTokenizeSubword(spark: SparkSession, dir: String): DataFrame =

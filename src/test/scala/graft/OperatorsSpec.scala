@@ -305,5 +305,11 @@ class OperatorsSpec extends AnyFunSuite {
     }
     // the vocab actually bites: some multi-char piece is used
     assert(got.values.exists(_.exists(_.length > 1)))
+    // the native codegen expression (the queries' hot path) must agree
+    // with the portable fold on every corpus word
+    val native = words
+      .withColumn("parts", graft.functions.SubwordSplit.subword_split(col("w")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(native == got, "native subword_split diverges from the HOF fold")
   }
 }
