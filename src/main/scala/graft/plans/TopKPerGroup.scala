@@ -169,6 +169,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"simhash64 takes 1 argument, got ${args.size}")
         graft.functions.SimHash64(args.head)
+      }),
+    (FunctionIdentifier("subword_split"),
+      info("subword_split",
+        "subword_split(word) - greedy longest-match subword pieces (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"subword_split takes 1 argument, got ${args.size}")
+        graft.functions.SubwordSplit(args.head)
       }))
 
   /** Ensure the functions exist on an already-built session
