@@ -146,7 +146,40 @@ object Events {
       .orderBy("day")
   }
 
+  val AnomalyZ = 3.0
+
+  /** Value-anomaly detection: events whose value is ≥ AnomalyZ sample
+    * standard deviations from their event type's mean — the ops-
+    * monitoring staple over a metrics stream. Per-type stats are ONE
+    * map-side-combined aggregate joined back broadcast (types are a
+    * tiny dim); flagging is a narrow compare.
+    *
+    * Cross-engine float discipline: mean and variance derive from
+    * PRE-ROUNDED sums (round(Σx, 2), round(Σx², 2)) so both engines
+    * compute identical doubles regardless of summation order — the
+    * avg-at-the-rounding-boundary rule, applied to second moments.
+    */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sx"),
+        round(sum(col("value") * col("value")), 2).as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(
+        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .select("event_type", "mean", "std")
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) >= AnomalyZ)
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+        round(col("mean"), 6).as("type_mean"), col("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_anomaly" -> qEventAnomaly,
     "q_range_join" -> qRangeJoin,
     "q_json_props" -> qJsonProps,
     "q_pivot" -> qPivot,
@@ -156,6 +189,21 @@ object Events {
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_event_anomaly" ->
+      s"""WITH st AS (
+         |  SELECT event_type, count(*) AS n,
+         |    round(sum(value), 2) AS sx,
+         |    round(sum(value * value), 2) AS sx2
+         |  FROM events GROUP BY event_type),
+         |ms AS (SELECT event_type, sx / n AS mean,
+         |    sqrt((sx2 - sx * sx / n) / (n - 1)) AS std
+         |  FROM st)
+         |SELECT event_id, e.event_type, round(value, 2) AS value,
+         |  round(mean, 6) AS type_mean,
+         |  round((value - mean) / std, 6) AS z
+         |FROM events e JOIN ms ON e.event_type = ms.event_type
+         |WHERE abs(round((value - mean) / std, 6)) >= $AnomalyZ
+         |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
          |  FROM events),

@@ -202,7 +202,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val BigramLambda = 0.7   // interpolation weight on the bigram term
+
+  /** Interpolated-bigram LM scoring: p(w2|w1) = λ·c(w1,w2)/c(w1) +
+    * (1−λ)·c(w2)/T — the next step up from qUnigramLm and the same
+    * perplexity-bucket role with context sensitivity (a KenLM-lite).
+    * Same cross-engine float discipline: the log-probability is
+    * quantized ONCE per DISTINCT BIGRAM to integer micro-nats, so
+    * per-doc sums are order-independent.
+    *
+    * Scale shape: transitions are a per-row HOF zip (narrow); bigram
+    * and unigram tables are map-side-combined groupBys; scoring is
+    * one (w1, w2) equi-join. Docs need ≥2 words (no transitions
+    * otherwise).
+    */
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val trans = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("words"), lit(1), size(col("words")) - 1),
+        slice(col("words"), lit(2), size(col("words")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("t"))
+    val bi = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lq = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        round(log(lit(BigramLambda) * (col("c12").cast("double") / col("c1"))
+          + lit(1 - BigramLambda) * (col("c2").cast("double") / col("t"))) * 1e6)
+          .cast("long").as("lq"))
+    trans.join(lq, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_transitions"), sum("lq").as("slq"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("slq").cast("double") / col("n_transitions") / lit(1e6), 6)
+          .as("avg_logp2"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> qBigramLm,
     "q_unigram_lm" -> qUnigramLm,
     "q_vocab_topk" -> qVocabTopk,
     "q_lang_id" -> qLangId,
@@ -214,6 +259,27 @@ object TextAnalysis {
     "q_pii_scrub" -> qPiiScrub)
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |trans AS MATERIALIZED (
+         |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+         |      i -> {'w1': words[i], 'w2': words[i+1]})) AS u
+         |    FROM w WHERE len(words) >= 2)),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |uni AS MATERIALIZED (SELECT tok AS wd, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY w1, w2),
+         |lq AS MATERIALIZED (
+         |  SELECT b.w1, b.w2,
+         |    CAST(round(ln($BigramLambda * (c12 / CAST(u1.c AS DOUBLE))
+         |      + ${1 - BigramLambda} * (u2.c / CAST(t AS DOUBLE))) * 1000000) AS BIGINT) AS lq
+         |  FROM bi b JOIN uni u1 ON u1.wd = b.w1 JOIN uni u2 ON u2.wd = b.w2
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_transitions,
+         |  round(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_logp2
+         |FROM trans JOIN lq USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_lm" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

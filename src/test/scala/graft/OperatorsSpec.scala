@@ -277,6 +277,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(by("low").size - rows.length / 3.0) < rows.length * 0.15)
   }
 
+  test("bigram LM: transitions = tokens - 1 per doc; log-probs negative") {
+    val bi = operators.TextAnalysis.qBigramLm(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bi.nonEmpty)
+    bi.foreach { case (_, _, lp) => assert(lp < 0, "log p < 0 for p < 1") }
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    bi.foreach { case (id, nt, _) =>
+      assert(nt == toks(id) - 1, s"doc $id: $nt transitions vs ${toks(id)} tokens")
+    }
+  }
+
+  test("event anomalies match an in-memory z-score over pre-rounded moments") {
+    val got = operators.Events.qEventAnomaly(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val evs = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val n = es.length
+      val sx = r2(es.map(_._3).sum)
+      val sx2 = r2(es.map(e => e._3 * e._3).sum)
+      val mean = sx / n
+      val std = math.sqrt((sx2 - sx * sx / n) / (n - 1))
+      es.flatMap { case (id, _, v) =>
+        val z = BigDecimal((v - mean) / std)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(z) >= operators.Events.AnomalyZ) Some(id -> z) else None
+      }
+    }.toMap
+    assert(got.keySet == want.keySet,
+      s"flagged sets differ: got ${got.size} want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("subword fold matches an in-memory greedy longest-match tokenizer") {
     import graft.operators.Tokenize
     // in-memory reference
