@@ -228,7 +228,13 @@ object CypherLite {
     */
   case class WithClause(vars: Seq[String], items: Seq[RetItem], preds: Seq[Pred])
     extends WithStage
-  case class Query(paths: Seq[PathPat], where: Seq[Pred],
+  /** optPaths: OPTIONAL MATCH patterns — compiled as left-outer hops
+    * (unmatched variables surface as NULL uids/props, so count(v)
+    * naturally counts matches and skips the misses — Cypher
+    * semantics).
+    */
+  case class Query(paths: Seq[PathPat], optPaths: Seq[PathPat],
+    where: Seq[Pred],
     stages: Seq[WithStage],
     retDistinct: Boolean, ret: Seq[RetItem],
     orderBy: Seq[(PropItem, Boolean)], // (key, descending)
@@ -328,8 +334,15 @@ object CypherLite {
     }
     val matchS = section(head, "MATCH", Seq("WHERE")).getOrElse(
       throw new IllegalArgumentException(s"no MATCH in: $q0"))
-    // comma-separated multi-pattern MATCH: each pattern starts with '('
-    val paths = matchS.split(",\\s*(?=\\()").map(p => parsePath(p.trim)).toSeq
+    // OPTIONAL MATCH clauses follow the required patterns; note
+    // section("MATCH") matched the FIRST \bMATCH\b, so the optional
+    // clauses are still inside matchS — split them off first
+    val optSplit = matchS.split("(?i)OPTIONAL\\s+MATCH")
+    def parsePaths(s: String): Seq[PathPat] =
+      s.split(",\\s*(?=\\()").map(_.trim).filter(_.nonEmpty)
+        .map(parsePath).toSeq
+    val paths = parsePaths(optSplit.head)
+    val optPaths = optSplit.tail.toSeq.flatMap(parsePaths)
 
     val where: Seq[Pred] =
       section(head, "WHERE", Seq.empty).toSeq.flatMap(parsePreds)
@@ -404,7 +417,7 @@ object CypherLite {
       }
     }
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(paths, where, stages, retDistinct, items, orderBy, limit)
+    Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit)
   }
 
   // ---------- compiler ----------
@@ -416,7 +429,7 @@ object CypherLite {
     * variable — no cartesian pattern products).
     */
   def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
-    val allNodes = q.paths.flatMap(_.nodes)
+    val allNodes = (q.paths ++ q.optPaths).flatMap(_.nodes)
     val labelOf: Map[String, String] =
       allNodes.flatMap(n => n.label.map(n.v -> _)).toMap
     def nodeDf(v: String): DataFrame = {
@@ -433,41 +446,56 @@ object CypherLite {
     // seed-anchored var-length expansion below)
     val inlineOf: Map[String, (String, String)] =
       allNodes.flatMap(n => n.inlineProp.map(n.v -> _)).toMap
-    def bind(v: String): Unit = if (!bound.contains(v)) {
+    def bind(v: String, joinType: String = "inner"): Unit = if (!bound.contains(v)) {
       val nd = inlineOf.get(v).fold(nodeDf(v)) { case (prop, value) =>
         nodeDf(v).filter(col(s"${v}_$prop") === value)
       }
-      df = if (df == null) nd else df.join(nd, s"${v}_uid")
+      df = if (df == null) nd else df.join(nd, Seq(s"${v}_uid"), joinType)
       bound += v
     }
-    q.paths.foreach { path =>
-      if (df == null || path.rels.isEmpty) {
-        require(df == null || bound.contains(path.nodes.head.v),
-          s"pattern starting at ${path.nodes.head.v} is disconnected (cartesian product)")
-        bind(path.nodes.head.v)
-      }
-      path.rels.zipWithIndex.foreach { case ((rel, reversed, varLen), i) =>
-        val here = path.nodes(i)
-        val next = path.nodes(i + 1)
-        // forward: here -R-> next; reversed: next -R-> here
-        val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
-        val base = edges(spark, dir, rel, labelOf.getOrElse(dstV,
-          throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
-        val e = varLen.fold(base) { case (lo, hi) =>
-          val seed = if (df != null && bound.contains(srcV))
-            Some(df.select(col(s"${srcV}_uid").as("src_uid")).distinct())
-          else None
-          varLenExpand(base, lo, hi, seed)
+    /** Walk a pattern list, joining each hop. outer=true (OPTIONAL
+      * MATCH): edge and node joins are left_outer, so unmatched rows
+      * survive with NULL uids/props — Cypher's optional semantics.
+      */
+    def processPaths(pathSeq: Seq[PathPat], outer: Boolean): Unit = {
+      val joinType = if (outer) "left_outer" else "inner"
+      pathSeq.foreach { path =>
+        if (df == null || path.rels.isEmpty) {
+          require(df == null || bound.contains(path.nodes.head.v),
+            s"pattern starting at ${path.nodes.head.v} is disconnected (cartesian product)")
+          require(!outer || bound.contains(path.nodes.head.v),
+            s"OPTIONAL MATCH must start at a bound variable, not ${path.nodes.head.v}")
+          bind(path.nodes.head.v)
         }
-          .withColumnRenamed("src_uid", s"${srcV}_uid")
-          .withColumnRenamed("dst_uid", s"${dstV}_uid")
-        val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
-        require(joinKeys.nonEmpty,
-          s"hop ${here.v}-[:$rel]-${next.v} is disconnected from bound variables $bound")
-        df = df.join(e, joinKeys)
-        Seq(here.v, next.v).filterNot(bound.contains).foreach(bind)
+        path.rels.zipWithIndex.foreach { case ((rel, reversed, varLen), i) =>
+          val here = path.nodes(i)
+          val next = path.nodes(i + 1)
+          // forward: here -R-> next; reversed: next -R-> here
+          val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
+          val base = edges(spark, dir, rel, labelOf.getOrElse(dstV,
+            throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
+          val e = varLen.fold(base) { case (lo, hi) =>
+            val seed = if (df != null && bound.contains(srcV))
+              Some(df.select(col(s"${srcV}_uid").as("src_uid")).distinct())
+            else None
+            varLenExpand(base, lo, hi, seed)
+          }
+            .withColumnRenamed("src_uid", s"${srcV}_uid")
+            .withColumnRenamed("dst_uid", s"${dstV}_uid")
+          val newVars = Seq(here.v, next.v).filterNot(bound.contains)
+          require(!outer || newVars.forall(v => !inlineOf.contains(v)),
+            "inline property filters on OPTIONAL MATCH variables are unsupported " +
+              "(a post-join filter would delete the unmatched rows)")
+          val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
+          require(joinKeys.nonEmpty,
+            s"hop ${here.v}-[:$rel]-${next.v} is disconnected from bound variables $bound")
+          df = df.join(e, joinKeys, joinType)
+          newVars.foreach(bind(_, joinType))
+        }
       }
     }
+    processPaths(q.paths, outer = false)
+    processPaths(q.optPaths, outer = true)
     def cmp(c: Column, op: String, value: Long): Column = op match {
       case "<" => c < value
       case "<=" => c <= value
@@ -688,7 +716,15 @@ object CypherLite {
     "MATCH (e:Entity {name: 'spark group'})-[:CO_OCCURS*1..2]->(o:Entity) " +
       "RETURN o.name, count(o) AS n_paths ORDER BY o.name"
 
+  /** OPTIONAL MATCH — outer-join semantics: every chunk appears, with
+    * count(o) = 0 where no person is mentioned (count skips NULLs).
+    */
+  val Ex15: String =
+    "MATCH (c:Chunk) OPTIONAL MATCH (c)-[:MENTIONS]->(o:Person) " +
+      "RETURN c.uid, count(o) AS n_persons ORDER BY c.uid LIMIT 20"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex15" -> ((s, d) => run(s, d, Ex15)),
     "q_cypher_ex14" -> ((s, d) => run(s, d, Ex14)),
     "q_cypher_ex13" -> ((s, d) => run(s, d, Ex13)),
     "q_cypher_ex11" -> ((s, d) => run(s, d, Ex11)),
@@ -708,6 +744,14 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex15" ->
+      s"""WITH $P,
+         |pm AS (SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'person')
+         |SELECT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS c_uid,
+         |  count(pm.name) AS n_persons
+         |FROM chunks c LEFT JOIN pm USING (doc_id, chunk_id)
+         |GROUP BY 1 ORDER BY c_uid LIMIT 20""".stripMargin,
     "q_cypher_ex14" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql},
          |l1 AS (SELECT dst FROM edges WHERE src = 'spark group'),

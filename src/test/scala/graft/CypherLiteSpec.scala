@@ -195,6 +195,23 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(pairs.sameElements(pairs.sortBy(identity)))
   }
 
+  test("OPTIONAL MATCH keeps unmatched rows with zero counts (Ex15)") {
+    val Seq(q) = parse(Ex15)
+    assert(q.paths.map(_.nodes.map(_.v)) == Seq(Seq("c")))
+    assert(q.optPaths.map(_.nodes.map(_.v)) == Seq(Seq("c", "o")))
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex15).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 20)
+    // the required MATCH alone must yield the same chunk set (outer
+    // join never drops rows) and some chunk must have zero persons
+    val allChunks = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) RETURN c.uid ORDER BY c.uid LIMIT 20")
+      .collect().map(_.getString(0)).toSet
+    assert(rows.keySet == allChunks)
+    assert(rows.values.exists(_ == 0), "need a zero-count fixture chunk")
+    assert(rows.values.exists(_ > 0))
+  }
+
   test("variable-length hop counts paths with relationship uniqueness (Ex14)") {
     val Seq(q) = parse(Ex14)
     assert(q.paths.head.rels == Seq(("CO_OCCURS", false, Some((1, 2)))))
