@@ -15,6 +15,8 @@ import graft.operators.TextPipeline
   *   query      := match [where] [with] return [orderby] [limit]
   *                 | query UNION query
   *   match      := MATCH pattern (, pattern)*
+  *                 [OPTIONAL MATCH pattern (, pattern)*]*  -- left-
+  *                 outer hops anchored on a bound variable
   *   pattern    := (v[:Label])(-[:REL[*a..b]]->(v[:Label]))*  -- bare
   *                 (v) re-binds a variable labeled in another pattern;
   *                 *a..b is a variable-length hop (1 <= a <= b <= 2)
