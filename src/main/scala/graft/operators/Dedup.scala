@@ -331,6 +331,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MinHash estimator audit: for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (matching slots / K — the
+    * number a sketch-only pipeline would act on) next to the exact
+    * shingle Jaccard, with the absolute error. The operator version of
+    * SketchesSpec's bound checks: at 100 TB you monitor estimator
+    * drift as a table, not a unit test. Same shuffle shape as
+    * qDedupMinhash (band keys + id-only candidate join).
+    */
+  def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesCk(spark, dir)
+    val sigs = minhashSigs(sh)
+    val cand = {
+      val r = MinhashK / LshBands
+      val bands = sigs
+        .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
+          band => md5(concat(
+            array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
+            lit("#"), band.cast("string")))))
+        .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+      bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_id_b"), col("bkey")), Seq("bkey"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    }
+    cand
+      .join(sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("siga")), "doc_id_a")
+      .join(sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sigb")), "doc_id_b")
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
+      .withColumn("est", round(
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          / lit(MinhashK.toDouble), 6))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+      .select("doc_id_a", "doc_id_b", "est", "jaccard", "abs_err")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val ContainmentThreshold = 0.8
   val ContainSampleMod = 4   // shingle-hash sampling: h % 4 == 0 → 25% of the universe
   val ContainMaxDf = 50      // stop-shingle guard: see qDedupContainment
@@ -445,6 +486,7 @@ object Dedup {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_containment" -> qDedupContainment,
+    "q_minhash_est" -> qMinhashEst,
     "q_dedup_clusters" -> qDedupClusters)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
@@ -570,6 +612,20 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT doc_id_a, doc_id_b, est, jaccard,
+         |  round(abs(est - jaccard), 6) AS abs_err
+         |FROM (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    round(len(list_filter(generate_series(1, $MinhashK),
+         |      j -> a.sig[j] = b.sig[j])) / CAST($MinhashK AS DOUBLE), 6) AS est,
+         |    round(len(list_intersect(a.s, b.s)) /
+         |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_id_a
+         |              JOIN sigs b ON b.doc_id = c.doc_id_b)
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_containment" ->

@@ -98,6 +98,20 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == byLabel.size)
   }
 
+  test("minhash estimate is slot-quantized; exact on identical sets") {
+    val rows = Dedup.qMinhashEst(spark, TestSpark.sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, jac, err) =>
+      // est = matching-slots/K → a multiple of 1/16
+      val slots = est * Dedup.MinhashK
+      assert(math.abs(slots - math.round(slots)) < 1e-9, s"est $est not slot-quantized")
+      assert(math.abs(err - math.abs(est - jac)) < 1e-6)
+      // identical shingle sets hash to identical signatures
+      if (jac == 1.0) assert(est == 1.0, s"identical sets but est $est")
+    }
+  }
+
   test("containment pairs = brute force over sampled-witness candidates") {
     val got = Dedup.qDedupContainment(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
