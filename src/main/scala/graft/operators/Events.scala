@@ -146,6 +146,28 @@ object Events {
       .orderBy("day")
   }
 
+  val RetentionMaxDay = 7
+
+  /** Cohort retention: users grouped by first-seen day, counted on
+    * each subsequent active day up to +RetentionMaxDay — the classic
+    * product-analytics triangle. Two map-side-combined aggregations
+    * (per-user first day, then distinct (cohort, offset) user counts);
+    * the per-user cohort join is the only user-keyed shuffle.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .filter(col("k") <= RetentionMaxDay)
+      .groupBy("cohort_day", "k")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "k")
+  }
+
   val AnomalyZ = 3.0
 
   /** Value-anomaly detection: events whose value is ≥ AnomalyZ sample
@@ -179,6 +201,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> qRetention,
     "q_event_anomaly" -> qEventAnomaly,
     "q_range_join" -> qRangeJoin,
     "q_json_props" -> qJsonProps,
@@ -189,6 +212,17 @@ object Events {
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |cohort AS (
+         |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+         |SELECT cohort_day, date_diff('day', cohort_day, day) AS k,
+         |  count(DISTINCT d.user_id) AS n_users
+         |FROM days d JOIN cohort c USING (user_id)
+         |WHERE date_diff('day', cohort_day, day) <= $RetentionMaxDay
+         |GROUP BY cohort_day, date_diff('day', cohort_day, day)
+         |ORDER BY cohort_day, k""".stripMargin,
     "q_event_anomaly" ->
       s"""WITH st AS (
          |  SELECT event_type, count(*) AS n,

@@ -277,6 +277,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(by("low").size - rows.length / 3.0) < rows.length * 0.15)
   }
 
+  test("retention: day-0 count per cohort equals cohort size; counts never grow") {
+    val rows = operators.Events.qRetention(spark, TestSpark.sf).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Number](1).intValue(), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, rs) =>
+      val d0 = rs.find(_._2 == 0).map(_._3)
+      assert(d0.isDefined, "every cohort has its day-0 row")
+      // no later day exceeds the cohort's size (retention <= 100%)
+      rs.foreach { case (_, _, n) => assert(n <= d0.get) }
+    }
+    // cohort sizes sum to the distinct user count
+    val users = Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
+  }
+
   test("bigram LM: transitions = tokens - 1 per doc; log-probs negative") {
     val bi = operators.TextAnalysis.qBigramLm(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
