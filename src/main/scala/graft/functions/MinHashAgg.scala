@@ -3,30 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Custom typed aggregate: a MinHash signature over a GROUP — the
-  * set-union sketch (min is duplicate-insensitive, so aggregating the
-  * per-document hashes yields the signature of the union of shingle
-  * sets). Fixed-width buffer, map-side mergeable: the aggregate shape
-  * sketches need at 100 TB (same affine rehash family as
-  * operators.Dedup so signatures are comparable).
+/** Custom typed aggregate: MERGE per-document MinHash signatures into
+  * the signature of the GROUP's shingle-set union (element-wise min is
+  * associative, commutative and duplicate-insensitive, so the merged
+  * signature equals the signature computed over the union directly).
+  *
+  * This is the sketch-MERGE shape that matters at 100 TB: the per-doc
+  * signatures are produced map-side by the codegen'd single-fold
+  * expression (operators.Dedup.minhashSigs — same affine rehash
+  * family, so signatures are comparable), and only K longs per doc
+  * reach the aggregate. Fixed-width Tungsten buffer, map-side partial
+  * merge; the shuffle carries one K-long buffer per (group, map task).
   */
-class MinHashAgg(k: Int = 16) extends Aggregator[Long, Array[Long], Seq[Long]] {
+class MinHashAgg(k: Int = 16) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
 
-  private val P = 1000003L // affine multiplier base (Dedup parity)
-  private val Mod = 1000000007L
-
-  private def affine(h: Long, j: Int): Long =
-    (h * (1000003L + 7919L * j) + 12345L + 911L * j) % Mod
+  private val Mod = 1000000007L // affine modulus (Dedup parity): empty-set sentinel
 
   override def zero: Array[Long] = Array.fill(k)(Mod)
 
-  override def reduce(acc: Array[Long], h: Long): Array[Long] = {
+  override def reduce(acc: Array[Long], sig: Seq[Long]): Array[Long] = {
     var j = 0
-    while (j < k) {
-      val v = affine(h, j)
-      if (v < acc(j)) acc(j) = v
-      j += 1
-    }
+    while (j < k) { val v = sig(j); if (v < acc(j)) acc(j) = v; j += 1 }
     acc
   }
 

@@ -263,16 +263,23 @@ object Dedup {
     * (graft.functions.MinHashAgg): the signature of the UNION of all
     * shingle sets published by a source — flattened to rows for the
     * oracle.
+    *
+    * Two-level sketch plan: per-doc signatures come from the codegen'd
+    * single-fold expression (minhashSigs — K running minima in one
+    * pass over the shingle array, no explode), then the typed
+    * Aggregator MERGES signatures element-wise per source. Only K
+    * longs per doc cross into the aggregate, and the map-side partial
+    * merge reduces that to K longs per (source, task) before the
+    * shuffle — the raw hash stream never leaves its map task. Same
+    * affine family ⇒ min-of-per-doc-minima ≡ min over the union, so
+    * the oracle over raw hashes matches exactly.
     */
   def qSourceMinhash(spark: SparkSession, dir: String): DataFrame = {
     val agg = org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg(MinhashK))
-    shingles(spark, dir)
-      .select(col("doc_id"),
-        explode(transform(col("s"),
-          x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("h"))
+    minhashSigs(shinglesCk(spark, dir))
       .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .groupBy("source")
-      .agg(agg(col("h")).as("sig"))
+      .agg(agg(col("sig")).as("sig"))
       .select(col("source"), posexplode(col("sig")).as(Seq("j", "sig_j")))
       .orderBy("source", "j")
   }

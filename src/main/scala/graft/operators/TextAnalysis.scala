@@ -114,24 +114,38 @@ object TextAnalysis {
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
     * filters): fraction of all word-bigram occurrences taken by the
     * most frequent bigram, and fraction of bigram/trigram occurrences
-    * that are duplicated. Shape: one (doc_id, gram) shuffle per gram
-    * size with map-side partial counts — the scale axis is corpus
-    * size; no per-doc driver work, no vocabulary broadcast.
+    * that are duplicated.
+    *
+    * Shape: ONE corpus pass emits both gram sizes in a single explode,
+    * and grams travel as 32-bit md5 keys — the (doc_id, n, gram)
+    * shuffle carries 8-byte keys with map-side partial counts, never
+    * gram text. The oracle hashes with the identical md5 arithmetic,
+    * so even hash-collision behavior matches exactly. Docs under 3
+    * words are excluded up front (the previous inner join on the
+    * trigram side dropped them anyway — same output).
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    def gramHashes(n: Int) =
+      transform(sequence(lit(0), size(col("words")) - n),
+        i => struct(lit(n).as("n"),
+          conv(substring(md5(concat_ws(" ", slice(col("words"), i + 1, lit(n)))), 1, 8), 16, 10)
+            .cast("long").as("gh")))
+    Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
-    def gramStats(n: Int, top: String, dup: String): DataFrame =
-      docs.select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("words")) - n),
-            i => concat_ws(" ", slice(col("words"), i + 1, lit(n))))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          round(max(col("c")) / sum(col("c")).cast("double"), 6).as(top),
-          round(sum(when(col("c") >= 2, col("c")).otherwise(0L))
-            / sum(col("c")).cast("double"), 6).as(dup))
-    gramStats(2, "top_bigram_frac", "dup_bigram_frac")
-      .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), "doc_id")
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(concat(gramHashes(2), gramHashes(3))).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gh").as("gh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 6).as("top"),
+        round(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          / sum(col("c")).cast("double"), 6).as("dup"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 2, col("top"))).as("top_bigram_frac"),
+        max(when(col("n") === 2, col("dup"))).as("dup_bigram_frac"),
+        max(when(col("n") === 3, col("top"))).as("top_trigram_frac"),
+        max(when(col("n") === 3, col("dup"))).as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -346,29 +360,31 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |g2 AS (SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, len(words) - 1),
-        |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM w),
-        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
-        |s2 AS (SELECT doc_id,
-        |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac,
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |gs AS (
+        |  SELECT doc_id, 2 AS n, unnest(list_transform(
+        |      generate_series(1, len(words) - 1),
+        |      i -> array_to_string(words[i:i+1], ' '))) AS g FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(list_transform(
+        |      generate_series(1, len(words) - 2),
+        |      i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
+        |c AS (SELECT doc_id, n, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS gh,
+        |    count(*) AS c
+        |  FROM gs GROUP BY doc_id, n, gh),
+        |s AS (SELECT doc_id, n,
+        |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top,
         |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
-        |      / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
-        |  FROM c2 GROUP BY doc_id),
-        |g3 AS (SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, len(words) - 2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
-        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
-        |s3 AS (SELECT doc_id,
-        |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_trigram_frac,
-        |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
-        |      / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac
-        |  FROM c3 GROUP BY doc_id)
-        |SELECT s2.doc_id, top_bigram_frac, dup_bigram_frac,
-        |  top_trigram_frac, dup_trigram_frac
-        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
-        |ORDER BY s2.doc_id""".stripMargin,
+        |      / CAST(sum(c) AS DOUBLE), 6) AS dup
+        |  FROM c GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN top END) AS top_bigram_frac,
+        |  max(CASE WHEN n = 2 THEN dup END) AS dup_bigram_frac,
+        |  max(CASE WHEN n = 3 THEN top END) AS top_trigram_frac,
+        |  max(CASE WHEN n = 3 THEN dup END) AS dup_trigram_frac
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" -> {
       val alt = PiiWords.mkString("|")
       val inList = PiiWords.map(w => s"'$w'").mkString(",")
