@@ -85,13 +85,32 @@ object Bench {
       val s = "%.1f".format(v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    // keys drop the uniform "q_" prefix and shorten the cypher family
-    // ("cypher_ex14" → "cx14"): with 95+ queries the line must stay
-    // inside the driver's ~2000-char log tail (epilogue included) or
-    // the round's bench JSON records parsed:null. Key map documented
+    // keys drop the uniform "q_" prefix, shorten the cypher family
+    // ("cypher_ex14" → "cx14"), and abbreviate recurring words: with
+    // 105+ queries the line must stay inside the driver's ~2000-char
+    // log tail (sbt epilogue included) or the round's bench JSON
+    // records parsed:null — round 2's did. Abbreviation map documented
     // in SURVEY §6.
-    def key(k: String): String =
-      k.stripPrefix("q_").replaceFirst("^cypher_ex", "cx")
+    val abbrev = Seq(
+      "dedup_" -> "dd_", "chunks_" -> "ch_", "chunk_" -> "ch_",
+      "entity_" -> "ent_", "entities" -> "ents", "cosine_" -> "cos_",
+      "embeddings" -> "embs", "embedding" -> "emb", "articles" -> "arts",
+      "sources" -> "srcs", "mentioning" -> "ment", "mentions" -> "ments",
+      "quantize_" -> "qnt_", "sequences" -> "seqs",
+      "stratified_sample" -> "strat", "train_test_split" -> "tts",
+      "tokenize_" -> "tok_", "subword" -> "sw", "decontaminate" -> "decon",
+      "retrieval" -> "retr", "fingerprint" -> "fprint",
+      "percentiles" -> "pctls", "heavy_hitters" -> "hh",
+      "shortest_path" -> "spath", "components" -> "comps",
+      "containment" -> "contain", "repetition" -> "rept",
+      "sessionize" -> "sess", "fulltext_query" -> "ftq", "media_" -> "md_",
+      "filter_pipeline" -> "fpipe", "events_window" -> "ev_window",
+      "event_anomaly" -> "ev_anom", "graph_" -> "g_",
+      "window_suite" -> "win_suite", "incremental" -> "incr")
+    def key(k: String): String = {
+      val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "cx")
+      abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
+    }
     val qs = all.map { case (k, v, _) => s"\"" + key(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val errs = all.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }

@@ -26,7 +26,8 @@ object SparkEntry {
       (operators.Retrieval.queries, operators.Retrieval.oracles),
       (operators.Training.queries, operators.Training.oracles),
       (operators.Tokenize.queries, operators.Tokenize.oracles),
-      (operators.Curation.queries, operators.Curation.oracles))
+      (operators.Curation.queries, operators.Curation.oracles),
+      (operators.Sketches.queries, operators.Sketches.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -159,11 +159,17 @@ object CypherLite {
   private def varLenExpand(e0: DataFrame, lo: Int, hi: Int,
       seed: Option[DataFrame]): DataFrame = {
     require(lo >= 1 && lo <= hi && hi <= 2, s"unsupported var-length bounds *$lo..$hi")
-    val e0s = seed.fold(e0)(s => e0.join(s, Seq("src_uid"), "left_semi"))
+    // The edge table is referenced by up to three plan branches below
+    // (seeded first leg, both legs of the 2-hop composition); without
+    // a barrier each reference re-executes the whole upstream pipeline
+    // (mentions → co-occur for CO_OCCURS). Lazy, so 1-hop-only
+    // expansions pay a barrier, not an extra job.
+    val e0c = e0.localCheckpoint(false)
+    val e0s = seed.fold(e0c)(s => e0c.join(s, Seq("src_uid"), "left_semi"))
     val legs = (lo to hi).map {
       case 1 => e0s
       case 2 => e0s.select(col("src_uid"), col("dst_uid").as("mid_uid"))
-        .join(e0.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
+        .join(e0c.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
         .filter(col("dst_uid") =!= col("src_uid"))
         .select("src_uid", "dst_uid")
     }

@@ -25,7 +25,11 @@ class FreqItemsAgg(k: Int = 8)
   private def cap(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= k) m
     else {
-      val kth = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      // reduce only ever overflows to k+1 entries, where the (k+1)-th
+      // largest IS the min — O(k) instead of a sort on every miss
+      val kth =
+        if (m.size == k + 1) m.values.min
+        else m.values.toSeq.sorted(Ordering[Long].reverse)(k)
       m.collect { case (w, c) if c > kth => w -> (c - kth) }
     }
 

@@ -244,12 +244,60 @@ object Analytics {
       .orderBy("dist", "name")
   }
 
+  val KcoreK = 3
+  val KcIters = 6
+
+  /** k-core decomposition (the KcoreK-core): KcIters rounds of degree
+    * peeling — drop every node with degree < k, recompute degrees on
+    * the surviving subgraph, repeat. The k-core is the standard "dense
+    * nucleus" extractor for entity graphs (who is robustly connected,
+    * not just popular — a hub wired to leaves dies in round one).
+    *
+    * Bounded-round semantics: the DataFrame loop and the unrolled
+    * oracle both run exactly KcIters rounds, so they agree even if the
+    * peel hasn't reached fixpoint (a production run loops until the
+    * survivor count stops changing). Each round is one map-side-
+    * combined degree count + two hash semi-joins on the shrinking edge
+    * list — the same checkpointed-join shape as qComponents, and the
+    * edge list only ever shrinks, so later rounds get cheaper.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    var e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    for (i <- 1 to KcIters) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select("src")
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+      if (i % 2 == 0 || i == KcIters) e = e.localCheckpoint()
+    }
+    e.groupBy(col("src").as("name")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("name")
+  }
+
+  private def kcoreSql: String = {
+    val iters = (1 to KcIters).map { i =>
+      val prev = s"ke${i - 1}"
+      s"""kn$i AS MATERIALIZED (
+         |  SELECT src FROM $prev GROUP BY src HAVING count(*) >= $KcoreK),
+         |ke$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $prev e
+         |    JOIN kn$i a ON e.src = a.src JOIN kn$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |ke0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$iters
+       |SELECT src AS name, count(*) AS core_degree
+       |FROM ke$KcIters GROUP BY src ORDER BY name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
+    "q_kcore" -> qKcore,
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
@@ -305,5 +353,6 @@ object Analytics {
          |    ELSE 0 END, 6) AS clustering
          |FROM dg LEFT JOIN pern ON pern.n = dg.n
          |ORDER BY name""".stripMargin,
+    "q_kcore" -> kcoreSql,
     "q_components" -> componentsSql)
 }

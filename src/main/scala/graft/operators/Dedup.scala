@@ -284,6 +284,48 @@ object Dedup {
       .orderBy("source", "j")
   }
 
+  /** Incremental dedup — the daily-ingest path: match NEW documents
+    * (split-hash bucket ≥ 90, the same deterministic md5 split as
+    * Training.qTrainTestSplit) against the EXISTING corpus only.
+    * Candidates are generated by joining the new batch's LSH band
+    * keys against the corpus band keys, so new×new and corpus×corpus
+    * pairs are never formed; verification is the usual shingle
+    * Jaccard on the (rare) candidates.
+    *
+    * At 100 TB this is the plan that actually runs daily: the corpus
+    * band index is materialized once (Catalog layout, bucketed by
+    * band key) and each ingest batch — orders of magnitude smaller —
+    * equi-joins into it; cost scales with the batch, not the corpus.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val r = MinhashK / LshBands
+    val sh = shinglesCk(spark, dir)
+    val bands = minhashSigs(sh)
+      .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
+        band => md5(concat(
+          array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
+          lit("#"), band.cast("string")))))
+      .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+      .withColumn("is_new",
+        conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100 >= 90)
+    val cand = bands.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("bkey"))
+      .join(bands.filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_id"), col("bkey")), Seq("bkey"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("s").as("sa")), "new_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("s").as("sb")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
+
   val ClusterIters = 6
 
   /** Near-dup cluster assignment — the step after pair generation in
@@ -494,6 +536,7 @@ object Dedup {
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_containment" -> qDedupContainment,
     "q_minhash_est" -> qMinhashEst,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_clusters" -> qDedupClusters)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
@@ -634,6 +677,21 @@ object Dedup {
          |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_id_a
          |              JOIN sigs b ON b.doc_id = c.doc_id_b)
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $MinhashPairsCtes,
+         |flag AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('split#' || doc_id), 1, 8) AS BIGINT) % 100 >= 90
+         |      AS is_new
+         |  FROM documents)
+         |SELECT
+         |  CASE WHEN fa.is_new THEN v.doc_id_a ELSE v.doc_id_b END AS new_id,
+         |  CASE WHEN fa.is_new THEN v.doc_id_b ELSE v.doc_id_a END AS corpus_id,
+         |  v.jaccard
+         |FROM verified v
+         |  JOIN flag fa ON v.doc_id_a = fa.doc_id
+         |  JOIN flag fb ON v.doc_id_b = fb.doc_id
+         |WHERE v.jaccard >= $JaccardThreshold AND fa.is_new <> fb.is_new
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_containment" ->
       s"""WITH $ShinglesSql,

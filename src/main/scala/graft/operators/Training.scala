@@ -142,12 +142,36 @@ object Training {
       .orderBy("doc_id")
   }
 
+  val NumShards = 8
+
+  /** Deterministic shuffle-shard for training export: every document
+    * gets a (shard, pos) address from a salted hash — the "global
+    * shuffle" a dataloader expects, without a global sort. shard =
+    * hash mod S is a stateless narrow pass; pos ranks by hash WITHIN
+    * each shard, so the window parallelizes across shards (never the
+    * single-partition global row_number). Reproducible across engines
+    * and runs — no rand(); re-running on the same corpus yields the
+    * same shard files byte-for-byte.
+    */
+  def qShardExport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("shard#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mix" -> qDomainMix,
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
     "q_pack_sequences" -> qPackSequences,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_shard_export" -> qShardExport,
     "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
   val oracles: Map[String, String] = Map(
@@ -179,6 +203,16 @@ object Training {
         |    unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
         |  FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_shard_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('shard#' || doc_id), 1, 8) AS BIGINT) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h, h % $NumShards AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+         |    AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
     "q_quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

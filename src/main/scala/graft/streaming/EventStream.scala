@@ -243,4 +243,42 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding 30 minutes (the click-attribution
+    * shape; batch twin of the time-range semantics in
+    * Events.qRangeJoin). Both sides are branches of the SAME source
+    * stream, watermarked independently; the time-range predicate plus
+    * the watermarks bound the join state — Spark evicts click rows
+    * once the purchase-side watermark passes click_t + 30 min, so
+    * state is O(events in the attribution horizon), not O(stream).
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("click_t"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_t", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_t").as("purchase_t"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_t", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_t") >= col("purchase_t") - expr("INTERVAL 30 MINUTES") &&
+        col("click_t") <= col("purchase_t"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_t"), col("click_t"), col("value"))
+  }
+
+  /** Run the attribution join over the parquet-backed stream into a
+    * memory sink (synchronous; test/demo).
+    */
+  def runAttributionToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = attributionJoin(readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

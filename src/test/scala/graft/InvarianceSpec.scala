@@ -17,7 +17,11 @@ class InvarianceSpec extends AnyFunSuite {
       "q_stratified_sample", "q_cypher_ex7",
       // round-3 additions: span-dedup coverage counts, degree-oriented
       // wedge triangles, the rewrite-rule heap plan, subword fold
-      "q_dedup_substring", "q_triangles", "q_topn_auto", "q_tokenize_subword")
+      "q_dedup_substring", "q_triangles", "q_topn_auto", "q_tokenize_subword",
+      // sketch-merge aggregate, MG candidate pruning, bounded peel,
+      // shard addressing, batch-vs-corpus LSH join
+      "q_source_minhash", "q_heavy_hitters", "q_kcore",
+      "q_shard_export", "q_dedup_incremental")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -366,4 +366,24 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
     assert(native == got, "native subword_split diverges from the HOF fold")
   }
+
+  test("k-core peel reaches a fixpoint: every survivor keeps degree >= k in the core") {
+    import graft.graph.Analytics
+    val core = Analytics.qKcore(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty, "3-core is empty at test scale")
+    // rebuild the induced subgraph from the full edge list and check
+    // the reported core degrees are self-consistent and >= k — i.e.
+    // the bounded rounds actually converged on this corpus
+    val edges = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val induced = edges.filter { case (s, d) => core.contains(s) && core.contains(d) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    core.foreach { case (n, d) =>
+      assert(d >= Analytics.KcoreK, s"$n survived with degree $d < k")
+      assert(induced.getOrElse(n, 0L) == d,
+        s"$n: reported core_degree $d != induced degree ${induced.getOrElse(n, 0L)} (not a fixpoint)")
+    }
+  }
 }

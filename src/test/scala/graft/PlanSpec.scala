@@ -160,12 +160,30 @@ class PlanSpec extends AnyFunSuite {
       "triangles" -> graph.Analytics.qTriangles(spark, TestSpark.sf),
       "shortest_path" -> graph.Analytics.qShortestPath(spark, TestSpark.sf),
       "containment" -> operators.Dedup.qDedupContainment(spark, TestSpark.sf),
+      "kcore" -> graph.Analytics.qKcore(spark, TestSpark.sf),
+      "dedup_incremental" -> operators.Dedup.qDedupIncremental(spark, TestSpark.sf),
       "cypher_ex14" -> cypher.CypherLite.run(spark, TestSpark.sf, cypher.CypherLite.Ex14))
     for ((name, df) <- qs) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a NL join:\n$p")
     }
+  }
+
+  test("heavy hitters recount joins candidates as a broadcast; total rides broadcast too") {
+    val p = plan(operators.Sketches.qHeavyHitters(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), s"candidate semi-join not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream got sort-merged:\n$p")
+  }
+
+  test("shard export windows per shard, never a global single-partition sort") {
+    val p = plan(operators.Training.qShardExport(spark, TestSpark.sf))
+    assert(p.contains("hashpartitioning(shard"),
+      s"rank window not partitioned by shard:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the rank path:\n$p")
   }
 
   test("TopKRewriteRule replaces the discarded-rank window with the heap operator") {

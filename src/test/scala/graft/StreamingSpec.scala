@@ -157,4 +157,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCounts.except(batchCounts).count() == 0)
     assert(batchCounts.except(streamCounts).count() == 0)
   }
+
+  test("stream-stream attribution join matches the batch interval join") {
+    val got = EventStream.runAttributionToMemory(spark, TestSpark.sf, "attr_out")
+      .select("purchase_id", "click_id")
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("click_t"),
+        col("event_id").as("click_id"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_t").as("purchase_t"),
+        col("event_id").as("purchase_id"))
+      .join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_t") >= col("purchase_t") - expr("INTERVAL 30 MINUTES") &&
+          col("click_t") <= col("purchase_t"))
+      .select("purchase_id", "click_id")
+    assert(got.count() > 0, "attribution join produced no pairs")
+    assert(got.except(want).count() == 0)
+    assert(want.except(got).count() == 0)
+  }
 }
