@@ -12,8 +12,11 @@ import graft.operators.TextPipeline
   * 1-3) onto DataFrame join pipelines.
   *
   * Supported grammar (one line, case-sensitive keywords):
-  *   query      := match [where] [with] return [orderby] [limit]
+  *   query      := [unwind] match [where] [with] return [orderby] [limit]
   *                 | query UNION query
+  *   unwind     := UNWIND ['a','b',...] AS alias  -- literal list; the
+  *                 alias joins via a WHERE `v.prop = alias` predicate
+  *                 (broadcast relation, one output row per list match)
   *   match      := MATCH pattern (, pattern)*
   *                 [OPTIONAL MATCH pattern (, pattern)*]*  -- left-
   *                 outer hops anchored on a bound variable
@@ -190,6 +193,8 @@ object CypherLite {
   sealed trait Pred
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
+  /** `v.prop = alias` — RHS is a bare column (an UNWIND alias). */
+  case class EqColPred(v: String, prop: String, ref: String) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
     * binds tighter in Cypher; this subset allows OR only between
@@ -246,7 +251,8 @@ object CypherLite {
     stages: Seq[WithStage],
     retDistinct: Boolean, ret: Seq[RetItem],
     orderBy: Seq[(PropItem, Boolean)], // (key, descending)
-    limit: Option[Int])
+    limit: Option[Int],
+    unwind: Option[(Seq[String], String)] = None) // UNWIND [...] AS alias
 
   // ---------- parser (regex-token recursive descent) ----------
 
@@ -304,12 +310,14 @@ object CypherLite {
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
+    val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
     w.trim match {
       case inRe(v, p, vals) =>
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
       case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
       case bareRe(n, op, value) => BarePred(n, op, value.toLong)
+      case eqColRe(v, p, ref) => EqColPred(v, p, ref)
       case other => throw new IllegalArgumentException(s"unsupported WHERE: $other")
     }
   }
@@ -324,7 +332,17 @@ object CypherLite {
       if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
     }.toSeq
 
-  private def parseOne(q0: String): Query = {
+  private def parseOne(q0raw: String): Query = {
+    // Leading UNWIND ['a','b'] AS x — the literal-list parameter shape
+    // of LLM-generated batch lookups (graph.py's ingest UNWINDs rows
+    // the same way). The alias becomes a joinable column; the rest of
+    // the query parses unchanged.
+    val unwindRe = """(?is)^\s*UNWIND\s*\[([^\]]*)\]\s+AS\s+(\w+)\s+(.*)""".r
+    val (q0, unwind) = q0raw match {
+      case unwindRe(vals, alias, rest) =>
+        (rest, Some(vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq -> alias))
+      case _ => (q0raw, None)
+    }
     // Slice positionally at WITH/RETURN boundaries first (a WHERE can
     // appear both before a WITH and inside every WITH stage, so
     // keyword slicing alone is ambiguous). Each WITH starts a new
@@ -425,7 +443,7 @@ object CypherLite {
       }
     }
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit)
+    Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit, unwind)
   }
 
   // ---------- compiler ----------
@@ -514,11 +532,28 @@ object CypherLite {
     def predCol(p: Pred): Column = p match {
       case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
       case EqPred(v, pr, value) => col(s"${v}_$pr") === value
+      case EqColPred(v, pr, ref) => col(s"${v}_$pr") === col(ref)
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
     }
-    q.where.foreach(p => df = df.filter(predCol(p)))
+    // UNWIND: the literal list becomes a tiny broadcast relation; the
+    // WHERE predicates referencing its alias are the join condition
+    // (each list element fans out its matching rows — Cypher's row
+    // semantics), the rest stay ordinary filters.
+    val (uwPreds, restPreds) = q.unwind match {
+      case Some((_, alias)) => q.where.partition {
+        case EqColPred(_, _, ref) => ref == alias
+        case _ => false
+      }
+      case None => (Seq.empty[Pred], q.where)
+    }
+    q.unwind.foreach { case (vals, alias) =>
+      require(uwPreds.nonEmpty, s"UNWIND alias $alias is never referenced in WHERE")
+      val uw = spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING).toDF(alias)
+      df = df.join(broadcast(uw), uwPreds.map(predCol).reduce(_ && _))
+    }
+    restPreds.foreach(p => df = df.filter(predCol(p)))
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
       case CountItem(v, _, a) => a.getOrElse(s"count_$v")
@@ -731,7 +766,18 @@ object CypherLite {
     "MATCH (c:Chunk) OPTIONAL MATCH (c)-[:MENTIONS]->(o:Person) " +
       "RETURN c.uid, count(o) AS n_persons ORDER BY c.uid LIMIT 20"
 
+  /** UNWIND — the literal-list batch-lookup shape (the read-side twin
+    * of graph.py's `UNWIND $rows` ingest pattern): each seed fans out
+    * to its per-entity chunk-mention count in one compiled plan, the
+    * list riding as a broadcast relation joined on the alias.
+    */
+  val Ex16: String =
+    "UNWIND ['spark', 'group', 'table'] AS seed " +
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) WHERE o.name = seed " +
+      "RETURN seed, count(c) AS n_chunks ORDER BY seed"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex16" -> ((s, d) => run(s, d, Ex16)),
     "q_cypher_ex15" -> ((s, d) => run(s, d, Ex15)),
     "q_cypher_ex14" -> ((s, d) => run(s, d, Ex14)),
     "q_cypher_ex13" -> ((s, d) => run(s, d, Ex13)),
@@ -752,6 +798,14 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex16" ->
+      s"""WITH $M,
+         |edges AS (SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization'),
+         |seeds AS (SELECT unnest(['spark', 'group', 'table']) AS seed)
+         |SELECT seed, count(*) AS n_chunks
+         |FROM edges JOIN seeds ON name = seed
+         |GROUP BY seed ORDER BY seed""".stripMargin,
     "q_cypher_ex15" ->
       s"""WITH $P,
          |pm AS (SELECT DISTINCT doc_id, chunk_id, name

@@ -200,6 +200,40 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel view → click → purchase: the earliest
+    * time each user reaches each successive step, where a step counts
+    * only at-or-after the previous one (min-over-constrained-min, the
+    * standard funnel semantics — a click before the first view is not
+    * a conversion).
+    *
+    * Scale shape: three map-side-combined per-user min aggregations
+    * chained by equi-joins on user_id — every stage shuffles on the
+    * SAME key, so AQE reuses the partitioning; no per-user event
+    * sequence is ever materialized and no window touches the raw
+    * stream (the sequence logic lives in the ts >= prev-step filter).
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_us") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1).cast("int").as("funnel_step"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> qRetention,
     "q_event_anomaly" -> qEventAnomaly,
@@ -209,9 +243,26 @@ object Events {
     "q_rolling_avg" -> qRollingAvg,
     "q_events_window" -> qEventsWindow,
     "q_sessionize" -> qSessionize,
+    "q_funnel" -> qFunnel,
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts_us >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts_us >= c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            ELSE 1 END AS INTEGER) AS funnel_step
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q_retention" ->
       s"""WITH days AS (
          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

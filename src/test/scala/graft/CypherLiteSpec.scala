@@ -231,4 +231,19 @@ class CypherLiteSpec extends AnyFunSuite {
     // the seed itself never appears (a 2-path back reuses its edge)
     assert(!got.contains(seed))
   }
+
+  test("UNWIND fans a literal list out through the match (Ex16)") {
+    val Seq(q) = parse(Ex16)
+    assert(q.unwind == Some(Seq("spark", "group", "table") -> "seed"))
+    val got = CypherLite.run(spark, TestSpark.sf, Ex16).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("spark", "group", "table"))
+    // each count equals the single-seed compiled query's answer
+    got.foreach { case (seed, n) =>
+      val solo = CypherLite.run(spark, TestSpark.sf,
+        s"MATCH (c:Chunk)-[:MENTIONS]->(o:Organization {name: '$seed'}) " +
+          "RETURN count(c) AS n_chunks").collect()
+      assert(solo.head.getLong(0) == n, s"$seed: $n vs ${solo.head.getLong(0)}")
+    }
+  }
 }
