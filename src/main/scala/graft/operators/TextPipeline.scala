@@ -352,9 +352,35 @@ object TextPipeline {
        |  unnest(list_transform(chunks, c -> CAST(len(string_split(c, '.')) AS BIGINT))) AS n_sentences
        |FROM final ORDER BY doc_id, chunk_id""".stripMargin
 
+  val OvWindow = 48 // words per overlap chunk
+  val OvStride = 32 // window stride (overlap = OvWindow - OvStride)
+
+  /** Sliding-window chunker WITH OVERLAP (the LangChain-style
+    * splitter shape retrieval stacks default to — neighboring chunks
+    * share OvWindow−OvStride words so no entity straddles a boundary
+    * unseen): windows of OvWindow words every OvStride words, one per
+    * start while start < n_words. Window starts are pure arithmetic
+    * (sequence + slice HOFs per row) — zero shuffles, scan-speed like
+    * the fold chunker; overlap multiplies output bytes, never shuffle
+    * bytes.
+    */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"((size(words) - 1) div $OvStride) * $OvStride"),
+            lit(OvStride)),
+          st => concat_ws(" ", slice(col("words"), st + 1, lit(OvWindow)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_words", size(split(col("chunk_text"), " ")))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk" -> qChunk,
     "q_chunk_fold" -> qChunkFold,
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_chunk_sentences" -> qChunkSentences,
     "q_sentences" -> qSentences,
     "q_mentions" -> qMentions,
@@ -362,6 +388,19 @@ object TextPipeline {
     "q_fulltext_query" -> qFulltextQuery)
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 1),
+         |st AS (
+         |  SELECT doc_id, words, unnest(generate_series(0,
+         |    ((len(words) - 1) // $OvStride) * $OvStride, $OvStride)) AS s
+         |  FROM w)
+         |SELECT doc_id, CAST(s // $OvStride AS INTEGER) AS chunk_id,
+         |  array_to_string(words[s + 1 : s + $OvWindow], ' ') AS chunk_text,
+         |  len(string_split(array_to_string(words[s + 1 : s + $OvWindow], ' '), ' '))
+         |    AS n_words
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q_chunk_sentences" -> ChunkSentencesSql,
     "q_chunk" ->
       s"""WITH $ChunksSql

@@ -157,4 +157,16 @@ object Catalog {
 
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
+
+  /** Write the graftdocs line format (doc_id \t lang \t source \t
+    * text — the TextDocSource DSv2 connector's input). Tabs/newlines
+    * inside text are squashed to spaces: the format is line-framed.
+    */
+  def writeTextDocs(df: DataFrame, path: String, nFiles: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    df.select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+        regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
 }

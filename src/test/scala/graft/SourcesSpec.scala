@@ -116,4 +116,29 @@ class SourcesSpec extends AnyFunSuite {
       "doc_id BIGINT, pred_lang STRING, en_hits INT, de_hits INT, es_hits INT, fr_hits INT")
     assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
   }
+
+  test("graftdocs DSv2 source: round-trip, pruned scan, pushed lang filter") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "source", "text")
+    val out = Files.createTempDirectory("graft_docsrc").toString
+    Catalog.writeTextDocs(docs, out)
+    val back = spark.read.format("graftdocs").load(out)
+    // full round-trip through the connector
+    assert(back.count() == docs.count())
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+    // column pruning reaches the scan: the leaf node outputs ONLY the
+    // selected column (text is never materialized)
+    val pruned = back.select("doc_id")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("doc_id"),
+      s"scan not pruned: ${leaf.output.map(_.name)}")
+    // filter pushdown: the scan advertises the pushed filter and the
+    // result matches the un-pushed reference
+    val filtered = back.filter(col("lang") === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)"), s"lang filter not pushed:\n$p")
+    assert(filtered.count() == docs.filter(col("lang") === "en").count())
+    // multiple input partitions (one per file) — the parallelism contract
+    assert(back.rdd.getNumPartitions >= 2)
+  }
 }
