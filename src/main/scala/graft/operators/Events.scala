@@ -234,7 +234,28 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sessionization via the BUILT-IN session_window (Spark 3.2+) —
+    * the declarative twin of qSessionize's lag/cumsum formulation and
+    * of the streaming custom-state sessionizer. Same 30-min gap
+    * semantics; end = last event + gap (session_window's exclusive
+    * end) where qSessionize reports last-event time. Built-in-first:
+    * the merging-window state machine lives in Spark's
+    * UpdatingSessionsIterator, not hand-rolled code, and the SAME
+    * expression works under a streaming groupBy with watermark.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> qSessionWindow,
     "q_retention" -> qRetention,
     "q_event_anomaly" -> qEventAnomaly,
     "q_range_join" -> qRangeJoin,
@@ -247,6 +268,27 @@ object Events {
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    // session_window merges an event iff it lands strictly inside the
+    // previous session's [start, last+gap) — so a gap of exactly GapUs
+    // starts a NEW session (vs qSessionize's inclusive merge)
+    "q_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap >= ${SessionGapUs}
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_idx
+         |  FROM e)
+         |SELECT user_id, min(ts_us) AS start_us,
+         |  max(ts_us) + ${SessionGapUs} AS end_us,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, start_us""".stripMargin,
     "q_funnel" ->
       """WITH e AS MATERIALIZED (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -244,6 +244,33 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming twin of Events.qSessionWindow: the BUILT-IN
+    * session_window under a watermarked streaming groupBy — Spark's
+    * merging-session state instead of the hand-rolled
+    * flatMapGroupsWithState sessionizer. Append mode emits a session
+    * once the watermark passes its end.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the session-window agg into a memory sink (synchronous). */
+  def runSessionWindowToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = sessionWindowAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's clicks in the preceding 30 minutes (the click-attribution
     * shape; batch twin of the time-range semantics in

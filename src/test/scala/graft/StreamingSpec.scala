@@ -158,6 +158,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchCounts.except(streamCounts).count() == 0)
   }
 
+  test("streaming session_window agg matches the batch twin") {
+    val got = EventStream.runSessionWindowToMemory(spark, TestSpark.sf, "sw_out")
+    val want = Events.qSessionWindow(spark, TestSpark.sf)
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0)
+    assert(want.except(got).count() == 0)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val got = EventStream.runAttributionToMemory(spark, TestSpark.sf, "attr_out")
       .select("purchase_id", "click_id")
