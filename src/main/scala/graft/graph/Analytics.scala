@@ -244,6 +244,125 @@ object Analytics {
       .orderBy("dist", "name")
   }
 
+  val PprAlpha = 0.15 // restart probability back to the seed
+
+  /** PERSONALIZED PageRank from a seed entity — the graph-RAG
+    * relevance primitive (rank the neighborhood of the query's
+    * anchor entity, not global importance): the teleport goes back to
+    * the seed instead of uniformly everywhere, so mass concentrates
+    * in the seed's community. Same checkpointed power-iteration shape
+    * as qPagerank (one shuffle-on-src join per round over the
+    * pre-partitioned edge list); nodes the walk never reaches keep
+    * rank 0 and are dropped. Fixed PrIters rounds, replayed exactly
+    * by the unrolled-CTE oracle.
+    */
+  def qPagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    var pr = nodes.withColumn("rank",
+      when(col("node") === BfsSeed, 1.0).otherwise(0.0))
+    for (i <- 1 to PrIters) {
+      val inc = pr.withColumnRenamed("node", "src")
+        .join(e, "src").join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("d")).as("m"))
+        .groupBy("node").agg(sum(col("m")).as("inc"))
+      pr = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === BfsSeed, lit(PprAlpha)).otherwise(lit(0.0))
+            + lit(1.0 - PprAlpha) * coalesce(col("inc"), lit(0.0))).as("rank"))
+      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
+    }
+    pr.filter(col("rank") > 0)
+      .select(col("node").as("name"), round(col("rank"), 6).as("ppr"))
+      .orderBy(col("ppr").desc, col("name"))
+  }
+
+  private def pprSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = s"pp${i - 1}"
+      s"""pp$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    CASE WHEN d.src = '$BfsSeed' THEN $PprAlpha ELSE 0 END
+         |      + ${1.0 - PprAlpha} * coalesce(s.inc, 0) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / dd.d) AS inc
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |      JOIN deg dd ON dd.src = p.node
+         |    GROUP BY e.dst) s ON s.node = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |pp0 AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    CASE WHEN src = '$BfsSeed' THEN 1.0 ELSE 0.0 END AS rank
+       |  FROM deg),
+       |$iters
+       |SELECT node AS name, round(rank, 6) AS ppr FROM pp$PrIters
+       |WHERE rank > 0 ORDER BY ppr DESC, name""".stripMargin
+  }
+
+  val LpMaxDeg = 50 // wedge-center degree cap (skew guard, oracle-mirrored)
+
+  /** Link prediction over the co-occurrence graph: for every
+    * non-adjacent pair within 2 hops, common-neighbor count, Jaccard
+    * of neighborhoods, and Adamic–Adar (Σ 1/ln(deg(z)) over shared
+    * neighbors z) — the "entities that SHOULD co-occur" primitive a
+    * news-graph uses to propose missing links.
+    *
+    * Scale shape: one wedge self-join on the center key z (the
+    * triangle-count join pattern), with the center-degree cap bounding
+    * the per-key fan-out — a celebrity entity with degree 10⁴ would
+    * otherwise emit 10⁸ candidate pairs from its own wedges alone; the
+    * cap is part of the operator's documented semantics and the
+    * oracle replays it. Direct edges are removed with a left-anti
+    * join; degrees ride broadcast-sized joins.
+    */
+  def qLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
+    val ctr = e.join(deg.filter(col("d") <= LpMaxDeg), "src")
+    val wedges = ctr.select(col("src").as("z"), col("dst").as("u"), col("d").as("dz"))
+      .join(ctr.select(col("src").as("z"), col("dst").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val direct = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("dz"))), 6).as("adamic_adar"))
+      .join(direct, Seq("u", "v"), "left_anti")
+      .filter(col("cn") >= 2)
+      .join(deg.select(col("src").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        round(col("cn") / (col("du") + col("dv") - col("cn")), 6).as("jaccard"),
+        col("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+  }
+
+  private def linkPredictionSql: String =
+    s"""WITH $CooccurSql,
+       |ctr AS MATERIALIZED (
+       |  SELECT e.src AS z, e.dst, d.d AS dz
+       |  FROM edges e JOIN deg d ON e.src = d.src WHERE d.d <= $LpMaxDeg),
+       |w AS (
+       |  SELECT a.z, a.dst AS u, b.dst AS v, a.dz
+       |  FROM ctr a JOIN ctr b ON a.z = b.z AND a.dst < b.dst),
+       |s AS (
+       |  SELECT u, v, count(*) AS cn,
+       |    round(sum(1.0 / ln(dz)), 6) AS adamic_adar
+       |  FROM w GROUP BY u, v),
+       |nd AS (
+       |  SELECT s.* FROM s LEFT JOIN (
+       |    SELECT src AS u, dst AS v FROM edges WHERE src < dst) d2
+       |  ON s.u = d2.u AND s.v = d2.v
+       |  WHERE d2.u IS NULL)
+       |SELECT nd.u, nd.v, cn,
+       |  round(cn / CAST(du.d + dv.d - cn AS DOUBLE), 6) AS jaccard,
+       |  adamic_adar
+       |FROM nd JOIN deg du ON nd.u = du.src JOIN deg dv ON nd.v = dv.src
+       |WHERE cn >= 2
+       |ORDER BY adamic_adar DESC, nd.u, nd.v""".stripMargin
+
   val KcoreK = 3
   val KcIters = 6
 
@@ -295,6 +414,8 @@ object Analytics {
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
+    "q_ppr" -> qPagerankPersonalized,
+    "q_link_prediction" -> qLinkPrediction,
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
     "q_kcore" -> qKcore,
@@ -353,6 +474,8 @@ object Analytics {
          |    ELSE 0 END, 6) AS clustering
          |FROM dg LEFT JOIN pern ON pern.n = dg.n
          |ORDER BY name""".stripMargin,
+    "q_ppr" -> pprSql,
+    "q_link_prediction" -> linkPredictionSql,
     "q_kcore" -> kcoreSql,
     "q_components" -> componentsSql)
 }

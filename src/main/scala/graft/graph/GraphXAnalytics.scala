@@ -66,6 +66,26 @@ object GraphXAnalytics {
       .toDF("name", "graphx_comp")
   }
 
+  /** Personalized PageRank from a named seed on the Pregel engine —
+    * the independent reference for Analytics.qPagerankPersonalized
+    * (initialization details differ, so the spec compares normalized
+    * distributions, not raw values).
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String, seed: String,
+      iters: Int = Analytics.PrIters): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val seedId = g.vertices.filter(_._2 == seed).map(_._1).collect() match {
+      case Array(id) => id
+      case other => throw new IllegalArgumentException(
+        s"seed $seed matched ${other.length} vertices")
+    }
+    g.staticPersonalizedPageRank(seedId, iters, 0.15)
+      .vertices.join(g.vertices)
+      .map { case (_, (rank, name)) => (name, rank) }
+      .toDF("name", "graphx_ppr")
+  }
+
   /** Single-source shortest hop distances via the Pregel ShortestPaths
     * library — the independent reference for Analytics.qShortestPath's
     * bounded BFS (GraphX runs to fixpoint; the spec restricts the

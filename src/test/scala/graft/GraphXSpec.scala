@@ -59,4 +59,24 @@ class GraphXSpec extends AnyFunSuite {
     assert(df == gxInBudget,
       s"BFS(${df.size}) vs GraphX-in-budget(${gxInBudget.size}) diverge")
   }
+
+  test("GraphX personalized PageRank concentrates the same mass as the DataFrame PPR") {
+    val df = Analytics.qPagerankPersonalized(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = GraphXAnalytics.personalizedPagerank(spark, TestSpark.sf, Analytics.BfsSeed)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .filter(_._2 > 1e-9).toMap
+    assert(df.nonEmpty && gx.nonEmpty)
+    // initialization conventions differ — compare NORMALIZED
+    // distributions over the union of supports
+    val dSum = df.values.sum
+    val gSum = gx.values.sum
+    val names = df.keySet ++ gx.keySet
+    val maxDiff = names.map(n =>
+      math.abs(df.getOrElse(n, 0.0) / dSum - gx.getOrElse(n, 0.0) / gSum)).max
+    assert(maxDiff < 0.05, s"normalized PPR distributions diverge by $maxDiff")
+    // the seed dominates its own neighborhood ranking in both
+    assert(df.maxBy(_._2)._1 == Analytics.BfsSeed)
+    assert(gx.maxBy(_._2)._1 == Analytics.BfsSeed)
+  }
 }
