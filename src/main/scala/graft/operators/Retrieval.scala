@@ -120,9 +120,57 @@ object Retrieval {
       .limit(RrfTopK)
   }
 
+  val DsMaxDfFrac = 0.95 // drop terms in > 95% of docs (stop-term guard)
+  val DsMinCos = 0.9     // report pairs at or above this cosine
+
+  /** Sparse "more like this": TF-IDF cosine between DOCUMENTS via an
+    * inverted-index self-join — the lexical counterpart of the
+    * embedding near-dup pass, and the classic related-articles
+    * primitive. idf = ln(1 + N/df) (smoothed: positive even for
+    * near-universal terms, which the synthetic corpus is full of).
+    * Terms in more than DsMaxDfFrac of the corpus are dropped BEFORE
+    * the join — true stopwords carry ~zero idf weight but quadratic
+    * posting-list fan-out (the same skew guard as the containment
+    * dedup's stop-shingle cap); norms use the same capped term space,
+    * so cosine is exact within it and the oracle replays it.
+    *
+    * Scale shape: the pair join is keyed on the term with the
+    * hottest posting lists removed, dot products are one
+    * map-side-combined groupBy on (a, b), and norms ride two
+    * doc-keyed joins — never an all-pairs document join. (On a truly
+    * web-scale corpus the cap plus an LSH pre-block — qDedupMinhash's
+    * band join — bounds the candidate set; here the corpus is dense
+    * by construction and the threshold does the bounding.)
+    */
+  def qDocSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(spark, dir)
+    val nDf = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfq = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("dfreq"))
+    val wts = tf.join(dfq, "word")
+      .crossJoin(broadcast(nDf))
+      .filter(col("dfreq") <= col("n_docs") * DsMaxDfFrac)
+      .select(col("doc_id"), col("word"),
+        (col("tf") * log(lit(1.0) + col("n_docs") / col("dfreq"))).as("wt"))
+      .localCheckpoint(false) // read by the norm agg AND both join legs
+    val norms = wts.groupBy("doc_id")
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    wts.select(col("doc_id").as("a"), col("word"), col("wt").as("wa"))
+      .join(wts.select(col("doc_id").as("b"), col("word"), col("wt").as("wb")), "word")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= DsMinCos)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
+    "q_doc_similarity" -> qDocSimilarity,
     "q_rrf" -> qRrf)
 
   private val TfSql =
@@ -133,6 +181,24 @@ object Retrieval {
       |nn AS (SELECT count(*) AS n FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_doc_similarity" ->
+      s"""WITH $TfSql,
+         |dfq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY word),
+         |wts AS MATERIALIZED (
+         |  SELECT doc_id, word,
+         |    tf * ln(1.0 + (SELECT n FROM nn) / CAST(dfreq AS DOUBLE)) AS wt
+         |  FROM tf JOIN dfq USING (word)
+         |  WHERE dfreq <= (SELECT n FROM nn) * $DsMaxDfFrac),
+         |nrm AS MATERIALIZED (
+         |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, sum(a.wt * b.wt) AS dot
+         |  FROM wts a JOIN wts b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT p.a, p.b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM p JOIN nrm na ON p.a = na.doc_id JOIN nrm nb ON p.b = nb.doc_id
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $DsMinCos
+         |ORDER BY a, b""".stripMargin,
     "q_tfidf" ->
       s"""WITH $TfSql,
          |dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY word),
