@@ -120,51 +120,62 @@ object Retrieval {
       .limit(RrfTopK)
   }
 
-  val DsMaxDfFrac = 0.95 // drop terms in > 95% of docs (stop-term guard)
-  val DsMinCos = 0.9     // report pairs at or above this cosine
+  val DsSlots = 64  // feature-hash slots (vocabulary-size independent)
+  val DsProbes = 20 // related-articles probe set: doc_id < DsProbes
+  val DsTopK = 5
 
-  /** Sparse "more like this": TF-IDF cosine between DOCUMENTS via an
-    * inverted-index self-join — the lexical counterpart of the
-    * embedding near-dup pass, and the classic related-articles
-    * primitive. idf = ln(1 + N/df) (smoothed: positive even for
-    * near-universal terms, which the synthetic corpus is full of).
-    * Terms in more than DsMaxDfFrac of the corpus are dropped BEFORE
-    * the join — true stopwords carry ~zero idf weight but quadratic
-    * posting-list fan-out (the same skew guard as the containment
-    * dedup's stop-shingle cap); norms use the same capped term space,
-    * so cosine is exact within it and the oracle replays it.
+  /** Lexical "related articles": top-k TF-IDF-cosine neighbors from
+    * the corpus for each probe article — the serving shape of
+    * more-like-this (per-article on demand), not an all-pairs sweep.
     *
-    * Scale shape: the pair join is keyed on the term with the
-    * hottest posting lists removed, dot products are one
-    * map-side-combined groupBy on (a, b), and norms ride two
-    * doc-keyed joins — never an all-pairs document join. (On a truly
-    * web-scale corpus the cap plus an LSH pre-block — qDedupMinhash's
-    * band join — bounds the candidate set; here the corpus is dense
-    * by construction and the threshold does the bounding.)
+    * Two corpus-killers are designed out. (1) The naive
+    * inverted-index self-join is quadratic on this corpus (31-word
+    * vocabulary ⇒ every posting list is ~80% of the corpus; measured
+    * 92 s at sf0.1, and the vectors are too mutually similar for LSH
+    * to separate 0.9 from the 0.6 median). Instead each doc's TF-IDF
+    * weights (idf = ln(1 + N/df), smoothed) are FEATURE-HASHED into
+    * DsSlots dense slots (the hashing trick — md5(word) mod slots, so
+    * vocabulary size never matters), with weights quantized to
+    * integer micro-units BEFORE the slot sum so the sum is
+    * associative and engine-exact. (2) Scoring is a broadcast of the
+    * probe batch against ONE corpus scan (64-long dot per probe per
+    * doc — linear in the corpus), and per-probe top-k runs through
+    * the TopKPerGroup heap operator, never a corpus-sized rank
+    * window.
     */
   def qDocSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val tf = termFreqs(spark, dir)
     val nDf = Tables.documents(spark, dir)
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val dfq = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("dfreq"))
-    val wts = tf.join(dfq, "word")
+    val sv = tf.join(dfq, "word")
       .crossJoin(broadcast(nDf))
-      .filter(col("dfreq") <= col("n_docs") * DsMaxDfFrac)
-      .select(col("doc_id"), col("word"),
-        (col("tf") * log(lit(1.0) + col("n_docs") / col("dfreq"))).as("wt"))
-      .localCheckpoint(false) // read by the norm agg AND both join legs
-    val norms = wts.groupBy("doc_id")
-      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
-    wts.select(col("doc_id").as("a"), col("word"), col("wt").as("wa"))
-      .join(wts.select(col("doc_id").as("b"), col("word"), col("wt").as("wb")), "word")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
-      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= DsMinCos)
-      .select("a", "b", "cosine")
-      .orderBy("a", "b")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % DsSlots)
+          .cast("int").as("slot"),
+        round(col("tf") * log(lit(1.0) + col("n_docs") / col("dfreq")) * 1e6)
+          .cast("long").as("wq"))
+      .groupBy("doc_id", "slot").agg(sum(col("wq")).as("w"))
+    val vecs = sv.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("w")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(DsSlots - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)).cast("double"))
+          .as("v"))
+      .withColumn("nrm", Similarity.normCol(col("v")))
+      .localCheckpoint(false) // read by the probe side AND the corpus scan
+    val probes = vecs.filter(col("doc_id") < DsProbes)
+      .select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val scored = vecs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"),
+        round(Similarity.dotCol(col("va"), col("v")) / (col("na") * col("nrm")), 6)
+          .as("cosine"))
+    graft.plans.TopKPerGroup.topK(scored, DsTopK, Seq("a"), "cosine", "b")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("cosine").desc, col("b"))))
+      .select("a", "b", "cosine", "rk")
+      .orderBy("a", "rk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,24 +192,37 @@ object Retrieval {
       |nn AS (SELECT count(*) AS n FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_doc_similarity" ->
+    "q_doc_similarity" -> {
+      val dot = Similarity.dotDuckSql("p.va", "e.v")
       s"""WITH $TfSql,
          |dfq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY word),
-         |wts AS MATERIALIZED (
-         |  SELECT doc_id, word,
-         |    tf * ln(1.0 + (SELECT n FROM nn) / CAST(dfreq AS DOUBLE)) AS wt
+         |sv AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $DsSlots AS INTEGER)
+         |      AS slot,
+         |    CAST(sum(CAST(round(tf * ln(1.0 + (SELECT n FROM nn)
+         |      / CAST(dfreq AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS w
          |  FROM tf JOIN dfq USING (word)
-         |  WHERE dfreq <= (SELECT n FROM nn) * $DsMaxDfFrac),
-         |nrm AS MATERIALIZED (
-         |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id),
-         |p AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b, sum(a.wt * b.wt) AS dot
-         |  FROM wts a JOIN wts b ON a.word = b.word AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT p.a, p.b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
-         |FROM p JOIN nrm na ON p.a = na.doc_id JOIN nrm nb ON p.b = nb.doc_id
-         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $DsMinCos
-         |ORDER BY a, b""".stripMargin,
+         |  GROUP BY doc_id, slot),
+         |dense AS (
+         |  SELECT d.doc_id, s.slot, coalesce(sv.w, 0) AS w
+         |  FROM (SELECT DISTINCT doc_id FROM sv) d
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${DsSlots - 1})) AS slot) s
+         |  LEFT JOIN sv ON sv.doc_id = d.doc_id AND sv.slot = s.slot),
+         |e AS MATERIALIZED (
+         |  SELECT doc_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM (SELECT doc_id, list(CAST(w AS DOUBLE) ORDER BY slot) AS v
+         |        FROM dense GROUP BY doc_id)),
+         |p AS (SELECT doc_id AS a, v AS va, nrm AS na FROM e WHERE doc_id < $DsProbes),
+         |scored AS (
+         |  SELECT p.a, e.doc_id AS b,
+         |    round($dot / (p.na * e.nrm), 6) AS cosine
+         |  FROM e CROSS JOIN p WHERE e.doc_id <> p.a)
+         |SELECT a, b, cosine, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk
+         |  FROM scored)
+         |WHERE rk <= $DsTopK ORDER BY a, rk""".stripMargin
+    },
     "q_tfidf" ->
       s"""WITH $TfSql,
          |dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY word),
