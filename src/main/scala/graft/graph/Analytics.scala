@@ -301,6 +301,72 @@ object Analytics {
        |WHERE rank > 0 ORDER BY ppr DESC, name""".stripMargin
   }
 
+  val HitsIters = 6
+
+  /** HITS hubs/authorities on the DIRECTED source→entity coverage
+    * graph (source publishes a doc mentioning the entity): hubs =
+    * sources whose coverage spans authoritative entities, authorities
+    * = entities covered by strong hubs — the bipartite ranking the
+    * undirected co-occur graph can't express (on an undirected graph
+    * hub ≡ authority and HITS degenerates).
+    *
+    * Each half-iteration is one equi-join + map-side-combined sum.
+    * Scores are MAX-normalized (max is order-independent, unlike an
+    * L2 norm's global float sum) and re-quantized to a 9-decimal grid
+    * every round, so both engines walk identical values and float
+    * summation order can never accumulate drift across iterations.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = TextPipeline.mentions(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select("source", "name").distinct()
+      .localCheckpoint()
+    var hub = e.select(col("source")).distinct().withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (i <- 1 to HitsIters) {
+      val ar = e.join(hub, "source").groupBy("name").agg(sum(col("hub")).as("r"))
+      auth = ar.crossJoin(broadcast(ar.agg(max(col("r")).as("z"))))
+        .select(col("name"), round(col("r") / col("z"), 9).as("auth"))
+      val hr = e.join(auth, "name").groupBy("source").agg(sum(col("auth")).as("r"))
+      hub = hr.crossJoin(broadcast(hr.agg(max(col("r")).as("z"))))
+        .select(col("source"), round(col("r") / col("z"), 9).as("hub"))
+      if (i % 3 == 0 || i == HitsIters) {
+        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
+      }
+    }
+    hub.select(lit("hub").as("side"), col("source").as("name"),
+        round(col("hub"), 6).as("score"))
+      .unionByName(auth.select(lit("authority").as("side"), col("name"),
+        round(col("auth"), 6).as("score")))
+      .orderBy(col("side"), col("score").desc, col("name"))
+  }
+
+  private def hitsSql: String = {
+    val iters = (1 to HitsIters).map { i =>
+      val prev = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT name, sum(hub) AS r FROM e JOIN $prev USING (source) GROUP BY name),
+         |an$i AS MATERIALIZED (
+         |  SELECT name, round(r / (SELECT max(r) FROM ar$i), 9) AS auth FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT source, sum(auth) AS r FROM e JOIN an$i USING (name) GROUP BY source),
+         |h$i AS MATERIALIZED (
+         |  SELECT source, round(r / (SELECT max(r) FROM hr$i), 9) AS hub FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TextPipeline.MentionsSql},
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT d.source, m.name
+       |  FROM (SELECT DISTINCT doc_id, name FROM mentions) m
+       |  JOIN documents d USING (doc_id)),
+       |h0 AS (SELECT DISTINCT source, 1.0 AS hub FROM e),
+       |$iters
+       |SELECT side, name, score FROM (
+       |  SELECT 'hub' AS side, source AS name, round(hub, 6) AS score FROM h$HitsIters
+       |  UNION ALL
+       |  SELECT 'authority', name, round(auth, 6) FROM an$HitsIters)
+       |ORDER BY side, score DESC, name""".stripMargin
+  }
+
   val LpMaxDeg = 50 // wedge-center degree cap (skew guard, oracle-mirrored)
 
   /** Link prediction over the co-occurrence graph: for every
@@ -416,6 +482,7 @@ object Analytics {
     "q_pagerank" -> qPagerank,
     "q_ppr" -> qPagerankPersonalized,
     "q_link_prediction" -> qLinkPrediction,
+    "q_hits" -> qHits,
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
     "q_kcore" -> qKcore,
@@ -476,6 +543,7 @@ object Analytics {
          |ORDER BY name""".stripMargin,
     "q_ppr" -> pprSql,
     "q_link_prediction" -> linkPredictionSql,
+    "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
     "q_components" -> componentsSql)
 }
