@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,14 +43,17 @@ object TextDocSource {
     StructField("text", StringType)))
 }
 
-class TextDocTable(path: String) extends Table with SupportsRead {
+class TextDocTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graftdocs requires a path (…format(\"graftdocs\").load(dir))")
   override def name(): String = s"graftdocs($path)"
   override def schema(): StructType = TextDocSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextDocScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TextDocWriteBuilder(path, info.schema())
 }
 
 class TextDocScanBuilder(path: String) extends ScanBuilder
@@ -86,7 +90,8 @@ class TextDocScan(path: String, required: StructType, pushed: Array[Filter])
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+        && !f.getName.endsWith(".tmp")) // uncommitted writer output
       .sortBy(_.getName)
     files.map(f => TextDocPartition(f.getAbsolutePath): InputPartition)
   }
@@ -100,6 +105,71 @@ class TextDocReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new TextDocReader(p.asInstanceOf[TextDocPartition].file, required, pushed)
+}
+
+/** Write side: each task writes a `.tmp` part file and reports it in
+  * its commit message; the driver's commit renames winners into place
+  * and abort deletes strays — the minimal two-phase protocol that
+  * makes speculative/retried tasks safe. `truncate()` (overwrite
+  * mode) clears existing part files at commit time, AFTER the new
+  * files are staged, so a failed overwrite never destroys data.
+  */
+class TextDocWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new TextDocBatchWrite(path, schema, overwrite)
+  }
+}
+
+case class TextDocCommit(tmpFile: String) extends WriterCommitMessage
+
+class TextDocBatchWrite(path: String, schema: StructType, overwrite: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new TextDocWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (overwrite)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".tmp"))
+        .foreach(_.delete())
+    messages.foreach { case TextDocCommit(tmp) =>
+      val f = new java.io.File(tmp)
+      if (!f.renameTo(new java.io.File(tmp.stripSuffix(".tmp"))))
+        throw new java.io.IOException(s"commit rename failed for $tmp")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case TextDocCommit(tmp) => new java.io.File(tmp).delete() }
+}
+
+class TextDocWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TextDocWriter(path, schema, partitionId, taskId)
+}
+
+class TextDocWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = s"$path/part-%05d-$taskId.txt.tmp".format(partitionId)
+  private val out = new java.io.PrintWriter(
+    new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+  private val idx: Map[String, Int] =
+    schema.fields.map(_.name).zipWithIndex.toMap
+  private def str(row: InternalRow, name: String): String =
+    row.getUTF8String(idx(name)).toString.replaceAll("[\\t\\n\\r]", " ")
+
+  override def write(row: InternalRow): Unit =
+    out.println(s"${row.getLong(idx("doc_id"))}\t${str(row, "lang")}\t" +
+      s"${str(row, "source")}\t${str(row, "text")}")
+  override def commit(): WriterCommitMessage = { out.close(); TextDocCommit(tmp) }
+  override def abort(): Unit = { out.close(); new java.io.File(tmp).delete() }
+  override def close(): Unit = out.close()
 }
 
 class TextDocReader(file: String, required: StructType, pushed: Array[Filter])

@@ -141,4 +141,20 @@ class SourcesSpec extends AnyFunSuite {
     // multiple input partitions (one per file) — the parallelism contract
     assert(back.rdd.getNumPartitions >= 2)
   }
+
+  test("graftdocs DSv2 write: overwrite round-trip through the connector's own writer") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "source", "text")
+    val out = Files.createTempDirectory("graft_docsink").toString
+    // write twice in overwrite mode: the second commit must replace,
+    // not append (truncate happens at commit, after staging)
+    docs.limit(3).repartition(2).write.format("graftdocs").mode("overwrite").save(out)
+    docs.repartition(3).write.format("graftdocs").mode("overwrite").save(out)
+    val back = spark.read.format("graftdocs").load(out)
+    assert(back.count() == docs.count())
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+    // no uncommitted temp files left behind
+    val strays = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tmp"))
+    assert(strays.isEmpty, s"uncommitted temp files: ${strays.mkString(", ")}")
+  }
 }
