@@ -21,7 +21,11 @@ class InvarianceSpec extends AnyFunSuite {
       // sketch-merge aggregate, MG candidate pruning, bounded peel,
       // shard addressing, batch-vs-corpus LSH join
       "q_source_minhash", "q_heavy_hitters", "q_kcore",
-      "q_shard_export", "q_dedup_incremental")
+      "q_shard_export", "q_dedup_incremental",
+      // bipartite HITS, seeded pagerank, wedge link prediction,
+      // probe-batch lexical top-k, built-in session windows, funnel
+      "q_hits", "q_ppr", "q_link_prediction", "q_doc_similarity",
+      "q_session_window", "q_funnel")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

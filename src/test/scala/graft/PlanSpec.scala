@@ -170,6 +170,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("doc similarity scores a broadcast probe batch and ranks through the heap operator") {
+    val p = plan(operators.Retrieval.qDocSimilarity(spark, TestSpark.sf))
+    assert(p.contains("TopKPerGroup"), s"per-probe top-k not through the heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe batch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side got sort-merged:\n$p")
+  }
+
   test("heavy hitters recount joins candidates as a broadcast; total rides broadcast too") {
     val p = plan(operators.Sketches.qHeavyHitters(spark, TestSpark.sf))
     assert(p.contains("BroadcastHashJoin"), s"candidate semi-join not broadcast:\n$p")
