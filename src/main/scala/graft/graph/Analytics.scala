@@ -112,6 +112,54 @@ object Analytics {
       .orderBy(col("pagerank").desc, col("name"))
   }
 
+  /** WEIGHTED PageRank: rank mass distributes proportionally to edge
+    * weight (co-occurrence count) instead of uniformly across
+    * neighbors — a frequently-co-mentioned pair passes more authority
+    * than a one-off. Same checkpointed iteration as qPagerank; the
+    * per-edge share is weight/wdeg with the weighted degree joined
+    * once from the degree table.
+    */
+  def qPagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val deg = e.groupBy("src")
+      .agg(sum(col("weight")).cast("long").as("wd")).localCheckpoint()
+    val n = deg.count()
+    var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to PrIters) {
+      val inc = pr.withColumnRenamed("node", "src")
+        .join(e, "src").join(deg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("weight") / col("wd")).as("m"))
+        .groupBy("node").agg(sum(col("m")).as("inc"))
+      pr = deg.select(col("src").as("node"))
+        .join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - Damping) / n) + lit(Damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
+      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
+    }
+    pr.select(col("node").as("name"), round(col("rank"), 6).as("wpagerank"))
+      .orderBy(col("wpagerank").desc, col("name"))
+  }
+
+  private def wpagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = s"wp${i - 1}"
+      s"""wp$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    0.15 / (SELECT c FROM nn) + 0.85 * coalesce(s.inc, 0) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank * e.weight / dd.wd) AS inc
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |      JOIN deg dd ON dd.src = p.node
+         |    GROUP BY e.dst) s ON s.node = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |wp0 AS MATERIALIZED (SELECT src AS node, 1.0 / (SELECT c FROM nn) AS rank FROM deg),
+       |$iters
+       |SELECT node AS name, round(rank, 6) AS wpagerank FROM wp$PrIters
+       |ORDER BY wpagerank DESC, name""".stripMargin
+  }
+
   /** Connected components: fixed CcIters rounds of min-label
     * propagation (label = lexicographic min entity name reachable).
     */
@@ -483,6 +531,7 @@ object Analytics {
     "q_ppr" -> qPagerankPersonalized,
     "q_link_prediction" -> qLinkPrediction,
     "q_hits" -> qHits,
+    "q_pagerank_weighted" -> qPagerankWeighted,
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
     "q_kcore" -> qKcore,
@@ -544,6 +593,7 @@ object Analytics {
     "q_ppr" -> pprSql,
     "q_link_prediction" -> linkPredictionSql,
     "q_hits" -> hitsSql,
+    "q_pagerank_weighted" -> wpagerankSql,
     "q_kcore" -> kcoreSql,
     "q_components" -> componentsSql)
 }
