@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -57,12 +58,14 @@ class TextDocTable(path: String) extends Table with SupportsRead with SupportsWr
 }
 
 class TextDocScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = TextDocSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (!countPushed) required = requiredSchema
 
   /** Accept lang equality / not-null; everything else is returned as
     * a residual for Spark to evaluate above the scan.
@@ -77,16 +80,37 @@ class TextDocScanBuilder(path: String) extends ScanBuilder
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TextDocScan(path, required, pushed)
+
+  /** COUNT(*) over the (possibly lang-filtered) scan collapses to one
+    * counting pass per file — no row is ever materialized. Partial
+    * pushdown: each partition emits its count and Spark sums them, so
+    * the contract stays correct under task retry/speculation.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    if (ok) {
+      countPushed = true
+      required = StructType(agg.aggregateExpressions().zipWithIndex.map {
+        case (_, i) => StructField(s"count_$i", LongType, nullable = false)
+      })
+    }
+    ok
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def build(): Scan = new TextDocScan(path, required, pushed, countPushed)
 }
 
-class TextDocScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class TextDocScan(path: String, required: StructType, pushed: Array[Filter],
+    countPushed: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   // surfaces in explain(): PlanSpec pins pruning + pushdown on it
   override def description(): String =
     s"graftdocs path=$path ReadSchema=${required.simpleString} " +
-      s"PushedFilters=[${pushed.mkString(", ")}]"
+      s"PushedFilters=[${pushed.mkString(", ")}]" +
+      (if (countPushed) " PushedAggregates=[COUNT(*)]" else "")
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -96,15 +120,42 @@ class TextDocScan(path: String, required: StructType, pushed: Array[Filter])
     files.map(f => TextDocPartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TextDocReaderFactory(required, pushed)
+    new TextDocReaderFactory(required, pushed, countPushed)
 }
 
 case class TextDocPartition(file: String) extends InputPartition
 
-class TextDocReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class TextDocReaderFactory(required: StructType, pushed: Array[Filter],
+    countPushed: Boolean = false) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new TextDocReader(p.asInstanceOf[TextDocPartition].file, required, pushed)
+    if (countPushed)
+      new TextDocCountReader(p.asInstanceOf[TextDocPartition].file, required, pushed)
+    else
+      new TextDocReader(p.asInstanceOf[TextDocPartition].file, required, pushed)
+}
+
+/** Pushed COUNT(*): one row per partition carrying the file's
+  * (filter-respecting) line count in every requested count slot.
+  */
+class TextDocCountReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val langEq: Option[String] =
+    pushed.collectFirst { case EqualTo("lang", v: String) => v }
+  private var emitted = false
+  override def next(): Boolean = !emitted && { emitted = true; true }
+  override def get(): InternalRow = {
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try {
+      var n = 0L
+      val it = src.getLines()
+      while (it.hasNext) {
+        val parts = it.next().split("\t", 4)
+        if (parts.length == 4 && langEq.forall(_ == parts(1))) n += 1
+      }
+      InternalRow.fromSeq(Seq.fill(required.length)(n))
+    } finally src.close()
+  }
+  override def close(): Unit = ()
 }
 
 /** Write side: each task writes a `.tmp` part file and reports it in

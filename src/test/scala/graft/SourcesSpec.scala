@@ -157,4 +157,23 @@ class SourcesSpec extends AnyFunSuite {
     val strays = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tmp"))
     assert(strays.isEmpty, s"uncommitted temp files: ${strays.mkString(", ")}")
   }
+
+  test("graftdocs DSv2 aggregate pushdown: COUNT(*) collapses into the scan") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "source", "text")
+    val out = Files.createTempDirectory("graft_doccnt").toString
+    Catalog.writeTextDocs(docs, out)
+    val back = spark.read.format("graftdocs").load(out)
+    val counted = back.groupBy().count()
+    val p = counted.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates=[COUNT(*)]"), s"count not pushed:\n$p")
+    assert(counted.collect().head.getLong(0) == docs.count())
+    // composes with the pushed lang filter: count only matching rows
+    val filtered = back.filter(col("lang") === "en").groupBy().count()
+    val pf = filtered.queryExecution.executedPlan.toString
+    assert(pf.contains("PushedAggregates=[COUNT(*)]") && pf.contains("EqualTo(lang,en)"),
+      s"filter+count not both pushed:\n$pf")
+    assert(filtered.collect().head.getLong(0) ==
+      docs.filter(col("lang") === "en").count())
+  }
 }
