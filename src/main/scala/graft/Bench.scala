@@ -106,7 +106,9 @@ object Bench {
       "sessionize" -> "sess", "fulltext_query" -> "ftq", "media_" -> "md_",
       "filter_pipeline" -> "fpipe", "events_window" -> "ev_window",
       "event_anomaly" -> "ev_anom", "graph_" -> "g_",
-      "window_suite" -> "win_suite", "incremental" -> "incr")
+      "window_suite" -> "win_suite", "incremental" -> "incr",
+      "pagerank_weighted" -> "wpr", "link_prediction" -> "linkpred",
+      "doc_similarity" -> "doc_sim", "session_window" -> "sess_win")
     def key(k: String): String = {
       val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "cx")
       abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }

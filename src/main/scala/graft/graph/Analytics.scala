@@ -378,9 +378,12 @@ object Analytics {
       val hr = e.join(auth, "name").groupBy("source").agg(sum(col("auth")).as("r"))
       hub = hr.crossJoin(broadcast(hr.agg(max(col("r")).as("z"))))
         .select(col("source"), round(col("r") / col("z"), 9).as("hub"))
-      if (i % 3 == 0 || i == HitsIters) {
-        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
-      }
+      // checkpoint EVERY round: each half-round references its input
+      // twice (the score join AND the max-normalizer), so unchecked
+      // lineage re-evaluates the whole prefix 2^rounds times — 12 s
+      // measured at 3-round checkpointing vs ~2 s checkpointed per
+      // round (the tables are entity/source-sized, so the jobs are tiny)
+      hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
     }
     hub.select(lit("hub").as("side"), col("source").as("name"),
         round(col("hub"), 6).as("score"))
