@@ -27,7 +27,8 @@ import graft.operators.TextPipeline
   *                 a relationship may not repeat within a path
   *   where      := WHERE term (AND term)*
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
-  *   pred       := v.prop IN ['a','b'] | v.prop = 'a' | v.prop < n ...
+  *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
+  *                 | v.prop <> 'a' | v.prop < n ...
   *   with       := (WITH DISTINCT v
   *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
@@ -195,6 +196,8 @@ object CypherLite {
   case class EqPred(v: String, prop: String, value: String) extends Pred
   /** `v.prop = alias` — RHS is a bare column (an UNWIND alias). */
   case class EqColPred(v: String, prop: String, ref: String) extends Pred
+  /** `v.prop <> 'x'` — Cypher inequality (null-safe: NULL props drop). */
+  case class NeqPred(v: String, prop: String, value: String) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
     * binds tighter in Cypher; this subset allows OR only between
@@ -308,6 +311,7 @@ object CypherLite {
   private def parseSimplePred(w: String): Pred = {
     val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+    val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
@@ -315,6 +319,7 @@ object CypherLite {
       case inRe(v, p, vals) =>
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
+      case neqRe(v, p, value) => NeqPred(v, p, value)
       case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
       case bareRe(n, op, value) => BarePred(n, op, value.toLong)
       case eqColRe(v, p, ref) => EqColPred(v, p, ref)
@@ -533,6 +538,7 @@ object CypherLite {
       case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
       case EqPred(v, pr, value) => col(s"${v}_$pr") === value
       case EqColPred(v, pr, ref) => col(s"${v}_$pr") === col(ref)
+      case NeqPred(v, pr, value) => col(s"${v}_$pr") =!= value
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)

@@ -232,6 +232,18 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(!got.contains(seed))
   }
 
+  test("<> predicate excludes exactly the matching rows") {
+    val all = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) RETURN o.name, count(c) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val excluded = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) WHERE o.name <> 'spark' " +
+        "RETURN o.name, count(c) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all.contains("spark"))
+    assert(excluded == all - "spark")
+  }
+
   test("UNWIND fans a literal list out through the match (Ex16)") {
     val Seq(q) = parse(Ex16)
     assert(q.unwind == Some(Seq("spark", "group", "table") -> "seed"))
