@@ -23,6 +23,28 @@ object TextAnalysis {
   private def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(words, w -> w IN (${stops.map(s => s"'$s'").mkString(",")})))"
 
+  /** One-pass corpus profile — the monitoring row every pipeline run
+    * emits before/after a curation stage: doc/source/lang counts,
+    * token totals, length distribution (min/avg/max plus the short-doc
+    * fraction that the length filter would drop). ONE scan, one
+    * map-side-combined global aggregate, no shuffle of anything
+    * row-sized — at 100 TB this is the cheapest query in the library,
+    * and the one that runs most often.
+    */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(sum(when(col("n_tokens") < 15, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("short_frac"))
+
   /** Stopword-hit language ID (n-gram heuristic re-expression). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -264,6 +286,7 @@ object TextAnalysis {
     "q_bigram_lm" -> qBigramLm,
     "q_unigram_lm" -> qUnigramLm,
     "q_vocab_topk" -> qVocabTopk,
+    "q_corpus_stats" -> qCorpusStats,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_quality_buckets" -> qQualityBuckets,
@@ -310,6 +333,20 @@ object TextAnalysis {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT $VocabK""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  round(avg(n_tokens), 6) AS avg_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  round(CAST(sum(CASE WHEN n_tokens < 15 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS short_frac
+        |FROM t""".stripMargin,
     "q_lang_id" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |h AS (SELECT doc_id,
