@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked-process output raw instead of through sbt's logger:
+// the default LoggedOutput prefixes every stdout line with "[info] "
+// and every stderr line with "[error] ", which defeats the driver's
+// bench-line JSON parser (it needs a line that IS the JSON object).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,7 +16,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // OFF, not WARN: benign DAGScheduler "Failed to update accumulator"
+    // ERROR lines (accumulator-GC races from cancelled stages) land in
+    // the driver's 2000-char log tail and have defeated its JSON-line
+    // parser in past rounds. Query failures are self-reported through
+    // the emitted JSON's errors field, so the logger adds nothing here.
+    spark.sparkContext.setLogLevel("OFF")
+    // Deterministic release of checkpoint state: localCheckpointed RDD
+    // blocks are only freed once their DataFrames are GC'd AND the
+    // ContextCleaner runs — over ~120 queries the accumulated blocks
+    // inflated later queries ~2× (r03 recorded 227 s vs ~105-135 s
+    // steady-state; solo re-runs of the "slow" tail were normal). All
+    // checkpoints are per-query locals (no cross-query reuse), so
+    // dropping every persistent RDD between queries is safe. Untimed.
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // JVM/codegen warm-up so the first timed query isn't charged
     // startup: run the whole suite once at the smallest scale factor
     // (same plan shapes, tiny data) — whole-stage codegen compiles and
@@ -32,22 +46,17 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    release()
     // A failing query is REPORTED, not silently timed at -1: per-query
     // err strings and a failure count ride the emitted JSON.
-    // Periodic GC nudge: localCheckpoint blocks are only released after
-    // their DataFrames are collected AND the ContextCleaner runs — over
-    // ~100 queries the accumulated blocks inflate later queries' GC
-    // time (a full-suite run measured 146 s vs ~101 s; solo re-runs of
-    // the "slow" tail queries were normal). Untimed, every 16 queries.
-    var i = 0
     val results = selected.map { case (name, fn) =>
-      i += 1
-      if (i % 16 == 0) System.gc()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.toString.linesIterator.next().take(200))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      (name, dt, err)
     }
     // Amortized graph path: materialize the bucketed chunk/mention
     // tables once (timed), then re-run the graph-query family against
@@ -65,7 +74,10 @@ object Bench {
           val tMat = (System.nanoTime() - t0) / 1e9
           spark.conf.set(operators.TextPipeline.MaterializedConf, sfDir)
           val t1 = System.nanoTime()
-          gq.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+          gq.foreach { n =>
+            SparkEntry.queries(n)(spark, sfDir).count()
+            release()
+          }
           val tRun = (System.nanoTime() - t1) / 1e9
           Seq(("x_mat_graph", tMat, None),
             (s"x_amortized${gq.size}q", tRun, None))
@@ -85,35 +97,71 @@ object Bench {
       val s = "%.1f".format(v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    // keys drop the uniform "q_" prefix, shorten the cypher family
-    // ("cypher_ex14" → "cx14"), and abbreviate recurring words: with
-    // 105+ queries the line must stay inside the driver's ~2000-char
-    // log tail (sbt epilogue included) or the round's bench JSON
-    // records parsed:null — round 2's did. Abbreviation map documented
-    // in SURVEY §6.
+    // Key compression: with ~120 queries the JSON line must stay well
+    // inside the driver's ~2000-char log tail (≤1500 chars target, sbt
+    // epilogue included) or the round's bench JSON records parsed:null
+    // — rounds 1-3 all did. Keys drop the "q_" prefix, shorten the
+    // cypher family ("cypher_ex14" → "c14"), then apply word-level
+    // codes (first match in list order wins via sequential replace).
+    // Map documented in SURVEY §6; collisions disambiguated by index.
     val abbrev = Seq(
-      "dedup_" -> "dd_", "chunks_" -> "ch_", "chunk_" -> "ch_",
-      "entity_" -> "ent_", "entities" -> "ents", "cosine_" -> "cos_",
-      "embeddings" -> "embs", "embedding" -> "emb", "articles" -> "arts",
-      "sources" -> "srcs", "mentioning" -> "ment", "mentions" -> "ments",
-      "quantize_" -> "qnt_", "sequences" -> "seqs",
+      "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
+      "entity_" -> "ent", "entities" -> "ents", "cosine_" -> "cs",
+      "embeddings" -> "emb", "embedding" -> "emb",
+      "articles_" -> "arts", "articles" -> "arts",
+      "sources_" -> "srcs", "mentioning" -> "mn", "mentions" -> "mns",
+      "quantize_" -> "qz", "sequences" -> "sq", "pack_" -> "pk",
       "stratified_sample" -> "strat", "train_test_split" -> "tts",
-      "tokenize_" -> "tok_", "subword" -> "sw", "decontaminate" -> "decon",
-      "retrieval" -> "retr", "fingerprint" -> "fprint",
-      "percentiles" -> "pctls", "heavy_hitters" -> "hh",
-      "shortest_path" -> "spath", "components" -> "comps",
-      "containment" -> "contain", "repetition" -> "rept",
-      "sessionize" -> "sess", "fulltext_query" -> "ftq", "media_" -> "md_",
-      "filter_pipeline" -> "fpipe", "events_window" -> "ev_window",
-      "event_anomaly" -> "ev_anom", "graph_" -> "g_",
-      "window_suite" -> "win_suite", "incremental" -> "incr",
-      "pagerank_weighted" -> "wpr", "link_prediction" -> "linkpred",
-      "doc_similarity" -> "doc_sim", "session_window" -> "sess_win")
+      "tokenize_subword" -> "toksw", "subword_vocab" -> "swvoc",
+      "decontaminate" -> "dcn", "bloom_" -> "bl",
+      "retrieval" -> "rtr", "expand_" -> "xp", "fingerprint" -> "fpr",
+      "percentiles" -> "pct", "heavy_hitters" -> "hh",
+      "shortest_path" -> "sp", "components" -> "cc",
+      "containment" -> "cnt", "repetition" -> "rep",
+      "sessionize" -> "sesz", "session_window" -> "sesw",
+      "fulltext_query" -> "ftq", "media_" -> "md",
+      "filter_pipeline" -> "fpipe",
+      "events_window" -> "evw", "event_anomaly" -> "evan",
+      "graph_" -> "g", "window_suite" -> "winst", "incremental" -> "inc",
+      "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
+      "link_prediction" -> "lp",
+      "doc_similarity" -> "dsim", "hybrid_search" -> "hyb",
+      "simhash64" -> "sh64", "simhash" -> "sh",
+      "minhash_est" -> "mhe", "minhash" -> "mh",
+      "substring" -> "sub", "ngram" -> "ng", "exact" -> "ex",
+      "clusters" -> "cl", "source_" -> "src",
+      "knn_join_ivf" -> "knnivf", "knn_join" -> "knn",
+      "topk_custom" -> "tkc", "topn_auto" -> "tna",
+      "topn_per_group" -> "tpg", "topk_filtered" -> "tkf", "topk" -> "tk",
+      "unigram_lm" -> "ulm", "bigram_lm" -> "blm",
+      "token_count" -> "tokc", "corpus_stats" -> "cstat",
+      "quality_buckets" -> "qbk", "quality" -> "qual", "lang_id" -> "lid",
+      "pii_scrub" -> "pii", "domain_mix" -> "dmix",
+      "shard_export" -> "shard",
+      "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",
+      "full_outer" -> "fout", "semi_anti" -> "semia",
+      "salted_agg" -> "salt",
+      "json_props" -> "jsp", "top_users" -> "topu", "retention" -> "retn",
+      "triangles" -> "tri", "sentences" -> "snts",
+      "by_" -> "by", "from_" -> "fr",
+      "article_topics" -> "atop", "candidates" -> "cand",
+      "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
+      "cooccur" -> "cooc", "funnel" -> "fun", "rollup" -> "rup",
+      "pivot" -> "piv",
+      "x_mat_graph" -> "xmat", "x_amortized" -> "xam")
     def key(k: String): String = {
-      val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "cx")
+      val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
       abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
     }
-    val qs = all.map { case (k, v, _) => s"\"" + key(k) + "\":" + r1(v) }
+    // Collision guard: two query names must never emit the same key
+    // (the driver's per-query map would silently drop one).
+    val rawKeys = all.map { case (k, _, _) => key(k) }
+    val keys =
+      if (rawKeys.distinct.size == rawKeys.size) rawKeys
+      else rawKeys.zipWithIndex.map { case (k, i) =>
+        if (rawKeys.count(_ == k) > 1) s"$k$i" else k
+      }
+    val qs = keys.zip(all).map { case (k, (_, v, _)) => s"\"$k\":${r1(v)}" }
       .mkString("{", ",", "}")
     val errs = all.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
@@ -122,8 +170,15 @@ object Bench {
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val errField =
       if (nFail > 0) s""","failures":$nFail,"errors":$errs""" else ""
-    println(s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}""")
+    val line =
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+    // Printed twice — before and after spark.stop() — so the metric
+    // line survives whether the driver parses the full log or only the
+    // trailing window, and no Spark shutdown chatter can interpose
+    // between the final copy and sbt's epilogue.
+    println(line)
     spark.stop()
+    println(line)
     if (nFail > 0) System.err.println(s"[bench] $nFail queries FAILED: $errs")
   }
 }

@@ -80,8 +80,14 @@ object CypherLite {
         Props.category(col("chunk_id")).as("category"),
         Props.section(col("chunk_id")).as("section"))
     case "Source" =>
+      // graph.py:74: Source carries name + type + url — without them
+      // an LLM-written `WHERE s.type = 'news_map'` / `RETURN s.url`
+      // cannot run; derived via Props like Article's
       Tables.documents(spark, dir).select(col("source")).distinct()
-        .select(concat(lit("Source:"), col("source")).as("uid"), col("source").as("name"))
+        .select(concat(lit("Source:"), col("source")).as("uid"),
+          col("source").as("name"),
+          Props.sourceType(col("source")).as("type"),
+          Props.sourceUrl(col("source")).as("url"))
     case "Person" =>
       // gazetteer persons ∪ author-persons (publisher fallback,
       // crawler.py:44) — both carry the Person label in the reference
@@ -782,7 +788,16 @@ object CypherLite {
       "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) WHERE o.name = seed " +
       "RETURN seed, count(c) AS n_chunks ORDER BY seed"
 
+  /** Source node properties (graph.py:74 name/type/url): filter on the
+    * crawl-channel type, return the site URL — the query shape the
+    * Source property set exists for.
+    */
+  val Ex17: String =
+    "MATCH (s:Source)-[:PUBLISHED]->(a:Article) WHERE s.type = 'rss' " +
+      "RETURN s.name, s.url, count(a) AS n_articles ORDER BY s.name"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex17" -> ((s, d) => run(s, d, Ex17)),
     "q_cypher_ex16" -> ((s, d) => run(s, d, Ex16)),
     "q_cypher_ex15" -> ((s, d) => run(s, d, Ex15)),
     "q_cypher_ex14" -> ((s, d) => run(s, d, Ex14)),
@@ -804,6 +819,12 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex17" ->
+      s"""SELECT source AS s_name, ${Props.SourceUrlSql} AS s_url,
+         |  count(*) AS n_articles
+         |FROM documents
+         |WHERE ${Props.SourceTypeSql} = 'rss'
+         |GROUP BY source ORDER BY s_name""".stripMargin,
     "q_cypher_ex16" ->
       s"""WITH $M,
          |edges AS (SELECT DISTINCT doc_id, chunk_id, name

@@ -70,6 +70,7 @@ object NewsGraph {
     def bare(df: DataFrame): DataFrame = df.select(
       col("uid"), col("label"), col("name"),
       nullStr.as("title"), nullStr.as("publishing_date"), nullStr.as("url"),
+      nullStr.as("type"),
       nullStr.as("category"), nullLong.as("section"), nullLong.as("position"))
     val articles = docs.select(
       concat(lit("Article:"), col("doc_id")).as("uid"),
@@ -78,19 +79,26 @@ object NewsGraph {
       Props.title(col("text")).as("title"),
       Props.publishingDate(col("doc_id")).as("publishing_date"),
       Props.url(col("doc_id"), col("source")).as("url"),
+      nullStr.as("type"),
       nullStr.as("category"), nullLong.as("section"), nullLong.as("position"))
     val chunkNodes = TextPipeline.chunks(spark, dir).select(
       concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("uid"),
       lit("Chunk").as("label"),
       col("chunk_id").cast("string").as("name"),
       nullStr.as("title"), nullStr.as("publishing_date"), nullStr.as("url"),
+      nullStr.as("type"),
       Props.category(col("chunk_id")).as("category"),
       Props.section(col("chunk_id")).as("section"),
       col("chunk_id").cast("long").as("position"))
-    val sources = bare(docs.select(col("source")).distinct().select(
+    // Source carries type + url (graph.py:74 name/type/url)
+    val sources = docs.select(col("source")).distinct().select(
       concat(lit("Source:"), col("source")).as("uid"),
       lit("Source").as("label"),
-      col("source").as("name")))
+      col("source").as("name"),
+      nullStr.as("title"), nullStr.as("publishing_date"),
+      Props.sourceUrl(col("source")).as("url"),
+      Props.sourceType(col("source")).as("type"),
+      nullStr.as("category"), nullLong.as("section"), nullLong.as("position"))
     val entities = bare(TextPipeline.mentions(spark, dir)
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
       .select(concat(col("label"), lit(":"), col("name")).as("uid"),
@@ -109,15 +117,32 @@ object NewsGraph {
 
   /** Schema introspection: label/edge cardinalities — the summary the
     * reference feeds the LLM as `db.graph.schema` (chat.py:18).
+    *
+    * One pipeline build: `chunks` and `mentions` are lazy plans, and
+    * referencing them from several count branches re-executes the
+    * whole text pipeline per branch (this query used to rebuild it
+    * ~4×, incl. qArticleTopics' own mentions). Key-pruned
+    * localCheckpoints compute each exactly once; the 12 cardinalities
+    * below are derived from the shared frames, and topics is rebuilt
+    * here from the checkpointed mentions rather than via
+    * qArticleTopics (whose documents-join columns the counts don't
+    * need).
     */
   def qGraphSchema(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val chunks = TextPipeline.chunks(spark, dir)
+      .select("doc_id", "chunk_id").localCheckpoint()
     val mentions = TextPipeline.mentions(spark, dir)
+      .select("doc_id", "label", "name").localCheckpoint()
     // Person = gazetteer persons ∪ author-persons (publisher fallback)
     val personNames = mentions.filter(col("label") === "person")
       .select(col("name")).union(docs.select(col("source"))).distinct()
-    val topics = qArticleTopics(spark, dir)
+    val wTop = Window.partitionBy("doc_id").orderBy(col("n").desc, col("label"))
+    val topics = mentions.groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("topic"))
     val nodeCounts = Seq(
       docs.select(lit("node").as("kind"), lit("Article").as("label"), count(lit(1)).as("cnt")),
       chunks.select(lit("node").as("kind"), lit("Chunk").as("label"), count(lit(1)).as("cnt")),
@@ -182,20 +207,28 @@ object NewsGraph {
     * heap operator — the entity-name dim grows with the corpus, so no
     * corpus-sized rank window here; the rank window after it sees ≤10
     * rows per probe.
+    *
+    * Label-scoped, as in the reference: each probe carries its GLiNER
+    * label and queries a PER-LABEL index (graph.py:143
+    * `f"{entity.label}Name"`), so a Person probe can never match a
+    * Location — the cross join is an equi-join on label, which also
+    * shrinks the scored set ~3×.
     */
-  val CandidateProbes: Seq[String] =
-    Seq("custmer", "sprak", "windw", "tble grp", "spark grp", "line custmer")
+  val CandidateProbes: Seq[(String, String)] = Seq(
+    "custmer" -> "Person", "sprak" -> "Organization", "windw" -> "Location",
+    "tble grp" -> "Organization", "spark grp" -> "Organization",
+    "line custmer" -> "Person")
 
   val CandidateLimit = 10
 
   def qEntityCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val probes = CandidateProbes.toDF("probe")
+    val probes = CandidateProbes.toDF("probe", "plabel")
     val names = TextPipeline.mentions(spark, dir)
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
     val pTok = array_distinct(split(col("probe"), " "))
     val nTok = array_distinct(split(col("name"), " "))
-    val scored = names.crossJoin(broadcast(probes))
+    val scored = names.join(broadcast(probes), col("label") === col("plabel"))
       .withColumn("score", round(
         lit(0.5) * (size(array_intersect(pTok, nTok)) /
           size(array_union(pTok, nTok)).cast("double")) +
@@ -251,34 +284,36 @@ object NewsGraph {
          |    ${Props.TitleSql} AS title,
          |    ${Props.PublishingDateSql} AS publishing_date,
          |    ${Props.UrlSql} AS url,
+         |    CAST(NULL AS VARCHAR) AS type,
          |    CAST(NULL AS VARCHAR) AS category,
          |    CAST(NULL AS BIGINT) AS section,
          |    CAST(NULL AS BIGINT) AS position
          |  FROM documents
          |  UNION ALL
          |  SELECT 'Chunk:' || doc_id || ':' || chunk_id, 'Chunk',
-         |    CAST(chunk_id AS VARCHAR), NULL, NULL, NULL,
+         |    CAST(chunk_id AS VARCHAR), NULL, NULL, NULL, NULL,
          |    ${Props.CategorySql}, ${Props.SectionSql},
          |    CAST(chunk_id AS BIGINT)
          |  FROM chunks
          |  UNION ALL
          |  SELECT 'Source:' || source, 'Source', source,
-         |    NULL, NULL, NULL, NULL, NULL, NULL
+         |    NULL, NULL, ${Props.SourceUrlSql}, ${Props.SourceTypeSql},
+         |    NULL, NULL, NULL
          |  FROM (SELECT DISTINCT source FROM documents)
          |  UNION ALL
          |  SELECT el || ':' || name, el, name,
-         |    NULL, NULL, NULL, NULL, NULL, NULL
+         |    NULL, NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (
          |    SELECT DISTINCT name, $EntityNodeLabelSql AS el FROM mentions)
          |  UNION ALL
          |  SELECT 'Person:' || source, 'Person', source,
-         |    NULL, NULL, NULL, NULL, NULL, NULL
+         |    NULL, NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (SELECT DISTINCT source FROM documents)
          |  UNION ALL
          |  SELECT 'Topic:' || topic, 'Topic', topic,
-         |    NULL, NULL, NULL, NULL, NULL, NULL
+         |    NULL, NULL, NULL, NULL, NULL, NULL, NULL
          |  FROM (SELECT DISTINCT topic FROM topics))
-         |SELECT uid, label, name, title, publishing_date, url,
+         |SELECT uid, label, name, title, publishing_date, url, type,
          |  category, section, position
          |FROM nodes ORDER BY uid""".stripMargin,
     "q_graph_schema" ->
@@ -322,7 +357,7 @@ object NewsGraph {
          |ORDER BY doc_id, chunk_id LIMIT 10""".stripMargin,
     "q_entity_candidates" ->
       s"""WITH $M,
-         |probes(probe) AS (VALUES ${CandidateProbes.map(p => s"('$p')").mkString(", ")}),
+         |probes(probe, plabel) AS (VALUES ${CandidateProbes.map { case (p, l) => s"('$p','$l')" }.mkString(", ")}),
          |names AS (SELECT DISTINCT name, $EntityNodeLabelSql AS label FROM mentions),
          |scored AS (
          |  SELECT probe, name, label,
@@ -333,7 +368,7 @@ object NewsGraph {
          |            string_split(name, ' ')))) AS DOUBLE))
          |    + 0.5 * (1.0 - levenshtein(probe, name) /
          |        CAST(greatest(length(probe), length(name)) AS DOUBLE)), 6) AS score
-         |  FROM names CROSS JOIN probes)
+         |  FROM names JOIN probes ON label = plabel)
          |SELECT probe, name, label, score, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY probe
          |    ORDER BY score DESC, name) AS rk FROM scored)

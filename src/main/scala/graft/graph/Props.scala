@@ -43,6 +43,29 @@ object Props {
   val UrlSql: String =
     "'https://' || source || '.example.com/articles/' || doc_id"
 
+  /** Source type (graph.py:74 `type: $source.type`; the value comes
+    * from fundus' html.source_info per crawler.py:41, whose kinds are
+    * the crawl channels): deterministic pick keyed off the publisher
+    * name, same md5 idiom as the split/shard hashes.
+    */
+  def sourceType(source: Column): Column = {
+    val h = conv(substring(md5(concat(lit("stype#"), source)), 1, 8), 16, 10)
+      .cast("long") % 3
+    when(h === 0, "news_map").when(h === 1, "rss").otherwise("sitemap")
+  }
+
+  val SourceTypeSql: String =
+    "CASE CAST('0x' || substr(md5('stype#' || source), 1, 8) AS BIGINT) % 3 " +
+      "WHEN 0 THEN 'news_map' WHEN 1 THEN 'rss' ELSE 'sitemap' END"
+
+  /** Source site URL (graph.py:74 `url: $source.url`): the publisher
+    * root, distinct from the per-article URL above.
+    */
+  def sourceUrl(source: Column): Column =
+    concat(lit("https://"), source, lit(".example.com"))
+
+  val SourceUrlSql: String = "'https://' || source || '.example.com'"
+
   /** Chunk category (ArticleChunkCategory, schema.py:11-14): the first
     * chunk is the headline, the second the summary, the rest paragraphs.
     */

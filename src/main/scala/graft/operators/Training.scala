@@ -46,17 +46,46 @@ object Training {
       .orderBy("label", "dim")
 
   val PackBudget = 128 // tokens per packed sequence bin
+  val PackBuckets = 32 // hash buckets per lang for the two-level prefix sum
 
   /** Sequence packing: documents are packed into fixed token-budget
-    * bins per (lang, split-hash) partition by exclusive prefix sum of
-    * token counts — deterministic, parallel, no greedy driver loop.
+    * bins by exclusive prefix sum of token counts in the canonical
+    * order (lang, hash-bucket, doc_id) — deterministic, parallel, no
+    * greedy driver loop.
+    *
+    * Two-level prefix sum, because a window partitioned solely on
+    * `lang` makes one task walk an entire language (a constant
+    * fraction of a 100 TB corpus): documents hash into PackBuckets
+    * buckets per lang, the corpus-sized window runs per (lang, bkt) —
+    * langs×buckets-way parallel — and a per-bucket cumulative offset
+    * (computed on the langs×buckets-row aggregate, then broadcast)
+    * lifts local sums to global ones with a narrow add. Any
+    * deterministic order is a valid packing order; the oracle replays
+    * the identical arithmetic as one ORDER BY (bkt, doc_id) window.
     */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bkt",
+        conv(substring(md5(concat(lit("pack#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % PackBuckets)
+    val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Exclusive running offset of whole buckets within each lang: a
+    // window over the (lang, bkt) AGGREGATE — ≤ PackBuckets rows per
+    // lang partition regardless of corpus size, so the lang-only
+    // partition key is bounded here.
+    val wOff = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("lang", "bkt")
+      .agg(sum("n_tokens").as("bkt_tokens"))
+      .withColumn("offset", coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+      .select("lang", "bkt", "offset")
+    docs
+      .withColumn("local_cum",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum", col("offset") + col("local_cum"))
       .withColumn("bin_id", floor(col("cum") / PackBudget).cast("long"))
       .select("doc_id", "lang", "n_tokens", "bin_id")
       .orderBy("doc_id")
@@ -239,10 +268,13 @@ object Training {
          |WHERE rk <= $StratQuota ORDER BY lang, rk""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         |    CAST('0x' || substr(md5('pack#' || doc_id), 1, 8) AS BIGINT)
+         |      % $PackBuckets AS bkt
          |  FROM documents)
          |SELECT doc_id, lang, n_tokens,
-         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY lang ORDER BY bkt, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $PackBudget)
          |    AS BIGINT) AS bin_id
          |FROM t ORDER BY doc_id""".stripMargin)

@@ -211,6 +211,28 @@ class PlanSpec extends AnyFunSuite {
     assert(viaHeap == viaWindow)
   }
 
+  test("pack_sequences prefix sum is two-level: no corpus window keyed on lang alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = operators.Training.qPackSequences(spark, TestSpark.sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    val partKeys = wins.map(w =>
+      w.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    // the corpus-sized prefix sum must partition on (lang, bkt)...
+    assert(partKeys.exists(_ == Set("lang", "bkt")),
+      s"missing (lang, bkt) window; got partitions: $partKeys")
+    // ...and any lang-only window must sit above an Aggregate (its
+    // input is the ≤PackBuckets-row bucket-totals table, not the corpus)
+    wins.filter(w => w.partitionSpec.flatMap(_.references.map(_.name)).toSet == Set("lang"))
+      .foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"lang-only window over non-aggregated input:\n$w")
+      }
+    // offsets ride a broadcast join back onto the corpus
+    assert(plan(df).contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n${plan(df)}")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
