@@ -273,14 +273,14 @@ object Events {
     // starts a NEW session (vs qSessionize's inclusive merge)
     "q_session_window" ->
       s"""WITH e AS (
-         |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER
          |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
          |  FROM events),
          |s AS (
          |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap >= ${SessionGapUs}
          |      THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY user_id ORDER BY ts_us
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS session_idx
          |  FROM e)

@@ -161,11 +161,15 @@ object Catalog {
   /** Write the graftdocs line format (doc_id \t lang \t source \t
     * text — the TextDocSource DSv2 connector's input). Tabs/newlines
     * inside text are squashed to spaces: the format is line-framed.
+    * String columns are coalesced to '' — concat_ws silently SKIPS
+    * NULL inputs, and a <4-field line would then be dropped by the
+    * reader, silently losing the row on a round-trip.
     */
   def writeTextDocs(df: DataFrame, path: String, nFiles: Int = 3): Unit = {
     import org.apache.spark.sql.functions._
-    df.select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
-        regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+    df.select(concat_ws("\t", col("doc_id"),
+        coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+        regexp_replace(coalesce(col("text"), lit("")), "[\\t\\n\\r]", " ")).as("value"))
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).text(path)
   }

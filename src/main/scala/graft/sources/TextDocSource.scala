@@ -150,7 +150,11 @@ class TextDocCountReader(file: String, required: StructType, pushed: Array[Filte
       val it = src.getLines()
       while (it.hasNext) {
         val parts = it.next().split("\t", 4)
-        if (parts.length == 4 && langEq.forall(_ == parts(1))) n += 1
+        // mirror TextDocReader's malformed-line policy exactly —
+        // pushed COUNT(*) must equal the number of rows a full scan
+        // would return, so a non-numeric doc_id is excluded here too
+        if (parts.length == 4 && langEq.forall(_ == parts(1))
+            && parts(0).toLongOption.isDefined) n += 1
       }
       InternalRow.fromSeq(Seq.fill(required.length)(n))
     } finally src.close()
@@ -162,8 +166,9 @@ class TextDocCountReader(file: String, required: StructType, pushed: Array[Filte
   * its commit message; the driver's commit renames winners into place
   * and abort deletes strays — the minimal two-phase protocol that
   * makes speculative/retried tasks safe. `truncate()` (overwrite
-  * mode) clears existing part files at commit time, AFTER the new
-  * files are staged, so a failed overwrite never destroys data.
+  * mode) deletes pre-existing part files only AFTER every staged
+  * file is renamed into place, so a failed overwrite never destroys
+  * data.
   */
 class TextDocWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
@@ -184,15 +189,22 @@ class TextDocBatchWrite(path: String, schema: StructType, overwrite: Boolean)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
+    // Rename staged tmp files into place FIRST, then drop pre-existing
+    // part files not in the just-committed name set: if a rename fails
+    // mid-commit, the old data must still be on disk. Staged names are
+    // unique per taskId, so winners and pre-existing files never clash.
+    val committed = messages.map { case TextDocCommit(tmp) =>
+      val f = new java.io.File(tmp)
+      val dst = new java.io.File(tmp.stripSuffix(".tmp"))
+      if (!f.renameTo(dst))
+        throw new java.io.IOException(s"commit rename failed for $tmp")
+      dst.getName
+    }.toSet
     if (overwrite)
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".tmp"))
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".tmp")
+          && !committed.contains(f.getName))
         .foreach(_.delete())
-    messages.foreach { case TextDocCommit(tmp) =>
-      val f = new java.io.File(tmp)
-      if (!f.renameTo(new java.io.File(tmp.stripSuffix(".tmp"))))
-        throw new java.io.IOException(s"commit rename failed for $tmp")
-    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach { case TextDocCommit(tmp) => new java.io.File(tmp).delete() }
@@ -235,13 +247,20 @@ class TextDocReader(file: String, required: StructType, pushed: Array[Filter])
     while (lines.hasNext) {
       val parts = lines.next().split("\t", 4)
       if (parts.length == 4 && langEq.forall(_ == parts(1))) {
-        current = InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
-          case "doc_id" => parts(0).toLong
-          case "lang" => UTF8String.fromString(parts(1))
-          case "source" => UTF8String.fromString(parts(2))
-          case "text" => UTF8String.fromString(parts(3))
-        }))
-        return true
+        // non-numeric doc_id is skipped exactly like a short line —
+        // one consistent malformed-input policy, not a task-killing
+        // NumberFormatException on one and a silent skip on the other
+        parts(0).toLongOption match {
+          case Some(id) =>
+            current = InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
+              case "doc_id" => id
+              case "lang" => UTF8String.fromString(parts(1))
+              case "source" => UTF8String.fromString(parts(2))
+              case "text" => UTF8String.fromString(parts(3))
+            }))
+            return true
+          case None => ()
+        }
       }
     }
     false

@@ -158,6 +158,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(strays.isEmpty, s"uncommitted temp files: ${strays.mkString(", ")}")
   }
 
+  test("graftdocs malformed input: one skip policy; NULL columns round-trip as ''") {
+    // a NULL text/lang/source must NOT shrink the line below 4 fields
+    // (concat_ws skips NULLs) — the row survives the round-trip as ''
+    val out = Files.createTempDirectory("graft_docnull").toString
+    val withNull = spark.sql(
+      "SELECT 1L AS doc_id, CAST(NULL AS STRING) AS lang, 'src1' AS source, " +
+        "CAST(NULL AS STRING) AS text " +
+        "UNION ALL SELECT 2L, 'en', 'src2', 'hello world'")
+    Catalog.writeTextDocs(withNull, out, nFiles = 1)
+    val back = spark.read.format("graftdocs").load(out)
+    assert(back.count() == 2, "NULL-column row lost on round-trip")
+    val r1 = back.filter(col("doc_id") === 1L).head()
+    assert(r1.getAs[String]("lang") == "" && r1.getAs[String]("text") == "")
+    // short lines and non-numeric doc_id are both skipped (neither
+    // kills the task); well-formed neighbors still read
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val w = new java.io.PrintWriter(new java.io.FileWriter(f, true))
+    w.println("short\tline"); w.println("not_a_number\ten\tsrc\tbody"); w.close()
+    assert(spark.read.format("graftdocs").load(out).count() == 2)
+  }
+
+  test("graftdocs overwrite commit keeps old data until new files are in place") {
+    // the commit protocol renames winners first, deletes stale files
+    // last — so the pre-existing part file must still exist alongside
+    // freshly staged (not yet renamed) tmp files. Simulated directly
+    // against the BatchWrite: stage a tmp, commit, check ordering is
+    // observable as "old deleted only because commit fully succeeded".
+    val out = Files.createTempDirectory("graft_doccommit").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "source", "text").limit(4)
+    docs.write.format("graftdocs").mode("overwrite").save(out)
+    val oldFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(oldFiles.nonEmpty)
+    // failed commit (rename of a nonexistent stage file) must leave
+    // the old generation untouched
+    val bw = new sources.TextDocBatchWrite(out, docs.schema, true)
+    intercept[java.io.IOException] {
+      bw.commit(Array(sources.TextDocCommit(s"$out/part-99999-42.txt.tmp")))
+    }
+    val survivors = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(survivors == oldFiles, "failed overwrite commit destroyed old data")
+    // successful overwrite replaces the generation
+    docs.write.format("graftdocs").mode("overwrite").save(out)
+    val back = spark.read.format("graftdocs").load(out)
+    assert(back.count() == 4)
+  }
+
   test("graftdocs DSv2 aggregate pushdown: COUNT(*) collapses into the scan") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "lang", "source", "text")
