@@ -29,8 +29,18 @@ object Bench {
     // steady-state; solo re-runs of the "slow" tail were normal). All
     // checkpoints are per-query locals (no cross-query reuse), so
     // dropping every persistent RDD between queries is safe. Untimed.
-    def release(): Unit =
+    // The unpersist alone is not enough: broadcast blocks are only
+    // released after a JVM GC (ContextCleaner weak refs), and ~120
+    // queries' worth measurably inflate late memory-hungry queries
+    // (q_repetition: 1.5 s solo vs ~10 s late-suite). System.gc()
+    // would free them but evicts the soft-referenced codegen cache
+    // (measured: iterative queries 1.5-3× slower with a per-query
+    // GC), so broadcasts are dropped surgically via the block
+    // manager instead. Untimed.
+    def release(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      org.apache.spark.graft.MemoryRelease.dropBroadcasts()
+    }
     // JVM/codegen warm-up so the first timed query isn't charged
     // startup: run the whole suite once at the smallest scale factor
     // (same plan shapes, tiny data) — whole-stage codegen compiles and
@@ -135,7 +145,9 @@ object Bench {
       "topn_per_group" -> "tpg", "topk_filtered" -> "tkf", "topk" -> "tk",
       "unigram_lm" -> "ulm", "bigram_lm" -> "blm",
       "token_count" -> "tokc", "corpus_stats" -> "cstat",
-      "quality_buckets" -> "qbk", "quality" -> "qual", "lang_id" -> "lid",
+      "quality_classifier" -> "qcls", "quality_buckets" -> "qbk",
+      "quality" -> "qual", "lang_id" -> "lid",
+      "lpa_communities" -> "lpa", "lines" -> "ln",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",

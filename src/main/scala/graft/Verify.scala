@@ -27,14 +27,13 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // same ContextCleaner nudge as Bench: checkpoint blocks from
-    // earlier queries otherwise pile into later queries' GC time
-    var qi = 0
+    // same deterministic checkpoint release as Bench: localCheckpoint
+    // blocks from earlier queries otherwise pile up across ~120
+    // queries (the ContextCleaner only frees them after GC)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      qi += 1
-      if (qi % 16 == 0) System.gc()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val f = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

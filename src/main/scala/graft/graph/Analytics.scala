@@ -179,6 +179,92 @@ object Analytics {
       .orderBy("name")
   }
 
+  val LpaIters = 4
+  val LpaSeeds = 8
+
+  /** Community detection by SEEDED label propagation: the top-LpaSeeds
+    * hub entities (degree desc, name tiebreak) become frozen anchor
+    * labels, and every other node iteratively adopts the
+    * weight-heaviest label among its labeled neighbors (ties → min
+    * label). Pure synchronous LPA with min-tiebreak collapses to one
+    * giant community on a dense co-occurrence graph (measured: 1
+    * community over the whole graph at both test SFs — the classic
+    * LPA epidemic failure); anchoring the propagation on fixed seeds
+    * is the standard deterministic fix and yields the "topic clusters
+    * around anchor entities" partition a news graph actually wants.
+    * Nodes no label reaches stay singleton communities.
+    *
+    * Scale shape per round: one equi-join of the labeled frontier
+    * against the pre-checkpointed edge list + a (node, label) weight
+    * sum, then the argmax as a single struct-min aggregate —
+    * min(struct(-weight, label)) picks heaviest/min-tiebreak with NO
+    * rank window over neighbor groups. Seed selection is a K-row
+    * orderBy-limit (TakeOrdered, no global sort); lineage
+    * checkpointed every 2 rounds.
+    */
+  def qLpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("src")).limit(LpaSeeds)
+      .select(col("src").as("node"), col("src").as("slbl"))
+      .localCheckpoint(false) // K rows; read every round as the freeze mask
+    var lbl = e.select(col("src").as("node")).distinct()
+      .join(seeds, Seq("node"), "left")
+      .select(col("node"), col("slbl").as("lbl"), col("slbl").isNotNull.as("seed"))
+    for (i <- 1 to LpaIters) {
+      val votes = lbl.filter(col("lbl").isNotNull)
+        .select(col("node").as("src"), col("lbl"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node2"), col("lbl").as("nl"))
+        .agg(sum(col("weight")).as("c"))
+      val best = votes.groupBy("node2")
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("b"))
+        .select(col("node2").as("node"), col("b.l").as("new_lbl"))
+      lbl = lbl.join(best, Seq("node"), "left")
+        .select(col("node"),
+          when(col("seed"), col("node"))
+            .otherwise(coalesce(col("new_lbl"), col("lbl"))).as("lbl"),
+          col("seed"))
+      if (i % 2 == 0 || i == LpaIters) lbl = lbl.localCheckpoint()
+    }
+    val fin = lbl.select(col("node"), coalesce(col("lbl"), col("node")).as("community"))
+    val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
+    fin.join(sizes, "community")
+      .select(col("node").as("name"), col("community"), col("community_size"))
+      .orderBy("name")
+  }
+
+  private def lpaSql: String = {
+    val iters = (1 to LpaIters).map { i =>
+      val prev = s"lp${i - 1}"
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT l.node,
+         |    CASE WHEN l.seed THEN l.node ELSE coalesce(b.nl, l.lbl) END AS lbl,
+         |    l.seed
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT node, min(nl) AS nl FROM (
+         |      SELECT node, nl, c, max(c) OVER (PARTITION BY node) AS mc FROM (
+         |        SELECT e.dst AS node, p.lbl AS nl, CAST(sum(e.weight) AS BIGINT) AS c
+         |        FROM $prev p JOIN edges e ON p.node = e.src
+         |        WHERE p.lbl IS NOT NULL
+         |        GROUP BY e.dst, p.lbl) t1) t2
+         |    WHERE c = mc GROUP BY node) b ON b.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT $LpaSeeds),
+       |lp0 AS MATERIALIZED (
+       |  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN n.node END AS lbl,
+       |    s.node IS NOT NULL AS seed
+       |  FROM (SELECT DISTINCT src AS node FROM edges) n
+       |  LEFT JOIN seeds s ON s.node = n.node),
+       |$iters,
+       |fin AS (SELECT node, coalesce(lbl, node) AS community FROM lp$LpaIters),
+       |sz AS (SELECT community, count(*) AS community_size FROM fin GROUP BY community)
+       |SELECT node AS name, community, community_size
+       |FROM fin JOIN sz USING (community) ORDER BY name""".stripMargin
+  }
+
   /** Unrolled PageRank iteration CTEs for the oracle (recursive CTEs
     * can't aggregate in the recursive term, so we unroll — the oracle
     * mirrors the power iteration exactly).
@@ -372,18 +458,27 @@ object Analytics {
     var hub = e.select(col("source")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (i <- 1 to HitsIters) {
-      val ar = e.join(hub, "source").groupBy("name").agg(sum(col("hub")).as("r"))
-      auth = ar.crossJoin(broadcast(ar.agg(max(col("r")).as("z"))))
-        .select(col("name"), round(col("r") / col("z"), 9).as("auth"))
-      val hr = e.join(auth, "name").groupBy("source").agg(sum(col("auth")).as("r"))
-      hub = hr.crossJoin(broadcast(hr.agg(max(col("r")).as("z"))))
-        .select(col("source"), round(col("r") / col("z"), 9).as("hub"))
-      // checkpoint EVERY round: each half-round references its input
-      // twice (the score join AND the max-normalizer), so unchecked
-      // lineage re-evaluates the whole prefix 2^rounds times — 12 s
-      // measured at 3-round checkpointing vs ~2 s checkpointed per
-      // round (the tables are entity/source-sized, so the jobs are tiny)
-      hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
+      // Checkpoint the RAW aggregate (one heavy join+agg job per
+      // half-round), then read the max normalizer off the checkpoint
+      // as a driver scalar (a 1-row action over an entity-sized
+      // table, not a data collect) and normalize with a literal — a
+      // narrow map that rides into the next half-round's plan. The
+      // previous broadcast(agg(max)) normalizer was its own exchange
+      // job that re-evaluated the same join+agg a second time, and
+      // checkpointing every round is still required: each half-round
+      // references its input twice, so unchecked lineage re-evaluates
+      // the whole prefix 2^rounds times (12 s measured at 3-round
+      // checkpointing vs ~2 s per-round).
+      val ar = e.join(hub, "source").groupBy("name")
+        .agg(sum(col("hub")).as("r")).localCheckpoint()
+      val az = Option(ar.agg(max(col("r"))).first().getAs[java.lang.Double](0))
+        .fold(1.0)(_.doubleValue())
+      auth = ar.select(col("name"), round(col("r") / lit(az), 9).as("auth"))
+      val hr = e.join(auth, "name").groupBy("source")
+        .agg(sum(col("auth")).as("r")).localCheckpoint()
+      val hz = Option(hr.agg(max(col("r"))).first().getAs[java.lang.Double](0))
+        .fold(1.0)(_.doubleValue())
+      hub = hr.select(col("source"), round(col("r") / lit(hz), 9).as("hub"))
     }
     hub.select(lit("hub").as("side"), col("source").as("name"),
         round(col("hub"), 6).as("score"))
@@ -538,6 +633,7 @@ object Analytics {
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
     "q_kcore" -> qKcore,
+    "q_lpa_communities" -> qLpaCommunities,
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
@@ -549,6 +645,7 @@ object Analytics {
          |SELECT src AS name, d AS degree, wd AS wdegree
          |FROM deg ORDER BY degree DESC, name""".stripMargin,
     "q_pagerank" -> pagerankSql,
+    "q_lpa_communities" -> lpaSql,
     "q_shortest_path" -> {
       val iters = (1 to BfsHops).map { i =>
         val prev = s"d${i - 1}"

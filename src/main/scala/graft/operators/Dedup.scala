@@ -525,7 +525,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  val LineMinLen = 10 // chars — shorter segments are separators/noise
+  val LineDupDocs = 3 // a line in ≥ this many distinct docs is boilerplate
+  val LineW = 8       // words per line segment (corpus has no newlines)
+
+  /** Line-level boilerplate dedup (the CCNet/C4 paragraph-hash pass):
+    * segment each document into lines, hash every line, and mark
+    * lines whose document frequency ≥ LineDupDocs as boilerplate
+    * (nav bars, cookie banners, repeated ledes). Per doc: how many
+    * lines, how many are corpus-boilerplate, and the char mass they
+    * carry — the removal plan a cleaning pass executes. The synthetic
+    * corpus carries no newline/sentence structure, so "line" here is
+    * the aligned LineW-word segment; on a real crawl the segmentation
+    * swaps to split(text, '\n') and everything downstream is
+    * unchanged.
+    *
+    * Scale shape: lines leave the scan as (doc_id, 60-bit md5 prefix,
+    * n_chars) — text never shuffles. Per-doc line multiset and the
+    * corpus DF table are map-side-combined groupBys on 8-byte keys;
+    * the boilerplate mark is an equi-join on the hash (the
+    * boilerplate set is duplication-sized, NOT assumed broadcastable
+    * — at 100 TB the shared-line table is itself large).
+    */
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), expr(s"((size(words) - 1) div $LineW) * $LineW"), lit(LineW)),
+        st => concat_ws(" ", slice(col("words"), st + 1, lit(LineW))))).as("line"))
+      .filter(length(col("line")) >= LineMinLen)
+      .select(col("doc_id"),
+        conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long").as("h"),
+        length(col("line")).cast("long").as("n_chars"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("n_occ"), sum(col("n_chars")).as("occ_chars"))
+      .localCheckpoint(false) // read by the DF agg AND the mark join
+    val boiler = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= LineDupDocs)
+      .select(col("h"), lit(1L).as("is_b"))
+    perDoc.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_lines"),
+        sum(when(col("is_b") === 1L, col("n_occ")).otherwise(0L)).as("n_boiler_lines"),
+        sum(when(col("is_b") === 1L, col("occ_chars")).otherwise(0L)).as("boiler_chars"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler_lines") / col("n_lines").cast("double"), 6))
+      .select("doc_id", "n_lines", "n_boiler_lines", "boiler_chars", "boiler_frac")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lines" -> qDedupLines,
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
@@ -628,6 +678,30 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_lines" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |l AS (
+         |  SELECT doc_id, array_to_string(words[s + 1 : s + $LineW], ' ') AS line
+         |  FROM (SELECT doc_id, words, unnest(generate_series(0,
+         |      ((len(words) - 1) // $LineW) * $LineW, $LineW)) AS s
+         |    FROM w)
+         |  WHERE length(array_to_string(words[s + 1 : s + $LineW], ' ')) >= $LineMinLen),
+         |ph AS MATERIALIZED (
+         |  SELECT doc_id, CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS h,
+         |    count(*) AS n_occ, CAST(sum(length(line)) AS BIGINT) AS occ_chars
+         |  FROM l GROUP BY doc_id, h),
+         |b AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= $LineDupDocs)
+         |SELECT doc_id,
+         |  CAST(sum(n_occ) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN n_occ ELSE 0 END) AS BIGINT)
+         |    AS n_boiler_lines,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN occ_chars ELSE 0 END) AS BIGINT)
+         |    AS boiler_chars,
+         |  round(sum(CASE WHEN b.h IS NOT NULL THEN n_occ ELSE 0 END)
+         |    / CAST(sum(n_occ) AS DOUBLE), 6) AS boiler_frac
+         |FROM ph LEFT JOIN b USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_source_minhash" ->
       s"""WITH $ShinglesSql,
          |hs AS MATERIALIZED (

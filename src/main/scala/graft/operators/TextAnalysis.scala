@@ -108,6 +108,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Fixed logistic-regression weights (a pretrained fasttext-style
+  // quality classifier's linear head, frozen): intercept, type-token
+  // ratio, stopword ratio, ln(doc length). Quantized-logit keep
+  // threshold = round(ln(3)·1e6), i.e. p(keep) ≥ 0.75.
+  val QcW0 = -2.0; val QcWTtr = 1.5; val QcWStop = 2.5; val QcWLen = 0.4
+  val QcKeepLogit: Long = math.round(math.log(3.0) * 1e6)
+
+  /** Model-based quality classification: score every document with a
+    * frozen linear model over cheap lexical features and bucket into
+    * keep / review / drop — the "classifier filter" stage of a
+    * training-data pipeline (the model is a stand-in for a served
+    * fasttext/linear head; the Spark side — feature extraction, one
+    * narrow pass, integer-quantized logits so distributed float order
+    * can never flip a bucket — is the real plumbing).
+    *
+    * One scan, zero shuffles (the final orderBy is presentation). The
+    * logit is quantized to a 1e-6 grid BEFORE thresholding and the
+    * sigmoid is computed FROM the quantized value, so engine and
+    * oracle walk identical numbers.
+    */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("words"))) / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        hits(col("words"), EnStops) / col("n_tokens").cast("double"))
+      .withColumn("logit_u",
+        round((lit(QcW0) + lit(QcWTtr) * col("ttr") + lit(QcWStop) * col("stop_ratio")
+          + lit(QcWLen) * log(col("n_tokens"))) * lit(1000000.0)).cast("long"))
+      .withColumn("p_keep",
+        round(lit(1.0) / (lit(1.0) + exp(col("logit_u") * lit(-0.000001))), 6))
+      .withColumn("label",
+        when(col("logit_u") >= QcKeepLogit, "keep")
+          .when(col("logit_u") >= 0L, "review")
+          .otherwise("drop"))
+      .select("doc_id", "n_tokens", "logit_u", "p_keep", "label")
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -290,6 +330,7 @@ object TextAnalysis {
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_quality_buckets" -> qQualityBuckets,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_repetition" -> qRepetition,
@@ -389,6 +430,19 @@ object TextAnalysis {
          |       WHEN quality_score <= p66 THEN 'mid'
          |       ELSE 'high' END AS bucket
          |FROM qs CROSS JOIN th ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |s AS (SELECT doc_id, len(words) AS n_tokens,
+         |  len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS ttr,
+         |  ${sqlHits(EnStops)} / CAST(len(words) AS DOUBLE) AS stop_ratio FROM w),
+         |lg AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(round(($QcW0 + $QcWTtr * ttr + $QcWStop * stop_ratio
+         |    + $QcWLen * ln(n_tokens)) * 1000000.0) AS BIGINT) AS logit_u FROM s)
+         |SELECT doc_id, n_tokens, logit_u,
+         |  round(1.0 / (1.0 + exp(logit_u * -0.000001)), 6) AS p_keep,
+         |  CASE WHEN logit_u >= $QcKeepLogit THEN 'keep'
+         |       WHEN logit_u >= 0 THEN 'review' ELSE 'drop' END AS label
+         |FROM lg ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -22,6 +22,42 @@ class GraphXSpec extends AnyFunSuite {
     assert(maxDiff < 1e-4, s"PageRank engines disagree by $maxDiff")
   }
 
+  test("seeded LPA communities match a synchronous in-memory reference") {
+    import spark.implicits._
+    val e = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst", "weight").as[(String, String, Long)].collect()
+    val inNbrs = e.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(x => (x._1, x._3)).toSeq
+    }
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(Analytics.LpaSeeds).map(_._1).toSet
+    var lbl: Map[String, Option[String]] =
+      inNbrs.keys.map(n => n -> (if (seeds(n)) Some(n) else None)).toMap
+    for (_ <- 1 to Analytics.LpaIters) {
+      val prev = lbl
+      lbl = prev.map { case (n, l) =>
+        if (seeds(n)) n -> Some(n)
+        else {
+          val votes = inNbrs(n).flatMap { case (m, w) => prev(m).map(_ -> w) }
+            .groupBy(_._1).map { case (x, ys) => (x, ys.map(_._2).sum) }
+          if (votes.isEmpty) n -> l
+          else {
+            val mx = votes.values.max
+            n -> Some(votes.filter(_._2 == mx).keys.min)
+          }
+        }
+      }
+    }
+    val want = lbl.map { case (n, l) => n -> l.getOrElse(n) }
+    val got = Analytics.qLpaCommunities(spark, TestSpark.sf)
+      .select("name", "community").as[(String, String)].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, c) => assert(c == want(n), s"node $n: got $c want ${want(n)}") }
+    assert(got.values.toSet.size > 1 && got.values.toSet.size < got.size,
+      "seeded LPA must form non-trivial communities (neither all-one nor all-singleton)")
+  }
+
   test("GraphX connected components partition nodes identically") {
     val df = Analytics.qComponents(spark, TestSpark.sf)
     val gx = GraphXAnalytics.components(spark, TestSpark.sf)

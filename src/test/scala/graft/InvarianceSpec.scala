@@ -25,7 +25,9 @@ class InvarianceSpec extends AnyFunSuite {
       // bipartite HITS, seeded pagerank, wedge link prediction,
       // probe-batch lexical top-k, built-in session windows, funnel
       "q_hits", "q_ppr", "q_link_prediction", "q_doc_similarity",
-      "q_session_window", "q_funnel")
+      "q_session_window", "q_funnel",
+      // round-4 additions: line-hash boilerplate join, struct-min LPA
+      "q_dedup_lines", "q_lpa_communities")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -53,6 +53,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.count() == Tables.documents(spark, TestSpark.sf).count())
   }
 
+  test("line dedup matches an in-memory boilerplate count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val lines = docs.flatMap { case (id, t) =>
+      t.split(" ").grouped(Dedup.LineW).map(_.mkString(" "))
+        .filter(_.length >= Dedup.LineMinLen).map(l => (id, l))
+    }
+    val df = lines.map { case (id, l) => (id, l) }.distinct
+      .groupBy(_._2).map { case (l, occ) => (l, occ.size) }
+    val boiler = df.filter(_._2 >= Dedup.LineDupDocs).keySet
+    val expect = lines.groupBy(_._1).map { case (id, ls) =>
+      id -> ((ls.length.toLong, ls.count(x => boiler(x._2)).toLong))
+    }
+    val got = Dedup.qDedupLines(spark, TestSpark.sf)
+      .select("doc_id", "n_lines", "n_boiler_lines")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.exists(_._3 > 0),
+      "synthetic corpus repeats lines across docs; boilerplate must be non-empty")
+    got.foreach { case (id, n, nb) =>
+      assert(expect(id) == ((n, nb)), s"doc $id: got ($n,$nb) want ${expect(id)}")
+    }
+  }
+
+  test("quality classifier: label agrees with the quantized logit, sigmoid monotone") {
+    import spark.implicits._
+    val rows = operators.TextAnalysis.qQualityClassifier(spark, TestSpark.sf)
+      .select("logit_u", "p_keep", "label").as[(Long, Double, String)].collect()
+    rows.foreach { case (lu, p, lab) =>
+      val want = if (lu >= operators.TextAnalysis.QcKeepLogit) "keep"
+        else if (lu >= 0L) "review" else "drop"
+      assert(lab == want, s"logit $lu labeled $lab, want $want")
+      assert(p > 0.0 && p < 1.0)
+    }
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, p1, _), (_, p2, _)) => assert(p1 <= p2, "sigmoid must be monotone")
+      case _ => ()
+    }
+  }
+
   test("pii scrub removes every person token from the full text") {
     val pii = operators.TextAnalysis.PiiWords.toSet
     val piiRe = s"\\b(${operators.TextAnalysis.PiiWords.mkString("|")})\\b"
