@@ -148,6 +148,7 @@ object Bench {
       "quality_classifier" -> "qcls", "quality_buckets" -> "qbk",
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
+      "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",

@@ -244,6 +244,89 @@ object Dedup {
       .orderBy("vec_id_a", "vec_id_b")
   }
 
+  val SemTau = 0.4 // within-cluster cosine above this = semantic dup
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): assign every
+    * embedding to its nearest centroid (one k-means E-step — the
+    * paper clusters first for exactly this blocking), find
+    * within-cluster pairs with cosine ≥ SemTau, and KEEP the member
+    * of each dup pair farthest from its centroid (the paper's rule:
+    * centroid-near members are redundant with the cluster itself).
+    * Ties keep the smaller vec_id. Output per vector: cluster,
+    * centroid cosine, dup-partner count, keep verdict.
+    *
+    * Scale shape: centroids are a k×dim broadcast (k is the cluster
+    * count, not the corpus); assignment is one narrow pass with a
+    * struct-min argmax — no window. Candidate pairs must share BOTH
+    * the cluster AND an SRP-LSH bucket (the same 8×4-bit tables as
+    * q_dedup_embedding), so the pair set is bucket-density-bounded —
+    * never cluster-sized all-pairs, which at 100 TB would be
+    * quadratic in N/k. Centroid cosines are quantized to 6 decimals
+    * BEFORE the argmax and the keep rule, so distributed float order
+    * can never flip an assignment or a verdict.
+    */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.normCol(col("v")))
+      .localCheckpoint(false) // vectors + norms once; read by assign AND verify
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cnrm", Similarity.normCol(col("cv")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cc",
+        round(Similarity.dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cc")).as("nc"), col("label").as("l"))).as("b"))
+      .select(col("vec_id"), col("b.l").as("cluster"), (-col("b.nc")).as("cent_cos"))
+      .localCheckpoint(false) // read by blocking, the keep rule (×2), and the report
+    val sigArr = array((0 until EmbLshTables).map(t =>
+      Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
+    val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
+      .join(assigned.select("vec_id", "cluster"), "vec_id")
+    val cand = buckets
+      .select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"), col("cluster"))
+      .join(buckets.select(col("vec_id").as("vec_id_b"), col("t"),
+        col("bucket"), col("cluster")), Seq("t", "bucket", "cluster"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+      .distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id").as("vec_id_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_id_a")
+      .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_id_b")
+      .filter(round(Similarity.dotCol(col("va"), col("vb"))
+        / (col("na") * col("nb")), 6) >= SemTau)
+      .select("vec_id_a", "vec_id_b")
+      .localCheckpoint(false) // dup-sized; read by the partner count AND the keep rule
+    val sym = pairs.select(col("vec_id_a").as("vec_id"), col("vec_id_b").as("partner"))
+      .unionByName(pairs.select(col("vec_id_b").as("vec_id"),
+        col("vec_id_a").as("partner")))
+    val nd = sym.groupBy("vec_id").agg(countDistinct(col("partner")).as("n_dups"))
+    val drops = sym
+      .join(assigned.select(col("vec_id"), col("cent_cos")), "vec_id")
+      .join(assigned.select(col("vec_id").as("partner"),
+        col("cent_cos").as("p_cos")), "partner")
+      .filter(col("p_cos") < col("cent_cos") ||
+        (col("p_cos") === col("cent_cos") && col("partner") < col("vec_id")))
+      .select("vec_id").distinct()
+      .withColumn("dropped", lit(true))
+    assigned
+      .join(nd, Seq("vec_id"), "left")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cent_cos"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (!coalesce(col("dropped"), lit(false))).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** 60-bit SimHash via the native codegen Expression (the scale path;
     * graft.functions.SimHash64) — same pair semantics at a tighter
     * hamming radius than the 16-bit portable variant.
@@ -576,6 +659,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lines" -> qDedupLines,
+    "q_semdedup" -> qSemdedup,
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
@@ -831,6 +915,68 @@ object Dedup {
          |WHERE len(list_intersect(a.s, b.s)) /
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_semdedup" -> {
+      val dotvc = Similarity.dotDuckSql("e.v", "c.cv")
+      val dotab = Similarity.dotDuckSql("ea.v", "eb.v")
+      val sigCase = (0 until EmbLshTables).map(t =>
+        s"WHEN $t THEN ${Similarity.srpSigSql("v", t * EmbLshBits until (t + 1) * EmbLshBits)}")
+        .mkString(" ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings)),
+         |cd AS MATERIALIZED (
+         |  SELECT label, list(round(c, 6) ORDER BY dim) AS cv,
+         |    sqrt(list_sum(list_transform(list(round(c, 6) ORDER BY dim),
+         |      x -> x * x))) AS cnrm
+         |  FROM (
+         |    SELECT label, dim, avg(x) AS c
+         |    FROM (
+         |      SELECT label,
+         |        unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+         |      FROM embeddings)
+         |    GROUP BY label, dim)
+         |  GROUP BY label),
+         |scores AS MATERIALIZED (
+         |  SELECT e.vec_id, c.label,
+         |    round($dotvc / (e.nrm * c.cnrm), 6) AS cc
+         |  FROM e, cd c),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, min(label) AS cluster, min(cc) AS cent_cos FROM (
+         |    SELECT vec_id, label, cc, max(cc) OVER (PARTITION BY vec_id) AS mc
+         |    FROM scores) WHERE cc = mc GROUP BY vec_id),
+         |bk AS MATERIALIZED (
+         |  SELECT e.vec_id, t, CASE t $sigCase END AS bucket, a.cluster
+         |  FROM e JOIN asg a USING (vec_id),
+         |    (SELECT unnest(generate_series(0, ${EmbLshTables - 1})) AS t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va_id, b.vec_id AS vb_id
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+         |    AND a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |prs AS MATERIALIZED (
+         |  SELECT va_id, vb_id
+         |  FROM cand JOIN e ea ON ea.vec_id = va_id JOIN e eb ON eb.vec_id = vb_id
+         |  WHERE round($dotab / (ea.nrm * eb.nrm), 6) >= $SemTau),
+         |sym AS MATERIALIZED (
+         |  SELECT va_id AS vec_id, vb_id AS partner FROM prs
+         |  UNION ALL SELECT vb_id, va_id FROM prs),
+         |nd AS (SELECT vec_id, count(DISTINCT partner) AS n_dups FROM sym GROUP BY vec_id),
+         |drops AS (
+         |  SELECT DISTINCT s.vec_id FROM sym s
+         |  JOIN asg m ON m.vec_id = s.vec_id
+         |  JOIN asg p ON p.vec_id = s.partner
+         |  WHERE p.cent_cos < m.cent_cos
+         |    OR (p.cent_cos = m.cent_cos AND s.partner < s.vec_id))
+         |SELECT a.vec_id, a.cluster, a.cent_cos,
+         |  CAST(coalesce(nd.n_dups, 0) AS BIGINT) AS n_dups,
+         |  (d.vec_id IS NULL) AS keep
+         |FROM asg a LEFT JOIN nd USING (vec_id)
+         |LEFT JOIN drops d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
     "q_dedup_embedding" -> {
       val dot = Similarity.dotDuckSql("ea.v", "eb.v")
       val sigCase = (0 until EmbLshTables).map(t =>

@@ -142,6 +142,67 @@ object Training {
           / size(col("v")), 6).as("mse"))
       .orderBy("vec_id")
 
+  val DsirBuckets = 1024      // hashed n-gram feature space
+  val DsirTargetLang = "de"   // the target-domain slice
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely its hashed-unigram features are under a TARGET
+    * domain's bag-of-ngrams LM than under the whole-corpus source LM —
+    * log w(x) = Σ_tokens [log p_target(h) − log p_source(h)] with
+    * add-1 smoothing over the DsirBuckets feature space. The target
+    * here is the DsirTargetLang slice; in production it is any
+    * high-quality reference corpus. Positive log-weight = "looks more
+    * like the target than the background" = selected.
+    *
+    * Scale shape: features hash to DsirBuckets buckets, so BOTH LMs
+    * are one map-side-combined aggregation into a bucket-count table
+    * that is broadcast back (1024 rows regardless of corpus size);
+    * the per-doc score is one more map-side-combined sum. Log-probs
+    * are quantized to a 1e-6 integer grid per bucket and summed as
+    * BIGINTs — the per-doc weight is exactly reproducible in any
+    * summation order.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % DsirBuckets)
+    val a0 = toks.groupBy("h").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = a0.agg(sum("cs").as("ts"), sum("ct").as("tt"))
+    val lm = a0.crossJoin(broadcast(tot))
+      .select(col("h"),
+        (round(log((col("ct") + lit(1.0)) / (col("tt") + lit(DsirBuckets)))
+          * lit(1000000.0)).cast("long")
+          - round(log((col("cs") + lit(1.0)) / (col("ts") + lit(DsirBuckets)))
+            * lit(1000000.0)).cast("long")).as("dlp"))
+    val scored = toks.join(broadcast(lm), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dlp")).as("logw_u"))
+      // per-token normalization: the raw sum scales with doc length,
+      // so selection on it would just pick short docs. FLOORED onto
+      // the integer micro-grid — round(x/n/1e6, 6) sits exactly on a
+      // .5 boundary whenever n divides the sum evenly, where the two
+      // engines' rounding modes disagree (observed at sf0.1); a floor
+      // of the identical IEEE quotient is boundary-free.
+      .withColumn("avg_ulogw",
+        floor(col("logw_u") / col("n_tokens")).cast("long"))
+      .withColumn("avg_logw", round(col("avg_ulogw") / lit(1000000.0), 6))
+    // selection threshold = 80th percentile of the per-token weight
+    // (one broadcast 1-row exact-percentile aggregate, same
+    // convention as q_quality_buckets — no rank window); integer
+    // micro-units vs a 6-decimal threshold can only disagree within
+    // 1e-6, far below the integer grid spacing
+    val th = scored.agg(
+      round(expr("percentile(avg_ulogw, 0.8)"), 6).as("p80"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("selected", col("avg_ulogw") >= col("p80"))
+      .select("doc_id", "n_tokens", "logw_u", "avg_logw", "selected")
+      .orderBy("doc_id")
+  }
+
   val MixBudget = 1000L // token budget per source domain
 
   /** Domain-mixture sampling: cap every source at a fixed token budget
@@ -196,6 +257,7 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mix" -> qDomainMix,
+    "q_dsir_weights" -> qDsirWeights,
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
     "q_pack_sequences" -> qPackSequences,
@@ -204,6 +266,35 @@ object Training {
     "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % $DsirBuckets AS h
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)),
+         |a0 AS MATERIALIZED (
+         |  SELECT h, count(*) AS cs,
+         |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct
+         |  FROM toks GROUP BY h),
+         |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ts,
+         |  CAST(sum(ct) AS BIGINT) AS tt FROM a0),
+         |lm AS MATERIALIZED (
+         |  SELECT h,
+         |    CAST(round(ln((ct + 1.0) / (tt + $DsirBuckets)) * 1000000) AS BIGINT)
+         |    - CAST(round(ln((cs + 1.0) / (ts + $DsirBuckets)) * 1000000) AS BIGINT)
+         |    AS dlp
+         |  FROM a0 CROSS JOIN tot),
+         |scored AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(dlp) AS BIGINT) AS logw_u,
+         |    CAST(floor(CAST(sum(dlp) AS BIGINT) / count(*)) AS BIGINT) AS avg_ulogw
+         |  FROM toks JOIN lm USING (h)
+         |  GROUP BY doc_id),
+         |th AS (SELECT round(quantile_cont(avg_ulogw, 0.8), 6) AS p80 FROM scored)
+         |SELECT doc_id, n_tokens, logw_u,
+         |  round(avg_ulogw / 1000000.0, 6) AS avg_logw,
+         |  avg_ulogw >= p80 AS selected
+         |FROM scored CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens

@@ -26,8 +26,9 @@ class InvarianceSpec extends AnyFunSuite {
       // probe-batch lexical top-k, built-in session windows, funnel
       "q_hits", "q_ppr", "q_link_prediction", "q_doc_similarity",
       "q_session_window", "q_funnel",
-      // round-4 additions: line-hash boilerplate join, struct-min LPA
-      "q_dedup_lines", "q_lpa_communities")
+      // round-4 additions: line-hash boilerplate join, struct-min LPA,
+      // centroid-assign + LSH-blocked semdedup, hashed-LM DSIR weights
+      "q_dedup_lines", "q_lpa_communities", "q_semdedup", "q_dsir_weights")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -94,6 +94,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: keep rule is consistent with the dup-partner graph") {
+    import spark.implicits._
+    val rows = Dedup.qSemdedup(spark, TestSpark.sf)
+      .select("vec_id", "cluster", "cent_cos", "n_dups", "keep")
+      .as[(Long, Int, Double, Long, Boolean)].collect()
+    rows.foreach { case (id, _, cc, nd, keep) =>
+      assert(cc >= -1.0 && cc <= 1.0, s"vec $id cent_cos $cc out of range")
+      if (nd == 0) assert(keep, s"vec $id has no dup partners but was dropped")
+      if (!keep) assert(nd > 0, s"vec $id dropped without a dup partner")
+    }
+    val dup = rows.filter(_._4 > 0)
+    assert(dup.nonEmpty, "synthetic embeddings contain semantic dups at SemTau")
+    assert(dup.exists(_._5), "the farthest-from-centroid rule must leave a survivor")
+    assert(dup.exists(!_._5), "a dup pair must drop its centroid-near member")
+  }
+
+  test("DSIR: target-language docs are enriched in the selected set") {
+    import spark.implicits._
+    val w = operators.Training.qDsirWeights(spark, TestSpark.sf)
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    val lang = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val overall = w.values.count(identity).toDouble / w.size
+    val target = w.filter { case (id, _) => lang(id) == operators.Training.DsirTargetLang }
+    val targetRate = target.values.count(identity).toDouble / target.size
+    assert(overall >= 0.15 && overall <= 0.35,
+      s"80th-percentile threshold should select ~20%, got $overall")
+    assert(targetRate > overall,
+      s"target lang must be enriched: target $targetRate vs overall $overall")
+  }
+
   test("pii scrub removes every person token from the full text") {
     val pii = operators.TextAnalysis.PiiWords.toSet
     val piiRe = s"\\b(${operators.TextAnalysis.PiiWords.mkString("|")})\\b"
