@@ -630,9 +630,12 @@ object Dedup {
     * boilerplate set is duplication-sized, NOT assumed broadcastable
     * — at 100 TB the shared-line table is itself large).
     */
-  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
+  /** (doc_id, line-hash, n_chars) for any (doc_id, text) frame — a
+    * stateless narrow pass, so it is stream-safe; shared with the
+    * streaming boilerplate screen.
+    */
+  private[graft] def lineHashesOfDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), expr(s"((size(words) - 1) div $LineW) * $LineW"), lit(LineW)),
         st => concat_ws(" ", slice(col("words"), st + 1, lit(LineW))))).as("line"))
@@ -640,6 +643,9 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long").as("h"),
         length(col("line")).cast("long").as("n_chars"))
+
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = lineHashesOfDocs(Tables.documents(spark, dir))
       .groupBy("doc_id", "h")
       .agg(count(lit(1)).as("n_occ"), sum(col("n_chars")).as("occ_chars"))
       .localCheckpoint(false) // read by the DF agg AND the mark join

@@ -232,6 +232,25 @@ object EventStream {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_grams"))
 
+  /** Streaming boilerplate screen: incoming documents are checked
+    * against the STANDING boilerplate line-hash set as they arrive —
+    * the continuous-ingest twin of Dedup.qDedupLines (new crawl
+    * batches get their nav-bar/cookie-banner mass flagged against
+    * yesterday's corpus statistics without rescanning the corpus).
+    * Line hashing is a stateless narrow pass; the membership check is
+    * a stream-static equi-join on the 8-byte hash (Spark broadcasts
+    * the static side when it fits, and falls back to a stream-static
+    * shuffle join when the standing set is itself large — no stream
+    * state grows with it either way); only the per-doc counters are
+    * streaming state, keyed by doc_id in update mode.
+    */
+  def boilerplateScreenStream(docs: DataFrame, boilerHashes: DataFrame): DataFrame =
+    graft.operators.Dedup.lineHashesOfDocs(docs)
+      .join(boilerHashes, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_boiler_lines"),
+        sum(col("n_chars")).as("boiler_chars"))
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */

@@ -144,6 +144,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(1L) && got.contains(2L) && !got.contains(3L) && !got.contains(4L))
   }
 
+  test("streaming boilerplate screen matches the batch line-hash join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // standing corpus: one 8-word line repeated in >= LineDupDocs docs
+    val boiler = "cookie banner accept all terms privacy policy notice"
+    val corpus = Seq(
+      (100L, s"$boiler unique tail words for document one hundred xx"),
+      (101L, s"$boiler unique tail words for document one hundred yy"),
+      (102L, s"$boiler unique tail words for document one hundred zz"))
+      .toDF("doc_id", "text")
+    val boilerHashes = graft.operators.Dedup.lineHashesOfDocs(corpus)
+      .groupBy("h").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= graft.operators.Dedup.LineDupDocs)
+      .select("h")
+    // incoming batch: d1 leads with the boiler line (aligned), d2 is clean
+    val d1 = (1L, s"$boiler something new entirely follows here right now")
+    val d2 = (2L, "completely fresh words that no standing document contains today")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.boilerplateScreenStream(
+        input.toDF().toDF("doc_id", "text"), boilerHashes)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("boiler_stream").start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("boiler_stream")
+      .select("doc_id", "n_boiler_lines")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup.lineHashesOfDocs(
+        Seq(d1, d2).toDF("doc_id", "text"))
+      .join(boilerHashes, "h")
+      .groupBy("doc_id").agg(count("*").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got == Map(1L -> 1L), "only d1 carries the standing boiler line")
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
