@@ -233,6 +233,30 @@ class PlanSpec extends AnyFunSuite {
       s"bucket offsets not broadcast:\n${plan(df)}")
   }
 
+  test("round-4 operators: no cartesian pair formation; broadcast model state") {
+    // semdedup: candidate pairs are (cluster ∧ LSH-bucket)-blocked
+    // equi-joins; the only broadcast-NLJ-shaped thing anywhere is the
+    // k-row centroid table
+    val sd = plan(operators.Dedup.qSemdedup(spark, TestSpark.sf))
+    assert(!sd.contains("CartesianProduct"), s"semdedup has a cartesian:\n$sd")
+    // dsir: both LMs ride back as broadcasts; the per-doc score join
+    // must not sort-merge the 1024-row LM table
+    val dw = plan(operators.Training.qDsirWeights(spark, TestSpark.sf))
+    assert(dw.contains("BroadcastHashJoin"), s"LM table not broadcast:\n$dw")
+    assert(!dw.contains("CartesianProduct"), s"dsir has a cartesian:\n$dw")
+    // line dedup: boilerplate mark is an equi-join on the hash
+    val dl = plan(operators.Dedup.qDedupLines(spark, TestSpark.sf))
+    assert(!dl.contains("CartesianProduct") && !dl.contains("BroadcastNestedLoopJoin"),
+      s"line mark must be an equi-join:\n$dl")
+    // LPA: per-round vote joins are equi-joins on the entity key
+    val lp = plan(graph.Analytics.qLpaCommunities(spark, TestSpark.sf))
+    assert(!lp.contains("CartesianProduct") && !lp.contains("BroadcastNestedLoopJoin"),
+      s"LPA votes must ride equi-joins:\n$lp")
+    // quality classifier: single narrow pass — nothing to join at all
+    val qc = plan(operators.TextAnalysis.qQualityClassifier(spark, TestSpark.sf))
+    assert(!qc.contains("Join"), s"classifier should be join-free:\n$qc")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
