@@ -149,6 +149,7 @@ object Bench {
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
+      "resolution" -> "res",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",

@@ -255,7 +255,67 @@ object NewsGraph {
           s => s.getField("chunk_text"))).as("chunks_text"))
       .orderBy("doc_id")
 
+  val ErTau = 0.5      // token-set Jaccard merge threshold
+  val ErMaxTokDf = 20  // blocking-token document frequency cap (stop guard)
+
+  /** Entity resolution: merge near-duplicate entity NAMES into one
+    * canonical graph node per real-world entity — the graph-hygiene
+    * pass the reference's per-label fuzzy index exists to serve
+    * (graph.py:140-168 resolves query probes against stored names;
+    * this resolves the stored names against each other). Same-label
+    * names sharing a non-stop token pair up, token-set Jaccard ≥
+    * ErTau verifies, and each name adopts the most-mentioned member
+    * of its match set (ties → lexicographic min) as canonical.
+    *
+    * Scale shape: runs on the ENTITY DIM (≪ corpus), but still
+    * engineered like a dedup: token blocking with a DF cap (a stop
+    * token shared by 10⁵ entity names would otherwise form 10¹⁰
+    * pairs), pair verification on short token arrays, and the
+    * canonical pick as a struct-min aggregate — no rank window, no
+    * all-pairs. One-hop resolution (no transitive closure): the
+    * canonical of a name is decided by its own match set, which is
+    * what keeps the operator a single bounded join chain.
+    */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val ents = TextPipeline.mentions(spark, dir)
+      .groupBy(col("name"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n_mentions"))
+      .localCheckpoint(false) // entity dim; read by blocking, scoring, and the report
+    val toks = ents.select(col("name"), col("label"),
+      explode(array_distinct(split(col("name"), " "))).as("tok"))
+    val tokDf = toks.groupBy("tok", "label").agg(count(lit(1)).as("dfc"))
+    val keep = toks.join(tokDf.filter(col("dfc") <= ErMaxTokDf)
+      .select("tok", "label"), Seq("tok", "label"))
+    val cand = keep.select(col("label"), col("tok"), col("name").as("name_a"))
+      .join(keep.select(col("label"), col("tok"), col("name").as("name_b")),
+        Seq("label", "tok"))
+      .filter(col("name_a") < col("name_b"))
+      .select("label", "name_a", "name_b")
+      .distinct()
+    val ver = cand
+      .withColumn("sa", array_distinct(split(col("name_a"), " ")))
+      .withColumn("sb", array_distinct(split(col("name_b"), " ")))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .filter(col("i") / (size(col("sa")) + size(col("sb")) - col("i")) >= ErTau)
+      .select("label", "name_a", "name_b")
+    val sym = ver.select(col("label"), col("name_a").as("name"), col("name_b").as("partner"))
+      .unionByName(ver.select(col("label"), col("name_b").as("name"),
+        col("name_a").as("partner")))
+      .unionByName(ents.select(col("label"), col("name"), col("name").as("partner")))
+    val canon = sym
+      .join(ents.select(col("label"), col("name").as("partner"),
+        col("n_mentions").as("pm")), Seq("label", "partner"))
+      .groupBy("label", "name")
+      .agg(min(struct((-col("pm")).as("np"), col("partner").as("p"))).as("b"))
+      .select(col("label"), col("name"), col("b.p").as("canonical"))
+    ents.join(canon, Seq("label", "name"))
+      .select(col("name"), col("label"), col("n_mentions"), col("canonical"),
+        (col("canonical") =!= col("name")).as("merged"))
+      .orderBy("label", "name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> qEntityResolution,
     "q_article_topics" -> qArticleTopics,
     "q_graph_nodes" -> qGraphNodes,
     "q_graph_schema" -> qGraphSchema,
@@ -269,6 +329,46 @@ object NewsGraph {
   private val M = TextPipeline.MentionsSql
 
   val oracles: Map[String, String] = Map(
+    "q_entity_resolution" ->
+      s"""WITH $M,
+         |ents AS MATERIALIZED (
+         |  SELECT name, label, count(*) AS n_mentions
+         |  FROM mentions GROUP BY name, label),
+         |toks AS MATERIALIZED (
+         |  SELECT name, label, unnest(list_distinct(string_split(name, ' '))) AS tok
+         |  FROM ents),
+         |tdf AS (SELECT tok, label, count(*) AS dfc FROM toks GROUP BY tok, label),
+         |keep AS (SELECT t.* FROM toks t JOIN tdf USING (tok, label)
+         |  WHERE dfc <= $ErMaxTokDf),
+         |cand AS (
+         |  SELECT DISTINCT a.label, a.name AS name_a, b.name AS name_b
+         |  FROM keep a JOIN keep b
+         |    ON a.tok = b.tok AND a.label = b.label AND a.name < b.name),
+         |ver AS MATERIALIZED (
+         |  SELECT label, name_a, name_b FROM (
+         |    SELECT label, name_a, name_b,
+         |      CAST(len(list_intersect(list_distinct(string_split(name_a, ' ')),
+         |        list_distinct(string_split(name_b, ' ')))) AS DOUBLE) AS i,
+         |      len(list_distinct(string_split(name_a, ' '))) AS la,
+         |      len(list_distinct(string_split(name_b, ' '))) AS lb
+         |    FROM cand)
+         |  WHERE i / (la + lb - i) >= $ErTau),
+         |sym AS (
+         |  SELECT label, name_a AS name, name_b AS partner FROM ver
+         |  UNION ALL SELECT label, name_b, name_a FROM ver
+         |  UNION ALL SELECT label, name, name FROM ents),
+         |sc AS MATERIALIZED (
+         |  SELECT s.label, s.name, s.partner, e.n_mentions AS pm
+         |  FROM sym s JOIN ents e ON e.name = s.partner AND e.label = s.label),
+         |canon AS (
+         |  SELECT label, name, min(partner) AS canonical FROM (
+         |    SELECT label, name, partner, pm,
+         |      max(pm) OVER (PARTITION BY label, name) AS mx FROM sc)
+         |  WHERE pm = mx GROUP BY label, name)
+         |SELECT e.name, e.label, CAST(e.n_mentions AS BIGINT) AS n_mentions,
+         |  c.canonical, (c.canonical <> e.name) AS merged
+         |FROM ents e JOIN canon c ON c.name = e.name AND c.label = e.label
+         |ORDER BY e.label, e.name""".stripMargin,
     "q_article_topics" ->
       s"""WITH $M,
          |$ArticleTopicsSql

@@ -125,6 +125,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"target lang must be enriched: target $targetRate vs overall $overall")
   }
 
+  test("entity resolution: canonicals are real same-label entities from the match set") {
+    import spark.implicits._
+    val rows = graph.NewsGraph.qEntityResolution(spark, TestSpark.sf)
+      .select("name", "label", "n_mentions", "canonical", "merged")
+      .as[(String, String, Long, String, Boolean)].collect()
+    val mentions = rows.map(r => (r._1, r._2) -> r._3).toMap
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    rows.foreach { case (name, label, nm, canon, merged) =>
+      assert(mentions.contains((canon, label)),
+        s"canonical $canon is not a same-label entity")
+      assert(merged == (canon != name))
+      if (merged) {
+        assert(jac(name, canon) >= graph.NewsGraph.ErTau,
+          s"$name merged into $canon below the Jaccard threshold")
+        assert(mentions((canon, label)) >= nm,
+          s"$name adopted a LESS-mentioned canonical $canon")
+      }
+    }
+    assert(rows.exists(_._5), "gazetteer multi-word spans must merge")
+    assert(rows.exists(!_._5), "head entities must survive as canonicals")
+  }
+
   test("pii scrub removes every person token from the full text") {
     val pii = operators.TextAnalysis.PiiWords.toSet
     val piiRe = s"\\b(${operators.TextAnalysis.PiiWords.mkString("|")})\\b"
