@@ -57,22 +57,18 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     release()
-    // A failing query is REPORTED, not silently timed at -1: per-query
-    // err strings and a failure count ride the emitted JSON.
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(e.toString.linesIterator.next().take(200))
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      release()
-      (name, dt, err)
-    }
     // Amortized graph path: materialize the bucketed chunk/mention
     // tables once (timed), then re-run the graph-query family against
     // them via the MaterializedConf indirection — the production
     // "ingest once, query many" shape. Reported as two pseudo-query
-    // entries so the one-line JSON contract is unchanged.
+    // entries so the one-line JSON contract is unchanged. Runs FIRST,
+    // right after warm-up on a clean heap: when it ran last, the
+    // end-of-suite heap state handed it roaming multi-second GC
+    // pauses (4.7 s / 11.7 s on back-to-back runs, nothing in the
+    // segment itself changed). No release() inside the timed window —
+    // the blocking unpersist/broadcast-drop RPCs would be charged to
+    // the segment; 6 queries don't accumulate enough state to
+    // distort each other.
     val amortized: Seq[(String, Double, Option[String])] =
       if (only.isEmpty) {
         val gq = Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
@@ -86,9 +82,9 @@ object Bench {
           val t1 = System.nanoTime()
           gq.foreach { n =>
             SparkEntry.queries(n)(spark, sfDir).count()
-            release()
           }
           val tRun = (System.nanoTime() - t1) / 1e9
+          release()
           Seq(("x_mat_graph", tMat, None),
             (s"x_amortized${gq.size}q", tRun, None))
         } catch {
@@ -97,6 +93,17 @@ object Bench {
               Some(e.toString.linesIterator.next().take(200))))
         } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
       } else Seq.empty
+    // A failing query is REPORTED, not silently timed at -1: per-query
+    // err strings and a failure count ride the emitted JSON.
+    val results = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(e.toString.linesIterator.next().take(200))
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      (name, dt, err)
+    }
     val all = results.toSeq ++ amortized
     // The driver captures only the trailing ~2000 chars of output, so
     // the whole JSON line (plus sbt's epilogue) must fit in that
