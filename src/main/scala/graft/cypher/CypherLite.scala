@@ -29,6 +29,7 @@ import graft.operators.TextPipeline
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
   *                 | v.prop <> 'a' | v.prop < n ...
+  *                 | v.prop CONTAINS|STARTS WITH|ENDS WITH 'a'
   *   with       := (WITH DISTINCT v
   *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
@@ -41,6 +42,8 @@ import graft.operators.TextPipeline
   *   return     := RETURN [DISTINCT] item (, item)*
   *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
   *                 | collect(v[.prop]) [AS alias]
+  *                 | min/max/avg(v[.prop]) [AS alias]  -- avg rounded
+  *                   to 6 decimals (summation-order determinism)
   *                 | v{.prop, key: w.prop, ...} [AS alias]  -- map
   *                   projection, emitted as a compact JSON string
   *                 -- aggregates group implicitly by the plain props
@@ -204,6 +207,11 @@ object CypherLite {
   case class EqColPred(v: String, prop: String, ref: String) extends Pred
   /** `v.prop <> 'x'` — Cypher inequality (null-safe: NULL props drop). */
   case class NeqPred(v: String, prop: String, value: String) extends Pred
+  /** `v.prop CONTAINS|STARTS WITH|ENDS WITH 'x'` — Cypher string
+    * predicates (the fuzzy-ish filters LLM-written entity queries
+    * lean on).
+    */
+  case class StrPred(v: String, prop: String, op: String, value: String) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
     * binds tighter in Cypher; this subset allows OR only between
@@ -237,6 +245,12 @@ object CypherLite {
     * of an earlier WITH stage (prop=None: bare alias).
     */
   case class SumItem(v: String, prop: Option[String] = None,
+    alias: Option[String] = None) extends RetItem
+  /** min/max/avg(v.prop) — the remaining scalar aggregates of the
+    * Cypher read surface; avg is rounded to 6 decimals so distributed
+    * float summation order can't drift from the oracle.
+    */
+  case class AggFnItem(fn: String, v: String, prop: Option[String] = None,
     alias: Option[String] = None) extends RetItem
   sealed trait WithStage
   /** `WITH DISTINCT v` — dedup on one carried variable. */
@@ -275,6 +289,8 @@ object CypherLite {
     """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val SumRe =
     """(?i)sum\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val AggFnRe =
+    """(?i)(min|max|avg)\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
   private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
   private val BareNameRe = """(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
@@ -318,6 +334,7 @@ object CypherLite {
     val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
+    val strRe = """(?i)(\w+)\.(\w+)\s+(CONTAINS|STARTS\s+WITH|ENDS\s+WITH)\s+'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
@@ -326,6 +343,8 @@ object CypherLite {
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
       case neqRe(v, p, value) => NeqPred(v, p, value)
+      case strRe(v, p, op, value) =>
+        StrPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
       case numRe(v, p, op, value) => NumPred(v, p, op, value.toLong)
       case bareRe(n, op, value) => BarePred(n, op, value.toLong)
       case eqColRe(v, p, ref) => EqColPred(v, p, ref)
@@ -358,7 +377,9 @@ object CypherLite {
     // appear both before a WITH and inside every WITH stage, so
     // keyword slicing alone is ambiguous). Each WITH starts a new
     // pipeline stage; the RETURN terminates the chain.
-    val withMs = "(?i)\\bWITH\\b".r.findAllMatchIn(q0).toSeq
+    // `STARTS WITH` / `ENDS WITH` string predicates contain the WITH
+    // keyword — the lookbehinds keep them out of the stage slicing
+    val withMs = "(?i)(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b".r.findAllMatchIn(q0).toSeq
     val retStart = "(?i)\\bRETURN\\b".r.findFirstMatchIn(q0).map(_.start)
     val head = q0.substring(0,
       withMs.headOption.map(_.start).orElse(retStart).getOrElse(q0.length))
@@ -427,6 +448,8 @@ object CypherLite {
         CollectItem(v, Option(prop), Option(alias))
       case SumRe(v, prop, alias) =>
         SumItem(v, Option(prop), Option(alias))
+      case AggFnRe(fn, v, prop, alias) =>
+        AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
       case MapRe(v, body, alias) =>
         val dotRe = """\.(\w+)""".r
         val kvRe = """(\w+)\s*:\s*(\w+)\.(\w+)""".r
@@ -545,6 +568,11 @@ object CypherLite {
       case EqPred(v, pr, value) => col(s"${v}_$pr") === value
       case EqColPred(v, pr, ref) => col(s"${v}_$pr") === col(ref)
       case NeqPred(v, pr, value) => col(s"${v}_$pr") =!= value
+      case StrPred(v, pr, op, value) => op match {
+        case "CONTAINS" => col(s"${v}_$pr").contains(value)
+        case "STARTS WITH" => col(s"${v}_$pr").startsWith(value)
+        case "ENDS WITH" => col(s"${v}_$pr").endsWith(value)
+      }
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
@@ -573,6 +601,8 @@ object CypherLite {
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
       case SumItem(v, p, a) =>
         a.getOrElse(p.fold(s"sum_$v")(pp => s"sum_${v}_$pp"))
+      case AggFnItem(fn, v, p, a) =>
+        a.getOrElse(p.fold(s"${fn}_$v")(pp => s"${fn}_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
       case BareItem(n, a) => a.getOrElse(n)
     }
@@ -602,6 +632,13 @@ object CypherLite {
           array_sort(collect_list(varCol(v, prop).cast("string")))).as(outName(it)))
       case it @ SumItem(v, prop, _) =>
         Some(sum(varCol(v, prop)).as(outName(it)))
+      case it @ AggFnItem(fn, v, prop, _) =>
+        val c = varCol(v, prop)
+        Some((fn match {
+          case "min" => min(c)
+          case "max" => max(c)
+          case "avg" => round(avg(c), 6)
+        }).as(outName(it)))
       case _ => None
     }
     // WITH pipeline stages, in order: DISTINCT-dedup, or implicit
@@ -796,7 +833,28 @@ object CypherLite {
     "MATCH (s:Source)-[:PUBLISHED]->(a:Article) WHERE s.type = 'rss' " +
       "RETURN s.name, s.url, count(a) AS n_articles ORDER BY s.name"
 
+  /** String predicates — CONTAINS / STARTS WITH on node properties,
+    * the fuzzy-ish filter shape LLM-written entity queries lean on
+    * ("organizations whose name starts with…", "chunks that talk
+    * about…").
+    */
+  val Ex18: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name STARTS WITH 'spark' AND c.text CONTAINS 'table' " +
+      "RETURN o.name, count(c) AS n_chunks ORDER BY o.name"
+
+  /** min/max/avg scalar aggregates with Cypher's implicit grouping —
+    * per-article chunk-position stats (the "document shape profile"
+    * projection).
+    */
+  val Ex19: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "RETURN a.uid, min(c.position) AS first_pos, max(c.position) AS last_pos, " +
+      "avg(c.position) AS avg_pos ORDER BY a.uid LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex18" -> ((s, d) => run(s, d, Ex18)),
+    "q_cypher_ex19" -> ((s, d) => run(s, d, Ex19)),
     "q_cypher_ex17" -> ((s, d) => run(s, d, Ex17)),
     "q_cypher_ex16" -> ((s, d) => run(s, d, Ex16)),
     "q_cypher_ex15" -> ((s, d) => run(s, d, Ex15)),
@@ -819,6 +877,20 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex18" ->
+      s"""WITH $P,
+         |edges AS (SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization' AND name LIKE 'spark%')
+         |SELECT e.name AS o_name, count(*) AS n_chunks
+         |FROM edges e JOIN chunks c USING (doc_id, chunk_id)
+         |WHERE c.chunk_text LIKE '%table%'
+         |GROUP BY e.name ORDER BY o_name""".stripMargin,
+    "q_cypher_ex19" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT 'Article:' || doc_id AS a_uid,
+         |  min(chunk_id) AS first_pos, max(chunk_id) AS last_pos,
+         |  round(avg(chunk_id), 6) AS avg_pos
+         |FROM chunks GROUP BY doc_id ORDER BY a_uid LIMIT 10""".stripMargin,
     "q_cypher_ex17" ->
       s"""SELECT source AS s_name, ${Props.SourceUrlSql} AS s_url,
          |  count(*) AS n_articles

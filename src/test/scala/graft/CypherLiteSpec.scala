@@ -9,6 +9,48 @@ import graft.cypher.CypherLite._
 class CypherLiteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("STARTS WITH predicate coexists with a WITH pipeline stage (slicer hazard)") {
+    // `STARTS WITH` contains the WITH keyword: the stage slicer must
+    // not cut the query there
+    val q = "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name STARTS WITH 'spark' " +
+      "WITH o, count(c) AS n WHERE n >= 1 " +
+      "RETURN o.name, n ORDER BY o.name"
+    val df = CypherLite.run(spark, TestSpark.sf, q)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).startsWith("spark")))
+    // string predicates agree with the equivalent explicit filter
+    val expect = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "RETURN o.name, count(c) AS n ORDER BY o.name")
+      .filter(col("o_name").startsWith("spark")).collect()
+    assert(rows.toSeq == expect.toSeq)
+  }
+
+  test("CONTAINS and ENDS WITH filter node properties") {
+    val c = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "WHERE o.name ENDS WITH 'group' RETURN o.name, count(c) AS n ORDER BY o.name")
+      .collect()
+    assert(c.nonEmpty && c.forall(_.getString(0).endsWith("group")))
+    val ct = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "WHERE o.name CONTAINS 'park' RETURN o.name, count(c) AS n ORDER BY o.name")
+      .collect()
+    assert(ct.nonEmpty && ct.forall(_.getString(0).contains("park")))
+  }
+
+  test("min/max/avg aggregate with implicit grouping") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex19).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, avg) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(mn <= mx && avg >= mn && avg <= mx,
+        s"inconsistent stats: min=$mn max=$mx avg=$avg")
+    }
+  }
+
   test("parses a linear path with WHERE IN and LIMIT") {
     val Seq(q) = parse(Ex1)
     assert(q.paths.head.nodes.flatMap(_.label) == Seq("Article", "Chunk", "Person"))
