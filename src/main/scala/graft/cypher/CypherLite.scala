@@ -30,6 +30,8 @@ import graft.operators.TextPipeline
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
   *                 | v.prop <> 'a' | v.prop < n ...
   *                 | v.prop CONTAINS|STARTS WITH|ENDS WITH 'a'
+  *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
+  *                   top-level AND conjunct only
   *   with       := (WITH DISTINCT v
   *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
@@ -212,6 +214,13 @@ object CypherLite {
     * lean on).
     */
   case class StrPred(v: String, prop: String, op: String, value: String) extends Pred
+  /** `NOT (v)-[:REL]->(:Label [{prop:'x'}])` — negative pattern
+    * predicate (Cypher's "has no such edge"), compiled as a LEFT ANTI
+    * join of the bound rows against the hop — the anti-join shape of
+    * "articles that do NOT mention X". Top-level AND conjuncts only.
+    */
+  case class NotPatPred(v: String, rel: String, dstLabel: String,
+    dstProp: Option[(String, String)]) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
     * binds tighter in Cypher; this subset allows OR only between
@@ -335,10 +344,14 @@ object CypherLite {
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
     val strRe = """(?i)(\w+)\.(\w+)\s+(CONTAINS|STARTS\s+WITH|ENDS\s+WITH)\s+'([^']*)'""".r
+    val notPatRe = ("""(?i)NOT\s+\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
+      """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""").r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
     w.trim match {
+      case notPatRe(v, rel, lbl, prop, value) =>
+        NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case inRe(v, p, vals) =>
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
@@ -576,6 +589,8 @@ object CypherLite {
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
+      case _: NotPatPred => throw new IllegalArgumentException(
+        "NOT (pattern) is only supported as a top-level AND conjunct")
     }
     // UNWIND: the literal list becomes a tiny broadcast relation; the
     // WHERE predicates referencing its alias are the join condition
@@ -593,7 +608,21 @@ object CypherLite {
       val uw = spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING).toDF(alias)
       df = df.join(broadcast(uw), uwPreds.map(predCol).reduce(_ && _))
     }
-    restPreds.foreach(p => df = df.filter(predCol(p)))
+    restPreds.foreach {
+      // negative pattern: LEFT ANTI join the bound rows against the
+      // hop's source side (dst prop/label filters applied before the
+      // distinct, so the anti side stays edge-sized, never row-sized)
+      case NotPatPred(v, rel, dstLabel, dstProp) =>
+        require(bound.contains(v), s"NOT pattern references unbound variable $v")
+        val e = edges(spark, dir, rel, dstLabel)
+        val hop = dstProp.fold(e) { case (p, value) =>
+          e.join(nodes(spark, dir, dstLabel).filter(col(p) === value)
+            .select(col("uid").as("dst_uid")), "dst_uid")
+        }
+        df = df.join(hop.select(col("src_uid").as(s"${v}_uid")).distinct(),
+          Seq(s"${v}_uid"), "left_anti")
+      case p => df = df.filter(predCol(p))
+    }
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
       case CountItem(v, _, a) => a.getOrElse(s"count_$v")
@@ -852,7 +881,18 @@ object CypherLite {
       "RETURN a.uid, min(c.position) AS first_pos, max(c.position) AS last_pos, " +
       "avg(c.position) AS avg_pos ORDER BY a.uid LIMIT 10"
 
+  /** Negative pattern — chunks with NO person mention, counted per
+    * article (the "find the un-annotated remainder" anti-join shape;
+    * complements Ex15's OPTIONAL MATCH zero-count view of the same
+    * relationship).
+    */
+  val Ex20: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE NOT (c)-[:MENTIONS]->(:Person) " +
+      "RETURN a.uid, count(c) AS n_plain ORDER BY a.uid LIMIT 15"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex20" -> ((s, d) => run(s, d, Ex20)),
     "q_cypher_ex18" -> ((s, d) => run(s, d, Ex18)),
     "q_cypher_ex19" -> ((s, d) => run(s, d, Ex19)),
     "q_cypher_ex17" -> ((s, d) => run(s, d, Ex17)),
@@ -877,6 +917,15 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex20" ->
+      s"""WITH $P,
+         |pm AS (SELECT DISTINCT doc_id, chunk_id FROM mentions
+         |  WHERE label = 'person')
+         |SELECT 'Article:' || c.doc_id AS a_uid, count(*) AS n_plain
+         |FROM chunks c LEFT JOIN pm
+         |  ON c.doc_id = pm.doc_id AND c.chunk_id = pm.chunk_id
+         |WHERE pm.doc_id IS NULL
+         |GROUP BY c.doc_id ORDER BY a_uid LIMIT 15""".stripMargin,
     "q_cypher_ex18" ->
       s"""WITH $P,
          |edges AS (SELECT DISTINCT doc_id, chunk_id, name

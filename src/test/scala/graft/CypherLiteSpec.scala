@@ -41,6 +41,27 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(ct.nonEmpty && ct.forall(_.getString(0).contains("park")))
   }
 
+  test("NOT (pattern) anti-join complements the OPTIONAL MATCH zero-count view") {
+    import org.apache.spark.sql.functions.sum
+    // chunks with no person mention via NOT pattern...
+    val anti = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE NOT (c)-[:MENTIONS]->(:Person) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    // ...must equal the Ex15-style zero-count rows over ALL chunks
+    val viaOpt = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) OPTIONAL MATCH (c)-[:MENTIONS]->(p:Person) " +
+        "WITH c, count(p) AS n_p RETURN c.uid, n_p")
+      .filter(col("n_p") === 0).count()
+    assert(anti == viaOpt, s"anti $anti vs optional-zero $viaOpt")
+    assert(anti > 0, "corpus must contain person-free chunks")
+    // dst property filter narrows the anti side: excluding chunks that
+    // mention ONE person keeps at least as many rows as excluding all
+    val one = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE NOT (c)-[:MENTIONS]->(:Person {name: 'customer'}) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    assert(one >= anti)
+  }
+
   test("min/max/avg aggregate with implicit grouping") {
     val rows = CypherLite.run(spark, TestSpark.sf, Ex19).collect()
     assert(rows.nonEmpty)
