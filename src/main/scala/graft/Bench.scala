@@ -156,7 +156,7 @@ object Bench {
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
-      "resolution" -> "res",
+      "resolution" -> "res", "temporal" -> "tmp",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",

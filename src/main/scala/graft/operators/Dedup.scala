@@ -120,6 +120,56 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  val TemporalWindow = 7 // days — the same-story re-publication horizon
+
+  /** Temporal near-dup pairs: MinHash-LSH dedup restricted to a
+    * publishing-time window — the news-corpus shape where the SAME
+    * story re-publishes across outlets within days, while a yearly
+    * recap sharing the text is NOT a dup to collapse. Pairs must
+    * share an LSH band key AND publish within TemporalWindow days
+    * (the deterministic per-doc publishing day from graph/Props).
+    *
+    * Scale shape: the blocking key is (band, day-bucket) with the
+    * probe side exploded to bucket±1 — the bucketized band-join trick
+    * q_range_join uses, so the |Δday| predicate rides an equi-join,
+    * never a nested loop. At 100 TB this beats plain LSH on shuffle
+    * profile too: a hot band key (a boilerplate template with 10⁶
+    * members) splits across time buckets instead of forming one
+    * quadratic reduce group. Days are linear (no year wraparound —
+    * real corpora are open-ended time, not a cyclic calendar).
+    */
+  def qDedupTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val r = MinhashK / LshBands
+    val sh = shinglesCk(spark, dir)
+    val bands = minhashSigs(sh)
+      .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
+        band => md5(concat(
+          array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
+          lit("#"), band.cast("string")))))
+      .withColumn("day", col("doc_id") * 37 % 365)
+      .withColumn("bucket", expr(s"day div $TemporalWindow"))
+      .select(col("doc_id"), col("day"), col("bucket"), explode(col("bkeys")).as("bkey"))
+    val probe = bands.select(col("doc_id").as("doc_id_a"), col("day").as("day_a"),
+      col("bkey"), explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+        .as("bucket"))
+    val build = bands.select(col("doc_id").as("doc_id_b"), col("day").as("day_b"),
+      col("bkey"), col("bucket"))
+    val cand = probe.join(build, Seq("bkey", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        abs(col("day_a") - col("day_b")) <= TemporalWindow)
+      .select("doc_id_a", "doc_id_b", "day_a", "day_b")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_id_a", "doc_id_b", "day_a", "day_b", "jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** 16-bit SimHash per row via HOF folds (portable width; the 64-bit
     * native-Expression variant is the bench path — SURVEY §5). The
     * token hashes `hs` are materialized once per row so the per-bit
@@ -670,6 +720,7 @@ object Dedup {
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_temporal" -> qDedupTemporal,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -823,6 +874,40 @@ object Dedup {
         |SELECT doc_id, canonical_id, n_copies
         |FROM documents JOIN g ON md5(text) = h
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_temporal" ->
+      s"""WITH $ShinglesSql,
+         |hsh AS MATERIALIZED (
+         |  SELECT doc_id, s, list_transform(s,
+         |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+         |  FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}),
+         |    j -> list_aggregate(list_transform(hs,
+         |      h -> (h * (1000003 + 7919 * j) + 12345 + 911 * j) % $MinhashP), 'min')) AS sig
+         |  FROM hsh),
+         |bnd AS MATERIALIZED (
+         |  SELECT doc_id, (doc_id * 37) % 365 AS day,
+         |    ((doc_id * 37) % 365) // $TemporalWindow AS bucket,
+         |    md5(array_to_string(sig[1 + 4*band : 4 + 4*band], '|') || '#' || band) AS bkey
+         |  FROM sigs, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    a.day AS day_a, b.day AS day_b
+         |  FROM (SELECT doc_id, day, bkey,
+         |          unnest([bucket - 1, bucket, bucket + 1]) AS bucket FROM bnd) a
+         |  JOIN bnd b ON a.bkey = b.bkey AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |  WHERE abs(a.day - b.day) <= $TemporalWindow)
+         |SELECT doc_id_a, doc_id_b, day_a, day_b,
+         |  round(len(list_intersect(sa.s, sb.s)) /
+         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
+         |          JOIN sh sb ON sb.doc_id = doc_id_b
+         |WHERE round(len(list_intersect(sa.s, sb.s)) /
+         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6)
+         |  >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold

@@ -38,6 +38,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
   }
 
+  test("temporal dedup equals minhash dedup restricted to the day window") {
+    import spark.implicits._
+    val plain = Dedup.qDedupMinhash(spark, TestSpark.sf)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    def day(id: Long) = id * 37 % 365
+    val want = plain.filter { case (a, b, _) =>
+      math.abs(day(a) - day(b)) <= Dedup.TemporalWindow
+    }
+    val got = Dedup.qDedupTemporal(spark, TestSpark.sf)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // the bucket±1 blocking must not lose any in-window pair, and the
+    // |Δday| filter must not admit any out-of-window pair
+    assert(got == want, s"temporal ${got.size} vs windowed-plain ${want.size}")
+    assert(got.nonEmpty, "same-week near-dups exist in the synthetic corpus")
+    assert(got.size < plain.size, "the day window must exclude far-apart re-posts")
+  }
+
   test("banded 16-bit simhash == brute-force all-pairs") {
     val banded = Dedup.qDedupSimhash(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet

@@ -29,7 +29,7 @@ class InvarianceSpec extends AnyFunSuite {
       // round-4 additions: line-hash boilerplate join, struct-min LPA,
       // centroid-assign + LSH-blocked semdedup, hashed-LM DSIR weights
       "q_dedup_lines", "q_lpa_communities", "q_semdedup", "q_dsir_weights",
-      "q_entity_resolution")
+      "q_entity_resolution", "q_dedup_temporal")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
