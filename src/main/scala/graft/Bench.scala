@@ -157,6 +157,7 @@ object Bench {
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "resolution" -> "res", "temporal" -> "tmp",
+      "curation_e2e" -> "cure",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",

@@ -167,8 +167,41 @@ object Curation {
     decontamReport(d, hits)
   }
 
+  /** The WHOLE curation pipeline as one composed plan — the "what
+    * actually survives into the training set" query: held-out split
+    * assignment, quality gates (length / repetition / diversity),
+    * near-duplicate suppression (cluster canonicals), and benchmark
+    * decontamination, with the FIRST failing rule as each document's
+    * reason. One DataFrame, one Catalyst plan: split hashing and
+    * quality signals are narrow, the dup signal is the pair-graph
+    * propagation (dup-subgraph-sized), the contamination signal is
+    * the broadcast eval-gram semi-join — composing them adds joins on
+    * doc_id, not new corpus scans of any widened shape.
+    *
+    * Rule order: held_out ≻ too_short ≻ repetitive ≻ low_diversity ≻
+    * near_duplicate ≻ contaminated ≻ keep (a held-out doc is not
+    * training data at all, so no other verdict applies to it).
+    */
+  def qCurationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val fp = qFilterPipeline(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("reason").as("q_reason"))
+    val dec = qDecontaminate(spark, dir)
+      .select(col("doc_id"), col("split"), col("contaminated"))
+    fp.join(dec, Seq("doc_id"), "left")
+      .withColumn("split", coalesce(col("split"), lit("test")))
+      .withColumn("reason",
+        when(col("split") === "test", "held_out")
+          .when(col("q_reason") =!= "keep", col("q_reason"))
+          .when(col("contaminated"), "contaminated")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "split", "n_tokens", "reason", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_pipeline" -> qFilterPipeline,
+    "q_curation_e2e" -> qCurationE2e,
     "q_decontaminate" -> qDecontaminate,
     "q_bloom_decontaminate" -> qBloomDecontaminate)
 
@@ -196,6 +229,52 @@ object Curation {
          |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_curation_e2e" ->
+      s"""WITH ${Dedup.clusterCtes},
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |fs AS (SELECT doc_id, len(words) AS n_tokens,
+         |  len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS ttr FROM fw),
+         |fg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(words) - 1),
+         |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM fw),
+         |fc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY doc_id, g),
+         |fr AS (SELECT doc_id,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupfrac
+         |  FROM fc GROUP BY doc_id),
+         |canon AS (SELECT d.doc_id,
+         |    coalesce(c.comp, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN c${Dedup.ClusterIters} c ON d.doc_id = c.node),
+         |xd AS (SELECT doc_id, words,
+         |    CAST('0x' || substr(md5('split#' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket
+         |  FROM fw),
+         |xg AS MATERIALIZED (
+         |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(words) - ${DecontamN - 1}),
+         |    i -> md5(array_to_string(words[i:i+${DecontamN - 1}], ' '))))) AS gh
+         |  FROM xd WHERE len(words) >= $DecontamN),
+         |xev AS (SELECT DISTINCT gh FROM xg WHERE bucket >= $EvalBucket),
+         |xhits AS (
+         |  SELECT DISTINCT doc_id FROM xg JOIN xev USING (gh)
+         |  WHERE bucket < $EvalBucket),
+         |verdict AS (
+         |  SELECT fs.doc_id,
+         |    CASE WHEN xd.bucket >= $EvalBucket THEN 'test'
+         |         WHEN xd.bucket >= 80 THEN 'valid' ELSE 'train' END AS split,
+         |    fs.n_tokens,
+         |    CASE WHEN xd.bucket >= $EvalBucket THEN 'held_out'
+         |      WHEN fs.n_tokens < $MinTokens THEN 'too_short'
+         |      WHEN fr.dupfrac > $MaxDupBigramFrac THEN 'repetitive'
+         |      WHEN fs.ttr < $MinTypeTokenRatio THEN 'low_diversity'
+         |      WHEN canon.canonical_id <> fs.doc_id THEN 'near_duplicate'
+         |      WHEN xhits.doc_id IS NOT NULL THEN 'contaminated'
+         |      ELSE 'keep' END AS reason
+         |  FROM fs JOIN fr USING (doc_id)
+         |    JOIN canon ON canon.doc_id = fs.doc_id
+         |    JOIN xd ON xd.doc_id = fs.doc_id
+         |    LEFT JOIN xhits ON xhits.doc_id = fs.doc_id)
+         |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens, reason,
+         |  (reason = 'keep') AS keep
+         |FROM verdict ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> decontamSql,
     "q_bloom_decontaminate" -> decontamSql,
     "q_filter_pipeline" ->

@@ -150,6 +150,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(!_._5), "head entities must survive as canonicals")
   }
 
+  test("curation e2e verdicts agree with the component queries") {
+    import spark.implicits._
+    val e2e = operators.Curation.qCurationE2e(spark, TestSpark.sf)
+      .select("doc_id", "split", "reason", "keep")
+      .as[(Long, String, String, Boolean)].collect()
+    val fp = operators.Curation.qFilterPipeline(spark, TestSpark.sf)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    val dec = operators.Curation.qDecontaminate(spark, TestSpark.sf)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    e2e.foreach { case (id, split, reason, keep) =>
+      assert(keep == (reason == "keep"))
+      if (split == "test") assert(reason == "held_out",
+        s"doc $id: held-out docs take no other verdict")
+      else {
+        val want =
+          if (fp(id) != "keep") fp(id)
+          else if (dec(id)) "contaminated"
+          else "keep"
+        assert(reason == want, s"doc $id: e2e $reason vs composed $want")
+      }
+    }
+    val reasons = e2e.map(_._3).toSet
+    assert(reasons.contains("keep") && reasons.contains("held_out"),
+      s"degenerate verdict distribution: $reasons")
+  }
+
   test("pii scrub removes every person token from the full text") {
     val pii = operators.TextAnalysis.PiiWords.toSet
     val piiRe = s"\\b(${operators.TextAnalysis.PiiWords.mkString("|")})\\b"
