@@ -32,6 +32,8 @@ import graft.operators.TextPipeline
   *                 | v.prop CONTAINS|STARTS WITH|ENDS WITH 'a'
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
   *                   top-level AND conjunct only
+  *                 | v[.prop] IS [NOT] NULL  -- bare v checks its uid;
+  *                   the OPTIONAL MATCH anti-join idiom
   *   with       := (WITH DISTINCT v
   *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
@@ -221,6 +223,13 @@ object CypherLite {
     */
   case class NotPatPred(v: String, rel: String, dstLabel: String,
     dstProp: Option[(String, String)]) extends Pred
+  /** `v [IS NOT NULL | IS NULL]` / `v.prop IS [NOT] NULL` — the
+    * OPTIONAL-MATCH anti-join idiom (`OPTIONAL MATCH …(p) WHERE p IS
+    * NULL`). A bare variable checks its uid column. Like every WHERE
+    * pred in this subset, it applies AFTER all pattern joins — which
+    * is exactly what makes the idiom work on optional hops.
+    */
+  case class IsNullPred(v: String, prop: Option[String], negated: Boolean) extends Pred
   case class NumPred(v: String, prop: String, op: String, value: Long) extends Pred
   /** Disjunction of simple comparisons (`x = 'a' OR x = 'b'`). AND
     * binds tighter in Cypher; this subset allows OR only between
@@ -346,12 +355,15 @@ object CypherLite {
     val strRe = """(?i)(\w+)\.(\w+)\s+(CONTAINS|STARTS\s+WITH|ENDS\s+WITH)\s+'([^']*)'""".r
     val notPatRe = ("""(?i)NOT\s+\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
       """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""").r
+    val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
     w.trim match {
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case isNullRe(v, prop, not) =>
+        IsNullPred(v, Option(prop), not != null)
       case inRe(v, p, vals) =>
         InPred(v, p, vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
       case eqRe(v, p, value) => EqPred(v, p, value)
@@ -588,6 +600,9 @@ object CypherLite {
       }
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
+      case IsNullPred(v, prop, negated) =>
+        val c = col(s"${v}_${prop.getOrElse("uid")}")
+        if (negated) c.isNotNull else c.isNull
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
       case _: NotPatPred => throw new IllegalArgumentException(
         "NOT (pattern) is only supported as a top-level AND conjunct")
@@ -891,7 +906,19 @@ object CypherLite {
       "WHERE NOT (c)-[:MENTIONS]->(:Person) " +
       "RETURN a.uid, count(c) AS n_plain ORDER BY a.uid LIMIT 15"
 
+  /** The OPTIONAL MATCH + IS NULL anti-join idiom: per organization,
+    * how many of its mentioning chunks carry NO person mention (the
+    * "entity coverage without attribution" view — same relationship
+    * as Ex20 but anchored through a second bound pattern).
+    */
+  val Ex21: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "OPTIONAL MATCH (c)-[:MENTIONS]->(p:Person) " +
+      "WHERE p IS NULL " +
+      "RETURN o.name, count(c) AS n_chunks ORDER BY o.name"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex21" -> ((s, d) => run(s, d, Ex21)),
     "q_cypher_ex20" -> ((s, d) => run(s, d, Ex20)),
     "q_cypher_ex18" -> ((s, d) => run(s, d, Ex18)),
     "q_cypher_ex19" -> ((s, d) => run(s, d, Ex19)),
@@ -917,6 +944,17 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex21" ->
+      s"""WITH $M,
+         |oe AS (SELECT DISTINCT doc_id, chunk_id, name FROM mentions
+         |  WHERE label = 'organization'),
+         |pe AS (SELECT DISTINCT doc_id, chunk_id FROM mentions
+         |  WHERE label = 'person')
+         |SELECT oe.name AS o_name, count(*) AS n_chunks
+         |FROM oe LEFT JOIN pe
+         |  ON oe.doc_id = pe.doc_id AND oe.chunk_id = pe.chunk_id
+         |WHERE pe.doc_id IS NULL
+         |GROUP BY oe.name ORDER BY o_name""".stripMargin,
     "q_cypher_ex20" ->
       s"""WITH $P,
          |pm AS (SELECT DISTINCT doc_id, chunk_id FROM mentions

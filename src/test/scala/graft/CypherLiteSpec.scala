@@ -62,6 +62,24 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(one >= anti)
   }
 
+  test("IS NULL / IS NOT NULL partition the optional hop exactly") {
+    val base = "MATCH (c:Chunk) OPTIONAL MATCH (c)-[:MENTIONS]->(p:Person) "
+    val nul = CypherLite.run(spark, TestSpark.sf,
+      base + "WHERE p IS NULL RETURN count(c) AS n").head().getLong(0)
+    val notNul = CypherLite.run(spark, TestSpark.sf,
+      base + "WHERE p IS NOT NULL RETURN count(c) AS n").head().getLong(0)
+    val all = CypherLite.run(spark, TestSpark.sf,
+      base + "RETURN count(c) AS n").head().getLong(0)
+    assert(nul + notNul == all,
+      s"IS NULL ($nul) + IS NOT NULL ($notNul) must partition all rows ($all)")
+    assert(nul > 0 && notNul > 0)
+    // property form: a property-null check on the optional variable
+    // agrees with the bare-variable uid check
+    val propNul = CypherLite.run(spark, TestSpark.sf,
+      base + "WHERE p.name IS NULL RETURN count(c) AS n").head().getLong(0)
+    assert(propNul == nul)
+  }
+
   test("min/max/avg aggregate with implicit grouping") {
     val rows = CypherLite.run(spark, TestSpark.sf, Ex19).collect()
     assert(rows.nonEmpty)
