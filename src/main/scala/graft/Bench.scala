@@ -156,6 +156,8 @@ object Bench {
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
+      "mix_temperature" -> "mixt", "source_report" -> "srcrep",
+      "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",

@@ -12,7 +12,7 @@ import graft.operators.TextPipeline
   * 1-3) onto DataFrame join pipelines.
   *
   * Supported grammar (one line, case-sensitive keywords):
-  *   query      := [unwind] match [where] [with] return [orderby] [limit]
+  *   query      := [unwind] match [where] [with] return [orderby] [skip] [limit]
   *                 | query UNION query
   *   unwind     := UNWIND ['a','b',...] AS alias  -- literal list; the
   *                 alias joins via a WHERE `v.prop = alias` predicate
@@ -53,6 +53,7 @@ import graft.operators.TextPipeline
   *                 -- aggregates group implicitly by the plain props
   *   orderby    := ORDER BY key [ASC|DESC] (, key [ASC|DESC])*
   *                 where key := v.prop | bare-alias
+  *   skip       := SKIP n   -- after ORDER BY, before LIMIT (pagination)
   *   limit      := LIMIT n
   *
   * The LLM that *writes* the Cypher stays external (as in the
@@ -293,7 +294,8 @@ object CypherLite {
     retDistinct: Boolean, ret: Seq[RetItem],
     orderBy: Seq[(PropItem, Boolean)], // (key, descending)
     limit: Option[Int],
-    unwind: Option[(Seq[String], String)] = None) // UNWIND [...] AS alias
+    unwind: Option[(Seq[String], String)] = None, // UNWIND [...] AS alias
+    skip: Option[Int] = None) // SKIP n (applies after ORDER BY, before LIMIT)
 
   // ---------- parser (regex-token recursive descent) ----------
 
@@ -463,7 +465,7 @@ object CypherLite {
       }
     }
     val retSrc = withMs.lastOption.map(m => q0.substring(m.end)).getOrElse(q0)
-    val retS = section(retSrc, "RETURN", Seq("ORDER", "LIMIT")).getOrElse(
+    val retS = section(retSrc, "RETURN", Seq("ORDER", "SKIP", "LIMIT")).getOrElse(
       throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
     val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
@@ -488,7 +490,7 @@ object CypherLite {
       case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
-    val orderBy = section(retSrc, "ORDER", Seq("LIMIT")).toSeq.flatMap {
+    val orderBy = section(retSrc, "ORDER", Seq("SKIP", "LIMIT")).toSeq.flatMap {
       _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).flatMap { raw =>
         val desc = raw.matches("(?is).*\\bDESC\\s*$")
         val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim
@@ -501,8 +503,10 @@ object CypherLite {
         }
       }
     }
+    val skip = section(retSrc, "SKIP", Seq("LIMIT")).map(_.trim.toInt)
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
-    Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit, unwind)
+    Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit,
+      unwind, skip)
   }
 
   // ---------- compiler ----------
@@ -736,6 +740,10 @@ object CypherLite {
       }
       df = df.orderBy(orderCols: _*)
     }
+    // SKIP compiles to Dataset.offset — with LIMIT it lands as one
+    // GlobalLimit(skip+limit)/offset pair in the plan, so the sort
+    // above still runs as TakeOrdered(skip+limit), never a full sort
+    q.skip.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df
   }
@@ -917,7 +925,17 @@ object CypherLite {
       "WHERE p IS NULL " +
       "RETURN o.name, count(c) AS n_chunks ORDER BY o.name"
 
+  /** SKIP — the pagination idiom (page 2 of Ex13's mention
+    * leaderboard): ORDER BY + SKIP + LIMIT compile to one
+    * TakeOrdered(skip+limit) prefix plus an offset, never a full sort.
+    */
+  val Ex22: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WITH o.name AS org, count(c) AS n " +
+      "RETURN org, n ORDER BY n DESC, org SKIP 3 LIMIT 5"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex22" -> ((s, d) => run(s, d, Ex22)),
     "q_cypher_ex21" -> ((s, d) => run(s, d, Ex21)),
     "q_cypher_ex20" -> ((s, d) => run(s, d, Ex20)),
     "q_cypher_ex18" -> ((s, d) => run(s, d, Ex18)),
@@ -1016,6 +1034,14 @@ object CypherLite {
          |SELECT name AS org, count(*) AS n
          |FROM edges GROUP BY name
          |ORDER BY n DESC, org LIMIT 5""".stripMargin,
+    "q_cypher_ex22" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization')
+         |SELECT name AS org, count(*) AS n
+         |FROM edges GROUP BY name
+         |ORDER BY n DESC, org LIMIT 5 OFFSET 3""".stripMargin,
     "q_cypher_ex11" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |st1 AS (SELECT d.source, c.doc_id, count(*) AS n_chunks

@@ -199,8 +199,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation report — the "which domains are worth
+    * keeping" dashboard every crawl-curation loop maintains: document
+    * and token volume, mean document length, language breadth, and
+    * exact-duplicate incidence per source. Ratios ride the integer
+    * micro-grid (sum·10⁶ div count), so they are reproducible in any
+    * engine and any summation order.
+    *
+    * Scale shape: the duplicate signal reuses q_dedup_exact's md5
+    * groups — the corpus-sized shuffle carries a 16-byte hash key and
+    * a handful of longs, never text; the rollup is a map-side-combined
+    * aggregation straight down to #sources rows.
+    */
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val copies = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("src_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("avg_tokens",
+        round(expr("src_tokens * 1000000 div n_docs") / lit(1e6), 6))
+      .withColumn("dup_frac",
+        round(expr("dup_docs * 1000000 div n_docs") / lit(1e6), 6))
+      .select("source", "n_docs", "src_tokens", "avg_tokens",
+        "n_langs", "dup_docs", "dup_frac")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_pipeline" -> qFilterPipeline,
+    "q_source_report" -> qSourceReport,
     "q_curation_e2e" -> qCurationE2e,
     "q_decontaminate" -> qDecontaminate,
     "q_bloom_decontaminate" -> qBloomDecontaminate)
@@ -277,6 +311,24 @@ object Curation {
          |FROM verdict ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> decontamSql,
     "q_bloom_decontaminate" -> decontamSql,
+    "q_source_report" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source, lang,
+        |    len(string_split(text, ' ')) AS n_tokens, md5(text) AS h
+        |  FROM documents),
+        |c AS (SELECT h, count(*) AS n_copies FROM d GROUP BY h),
+        |r AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dup_docs
+        |  FROM d JOIN c USING (h) GROUP BY source)
+        |SELECT source, n_docs, src_tokens,
+        |  round((src_tokens * 1000000 // n_docs) / 1000000.0, 6) AS avg_tokens,
+        |  n_langs, dup_docs,
+        |  round((dup_docs * 1000000 // n_docs) / 1000000.0, 6) AS dup_frac
+        |FROM r ORDER BY source""".stripMargin,
     "q_filter_pipeline" ->
       s"""WITH ${Dedup.clusterCtes},
          |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

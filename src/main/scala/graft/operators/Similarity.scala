@@ -310,6 +310,54 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** IVF-PQ ANN — the two quantizers composed, which is the actual
+    * billion-vector serving design (FAISS IVFPQ, no-residual flavor):
+    * the IVF coarse quantizer prunes the corpus to the query's
+    * IvfProbes nearest cells, and ADC scores ONLY those cells'
+    * members from their 8-byte PQ codes — per-query cost is
+    * (nprobe/K)·corpus table lookups, with no full-vector arithmetic
+    * after the probe pick.
+    *
+    * Scale shape: centroids, codebook, and the query's 128-entry ADC
+    * table are all broadcast; in production the IVF assignment and PQ
+    * codes are computed once at ingest and stored (here both derive
+    * in-plan from the same deterministic rules as q_ann_ivf /
+    * q_ann_pq, so the oracle can replay them); the probed-member
+    * restriction lands BEFORE the ADC join, so the only corpus-sized
+    * work after pruning is a sum of M=8 integer lookups per surviving
+    * vector. Same integer-micro ADC discipline as q_ann_pq — sums are
+    * order-independent across engines.
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
+      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(IvfProbes)
+      .select("cid")
+    // probed-cell membership first: the ADC join only ever sees the
+    // nprobe/K fraction of the corpus that survives the coarse prune
+    val members = assigned.join(probed, "cid").filter(col("vec_id") =!= 0)
+    val subs = pqSubspaces(e)
+    val qd = pqCodebook(e).join(broadcast(subs.filter(col("vec_id") === 0)
+        .select(col("m"), col("sv").as("qsv"))), "m")
+      .select(col("m"), col("k").as("code"),
+        round(sqDist(col("qsv"), col("cv")) * 1e6).cast("long").as("qmicro"))
+    val adc = pqEncode(e).join(members, "vec_id")
+      .join(broadcast(qd), Seq("m", "code"))
+      .groupBy("vec_id", "cid").agg(sum("qmicro").as("adc_micro"))
+    TopKUtil.globalTopK(adc, KnnK, "vec_id", col("adc_micro"), col("vec_id"))
+      .select(col("vec_id"), col("cid"),
+        round(col("adc_micro") / lit(1e6), 6).as("adc_dist"), col("rk"))
+      .orderBy("rk")
+  }
+
   // ---- signed-random-projection LSH ANN --------------------------------
   val LshBits = 8
   val LshTables = 4
@@ -400,6 +448,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> qAnnPq,
+    "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -411,28 +460,62 @@ object Similarity {
 
   private def cos(a: String, b: String) = cosineDuckSql(a, b)
 
+  /** PQ encode + query-ADC-table CTEs (shared by the q_ann_pq and
+    * q_ann_ivfpq oracles — identical codes and micro-distances).
+    */
+  private def pqCteSql: String =
+    s"""sub AS MATERIALIZED (
+       |  SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       |cb AS MATERIALIZED (
+       |  SELECT CAST(vec_id // $PqStride AS INT) AS k, m, sv AS cv
+       |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqK}),
+       |d AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+       |  FROM sub s JOIN cb c ON s.m = c.m),
+       |enc AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+       |    FROM d)
+       |  WHERE rn = 1),
+       |qd AS (SELECT m, k AS code, CAST(round(d2 * 1000000) AS BIGINT) AS qmicro
+       |  FROM d WHERE vec_id = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_ivfpq" ->
+      s"""WITH $VecSql, $QVecSql,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${cos("c.cv", "qv")} DESC, c.cid) AS rn
+         |    FROM cents c CROSS JOIN q)
+         |  WHERE rn <= $IvfProbes),
+         |$pqCteSql,
+         |adc AS (
+         |  SELECT enc.vec_id, a.cid, CAST(sum(qmicro) AS BIGINT) AS adc_micro
+         |  FROM enc JOIN assigned a ON enc.vec_id = a.vec_id
+         |  JOIN probed p ON a.cid = p.cid
+         |  JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id, a.cid)
+         |SELECT vec_id, cid, round(adc_micro / 1000000.0, 6) AS adc_dist, rk FROM (
+         |  SELECT vec_id, cid, adc_micro,
+         |    row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
     "q_ann_pq" ->
       s"""WITH $VecSql,
-         |sub AS MATERIALIZED (
-         |  SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
-         |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
-         |cb AS MATERIALIZED (
-         |  SELECT CAST(vec_id // $PqStride AS INT) AS k, m, sv AS cv
-         |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqK}),
-         |d AS MATERIALIZED (
-         |  SELECT s.vec_id, s.m, c.k,
-         |    list_sum(list_transform(generate_series(1, $PqSubDim),
-         |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
-         |  FROM sub s JOIN cb c ON s.m = c.m),
-         |enc AS (
-         |  SELECT vec_id, m, k AS code FROM (
-         |    SELECT vec_id, m, k,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
-         |    FROM d)
-         |  WHERE rn = 1),
-         |qd AS (SELECT m, k AS code, CAST(round(d2 * 1000000) AS BIGINT) AS qmicro
-         |  FROM d WHERE vec_id = 0),
+         |$pqCteSql,
          |adc AS (
          |  SELECT enc.vec_id, CAST(sum(qmicro) AS BIGINT) AS adc_micro
          |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code

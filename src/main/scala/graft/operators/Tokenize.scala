@@ -93,8 +93,35 @@ object Tokenize {
       .orderBy(col("n").desc, col("piece"))
       .limit(VocabTopK)
 
+  /** Per-language tokenizer fertility — the vocab-allocation metric
+    * (how many subword pieces a language pays per word / per 100
+    * chars): languages with high fertility are under-served by the
+    * vocabulary and the merges budget should shift toward them.
+    * Ratios ride the integer micro-grid (sum·10⁶ div count) so both
+    * engines agree in any summation order.
+    *
+    * Scale shape: same single segmentation pass as the other two
+    * tokenizer queries (native codegen'd walk, zero pre-agg shuffles),
+    * then a map-side-combined rollup to #languages rows.
+    */
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("parts"))).as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        round(expr("n_pieces * 1000000 div n_words") / lit(1e6), 6))
+      .withColumn("pieces_per_100ch",
+        round(expr("n_pieces * 100000000 div n_chars") / lit(1e6), 6))
+      .select("lang", "n_words", "n_pieces", "n_chars",
+        "fertility", "pieces_per_100ch")
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenize_subword" -> qTokenizeSubword,
+    "q_token_fertility" -> qTokenFertility,
     "q_subword_vocab" -> qSubwordVocab)
 
   /** The same greedy walk in DuckDB as a per-word recursive CTE (one
@@ -144,5 +171,19 @@ object Tokenize {
       s"""WITH RECURSIVE $tokSql
          |SELECT piece, count(*) AS n
          |FROM (SELECT unnest(parts) AS piece FROM tok)
-         |GROUP BY piece ORDER BY n DESC, piece LIMIT $VocabTopK""".stripMargin)
+         |GROUP BY piece ORDER BY n DESC, piece LIMIT $VocabTopK""".stripMargin,
+    "q_token_fertility" ->
+      s"""WITH RECURSIVE $tokSql,
+         |wa AS (
+         |  SELECT d.lang, count(*) AS n_words,
+         |    CAST(sum(length(w.word)) AS BIGINT) AS n_chars
+         |  FROM w JOIN documents d USING (doc_id) GROUP BY d.lang),
+         |pc AS (
+         |  SELECT d.lang, CAST(sum(len(parts)) AS BIGINT) AS n_pieces
+         |  FROM tok JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_words, n_pieces, n_chars,
+         |  round((n_pieces * 1000000 // n_words) / 1000000.0, 6) AS fertility,
+         |  round((n_pieces * 100000000 // n_chars) / 1000000.0, 6)
+         |    AS pieces_per_100ch
+         |FROM wa JOIN pc USING (lang) ORDER BY lang""".stripMargin)
 }

@@ -232,6 +232,38 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled domain mixture — the multilingual-training
+    * weighting (XLM-R §3.1: p_d ∝ (n_d/N)^α): flatten the domain
+    * distribution so low-resource sources are upsampled relative to
+    * their raw share. α is fixed at 0.5, i.e. the scaling is sqrt —
+    * IEEE sqrt is correctly rounded, so both engines compute the
+    * identical double before it is quantized to integer micro-units;
+    * every downstream quotient is integer division (order-independent,
+    * boundary-free). eff_tokens = the source's token budget under the
+    * temperature weights at the corpus's total size.
+    *
+    * Scale shape: one map-side-combined aggregation down to #sources
+    * rows, a broadcast 1-row total, then arithmetic on the tiny
+    * aggregate — corpus cost is exactly one scan regardless of skew.
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("u",
+        round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = t.agg(sum("u").as("tot_u"), sum("src_tokens").as("tot_tokens"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("src_tokens * 1000000 div tot_tokens"))
+      .withColumn("w_micro", expr("u * 1000000 div tot_u"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("share_micro") / lit(1e6), 6).as("share"),
+        round(col("w_micro") / lit(1e6), 6).as("weight"),
+        expr("w_micro * tot_tokens div 1000000").as("eff_tokens"))
+      .orderBy("source")
+  }
+
   val NumShards = 8
 
   /** Deterministic shuffle-shard for training export: every document
@@ -257,6 +289,7 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mix" -> qDomainMix,
+    "q_mix_temperature" -> qMixTemperature,
     "q_dsir_weights" -> qDsirWeights,
     "q_train_test_split" -> qTrainTestSplit,
     "q_centroids" -> qCentroids,
@@ -266,6 +299,21 @@ object Training {
     "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
   val oracles: Map[String, String] = Map(
+    "q_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source),
+        |u AS (SELECT source, n_docs, src_tokens,
+        |    CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS u
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(u) AS BIGINT) AS tot_u,
+        |  CAST(sum(src_tokens) AS BIGINT) AS tot_tokens FROM u)
+        |SELECT source, n_docs, src_tokens,
+        |  round((src_tokens * 1000000 // tot_tokens) / 1000000.0, 6) AS share,
+        |  round((u * 1000000 // tot_u) / 1000000.0, 6) AS weight,
+        |  CAST((u * 1000000 // tot_u) * tot_tokens // 1000000 AS BIGINT) AS eff_tokens
+        |FROM u CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id, lang,

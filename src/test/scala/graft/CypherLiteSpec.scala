@@ -258,6 +258,17 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("SKIP paginates: Ex22 is rows 4..8 of the unskipped leaderboard") {
+    val Seq(q) = parse(Ex22)
+    assert(q.skip.contains(3) && q.limit.contains(5))
+    val full = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "WITH o.name AS org, count(c) AS n " +
+        "RETURN org, n ORDER BY n DESC, org LIMIT 8").collect().toSeq
+    val page = CypherLite.run(spark, TestSpark.sf, Ex22).collect().toSeq
+    assert(page == full.drop(3), s"expected page 2; got $page vs $full")
+  }
+
   test("ORDER BY DESC sorts descending with ascending tiebreak (Ex13)") {
     val Seq(q) = parse(Ex13)
     assert(q.orderBy == Seq(PropItem("", "n") -> true, PropItem("", "org") -> false))

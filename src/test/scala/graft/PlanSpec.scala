@@ -257,6 +257,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!qc.contains("Join"), s"classifier should be join-free:\n$qc")
   }
 
+  test("late round-4 operators: pruned ADC scoring, aggregate-sized mixture math") {
+    // ivfpq: the probe restriction and the ADC lookup table arrive as
+    // broadcast equi-joins; nothing unbounded is crossed (the only NLJ
+    // shapes are the broadcast centroid/query-scalar crosses)
+    val pq = plan(operators.Similarity.qAnnIvfPq(spark, TestSpark.sf))
+    assert(pq.contains("BroadcastHashJoin"), s"ADC/probe tables not broadcast:\n$pq")
+    assert(!pq.contains("CartesianProduct"), s"ivfpq has a cartesian:\n$pq")
+    // temperature mix: corpus collapses to #sources rows before any
+    // math; the 1-row totals ride a broadcast cross
+    val mt = plan(operators.Training.qMixTemperature(spark, TestSpark.sf))
+    assert(!mt.contains("CartesianProduct"), s"mix has a cartesian:\n$mt")
+    // source report: the dup signal joins 16-byte md5 keys — an
+    // equi-join, never a pair-forming NLJ
+    val sr = plan(operators.Curation.qSourceReport(spark, TestSpark.sf))
+    assert(!sr.contains("CartesianProduct") && !sr.contains("BroadcastNestedLoopJoin"),
+      s"source report must stay equi-join:\n$sr")
+    // fertility: the same single segmentation pass as the tokenizer
+    // queries, then a rollup — no pair formation anywhere
+    val tf = plan(operators.Tokenize.qTokenFertility(spark, TestSpark.sf))
+    assert(!tf.contains("CartesianProduct"), s"fertility has a cartesian:\n$tf")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
