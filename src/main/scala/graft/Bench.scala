@@ -156,7 +156,8 @@ object Bench {
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
-      "mix_temperature" -> "mixt", "source_report" -> "srcrep",
+      "mix_temperature" -> "mixt", "report" -> "rpt",
+      "kmeans" -> "km",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

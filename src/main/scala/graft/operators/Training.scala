@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -44,6 +44,58 @@ object Training {
       .agg(round(avg(col("x").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n"))
       .orderBy("label", "dim")
+
+  val KmK = 8        // clusters (deterministic init: vec_id = 97k)
+  val KmStride = 97
+  val KmRounds = 3   // Lloyd refinement rounds (fixed → oracle unrolls)
+
+  /** Lloyd k-means over the embedding corpus — the clustering
+    * primitive SemDeDup-style curation and IVF index builds train
+    * offline: K broadcast centroids, map-side nearest-centroid
+    * assignment, per-dimension mean recentering, repeated KmRounds
+    * times. Init is the deterministic stride pick (same rule as the
+    * IVF centroids), so both engines start identically; distances are
+    * rounded to 6 decimals BEFORE the argmin (ties → smallest k) and
+    * centroids re-rounded each recenter, so distributed float order
+    * can never flip an assignment between rounds.
+    *
+    * Scale shape per round: assignment is a broadcast cross of K rows
+    * against one corpus scan collapsing map-side to (vec_id, k, d2);
+    * recentering is one map-side-combined (k, dim) mean — K·dim rows
+    * shuffle, never vectors. Centroids localCheckpoint per round (K
+    * rows) so lineage stays flat; the corpus frame checkpoints once
+    * and every round re-reads it.
+    */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(false) // read by every assign + recenter round
+    var cents = e
+      .filter(col("vec_id") % KmStride === 0 && col("vec_id") < KmStride * KmK)
+      .select(expr(s"CAST(vec_id div $KmStride AS INT)").as("k"), col("v").as("cv"))
+    var assigned: DataFrame = null
+    for (r <- 1 to KmRounds) {
+      assigned = e.crossJoin(broadcast(cents))
+        .withColumn("d2", round(sqd(col("v"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("k"))).as("b"))
+        .select(col("vec_id"), col("b.k").as("k"), col("b.d2").as("d2"))
+      if (r < KmRounds) cents = assigned.join(e, "vec_id")
+        .select(col("k"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("k", "dim")
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy("k")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .localCheckpoint(false) // K rows; keeps per-round lineage flat
+    }
+    assigned.select(col("vec_id"), col("k").as("cluster"), col("d2"))
+      .orderBy("vec_id")
+  }
 
   val PackBudget = 128 // tokens per packed sequence bin
   val PackBuckets = 32 // hash buckets per lang for the two-level prefix sum
@@ -289,6 +341,7 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mix" -> qDomainMix,
+    "q_kmeans" -> qKmeans,
     "q_mix_temperature" -> qMixTemperature,
     "q_dsir_weights" -> qDsirWeights,
     "q_train_test_split" -> qTrainTestSplit,
@@ -298,7 +351,47 @@ object Training {
     "q_shard_export" -> qShardExport,
     "q_quantize_embeddings" -> qQuantizeEmbeddings)
 
+  /** The same KmRounds Lloyd rounds unrolled as SQL CTEs (assign →
+    * recenter → … → final assign), identical rounding points.
+    */
+  private def kmeansSql: String = {
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assign(name: String, cPrev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, k, d2 FROM (
+         |    SELECT e.vec_id, c.k, round(${sqd("e.v", "c.cv")}, 6) AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${sqd("e.v", "c.cv")}, 6), c.k) AS rn
+         |    FROM e CROSS JOIN $cPrev c)
+         |  WHERE rn = 1)""".stripMargin
+    def recenter(name: String, aPrev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT k, list(c ORDER BY dim) AS cv FROM (
+         |    SELECT a.k, ed.dim, round(avg(ed.x), 6) AS c
+         |    FROM $aPrev a JOIN ed ON a.vec_id = ed.vec_id
+         |    GROUP BY a.k, ed.dim)
+         |  GROUP BY k)""".stripMargin
+    val rounds = (1 until KmRounds)
+      .map(r => s"${assign(s"a$r", s"c${r - 1}")},\n${recenter(s"c$r", s"a$r")}")
+      .mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ed AS MATERIALIZED (
+       |  SELECT vec_id, unnest(generate_series(0, len(v) - 1)) AS dim,
+       |    unnest(v) AS x
+       |  FROM e),
+       |c0 AS (SELECT CAST(vec_id // $KmStride AS INT) AS k, v AS cv
+       |  FROM e WHERE vec_id % $KmStride = 0 AND vec_id < ${KmStride * KmK}),
+       |$rounds,
+       |${assign(s"a$KmRounds", s"c${KmRounds - 1}")}
+       |SELECT vec_id, k AS cluster, d2 FROM a$KmRounds ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql,
     "q_mix_temperature" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs,

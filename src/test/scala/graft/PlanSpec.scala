@@ -277,6 +277,11 @@ class PlanSpec extends AnyFunSuite {
     // queries, then a rollup — no pair formation anywhere
     val tf = plan(operators.Tokenize.qTokenFertility(spark, TestSpark.sf))
     assert(!tf.contains("CartesianProduct"), s"fertility has a cartesian:\n$tf")
+    // kmeans: every round's assignment crosses the corpus ONLY with
+    // the broadcast K-row centroid table; recentering shuffles (k,
+    // dim) means, never vectors — no true cartesian anywhere
+    val km = plan(operators.Training.qKmeans(spark, TestSpark.sf))
+    assert(!km.contains("CartesianProduct"), s"kmeans has a cartesian:\n$km")
   }
 
   test("native functions are SQL-callable through the registry (extensions surface)") {
