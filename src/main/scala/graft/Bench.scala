@@ -157,7 +157,7 @@ object Bench {
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "mix_temperature" -> "mixt", "report" -> "rpt",
-      "kmeans" -> "km",
+      "kmeans" -> "km", "ann_recall" -> "rcl",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

@@ -358,6 +358,43 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** ANN recall audit — recall@K of every approximate index against
+    * the exact brute-force top-K, in one plan: the evaluation every
+    * vector-search deployment runs before trusting an index (and
+    * re-runs when nprobe/codebook/table counts are tuned). Exact
+    * baseline ids are a localCheckpointed K-row table each method
+    * joins; recall = |approx ∩ exact| / K.
+    *
+    * Scale shape: the audit inherits each method's own scale shape
+    * (they run unchanged); the only additions are K-row joins and
+    * 1-row aggregates. In production this runs over a sampled query
+    * set — here the deterministic probe vector, so the oracle can
+    * replay all four methods verbatim as subqueries.
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vectors(spark, dir).crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val exactIds = TopKUtil.globalTopK(exact, KnnK, "vec_id",
+        col("score").desc, col("vec_id"))
+      .select("vec_id")
+      .localCheckpoint(false) // K rows; joined by all four methods
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      ann.select("vec_id").join(exactIds, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), col("hits"),
+          round(col("hits") / lit(KnnK.toDouble), 6).as("recall"))
+    Seq(
+      "ivf" -> qAnnIvf(spark, dir),
+      "ivfpq" -> qAnnIvfPq(spark, dir),
+      "lsh" -> qAnnLsh(spark, dir),
+      "pq" -> qAnnPq(spark, dir))
+      .map { case (m, df) => recallOf(m, df) }
+      .reduce(_ union _)
+      .orderBy("method")
+  }
+
   // ---- signed-random-projection LSH ANN --------------------------------
   val LshBits = 8
   val LshTables = 4
@@ -449,6 +486,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_recall" -> qAnnRecall,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -484,7 +522,29 @@ object Similarity {
        |qd AS (SELECT m, k AS code, CAST(round(d2 * 1000000) AS BIGINT) AS qmicro
        |  FROM d WHERE vec_id = 0)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Each ANN oracle replayed verbatim as a derived table, joined to
+    * the exact brute-force top-K — recall is engine-agnostic because
+    * both sides' member lists already hash-match individually.
+    */
+  private def annRecallSql(base: Map[String, String]): String = {
+    def leg(m: String, key: String) =
+      s"""SELECT '$m' AS method, CAST(count(*) AS BIGINT) AS hits,
+         |  round(count(*) / ${KnnK}.0, 6) AS recall
+         |FROM (SELECT vec_id FROM (
+         |${base(key)}
+         |)) a JOIN ex USING (vec_id)""".stripMargin
+    val legs = Seq("ivf" -> "q_ann_ivf", "ivfpq" -> "q_ann_ivfpq",
+        "lsh" -> "q_ann_lsh", "pq" -> "q_ann_pq")
+      .map { case (m, k) => leg(m, k) }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS MATERIALIZED (SELECT vec_id FROM (
+       |  WITH $VecSql, $QVecSql
+       |  SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY round(${cos("v", "qv")}, 6) DESC, vec_id LIMIT $KnnK))
+       |$legs
+       |ORDER BY method""".stripMargin
+  }
+
+  private val baseOracles: Map[String, String] = Map(
     "q_ann_ivfpq" ->
       s"""WITH $VecSql, $QVecSql,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),
@@ -638,4 +698,7 @@ object Similarity {
          |  FROM assigned a JOIN probed USING (cid) CROSS JOIN q
          |  WHERE a.vec_id <> 0)
          |WHERE rk <= $KnnK ORDER BY rk""".stripMargin)
+
+  val oracles: Map[String, String] =
+    baseOracles + ("q_ann_recall" -> annRecallSql(baseOracles))
 }

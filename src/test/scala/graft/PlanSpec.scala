@@ -282,6 +282,10 @@ class PlanSpec extends AnyFunSuite {
     // dim) means, never vectors — no true cartesian anywhere
     val km = plan(operators.Training.qKmeans(spark, TestSpark.sf))
     assert(!km.contains("CartesianProduct"), s"kmeans has a cartesian:\n$km")
+    // ann recall: the audit adds only K-row joins on top of the four
+    // methods' own (already-pinned) plans
+    val rc = plan(operators.Similarity.qAnnRecall(spark, TestSpark.sf))
+    assert(!rc.contains("CartesianProduct"), s"recall audit has a cartesian:\n$rc")
   }
 
   test("native functions are SQL-callable through the registry (extensions surface)") {
