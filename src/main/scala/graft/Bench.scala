@@ -158,6 +158,7 @@ object Bench {
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
+      "modularity" -> "mod", "proto_filter" -> "proto",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

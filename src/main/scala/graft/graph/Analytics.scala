@@ -234,7 +234,10 @@ object Analytics {
       .orderBy("name")
   }
 
-  private def lpaSql: String = {
+  /** LPA CTE chain up to the final (node, community) table — shared
+    * by the lpa oracle and the modularity oracle.
+    */
+  private def lpaCtes: String = {
     val iters = (1 to LpaIters).map { i =>
       val prev = s"lp${i - 1}"
       s"""lp$i AS MATERIALIZED (
@@ -250,7 +253,7 @@ object Analytics {
          |        GROUP BY e.dst, p.lbl) t1) t2
          |    WHERE c = mc GROUP BY node) b ON b.node = l.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $CooccurSql,
+    s"""$CooccurSql,
        |seeds AS MATERIALIZED (
        |  SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT $LpaSeeds),
        |lp0 AS MATERIALIZED (
@@ -259,11 +262,75 @@ object Analytics {
        |  FROM (SELECT DISTINCT src AS node FROM edges) n
        |  LEFT JOIN seeds s ON s.node = n.node),
        |$iters,
-       |fin AS (SELECT node, coalesce(lbl, node) AS community FROM lp$LpaIters),
+       |fin AS MATERIALIZED (
+       |  SELECT node, coalesce(lbl, node) AS community FROM lp$LpaIters)""".stripMargin
+  }
+
+  private def lpaSql: String =
+    s"""WITH $lpaCtes,
        |sz AS (SELECT community, count(*) AS community_size FROM fin GROUP BY community)
        |SELECT node AS name, community, community_size
        |FROM fin JOIN sz USING (community) ORDER BY name""".stripMargin
+
+  /** Modularity of the LPA partition — the "did the clustering find
+    * real structure" audit (Newman Q per community, directed-symmetric
+    * form: q_c = w_in_c/W − (d_c/W)², W = total directed weight): the
+    * community-quality twin of q_ann_recall's index-quality audit.
+    * All weights are integer co-occurrence counts, so both terms are
+    * integer micro-grid divisions — each division's operands are
+    * non-negative (floor ≡ truncate, so DuckDB `//` and Spark `div`
+    * agree) and the subtraction happens after, making Q exactly
+    * reproducible in any engine and summation order.
+    *
+    * Scale shape: the partition rides qLpaCommunities' plan; on top
+    * are two equi-joins of the edge list against the (node,
+    * community) table and two map-side-combined rollups to
+    * #communities rows; the 1-row total weight is a broadcast cross.
+    */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val com = qLpaCommunities(spark, dir)
+      .select(col("name").as("node"), col("community"))
+      .localCheckpoint(false) // read by both endpoint joins
+    val tot = e.agg(sum("weight").cast("long").as("tw"))
+    val wc = e
+      .join(com.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(com.select(col("node").as("dst"), col("community").as("cd")), "dst")
+    val dt = wc.groupBy(col("cs").as("community"))
+      .agg(sum("weight").cast("long").as("d_tot"),
+        countDistinct(col("src")).as("n_nodes"))
+    val wi = wc.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(sum("weight").cast("long").as("w_in"))
+    dt.join(wi, Seq("community"), "left")
+      .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("q_micro",
+        expr("w_in * 1000000 div tw")
+          - expr("((d_tot * 1000000 div tw) * (d_tot * 1000000 div tw)) div 1000000"))
+      .select(col("community"), col("n_nodes"), col("w_in"), col("d_tot"),
+        round(col("q_micro") / lit(1e6), 6).as("q"))
+      .orderBy("community")
   }
+
+  private def modularitySql: String =
+    s"""WITH $lpaCtes,
+       |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM edges),
+       |wc AS MATERIALIZED (
+       |  SELECT e.src, e.weight, fs.community AS cs, fd.community AS cd
+       |  FROM edges e JOIN fin fs ON fs.node = e.src
+       |  JOIN fin fd ON fd.node = e.dst),
+       |dt AS (SELECT cs AS community, CAST(sum(weight) AS BIGINT) AS d_tot,
+       |    count(DISTINCT src) AS n_nodes
+       |  FROM wc GROUP BY cs),
+       |wi AS (SELECT cs AS community, CAST(sum(weight) AS BIGINT) AS w_in
+       |  FROM wc WHERE cs = cd GROUP BY cs)
+       |SELECT community, n_nodes, coalesce(w_in, 0) AS w_in, d_tot,
+       |  round((coalesce(w_in, 0) * 1000000 // tw
+       |    - ((d_tot * 1000000 // tw) * (d_tot * 1000000 // tw)) // 1000000)
+       |    / 1000000.0, 6) AS q
+       |FROM dt LEFT JOIN wi USING (community) CROSS JOIN tot
+       |ORDER BY community""".stripMargin
 
   /** Unrolled PageRank iteration CTEs for the oracle (recursive CTEs
     * can't aggregate in the recursive term, so we unroll — the oracle
@@ -634,6 +701,7 @@ object Analytics {
     "q_shortest_path" -> qShortestPath,
     "q_kcore" -> qKcore,
     "q_lpa_communities" -> qLpaCommunities,
+    "q_modularity" -> qModularity,
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
@@ -646,6 +714,7 @@ object Analytics {
          |FROM deg ORDER BY degree DESC, name""".stripMargin,
     "q_pagerank" -> pagerankSql,
     "q_lpa_communities" -> lpaSql,
+    "q_modularity" -> modularitySql,
     "q_shortest_path" -> {
       val iters = (1 to BfsHops).map { i =>
         val prev = s"d${i - 1}"

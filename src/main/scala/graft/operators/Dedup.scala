@@ -713,9 +713,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  val ProtoPct = 0.1 // bottom decile per cluster is dropped
+
+  /** Prototypicality filter — the SemDeDup-paper companion move (and
+    * the CLIP-score-style "drop the least representative tail"):
+    * every embedding's cosine to its own cluster centroid, kept iff
+    * it clears the cluster's 10th percentile. Same nearest-centroid
+    * assignment (and rounding points) as q_semdedup; the threshold is
+    * one exact-percentile aggregate per cluster (#clusters rows,
+    * broadcast back) — never a cluster-sized rank window.
+    */
+  def qProtoFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.normCol(col("v")))
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cnrm", Similarity.normCol(col("cv")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cc",
+        round(Similarity.dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cc")).as("nc"), col("label").as("l"))).as("b"))
+      .select(col("vec_id"), col("b.l").as("cluster"), (-col("b.nc")).as("cent_cos"))
+      .localCheckpoint(false) // read by the threshold agg AND the verdict join
+    val th = assigned.groupBy("cluster")
+      .agg(round(expr(s"percentile(cent_cos, $ProtoPct)"), 6).as("p10"))
+    assigned.join(broadcast(th), "cluster")
+      .withColumn("keep", col("cent_cos") >= col("p10"))
+      .select("vec_id", "cluster", "cent_cos", "p10", "keep")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lines" -> qDedupLines,
     "q_semdedup" -> qSemdedup,
+    "q_proto_filter" -> qProtoFilter,
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
@@ -810,6 +849,41 @@ object Dedup {
        |  FROM c$ClusterIters JOIN sizes USING (comp))""".stripMargin
   }
 
+  /** Embedding + label-centroid + nearest-centroid-assignment CTEs
+    * (e/cd/scores/asg) — shared by the q_semdedup and q_proto_filter
+    * oracles; identical rounding points to the Spark plans.
+    */
+  private def semAsgCtes: String = {
+    val dotvc = Similarity.dotDuckSql("e.v", "c.cv")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings)),
+       |cd AS MATERIALIZED (
+       |  SELECT label, list(round(c, 6) ORDER BY dim) AS cv,
+       |    sqrt(list_sum(list_transform(list(round(c, 6) ORDER BY dim),
+       |      x -> x * x))) AS cnrm
+       |  FROM (
+       |    SELECT label, dim, avg(x) AS c
+       |    FROM (
+       |      SELECT label,
+       |        unnest(generate_series(0, len(embedding) - 1)) AS dim,
+       |        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+       |      FROM embeddings)
+       |    GROUP BY label, dim)
+       |  GROUP BY label),
+       |scores AS MATERIALIZED (
+       |  SELECT e.vec_id, c.label,
+       |    round($dotvc / (e.nrm * c.cnrm), 6) AS cc
+       |  FROM e, cd c),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, min(label) AS cluster, min(cc) AS cent_cos FROM (
+       |    SELECT vec_id, label, cc, max(cc) OVER (PARTITION BY vec_id) AS mc
+       |    FROM scores) WHERE cc = mc GROUP BY vec_id)""".stripMargin
+  }
+
   private def dedupClustersSql: String =
     s"""WITH $clusterCtes
        |SELECT d.doc_id,
@@ -819,6 +893,13 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_proto_filter" ->
+      s"""WITH $semAsgCtes,
+         |th AS (SELECT cluster,
+         |    round(quantile_cont(cent_cos, $ProtoPct), 6) AS p10
+         |  FROM asg GROUP BY cluster)
+         |SELECT vec_id, cluster, cent_cos, p10, cent_cos >= p10 AS keep
+         |FROM asg JOIN th USING (cluster) ORDER BY vec_id""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -1007,38 +1088,11 @@ object Dedup {
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_semdedup" -> {
-      val dotvc = Similarity.dotDuckSql("e.v", "c.cv")
       val dotab = Similarity.dotDuckSql("ea.v", "eb.v")
       val sigCase = (0 until EmbLshTables).map(t =>
         s"WHEN $t THEN ${Similarity.srpSigSql("v", t * EmbLshBits until (t + 1) * EmbLshBits)}")
         .mkString(" ")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id, v,
-         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-         |  FROM (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |    FROM embeddings)),
-         |cd AS MATERIALIZED (
-         |  SELECT label, list(round(c, 6) ORDER BY dim) AS cv,
-         |    sqrt(list_sum(list_transform(list(round(c, 6) ORDER BY dim),
-         |      x -> x * x))) AS cnrm
-         |  FROM (
-         |    SELECT label, dim, avg(x) AS c
-         |    FROM (
-         |      SELECT label,
-         |        unnest(generate_series(0, len(embedding) - 1)) AS dim,
-         |        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
-         |      FROM embeddings)
-         |    GROUP BY label, dim)
-         |  GROUP BY label),
-         |scores AS MATERIALIZED (
-         |  SELECT e.vec_id, c.label,
-         |    round($dotvc / (e.nrm * c.cnrm), 6) AS cc
-         |  FROM e, cd c),
-         |asg AS MATERIALIZED (
-         |  SELECT vec_id, min(label) AS cluster, min(cc) AS cent_cos FROM (
-         |    SELECT vec_id, label, cc, max(cc) OVER (PARTITION BY vec_id) AS mc
-         |    FROM scores) WHERE cc = mc GROUP BY vec_id),
+      s"""WITH $semAsgCtes,
          |bk AS MATERIALIZED (
          |  SELECT e.vec_id, t, CASE t $sigCase END AS bucket, a.cluster
          |  FROM e JOIN asg a USING (vec_id),

@@ -95,6 +95,24 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Full CUBE with grouping_id — all four grouping sets of the 2-D
+    * aggregate in one pass: Catalyst expands grouping sets BEFORE the
+    * exchange, so the partial aggregate combines map-side for every
+    * set at once and the cube costs one shuffle, not four queries.
+    * grouping_id disambiguates a genuine 'ALL' value from a rolled-up
+    * null (same bit convention in both engines: leftmost column =
+    * most significant bit).
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Exact percentiles of event value per type (linear interpolation —
     * identical convention in Spark `percentile` and DuckDB
     * `quantile_cont`).
@@ -213,6 +231,7 @@ object Relational {
     "q_topn_per_group" -> qTopnPerGroup,
     "q_topn_auto" -> qTopnAuto,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin)
 
@@ -284,6 +303,14 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

@@ -286,6 +286,19 @@ class PlanSpec extends AnyFunSuite {
     // methods' own (already-pinned) plans
     val rc = plan(operators.Similarity.qAnnRecall(spark, TestSpark.sf))
     assert(!rc.contains("CartesianProduct"), s"recall audit has a cartesian:\n$rc")
+    // cube: all four grouping sets expand BEFORE one exchange (Expand
+    // under a partial aggregate), not four scans
+    val cb = plan(operators.Relational.qCube(spark, TestSpark.sf))
+    assert(cb.contains("Expand"), s"cube should expand grouping sets:\n$cb")
+    assert(!cb.contains("Union"), s"cube must be one pass, not unioned scans:\n$cb")
+    // modularity: endpoint-community joins are equi-joins; the only
+    // broadcast-NLJ is the 1-row total-weight cross
+    val md = plan(graph.Analytics.qModularity(spark, TestSpark.sf))
+    assert(!md.contains("CartesianProduct"), s"modularity has a cartesian:\n$md")
+    // proto filter: per-cluster threshold is an aggregate broadcast
+    // back, never a cluster-sized rank window
+    val pf = plan(operators.Dedup.qProtoFilter(spark, TestSpark.sf))
+    assert(!pf.contains("Window"), s"proto filter must not rank-window:\n$pf")
   }
 
   test("native functions are SQL-callable through the registry (extensions surface)") {
