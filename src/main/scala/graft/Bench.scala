@@ -159,6 +159,7 @@ object Bench {
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",
+      "zipf_fit" -> "zipf",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -322,7 +323,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val ZipfHead = 100 // fit over the frequency head (the Zipf regime)
+
+  /** Zipf-law fit over the vocabulary head — the corpus-health metric
+    * (a natural corpus fits log(freq) ≈ intercept + slope·log(rank)
+    * with slope ≈ −1; templated/duplicated corpora bend it): ordinary
+    * least squares on (ln rank, ln freq), both quantized once to
+    * integer micro-nats so all five regression sums are exact
+    * integers — slope/intercept/r² derive from identical longs in
+    * both engines, making IEEE arithmetic bit-identical.
+    *
+    * Scale shape: one map-side-combined vocabulary groupBy, a
+    * ZipfHead-row TakeOrdered (never a vocab-wide rank window — the
+    * numbering window runs on the ≤100 survivors), and a 1-row
+    * regression aggregate.
+    */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val head = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(ZipfHead)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(length(col("word")), lit(1)))
+          .orderBy(col("n").desc, col("word"))))
+      .withColumn("x", round(log(col("rank").cast("double")) * 1e6).cast("long"))
+      .withColumn("y", round(log(col("n").cast("double")) * 1e6).cast("long"))
+    head
+      .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("num", (col("np") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den", (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("deny", (col("np") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .withColumn("slope", col("num") / col("den"))
+      .select(col("np"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("np").cast("double") / lit(1e6), 6).as("intercept"),
+        round(col("num") * col("num") / (col("den") * col("deny")), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> qZipfFit,
     "q_bigram_lm" -> qBigramLm,
     "q_unigram_lm" -> qUnigramLm,
     "q_vocab_topk" -> qVocabTopk,
@@ -337,6 +380,33 @@ object TextAnalysis {
     "q_pii_scrub" -> qPiiScrub)
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      s"""WITH c AS (
+         |  SELECT word, count(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |h AS (
+         |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+         |  FROM (SELECT * FROM c ORDER BY n DESC, word LIMIT $ZipfHead)),
+         |xy AS (
+         |  SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+         |    CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+         |  FROM h),
+         |s AS (
+         |  SELECT count(*) AS np, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM xy),
+         |d AS (
+         |  SELECT np, CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+         |    CAST(np * sxx - sx * sx AS DOUBLE) AS den,
+         |    CAST(np * syy - sy * sy AS DOUBLE) AS deny, sx, sy
+         |  FROM s)
+         |SELECT np, round(num / den, 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+         |    / CAST(np AS DOUBLE) / 1000000.0, 6) AS intercept,
+         |  round(num * num / (den * deny), 6) AS r2
+         |FROM d""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |trans AS MATERIALIZED (
