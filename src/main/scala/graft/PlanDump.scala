@@ -60,7 +60,15 @@ object PlanDump {
       "q_semdedup" -> "broadcast centroid E-step + cluster∧LSH-bucket-blocked verify",
       "q_dsir_weights" -> "1024-bucket hashed LMs broadcast back; integer logp sums",
       "q_entity_resolution" -> "DF-capped token blocking + struct-min canonical pick",
-      "q_dedup_temporal" -> "(band, day-bucket) equi-join blocking — time-split hot keys")
+      "q_dedup_temporal" -> "(band, day-bucket) equi-join blocking — time-split hot keys",
+      "q_ann_ivfpq" -> "IVF probe prune BEFORE the ADC join; broadcast codebook + query table",
+      "q_kmeans" -> "Lloyd rounds: broadcast centroids, struct-min assign, (k,dim) mean shuffle",
+      "q_ann_recall" -> "four ANN methods + exact baseline joined on K-row id sets",
+      "q_modularity" -> "endpoint-community equi-joins + #communities-row integer-grid rollup",
+      "q_proto_filter" -> "broadcast per-cluster percentile threshold — window-free keep rule",
+      "q_cube" -> "grouping-set Expand under ONE partial aggregate exchange",
+      "q_mix_temperature" -> "corpus collapses to #sources rows before any mixture math",
+      "q_zipf_fit" -> "vocab agg + 100-row TakeOrdered + 1-row integer-sum regression")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -509,4 +509,43 @@ class OperatorsSpec extends AnyFunSuite {
         s"$n: reported core_degree $d != induced degree ${induced.getOrElse(n, 0L)} (not a fixpoint)")
     }
   }
+
+  test("kmeans assigns every vector to its nearest final-round centroid") {
+    import graft.operators.Training
+    val rows = Training.qKmeans(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.0))
+    // clusters are a subset of the deterministic init ids
+    val ks = rows.map(_.getInt(1)).distinct
+    assert(ks.forall(k => k >= 0 && k < Training.KmK), s"bad cluster ids: ${ks.toSeq}")
+    // Lloyd monotonicity proxy: mean final d2 must not exceed the
+    // round-0 assignment's mean d2 (refinement can only tighten)
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = e.filter { case (id, _) =>
+      id % Training.KmStride == 0 && id < Training.KmStride * Training.KmK }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val mean0 = e.values.map(v => cents.values.map(c => d2(v, c)).min).sum / e.size
+    val meanF = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanF <= mean0 + 1e-6, s"refinement worsened inertia: $meanF > $mean0")
+  }
+
+  test("modularity: per-community Q bounded, weights consistent with the edge list") {
+    import graft.graph.Analytics
+    val rows = Analytics.qModularity(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val totalW = Analytics.edges(spark, TestSpark.sf)
+      .agg(sum("weight")).collect()(0).getLong(0)
+    // per-community: q in [-1, 1], internal weight <= degree mass
+    rows.foreach { r =>
+      val (wIn, dTot, q) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(wIn <= dTot, s"${r.getString(0)}: w_in $wIn > d_tot $dTot")
+      assert(q >= -1.0 && q <= 1.0, s"${r.getString(0)}: q $q out of range")
+    }
+    // degree masses partition the total directed weight exactly
+    assert(rows.map(_.getLong(3)).sum == totalW,
+      "sum of community degree masses != total edge weight")
+  }
 }
