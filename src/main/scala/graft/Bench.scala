@@ -159,7 +159,8 @@ object Bench {
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",
-      "zipf_fit" -> "zipf",
+      "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
+      "training_export" -> "texp",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

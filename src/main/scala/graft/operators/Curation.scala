@@ -232,8 +232,35 @@ object Curation {
       .orderBy("source")
   }
 
+  /** N-gram novelty per document — the memorization-risk signal: the
+    * fraction of a doc's distinct word-4-grams that appear in NO
+    * other document. Low-novelty docs are near-copies of corpus
+    * content (they add little signal and amplify memorization); the
+    * metric is also the per-doc complement of the corpus-level dedup
+    * rates. Ratio rides the integer micro-grid.
+    *
+    * Scale shape: the same md5 gram hashing as decontamination — the
+    * corpus shuffle carries 16-byte keys; document-frequency is one
+    * map-side-combined count (each doc's grams are pre-deduped, so DF
+    * is docs-containing, not occurrences), joined back by gram key.
+    */
+  def qGramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOfDocs(Tables.documents(spark, dir))
+      .localCheckpoint(false) // read by the DF count AND the per-doc rollup
+    val df = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(df, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(expr("n_unique * 1000000 div n_grams") / lit(1e6), 6))
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_pipeline" -> qFilterPipeline,
+    "q_gram_novelty" -> qGramNovelty,
     "q_source_report" -> qSourceReport,
     "q_curation_e2e" -> qCurationE2e,
     "q_decontaminate" -> qDecontaminate,
@@ -311,6 +338,22 @@ object Curation {
          |FROM verdict ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> decontamSql,
     "q_bloom_decontaminate" -> decontamSql,
+    "q_gram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |  FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(words) - ${DecontamN - 1}),
+         |    i -> md5(array_to_string(words[i:i+${DecontamN - 1}], ' '))))) AS gh
+         |  FROM w WHERE len(words) >= $DecontamN),
+         |f AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
+         |r AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM g JOIN f USING (gh) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_unique,
+         |  round((n_unique * 1000000 // n_grams) / 1000000.0, 6) AS novelty
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_source_report" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, source, lang,

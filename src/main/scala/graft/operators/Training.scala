@@ -339,7 +339,49 @@ object Training {
       .orderBy("shard", "pos")
   }
 
+  /** The training-export composition — the last mile of the pipeline
+    * as ONE Catalyst plan: curation verdict (quality gates + near-dup
+    * suppression + decontamination; only `keep` docs survive) →
+    * token-budget sequence packing of the survivors → deterministic
+    * shard address per packed bin. What a dataloader actually reads.
+    *
+    * Scale shape: the verdict subplan is qCurationE2e's (doc_id joins,
+    * no new corpus scans); packing reuses the two-level prefix-sum
+    * shape (the corpus window runs per hash-bucket; the offset window
+    * runs on the ≤PackBuckets-row aggregate under a constant
+    * non-foldable key, the TopKUtil convention); shard assignment is
+    * a narrow hash. Composing adds no shuffle wider than (doc_id).
+    */
+  def qTrainingExport(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Curation.qCurationE2e(spark, dir)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("bkt",
+        conv(substring(md5(concat(lit("xpack#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % PackBuckets)
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = kept.groupBy("bkt")
+      .agg(sum("n_tokens").as("bkt_tokens"))
+      .withColumn("offset", coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+      .select("bkt", "offset")
+    kept
+      .withColumn("local_cum",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("bin_id", floor(col("cum") / PackBudget).cast("long"))
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("xshard#"), col("bin_id"))), 1, 8), 16, 10)
+          .cast("long") % NumShards)
+      .select("doc_id", "n_tokens", "bin_id", "shard")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_export" -> qTrainingExport,
     "q_domain_mix" -> qDomainMix,
     "q_kmeans" -> qKmeans,
     "q_mix_temperature" -> qMixTemperature,
@@ -391,6 +433,23 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_training_export" ->
+      s"""WITH kept AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens,
+         |    CAST('0x' || substr(md5('xpack#' || doc_id), 1, 8) AS BIGINT)
+         |      % $PackBuckets AS bkt
+         |  FROM (${Curation.oracles("q_curation_e2e")}) WHERE keep),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY bkt, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $PackBudget) AS BIGINT) AS bin_id
+         |  FROM kept)
+         |SELECT doc_id, n_tokens, bin_id,
+         |  CAST('0x' || substr(md5('xshard#' || bin_id), 1, 8) AS BIGINT)
+         |    % $NumShards AS shard
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_kmeans" -> kmeansSql,
     "q_mix_temperature" ->
       """WITH t AS (

@@ -299,6 +299,18 @@ class PlanSpec extends AnyFunSuite {
     // back, never a cluster-sized rank window
     val pf = plan(operators.Dedup.qProtoFilter(spark, TestSpark.sf))
     assert(!pf.contains("Window"), s"proto filter must not rank-window:\n$pf")
+    // gram novelty: DF join on md5 keys — equi-join only
+    val nv = plan(operators.Curation.qGramNovelty(spark, TestSpark.sf))
+    assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay equi-join:\n$nv")
+    // training export: the packing windows keep the two-level shape —
+    // the corpus window is bucket-keyed, never a single global key
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val te = operators.Training.qTrainingExport(spark, TestSpark.sf)
+    val teParts = te.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w.partitionSpec.flatMap(_.references.map(_.name)).toSet }
+    assert(teParts.exists(_ == Set("bkt")),
+      s"missing bucket-keyed corpus window; got: $teParts")
   }
 
   test("native functions are SQL-callable through the registry (extensions surface)") {
