@@ -689,7 +689,72 @@ object Analytics {
        |FROM ke$KcIters GROUP BY src ORDER BY name""".stripMargin
   }
 
+  val WalkSteps = 4
+
+  /** Deterministic node2vec-style random walks — the sequence corpus a
+    * graph-embedding trainer (DeepWalk / node2vec) consumes: one walk
+    * per node, WalkSteps hops, the "random" neighbor choice at step t
+    * being hash(seed, t) mod degree — reproducible on any engine and
+    * any partitioning, no rand().
+    *
+    * Scale shape: the adjacency index (neighbor rank per node) is one
+    * window partitioned by the node key — high-cardinality, so
+    * per-partition size is a node's degree (hub skew is AQE's skew
+    * case, and hubs are already capped upstream by the per-chunk
+    * entity cap). Each hop is two equi-joins on the node key
+    * (frontier→degree, frontier→indexed neighbor); the frontier
+    * carries (seed, node) only, so at 100 TB the walk step shuffles
+    * two narrow columns per live walk, never adjacency payloads. The
+    * oracle unrolls the same hops as chained CTEs.
+    */
+  def qWalks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val adjN = e.withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .select(col("src").as("node"), col("idx").cast("long").as("idx"), col("dst"))
+      .localCheckpoint(false)
+    val degN = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    var frontier = degN.select(col("node").as("seed"), col("node"))
+    var out = frontier.withColumn("step", lit(0))
+    for (t <- 1 to WalkSteps) {
+      frontier = frontier
+        .join(degN, "node")
+        .withColumn("idx",
+          conv(substring(md5(concat(lit("walk#"), col("seed"), lit(s"#$t"))), 1, 8), 16, 10)
+            .cast("long") % col("d"))
+        .join(adjN, Seq("node", "idx"))
+        .select(col("seed"), col("dst").as("node"))
+        .localCheckpoint(false)
+      out = out.unionByName(frontier.withColumn("step", lit(t)))
+    }
+    out.select("seed", "step", "node").orderBy("seed", "step")
+  }
+
+  private def walksSql: String = {
+    val hops = (1 to WalkSteps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.seed, a.dst AS node
+         |  FROM w${t - 1} w JOIN deg ON w.node = deg.src
+         |  JOIN adj a ON a.src = w.node
+         |   AND a.idx = CAST('0x' || substr(md5('walk#' || w.seed || '#$t'), 1, 8) AS BIGINT) % deg.d)""".stripMargin
+    }.mkString(",\n")
+    val sels = (0 to WalkSteps).map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $CooccurSql,
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM edges),
+       |w0 AS (SELECT src AS seed, src AS node FROM deg),
+       |$hops
+       |$sels
+       |ORDER BY seed, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_walks" -> qWalks,
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
@@ -705,6 +770,7 @@ object Analytics {
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
+    "q_walks" -> walksSql,
     "q_cooccur" ->
       s"""WITH $CooccurSql
          |SELECT e1, e2, weight FROM cooccur ORDER BY e1, e2""".stripMargin,

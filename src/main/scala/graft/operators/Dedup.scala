@@ -51,6 +51,49 @@ object Dedup {
   private def shinglesCk(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).localCheckpoint(false)
 
+  /** Canonical-URL dedup — the crawl-frontier screen that runs BEFORE
+    * any text is fetched or compared: raw crawl URLs carry protocol /
+    * `www.` / query-string / fragment / trailing-slash noise, and the
+    * same syndicated story is republished at several raw URLs, so the
+    * first dedup pass canonicalizes the URL string and groups on it
+    * (the reference crawls via fundus whose article identity is the
+    * responded URL — crawler.py:41). The synthetic corpus has no URL
+    * column, so the raw URL is DERIVED deterministically (the Props
+    * convention): story key = doc_id div 60 (three same-source
+    * republications per key, since source cycles doc_id % 20) and the
+    * noise variant keyed off (doc_id div 20) % 4 — each copy in a
+    * group gets a different protocol/www/query/fragment dressing.
+    *
+    * Normalization = strip fragment → strip query → lowercase → http
+    * to https → drop `www.` → drop trailing slash; all patterns are
+    * anchored single-match regexes so Spark (Java regex) and DuckDB
+    * (RE2) agree. Scale shape: one narrow projection + one hash
+    * shuffle on the canonical-URL key — runs on URLs alone, never
+    * text, which is why it's the cheapest dedup tier at 100 TB.
+    */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val variant = expr("(doc_id div 20) % 4")
+    val path = concat(col("source"), lit(".example.com/wire/"),
+      expr("doc_id div 60"))
+    val raw =
+      when(variant === 0, concat(lit("http://"), path))
+        .when(variant === 1, concat(lit("https://www."), path, lit("/")))
+        .when(variant === 2, concat(lit("https://"), path,
+          lit("?utm_source=rss&ref="), col("doc_id")))
+        .otherwise(concat(lit("HTTPS://"), upper(path), lit("#frag")))
+    val canonical =
+      regexp_replace(regexp_replace(regexp_replace(
+        lower(regexp_replace(regexp_replace(raw, "#.*$", ""), "\\?.*$", "")),
+        "^http://", "https://"), "^https://www\\.", "https://"), "/$", "")
+    val byUrl = Window.partitionBy("canonical_url")
+    Tables.documents(spark, dir)
+      .withColumn("canonical_url", canonical)
+      .withColumn("canonical_id", min(col("doc_id")).over(byUrl))
+      .withColumn("n_copies", count(lit(1)).over(byUrl))
+      .select("doc_id", "canonical_url", "canonical_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: md5(text) groups; every doc maps to its canonical. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val byHash = Window.partitionBy("h")
@@ -758,6 +801,7 @@ object Dedup {
     "q_source_minhash" -> qSourceMinhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_url" -> qDedupUrl,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_temporal" -> qDedupTemporal,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -947,6 +991,27 @@ object Dedup {
          |  SELECT doc_id, sig, seg_idx, ${segCaseSql(60, Hamming64Max)} AS seg_val
          |  FROM sigs, (SELECT unnest(generate_series(0, $Hamming64Max)) AS seg_idx))
          |${bandedPairsSql(Hamming64Max)}""".stripMargin,
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE CAST((doc_id // 20) % 4 AS INT)
+        |      WHEN 0 THEN 'http://' || source || '.example.com/wire/' || (doc_id // 60)
+        |      WHEN 1 THEN 'https://www.' || source || '.example.com/wire/' || (doc_id // 60) || '/'
+        |      WHEN 2 THEN 'https://' || source || '.example.com/wire/' || (doc_id // 60) || '?utm_source=rss&ref=' || doc_id
+        |      ELSE 'HTTPS://' || upper(source || '.example.com/wire/' || (doc_id // 60)) || '#frag'
+        |    END AS u
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_replace(regexp_replace(u, '#.*$', ''), '\?.*$', '')),
+        |      '^http://', 'https://'), '^https://www\.', 'https://'), '/$', '')
+        |      AS canonical_url
+        |  FROM raw)
+        |SELECT doc_id, canonical_url,
+        |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+        |  count(*) OVER (PARTITION BY canonical_url) AS n_copies
+        |FROM canon ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, min(doc_id) AS canonical_id,

@@ -147,6 +147,64 @@ object Similarity {
       .limit(TopK)
   }
 
+  val MmrK = 5         // diversified picks
+  val MmrLambdaX10 = 7 // λ = 0.7, carried as ×10 integer weights
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * diversified re-rank a RAG serving layer applies after top-k
+    * retrieval so the context window isn't k copies of the same
+    * passage: greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) for MmrK rounds.
+    *
+    * Cross-engine float discipline: every cosine is rounded to 6
+    * decimals then lifted to an integer micro-grid, and the MMR score
+    * is pure BIGINT arithmetic (7·qs − 3·maxsim, the ×10 λ weights) —
+    * greedy argmax ties break on vec_id, so both engines walk the
+    * identical selection sequence.
+    *
+    * Scale shape: the expensive part is the top-TopK retrieval, which
+    * is the existing TakeOrdered path over one corpus scan; everything
+    * after runs on the TopK-row candidate set (checkpointed once) —
+    * the pairwise sim matrix is TopK², and each greedy round is a
+    * candidate-set-sized join, independent of corpus size. The oracle
+    * unrolls the same MmrK rounds as chained CTEs.
+    */
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    def micro(c: Column): Column = round(round(c, 6) * 1e6).cast("long")
+    val cand = vectors(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("qs", micro(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm"))))
+      .orderBy(col("qs").desc, col("vec_id"))
+      .limit(TopK)
+      .select("vec_id", "v", "nrm", "qs")
+      .localCheckpoint(false) // TopK rows: feeds the sim matrix + every greedy round
+    val sim = cand.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(
+        cand.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))))
+      .filter(col("a") =!= col("b"))
+      .withColumn("s", micro(dotCol(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .select("a", "b", "s")
+      .localCheckpoint(false) // ≤ TopK² rows, re-read each round
+    var sel = cand
+      .orderBy(col("qs").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), (lit(MmrLambdaX10) * col("qs")).as("mmr"),
+        lit(1).as("rk"))
+    for (r <- 2 to MmrK) {
+      val pen = sim.join(sel.select(col("vec_id").as("b")), "b")
+        .groupBy("a").agg(max(col("s")).as("pen"))
+      val next = cand
+        .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(pen, col("vec_id") === col("a"))
+        .withColumn("mmr",
+          lit(MmrLambdaX10) * col("qs") - lit(10 - MmrLambdaX10) * col("pen"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mmr"), lit(r).as("rk"))
+      sel = sel.unionByName(next)
+    }
+    sel.select("rk", "vec_id", "mmr").orderBy("rk")
+  }
+
   /** Graph-expansion retrieval (vector_index.ipynb retrieval_query):
     * top-5 chunks by cosine, expanded to article + source metadata.
     */
@@ -490,6 +548,7 @@ object Similarity {
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
+    "q_mmr" -> qMmr,
     "q_knn_join" -> qKnnJoin,
     "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_hybrid_search" -> qHybridSearch,
@@ -544,7 +603,41 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  /** MMR oracle: the MmrK greedy rounds unrolled as chained CTEs —
+    * identical integer micro-grid arithmetic, identical tie-breaks.
+    */
+  private def mmrSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      s"""s$r AS (
+         |  SELECT c.vec_id,
+         |    CAST($MmrLambdaX10 * c.qs - ${10 - MmrLambdaX10} * p.pen AS BIGINT) AS mmr,
+         |    $r AS rk
+         |  FROM cand c JOIN (
+         |    SELECT a, max(s) AS pen FROM sim WHERE b IN ($prev) GROUP BY a) p
+         |    ON c.vec_id = p.a
+         |  WHERE c.vec_id NOT IN ($prev)
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH $VecSql, $QVecSql,
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CAST(round(round(${cos("v", "qv")}, 6) * 1000000) AS BIGINT) AS qs
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY qs DESC, vec_id LIMIT $TopK),
+       |sim AS MATERIALIZED (
+       |  SELECT ca.vec_id AS a, cb.vec_id AS b,
+       |    CAST(round(round(${cos("ca.v", "cb.v")}, 6) * 1000000) AS BIGINT) AS s
+       |  FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id),
+       |s1 AS (SELECT vec_id, CAST($MmrLambdaX10 * qs AS BIGINT) AS mmr, 1 AS rk
+       |  FROM cand ORDER BY qs DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rk, vec_id, mmr FROM ($sels) ORDER BY rk""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
+    "q_mmr" -> mmrSql,
     "q_ann_ivfpq" ->
       s"""WITH $VecSql, $QVecSql,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),

@@ -359,6 +359,10 @@ object Training {
       .withColumn("bkt",
         conv(substring(md5(concat(lit("xpack#"), col("doc_id"))), 1, 8), 16, 10)
           .cast("long") % PackBuckets)
+      // survivors only (doc_id, n_tokens, bkt) — checkpointed so the
+      // curation subplan runs ONCE, not once per consumer (the offsets
+      // aggregate and the packing window both read it)
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
