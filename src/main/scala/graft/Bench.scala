@@ -160,7 +160,8 @@ object Bench {
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",
       "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
-      "training_export" -> "texp",
+      "training_export" -> "texp", "bpe_train" -> "bpe",
+      "rag_context" -> "ragc", "walks" -> "wlk",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

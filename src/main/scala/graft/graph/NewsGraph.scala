@@ -243,6 +243,82 @@ object NewsGraph {
       .orderBy("probe", "rk")
   }
 
+  val RagProbes: Seq[(String, String)] = Seq(
+    "custmer" -> "Person", "sprak" -> "Organization")
+  val RagK = 12       // retrieved chunks before dedup/budget
+  val RagBudget = 220 // context token budget
+
+  /** The chat.py serving path as ONE Catalyst plan — what
+    * generate_cypher_query + answer_question do per user question,
+    * minus the LLM calls: (1) fuzzy-resolve the question's entity
+    * probes against the per-label index to their best stored name
+    * (graph.py:140-168); (2) retrieve chunks MENTIONS-ing any resolved
+    * entity, ranked by how many they hit (chat.py's generated
+    * match); (3) drop exact-duplicate chunk texts; (4) cut to the
+    * context token budget by exclusive prefix sum in rank order; (5)
+    * format each surviving record with its Article metadata the way
+    * map_records_to_context does (chat.py:96-101).
+    *
+    * Scale shape: resolution is the candidate equi-join (label-scoped,
+    * probe side broadcast); retrieval is one mentions join keyed on
+    * the resolved names (broadcast) + a chunk-key aggregation; the
+    * global top-RagK goes through TakeOrdered, and every window after
+    * it runs on ≤ RagK rows under the TopKUtil constant-key
+    * convention. Chunk text leaves its scan only for the RagK
+    * survivors — the corpus-sized shuffles carry (doc_id, chunk_id)
+    * and 16-byte hashes.
+    */
+  def qRagContext(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = TextPipeline.mentions(spark, dir)
+    // (1) resolve probes → best stored entity name per probe
+    val probes = RagProbes.toDF("probe", "plabel")
+    val names = m.select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
+    val pTok = array_distinct(split(col("probe"), " "))
+    val nTok = array_distinct(split(col("name"), " "))
+    val scored = names.join(broadcast(probes), col("label") === col("plabel"))
+      .withColumn("score", round(
+        lit(0.5) * (size(array_intersect(pTok, nTok)) /
+          size(array_union(pTok, nTok)).cast("double")) +
+        lit(0.5) * (lit(1.0) - levenshtein(col("probe"), col("name")) /
+          greatest(length(col("probe")), length(col("name"))).cast("double")), 6))
+    val resolved = graft.plans.TopKPerGroup.topK(
+        scored.select("probe", "name", "score"), 1,
+        Seq("probe"), orderCol = "score", tieCol = "name")
+      .select("name").distinct()
+    // (2) retrieve + rank: chunks hitting any resolved entity
+    val hits = m.join(broadcast(resolved), "name")
+      .groupBy("doc_id", "chunk_id")
+      .agg(countDistinct(col("name")).as("n_hits"))
+    val ranked = graft.operators.TopKUtil.globalTopK(
+      hits.join(TextPipeline.chunks(spark, dir), Seq("doc_id", "chunk_id"))
+        .withColumn("ck", col("doc_id") * 10000 + col("chunk_id"))
+        .select("ck", "doc_id", "chunk_id", "n_hits", "chunk_text", "n_words"),
+      RagK, "ck", col("n_hits").desc, col("doc_id"), col("chunk_id"))
+    // (3) exact-dup screen + (4) budget cut — both over ≤ RagK rows
+    val k1 = pmod(col("ck"), lit(1))
+    val deduped = ranked
+      .withColumn("dn", row_number().over(
+        Window.partitionBy(md5(col("chunk_text"))).orderBy("rk")))
+      .filter(col("dn") === 1)
+    val kept = deduped
+      .withColumn("cum", coalesce(sum(col("n_words")).over(
+        Window.partitionBy(k1).orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum") < RagBudget)
+      .withColumn("pos", row_number().over(Window.partitionBy(k1).orderBy("rk")))
+    // (5) join Article metadata, format the context record
+    kept.join(Tables.documents(spark, dir), "doc_id")
+      .select(col("pos"), col("doc_id"), col("chunk_id"),
+        col("n_hits"), col("n_words").as("n_tokens"),
+        concat(lit("title: "), Props.title(col("text")),
+          lit(" | date: "), Props.publishingDate(col("doc_id")),
+          lit(" | url: "), Props.url(col("doc_id"), col("source")),
+          lit(" | source: "), col("source"),
+          lit(" | text: "), col("chunk_text")).as("context"))
+      .orderBy("pos")
+  }
+
   /** Chunks grouped per article (graph.py:142-148) for doc_id < 10;
     * chunk list flattened to a join-stable string.
     */
@@ -323,6 +399,7 @@ object NewsGraph {
     "q_sources_mentioning" -> qSourcesMentioning,
     "q_chunks_by_entities" -> qChunksByEntities,
     "q_entity_candidates" -> qEntityCandidates,
+    "q_rag_context" -> qRagContext,
     "q_chunks_from_articles" -> qChunksFromArticles)
 
   private val P = TextPipeline.PipelineSql
@@ -455,6 +532,54 @@ object NewsGraph {
          |SELECT doc_id, chunk_id, chunk_text
          |FROM chunks JOIN hitkeys USING (doc_id, chunk_id)
          |ORDER BY doc_id, chunk_id LIMIT 10""".stripMargin,
+    "q_rag_context" ->
+      s"""WITH $P,
+         |probes(probe, plabel) AS (VALUES ${RagProbes.map { case (p, l) => s"('$p','$l')" }.mkString(", ")}),
+         |names AS (SELECT DISTINCT name, $EntityNodeLabelSql AS label FROM mentions),
+         |scored AS (
+         |  SELECT probe, name,
+         |    round(
+         |      0.5 * (len(list_filter(list_distinct(string_split(probe, ' ')),
+         |          w -> list_contains(list_distinct(string_split(name, ' ')), w)))
+         |        / CAST(len(list_distinct(list_concat(string_split(probe, ' '),
+         |            string_split(name, ' ')))) AS DOUBLE))
+         |    + 0.5 * (1.0 - levenshtein(probe, name) /
+         |        CAST(greatest(length(probe), length(name)) AS DOUBLE)), 6) AS score
+         |  FROM names JOIN probes ON label = plabel),
+         |resolved AS MATERIALIZED (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT name, row_number() OVER (PARTITION BY probe
+         |      ORDER BY score DESC, name) AS rk FROM scored)
+         |  WHERE rk = 1),
+         |rh AS (
+         |  SELECT m.doc_id, m.chunk_id, count(DISTINCT m.name) AS n_hits
+         |  FROM mentions m JOIN resolved r ON m.name = r.name
+         |  GROUP BY m.doc_id, m.chunk_id),
+         |ranked AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT h.doc_id, h.chunk_id, h.n_hits, c.chunk_text,
+         |      CAST(c.n_words AS BIGINT) AS n_words,
+         |      row_number() OVER (ORDER BY h.n_hits DESC, h.doc_id, h.chunk_id) AS rk
+         |    FROM rh h JOIN chunks c USING (doc_id, chunk_id))
+         |  WHERE rk <= $RagK),
+         |dd AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY rk) AS dn FROM ranked)
+         |  WHERE dn = 1),
+         |kept AS (
+         |  SELECT *, row_number() OVER (ORDER BY rk) AS pos FROM (
+         |    SELECT *, coalesce(sum(n_words) OVER (ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |    FROM dd)
+         |  WHERE cum < $RagBudget)
+         |SELECT pos, doc_id, chunk_id, n_hits, n_words AS n_tokens,
+         |  'title: ' || ${Props.TitleSql} ||
+         |  ' | date: ' || ${Props.PublishingDateSql} ||
+         |  ' | url: ' || ${Props.UrlSql} ||
+         |  ' | source: ' || source || ' | text: ' || chunk_text AS context
+         |FROM kept JOIN documents USING (doc_id)
+         |ORDER BY pos""".stripMargin,
     "q_entity_candidates" ->
       s"""WITH $M,
          |probes(probe, plabel) AS (VALUES ${CandidateProbes.map { case (p, l) => s"('$p','$l')" }.mkString(", ")}),

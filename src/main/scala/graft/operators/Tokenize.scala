@@ -119,9 +119,77 @@ object Tokenize {
         "fertility", "pieces_per_100ch")
       .orderBy("lang")
 
+  val BpeRounds = 6
+
+  /** BPE merge learning (Sennrich et al. 2016) — the distributed
+    * counterpart of the tokenizer-training loop that PRODUCES the
+    * merges file the greedy segmenter above consumes: start from
+    * per-word character sequences (+ `</w>` end marker), and for
+    * BpeRounds rounds (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) pick the most frequent pair (ties → lexicographic),
+    * (c) merge its adjacent occurrences left-to-right in every word.
+    *
+    * The merge is ONE per-row fold: out = if last(out)==a ∧ x==b then
+    * replace-last-with-ab else append — exact left-to-right BPE
+    * semantics (a just-merged `ab` can never equal the left symbol
+    * `a`, so runs like `aaa` merge at alternate positions, matching
+    * the reference implementation). The oracle can't run that fold
+    * (DuckDB's list_reduce mis-evaluates struct accumulators — see
+    * tokSql note), so it replays the PROVABLY equivalent gaps-and-
+    * islands form: within each run of consecutive matching positions,
+    * merge the odd offsets.
+    *
+    * Scale shape: the corpus collapses to the (word, freq) vocabulary
+    * ONCE (the only corpus-sized shuffle, carrying bare words); every
+    * round after is vocabulary-sized — pair counting is map-side
+    * combined, the best pair is TakeOrdered(1) broadcast back, the
+    * merge fold is narrow per word. 100 TB of text with a 10M-word
+    * vocabulary trains in rounds × vocabulary cost, exactly like the
+    * single-node reference loop but with each round a parallel pass.
+    */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit("</w>"))))
+    var vocab = v0.localCheckpoint(false)
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val pairs = vocab
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("pa"), col("b").as("pb"), col("cnt"))
+        .localCheckpoint(false) // 1 row: read by the merge fold AND the output
+      merges += best.select(lit(r).as("step"), col("pa").as("lft"),
+        col("pb").as("rgt"), concat(col("pa"), col("pb")).as("merged"),
+        col("cnt").as("pair_count"))
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("syms", aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (out, x) => when(size(out) > 0
+              && element_at(out, -1) === col("pa") && x === col("pb"),
+            concat(slice(out, lit(1), size(out) - 1),
+              array(concat(col("pa"), col("pb")))))
+            .otherwise(concat(out, array(x)))))
+        .select("word", "freq", "syms")
+        .localCheckpoint(false) // vocabulary-sized; flattens per-round lineage
+    }
+    merges.result().reduce(_ unionByName _).orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenize_subword" -> qTokenizeSubword,
     "q_token_fertility" -> qTokenFertility,
+    "q_bpe_train" -> qBpeTrain,
     "q_subword_vocab" -> qSubwordVocab)
 
   /** The same greedy walk in DuckDB as a per-word recursive CTE (one
@@ -159,7 +227,63 @@ object Tokenize {
        |  WHERE k.p > length(w.word))""".stripMargin
   }
 
+  /** BPE oracle: BpeRounds unrolled. Merge step = gaps-and-islands —
+    * hit positions i where (syms[i],syms[i+1]) = the best pair; within
+    * each run of consecutive hits merge odd offsets (≡ the Spark fold,
+    * see qBpeTrain); rebuild drops positions following a merge.
+    */
+  private def bpeSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |hit$r AS (
+         |  SELECT p.word, p.i FROM
+         |    (SELECT word, unnest(generate_series(1, len(syms) - 1)) AS i, syms
+         |     FROM $prev) p, b$r
+         |  WHERE p.syms[p.i] = b$r.a AND p.syms[p.i + 1] = b$r.b),
+         |mrg$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS off
+         |    FROM (SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+         |      FROM hit$r))
+         |  WHERE off % 2 = 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq, list(sym ORDER BY j) AS syms FROM (
+         |    SELECT q.word, q.freq, q.j,
+         |      CASE WHEN m.i IS NOT NULL THEN (SELECT a || b FROM b$r)
+         |           ELSE q.syms[q.j] END AS sym
+         |    FROM (SELECT word, freq, unnest(generate_series(1, len(syms))) AS j, syms
+         |      FROM $prev) q
+         |    LEFT JOIN mrg$r m ON m.word = q.word AND m.i = q.j
+         |    LEFT JOIN mrg$r m2 ON m2.word = q.word AND m2.i = q.j - 1
+         |    WHERE m2.i IS NULL)
+         |  GROUP BY word, freq)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS step, a AS lft, b AS rgt, a || b AS merged, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_append(list_transform(generate_series(1, len(word)), i -> word[i:i]),
+       |      '</w>') AS syms
+       |  FROM w),
+       |$rounds
+       |$sels
+       |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeSql,
     "q_tokenize_subword" ->
       s"""WITH RECURSIVE $tokSql
          |SELECT doc_id, count(*) AS n_words,

@@ -311,6 +311,25 @@ class PlanSpec extends AnyFunSuite {
       .collect { case w: LWindow => w.partitionSpec.flatMap(_.references.map(_.name)).toSet }
     assert(teParts.exists(_ == Set("bkt")),
       s"missing bucket-keyed corpus window; got: $teParts")
+    // URL dedup: one narrow projection + a hash shuffle on the
+    // canonical-URL key — no join at all (cheapest dedup tier)
+    val du = plan(operators.Dedup.qDedupUrl(spark, TestSpark.sf))
+    assert(!du.contains("Join"), s"url dedup must be join-free:\n$du")
+    // walks: every hop is an equi-join on the node key; no cartesian
+    val wk = plan(graph.Analytics.qWalks(spark, TestSpark.sf))
+    assert(!wk.contains("CartesianProduct") && !wk.contains("BroadcastNestedLoopJoin"),
+      s"walks must stay equi-join:\n$wk")
+    // BPE: the only corpus-sized shuffle is the vocabulary collapse;
+    // per-round cross is the broadcast 1-row best pair (BNLJ), never
+    // a true cartesian
+    val bp = plan(operators.Tokenize.qBpeTrain(spark, TestSpark.sf))
+    assert(!bp.contains("CartesianProduct"), s"bpe has a cartesian:\n$bp")
+    // RAG context: the global top-RagK rides TakeOrdered; the dedup/
+    // budget/pos windows run after it (bounded input)
+    val rg = plan(graph.NewsGraph.qRagContext(spark, TestSpark.sf))
+    assert(rg.contains("TakeOrderedAndProject"),
+      s"rag context top-k must be TakeOrdered:\n$rg")
+    assert(!rg.contains("CartesianProduct"), s"rag context has a cartesian:\n$rg")
   }
 
   test("native functions are SQL-callable through the registry (extensions surface)") {
