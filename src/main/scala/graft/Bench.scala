@@ -161,7 +161,8 @@ object Bench {
       "modularity" -> "mod", "proto_filter" -> "proto",
       "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
       "training_export" -> "texp", "bpe_train" -> "bpe",
-      "rag_context" -> "ragc", "walks" -> "wlk",
+      "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
+      "neighbor_sample" -> "nbs", "betweenness" -> "btw",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

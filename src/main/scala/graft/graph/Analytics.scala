@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextPipeline
@@ -753,7 +753,176 @@ object Analytics {
        |ORDER BY seed, step""".stripMargin
   }
 
+  val SampleFan1 = 3 // hop-1 fanout
+  val SampleFan2 = 2 // hop-2 fanout per hop-1 neighbor
+
+  /** GraphSAGE-style two-hop neighbor sampling (Hamilton et al. 2017)
+    * — the minibatch neighborhoods a GNN trainer consumes: for every
+    * seed node, keep SampleFan1 hop-1 neighbors and SampleFan2 hop-2
+    * neighbors per hop-1 neighbor (no immediate backtrack), the
+    * "random" pick being smallest hash(seed, hop, neighbor) —
+    * reproducible across engines and partitionings.
+    *
+    * Scale shape: both per-group top-F picks run through the
+    * TopKPerGroup heap (partial map-side heaps, ≤ F rows per group
+    * per partition shuffle) — NEVER a rank window over a hub's full
+    * neighbor list, which is the classic GNN-sampling skew killer;
+    * the hop-2 expansion joins the already-sampled (seed, n1) pairs
+    * (≤ F1 per seed) against the edge list, so fan-in is bounded by
+    * F1·F2 per seed regardless of degree.
+    */
+  def qNeighborSample(spark: SparkSession, dir: String): DataFrame = {
+    def h(tag: String, cols: Column*): Column =
+      conv(substring(md5(concat_ws("#", (lit(tag) +: cols): _*)), 1, 8), 16, 10)
+        .cast("long")
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val h1 = graft.plans.TopKPerGroup.topK(
+        e.select(col("src").as("seed"), col("dst").as("n1"))
+          .withColumn("nh", -h("ns1", col("seed"), col("n1"))),
+        SampleFan1, Seq("seed"), orderCol = "nh", tieCol = "n1")
+      .select("seed", "n1")
+    val h2 = graft.plans.TopKPerGroup.topK(
+        h1.join(e.withColumnRenamed("src", "n1"), "n1")
+          .filter(col("dst") =!= col("seed"))
+          .select(col("seed"), col("n1"), col("dst").as("n2"))
+          .withColumn("nh", -h("ns2", col("seed"), col("n1"), col("n2"))),
+        SampleFan2, Seq("seed", "n1"), orderCol = "nh", tieCol = "n2")
+    h2.select("seed", "n1", "n2").orderBy("seed", "n1", "n2")
+  }
+
+  private def neighborSampleSql: String =
+    s"""WITH $CooccurSql,
+       |h1 AS MATERIALIZED (
+       |  SELECT seed, n1 FROM (
+       |    SELECT e.src AS seed, e.dst AS n1,
+       |      row_number() OVER (PARTITION BY e.src ORDER BY
+       |        CAST('0x' || substr(md5('ns1#' || e.src || '#' || e.dst), 1, 8) AS BIGINT),
+       |        e.dst) AS rn
+       |    FROM edges e)
+       |  WHERE rn <= $SampleFan1),
+       |h2 AS (
+       |  SELECT seed, n1, n2 FROM (
+       |    SELECT h.seed, h.n1, e.dst AS n2,
+       |      row_number() OVER (PARTITION BY h.seed, h.n1 ORDER BY
+       |        CAST('0x' || substr(md5('ns2#' || h.seed || '#' || h.n1 || '#' || e.dst), 1, 8) AS BIGINT),
+       |        e.dst) AS rn
+       |    FROM h1 h JOIN edges e ON e.src = h.n1
+       |    WHERE e.dst <> h.seed)
+       |  WHERE rn <= $SampleFan2)
+       |SELECT seed, n1, n2 FROM h2 ORDER BY seed, n1, n2""".stripMargin
+
+  val BtwSeeds = 4  // pivot sources (k-source approximation)
+  val BtwDepth = 4  // BFS layer cap (graph diameter bound)
+
+  /** Approximate betweenness centrality — k-source Brandes (Brandes
+    * 2001; Bader et al.'s pivot sampling): exact forward BFS (path
+    * counts σ per layer) and backward dependency accumulation
+    * δ(v) = Σ_w σv/σw · (1 + δ(w)) from the BtwSeeds highest-degree
+    * pivots, depth-capped at BtwDepth. The division rides the integer
+    * micro-grid — each term is floor(σv·(1e6+Δw)/σw) in BIGINTs — so
+    * accumulation order can never flip a value between engines.
+    *
+    * Scale shape: the classic distributed BFS — each layer is one
+    * equi-join frontier→edges + an anti-join against the visited set
+    * + a (root, node) path-count sum; frontiers carry (root, node,
+    * σ) only. Backward is one join per depth against the
+    * next-deeper layer. Cost is pivots × BFS, the standard
+    * approximation trade (exact betweenness is all-pairs — O(V·E) —
+    * and not a 100 TB operation for any engine).
+    */
+  def qBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val seeds = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(BtwSeeds)
+      .select(col("src").as("root"))
+    val l0 = seeds.select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(false)
+    var layers = Vector(l0)
+    var visited = l0.select("root", "node").localCheckpoint(false)
+    for (_ <- 1 to BtwDepth) {
+      val next = layers.last
+        .select(col("root"), col("node").as("src"), col("sigma"))
+        .join(e, "src")
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .join(visited, Seq("root", "node"), "left_anti")
+        .groupBy("root", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(false)
+      layers :+= next
+      visited = visited.unionByName(next.select("root", "node")).localCheckpoint(false)
+    }
+    var delta: DataFrame = null
+    var parts = Vector.empty[DataFrame]
+    for (l <- (BtwDepth - 1) to 1 by -1) {
+      val nd = (if (delta == null)
+          layers(l + 1).withColumn("dw", lit(0L))
+        else
+          layers(l + 1).join(
+              delta.select(col("root"), col("node"), col("delta").as("dw")),
+              Seq("root", "node"), "left")
+            .withColumn("dw", coalesce(col("dw"), lit(0L))))
+        .select(col("root"), col("node").as("dst"),
+          col("sigma").as("sw"), col("dw"))
+      delta = layers(l)
+        .select(col("root"), col("node").as("src"), col("sigma").as("sv"))
+        .join(e, "src")
+        .join(nd, Seq("root", "dst"))
+        .withColumn("term", expr("sv * (1000000 + dw) div sw"))
+        .groupBy(col("root"), col("src"))
+        .agg(sum("term").as("delta"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(false)
+      parts :+= delta
+    }
+    parts.map(_.select("node", "delta")).reduce(_ unionByName _)
+      .groupBy(col("node").as("name")).agg(sum("delta").as("bc_micro"))
+      .withColumn("bc", round(col("bc_micro") / 1e6, 6))
+      .orderBy(col("bc_micro").desc, col("name"))
+  }
+
+  private def betweennessSql: String = {
+    val fwd = (1 to BtwDepth).map { l =>
+      s"""l$l AS MATERIALIZED (
+         |  SELECT p.root, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM l${l - 1} p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} v
+         |    WHERE v.root = p.root AND v.node = e.dst)
+         |  GROUP BY p.root, e.dst),
+         |vis$l AS MATERIALIZED (
+         |  SELECT * FROM vis${l - 1} UNION ALL SELECT root, node FROM l$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BtwDepth - 1) to 1 by -1).map { l =>
+      val dwExpr =
+        if (l == BtwDepth - 1) "0"
+        else s"coalesce(d${l + 1}.delta, 0)"
+      val dJoin =
+        if (l == BtwDepth - 1) ""
+        else s"\n  LEFT JOIN d${l + 1} ON d${l + 1}.root = b.root AND d${l + 1}.node = b.node"
+      s"""d$l AS MATERIALIZED (
+         |  SELECT a.root, a.node,
+         |    CAST(sum(a.sigma * (1000000 + $dwExpr) // b.sigma) AS BIGINT) AS delta
+         |  FROM l$l a JOIN edges e ON e.src = a.node
+         |  JOIN l${l + 1} b ON b.root = a.root AND b.node = e.dst$dJoin
+         |  GROUP BY a.root, a.node)""".stripMargin
+    }.mkString(",\n")
+    val un = ((BtwDepth - 1) to 1 by -1).map(l => s"SELECT node, delta FROM d$l")
+      .mkString(" UNION ALL ")
+    s"""WITH $CooccurSql,
+       |seeds AS (SELECT src AS root FROM (
+       |  SELECT src, count(*) AS dg FROM edges GROUP BY src
+       |  ORDER BY dg DESC, src LIMIT $BtwSeeds)),
+       |l0 AS (SELECT root, root AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |vis0 AS (SELECT root, node FROM l0),
+       |$fwd,
+       |$bwd
+       |SELECT node AS name, CAST(sum(delta) AS BIGINT) AS bc_micro,
+       |  round(CAST(sum(delta) AS BIGINT) / 1000000.0, 6) AS bc
+       |FROM ($un)
+       |GROUP BY node ORDER BY bc_micro DESC, name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_betweenness" -> qBetweenness,
+    "q_neighbor_sample" -> qNeighborSample,
     "q_walks" -> qWalks,
     "q_cooccur" -> qCooccur,
     "q_entity_degree" -> qEntityDegree,
@@ -770,6 +939,8 @@ object Analytics {
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
+    "q_betweenness" -> betweennessSql,
+    "q_neighbor_sample" -> neighborSampleSql,
     "q_walks" -> walksSql,
     "q_cooccur" ->
       s"""WITH $CooccurSql

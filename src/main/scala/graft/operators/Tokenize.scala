@@ -147,7 +147,15 @@ object Tokenize {
     * vocabulary trains in rounds × vocabulary cost, exactly like the
     * single-node reference loop but with each round a parallel pass.
     */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeRun(spark, dir)._1
+
+  /** The vocabulary frame after the last merge round (qBpeVocab's input). */
+  private def bpeFinalVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeRun(spark, dir)._2
+
+  /** (merge table, final vocabulary) — see qBpeTrain. */
+  private def bpeRun(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -183,13 +191,31 @@ object Tokenize {
         .select("word", "freq", "syms")
         .localCheckpoint(false) // vocabulary-sized; flattens per-round lineage
     }
-    merges.result().reduce(_ unionByName _).orderBy("step")
+    (merges.result().reduce(_ unionByName _).orderBy("step"), vocab)
   }
+
+  val BpeVocabTopK = 20
+
+  /** The symbol vocabulary AFTER the learned merges — the audit view
+    * of qBpeTrain's output (what the merges actually did to the
+    * corpus): explode the final per-word symbol sequences weighted by
+    * word frequency, top-BpeVocabTopK by corpus occurrences. Shares
+    * qBpeTrain's round structure (the final vocabulary frame is the
+    * last round's checkpoint); one more vocabulary-sized explode +
+    * map-side-combined count, top-k via TakeOrdered.
+    */
+  def qBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeFinalVocab(spark, dir)
+      .select(col("freq"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(BpeVocabTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenize_subword" -> qTokenizeSubword,
     "q_token_fertility" -> qTokenFertility,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_vocab" -> qBpeVocab,
     "q_subword_vocab" -> qSubwordVocab)
 
   /** The same greedy walk in DuckDB as a per-word recursive CTE (one
@@ -282,8 +308,18 @@ object Tokenize {
        |ORDER BY step""".stripMargin
   }
 
+  private def bpeVocabSql: String = {
+    // same round CTEs as bpeSql, different head: final-vocab piece counts
+    val body = bpeSql
+    val prefix = body.substring(0, body.lastIndexOf("SELECT 1 AS step"))
+    s"""${prefix}SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |  SELECT freq, unnest(syms) AS piece FROM v$BpeRounds)
+       |GROUP BY piece ORDER BY n DESC, piece LIMIT $BpeVocabTopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeSql,
+    "q_bpe_vocab" -> bpeVocabSql,
     "q_tokenize_subword" ->
       s"""WITH RECURSIVE $tokSql
          |SELECT doc_id, count(*) AS n_words,

@@ -324,6 +324,15 @@ class PlanSpec extends AnyFunSuite {
     // a true cartesian
     val bp = plan(operators.Tokenize.qBpeTrain(spark, TestSpark.sf))
     assert(!bp.contains("CartesianProduct"), s"bpe has a cartesian:\n$bp")
+    // neighbor sampling: both fanout picks are TopKPerGroup heaps,
+    // never a rank window over a hub's neighbor list
+    val ns = plan(graph.Analytics.qNeighborSample(spark, TestSpark.sf))
+    assert(!ns.contains("Window"), s"neighbor sample must not rank-window:\n$ns")
+    assert(ns.contains("TopKPerGroup"), s"neighbor sample should use the heap op:\n$ns")
+    // betweenness: BFS layers and dependency passes are equi-joins
+    val bt = plan(graph.Analytics.qBetweenness(spark, TestSpark.sf))
+    assert(!bt.contains("CartesianProduct") && !bt.contains("BroadcastNestedLoopJoin"),
+      s"betweenness must stay equi-join:\n$bt")
     // RAG context: the global top-RagK rides TakeOrdered; the dedup/
     // budget/pos windows run after it (bounded input)
     val rg = plan(graph.NewsGraph.qRagContext(spark, TestSpark.sf))
