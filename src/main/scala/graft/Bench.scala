@@ -163,6 +163,7 @@ object Bench {
       "training_export" -> "texp", "bpe_train" -> "bpe",
       "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
       "neighbor_sample" -> "nbs", "betweenness" -> "btw",
+      "top_component" -> "pc1",
       "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",

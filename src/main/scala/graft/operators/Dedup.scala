@@ -71,20 +71,30 @@ object Dedup {
     * shuffle on the canonical-URL key — runs on URLs alone, never
     * text, which is why it's the cheapest dedup tier at 100 TB.
     */
+  /** The deterministic raw crawl URL of a document (see qDedupUrl). */
+  def rawUrl(docId: Column, source: Column): Column = {
+    val variant = (docId / 20).cast("long") % 4
+    val path = concat(source, lit(".example.com/wire/"),
+      floor(docId / 60).cast("long"))
+    when(variant === 0, concat(lit("http://"), path))
+      .when(variant === 1, concat(lit("https://www."), path, lit("/")))
+      .when(variant === 2, concat(lit("https://"), path,
+        lit("?utm_source=rss&ref="), docId))
+      .otherwise(concat(lit("HTTPS://"), upper(path), lit("#frag")))
+  }
+
+  /** URL normalization: strip fragment → strip query → lowercase →
+    * http→https → drop `www.` → drop trailing slash (all anchored
+    * single-match regexes, Java-regex/RE2 portable). Stateless narrow
+    * projection — usable identically in batch and streaming.
+    */
+  def canonicalUrl(raw: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_replace(regexp_replace(raw, "#.*$", ""), "\\?.*$", "")),
+      "^http://", "https://"), "^https://www\\.", "https://"), "/$", "")
+
   def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
-    val variant = expr("(doc_id div 20) % 4")
-    val path = concat(col("source"), lit(".example.com/wire/"),
-      expr("doc_id div 60"))
-    val raw =
-      when(variant === 0, concat(lit("http://"), path))
-        .when(variant === 1, concat(lit("https://www."), path, lit("/")))
-        .when(variant === 2, concat(lit("https://"), path,
-          lit("?utm_source=rss&ref="), col("doc_id")))
-        .otherwise(concat(lit("HTTPS://"), upper(path), lit("#frag")))
-    val canonical =
-      regexp_replace(regexp_replace(regexp_replace(
-        lower(regexp_replace(regexp_replace(raw, "#.*$", ""), "\\?.*$", "")),
-        "^http://", "https://"), "^https://www\\.", "https://"), "/$", "")
+    val canonical = canonicalUrl(rawUrl(col("doc_id"), col("source")))
     val byUrl = Window.partitionBy("canonical_url")
     Tables.documents(spark, dir)
       .withColumn("canonical_url", canonical)

@@ -384,7 +384,73 @@ object Training {
       .orderBy("doc_id")
   }
 
+  val PcaRounds = 3
+
+  /** Top principal component of the embedding corpus by power
+    * iteration — the spectral primitive behind embedding-drift audits,
+    * whitening, and low-rank compression: w ← Σᵢ (xᵢ−μ)((xᵢ−μ)·w),
+    * normalized, PcaRounds times from the deterministic e₀ start. The
+    * covariance matrix is never materialized — each round touches
+    * only per-vector dots and a per-dimension sum.
+    *
+    * Cross-engine float discipline, stricter than the cosine queries:
+    * inputs are lifted to integer micro-units at the scan (xq =
+    * round(x·10⁶)), the centering mean is an integer division, the
+    * per-vector dot and the per-dimension accumulation are pure
+    * BIGINT arithmetic (dot downscaled by 10⁶ between the two
+    * products to stay in range), and the only float ops — the
+    * normalize — run over the SAME 64 integers in the same fold
+    * order, so IEEE correctly-rounded ops give bit-identical w on
+    * both engines. No rounding boundary anywhere.
+    *
+    * Scale shape: per round, ONE corpus pass computes the dots
+    * (narrow, w broadcast as a 1-row frame) and one map-side-combined
+    * (dim) sum shuffles 64 rows; μ is the same shape once up front.
+    * That is the textbook distributed power iteration.
+    */
+  def qTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+      .localCheckpoint(false) // read by the mean AND every round's pass
+    val mu = e.select(posexplode(col("xq")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(expr("sum(x) div count(*)").as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("mu"))
+      .localCheckpoint(false) // 1 row
+    var w = mu.select(
+        expr("transform(sequence(0, size(mu) - 1), " +
+          "i -> CAST(CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS BIGINT))").as("wq"),
+        col("mu"))
+      .localCheckpoint(false)
+    for (_ <- 1 to PcaRounds) {
+      val sums = e.crossJoin(broadcast(w))
+        .withColumn("ds", expr(
+          "aggregate(transform(sequence(0, size(xq) - 1), " +
+            "j -> (xq[j] - mu[j]) * wq[j]), CAST(0 AS BIGINT), (a, t) -> a + t) " +
+            "div 1000000"))
+        .select(col("ds"), col("mu"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .withColumn("t", col("ds") * (col("x") - element_at(col("mu"), col("dim") + 1)))
+        .groupBy("dim").agg(sum("t").as("s"))
+      w = sums
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          s => s.getField("s")).as("sv"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(transform(sv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0 AS DOUBLE), (a, t) -> a + t)")))
+        .crossJoin(broadcast(mu))
+        .select(expr("transform(sv, x -> CAST(round(x / nrm * 1000000) AS BIGINT))").as("wq"),
+          col("mu"))
+        .localCheckpoint(false) // 1 row; flattens per-round lineage
+    }
+    w.select(posexplode(col("wq")).as(Seq("dim", "l_micro")))
+      .select(col("dim"), col("l_micro"),
+        round(col("l_micro") / 1e6, 6).as("loading"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_component" -> qTopComponent,
     "q_training_export" -> qTrainingExport,
     "q_domain_mix" -> qDomainMix,
     "q_kmeans" -> qKmeans,
@@ -436,7 +502,51 @@ object Training {
        |SELECT vec_id, k AS cluster, d2 FROM a$KmRounds ORDER BY vec_id""".stripMargin
   }
 
+  /** Power-iteration oracle: identical integer micro-unit arithmetic,
+    * rounds unrolled (see qTopComponent's float-discipline note).
+    */
+  private def topComponentSql: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""dd$r AS (
+         |  SELECT e.vec_id, e.xq,
+         |    CAST(list_sum(list_transform(generate_series(1, len(e.xq)),
+         |      j -> (e.xq[j] - w.mu[j]) * w.wq[j])) AS BIGINT) // 1000000 AS ds
+         |  FROM e, w${r - 1} w),
+         |s$r AS (
+         |  SELECT list(s ORDER BY dim) AS sv FROM (
+         |    SELECT t.dim, CAST(sum(t.ds * (t.x - mu.mu[t.dim])) AS BIGINT) AS s
+         |    FROM (SELECT d.ds, unnest(generate_series(1, len(d.xq))) AS dim,
+         |        unnest(d.xq) AS x FROM dd$r d) t, mu
+         |    GROUP BY t.dim)),
+         |w$r AS MATERIALIZED (
+         |  SELECT list_transform(sv, x -> CAST(round(x / sqrt(list_sum(
+         |      list_transform(sv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+         |      * 1000000) AS BIGINT)) AS wq,
+         |    (SELECT mu FROM mu) AS mu
+         |  FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |mu AS MATERIALIZED (
+       |  SELECT list(m ORDER BY dim) AS mu FROM (
+       |    SELECT dim, CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS m
+       |    FROM (SELECT unnest(generate_series(1, len(xq))) AS dim, unnest(xq) AS x
+       |      FROM e)
+       |    GROUP BY dim)),
+       |w0 AS (SELECT list_transform(generate_series(1, len(mu)),
+       |    i -> CAST(CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS BIGINT)) AS wq, mu
+       |  FROM mu),
+       |$rounds
+       |SELECT dim - 1 AS dim, CAST(wq[dim] AS BIGINT) AS l_micro,
+       |  round(wq[dim] / 1000000.0, 6) AS loading
+       |FROM (SELECT unnest(generate_series(1, len(wq))) AS dim, wq FROM w$PcaRounds)
+       |ORDER BY dim""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_top_component" -> topComponentSql,
     "q_training_export" ->
       s"""WITH kept AS MATERIALIZED (
          |  SELECT doc_id, n_tokens,

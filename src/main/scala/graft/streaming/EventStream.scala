@@ -171,6 +171,20 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming crawl-frontier URL screen — qDedupUrl's twin at ingest
+    * time: canonicalize each arriving raw URL (stateless narrow
+    * projection, same expression as batch) and admit only the FIRST
+    * fetch of each canonical URL inside the watermark horizon. State
+    * is one row per canonical URL and expires with the watermark —
+    * the frontier's working set, never the full crawl history.
+    */
+  def urlScreenStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("canonical_url", graft.operators.Dedup.canonicalUrl(
+        graft.operators.Dedup.rawUrl(col("doc_id"), col("source"))))
+      .withWatermark("ts_t", "2 hours")
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Run the dedup stream into a memory sink (synchronous; test/demo). */
   def runDedupToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
     val q = dedupStream(readEventStream(spark, dir))

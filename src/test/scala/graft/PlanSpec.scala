@@ -324,6 +324,11 @@ class PlanSpec extends AnyFunSuite {
     // a true cartesian
     val bp = plan(operators.Tokenize.qBpeTrain(spark, TestSpark.sf))
     assert(!bp.contains("CartesianProduct"), s"bpe has a cartesian:\n$bp")
+    // power iteration: the only cross is the broadcast 1-row w frame;
+    // never a true cartesian, never a corpus-sized window
+    val pc = plan(operators.Training.qTopComponent(spark, TestSpark.sf))
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Window"),
+      s"power iteration must stay broadcast + agg:\n$pc")
     // neighbor sampling: both fanout picks are TopKPerGroup heaps,
     // never a rank window over a hub's neighbor list
     val ns = plan(graph.Analytics.qNeighborSample(spark, TestSpark.sf))

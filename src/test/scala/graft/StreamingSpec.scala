@@ -204,6 +204,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.except(got).count() == 0)
   }
 
+  test("streaming URL screen admits one fetch per canonical URL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // docs 0/20/40 share source src0 and wire id 0 → one canonical
+    // URL under three different raw dressings; doc 1 is distinct
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStream.urlScreenStream(
+        input.toDF().toDF("doc_id", "source", "ts_t"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("url_screen").start()
+    try {
+      input.addData((0L, "src0", at(0)), (1L, "src1", at(1)))
+      q.processAllAvailable()
+      input.addData((20L, "src0", at(5)), (40L, "src0", at(9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("url_screen")
+      .select("doc_id", "canonical_url").collect()
+    assert(admitted.length == 2, s"expected 2 admissions, got ${admitted.toSeq}")
+    val ids = admitted.map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L), s"first fetch per canonical URL: $ids")
+    // canonical form matches the batch operator's derivation
+    val urls = admitted.map(_.getString(1)).toSet
+    assert(urls == Set("https://src0.example.com/wire/0",
+      "https://src1.example.com/wire/0"), urls.toSeq.toString)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val got = EventStream.runAttributionToMemory(spark, TestSpark.sf, "attr_out")
       .select("purchase_id", "click_id")
