@@ -68,7 +68,16 @@ object PlanDump {
       "q_proto_filter" -> "broadcast per-cluster percentile threshold — window-free keep rule",
       "q_cube" -> "grouping-set Expand under ONE partial aggregate exchange",
       "q_mix_temperature" -> "corpus collapses to #sources rows before any mixture math",
-      "q_zipf_fit" -> "vocab agg + 100-row TakeOrdered + 1-row integer-sum regression")
+      "q_zipf_fit" -> "vocab agg + 100-row TakeOrdered + 1-row integer-sum regression",
+      "q_dedup_url" -> "join-free URL canonicalization + one hash shuffle on the URL key",
+      "q_mmr" -> "TopK-row candidate checkpoint; greedy rounds corpus-independent",
+      "q_walks" -> "indexed-adjacency hops: two equi-joins per step, narrow frontier",
+      "q_neighbor_sample" -> "GraphSAGE fanouts via TopKPerGroup heaps, no hub window",
+      "q_betweenness" -> "k-source BFS layers: frontier equi-join + anti-join + σ sum",
+      "q_bpe_train" -> "vocab collapse once; per-round pair agg + broadcast best-pair merge fold",
+      "q_rag_context" -> "resolve→retrieve→dedup→budget→format; TakeOrdered then ≤K-row windows",
+      "q_top_component" -> "power iteration: broadcast 1-row w, corpus pass + 64-row dim sum",
+      "q_training_export" -> "curation verdict → two-level packing → shard hash as ONE plan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
