@@ -29,7 +29,12 @@ class InvarianceSpec extends AnyFunSuite {
       // round-4 additions: line-hash boilerplate join, struct-min LPA,
       // centroid-assign + LSH-blocked semdedup, hashed-LM DSIR weights
       "q_dedup_lines", "q_lpa_communities", "q_semdedup", "q_dsir_weights",
-      "q_entity_resolution", "q_dedup_temporal")
+      "q_entity_resolution", "q_dedup_temporal",
+      // late round-4 additions: greedy MMR selection, hash-driven
+      // walks/fanouts, BFS betweenness, BPE merge rounds, the RAG
+      // serving composition, integer-grid power iteration
+      "q_mmr", "q_walks", "q_neighbor_sample", "q_betweenness",
+      "q_bpe_train", "q_rag_context", "q_top_component", "q_dedup_url")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
