@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed readers over the driver-generated parquet tables.
   *
@@ -19,8 +21,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects —
-    * read it as epoch-nanos long (column name stays `ts`).
+  /** events reader with a STABLE `ts` contract: epoch-nanos BIGINT,
+    * whatever the parquet encoding of the generated file happens to be.
+    * The driver has regenerated events.parquet across rounds with `ts`
+    * as parquet TIMESTAMP(NANOS) (read as long via nanosAsLong) and as
+    * native timestamp[us] (read as TIMESTAMP_NTZ); every downstream
+    * operator computes `ts div 1000` on a long, so the encoding is
+    * adapted HERE, once, instead of in 12 operator sites.
     *
     * The nanosAsLong flag is a session conf (no per-read parquet
     * option exists for it), set once at session construction in every
@@ -31,7 +38,23 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column to epoch-nanos BIGINT across encodings:
+    * already-long (TIMESTAMP(NANOS) under nanosAsLong, or plain INT64)
+    * passes through; timestamp / timestamp_ntz converts via
+    * unix_micros × 1000. The NTZ→timestamp cast is wall-clock identity
+    * because every graft session pins spark.sql.session.timeZone=UTC
+    * (build.sbt javaOptions + each builder). Narrow projection — scan
+    * pruning/pushdown on the other columns is unaffected.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts encoding: $other")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

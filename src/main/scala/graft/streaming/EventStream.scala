@@ -16,20 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events parquet schema with ts as TIMESTAMP(NANOS) read as long. */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),   // epoch nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** Streaming parquet needs an explicit schema; the events file's ts
+    * encoding has drifted between driver rounds (TIMESTAMP(NANOS)-as-
+    * long vs native timestamp[us]), so the schema is taken from a
+    * driver-side batch-metadata peek of the actual files (footer read
+    * only, no data scan) and `ts` is then normalized to the epoch-nanos
+    * BIGINT contract by the same adapter the batch readers use
+    * (graft.Tables.normalizeTs).
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventSchema)
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.Tables.normalizeTs(raw)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
 
