@@ -7,6 +7,14 @@ object Bench {
     case c if c < ' ' => " "
     case c => c.toString
   }
+  /** 40-char error digest: SHORT class name + message head, so the cap
+    * keeps the informative part (a full-package-prefixed toString burns
+    * the whole budget on "org.apache.spark.sql.…").
+    */
+  private def errStr(e: Throwable): String = {
+    val m = String.valueOf(e.getMessage).linesIterator.next()
+    s"${e.getClass.getSimpleName}: $m".take(40)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,8 +97,7 @@ object Bench {
             (s"x_amortized${gq.size}q", tRun, None))
         } catch {
           case e: Throwable =>
-            Seq(("x_graph_amortized", -1.0,
-              Some(e.toString.linesIterator.next().take(200))))
+            Seq(("x_graph_amortized", -1.0, Some(errStr(e))))
         } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
       } else Seq.empty
     // A failing query is REPORTED, not silently timed at -1: per-query
@@ -98,7 +105,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(e.toString.linesIterator.next().take(200))
+        case e: Throwable => Some(errStr(e))
       }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
@@ -194,9 +201,14 @@ object Bench {
       }
     val qs = keys.zip(all).map { case (k, (_, v, _)) => s"\"$k\":${r1(v)}" }
       .mkString("{", ",", "}")
-    val errs = all.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+    // Failure reporting that cannot blow the line budget: error strings
+    // are pre-capped at 40 chars, and at most TWO ride the JSON (plus
+    // the full count) — round 5's 9 × 200-char errors pushed the line
+    // past the driver's 2000-char tail and zeroed the round's bench.
+    val failed = keys.zip(all).collect { case (k, (_, _, Some(e))) => (k, e) }
+    val errs = failed.take(2).map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val nFail = all.count(_._3.isDefined)
+    val nFail = failed.size
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val errField =
@@ -210,6 +222,14 @@ object Bench {
     println(line)
     spark.stop()
     println(line)
-    if (nFail > 0) System.err.println(s"[bench] $nFail queries FAILED: $errs")
+    if (nFail > 0) {
+      // Full (un-capped count, still 40-char-capped strings) failure
+      // list on stderr for humans, then a non-zero exit so the
+      // driver's rc check flags the round — a bench that exits 0 with
+      // failing queries reads as green (ADVICE r5).
+      val allErrs = failed.map { case (k, e) => s"$k: $e" }.mkString("; ")
+      System.err.println(s"[bench] $nFail queries FAILED: $allErrs")
+      sys.exit(1)
+    }
   }
 }

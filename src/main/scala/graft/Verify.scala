@@ -27,6 +27,33 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Cheap schema pre-flight of the BASE TABLES (footer reads only):
+    // driver-side regeneration drift (round 5: events.ts became
+    // timestamp[us]) should fail loudly up front with a named table,
+    // not surface as N cryptic per-query analysis errors.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+          else Tables.table(spark, sfDir, t)
+        df.schema // force analysis
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] PRE-FLIGHT: table $t unreadable: ${e.getMessage}")
+      }
+    }
+    // On failure the query's output dir gets an _ERROR marker file: the
+    // driver's parquet read of that dir then fails and records a RED
+    // row for the key — round 5 showed that writing nothing makes the
+    // key vanish from the correctness file entirely (absence read as
+    // "not declared", 152 -> 143 silently).
+    def marker(name: String, msg: String): Unit = {
+      try {
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
+      } catch { case _: Throwable => () }
+    }
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     // same deterministic checkpoint release as Bench: localCheckpoint
     // blocks from earlier queries otherwise pile up across ~120
     // queries (the ContextCleaner only frees them after GC)
@@ -45,10 +72,16 @@ object Verify {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s")
+          failures += name
+          marker(name, s"TIMEOUT after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures += name
+          marker(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
       }
     }
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
