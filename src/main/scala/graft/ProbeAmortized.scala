@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: per-query timing of the graph family cold
+  * (pipeline recompute) vs amortized (bucketed Catalog tables), run
+  * twice to separate codegen compilation from steady-state. Not part
+  * of the driver contract — used to audit that the materialized path
+  * actually pays for itself (Bench reports it only as two aggregate
+  * segment entries).
+  */
+object ProbeAmortized {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val gq = Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
+      "q_chunks_by_entities", "q_article_topics", "q_cypher_ex1")
+    def time(tag: String, n: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[probe] $tag $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // warm-up at smallest sf (same as Bench)
+    gq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    gq.foreach(time("cold1", _))
+    gq.foreach(time("cold2", _))
+    val t0 = System.nanoTime()
+    sources.Catalog.materializeGraph(spark, sfDir)
+    println(f"[probe] materialize ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.conf.set(operators.TextPipeline.MaterializedConf, sfDir)
+    try {
+      gq.foreach(time("amort1", _))
+      gq.foreach(time("amort2", _))
+    } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
+    spark.stop()
+  }
+}
