@@ -26,8 +26,14 @@ object Dedup {
   val HammingMax = 2
   val CosineThreshold = 0.35
 
-  /** words → distinct word-3-gram shingles, per row (no shuffle). */
+  /** words → distinct word-3-gram shingles, per row (no shuffle) —
+    * the native codegen walk; `shingleColHof` keeps the portable HOF
+    * twin whose row-equality DedupSpec proves.
+    */
   private def shingleCol(words: Column): Column =
+    graft.functions.WordShingles.word_shingles(words, 3)
+
+  private[graft] def shingleColHof(words: Column): Column =
     array_distinct(transform(sequence(lit(0), size(words) - 3),
       i => concat_ws(" ", slice(words, i + 1, lit(3)))))
 
@@ -125,9 +131,23 @@ object Dedup {
 
   private def minhashSigs(sh: DataFrame): DataFrame =
     sh.withColumn("sig",
-      // Single fold: the hash array is the aggregate INPUT (evaluated
-      // once — CollapseProject can't inline it 16×); the accumulator
-      // carries all K running minima.
+      // Native single pass: one md5 per shingle, K running minima in
+      // a generated loop (MinHashSig); `minhashSigsHof` keeps the
+      // portable HOF fold twin whose row-equality DedupSpec proves.
+      graft.functions.MinHashSig.minhash_sig(col("s"), MinhashK))
+      .select("doc_id", "sig")
+      // Materialization barrier: without it CollapseProject inlines the
+      // 300-step fold into the 4 per-band slice references (fold
+      // re-evaluated per band; ~30× slowdown measured on the pattern).
+      // Lazy, so only queries that use it pay.
+      .localCheckpoint(false)
+
+  /** Portable HOF twin of the native MinHashSig expression (the
+    * executable spec of the signature arithmetic; DedupSpec proves
+    * row-equality against minhashSigs' native path).
+    */
+  private[graft] def minhashSigsHof(sh: DataFrame): DataFrame =
+    sh.withColumn("sig",
       aggregate(
         transform(col("s"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
         array_repeat(lit(MinhashP), MinhashK),
@@ -135,11 +155,6 @@ object Dedup {
           (m, j) => least(m,
             (h * (lit(1000003L) + lit(7919L) * j) + lit(12345L) + lit(911L) * j) % MinhashP))))
       .select("doc_id", "sig")
-      // Materialization barrier: without it CollapseProject inlines the
-      // 300-step fold into the 4 per-band slice references (fold
-      // re-evaluated per band; ~30× slowdown measured on the pattern).
-      // Lazy, so only queries that use it pay.
-      .localCheckpoint(false)
 
   /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     * Bands shuffle only (doc_id, 16-byte band key) — candidate ids are

@@ -116,23 +116,39 @@ object TextPipeline {
       .orderBy("doc_id", "chunk_id")
 
   /** The SAME chunk table as `chunks`, computed as one per-document
-    * HOF fold instead of the word-explode + window-cumsum plan: the
-    * accumulator walks a doc's words carrying (char offset, current
-    * chunk id, buffer, emitted chunks), flushing whenever
-    * floor(off/L) advances — chunk ids may skip (a long word can jump
-    * a chunk boundary), so each emitted chunk carries its id.
+    * fold instead of the word-explode + window-cumsum plan: a walk
+    * over a doc's words carrying (char offset, current chunk id,
+    * buffer), flushing whenever floor(off/L) advances — chunk ids may
+    * skip (a long word can jump a chunk boundary), so each emitted
+    * chunk carries its id.
     *
     * ZERO exchanges (TextPipelineSpec asserts it): chunking is
     * embarrassingly parallel per document, and this plan keeps it that
-    * way — the windowed variant shuffles every word on doc_id.
-    * Honest local cost: HOF lambdas are CodegenFallback (interpreted),
-    * so this measures ~3× the windowed plan's CPU at sf0.1 (2.0s vs
-    * 0.7s); the trade wins when the corpus-wide word shuffle — not
-    * CPU — is the bottleneck, which is the 100 TB regime. Row
-    * equality with the windowed twin is spec-proved; the oracle is
-    * the same SQL as q_chunk.
+    * way — the windowed variant shuffles every word on doc_id. The
+    * fold is the native codegen ChunkFold expression (one generated
+    * walk, no per-word array copies); `chunksFoldHof` below keeps the
+    * portable HOF twin whose row-equality the spec proves. The trade
+    * vs the windowed plan wins when the corpus-wide word shuffle —
+    * not CPU — is the bottleneck, which is the 100 TB regime. The
+    * oracle is the same SQL as q_chunk.
     */
-  def chunksFold(spark: SparkSession, dir: String): DataFrame = {
+  def chunksFold(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ChunkFold.chunk_fold(col("text"), ChunkLen)).as("c"))
+      .select(col("doc_id"),
+        col("c.cid").as("chunk_id"),
+        col("c.text").as("chunk_text"),
+        length(col("c.text")).cast("long").as("n_chars"),
+        size(split(col("c.text"), " ")).cast("long").as("n_words"))
+
+  /** The original portable HOF `aggregate` twin of the native
+    * ChunkFold expression — kept as the executable spec of the fold
+    * semantics (TextPipelineSpec proves native ≡ HOF ≡ windowed).
+    * CodegenFallback: ~10× the native walk's CPU, which is why the
+    * serving path above compiles to the expression instead.
+    */
+  private[graft] def chunksFoldHof(spark: SparkSession, dir: String): DataFrame = {
     val emptyBuf = array().cast("array<string>")
     val emptyChunks = array().cast("array<struct<cid:int,text:string>>")
     def st(off: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column,

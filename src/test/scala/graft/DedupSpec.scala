@@ -57,6 +57,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size < plain.size, "the day window must exclude far-apart re-posts")
   }
 
+  test("native shingle + minhash expressions reproduce the HOF folds exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+    val nat = docs.select(col("doc_id"),
+      graft.functions.WordShingles.word_shingles(col("words"), 3).as("s"))
+    val hof = docs.select(col("doc_id"), Dedup.shingleColHof(col("words")).as("s"))
+    // element ORDER matters too (array_distinct first-occurrence), so
+    // compare the arrays verbatim, not as sets
+    assert(nat.except(hof).count() == 0 && hof.except(nat).count() == 0,
+      "native WordShingles must reproduce the HOF shingle arrays verbatim")
+    val sigNat = nat.withColumn("sig",
+      graft.functions.MinHashSig.minhash_sig(col("s"), Dedup.MinhashK))
+      .select("doc_id", "sig")
+    val sigHof = Dedup.minhashSigsHof(nat)
+    assert(sigNat.except(sigHof).count() == 0 && sigHof.except(sigNat).count() == 0,
+      "native MinHashSig must reproduce the HOF signature fold verbatim")
+  }
+
   test("banded 16-bit simhash == brute-force all-pairs") {
     val banded = Dedup.qDedupSimhash(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet

@@ -98,6 +98,13 @@ class TextPipelineSpec extends AnyFunSuite {
     val fold = TextPipeline.qChunkFold(spark, TestSpark.sf)
     assert(fold.except(windowed).count() == 0 && windowed.except(fold).count() == 0,
       "the two physical strategies must agree row-for-row")
+    // the native ChunkFold expression serving the fold path must match
+    // the portable HOF fold it replaced (three-way equality overall)
+    val hof = TextPipeline.chunksFoldHof(spark, TestSpark.sf)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
+    val native = fold.select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
+    assert(native.except(hof).count() == 0 && hof.except(native).count() == 0,
+      "native ChunkFold must reproduce the HOF fold's rows exactly")
     // the scan-speed claim: per-document fold, no shuffle anywhere
     val p = TextPipeline.chunksFold(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
