@@ -25,11 +25,23 @@ object Similarity {
   val IvfStride = 97   // deterministic centroid pick: vec_id % 97 == 0
   val IvfProbes = 2
 
-  /** dot(a,b) via zip_with + left fold (arrays must be double). */
+  /** dot(a,b) — native generated loop (arrays must be double); the
+    * accumulation order matches the portable HOF twin below
+    * bit-for-bit, so every oracle is unchanged (SimilaritySpec).
+    */
   def dotCol(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** Portable HOF twin of dotCol (zip_with + left fold) — the
+    * executable spec of the accumulation order.
+    */
+  private[graft] def dotColHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def normCol(a: Column): Column =
+    sqrt(graft.functions.DotProduct.dot_product(a, a))
+
+  private[graft] def normColHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   def cosineCol(a: Column, b: Column): Column =
@@ -339,6 +351,10 @@ object Similarity {
         col("m"), col("sv").as("cv"))
 
   private def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDist.sq_dist(a, b)
+
+  /** Portable HOF twin of sqDist (accumulation-order spec). */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, m, code): argmin-distance codeword per subspace (ties →

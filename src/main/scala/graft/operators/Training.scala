@@ -68,8 +68,7 @@ object Training {
     */
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
     def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.SqDist.sq_dist(a, b)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

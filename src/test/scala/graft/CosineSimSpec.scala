@@ -13,12 +13,31 @@ class CosineSimSpec extends AnyFunSuite {
     val e = Similarity.vectors(spark, TestSpark.sf).limit(100)
     val q = Similarity.vectors(spark, TestSpark.sf)
       .filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Similarity.dotColHof(a, b) / (Similarity.normColHof(a) * Similarity.normColHof(b))
     val both = e.crossJoin(q)
       .select(
         CosineSim.cosine_sim(col("v"), col("qv")).as("native"),
-        Similarity.cosineCol(col("v"), col("qv")).as("hof"))
+        hofCosine(col("v"), col("qv")).as("hof"))
     val bad = both.filter(col("native") =!= col("hof")).count()
     assert(bad == 0, "native and HOF cosine must be bit-identical")
+  }
+
+  test("native dot / norm / sq-dist are bit-identical to their HOF twins") {
+    val e = Similarity.vectors(spark, TestSpark.sf).limit(100)
+    val q = Similarity.vectors(spark, TestSpark.sf)
+      .filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val both = e.crossJoin(q).select(
+      Similarity.dotCol(col("v"), col("qv")).as("dn"),
+      Similarity.dotColHof(col("v"), col("qv")).as("dh"),
+      Similarity.normCol(col("v")).as("nn"),
+      Similarity.normColHof(col("v")).as("nh"),
+      Similarity.sqDistHof(col("v"), col("qv")).as("sh"),
+      graft.functions.SqDist.sq_dist(col("v"), col("qv")).as("sn"))
+    val bad = both.filter(
+      col("dn") =!= col("dh") || col("nn") =!= col("nh") || col("sn") =!= col("sh"))
+      .count()
+    assert(bad == 0, "native vector primitives must match the HOF folds bit-for-bit")
   }
 
   test("registers as a SQL function") {
