@@ -327,8 +327,8 @@ object NewsGraph {
       .filter(col("doc_id") < 10)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        concat_ws(" | ", transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
-          s => s.getField("chunk_text"))).as("chunks_text"))
+        concat_ws(" | ", graft.functions.SortedField.sorted_field(
+          collect_list(struct(col("chunk_id"), col("chunk_text"))), 1)).as("chunks_text"))
       .orderBy("doc_id")
 
   val ErTau = 0.5      // token-set Jaccard merge threshold

@@ -394,8 +394,8 @@ object Dedup {
       .groupBy("label", "dim")
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
       .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("cv"))
+      .agg(graft.functions.SortedField.sorted_field(
+        collect_list(struct(col("dim"), col("c"))), 1).as("cv"))
       .withColumn("cnrm", Similarity.normCol(col("cv")))
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cc",
@@ -801,8 +801,8 @@ object Dedup {
       .groupBy("label", "dim")
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
       .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("cv"))
+      .agg(graft.functions.SortedField.sorted_field(
+        collect_list(struct(col("dim"), col("c"))), 1).as("cv"))
       .withColumn("cnrm", Similarity.normCol(col("cv")))
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cc",

@@ -95,8 +95,8 @@ object TextPipeline {
       withChunkId(words(spark, dir))
         .groupBy(col("doc_id"), col("chunk_id"))
         .agg(
-          concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            s => s.getField("word"))).as("chunk_text"),
+          concat_ws(" ", graft.functions.SortedField.sorted_field(
+            collect_list(struct(col("pos"), col("word"))), 1)).as("chunk_text"),
           count(lit(1)).cast("long").as("n_words"))
         .withColumn("n_chars", length(col("chunk_text")).cast("long"))
     }
@@ -217,8 +217,8 @@ object TextPipeline {
         .withColumn("grp", col("pos") - row_number().over(isl))
         .groupBy(col("doc_id"), col("chunk_id"), col("label"), col("grp"))
         .agg(
-          concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            s => s.getField("word"))).as("name"),
+          concat_ws(" ", graft.functions.SortedField.sorted_field(
+            collect_list(struct(col("pos"), col("word"))), 1)).as("name"),
           min(col("pos")).as("start_pos"),
           count(lit(1)).cast("long").as("n_tokens"))
         .drop("grp")
@@ -313,8 +313,8 @@ object TextPipeline {
       struct(buf.as("buf"), blen.as("blen"), chunks.as("chunks"))
     sents
       .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("seg_id"), col("sentence")))),
-        s => s.getField("sentence")).as("sarr"))
+      .agg(graft.functions.SortedField.sorted_field(
+        collect_list(struct(col("seg_id"), col("sentence"))), 1).as("sarr"))
       .withColumn("chunks", aggregate(
         col("sarr"),
         st(emptyArr, lit(0), emptyArr),

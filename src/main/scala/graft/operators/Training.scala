@@ -88,8 +88,8 @@ object Training {
         .groupBy("k", "dim")
         .agg(round(avg(col("x")), 6).as("c"))
         .groupBy("k")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("cv"))
+        .agg(graft.functions.SortedField.sorted_field(
+          collect_list(struct(col("dim"), col("c"))), 1).as("cv"))
         .localCheckpoint(false) // K rows; keeps per-round lineage flat
     }
     assigned.select(col("vec_id"), col("k").as("cluster"), col("d2"))
@@ -414,8 +414,8 @@ object Training {
       .localCheckpoint(false) // read by the mean AND every round's pass
     val mu = e.select(posexplode(col("xq")).as(Seq("dim", "x")))
       .groupBy("dim").agg(expr("sum(x) div count(*)").as("m"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("mu"))
+      .agg(graft.functions.SortedField.sorted_field(
+        collect_list(struct(col("dim"), col("m"))), 1).as("mu"))
       .localCheckpoint(false) // 1 row
     var w = mu.select(
         expr("transform(sequence(0, size(mu) - 1), " +
@@ -432,8 +432,8 @@ object Training {
         .withColumn("t", col("ds") * (col("x") - element_at(col("mu"), col("dim") + 1)))
         .groupBy("dim").agg(sum("t").as("s"))
       w = sums
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
-          s => s.getField("s")).as("sv"))
+        .agg(graft.functions.SortedField.sorted_field(
+          collect_list(struct(col("dim"), col("s"))), 1).as("sv"))
         .withColumn("nrm", sqrt(expr(
           "aggregate(transform(sv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), " +
             "CAST(0 AS DOUBLE), (a, t) -> a + t)")))
