@@ -50,6 +50,101 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, s"chunker lost content on generated texts")
   }
 
+  /** Adversarial text: empty words (consecutive spaces), words longer
+    * than a whole chunk, and the empty/whitespace-only document — the
+    * shapes the driver corpus never exercises.
+    */
+  private val adversarialText: Gen[String] = {
+    val anyWord = Gen.frequency(
+      6 -> word,
+      2 -> Gen.const(""),
+      1 -> Gen.choose(TextPipeline.ChunkLen + 1, 3 * TextPipeline.ChunkLen)
+        .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)))
+    Gen.frequency(
+      9 -> Gen.choose(0, 50).flatMap(n => Gen.listOfN(n, anyWord).map(_.mkString(" "))),
+      1 -> Gen.const(""))
+  }
+
+  test("native ChunkFold ≡ HOF fold on adversarial texts (codegen path)") {
+    import spark.implicits._
+    val docs = samples(adversarialText, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val emptyBuf = array().cast("array<string>")
+    val emptyChunks = array().cast("array<struct<cid:int,text:string>>")
+    def st(off: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column,
+        buf: org.apache.spark.sql.Column, chunks: org.apache.spark.sql.Column) =
+      struct(off.as("off"), cid.as("cid"), buf.as("buf"), chunks.as("chunks"))
+    val hofFold = aggregate(
+      split(col("text"), " "),
+      st(lit(0L), lit(0), emptyBuf, emptyChunks),
+      (acc, w) => {
+        val wCid = floor(acc.getField("off") / TextPipeline.ChunkLen).cast("int")
+        val nextOff = acc.getField("off") + length(w) + 1
+        when(wCid === acc.getField("cid"),
+          st(nextOff, acc.getField("cid"),
+            concat(acc.getField("buf"), array(w)), acc.getField("chunks")))
+          .otherwise(st(nextOff, wCid, array(w),
+            concat(acc.getField("chunks"),
+              array(struct(acc.getField("cid").as("cid"),
+                array_join(acc.getField("buf"), " ").as("text"))))))
+      },
+      acc => when(size(acc.getField("buf")) > 0,
+        concat(acc.getField("chunks"),
+          array(struct(acc.getField("cid").as("cid"),
+            array_join(acc.getField("buf"), " ").as("text")))))
+        .otherwise(acc.getField("chunks")))
+    val bad = docs.select(
+        graft.functions.ChunkFold.chunk_fold(col("text"), TextPipeline.ChunkLen).as("n"),
+        hofFold.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0, "ChunkFold must equal the HOF fold on adversarial texts")
+  }
+
+  test("native WordShingles/MinHashSig ≡ HOF twins on adversarial texts (codegen path)") {
+    import spark.implicits._
+    val docs = samples(adversarialText, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+    val hofShingles = array_distinct(transform(
+      sequence(lit(0), size(col("words")) - 3),
+      i => concat_ws(" ", slice(col("words"), i + 1, lit(3)))))
+    val withBoth = docs.select(
+      graft.functions.WordShingles.word_shingles(col("words"), 3).as("ns"),
+      hofShingles.as("hs"))
+    assert(withBoth.filter(col("ns") =!= col("hs")).count() == 0,
+      "WordShingles must equal the HOF chain (order included)")
+    val k = graft.operators.Dedup.MinhashK
+    val hofSig = aggregate(
+      transform(col("ns"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
+      array_repeat(lit(graft.operators.Dedup.MinhashP), k),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (m, j) => least(m,
+          (h * (lit(1000003L) + lit(7919L) * j) + lit(12345L) + lit(911L) * j)
+            % graft.operators.Dedup.MinhashP)))
+    val sigBad = withBoth.select(
+        graft.functions.MinHashSig.minhash_sig(col("ns"), k).as("n"),
+        hofSig.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(sigBad == 0, "MinHashSig must equal the HOF signature fold")
+  }
+
+  test("native SortedField ≡ transform(array_sort) with duplicate keys (codegen path)") {
+    import spark.implicits._
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0, 5), word))
+    val rows = samples(pairGen, 50).zipWithIndex
+      .map { case (ps, i) => (i.toLong, ps.map { case (a, b) => (a, b) }) }
+      .toDF("id", "ps")
+      .select(col("id"), explode_outer(col("ps")).as("p"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("p._1").as("k"), col("p._2").as("v"))).as("arr"))
+    val bad = rows.select(
+        graft.functions.SortedField.sorted_field(col("arr"), 1).as("n"),
+        transform(array_sort(col("arr")), s => s.getField("v")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0, "SortedField must equal the HOF sort-project, ties included")
+  }
+
   test("simhash is token-order invariant (multiset semantics)") {
     val rnd = new scala.util.Random(7)
     samples(Gen.listOfN(30, word), 20).foreach { ws =>
