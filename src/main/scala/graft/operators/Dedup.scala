@@ -156,6 +156,33 @@ object Dedup {
             (h * (lit(1000003L) + lit(7919L) * j) + lit(12345L) + lit(911L) * j) % MinhashP))))
       .select("doc_id", "sig")
 
+  /** Stream-safe LSH banding of a (doc_id, text) frame: shingles →
+    * native MinHash signature → LshBands band keys, all narrow
+    * per-row transforms (no checkpoint, no shuffle) — usable
+    * identically in batch and Structured Streaming. Band keys are
+    * byte-identical to qDedupMinhash's, so a streaming probe joins
+    * the standing index built by `corpusBandIndex`.
+    */
+  private[graft] def bandKeysOfDocs(docs: DataFrame): DataFrame = {
+    val r = MinhashK / LshBands
+    docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), shingleCol(col("words")).as("s"))
+      .withColumn("sig", graft.functions.MinHashSig.minhash_sig(col("s"), MinhashK))
+      .withColumn("bkeys", transform(sequence(lit(0), lit(LshBands - 1)),
+        band => md5(concat(
+          array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
+          lit("#"), band.cast("string")))))
+      .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+  }
+
+  /** Standing corpus band index (bkey, corpus_doc_id) — the batch
+    * side the streaming near-dup screen probes.
+    */
+  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
+    bandKeysOfDocs(Tables.documents(spark, dir))
+      .select(col("bkey"), col("doc_id").as("corpus_doc_id"))
+
   /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     * Bands shuffle only (doc_id, 16-byte band key) — candidate ids are
     * deduped BEFORE the shingle arrays are joined back for

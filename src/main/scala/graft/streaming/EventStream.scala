@@ -248,6 +248,28 @@ object EventStream {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_grams"))
 
+  /** Streaming near-dup screen — qDedupMinhash's twin at ingest time:
+    * each arriving document is shingled, MinHash-signed, and LSH-
+    * banded with the SAME native expressions as batch (a stateless
+    * narrow per-row pass — no stream state grows with the corpus),
+    * then probed against the STANDING corpus band index by equi-join
+    * on the 16-byte band key (stream-static; Spark broadcasts the
+    * static side when it fits, shuffles it when the standing index is
+    * itself large — either way no stream state scales with it). A hit
+    * is the LSH candidate condition — the new document collides with
+    * a standing document in ≥1 band; output is the candidate-pair
+    * stream (doc_id, corpus_doc_id, n_shared_bands), which a crawl
+    * screen drops outright or routes to the batch verification join.
+    * Only the per-pair counter is streaming state, keyed in update
+    * mode — one row per surviving candidate pair, the same set the
+    * batch plan dedupes before verification.
+    */
+  def nearDupScreenStream(docs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.operators.Dedup.bandKeysOfDocs(docs)
+      .join(corpusBands, "bkey")
+      .groupBy("doc_id", "corpus_doc_id")
+      .agg(count(lit(1)).as("n_shared_bands"))
+
   /** Streaming boilerplate screen: incoming documents are checked
     * against the STANDING boilerplate line-hash set as they arrive —
     * the continuous-ingest twin of Dedup.qDedupLines (new crawl

@@ -182,6 +182,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L), "only d1 carries the standing boiler line")
   }
 
+  test("streaming near-dup screen matches the batch band join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // standing corpus: three documents, long enough to shingle
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten"),
+      (102L, "red orange yellow green blue indigo violet white black gray"))
+      .toDF("doc_id", "text")
+    val corpusBands = graft.operators.Dedup.bandKeysOfDocs(corpus)
+      .select(col("bkey"), col("doc_id").as("corpus_doc_id"))
+    // incoming: d1 is an exact re-crawl of 100 (identical signature →
+    // all bands collide), d2 shares nothing, d3 is too short to shingle
+    val d1 = (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val d2 = (2L, "totally fresh words that no standing document contains at all")
+    val d3 = (3L, "too short")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupScreenStream(
+        input.toDF().toDF("doc_id", "text"), corpusBands)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("neardup_stream").start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_stream")
+      .groupBy("doc_id", "corpus_doc_id").agg(max("n_shared_bands").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch reference over the same incoming rows
+    val want = graft.operators.Dedup.bandKeysOfDocs(
+        Seq(d1, d2, d3).toDF("doc_id", "text"))
+      .join(corpusBands, "bkey")
+      .groupBy("doc_id", "corpus_doc_id").agg(count("*").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got == Map((1L, 100L) -> graft.operators.Dedup.LshBands.toLong),
+      "the exact re-crawl must collide with its standing twin in every band")
+  }
+
   test("stateful sessionizer agrees with batch session counts") {
     val evs = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
