@@ -33,8 +33,7 @@ object Curation {
         size(col("words")).cast("double")).as("ttr"))
     val rep = docs
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("words")) - 2),
-          i => concat_ws(" ", slice(col("words"), i + 1, lit(2))))).as("g"))
+        explode(graft.functions.WordNgrams.word_ngrams(col("words"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         (sum(when(col("c") >= 2, col("c")).otherwise(0L))
@@ -83,11 +82,14 @@ object Curation {
         conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8), 16, 10)
           .cast("long") % 100)
 
-  /** explode of the distinct word-4-gram md5 hashes of a `words` column. */
+  /** explode of the distinct word-4-gram md5 hashes of a `words`
+    * column — the native generated walk (PropertySpec proves equality
+    * with the HOF array_distinct/transform/md5 chain). Callers filter
+    * size(words) >= DecontamN first.
+    */
   private def gramExplode =
-    explode(array_distinct(transform(
-      sequence(lit(0), size(col("words")) - DecontamN),
-      i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(DecontamN))))))).as("gh")
+    explode(graft.functions.DistinctGramMd5
+      .distinct_gram_md5(col("words"), DecontamN)).as("gh")
 
   /** (doc_id, bucket, gh): distinct word-4-gram hashes per document. */
   private def decontamGrams(d: DataFrame): DataFrame =

@@ -188,11 +188,10 @@ object TextAnalysis {
     * trigram side dropped them anyway — same output).
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // native (n, md5-prefix-hash) gram structs — one generated walk
+    // per document (PropertySpec proves equality with the HOF chain)
     def gramHashes(n: Int) =
-      transform(sequence(lit(0), size(col("words")) - n),
-        i => struct(lit(n).as("n"),
-          conv(substring(md5(concat_ws(" ", slice(col("words"), i + 1, lit(n)))), 1, 8), 16, 10)
-            .cast("long").as("gh")))
+      graft.functions.GramHashStructs.gram_hash_structs(col("words"), n)
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)

@@ -145,6 +145,35 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, "SortedField must equal the HOF sort-project, ties included")
   }
 
+  test("native gram builders ≡ HOF chains on adversarial texts (codegen path)") {
+    import spark.implicits._
+    for (n <- Seq(2, 3, 4)) {
+      val docs = samples(adversarialText, 50).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= n) // HOF twins error below n words
+      val hofGrams = transform(sequence(lit(0), size(col("words")) - n),
+        i => concat_ws(" ", slice(col("words"), i + 1, lit(n))))
+      val hofStructs = transform(sequence(lit(0), size(col("words")) - n),
+        i => struct(lit(n).as("n"),
+          conv(substring(md5(concat_ws(" ", slice(col("words"), i + 1, lit(n)))), 1, 8), 16, 10)
+            .cast("long").as("gh")))
+      val hofMd5 = array_distinct(transform(
+        sequence(lit(0), size(col("words")) - n),
+        i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(n))))))
+      val bad = docs.select(
+          graft.functions.WordNgrams.word_ngrams(col("words"), n).as("ng"),
+          hofGrams.as("hg"),
+          graft.functions.GramHashStructs.gram_hash_structs(col("words"), n).as("ns"),
+          hofStructs.as("hs"),
+          graft.functions.DistinctGramMd5.distinct_gram_md5(col("words"), n).as("nm"),
+          hofMd5.as("hm"))
+        .filter(col("ng") =!= col("hg") || col("ns") =!= col("hs")
+          || col("nm") =!= col("hm")).count()
+      assert(bad == 0, s"native $n-gram builders must equal the HOF chains")
+    }
+  }
+
   test("simhash is token-order invariant (multiset semantics)") {
     val rnd = new scala.util.Random(7)
     samples(Gen.listOfN(30, word), 20).foreach { ws =>
