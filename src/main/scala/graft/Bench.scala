@@ -169,6 +169,7 @@ object Bench {
       "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
       "link_prediction" -> "lp",
       "doc_similarity" -> "dsim", "hybrid_search" -> "hyb",
+      "neardup_" -> "nd",
       "simhash64" -> "sh64", "simhash" -> "sh",
       "minhash_est" -> "mhe", "minhash" -> "mh",
       "substring" -> "sub", "ngram" -> "ng", "exact" -> "ex",

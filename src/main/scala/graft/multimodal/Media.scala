@@ -129,11 +129,42 @@ object Media {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  val FrameStride = 64
+  val FrameLen = 8
+
+  /** Frame-sample audit (oracle-checked): the sampleFrames plumbing —
+    * one "frame" per FrameStride bytes, FrameLen bytes each — reduced
+    * to SQL-expressible per-frame facts (md5 + length). The payload
+    * stays in its map task: frames are derived in a narrow per-row
+    * pass (substring slices of the binary column), only the 16-byte
+    * digests flow downstream — exactly how a real frame-grab +
+    * embed stage ships features, not frames, off the scan.
+    */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), FrameStride, FrameLen)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures,
+    "q_media_frames" -> qMediaFrames,
     "q_media_phash" -> qMediaPhash)
 
   val oracles: Map[String, String] = Map(
+    "q_media_frames" ->
+      s"""SELECT doc_id, frame_idx,
+         |  md5(substr(text, CAST(frame_idx * $FrameStride + 1 AS INT), $FrameLen))
+         |    AS frame_md5,
+         |  length(substr(text, CAST(frame_idx * $FrameStride + 1 AS INT), $FrameLen))
+         |    AS n_bytes
+         |FROM (SELECT doc_id, text,
+         |        unnest(generate_series(0, (length(text) - 1) // $FrameStride))
+         |          AS frame_idx
+         |      FROM documents)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id,
         |  CASE WHEN lang = 'en' THEN 'image/png'

@@ -183,6 +183,25 @@ object Dedup {
     bandKeysOfDocs(Tables.documents(spark, dir))
       .select(col("bkey"), col("doc_id").as("corpus_doc_id"))
 
+  /** LSH candidate pairs with shared-band counts — the oracle-checked
+    * batch twin of the streaming near-dup screen (and the raw
+    * candidate stream qDedupMinhash verifies): pairs colliding in ≥1
+    * of the LshBands band keys, with the collision count (a cheap
+    * confidence proxy — 4/4 bands ≈ exact re-crawl). Shuffle carries
+    * only (doc_id, 16-byte band key); the count is one
+    * map-side-combined aggregation on the pair key.
+    */
+  def qNeardupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandKeysOfDocs(Tables.documents(spark, dir))
+      .localCheckpoint(false) // one shingle/sig pass; both join sides read it
+    bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_id_b"), col("bkey")), Seq("bkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     * Bands shuffle only (doc_id, 16-byte band key) — candidate ids are
     * deduped BEFORE the shingle arrays are joined back for
@@ -855,6 +874,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_url" -> qDedupUrl,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_neardup_candidates" -> qNeardupCandidates,
     "q_dedup_temporal" -> qDedupTemporal,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
@@ -1109,6 +1129,13 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_neardup_candidates" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_minhash_est" ->
       s"""WITH $MinhashPairsCtes
