@@ -183,6 +183,8 @@ object Bench {
       "quality" -> "qual", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
+      "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
+      "length_hist" -> "lhist", "drift_report" -> "drift",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",

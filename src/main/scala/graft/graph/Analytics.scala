@@ -80,6 +80,51 @@ object Analytics {
   def qCooccur(spark: SparkSession, dir: String): DataFrame =
     cooccur(spark, dir).orderBy("e1", "e2")
 
+  val PmiMinWeight = 2
+  val PmiTopN = 50
+
+  /** PMI-scored co-occurrence: pointwise mutual information
+    * ln(P(e1,e2) / (P(e1)·P(e2))) over chunk-level co-mentions —
+    * the association strength behind "related entities" panels, where
+    * raw co-occurrence counts just surface the two most frequent
+    * entities. Pairs seen once are noise-floored out (weight ≥ 2);
+    * top-PmiTopN by score via TakeOrdered.
+    *
+    * Scale shape: ONE materialized pass over the mentions pipeline
+    * feeds all three aggregates (chunk total, per-entity chunk
+    * counts, pair counts); the entity-count table is gazetteer-
+    * bounded and broadcast into the pair join, so the only cluster
+    * exchange is the pair groupBy that qCooccur already pays.
+    */
+  def qPmiCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val chunkEnts = TextPipeline.mentions(spark, dir)
+      .groupBy("doc_id", "chunk_id")
+      .agg(array_sort(collect_set(col("name"))).as("ents"))
+      .filter(size(col("ents")) <= MaxEntitiesPerChunk)
+      .localCheckpoint(false) // read 3×: total, entity counts, pairs
+    val tChunks = chunkEnts.count()
+    val cnt = chunkEnts.select(explode(col("ents")).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("c"))
+    val pairs = chunkEnts.filter(size(col("ents")) >= 2)
+      .select(explode(flatten(transform(col("ents"),
+        (x, i) => transform(
+          slice(col("ents"), i + 2, size(col("ents"))),
+          y => struct(x.as("e1"), y.as("e2")))))).as("p"))
+      .select(col("p.e1"), col("p.e2"))
+      .groupBy("e1", "e2")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= PmiMinWeight)
+    pairs
+      .join(broadcast(cnt.select(col("name").as("e1"), col("c").as("c1"))), "e1")
+      .join(broadcast(cnt.select(col("name").as("e2"), col("c").as("c2"))), "e2")
+      .withColumn("pmi", round(log(
+        (col("weight") * lit(tChunks)).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6))
+      .select("e1", "e2", "weight", "c1", "c2", "pmi")
+      .orderBy(col("pmi").desc, col("e1"), col("e2"))
+      .limit(PmiTopN)
+  }
+
   def qEntityDegree(spark: SparkSession, dir: String): DataFrame =
     edges(spark, dir)
       .groupBy(col("src").as("name"))
@@ -925,6 +970,7 @@ object Analytics {
     "q_neighbor_sample" -> qNeighborSample,
     "q_walks" -> qWalks,
     "q_cooccur" -> qCooccur,
+    "q_pmi_cooccur" -> qPmiCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
     "q_ppr" -> qPagerankPersonalized,
@@ -945,6 +991,20 @@ object Analytics {
     "q_cooccur" ->
       s"""WITH $CooccurSql
          |SELECT e1, e2, weight FROM cooccur ORDER BY e1, e2""".stripMargin,
+    "q_pmi_cooccur" ->
+      s"""WITH $CooccurSql,
+         |cnt AS MATERIALIZED (SELECT name, count(*) AS c FROM m GROUP BY name),
+         |tch AS (SELECT count(*) AS t FROM
+         |  (SELECT DISTINCT doc_id, chunk_id FROM m)),
+         |p AS (
+         |  SELECT e1, e2, weight, c1.c AS c1, c2.c AS c2,
+         |    round(ln(CAST(weight * t AS DOUBLE)
+         |      / CAST(c1.c * c2.c AS DOUBLE)), 6) AS pmi
+         |  FROM cooccur JOIN cnt c1 ON e1 = c1.name
+         |  JOIN cnt c2 ON e2 = c2.name CROSS JOIN tch
+         |  WHERE weight >= $PmiMinWeight)
+         |SELECT e1, e2, weight, c1, c2, pmi FROM p
+         |ORDER BY pmi DESC, e1, e2 LIMIT $PmiTopN""".stripMargin,
     "q_entity_degree" ->
       s"""WITH $CooccurSql
          |SELECT src AS name, d AS degree, wd AS wdegree

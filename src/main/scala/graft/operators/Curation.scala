@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -260,7 +261,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Histogram bucket width (chars). Integer division keeps the
+    * bucket id exact in both engines — a log2 bucket would put
+    * power-of-two lengths on an fp rounding boundary.
+    */
+  val HistBucketChars = 256L
+
+  /** Per-source document-length histogram with cumulative counts —
+    * the corpus-shape diagnostic a curation run reports before and
+    * after filtering (truncation spikes, boilerplate walls, and
+    * source-specific length floors all show up as bucket anomalies).
+    *
+    * Scale shape: one map-side-combined shuffle on (source, bucket);
+    * the per-source total is a second tiny agg over the bucket rows
+    * (never the raw docs), and the cumulative window runs over ≤ a few
+    * hundred bucket rows per source.
+    */
+  def qLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(col("source"), expr(s"n_chars div $HistBucketChars").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = b.groupBy("source").agg(sum(col("n_docs")).as("src_docs"))
+    b.join(tot, "source")
+      .withColumn("share",
+        round(expr("n_docs * 1000000 div src_docs") / lit(1e6), 6))
+      .withColumn("cum_docs", sum(col("n_docs"))
+        .over(Window.partitionBy("source").orderBy("bucket")))
+      .select("source", "bucket", "n_docs", "share", "cum_docs")
+      .orderBy("source", "bucket")
+  }
+
+  /** Corpus drift monitor: total-variation distance between the
+    * length-bucket distributions of two crawl cohorts (a seeded-hash
+    * doc_id split stands in for snapshot id — doc_id PARITY would
+    * alias the round-robin source assignment), per source. The number
+    * a pipeline alerts on when a source changes its template or
+    * truncation behavior between snapshots. Per-bucket shares ride
+    * the integer micro-grid so the BIGINT sum is order-immune;
+    * TV = Σ|p−q|/2.
+    *
+    * Scale shape: same single (source, bucket) shuffle as the
+    * histogram with both cohorts counted in one pass (conditional
+    * sums, no second scan), then a per-source rollup over bucket rows.
+    */
+  def qDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(col("source"), expr(s"n_chars div $HistBucketChars").as("bucket"),
+        (conv(substring(md5(concat(lit("drift#"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 2).as("cohort"))
+      .groupBy("source", "bucket")
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"))
+    val t = b.groupBy("source")
+      .agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+      .filter(col("t0") > 0 && col("t1") > 0)
+    b.join(t, "source")
+      .groupBy("source")
+      .agg(max(col("t0")).as("docs_a"), max(col("t1")).as("docs_b"),
+        count(lit(1)).as("n_buckets"),
+        sum(abs(expr("n0 * 1000000 div t0") - expr("n1 * 1000000 div t1")))
+          .as("tvm"))
+      .withColumn("tv_dist", round(col("tvm") / lit(2e6), 6))
+      .select("source", "docs_a", "docs_b", "n_buckets", "tv_dist")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_hist" -> qLengthHist,
+    "q_drift_report" -> qDriftReport,
     "q_filter_pipeline" -> qFilterPipeline,
     "q_gram_novelty" -> qGramNovelty,
     "q_source_report" -> qSourceReport,
@@ -292,6 +361,39 @@ object Curation {
          |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_length_hist" ->
+      s"""WITH b AS (
+         |  SELECT source, n_chars // $HistBucketChars AS bucket,
+         |    count(*) AS n_docs
+         |  FROM documents GROUP BY source, n_chars // $HistBucketChars),
+         |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+         |  FROM b GROUP BY source)
+         |SELECT source, bucket, n_docs,
+         |  round((n_docs * 1000000 // src_docs) / 1000000.0, 6) AS share,
+         |  CAST(sum(n_docs) OVER (
+         |    PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum_docs
+         |FROM b JOIN t USING (source)
+         |ORDER BY source, bucket""".stripMargin,
+    "q_drift_report" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars // $HistBucketChars AS bucket,
+         |    CAST('0x' || substr(md5('drift#' || doc_id), 1, 8) AS BIGINT) % 2
+         |      AS cohort
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, bucket,
+         |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM d GROUP BY source, bucket),
+         |t AS (SELECT source, CAST(sum(n0) AS BIGINT) AS t0,
+         |    CAST(sum(n1) AS BIGINT) AS t1
+         |  FROM b GROUP BY source HAVING sum(n0) > 0 AND sum(n1) > 0)
+         |SELECT source, max(t0) AS docs_a, max(t1) AS docs_b,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  round(CAST(sum(abs(n0 * 1000000 // t0 - n1 * 1000000 // t1))
+         |    AS BIGINT) / 2000000.0, 6) AS tv_dist
+         |FROM b JOIN t USING (source)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_curation_e2e" ->
       s"""WITH ${Dedup.clusterCtes},
          |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

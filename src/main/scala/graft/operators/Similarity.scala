@@ -135,6 +135,32 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hard-negative mining for contrastive training data: for each
+    * query vector, the top-KnnK nearest candidates whose label
+    * DIFFERS from the query's — the near-miss negatives a retrieval /
+    * embedding trainer pairs with each anchor (easy random negatives
+    * teach nothing; the highest-scoring wrong-label neighbors carry
+    * the gradient). Same probe-broadcast + TopKPerGroup heap shape as
+    * qKnnJoin; the label inequality rides the broadcast join
+    * condition so wrong-label candidates die before scoring ships.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val qs = vectors(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = vectors(spark, dir).filter(col("vec_id") >= 5)
+    val scored = cands.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "label", "score")
+    val top = graft.plans.TopKPerGroup.topK(scored, KnnK,
+      Seq("query_id"), orderCol = "score", tieCol = "vec_id")
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+      .select("query_id", "vec_id", "label", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   val HybridTerms: Seq[String] = Seq("spark", "join", "fast")
 
   /** Hybrid retrieval: 0.6·cosine + 0.4·keyword-coverage
@@ -566,6 +592,7 @@ object Similarity {
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
     "q_mmr" -> qMmr,
     "q_knn_join" -> qKnnJoin,
+    "q_hard_negatives" -> qHardNegatives,
     "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_hybrid_search" -> qHybridSearch,
     "q_expand_retrieval" -> qExpandRetrieval,
@@ -733,6 +760,19 @@ object Similarity {
          |  SELECT query_id, vec_id, round(${cos("v", "qv")}, 6) AS score
          |  FROM e CROSS JOIN qs WHERE vec_id >= 5)
          |SELECT query_id, vec_id, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id) AS rk FROM scored)
+         |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH $VecSql,
+         |qs AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id, e.label,
+         |    round(${cos("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN qs
+         |  WHERE e.vec_id >= 5 AND e.label <> qlabel)
+         |SELECT query_id, vec_id, label, score, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, vec_id) AS rk FROM scored)
          |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,

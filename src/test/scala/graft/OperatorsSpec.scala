@@ -548,4 +548,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == totalW,
       "sum of community degree masses != total edge weight")
   }
+
+  test("hard negatives: labels differ from the query's, scores bounded by exact knn") {
+    val labels = graft.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") < 5)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.qHardNegatives(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) != labels(r.getLong(0)),
+        s"query ${r.getLong(0)} returned a same-label 'negative' ${r.getLong(1)}")
+    }
+    // per-query: exactly KnnK rows, ranks 1..K, scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.length == Similarity.KnnK, s"query $q: ${g.length} rows")
+      val byRank = g.sortBy(_.getInt(4))
+      assert(byRank.map(_.getInt(4)).toSeq == (1 to Similarity.KnnK),
+        s"query $q ranks not 1..K")
+      val s = byRank.map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b },
+        s"query $q scores increase")
+    }
+    // the top hard negative can never beat the top UNfiltered neighbor
+    val knnTop = Similarity.qKnnJoin(spark, TestSpark.sf)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getInt(4) == 1).foreach { r =>
+      assert(r.getDouble(3) <= knnTop(r.getLong(0)) + 1e-9,
+        s"query ${r.getLong(0)}: filtered top beats unfiltered top")
+    }
+  }
+
+  test("PMI co-occurrence: value recomputes from its own counts, weights >= floor") {
+    import graft.graph.Analytics
+    val rows = Analytics.qPmiCooccur(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val t = graft.operators.TextPipeline.mentions(spark, TestSpark.sf)
+      .groupBy("doc_id", "chunk_id")
+      .agg(collect_set(col("name")).as("ents"))
+      .filter(size(col("ents")) <= Analytics.MaxEntitiesPerChunk)
+      .count()
+    rows.foreach { r =>
+      val (w, c1, c2, pmi) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(w >= Analytics.PmiMinWeight)
+      assert(w <= math.min(c1, c2), "pair count exceeds a member's chunk count")
+      val expect = math.rint(math.log(w.toDouble * t / (c1.toDouble * c2)) * 1e6) / 1e6
+      assert(math.abs(pmi - expect) < 1e-9,
+        s"${r.getString(0)}~${r.getString(1)}: pmi $pmi != recomputed $expect")
+    }
+    // descending by score, ties by name pair
+    val keys = rows.map(r => (-r.getDouble(5), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "output not ordered by pmi desc, e1, e2")
+  }
+
+  test("length histogram: buckets partition each source, cumulative hits the total") {
+    import graft.operators.Curation
+    val rows = Curation.qLengthHist(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val perSource = graft.Tables.documents(spark, TestSpark.sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, g) =>
+      assert(g.map(_.getLong(2)).sum == perSource(src),
+        s"$src: bucket counts don't partition the source")
+      val byBucket = g.sortBy(_.getLong(1))
+      assert(byBucket.last.getLong(4) == perSource(src),
+        s"$src: final cum_docs != source total")
+      assert(byBucket.map(_.getLong(4)).toSeq ==
+        byBucket.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.toSeq,
+        s"$src: cum_docs is not the running sum")
+      g.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    }
+  }
+
+  test("drift report: TV distance in [0,1], cohort totals partition each source") {
+    import graft.operators.Curation
+    val rows = Curation.qDriftReport(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val perSource = graft.Tables.documents(spark, TestSpark.sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, e, o, tv) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(e + o == perSource(src), s"$src: cohorts don't partition the source")
+      assert(tv >= 0.0 && tv <= 1.0, s"$src: tv_dist $tv out of range")
+    }
+  }
 }

@@ -346,6 +346,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!rg.contains("CartesianProduct"), s"rag context has a cartesian:\n$rg")
   }
 
+  test("round-6 additions: heap top-k, broadcast stats, pruned scans") {
+    // hard negatives: per-query top-k through the heap operator; the
+    // probe side is broadcast (no cartesian pair formation)
+    val hn = plan(Similarity.qHardNegatives(spark, TestSpark.sf))
+    assert(hn.contains("TopKPerGroup"),
+      s"hard negatives must rank through the heap operator:\n$hn")
+    assert(!hn.contains("CartesianProduct"), s"hard negatives cartesian:\n$hn")
+    // PMI: gazetteer-bounded entity-count tables join as broadcasts;
+    // the top-N is TakeOrdered, never a global rank window
+    val pm = plan(graph.Analytics.qPmiCooccur(spark, TestSpark.sf))
+    assert(pm.contains("BroadcastHashJoin"),
+      s"PMI entity counts must broadcast:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"PMI cartesian:\n$pm")
+    assert(pm.contains("TakeOrderedAndProject"),
+      s"PMI top-N must be TakeOrdered:\n$pm")
+    // histogram/drift: 2-3 column pruned scans, no cartesian
+    val lh = plan(operators.Curation.qLengthHist(spark, TestSpark.sf))
+    assert(lh.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"length hist must scan only (source, n_chars):\n$lh")
+    val dr = plan(operators.Curation.qDriftReport(spark, TestSpark.sf))
+    assert(dr.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"drift report must scan only (doc_id, source, n_chars):\n$dr")
+    assert(!dr.contains("CartesianProduct"), s"drift report cartesian:\n$dr")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
