@@ -185,6 +185,7 @@ object Bench {
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
       "length_hist" -> "lhist", "drift_report" -> "drift",
+      "prf_expansion" -> "prf", "cluster_purity" -> "cpur",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",

@@ -77,7 +77,14 @@ object PlanDump {
       "q_bpe_train" -> "vocab collapse once; per-round pair agg + broadcast best-pair merge fold",
       "q_rag_context" -> "resolve→retrieve→dedup→budget→format; TakeOrdered then ≤K-row windows",
       "q_top_component" -> "power iteration: broadcast 1-row w, corpus pass + 64-row dim sum",
-      "q_training_export" -> "curation verdict → two-level packing → shard hash as ONE plan")
+      "q_training_export" -> "curation verdict → two-level packing → shard hash as ONE plan",
+      "q_hard_negatives" -> "label-filtered broadcast probes + TopKPerGroup heap",
+      "q_pmi_cooccur" -> "one materialized mentions pass; broadcast count tables; TakeOrdered",
+      "q_length_hist" -> "one (source,bucket) shuffle; cumulative window over bucket rows",
+      "q_drift_report" -> "both cohorts counted in one pass; integer-grid TV rollup",
+      "q_ndcg" -> "scoring pass shared by n_rel agg and heap top-k; bounded idcg fold",
+      "q_prf_expansion" -> "TakeOrdered pool broadcast into map-side-combined TF agg",
+      "q_cluster_purity" -> "corpus collapses to K×labels cells on one exchange; struct-min majority")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -120,6 +120,44 @@ object Retrieval {
       .limit(RrfTopK)
   }
 
+  val PrfPool = 10      // pseudo-relevant pool (BM25 top-N)
+  val PrfTopTerms = 10  // expansion terms emitted
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3-lite):
+    * take the BM25 top-PrfPool documents as the pseudo-relevant set
+    * and score every term they contain by pool-TF × smoothed IDF —
+    * the terms a retrieval layer appends to the query for a second
+    * pass. Original query terms are excluded; weights ride the
+    * integer micro-grid (one multiply per row — no float summation).
+    *
+    * Scale shape: the pool is a TakeOrdered PrfPool-row set broadcast
+    * into the (already map-side-combined) term-frequency aggregate,
+    * so pool term statistics aggregate over ≤ pool·doclen rows; the
+    * corpus-wide document-frequency shuffle is the same single (word)
+    * exchange TF-IDF already pays — nothing new scales with N.
+    */
+  def qPrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val pool = TopKUtil.globalTopK(bm25Scored(spark, dir), PrfPool,
+        "doc_id", col("bm25").desc, col("doc_id"))
+      .select("doc_id")
+    val tf = termFreqs(spark, dir)
+    val nDf = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfq = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("dfreq"))
+    tf.join(broadcast(pool), "doc_id")
+      .groupBy("word")
+      .agg(sum(col("tf")).as("pool_tf"), count(lit(1)).as("pool_df"))
+      .join(dfq, "word")
+      .crossJoin(broadcast(nDf))
+      .filter(!col("word").isin(QueryTerms.map(lit): _*))
+      .withColumn("weight_micro",
+        round(col("pool_tf") * log(lit(1.0) + col("n_docs") / col("dfreq")) * lit(1e6))
+          .cast("long"))
+      .select("word", "pool_tf", "pool_df", "dfreq", "weight_micro")
+      .orderBy(col("weight_micro").desc, col("word"))
+      .limit(PrfTopTerms)
+  }
+
   val DsSlots = 64  // feature-hash slots (vocabulary-size independent)
   val DsProbes = 20 // related-articles probe set: doc_id < DsProbes
   val DsTopK = 5
@@ -181,6 +219,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
+    "q_prf_expansion" -> qPrfExpansion,
     "q_doc_similarity" -> qDocSimilarity,
     "q_rrf" -> qRrf)
 
@@ -238,6 +277,23 @@ object Retrieval {
       s"""WITH $Bm25Ctes
          |SELECT doc_id, bm25, n_terms_hit FROM bmdocs
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_prf_expansion" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(",")
+      s"""WITH $Bm25Ctes,
+         |pool AS (SELECT doc_id FROM bmdocs
+         |  ORDER BY bm25 DESC, doc_id LIMIT $PrfPool),
+         |ptf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS pool_tf,
+         |    CAST(count(*) AS BIGINT) AS pool_df
+         |  FROM tf JOIN pool USING (doc_id) GROUP BY word),
+         |adf AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq
+         |  FROM tf GROUP BY word)
+         |SELECT word, pool_tf, pool_df, dfreq,
+         |  CAST(round(pool_tf * ln(1.0 + (SELECT n FROM nn)
+         |    / CAST(dfreq AS DOUBLE)) * 1e6) AS BIGINT) AS weight_micro
+         |FROM ptf JOIN adf USING (word)
+         |WHERE word NOT IN ($terms)
+         |ORDER BY weight_micro DESC, word LIMIT $PrfTopTerms""".stripMargin
+    },
     "q_rrf" ->
       s"""WITH $Bm25Ctes,
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

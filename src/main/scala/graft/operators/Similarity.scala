@@ -161,6 +161,48 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Ranking-quality audit: NDCG@KnnK of the cosine ranking for each
+    * probe query, with binary relevance = label agreement — the
+    * retrieval-side companion of q_ann_recall (recall audits the
+    * index approximation; NDCG audits whether the SCORING puts the
+    * right things on top). Per-rank gains 1/log2(rk+1) ride the
+    * integer micro-grid so group sums are order-immune; the ideal DCG
+    * unrolls as a bounded sequence fold (min(n_rel, K) terms).
+    *
+    * Scale shape: one broadcast-probe scoring pass (shared with
+    * qKnnJoin) feeds both the corpus-wide relevant count (map-side-
+    * combined conditional sum) and the TopKPerGroup heap; every
+    * window after the heap sees ≤ K rows per query.
+    */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val qs = vectors(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = vectors(spark, dir).filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(qs))
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "qlabel", "vec_id", "label", "score")
+    val nRel = scored.groupBy("query_id")
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_rel"))
+    val ranked = graft.plans.TopKPerGroup.topK(scored, KnnK,
+        Seq("query_id"), orderCol = "score", tieCol = "vec_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+    val gain = round(lit(1e6) / log2(col("rk") + 1)).cast("long")
+    val dcg = ranked.groupBy("query_id")
+      .agg(sum(when(col("label") === col("qlabel"), gain).otherwise(0L)).as("dcg_micro"))
+    dcg.join(nRel, "query_id")
+      .withColumn("idcg_micro", when(col("n_rel") > 0, aggregate(
+        transform(sequence(lit(1L), least(col("n_rel"), lit(KnnK.toLong))),
+          i => round(lit(1e6) / log2(i + 1)).cast("long")),
+        lit(0L), (acc, x) => acc + x)).otherwise(lit(0L)))
+      .withColumn("ndcg", when(col("idcg_micro") > 0,
+        round(col("dcg_micro") / col("idcg_micro").cast("double"), 6))
+        .otherwise(lit(0.0)))
+      .select("query_id", "n_rel", "dcg_micro", "idcg_micro", "ndcg")
+      .orderBy("query_id")
+  }
+
   val HybridTerms: Seq[String] = Seq("spark", "join", "fast")
 
   /** Hybrid retrieval: 0.6·cosine + 0.4·keyword-coverage
@@ -593,6 +635,7 @@ object Similarity {
     "q_mmr" -> qMmr,
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
+    "q_ndcg" -> qNdcg,
     "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_hybrid_search" -> qHybridSearch,
     "q_expand_retrieval" -> qExpandRetrieval,
@@ -763,6 +806,37 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, vec_id) AS rk FROM scored)
          |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH $VecSql,
+         |qs AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |scored AS MATERIALIZED (
+         |  SELECT query_id, qlabel, e.vec_id, e.label,
+         |    round(${cos("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN qs WHERE e.vec_id >= 5),
+         |nrel AS (SELECT query_id,
+         |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel
+         |  FROM scored GROUP BY query_id),
+         |ranked AS (SELECT query_id, label, qlabel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rk
+         |  FROM scored),
+         |dcg AS (SELECT query_id,
+         |    CAST(sum(CASE WHEN label = qlabel
+         |      THEN CAST(round(1000000 / log2(rk + 1)) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM ranked WHERE rk <= $KnnK GROUP BY query_id),
+         |base AS (SELECT d.query_id, n_rel, dcg_micro,
+         |    CASE WHEN n_rel > 0 THEN CAST(list_sum(list_transform(
+         |      generate_series(1, least(n_rel, $KnnK)),
+         |      i -> CAST(round(1000000 / log2(i + 1)) AS BIGINT))) AS BIGINT)
+         |    ELSE 0 END AS idcg_micro
+         |  FROM dcg d JOIN nrel USING (query_id))
+         |SELECT query_id, n_rel, dcg_micro, idcg_micro,
+         |  round(CASE WHEN idcg_micro > 0
+         |    THEN dcg_micro / CAST(idcg_micro AS DOUBLE) ELSE 0.0 END, 6) AS ndcg
+         |FROM base ORDER BY query_id""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH $VecSql,
          |qs AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv

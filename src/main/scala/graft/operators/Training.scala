@@ -66,7 +66,10 @@ object Training {
     * rows) so lineage stays flat; the corpus frame checkpoints once
     * and every round re-reads it.
     */
-  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Final Lloyd assignment (vec_id, cluster, d2) — shared by
+    * qKmeans and the cluster-quality audit.
+    */
+  private[operators] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     def sqd(a: Column, b: Column): Column =
       graft.functions.SqDist.sq_dist(a, b)
     val e = Tables.embeddings(spark, dir)
@@ -93,7 +96,38 @@ object Training {
         .localCheckpoint(false) // K rows; keeps per-round lineage flat
     }
     assigned.select(col("vec_id"), col("k").as("cluster"), col("d2"))
-      .orderBy("vec_id")
+  }
+
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir).orderBy("vec_id")
+
+  /** Cluster-quality audit: label purity of the Lloyd clustering —
+    * the health check a curation pipeline runs on the clusters that
+    * drive SemDeDup / prototypicality filtering before trusting them
+    * (a cluster whose members disagree on label is mixing concepts;
+    * its "prototypes" are noise). Per cluster: size, majority label
+    * (smallest label on ties, via one struct-min aggregate — no rank
+    * window), and purity on the integer micro-grid.
+    *
+    * Scale shape: the corpus collapses to ≤ K·|labels| cells in ONE
+    * map-side-combined exchange on top of the assignment; everything
+    * after runs on dozens of rows.
+    */
+  def qClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val lab = kmeansAssign(spark, dir)
+      .join(Tables.embeddings(spark, dir).select("vec_id", "label"), "vec_id")
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n_cl"))
+    val tot = lab.groupBy("cluster").agg(sum(col("n_cl")).as("n"))
+    val top = lab.groupBy("cluster")
+      .agg(min(struct((-col("n_cl")).as("nn"), col("label"))).as("b"))
+      .select(col("cluster"), col("b.label").as("top_label"),
+        (-col("b.nn")).as("n_top"))
+    tot.join(top, "cluster")
+      .withColumn("purity",
+        round(expr("n_top * 1000000 div n") / lit(1e6), 6))
+      .select("cluster", "n", "top_label", "n_top", "purity")
+      .orderBy("cluster")
   }
 
   val PackBudget = 128 // tokens per packed sequence bin
@@ -453,6 +487,7 @@ object Training {
     "q_training_export" -> qTrainingExport,
     "q_domain_mix" -> qDomainMix,
     "q_kmeans" -> qKmeans,
+    "q_cluster_purity" -> qClusterPurity,
     "q_mix_temperature" -> qMixTemperature,
     "q_dsir_weights" -> qDsirWeights,
     "q_train_test_split" -> qTrainTestSplit,
@@ -465,7 +500,7 @@ object Training {
   /** The same KmRounds Lloyd rounds unrolled as SQL CTEs (assign →
     * recenter → … → final assign), identical rounding points.
     */
-  private def kmeansSql: String = {
+  private def kmeansCtes: String = {
     def sqd(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -487,7 +522,7 @@ object Training {
     val rounds = (1 until KmRounds)
       .map(r => s"${assign(s"a$r", s"c${r - 1}")},\n${recenter(s"c$r", s"a$r")}")
       .mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |ed AS MATERIALIZED (
@@ -497,9 +532,29 @@ object Training {
        |c0 AS (SELECT CAST(vec_id // $KmStride AS INT) AS k, v AS cv
        |  FROM e WHERE vec_id % $KmStride = 0 AND vec_id < ${KmStride * KmK}),
        |$rounds,
-       |${assign(s"a$KmRounds", s"c${KmRounds - 1}")}
-       |SELECT vec_id, k AS cluster, d2 FROM a$KmRounds ORDER BY vec_id""".stripMargin
+       |${assign(s"a$KmRounds", s"c${KmRounds - 1}")}""".stripMargin
   }
+
+  /** Shared Lloyd CTE chain ending in a$KmRounds(vec_id, k, d2). */
+  private def kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, k AS cluster, d2 FROM a$KmRounds ORDER BY vec_id""".stripMargin
+
+  private def clusterPuritySql: String =
+    s"""WITH $kmeansCtes,
+       |lab AS (SELECT a.k AS cluster, emb.label,
+       |    CAST(count(*) AS BIGINT) AS n_cl
+       |  FROM a$KmRounds a JOIN embeddings emb ON a.vec_id = emb.vec_id
+       |  GROUP BY a.k, emb.label),
+       |tot AS (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n
+       |  FROM lab GROUP BY cluster),
+       |top AS (SELECT cluster, label AS top_label, n_cl AS n_top FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY n_cl DESC, label) AS rn FROM lab)
+       |  WHERE rn = 1)
+       |SELECT cluster, n, top_label, n_top,
+       |  round((n_top * 1000000 // n) / 1000000.0, 6) AS purity
+       |FROM tot JOIN top USING (cluster) ORDER BY cluster""".stripMargin
 
   /** Power-iteration oracle: identical integer micro-unit arithmetic,
     * rounds unrolled (see qTopComponent's float-discipline note).
@@ -564,6 +619,7 @@ object Training {
          |    % $NumShards AS shard
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_kmeans" -> kmeansSql,
+    "q_cluster_purity" -> clusterPuritySql,
     "q_mix_temperature" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs,

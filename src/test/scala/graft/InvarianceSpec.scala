@@ -34,7 +34,12 @@ class InvarianceSpec extends AnyFunSuite {
       // walks/fanouts, BFS betweenness, BPE merge rounds, the RAG
       // serving composition, integer-grid power iteration
       "q_mmr", "q_walks", "q_neighbor_sample", "q_betweenness",
-      "q_bpe_train", "q_rag_context", "q_top_component", "q_dedup_url")
+      "q_bpe_train", "q_rag_context", "q_top_component", "q_dedup_url",
+      // round-6 additions: label-filtered heap top-k, broadcast-count
+      // PMI, bucket-window histogram, integer-grid TV drift, micro-
+      // grid DCG sums, TakeOrdered PRF pool, struct-min purity
+      "q_hard_negatives", "q_pmi_cooccur", "q_length_hist",
+      "q_drift_report", "q_ndcg", "q_prf_expansion", "q_cluster_purity")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -549,6 +549,78 @@ class OperatorsSpec extends AnyFunSuite {
       "sum of community degree masses != total edge weight")
   }
 
+  test("cluster purity: clusters partition the corpus, majority shares recompute") {
+    import graft.operators.Training
+    val rows = Training.qClusterPurity(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= Training.KmK)
+    val corpus = graft.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "cluster sizes don't partition the corpus")
+    // majority counts agree with a direct (cluster, label) tally
+    val tally = Training.qKmeans(spark, TestSpark.sf)
+      .join(graft.Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id"), col("label")), "vec_id")
+      .collect().groupBy(_.getInt(1))
+      .map { case (c, g) =>
+        val byLabel = g.groupBy(_.getInt(3)).map { case (l, m) => l -> m.length }
+        val (topL, topN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        c -> (g.length.toLong, topL, topN.toLong)
+      }
+    rows.foreach { r =>
+      val (c, n, topL, topN, p) = (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))
+      val (en, el, etn) = tally(c)
+      assert(n == en && topL == el && topN == etn,
+        s"cluster $c: ($n,$topL,$topN) != tallied ($en,$el,$etn)")
+      assert(p == (topN * 1000000L / n) / 1e6, s"cluster $c purity off-grid")
+      assert(p > 0 && p <= 1.0)
+    }
+  }
+
+  test("NDCG: bounded by 1, consistent with hand-computed gains from the knn ranking") {
+    val rows = Similarity.qNdcg(spark, TestSpark.sf).collect()
+    assert(rows.length == 5, "one row per probe query")
+    // recompute per-query DCG from the exact knn ranking + labels
+    val labels = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = Similarity.qKnnJoin(spark, TestSpark.sf).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val (q, nRel, dcgM, idcgM, ndcg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"query $q: ndcg $ndcg out of [0,1]")
+      assert(dcgM <= idcgM, s"query $q: dcg $dcgM exceeds ideal $idcgM")
+      val expDcg = knn(q).map { k =>
+        val rel = labels(k.getLong(1)) == labels(q)
+        if (rel) math.rint(1e6 / (math.log(k.getInt(3) + 1) / math.log(2))).toLong
+        else 0L
+      }.sum
+      assert(dcgM == expDcg, s"query $q: dcg $dcgM != recomputed $expDcg")
+      val expIdcg = (1 to math.min(nRel, Similarity.KnnK.toLong).toInt)
+        .map(i => math.rint(1e6 / (math.log(i + 1) / math.log(2))).toLong).sum
+      assert(idcgM == expIdcg, s"query $q: idcg $idcgM != recomputed $expIdcg")
+    }
+  }
+
+  test("PRF expansion: no query terms, weights recompute from pool stats") {
+    import graft.operators.Retrieval
+    val rows = Retrieval.qPrfExpansion(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.PrfTopTerms)
+    val n = graft.Tables.documents(spark, TestSpark.sf).count()
+    rows.foreach { r =>
+      val (w, poolTf, poolDf, dfreq, wm) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(!Retrieval.QueryTerms.contains(w), s"query term $w leaked into expansion")
+      assert(poolDf <= Retrieval.PrfPool, s"$w: pool_df exceeds pool size")
+      assert(poolDf <= dfreq, s"$w: pool df exceeds corpus df")
+      val exp = math.rint(poolTf * math.log(1.0 + n.toDouble / dfreq) * 1e6).toLong
+      assert(wm == exp, s"$w: weight $wm != recomputed $exp")
+    }
+    val ws = rows.map(_.getLong(4))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "weights not descending")
+  }
+
   test("hard negatives: labels differ from the query's, scores bounded by exact knn") {
     val labels = graft.Tables.embeddings(spark, TestSpark.sf)
       .filter(col("vec_id") < 5)

@@ -361,6 +361,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!pm.contains("CartesianProduct"), s"PMI cartesian:\n$pm")
     assert(pm.contains("TakeOrderedAndProject"),
       s"PMI top-N must be TakeOrdered:\n$pm")
+    // NDCG: scoring feeds the heap operator; windows only after it
+    val nd = plan(Similarity.qNdcg(spark, TestSpark.sf))
+    assert(nd.contains("TopKPerGroup"),
+      s"ndcg ranking must go through the heap operator:\n$nd")
+    assert(!nd.contains("CartesianProduct"), s"ndcg cartesian:\n$nd")
+    // PRF: the pseudo-relevant pool is TakeOrdered and joins back as
+    // a broadcast; expansion never windows the corpus
+    val pr = plan(operators.Retrieval.qPrfExpansion(spark, TestSpark.sf))
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"PRF pool must be TakeOrdered:\n$pr")
+    assert(pr.contains("BroadcastHashJoin"),
+      s"PRF pool must broadcast into the TF aggregate:\n$pr")
+    assert(!pr.contains("CartesianProduct"), s"PRF cartesian:\n$pr")
+    // cluster purity: struct-min majority pick (no rank window over
+    // cells), no cartesian anywhere in the Lloyd chain
+    val cp = plan(operators.Training.qClusterPurity(spark, TestSpark.sf))
+    assert(!cp.contains("CartesianProduct"), s"purity cartesian:\n$cp")
+    assert(!cp.contains("row_number"), s"purity must not rank-window:\n$cp")
     // histogram/drift: 2-3 column pruned scans, no cartesian
     val lh = plan(operators.Curation.qLengthHist(spark, TestSpark.sf))
     assert(lh.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
