@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType, TimestampNTZType, TimestampType}
 
 /** Typed readers over the driver-generated parquet tables.
   *
@@ -56,6 +57,27 @@ object Tables {
     case other =>
       throw new IllegalStateException(s"unsupported events.ts encoding: $other")
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Widen integral id/measure columns to BIGINT IF a regeneration
+    * narrowed them (the events.ts lesson, applied to the other
+    * driver-generated tables: operators do integral arithmetic like
+    * `n_chars div 256` and specs read long ids, so the contract is
+    * pinned here once). A no-op on the current files — no cast node
+    * exists in the plan, so filter pushdown is untouched; the cast
+    * only appears the day the encoding drifts.
+    */
+  private def normalizeIntegral(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType => d
+        case IntegerType | ShortType | ByteType =>
+          d.withColumn(c, col(c).cast(LongType))
+        case other =>
+          throw new IllegalStateException(s"unsupported $c encoding: $other")
+      }
+    }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    normalizeIntegral(table(spark, dir, "documents"), Seq("doc_id", "n_chars"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    normalizeIntegral(table(spark, dir, "embeddings"), Seq("vec_id"))
 }

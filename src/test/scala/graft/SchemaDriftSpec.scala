@@ -75,4 +75,39 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType == LongType)
     assert(df.schema("ts_t").dataType == TimestampType)
   }
+
+  test("narrowed documents/embeddings integrals widen back to BIGINT") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_docs").toString
+    // a regeneration could plausibly narrow ids/measures to int32
+    Seq((1, "alpha beta gamma", "en", "src0", 500),
+        (2, "delta epsilon", "de", "src1", 260))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1, Array(0.5f, 0.5f), 3), (2, Array(1.0f, 0.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val d = Tables.documents(spark, dir)
+    assert(d.schema("doc_id").dataType == LongType)
+    assert(d.schema("n_chars").dataType == LongType)
+    // the arithmetic that died on the events drift works on int32 input
+    assert(d.select(expr("n_chars div 256").as("b"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L))
+    val e = Tables.embeddings(spark, dir)
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(e.count() == 2)
+  }
+
+  test("current generated documents/embeddings read with no cast in the plan") {
+    // today's files are already BIGINT — the normalizer must be a
+    // no-op so scan pushdown/pruning claims in PLANS.md stay honest
+    val d = Tables.documents(spark, TestSpark.sf)
+    assert(d.schema("doc_id").dataType == LongType)
+    assert(!d.queryExecution.analyzed.toString.contains("cast(doc_id"),
+      "unexpected cast node on the un-drifted documents scan")
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(!e.queryExecution.analyzed.toString.contains("cast(vec_id"),
+      "unexpected cast node on the un-drifted embeddings scan")
+  }
 }
