@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The shingle-consuming dedup family — the queries the amortized
+    * materialized-shingles segment re-runs against the bucketed table.
+    */
+  private val DedupAmortizedQs = Seq("q_dedup_minhash", "q_dedup_temporal",
+    "q_source_minhash", "q_dedup_incremental", "q_minhash_est",
+    "q_dedup_containment")
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -82,6 +88,15 @@ object Bench {
             catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
       finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
+      // same warm-up parity for the dedup family's materialized path
+      try {
+        sources.Catalog.materializeShingles(spark, warmDir)
+        spark.conf.set(operators.Dedup.MaterializedConf, warmDir)
+        DedupAmortizedQs.filter(SparkEntry.queries.contains)
+          .foreach(n => try SparkEntry.queries(n)(spark, warmDir).count()
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+      finally spark.conf.unset(operators.Dedup.MaterializedConf)
     }
     release()
     // Amortized graph path: materialize the bucketed chunk/mention
@@ -119,6 +134,29 @@ object Bench {
             Seq(("x_graph_amortized", -1.0, Some(errStr(e))))
         } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
       } else Seq.empty
+    // Amortized dedup path: materialize the per-doc shingle table once
+    // (timed), then run the six shingle-consuming dedup queries against
+    // it — the ingest-once-query-many shape for the dedup family (the
+    // text→shingle corpus pass is the family's shared dominant cost).
+    val dedupAmortized: Seq[(String, Double, Option[String])] =
+      if (only.isEmpty) {
+        val dq = DedupAmortizedQs.filter(SparkEntry.queries.contains)
+        try {
+          val t0 = System.nanoTime()
+          sources.Catalog.materializeShingles(spark, sfDir)
+          val tMat = (System.nanoTime() - t0) / 1e9
+          spark.conf.set(operators.Dedup.MaterializedConf, sfDir)
+          val t1 = System.nanoTime()
+          dq.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+          val tRun = (System.nanoTime() - t1) / 1e9
+          release()
+          Seq(("x_mat_shingles", tMat, None),
+            (s"x_amortized_dd${dq.size}q", tRun, None))
+        } catch {
+          case e: Throwable =>
+            Seq(("x_dedup_amortized", -1.0, Some(errStr(e))))
+        } finally spark.conf.unset(operators.Dedup.MaterializedConf)
+      } else Seq.empty
     // A failing query is REPORTED, not silently timed at -1: per-query
     // err strings and a failure count ride the emitted JSON.
     val results = selected.map { case (name, fn) =>
@@ -130,7 +168,7 @@ object Bench {
       release()
       (name, dt, err)
     }
-    val all = results.toSeq ++ amortized
+    val all = results.toSeq ++ amortized ++ dedupAmortized
     // The driver captures only the trailing ~2000 chars of output, so
     // the whole JSON line (plus sbt's epilogue) must fit in that
     // window: 1-decimal per-query timings (the totals carry the
@@ -148,6 +186,12 @@ object Bench {
     // codes (first match in list order wins via sequential replace).
     // Map documented in SURVEY §6; collisions disambiguated by index.
     val abbrev = Seq(
+      // whole-name compressions first (the word-level rules below
+      // would otherwise rewrite these names before they can match)
+      "media_features" -> "mdfeat", "media_frames" -> "mdfr",
+      "chunk_overlap" -> "chov", "entity_degree" -> "edeg",
+      "chunks_by_entities" -> "chbe", "chunks_from_articles" -> "chfa",
+      "vocab_topk" -> "vtk",
       "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
       "entity_" -> "ent", "entities" -> "ents", "cosine_" -> "cs",
       "embeddings" -> "emb", "embedding" -> "emb",
@@ -209,7 +253,8 @@ object Bench {
       "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
       "cooccur" -> "cooc", "funnel" -> "fun", "rollup" -> "rup",
       "pivot" -> "piv",
-      "x_mat_graph" -> "xmat", "x_amortized" -> "xam")
+      "x_mat_shingles" -> "xmatdd", "x_mat_graph" -> "xmat",
+      "x_amortized_dd" -> "xamdd", "x_amortized" -> "xam")
     def key(k: String): String = {
       val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
       abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }

@@ -50,12 +50,30 @@ object Dedup {
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shingleCol(col("words")).as("s"))
 
+  /** Conf key for the ingest-once-query-many shape: when set to the
+    * current sf dir and `graft_shingles` exists, the whole dedup
+    * family (minhash, temporal, incremental, containment, estimator,
+    * per-source sketch) reads the materialized shingle table instead
+    * of re-running split+3-gram+distinct over the corpus text —
+    * Catalog.materializeShingles writes it (same indirection as
+    * TextPipeline.MaterializedConf for the graph family).
+    */
+  val MaterializedConf = "spark.graft.materializedShinglesDir"
+
+  /** Uncheckpointed shingle pipeline for Catalog's materializer. */
+  private[graft] def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+
   /** Shingles materialized once (lazy): qDedupMinhash reads them for
     * the signature fold AND the verification join — one split/3-gram/
-    * distinct pass over the corpus instead of two.
+    * distinct pass over the corpus instead of two. With the
+    * MaterializedConf indirection active, the pass is skipped
+    * entirely and the bucketed table is scanned.
     */
   private def shinglesCk(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).localCheckpoint(false)
+    if (spark.conf.getOption(MaterializedConf).contains(dir)
+        && spark.catalog.tableExists("graft_shingles")) spark.table("graft_shingles")
+    else shingles(spark, dir).localCheckpoint(false)
 
   /** Canonical-URL dedup — the crawl-frontier screen that runs BEFORE
     * any text is fetched or compared: raw crawl URLs carry protocol /

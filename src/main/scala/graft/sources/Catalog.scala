@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextPipeline
+import graft.operators.{Dedup, TextPipeline}
 
 /** Materialized storage layer: how graft tables are laid out on disk
   * so downstream queries don't pay shuffles.
@@ -23,23 +23,27 @@ object Catalog {
 
   val Buckets = 16
 
+  /** Drop a managed table AND clear a stale location (a previously
+    * interrupted run may have left the directory without the catalog
+    * entry).
+    */
+  private def dropManaged(spark: SparkSession, t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(loc)
+    }
+  }
+
   /** Write chunks + mentions as bucketed, sorted tables. */
   def materializeGraph(spark: SparkSession, dir: String,
       chunksTable: String = "graft_chunks",
       mentionsTable: String = "graft_mentions"): Unit = {
-    // Drop + clear stale locations (a previously interrupted run may
-    // have left the directory without the catalog entry).
-    Seq(chunksTable, mentionsTable).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(loc)
-      }
-    }
+    Seq(chunksTable, mentionsTable).foreach(dropManaged(spark, _))
     TextPipeline.chunks(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
@@ -48,6 +52,23 @@ object Catalog {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
       .saveAsTable(mentionsTable)
+  }
+
+  /** Write the dedup family's per-doc shingle sets as a bucketed,
+    * sorted table — the ingest-once half of the amortized dedup path
+    * (Dedup.MaterializedConf switches the family's reads onto it).
+    * Bucketed by doc_id so the verification joins that re-attach
+    * shingle sets to candidate pairs scan a pre-partitioned layout;
+    * the text→shingle pass runs once per ingest instead of once per
+    * dedup query.
+    */
+  def materializeShingles(spark: SparkSession, dir: String,
+      table: String = "graft_shingles"): Unit = {
+    dropManaged(spark, table)
+    Dedup.shingleTable(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
   }
 
   /** The co-located join over the bucketed tables: both per-doc

@@ -45,6 +45,27 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(TextPipeline.MaterializedConf)
   }
 
+  test("materialized-shingles indirection serves identical dedup results") {
+    import graft.operators.Dedup
+    val cold = Dedup.qDedupMinhash(spark, TestSpark.sf).collect().map(_.toSeq)
+    val coldEst = Dedup.qMinhashEst(spark, TestSpark.sf).collect().map(_.toSeq)
+    Catalog.materializeShingles(spark, TestSpark.sf)
+    spark.conf.set(Dedup.MaterializedConf, TestSpark.sf)
+    try {
+      val df = Dedup.qDedupMinhash(spark, TestSpark.sf)
+      // the plan must scan the bucketed table, not re-shingle the text
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_shingles"),
+        "expected the bucketed shingle-table scan")
+      assert(df.collect().map(_.toSeq).sameElements(cold))
+      assert(Dedup.qMinhashEst(spark, TestSpark.sf)
+        .collect().map(_.toSeq).sameElements(coldEst))
+      // dir-keyed: a different sf dir must NOT be served the table
+      val other = Dedup.qDedupMinhash(spark, "/root/testdata/sf0.01")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_shingles"),
+        "stale shingle materialization served for the wrong dir")
+    } finally spark.conf.unset(Dedup.MaterializedConf)
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
