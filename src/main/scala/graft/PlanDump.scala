@@ -84,7 +84,8 @@ object PlanDump {
       "q_drift_report" -> "both cohorts counted in one pass; integer-grid TV rollup",
       "q_ndcg" -> "scoring pass shared by n_rel agg and heap top-k; bounded idcg fold",
       "q_prf_expansion" -> "TakeOrdered pool broadcast into map-side-combined TF agg",
-      "q_cluster_purity" -> "corpus collapses to K×labels cells on one exchange; struct-min majority")
+      "q_cluster_purity" -> "corpus collapses to K×labels cells on one exchange; struct-min majority",
+      "q_burst_detect" -> "stream collapses to (hour,type) rows; trailing window on the aggregate")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -254,7 +254,50 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  val BurstTrailing = 24 // trailing comparison window (hourly rows)
+  val BurstMinWin = 8    // minimum trailing rows before scoring
+  val BurstZ = 2.0       // burst threshold on the z-score
+
+  /** Burst detection — the trending signal: hourly event-type volumes
+    * scored against their own trailing 24-hour distribution
+    * (z = (n − μ)/σ), flagged when the spike clears BurstZ. The
+    * temporal complement of qEventAnomaly (which finds outlier VALUES
+    * within a type; this finds outlier VOLUMES over time — the "why
+    * is checkout traffic 4σ above normal" alert, or trending topics
+    * when the stream is article mentions). μ/σ derive from integer
+    * count sums inside the frame, so both engines compute identical
+    * doubles; z is rounded before the burst comparison.
+    *
+    * Scale shape: the raw stream collapses to (hour, type) rows in
+    * ONE map-side-combined exchange; the trailing window runs per
+    * event_type over its hourly aggregate series — thousands of rows
+    * per year per type, never raw events.
+    */
+  def qBurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-BurstTrailing, -1)
+    hourly
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sum2", sum(col("n") * col("n")).over(w))
+      .filter(col("w_n") >= BurstMinWin)
+      .withColumn("mu", col("w_sum") / col("w_n"))
+      .withColumn("sigma", sqrt(greatest(
+        col("w_sum2") / col("w_n") - col("mu") * col("mu"), lit(0.0))))
+      .withColumn("z", when(col("sigma") > 0,
+        round((col("n") - col("mu")) / col("sigma"), 6)).otherwise(lit(0.0)))
+      .withColumn("burst", col("z") >= BurstZ)
+      .select(col("event_type"), col("bucket"), col("n"),
+        round(col("mu"), 6).as("mu"), col("z"), col("burst"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burst_detect" -> qBurstDetect,
     "q_session_window" -> qSessionWindow,
     "q_retention" -> qRetention,
     "q_event_anomaly" -> qEventAnomaly,
@@ -367,6 +410,32 @@ object Events {
         |  round(avg(round(day_value, 2)) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    "q_burst_detect" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT *,
+         |    CAST(count(n) OVER w AS BIGINT) AS w_n,
+         |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+         |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sum2
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN $BurstTrailing PRECEDING AND 1 PRECEDING)),
+         |t AS (
+         |  SELECT event_type, bucket, n,
+         |    w_sum / CAST(w_n AS DOUBLE) AS mu,
+         |    sqrt(greatest(w_sum2 / CAST(w_n AS DOUBLE)
+         |      - (w_sum / CAST(w_n AS DOUBLE)) * (w_sum / CAST(w_n AS DOUBLE)),
+         |      0.0)) AS sigma
+         |  FROM s WHERE w_n >= $BurstMinWin),
+         |z AS (
+         |  SELECT event_type, bucket, n, round(mu, 6) AS mu,
+         |    CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 6)
+         |      ELSE 0.0 END AS z
+         |  FROM t)
+         |SELECT event_type, bucket, n, mu, z, z >= $BurstZ AS burst
+         |FROM z ORDER BY event_type, bucket""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         |  count(*) AS n_events,

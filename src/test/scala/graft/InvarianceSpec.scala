@@ -39,7 +39,8 @@ class InvarianceSpec extends AnyFunSuite {
       // PMI, bucket-window histogram, integer-grid TV drift, micro-
       // grid DCG sums, TakeOrdered PRF pool, struct-min purity
       "q_hard_negatives", "q_pmi_cooccur", "q_length_hist",
-      "q_drift_report", "q_ndcg", "q_prf_expansion", "q_cluster_purity")
+      "q_drift_report", "q_ndcg", "q_prf_expansion", "q_cluster_purity",
+      "q_burst_detect")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

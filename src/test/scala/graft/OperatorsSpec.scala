@@ -549,6 +549,37 @@ class OperatorsSpec extends AnyFunSuite {
       "sum of community degree masses != total edge weight")
   }
 
+  test("burst detection: z recomputes from the trailing hourly counts") {
+    import graft.operators.Events
+    val rows = Events.qBurstDetect(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the hourly series and score each emitted row by hand
+    val hourly = graft.Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(1))
+      .map { case (t, g) =>
+        t -> g.map(r => (r.getTimestamp(0), r.getLong(2))).sortBy(_._1.getTime)
+      }
+    rows.foreach { r =>
+      val (t, b, n, z) = (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(4))
+      val series = hourly(t)
+      val idx = series.indexWhere(_._1 == b)
+      val trail = series.slice(math.max(0, idx - Events.BurstTrailing), idx).map(_._2)
+      assert(trail.length >= Events.BurstMinWin, s"$t@$b under-windowed row emitted")
+      assert(n == series(idx)._2)
+      val mu = trail.sum.toDouble / trail.length
+      val sg = math.sqrt(math.max(
+        trail.map(x => x * x).sum.toDouble / trail.length - mu * mu, 0.0))
+      val expZ = if (sg > 0) math.rint((n - mu) / sg * 1e6) / 1e6 else 0.0
+      assert(math.abs(z - expZ) < 1e-9, s"$t@$b: z $z != recomputed $expZ")
+      assert(r.getBoolean(5) == (z >= Events.BurstZ))
+    }
+  }
+
   test("cluster purity: clusters partition the corpus, majority shares recompute") {
     import graft.operators.Training
     val rows = Training.qClusterPurity(spark, TestSpark.sf).collect()
