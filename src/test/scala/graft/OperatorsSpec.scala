@@ -580,6 +580,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("burst detection edges: flat series scores z=0, a forced spike flags") {
+    import graft.operators.Events
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    val hourUs = 3600L * 1000000L
+    val base = 1704067200000000L // 2024-01-01 00:00 UTC, µs
+    // "flat": exactly 2 events every hour for 40 hours → σ=0 → z=0
+    val flat = (0 until 40).flatMap(h => Seq(0, 1).map(i =>
+      (h * 2L + i, base + h * hourUs + i, 1L, "flat", 1.0, "{}")))
+    // "spiky": alternating 1/3 events per hour (so the trailing σ is
+    // nonzero) for 39 hours, then 50 in the last hour
+    val spiky = (0 until 39).flatMap { h =>
+      val k = if (h % 2 == 0) 1 else 3
+      (0 until k).map(i => (1000L + h * 4L + i, base + h * hourUs + i, 2L, "spiky", 1.0, "{}"))
+    } ++
+      (0 until 50).map(i => (2000L + i, base + 39 * hourUs + i, 2L, "spiky", 1.0, "{}"))
+    (flat ++ spiky)
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_us") * lit(1000L)).drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Events.qBurstDetect(spark, dir).collect()
+    val flatRows = rows.filter(_.getString(0) == "flat")
+    assert(flatRows.nonEmpty)
+    flatRows.foreach { r =>
+      assert(r.getDouble(4) == 0.0, s"flat series scored z=${r.getDouble(4)}")
+      assert(!r.getBoolean(5), "flat series flagged as burst")
+    }
+    val spikeRow = rows.filter(r => r.getString(0) == "spiky" && r.getLong(2) == 50L)
+    assert(spikeRow.length == 1, "spike hour missing from the report")
+    assert(spikeRow.head.getBoolean(5), "49x volume spike not flagged")
+    // steady spiky hours before the spike are not flagged
+    assert(rows.count(r => r.getString(0) == "spiky" && r.getBoolean(5)) == 1)
+  }
+
   test("cluster purity: clusters partition the corpus, majority shares recompute") {
     import graft.operators.Training
     val rows = Training.qClusterPurity(spark, TestSpark.sf).collect()
