@@ -230,7 +230,7 @@ object Bench {
       "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
       "length_hist" -> "lhist", "drift_report" -> "drift",
       "prf_expansion" -> "prf", "cluster_purity" -> "cpur",
-      "burst_detect" -> "burst",
+      "burst_detect" -> "burst", "ql_ranking" -> "ql",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
       "modularity" -> "mod", "proto_filter" -> "proto",

@@ -120,6 +120,50 @@ object Retrieval {
       .limit(RrfTopK)
   }
 
+  val QlMu = 100.0 // Dirichlet smoothing mass (μ), sized to ~doc length
+  val QlTopK = 20
+
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling member of the classical
+    * ranking triad next to BM25 and TF-IDF: score(d) = Σ_t ln((tf +
+    * μ·cf/|C|)/(|d| + μ)) over the query terms, candidates = docs
+    * hitting ≥1 term. Per-term log-probs quantize to the integer
+    * micro-grid BEFORE the per-doc sum (3 doubles summed in engine-
+    * specific order could flip the 6th decimal); collection stats
+    * (per-term cf, total token count) fold in as broadcast 1-row/
+    * 3-row aggregates, never driver scalars.
+    *
+    * Scale shape: the (doc, word) TF aggregate is the same single
+    * exchange BM25 pays; the candidate grid is |cands|×|Q| rows via
+    * broadcast joins; top-k is TakeOrdered.
+    */
+  def qQlRanking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("coll_tokens"))
+    val qtf = termFreqs(spark, dir)
+      .filter(col("word").isin(QueryTerms.map(lit): _*))
+    val cf = qtf.groupBy("word").agg(sum(col("tf")).as("cf"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    qtf.select("doc_id").distinct()
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(cf))
+      .join(qtf, Seq("doc_id", "word"), "left")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lp_micro", round(log(
+        (col("tf") + lit(QlMu) * col("cf") / col("coll_tokens")) /
+          (col("dl") + lit(QlMu))) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("lp_micro")).as("qlm"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_terms_hit"))
+      .withColumn("ql", round(col("qlm") / lit(1e6), 6))
+      .select("doc_id", "n_terms_hit", "ql")
+      .orderBy(col("ql").desc, col("doc_id"))
+      .limit(QlTopK)
+  }
+
   val PrfPool = 10      // pseudo-relevant pool (BM25 top-N)
   val PrfTopTerms = 10  // expansion terms emitted
 
@@ -220,6 +264,7 @@ object Retrieval {
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
     "q_prf_expansion" -> qPrfExpansion,
+    "q_ql_ranking" -> qQlRanking,
     "q_doc_similarity" -> qDocSimilarity,
     "q_rrf" -> qRrf)
 
@@ -277,6 +322,32 @@ object Retrieval {
       s"""WITH $Bm25Ctes
          |SELECT doc_id, bm25, n_terms_hit FROM bmdocs
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_ql_ranking" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(",")
+      s"""WITH $TfSql,
+         |qtf AS (SELECT * FROM tf WHERE word IN ($terms)),
+         |cf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM qtf GROUP BY word),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS dl FROM documents),
+         |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS coll_tokens FROM dl),
+         |grid AS (
+         |  SELECT c.doc_id, dl.dl, cf.cf, coalesce(q.tf, 0) AS tf,
+         |    ct.coll_tokens
+         |  FROM (SELECT DISTINCT doc_id FROM qtf) c
+         |  JOIN dl USING (doc_id) CROSS JOIN cf
+         |  LEFT JOIN qtf q ON q.doc_id = c.doc_id AND q.word = cf.word
+         |  CROSS JOIN ct),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CAST(round(ln((tf + $QlMu * cf / coll_tokens)
+         |      / (dl + $QlMu)) * 1e6) AS BIGINT)) AS BIGINT) AS qlm,
+         |    CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_terms_hit
+         |  FROM grid GROUP BY doc_id)
+         |SELECT doc_id, n_terms_hit, round(qlm / 1000000.0, 6) AS ql
+         |FROM sc ORDER BY ql DESC, doc_id LIMIT $QlTopK""".stripMargin
+    },
     "q_prf_expansion" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(",")
       s"""WITH $Bm25Ctes,

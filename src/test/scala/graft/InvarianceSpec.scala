@@ -40,7 +40,7 @@ class InvarianceSpec extends AnyFunSuite {
       // grid DCG sums, TakeOrdered PRF pool, struct-min purity
       "q_hard_negatives", "q_pmi_cooccur", "q_length_hist",
       "q_drift_report", "q_ndcg", "q_prf_expansion", "q_cluster_purity",
-      "q_burst_detect")
+      "q_burst_detect", "q_ql_ranking")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

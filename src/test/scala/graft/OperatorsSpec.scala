@@ -687,6 +687,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "weights not descending")
   }
 
+  test("query likelihood: scores recompute from corpus stats, all negative, ordered") {
+    import graft.operators.Retrieval
+    val rows = Retrieval.qQlRanking(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.QlTopK)
+    // rebuild tf/dl/cf/|C| and recompute each emitted score
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val collTokens = docs.map(_._2.length.toLong).sum
+    val cf = Retrieval.QueryTerms.map(t =>
+      t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val (id, hits, ql) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val w = byId(id)
+      val tfs = Retrieval.QueryTerms.map(t => t -> w.count(_ == t).toLong)
+      assert(hits == tfs.count(_._2 > 0))
+      assert(hits >= 1, "candidate without any query term")
+      val qlm = tfs.map { case (t, tf) =>
+        math.rint(math.log((tf + Retrieval.QlMu * cf(t) / collTokens) /
+          (w.length + Retrieval.QlMu)) * 1e6).toLong
+      }.sum
+      val expect = math.rint(qlm / 1e6 * 1e6) / 1e6
+      assert(math.abs(ql - expect) < 1e-9, s"doc $id: ql $ql != recomputed $expect")
+      assert(ql < 0, "log-probabilities must be negative")
+    }
+    val s = rows.map(_.getDouble(2))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b }, "not ordered by score")
+  }
+
   test("hard negatives: labels differ from the query's, scores bounded by exact knn") {
     val labels = graft.Tables.embeddings(spark, TestSpark.sf)
       .filter(col("vec_id") < 5)
