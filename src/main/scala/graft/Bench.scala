@@ -188,7 +188,24 @@ object Bench {
     val abbrev = Seq(
       // whole-name compressions first (the word-level rules below
       // would otherwise rewrite these names before they can match)
-      "media_features" -> "mdfeat", "media_frames" -> "mdfr",
+      "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
+      "media_manifest" -> "mdm",
+      "grouping_sets" -> "gst", "readability" -> "fre",
+      "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
+      "edge_support" -> "esup", "closeness" -> "clos",
+      "epoch_schedule" -> "epo",
+      "q1_agg" -> "q1", "q3_join" -> "q3",
+      "entity_candidates" -> "ecd", "entity_resolution" -> "eres",
+      "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
+      "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
+      "neardup_candidates" -> "ndc", "source_report" -> "srpt",
+      "media_phash" -> "mdph", "knn_join_ivf" -> "kivf",
+      "ann_ivfpq" -> "aipq", "ann_lsh" -> "alsh",
+      "ann_ivf" -> "aivf", "ann_pq" -> "apq",
+      "window_suite" -> "win", "length_hist" -> "lh",
+      "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
+      "corpus_stats" -> "cst",
+      "media_features" -> "mdf", "media_frames" -> "mdfr",
       "chunk_overlap" -> "chov", "entity_degree" -> "edeg",
       "chunks_by_entities" -> "chbe", "chunks_from_articles" -> "chfa",
       "vocab_topk" -> "vtk",

@@ -965,7 +965,120 @@ object Analytics {
        |GROUP BY node ORDER BY bc_micro DESC, name""".stripMargin
   }
 
+  val TrussSupport = 2L  // k = 4 truss: every edge closes ≥ k−2 triangles
+  val CloseSeeds = 8
+  val CloseDepth = 4
+
+  /** Per-EDGE triangle support + the k=4 truss membership flag — the
+    * edge-strength screen community detection preprocesses with
+    * (k-truss peeling starts from exactly this table; one peel round
+    * is the same query re-run on the surviving edges). support(u,v) =
+    * |N(u) ∩ N(v)|, enumerated from the LOWER-degree endpoint only
+    * (same degree-orientation bound as qTriangles: the fan-out at a
+    * celebrity node never materializes because its edges enumerate
+    * from their small-degree other ends — O(m·d_min), not O(m·d_max)).
+    * Two equi-joins + one groupBy; no window, no cartesian.
+    */
+  def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir)
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val lt = struct(col("d1"), col("e1")) < struct(col("d2"), col("e2"))
+    val oriented = co
+      .join(deg.select(col("src").as("e1"), col("d").as("d1")), "e1")
+      .join(deg.select(col("src").as("e2"), col("d").as("d2")), "e2")
+      .select(col("e1"), col("e2"),
+        when(lt, col("e1")).otherwise(col("e2")).as("lo"),
+        when(lt, col("e2")).otherwise(col("e1")).as("hi"))
+    val sup = oriented
+      .join(e.select(col("src").as("lo"), col("dst").as("x")), "lo")
+      .filter(col("x") =!= col("hi"))
+      .join(e.select(col("src").as("hi"), col("dst").as("x")), Seq("hi", "x"))
+      .groupBy("e1", "e2").agg(count(lit(1)).as("support"))
+    co.join(sup, Seq("e1", "e2"), "left")
+      .select(col("e1"), col("e2"), col("weight"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        when(coalesce(col("support"), lit(0L)) >= TrussSupport, 1L)
+          .otherwise(0L).as("in_truss4"))
+      .orderBy("e1", "e2")
+  }
+
+  /** Harmonic closeness centrality from the CloseSeeds highest-degree
+    * entities (the exact-for-seeds / sampled-for-the-graph protocol
+    * qBetweenness uses): H(root) = Σ_{v reached} 1/d(root,v), with the
+    * BFS bounded at CloseDepth hops — harmonic, not classic closeness,
+    * so disconnected remainders contribute 0 instead of poisoning the
+    * mean. Each 1/d term is the integer micro-unit 1000000 div d, so
+    * per-root sums are order-independent and engine-identical.
+    * Scale shape: one frontier join per hop on the pre-checkpointed
+    * edge list; frontiers carry (root, node) pairs only.
+    */
+  def qCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val seeds = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(CloseSeeds)
+      .select(col("src").as("root"))
+    var visited = seeds.select(col("root"), col("root").as("node"))
+      .localCheckpoint(false)
+    var frontier = visited
+    var acc: DataFrame = null
+    for (l <- 1 to CloseDepth) {
+      val next = frontier.select(col("root"), col("node").as("src"))
+        .join(e, "src")
+        .select(col("root"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("root", "node"), "left_anti")
+        .localCheckpoint(false)
+      val contrib = next.groupBy("root")
+        .agg((count(lit(1)) * lit(1000000L / l)).as("h"))
+      acc = if (acc == null) contrib else acc.unionByName(contrib)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next
+    }
+    val reached = visited.groupBy("root")
+      .agg((count(lit(1)) - 1).as("n_reached"))
+    reached.join(acc.groupBy("root").agg(sum("h").as("h_micro")),
+        Seq("root"), "left")
+      .select(col("root").as("name"), col("n_reached"),
+        coalesce(col("h_micro"), lit(0L)).as("h_micro"),
+        round(coalesce(col("h_micro"), lit(0L)) / lit(1e6), 6).as("harmonic"))
+      .orderBy(col("h_micro").desc, col("name"))
+  }
+
+  private def closenessSql: String = {
+    val levels = (1 to CloseDepth).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT DISTINCT p.root, e.dst AS node
+         |  FROM f${l - 1} p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} v
+         |    WHERE v.root = p.root AND v.node = e.dst)),
+         |v$l AS MATERIALIZED (
+         |  SELECT * FROM v${l - 1} UNION ALL SELECT root, node FROM f$l)""".stripMargin
+    }.mkString(",\n")
+    val contrib = (1 to CloseDepth)
+      .map(l => s"SELECT root, CAST(count(*) * ${1000000L / l} AS BIGINT) AS h," +
+        s" CAST(count(*) AS BIGINT) AS c FROM f$l GROUP BY root")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $CooccurSql,
+       |seeds AS (SELECT src AS root FROM (
+       |  SELECT src, count(*) AS dg FROM edges GROUP BY src
+       |  ORDER BY dg DESC, src LIMIT $CloseSeeds)),
+       |v0 AS (SELECT root, root AS node FROM seeds),
+       |f0 AS (SELECT root, node FROM v0),
+       |$levels,
+       |h AS (SELECT root, CAST(sum(h) AS BIGINT) AS h_micro,
+       |  CAST(sum(c) AS BIGINT) AS n_reached FROM (
+       |  $contrib) GROUP BY root)
+       |SELECT s.root AS name, coalesce(n_reached, 0) AS n_reached,
+       |  coalesce(h_micro, 0) AS h_micro,
+       |  round(coalesce(h_micro, 0) / 1000000.0, 6) AS harmonic
+       |FROM seeds s LEFT JOIN h ON h.root = s.root
+       |ORDER BY h_micro DESC, name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_support" -> qEdgeSupport,
+    "q_closeness" -> qCloseness,
     "q_betweenness" -> qBetweenness,
     "q_neighbor_sample" -> qNeighborSample,
     "q_walks" -> qWalks,
@@ -985,6 +1098,21 @@ object Analytics {
     "q_components" -> qComponents)
 
   val oracles: Map[String, String] = Map(
+    "q_closeness" -> closenessSql,
+    "q_edge_support" ->
+      s"""WITH $CooccurSql,
+         |sup AS MATERIALIZED (
+         |  SELECT c.e1, c.e2, CAST(count(*) AS BIGINT) AS s
+         |  FROM cooccur c
+         |  JOIN edges a ON a.src = c.e1 AND a.dst <> c.e2
+         |  JOIN edges b ON b.src = c.e2 AND b.dst = a.dst
+         |  GROUP BY c.e1, c.e2)
+         |SELECT c.e1, c.e2, c.weight,
+         |  CAST(coalesce(s.s, 0) AS BIGINT) AS support,
+         |  CAST(CASE WHEN coalesce(s.s, 0) >= $TrussSupport THEN 1 ELSE 0 END
+         |    AS BIGINT) AS in_truss4
+         |FROM cooccur c LEFT JOIN sup s ON s.e1 = c.e1 AND s.e2 = c.e2
+         |ORDER BY c.e1, c.e2""".stripMargin,
     "q_betweenness" -> betweennessSql,
     "q_neighbor_sample" -> neighborSampleSql,
     "q_walks" -> walksSql,

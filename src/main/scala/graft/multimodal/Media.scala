@@ -148,12 +148,51 @@ object Media {
         octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Per-modality corpus manifest — the first query every multimodal
+    * training run issues (how many items / bytes per modality, size
+    * spread, exact byte-dedup incidence) and the input to its storage
+    * budget. Metadata-only: the payload column contributes one
+    * octet_length + one md5 per row inside a narrow pass, the
+    * aggregate collapses to #mime rows map-side, and on a properly
+    * laid-out table (payload in its own column chunk) the byte stats
+    * come from a scan that never decodes anything.
+    */
+  def qMediaManifest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("mime"),
+        octet_length(col("media")).cast("long").as("nb"),
+        md5(col("media")).as("cmd5"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_items"),
+        sum("nb").as("total_bytes"),
+        min("nb").as("min_bytes"),
+        max("nb").as("max_bytes"),
+        round(avg("nb"), 6).as("avg_bytes"),
+        countDistinct(col("cmd5")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("cmd5"))).as("n_exact_dups"))
+      .orderBy("mime")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures,
     "q_media_frames" -> qMediaFrames,
+    "q_media_manifest" -> qMediaManifest,
     "q_media_phash" -> qMediaPhash)
 
   val oracles: Map[String, String] = Map(
+    "q_media_manifest" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'image/png'
+        |           WHEN lang = 'de' THEN 'audio/wav'
+        |           ELSE 'video/mp4' END AS mime,
+        |    CAST(length(text) AS BIGINT) AS nb, md5(text) AS cmd5
+        |  FROM documents)
+        |SELECT mime, count(*) AS n_items,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |  min(nb) AS min_bytes, max(nb) AS max_bytes,
+        |  round(avg(nb), 6) AS avg_bytes,
+        |  count(DISTINCT cmd5) AS n_distinct,
+        |  count(*) - count(DISTINCT cmd5) AS n_exact_dups
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "q_media_frames" ->
       s"""SELECT doc_id, frame_idx,
          |  md5(substr(text, CAST(frame_idx * $FrameStride + 1 AS INT), $FrameLen))

@@ -113,6 +113,26 @@ object Relational {
         col("gid"), col("n"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Arbitrary GROUPING SETS — the third member of the grouped-
+    * aggregation triad (ROLLUP and CUBE above are fixed lattices; a
+    * report that wants JUST the two one-dimensional marginals plus the
+    * grand total gets exactly those three sets, not CUBE's four).
+    * Catalyst expands the sets BEFORE the exchange, so all three
+    * marginals ride one map-side-combined shuffle — one pass over
+    * lineitem instead of three queries.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Exact percentiles of event value per type (linear interpolation —
     * identical convention in Spark `percentile` and DuckDB
     * `quantile_cont`).
@@ -232,6 +252,7 @@ object Relational {
     "q_topn_auto" -> qTopnAuto,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin)
 
@@ -310,6 +331,14 @@ object Relational {
         |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,

@@ -625,7 +625,31 @@ object Similarity {
       .orderBy("rk")
   }
 
+  val RangeTheta = 0.2
+
+  /** Radius (range) search: every corpus vector within cosine ≥
+    * RangeTheta of the probe — the "all sufficiently-similar items"
+    * complement of top-k (dedup-screen and recall-first retrieval both
+    * want the full ball, not a fixed k). Exact one-pass scan with the
+    * probe broadcast; the threshold compares the same round(·,6)
+    * score both engines compute, so the ball boundary is identical.
+    * At 100 TB the same operator runs behind the IVF partition prune
+    * (qAnnIvf's nprobe cells) or the SRP band prefilter
+    * (qNeardupCandidates) — the exact scan here is the semantics
+    * baseline those candidate generators are audited against, and the
+    * result is candidate-set-sized, never corpus-sized.
+    */
+  def qRangeSearch(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .filter(col("score") >= RangeTheta)
+      .select("vec_id", "label", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_search" -> qRangeSearch,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_recall" -> qAnnRecall,
@@ -790,6 +814,13 @@ object Similarity {
          |SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
          |FROM e CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_range_search" ->
+      s"""WITH $VecSql, $QVecSql
+         |SELECT vec_id, label, score FROM (
+         |  SELECT vec_id, label, round(${cos("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0)
+         |WHERE score >= $RangeTheta
+         |ORDER BY score DESC, vec_id""".stripMargin,
     "q_cosine_topk_filtered" ->
       s"""WITH $VecSql, $QVecSql
          |SELECT vec_id, lang, round(${cos("v", "qv")}, 6) AS score

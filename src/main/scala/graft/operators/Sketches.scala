@@ -80,10 +80,161 @@ object Sketches {
       .orderBy("word")
   }
 
+  val KmvK = 64
+  val KmvHashMax = 1152921504606846976L   // 2^60: 15 hex digits of md5
+
+  /** KMV (k-minimum-values) distinct-count sketch per event type
+    * (Bar-Yossef et al. 2002), the ORACLE-CHECKED sketch the
+    * spec-bounded approx_count_distinct above can't be: the estimate
+    * is a pure function of the k smallest 60-bit md5 hashes —
+    * n̂ = (k−1)·2^60/h_(k) — so DuckDB replays it bit-for-bit with the
+    * identical hash arithmetic. Exact distinct and relative error ride
+    * along as the audit columns (at 100 TB you'd drop them; here they
+    * make the error honest).
+    *
+    * Scale shape: per-type k-minima via the TopKPerGroup bounded heap
+    * (≤ k rows per type per input partition shuffle — the full
+    * distinct-hash set never converges on one node); KmvK·#types rows
+    * of final state. Mergeable by construction (union of minima).
+    */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val dist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv#"), col("user_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val mins = graft.plans.TopKPerGroup.topK(
+      dist.withColumn("nh", -col("h")), KmvK, Seq("event_type"), "nh", "h")
+    val agg = mins.groupBy("event_type")
+      .agg(max("h").as("h_k"), count(lit(1)).as("n_kept"))
+    val exact = Tables.events(spark, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    agg.join(exact, "event_type")
+      .withColumn("est_users",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(round(lit((KmvK - 1).toDouble)
+            * (lit(KmvHashMax.toDouble) / col("h_k").cast("double"))).cast("long")))
+      .select(col("event_type"), col("h_k"), col("n_kept"),
+        col("est_users"), col("exact_users"),
+        round(abs(col("est_users") - col("exact_users"))
+          / col("exact_users").cast("double"), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val HistBuckets = 256
+
+  /** One-pass histogram quantiles per event type — the mergeable,
+    * fixed-state alternative to an exact sort-based percentile at
+    * 100 TB (two cheap passes: a 3-number min/max/count broadcast,
+    * then one map-side-combined bucket count; ≤ HistBuckets rows per
+    * type of state, and histograms merge by addition so this runs as
+    * a streaming/partial aggregate too). The approx quantile is the
+    * midpoint of the first bucket whose cumulative count crosses
+    * q·n; exact percentiles ride along as the audit columns, with the
+    * absolute error reported. Bucket arithmetic is the identical IEEE
+    * expression in both engines, so assignment is replayable.
+    */
+  def qHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val rng = ev.groupBy("event_type").agg(
+      min("value").as("vmin"), max("value").as("vmax"), count(lit(1)).as("n"))
+    val hist = ev.join(broadcast(rng), "event_type")
+      .withColumn("bkt",
+        when(col("vmax") === col("vmin"), 0L)
+          .otherwise(least(lit((HistBuckets - 1).toLong),
+            floor((col("value") - col("vmin")) * HistBuckets
+              / (col("vmax") - col("vmin"))).cast("long"))))
+      .groupBy("event_type", "bkt").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+      .join(broadcast(rng), "event_type")
+    def approx(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("bkt"))).as(name)
+    val ap = cum.groupBy("event_type", "vmin", "vmax", "n")
+      .agg(approx(0.5, "b50"), approx(0.9, "b90"))
+      .select(col("event_type"), col("n"),
+        round(col("vmin") + (col("b50") + 0.5) * (col("vmax") - col("vmin"))
+          / HistBuckets, 6).as("approx_p50"),
+        round(col("vmin") + (col("b90") + 0.5) * (col("vmax") - col("vmin"))
+          / HistBuckets, 6).as("approx_p90"))
+    val exact = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+      round(expr("percentile(value, 0.9)"), 6).as("exact_p90"))
+    ap.join(exact, "event_type")
+      .withColumn("err_p50", round(abs(col("approx_p50") - col("exact_p50")), 6))
+      .withColumn("err_p90", round(abs(col("approx_p90") - col("exact_p90")), 6))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_heavy_hitters" -> qHeavyHitters)
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_kmv_distinct" -> qKmvDistinct,
+    "q_hist_quantiles" -> qHistQuantiles)
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substr(md5('kmv#' || user_id), 1, 15) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM d),
+         |a AS (SELECT event_type,
+         |    max(CASE WHEN rn <= $KmvK THEN h END) AS h_k,
+         |    CAST(sum(CASE WHEN rn <= $KmvK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM r GROUP BY event_type),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY event_type),
+         |e AS (SELECT a.event_type, h_k, n_kept, exact_users,
+         |    CASE WHEN n_kept < $KmvK THEN n_kept
+         |      ELSE CAST(round(${(KmvK - 1).toDouble}
+         |        * (${KmvHashMax.toDouble} / CAST(h_k AS DOUBLE))) AS BIGINT)
+         |    END AS est_users
+         |  FROM a JOIN x ON x.event_type = a.event_type)
+         |SELECT event_type, h_k, n_kept, est_users, exact_users,
+         |  round(abs(est_users - exact_users) / CAST(exact_users AS DOUBLE), 6)
+         |    AS rel_err
+         |FROM e ORDER BY event_type""".stripMargin,
+    "q_hist_quantiles" ->
+      s"""WITH rng AS MATERIALIZED (
+         |  SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+         |    count(*) AS n
+         |  FROM events GROUP BY event_type),
+         |hist AS MATERIALIZED (
+         |  SELECT e.event_type,
+         |    CASE WHEN vmax = vmin THEN 0
+         |      ELSE least(${HistBuckets - 1}, CAST(floor((value - vmin)
+         |        * $HistBuckets / (vmax - vmin)) AS BIGINT))
+         |    END AS bkt, count(*) AS c
+         |  FROM events e JOIN rng ON rng.event_type = e.event_type
+         |  GROUP BY e.event_type, bkt),
+         |cum AS (SELECT event_type, bkt,
+         |    sum(c) OVER (PARTITION BY event_type ORDER BY bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |ap AS (SELECT c.event_type, n, vmin, vmax,
+         |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bkt END) AS b50,
+         |    min(CASE WHEN cum >= ceil(0.9 * n) THEN bkt END) AS b90
+         |  FROM cum c JOIN rng ON rng.event_type = c.event_type
+         |  GROUP BY c.event_type, n, vmin, vmax),
+         |x AS (SELECT event_type,
+         |    round(quantile_cont(value, 0.5), 6) AS exact_p50,
+         |    round(quantile_cont(value, 0.9), 6) AS exact_p90
+         |  FROM events GROUP BY event_type),
+         |f AS (SELECT ap.event_type, n,
+         |    round(vmin + (b50 + 0.5) * (vmax - vmin) / $HistBuckets, 6)
+         |      AS approx_p50,
+         |    round(vmin + (b90 + 0.5) * (vmax - vmin) / $HistBuckets, 6)
+         |      AS approx_p90,
+         |    exact_p50, exact_p90
+         |  FROM ap JOIN x ON x.event_type = ap.event_type)
+         |SELECT event_type, n, approx_p50, approx_p90, exact_p50, exact_p90,
+         |  round(abs(approx_p50 - exact_p50), 6) AS err_p50,
+         |  round(abs(approx_p90 - exact_p90), 6) AS err_p90
+         |FROM f ORDER BY event_type""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -322,6 +322,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Flesch reading-ease coefficients (Flesch 1948; public formula) and
+  // the quantized band thresholds (micro-units so the bucket boundary
+  // is an integer compare, never a float one).
+  val FreBase = 206.835; val FreWps = 1.015; val FreSpw = 84.6
+  val FreEasyU = 60000000L; val FreStdU = 30000000L
+
+  /** Readability scoring — the Flesch reading-ease / FK-grade quality
+    * signal a curation pipeline logs beside Gopher stats. Syllables
+    * use the deterministic vowel-group heuristic (runs of [aeiouy],
+    * floored at one per word); sentences are terminal-punctuation
+    * runs, floored at 1. One narrow codegen'd pass, zero shuffles —
+    * scan speed at 100 TB. The score is quantized to integer
+    * micro-units BEFORE banding so engine and oracle bucket on
+    * identical longs (same discipline as qQualityClassifier).
+    */
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_sents", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long")))
+      .withColumn("n_syll", greatest(col("n_words"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")))
+      .withColumn("fre_u",
+        round((lit(FreBase)
+          - lit(FreWps) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(FreSpw) * (col("n_syll").cast("double") / col("n_words"))) * 1e6)
+          .cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        round(col("fre_u") / lit(1e6), 6).as("fre"),
+        when(col("fre_u") >= FreEasyU, "easy")
+          .when(col("fre_u") >= FreStdU, "standard")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus unigram LM, then split into
+    * head / middle / tail terciles WITHIN each language — the
+    * language-conditioned quality partition CCNet feeds downstream
+    * filters from (a global cut would let high-resource languages set
+    * the bar for low-resource ones).
+    *
+    * Scale shape: qUnigramLm's one vocab groupBy + one scoring join;
+    * the per-language tercile thresholds are a #langs-row broadcast
+    * (exact interpolated percentile — never a corpus-wide rank
+    * window). avg_logp is derived from integer micro-nat sums, so the
+    * tercile boundary compare is on identical doubles in both engines.
+    */
+  def qPerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qUnigramLm(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val th = scored.groupBy("lang").agg(
+      round(expr("percentile(avg_logp, 0.33)"), 6).as("p33"),
+      round(expr("percentile(avg_logp, 0.66)"), 6).as("p66"))
+    scored.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("avg_logp") <= col("p33"), "tail")
+          .when(col("avg_logp") <= col("p66"), "middle")
+          .otherwise("head"))
+      .select("doc_id", "lang", "avg_logp", "bucket")
+      .orderBy("doc_id")
+  }
+
   val ZipfHead = 100 // fit over the frequency head (the Zipf regime)
 
   /** Zipf-law fit over the vocabulary head — the corpus-health metric
@@ -376,9 +438,54 @@ object TextAnalysis {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_repetition" -> qRepetition,
-    "q_pii_scrub" -> qPiiScrub)
+    "q_pii_scrub" -> qPiiScrub,
+    "q_readability" -> qReadability,
+    "q_perplexity_buckets" -> qPerplexityBuckets)
 
   val oracles: Map[String, String] = Map(
+    "q_readability" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  greatest(CAST(1 AS BIGINT),
+         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+         |  FROM documents),
+         |u AS (SELECT doc_id, n_words, n_sents,
+         |  greatest(n_words, vg) AS n_syll FROM s),
+         |f AS (SELECT doc_id, n_words, n_sents, n_syll,
+         |  CAST(round(($FreBase
+         |    - $FreWps * (CAST(n_words AS DOUBLE) / n_sents)
+         |    - $FreSpw * (CAST(n_syll AS DOUBLE) / n_words)) * 1000000) AS BIGINT)
+         |    AS fre_u FROM u)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  round(fre_u / 1000000.0, 6) AS fre,
+         |  CASE WHEN fre_u >= $FreEasyU THEN 'easy'
+         |       WHEN fre_u >= $FreStdU THEN 'standard'
+         |       ELSE 'hard' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_perplexity_buckets" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+        |lq AS MATERIALIZED (
+        |  SELECT w, CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS lq
+        |  FROM vocab CROSS JOIN tot),
+        |scored AS MATERIALIZED (
+        |  SELECT toks.doc_id, d.lang,
+        |    round(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_logp
+        |  FROM toks JOIN lq USING (w)
+        |  JOIN documents d ON d.doc_id = toks.doc_id
+        |  GROUP BY toks.doc_id, d.lang),
+        |th AS (SELECT lang, round(quantile_cont(avg_logp, 0.33), 6) AS p33,
+        |  round(quantile_cont(avg_logp, 0.66), 6) AS p66
+        |  FROM scored GROUP BY lang)
+        |SELECT doc_id, s.lang, avg_logp,
+        |  CASE WHEN avg_logp <= p33 THEN 'tail'
+        |       WHEN avg_logp <= p66 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM scored s JOIN th ON th.lang = s.lang
+        |ORDER BY doc_id""".stripMargin,
     "q_zipf_fit" ->
       s"""WITH c AS (
          |  SELECT word, count(*) AS n

@@ -482,7 +482,43 @@ object Training {
       .orderBy("dim")
   }
 
+  val EpochFactor = 2L   // total token budget = EpochFactor × corpus tokens
+  val MaxEpochs = 4L     // repetition cap per source (value decays past ~4)
+
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023:
+    * repeating data holds value for ~4 epochs, then decays): split a
+    * token budget of EpochFactor × the corpus EVENLY across sources,
+    * cap each source at MaxEpochs passes over its own tokens, and
+    * report the per-source epoch count plus the budget left on the
+    * table by capped sources — the schedule a data-constrained
+    * pretraining run feeds its sampler.
+    *
+    * All allocation arithmetic is integer (micro-epochs via `div`), so
+    * the schedule is byte-identical across engines and partitionings.
+    * Scale shape: one map-side-combined scan down to #sources rows, a
+    * broadcast 1-row total, then arithmetic on the tiny aggregate.
+    */
+  def qEpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+    val tot = t.agg(sum("src_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("fair_share", expr(s"tot_tokens * $EpochFactor div n_sources"))
+      .withColumn("alloc_tokens",
+        least(col("fair_share"), expr(s"src_tokens * $MaxEpochs")))
+      .withColumn("epochs_micro", expr("alloc_tokens * 1000000 div src_tokens"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("fair_share"), col("alloc_tokens"),
+        round(col("epochs_micro") / lit(1e6), 6).as("epochs"),
+        (col("fair_share") - col("alloc_tokens")).as("unused_budget"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_schedule" -> qEpochSchedule,
     "q_top_component" -> qTopComponent,
     "q_training_export" -> qTrainingExport,
     "q_domain_mix" -> qDomainMix,
@@ -600,6 +636,22 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_epoch_schedule" ->
+      s"""WITH t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+         |  count(*) AS n_sources FROM t),
+         |a AS (SELECT source, n_docs, src_tokens,
+         |    CAST(tot_tokens * $EpochFactor // n_sources AS BIGINT) AS fair_share,
+         |    least(CAST(tot_tokens * $EpochFactor // n_sources AS BIGINT),
+         |      src_tokens * $MaxEpochs) AS alloc_tokens
+         |  FROM t CROSS JOIN tot)
+         |SELECT source, n_docs, src_tokens, fair_share, alloc_tokens,
+         |  round((alloc_tokens * 1000000 // src_tokens) / 1000000.0, 6) AS epochs,
+         |  fair_share - alloc_tokens AS unused_budget
+         |FROM a ORDER BY source""".stripMargin,
     "q_top_component" -> topComponentSql,
     "q_training_export" ->
       s"""WITH kept AS MATERIALIZED (

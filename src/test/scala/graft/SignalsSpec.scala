@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Analytics
+import graft.operators.{Relational, Similarity, Sketches, TextAnalysis, Training}
+
+/** Semantic invariants for the round-6 additions: edge support vs
+  * triangle counts, harmonic closeness bounds, readability banding,
+  * per-language perplexity terciles, radius search, grouping sets,
+  * and the data-constrained epoch schedule.
+  */
+class SignalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("edge support sums to three times the triangle total") {
+    // every triangle contributes support 1 to each of its 3 edges;
+    // qTriangles counts each triangle at each of its 3 corners.
+    val supSum = Analytics.qEdgeSupport(spark, TestSpark.sf)
+      .agg(sum("support")).head().getLong(0)
+    val triSum = Analytics.qTriangles(spark, TestSpark.sf)
+      .agg(sum("triangles")).head().getLong(0)
+    assert(supSum == triSum, s"sum(support)=$supSum vs sum(per-node tri)=$triSum")
+  }
+
+  test("edge support truss flag matches the support threshold") {
+    val bad = Analytics.qEdgeSupport(spark, TestSpark.sf)
+      .filter((col("support") >= Analytics.TrussSupport) =!= (col("in_truss4") === 1L))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("closeness: one row per seed, harmonic bounded by reach") {
+    val df = Analytics.qCloseness(spark, TestSpark.sf)
+    assert(df.count() == Analytics.CloseSeeds)
+    // each reached node contributes at most 1e6 micro-units (dist >= 1)
+    val bad = df.filter(col("h_micro") > col("n_reached") * 1000000L
+      || col("h_micro") < 0 || col("n_reached") < 0).count()
+    assert(bad == 0)
+  }
+
+  test("closeness seeds reach their whole component within depth on sf0.001") {
+    // high-degree seeds sit in the dense core: every seed must reach >0 nodes
+    val df = Analytics.qCloseness(spark, TestSpark.sf)
+    assert(df.filter(col("n_reached") === 0).count() == 0)
+  }
+
+  test("readability: syllables >= words, band matches fre thresholds") {
+    val df = TextAnalysis.qReadability(spark, TestSpark.sf)
+    assert(df.count() ==
+      Tables.documents(spark, TestSpark.sf).count())
+    assert(df.filter(col("n_syll") < col("n_words")).count() == 0)
+    val bad = df.filter(
+      (col("band") === "easy" && col("fre") < 60.0) ||
+      (col("band") === "standard" && (col("fre") >= 60.0 || col("fre") < 30.0)) ||
+      (col("band") === "hard" && col("fre") >= 30.0)).count()
+    assert(bad == 0)
+  }
+
+  test("perplexity buckets: per-language tail never outscores head") {
+    val df = TextAnalysis.qPerplexityBuckets(spark, TestSpark.sf)
+    val byLang = df.groupBy("lang").agg(
+      max(when(col("bucket") === "tail", col("avg_logp"))).as("max_tail"),
+      min(when(col("bucket") === "head", col("avg_logp"))).as("min_head"))
+    val bad = byLang.filter(col("max_tail").isNotNull && col("min_head").isNotNull
+      && col("max_tail") > col("min_head")).count()
+    assert(bad == 0)
+    val badBucket = df.filter(!col("bucket").isin("head", "middle", "tail")).count()
+    assert(badBucket == 0)
+  }
+
+  test("range search returns exactly the ball and nothing else") {
+    val got = Similarity.qRangeSearch(spark, TestSpark.sf)
+    assert(got.filter(col("score") < Similarity.RangeTheta).count() == 0)
+    // cross-check cardinality against an independently-built exact scan
+    val expect = Similarity.vectors(spark, TestSpark.sf)
+      .crossJoin(broadcast(Similarity.vectors(spark, TestSpark.sf)
+        .filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))))
+      .filter(col("vec_id") =!= 0)
+      .filter(round(Similarity.dotCol(col("v"), col("qv"))
+        / (col("nrm") * col("qnrm")), 6) >= Similarity.RangeTheta)
+      .count()
+    assert(got.count() == expect)
+  }
+
+  test("grouping sets: exactly both marginals plus the grand total") {
+    val df = Relational.qGroupingSets(spark, TestSpark.sf).cache()
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val nFlags = li.select("l_returnflag").distinct().count()
+    val nStatus = li.select("l_linestatus").distinct().count()
+    assert(df.count() == nFlags + nStatus + 1)
+    val total = df.filter(col("l_returnflag") === "ALL" && col("l_linestatus") === "ALL")
+    assert(total.count() == 1)
+    assert(total.head().getAs[Long]("n") == li.count())
+    df.unpersist()
+  }
+
+  test("KMV sketch: exact when under k distinct, bounded error above") {
+    val df = Sketches.qKmvDistinct(spark, TestSpark.sf)
+    // below k kept minima the sketch IS the exact answer
+    val bad = df.filter(col("n_kept") < Sketches.KmvK
+      && col("est_users") =!= col("exact_users")).count()
+    assert(bad == 0)
+    // at k, the (k-1)/h_k estimator stays within 50% on any input
+    // this size (theory: rel err ~ 1/sqrt(k) ≈ 12.5% at k=64)
+    assert(df.filter(col("rel_err") > 0.5).count() == 0)
+  }
+
+  test("histogram quantiles bracket the exact percentiles within two buckets") {
+    val df = Sketches.qHistQuantiles(spark, TestSpark.sf)
+      .join(Tables.events(spark, TestSpark.sf).groupBy("event_type")
+        .agg((max("value") - min("value")).as("range")), "event_type")
+    // the reported midpoint is within half a bucket of its bucket, and
+    // quantile_cont's interpolation can land in the adjacent bucket →
+    // worst case just under 2 bucket widths
+    val bad = df.filter(col("err_p50") > col("range") * 2 / Sketches.HistBuckets
+      || col("err_p90") > col("range") * 2 / Sketches.HistBuckets).count()
+    assert(bad == 0)
+  }
+
+  test("media manifest: items and bytes reconcile with the documents table") {
+    val m = multimodal.Media.qMediaManifest(spark, TestSpark.sf)
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(m.agg(sum("n_items")).head().getLong(0) == nDocs)
+    val bad = m.filter(col("n_distinct") > col("n_items")
+      || col("min_bytes") > col("max_bytes")
+      || col("n_exact_dups") =!= col("n_items") - col("n_distinct")).count()
+    assert(bad == 0)
+  }
+
+  test("epoch schedule: cap binds exactly when fair share exceeds it") {
+    val df = Training.qEpochSchedule(spark, TestSpark.sf)
+    assert(df.filter(col("epochs") > Training.MaxEpochs).count() == 0)
+    assert(df.filter(col("alloc_tokens") > col("fair_share")).count() == 0)
+    assert(df.filter(col("unused_budget") =!=
+      col("fair_share") - col("alloc_tokens")).count() == 0)
+    // uncapped sources take their full fair share
+    val bad = df.filter(col("epochs") < Training.MaxEpochs
+      && col("alloc_tokens") =!= col("fair_share")).count()
+    assert(bad == 0)
+  }
+}
