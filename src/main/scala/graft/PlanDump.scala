@@ -78,6 +78,10 @@ object PlanDump {
       "q_rag_context" -> "resolve→retrieve→dedup→budget→format; TakeOrdered then ≤K-row windows",
       "q_top_component" -> "power iteration: broadcast 1-row w, corpus pass + 64-row dim sum",
       "q_training_export" -> "curation verdict → two-level packing → shard hash as ONE plan",
+      "q_edge_support" -> "truss support: degree-oriented wedge equi-joins, hub fan-out bounded",
+      "q_kmv_distinct" -> "KMV minima via TopKPerGroup heaps — distinct hashes never converge",
+      "q_hist_quantiles" -> "broadcast min/max + map-side bucket counts; window over ≤256 rows/type",
+      "q_grouping_sets" -> "three grouping sets Expanded under ONE partial-agg exchange",
       "q_hard_negatives" -> "label-filtered broadcast probes + TopKPerGroup heap",
       "q_pmi_cooccur" -> "one materialized mentions pass; broadcast count tables; TakeOrdered",
       "q_length_hist" -> "one (source,bucket) shuffle; cumulative window over bucket rows",
