@@ -198,16 +198,35 @@ object Bench {
       "entity_candidates" -> "ecd", "entity_resolution" -> "eres",
       "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
       "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
-      "neardup_candidates" -> "ndc", "source_report" -> "srpt",
-      "media_phash" -> "mdph", "knn_join_ivf" -> "kivf",
+      "neardup_candidates" -> "ndc", "source_report" -> "srp",
+      "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
       "ann_ivfpq" -> "aipq", "ann_lsh" -> "alsh",
       "ann_ivf" -> "aivf", "ann_pq" -> "apq",
       "window_suite" -> "win", "length_hist" -> "lh",
       "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
       "corpus_stats" -> "cst",
-      "media_features" -> "mdf", "media_frames" -> "mdfr",
-      "chunk_overlap" -> "chov", "entity_degree" -> "edeg",
-      "chunks_by_entities" -> "chbe", "chunks_from_articles" -> "chfa",
+      "dedup_simhash64" -> "d64", "dedup_temporal" -> "ddt",
+      "dedup_substring" -> "dds", "dedup_embedding" -> "dde",
+      "dedup_incremental" -> "ddi", "dedup_url" -> "ddu",
+      "dedup_containment" -> "ddc", "dedup_ngram" -> "ddn",
+      "source_minhash" -> "smh", "cosine_topk_filtered" -> "ctf",
+      "tfidf" -> "tfi", "stratified_sample" -> "ssp",
+      "drift_report" -> "drf", "tokenize_subword" -> "tks",
+      "filter_pipeline" -> "fpi", "semi_anti" -> "sma",
+      "quantize_embeddings" -> "qze", "kcore" -> "kc",
+      "bloom_decontaminate" -> "bld", "shard_export" -> "shx",
+      "subword_vocab" -> "swv", "burst_detect" -> "bst",
+      "curation_e2e" -> "ce2", "dsir_weights" -> "dsr",
+      "hard_negatives" -> "hng", "pmi_cooccur" -> "pmi",
+      "domain_mix" -> "dmx", "full_outer" -> "fo",
+      "top_users" -> "tu", "graph_nodes" -> "gn",
+      "graph_schema" -> "gs", "article_topics" -> "at",
+      "token_count" -> "tc", "percentiles" -> "pc",
+      "bpe_vocab" -> "bpv", "training_export" -> "tex",
+      "doc_similarity" -> "dsm",
+      "media_features" -> "mdf", "media_frames" -> "mfr",
+      "chunk_overlap" -> "chov", "entity_degree" -> "edg",
+      "chunks_by_entities" -> "cbe", "chunks_from_articles" -> "cfa",
       "vocab_topk" -> "vtk",
       "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
       "entity_" -> "ent", "entities" -> "ents", "cosine_" -> "cs",
@@ -222,10 +241,10 @@ object Bench {
       "percentiles" -> "pct", "heavy_hitters" -> "hh",
       "shortest_path" -> "sp", "components" -> "cc",
       "containment" -> "cnt", "repetition" -> "rep",
-      "sessionize" -> "sesz", "session_window" -> "sesw",
+      "sessionize" -> "ssz", "session_window" -> "ssw",
       "fulltext_query" -> "ftq", "media_" -> "md",
       "filter_pipeline" -> "fpipe",
-      "events_window" -> "evw", "event_anomaly" -> "evan",
+      "events_window" -> "evw", "event_anomaly" -> "eva",
       "graph_" -> "g", "window_suite" -> "winst", "incremental" -> "inc",
       "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
       "link_prediction" -> "lp",
@@ -241,7 +260,7 @@ object Bench {
       "unigram_lm" -> "ulm", "bigram_lm" -> "blm",
       "token_count" -> "tokc", "corpus_stats" -> "cstat",
       "quality_classifier" -> "qcls", "quality_buckets" -> "qbk",
-      "quality" -> "qual", "lang_id" -> "lid",
+      "quality" -> "qly", "lang_id" -> "lid",
       "lpa_communities" -> "lpa", "lines" -> "ln",
       "dsir_weights" -> "dsir", "semdedup" -> "sdd",
       "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
@@ -264,15 +283,15 @@ object Bench {
       "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",
       "full_outer" -> "fout", "semi_anti" -> "semia",
       "salted_agg" -> "salt",
-      "json_props" -> "jsp", "top_users" -> "topu", "retention" -> "retn",
-      "triangles" -> "tri", "sentences" -> "snts",
+      "json_props" -> "jsp", "retention" -> "rtn",
+      "triangles" -> "tri", "sentences" -> "sn",
       "by_" -> "by", "from_" -> "fr",
       "article_topics" -> "atop", "candidates" -> "cand",
       "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
       "cooccur" -> "cooc", "funnel" -> "fun", "rollup" -> "rup",
       "pivot" -> "piv",
-      "x_mat_shingles" -> "xmatdd", "x_mat_graph" -> "xmat",
-      "x_amortized_dd" -> "xamdd", "x_amortized" -> "xam")
+      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmat",
+      "x_amortized_dd" -> "xad", "x_amortized" -> "xam")
     def key(k: String): String = {
       val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
       abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }

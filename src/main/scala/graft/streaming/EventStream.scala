@@ -164,6 +164,53 @@ object EventStream {
       }
   }
 
+  case class TypedUser(event_type: String, user_id: Long)
+  case class KmvSketch(mins: Array[Long])
+  case class KmvEstimate(event_type: String, n_kept: Long, h_k: Long,
+    est_users: Long)
+
+  /** The batch KMV op's 60-bit hash (first 15 hex digits of
+    * md5("kmv#"+user_id)), computed JVM-side so streaming state and
+    * the Catalyst expression walk identical values — the batch/stream
+    * parity contract every other twin in this module keeps.
+    */
+  def kmvHash(userId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kmv#$userId".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Streaming KMV cardinality sketch — live distinct-user monitoring
+    * per event type (Sketches.qKmvDistinct's twin at ingest time):
+    * the k smallest hashes live in `mapGroupsWithState` state (fixed
+    * ≤ k longs per type — bounded however many users flow through),
+    * each micro-batch folds its hashes in and emits the updated
+    * estimate. KMV state is a semilattice (union-then-take-k), so
+    * arrival order and batch boundaries can't change the converged
+    * sketch — which is exactly what the parity spec asserts.
+    */
+  def kmvDistinctStream(events: Dataset[TypedUser]): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    val k = graft.operators.Sketches.KmvK
+    val hmax = graft.operators.Sketches.KmvHashMax
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[KmvSketch, KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[TypedUser], state: GroupState[KmvSketch]) =>
+          val prev = state.getOption.map(_.mins).getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(r => kmvHash(r.user_id)))
+            .distinct.sorted.take(k)
+          state.update(KmvSketch(merged))
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else math.round((k - 1).toDouble * (hmax.toDouble / merged.last.toDouble))
+          KmvEstimate(typ, merged.length.toLong,
+            if (merged.isEmpty) 0L else merged.last, est)
+      }
+  }
+
   /** Streaming exact dedup twin: drop duplicate event_ids within the
     * watermark horizon (the streaming analogue of Dedup.qDedupExact's
     * grouping — bounded state via the event-time watermark).

@@ -294,4 +294,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).count() == 0)
     assert(want.except(got).count() == 0)
   }
+
+  test("streaming KMV sketch converges to the batch estimate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select("event_type", "user_id")
+      .as[EventStream.TypedUser].collect()
+    // split arbitrarily: state must merge across batch boundaries
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[EventStream.TypedUser]
+    val q = EventStream.kmvDistinctStream(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_out").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // converged sketch per type: n_kept only grows and h_k only
+    // shrinks across updates, so the struct-max picks the final state
+    // without relying on row order in the memory sink
+    val got = spark.table("kmv_out")
+      .groupBy("event_type")
+      .agg(max(struct(col("n_kept"), (-col("h_k")).as("neg_h"),
+        col("est_users"), col("h_k"))).as("s"))
+      .select(col("event_type"), col("s.n_kept"), col("s.h_k"),
+        col("s.est_users"))
+    val want = graft.operators.Sketches.qKmvDistinct(spark, TestSpark.sf)
+      .select("event_type", "n_kept", "h_k", "est_users")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "streaming sketch state diverged from the batch KMV")
+  }
+
+  test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
+    val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
+    val fromSql = ids.toDF("user_id")
+      .select(conv(substring(md5(concat(lit("kmv#"), col("user_id"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    val fromJvm = ids.map(EventStream.kmvHash)
+    assert(fromSql.toSeq == fromJvm)
+  }
 }
