@@ -189,7 +189,8 @@ object Bench {
       // whole-name compressions first (the word-level rules below
       // would otherwise rewrite these names before they can match)
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
-      "media_manifest" -> "mdm",
+      "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
+      "dau_stickiness" -> "dau", "passage_rank" -> "psg",
       "grouping_sets" -> "gst", "readability" -> "fre",
       "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
       "edge_support" -> "esup", "closeness" -> "clos",

@@ -979,12 +979,17 @@ object Analytics {
     * from their small-degree other ends — O(m·d_min), not O(m·d_max)).
     * Two equi-joins + one groupBy; no window, no cartesian.
     */
-  def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
-    val co = cooccur(spark, dir)
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
+  /** Per-pair triangle support within the graph given by `e` (both-
+    * direction edge list): |N(e1) ∩ N(e2)| \\ {e1, e2}, enumerated at
+    * the LOWER-degree endpoint only (degree orientation bounds the
+    * wedge fan-out by d_min, so a celebrity node never materializes
+    * its neighbor list at its own center). Pairs with no common
+    * neighbor come back with support 0.
+    */
+  private def supportOf(pairs: DataFrame, e: DataFrame): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val lt = struct(col("d1"), col("e1")) < struct(col("d2"), col("e2"))
-    val oriented = co
+    val oriented = pairs
       .join(deg.select(col("src").as("e1"), col("d").as("d1")), "e1")
       .join(deg.select(col("src").as("e2"), col("d").as("d2")), "e2")
       .select(col("e1"), col("e2"),
@@ -995,11 +1000,45 @@ object Analytics {
       .filter(col("x") =!= col("hi"))
       .join(e.select(col("src").as("hi"), col("dst").as("x")), Seq("hi", "x"))
       .groupBy("e1", "e2").agg(count(lit(1)).as("support"))
-    co.join(sup, Seq("e1", "e2"), "left")
-      .select(col("e1"), col("e2"), col("weight"),
-        coalesce(col("support"), lit(0L)).as("support"),
-        when(coalesce(col("support"), lit(0L)) >= TrussSupport, 1L)
+    pairs.join(sup, Seq("e1", "e2"), "left")
+      .select(col("e1"), col("e2"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir)
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
+    co.join(supportOf(co.select("e1", "e2"), e), Seq("e1", "e2"))
+      .select(col("e1"), col("e2"), col("weight"), col("support"),
+        when(col("support") >= TrussSupport, 1L)
           .otherwise(0L).as("in_truss4"))
+      .orderBy("e1", "e2")
+  }
+
+  /** Two unrolled rounds of k=4 truss peeling on top of qEdgeSupport:
+    * drop edges with support < k−2, recompute support WITHIN the
+    * surviving subgraph (peeling an edge removes the triangles it
+    * closed, so survivors' support can only fall), and report the
+    * survivors with both rounds' support and the still-in-truss flag.
+    * Fixed round count keeps the unrolled-CTE oracle exact — a
+    * production peel iterates this same query to fixpoint, and each
+    * round is the identical two-equi-join plan on a shrinking edge
+    * list (the convergence pattern qKcore uses for degree peeling).
+    */
+  def qKtrussPeel(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir).localCheckpoint(false)
+    def bothDir(c: DataFrame) =
+      c.select(col("e1").as("src"), col("e2").as("dst"))
+        .unionByName(c.select(col("e2").as("src"), col("e1").as("dst")))
+    val s1 = supportOf(co.select("e1", "e2"), bothDir(co))
+      .withColumnRenamed("support", "s1")
+    val surv = co.join(s1.filter(col("s1") >= TrussSupport), Seq("e1", "e2"))
+      .localCheckpoint(false)
+    val s2 = supportOf(surv.select("e1", "e2"), bothDir(surv))
+      .withColumnRenamed("support", "s2")
+    surv.join(s2, Seq("e1", "e2"))
+      .select(col("e1"), col("e2"), col("weight"), col("s1"), col("s2"),
+        when(col("s2") >= TrussSupport, 1L).otherwise(0L).as("in_truss"))
       .orderBy("e1", "e2")
   }
 
@@ -1078,6 +1117,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edge_support" -> qEdgeSupport,
+    "q_ktruss_peel" -> qKtrussPeel,
     "q_closeness" -> qCloseness,
     "q_betweenness" -> qBetweenness,
     "q_neighbor_sample" -> qNeighborSample,
@@ -1113,6 +1153,33 @@ object Analytics {
          |    AS BIGINT) AS in_truss4
          |FROM cooccur c LEFT JOIN sup s ON s.e1 = c.e1 AND s.e2 = c.e2
          |ORDER BY c.e1, c.e2""".stripMargin,
+    "q_ktruss_peel" ->
+      s"""WITH $CooccurSql,
+         |sup1 AS MATERIALIZED (
+         |  SELECT c.e1, c.e2, CAST(count(*) AS BIGINT) AS s
+         |  FROM cooccur c
+         |  JOIN edges a ON a.src = c.e1 AND a.dst <> c.e2
+         |  JOIN edges b ON b.src = c.e2 AND b.dst = a.dst
+         |  GROUP BY c.e1, c.e2),
+         |surv AS MATERIALIZED (
+         |  SELECT c.e1, c.e2, c.weight, s.s AS s1
+         |  FROM cooccur c JOIN sup1 s ON s.e1 = c.e1 AND s.e2 = c.e2
+         |  WHERE s.s >= $TrussSupport),
+         |edges2 AS MATERIALIZED (
+         |  SELECT e1 AS src, e2 AS dst FROM surv
+         |  UNION ALL SELECT e2, e1 FROM surv),
+         |sup2 AS MATERIALIZED (
+         |  SELECT c.e1, c.e2, CAST(count(*) AS BIGINT) AS s
+         |  FROM surv c
+         |  JOIN edges2 a ON a.src = c.e1 AND a.dst <> c.e2
+         |  JOIN edges2 b ON b.src = c.e2 AND b.dst = a.dst
+         |  GROUP BY c.e1, c.e2)
+         |SELECT v.e1, v.e2, v.weight, v.s1,
+         |  CAST(coalesce(p.s, 0) AS BIGINT) AS s2,
+         |  CAST(CASE WHEN coalesce(p.s, 0) >= $TrussSupport THEN 1 ELSE 0 END
+         |    AS BIGINT) AS in_truss
+         |FROM surv v LEFT JOIN sup2 p ON p.e1 = v.e1 AND p.e2 = v.e2
+         |ORDER BY v.e1, v.e2""".stripMargin,
     "q_betweenness" -> betweennessSql,
     "q_neighbor_sample" -> neighborSampleSql,
     "q_walks" -> walksSql,

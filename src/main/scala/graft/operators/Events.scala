@@ -296,7 +296,35 @@ object Events {
       .orderBy("event_type", "bucket")
   }
 
+  val WauWindow = 7 // trailing days in the "weekly" active window
+
+  /** DAU / trailing-WAU / stickiness per day — the engagement panel
+    * every event pipeline serves. The only corpus-sized pass is the
+    * (day, user) distinct (one map-side-combined exchange); the
+    * trailing-window distinct then runs on that deduped set against a
+    * BROADCAST day list (≤ 7× row expansion, never a raw-event range
+    * scan — the window-distinct a SQL window can't express goes
+    * through the small day×user join instead). Day is the integer
+    * epoch-day of the nanosecond timestamp: pure `div`, identical in
+    * both engines.
+    */
+  def qDauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val days = dau.select(col("day").as("d0"))
+    val wau = du.join(broadcast(days),
+        col("day") >= col("d0") - (WauWindow - 1) && col("day") <= col("d0"))
+      .groupBy("d0").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d0"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_stickiness" -> qDauStickiness,
     "q_burst_detect" -> qBurstDetect,
     "q_session_window" -> qSessionWindow,
     "q_retention" -> qRetention,
@@ -311,6 +339,18 @@ object Events {
     "q_top_users" -> qTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "q_dau_stickiness" ->
+      s"""WITH du AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         |    user_id
+         |  FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+         |wau AS (SELECT d.day AS day, count(DISTINCT u.user_id) AS wau
+         |  FROM (SELECT DISTINCT day FROM du) d
+         |  JOIN du u ON u.day BETWEEN d.day - ${WauWindow - 1} AND d.day
+         |  GROUP BY d.day)
+         |SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // session_window merges an event iff it lands strictly inside the
     // previous session's [start, last+gap) — so a gap of exactly GapUs
     // starts a NEW session (vs qSessionize's inclusive merge)

@@ -260,7 +260,49 @@ object Retrieval {
       .orderBy("a", "rk")
   }
 
+  val PassageTopK = 20
+
+  /** Best-passage retrieval — chunk-level BM25 with the best chunk
+    * per document, globally top-K (the passage-selection stage a RAG
+    * server runs between document retrieval and context assembly —
+    * q_rag_context consumes whole chunk sets; this ranks WITHIN the
+    * document and surfaces the single snippet worth quoting).
+    *
+    * Scale shape: corpus statistics are a broadcast 1-row aggregate;
+    * query-term postings shrink at the explode filter (only query
+    * words survive the narrow pass); best-per-doc goes through the
+    * TopKPerGroup heap (k=1 — never a per-doc rank window over all
+    * passages), and the global cut is a PassageTopK-row TakeOrdered.
+    */
+  def qPassageRank(spark: SparkSession, dir: String): DataFrame = {
+    val ch = TextPipeline.chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_words").cast("double").as("dl"))
+    val stats = ch.agg(count(lit(1)).cast("double").as("n_ch"),
+      avg(col("dl")).as("avgdl"))
+    val tf = ch.select(col("doc_id"), col("chunk_id"), col("dl"),
+        explode(split(col("chunk_text"), " ")).as("word"))
+      .filter(col("word").isin(QueryTerms.map(lit): _*))
+      .groupBy("doc_id", "chunk_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        log((col("n_ch") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0)
+          * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(round(sum(col("term_score")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+    graft.plans.TopKPerGroup.topK(scored, 1, Seq("doc_id"), "bm25", "chunk_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(PassageTopK)
+      .select("doc_id", "chunk_id", "bm25", "n_terms_hit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_passage_rank" -> qPassageRank,
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
     "q_prf_expansion" -> qPrfExpansion,
@@ -276,6 +318,36 @@ object Retrieval {
       |nn AS (SELECT count(*) AS n FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_passage_rank" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(",")
+      s"""WITH ${TextPipeline.ChunksSql},
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_ch,
+         |  avg(CAST(n_words AS DOUBLE)) AS avgdl FROM chunks),
+         |ctf AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id, CAST(n_words AS DOUBLE) AS dl, word,
+         |    count(*) AS tf
+         |  FROM (SELECT doc_id, chunk_id, n_words,
+         |      unnest(string_split(chunk_text, ' ')) AS word FROM chunks)
+         |  WHERE word IN ($terms)
+         |  GROUP BY doc_id, chunk_id, n_words, word),
+         |cdf AS (SELECT word, count(*) AS dfreq FROM ctf GROUP BY word),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id,
+         |    round(sum(
+         |      ln(((SELECT n_ch FROM st) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * (tf * ${Bm25K1 + 1.0}) /
+         |        (tf + $Bm25K1 * (1.0 - $Bm25B
+         |          + $Bm25B * dl / (SELECT avgdl FROM st)))), 6) AS bm25,
+         |    count(*) AS n_terms_hit
+         |  FROM ctf JOIN cdf USING (word)
+         |  GROUP BY doc_id, chunk_id),
+         |best AS (SELECT doc_id, chunk_id, bm25, n_terms_hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY bm25 DESC, chunk_id) AS rn FROM sc)
+         |  WHERE rn = 1)
+         |SELECT doc_id, chunk_id, bm25, n_terms_hit FROM best
+         |ORDER BY bm25 DESC, doc_id LIMIT $PassageTopK""".stripMargin
+    },
     "q_doc_similarity" -> {
       val dot = Similarity.dotDuckSql("p.va", "e.v")
       s"""WITH $TfSql,

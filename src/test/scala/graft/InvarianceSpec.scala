@@ -40,7 +40,12 @@ class InvarianceSpec extends AnyFunSuite {
       // grid DCG sums, TakeOrdered PRF pool, struct-min purity
       "q_hard_negatives", "q_pmi_cooccur", "q_length_hist",
       "q_drift_report", "q_ndcg", "q_prf_expansion", "q_cluster_purity",
-      "q_burst_detect", "q_ql_ranking")
+      "q_burst_detect", "q_ql_ranking",
+      // late round-6 additions: wedge edge-support, frontier BFS
+      // closeness, KMV heap minima, bucketed histogram quantiles,
+      // per-lang percentile terciles, grouping-set expand
+      "q_edge_support", "q_closeness", "q_kmv_distinct",
+      "q_hist_quantiles", "q_perplexity_buckets", "q_grouping_sets")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

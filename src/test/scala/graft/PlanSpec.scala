@@ -389,6 +389,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!dr.contains("CartesianProduct"), s"drift report cartesian:\n$dr")
   }
 
+  test("late round-6 operators: heap minima, expand-once sets, equi-join wedges") {
+    // KMV: per-type k-minima through the heap operator, never a
+    // distinct-hash rank window
+    val km = plan(operators.Sketches.qKmvDistinct(spark, TestSpark.sf))
+    assert(km.contains("TopKPerGroup"),
+      s"KMV minima must go through the heap operator:\n$km")
+    assert(!km.contains("CartesianProduct"), s"KMV cartesian:\n$km")
+    // grouping sets: ONE Expand node, one partial-agg exchange chain —
+    // never a union of three aggregations
+    val gs = plan(Relational.qGroupingSets(spark, TestSpark.sf))
+    assert("\\bExpand\\b".r.findAllIn(gs).size == 1,
+      s"grouping sets must expand once:\n$gs")
+    assert(!gs.contains("Union"), s"grouping sets must not union:\n$gs")
+    // edge support / truss peel: equi-join wedges only
+    val es = plan(graph.Analytics.qEdgeSupport(spark, TestSpark.sf))
+    assert(!es.contains("CartesianProduct") && !es.contains("BroadcastNestedLoop"),
+      s"edge support must stay equi-join:\n$es")
+    // passage rank: best-per-doc through the heap, global cut is
+    // TakeOrdered — no rank window anywhere
+    val pg = plan(operators.Retrieval.qPassageRank(spark, TestSpark.sf))
+    assert(pg.contains("TopKPerGroup"),
+      s"passage rank must pick best-per-doc through the heap:\n$pg")
+    assert(pg.contains("TakeOrderedAndProject"),
+      s"passage rank global cut must be TakeOrdered:\n$pg")
+    // DAU/WAU: the trailing window runs on the deduped day×user set
+    // against a broadcast day list — raw events are never range-joined
+    val da = plan(operators.Events.qDauStickiness(spark, TestSpark.sf))
+    assert(!da.contains("CartesianProduct"), s"dau cartesian:\n$da")
+    assert(da.contains("BroadcastNestedLoopJoin")
+      || da.contains("BroadcastHashJoin"),
+      s"dau day list must broadcast:\n$da")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(

@@ -31,6 +31,30 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("truss peel: support only falls, survivors nest inside round-1 truss") {
+    val peel = Analytics.qKtrussPeel(spark, TestSpark.sf).cache()
+    assert(peel.filter(col("s2") > col("s1")).count() == 0,
+      "peeling removed triangles, support cannot grow")
+    assert(peel.filter(col("s1") < Analytics.TrussSupport).count() == 0)
+    // round-1 survivors are exactly qEdgeSupport's in_truss4 edges
+    val r1 = graft.graph.Analytics.qEdgeSupport(spark, TestSpark.sf)
+      .filter(col("in_truss4") === 1L).select("e1", "e2")
+    assert(peel.select("e1", "e2").except(r1).count() == 0)
+    assert(r1.except(peel.select("e1", "e2")).count() == 0)
+    peel.unpersist()
+  }
+
+  test("DAU/WAU: weekly actives dominate daily, stickiness is a ratio in (0,1]") {
+    val df = operators.Events.qDauStickiness(spark, TestSpark.sf)
+    assert(df.count() > 0)
+    val bad = df.filter(col("wau") < col("dau")
+      || col("stickiness") <= 0 || col("stickiness") > 1).count()
+    assert(bad == 0)
+    val nDays = Tables.events(spark, TestSpark.sf)
+      .select(expr("ts div 86400000000000")).distinct().count()
+    assert(df.count() == nDays)
+  }
+
   test("closeness: one row per seed, harmonic bounded by reach") {
     val df = Analytics.qCloseness(spark, TestSpark.sf)
     assert(df.count() == Analytics.CloseSeeds)
@@ -93,6 +117,19 @@ class SignalsSpec extends AnyFunSuite {
     val total = df.filter(col("l_returnflag") === "ALL" && col("l_linestatus") === "ALL")
     assert(total.count() == 1)
     assert(total.head().getAs[Long]("n") == li.count())
+    df.unpersist()
+  }
+
+  test("passage rank: one passage per doc, hits bounded by the query length") {
+    val df = operators.Retrieval.qPassageRank(spark, TestSpark.sf).cache()
+    assert(df.count() > 0)
+    assert(df.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    val bad = df.filter(col("n_terms_hit") < 1
+      || col("n_terms_hit") > operators.Retrieval.QueryTerms.size).count()
+    assert(bad == 0)
+    val scores = df.orderBy(col("bm25").desc, col("doc_id"))
+      .select("bm25").collect().map(_.getDouble(0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     df.unpersist()
   }
 
