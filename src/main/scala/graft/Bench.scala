@@ -191,6 +191,7 @@ object Bench {
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
       "dau_stickiness" -> "dau", "passage_rank" -> "psg",
+      "keep_rate" -> "kr", "signal_corr" -> "sgc",
       "grouping_sets" -> "gst", "readability" -> "fre",
       "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
       "edge_support" -> "esup", "closeness" -> "clos",

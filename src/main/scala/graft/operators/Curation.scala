@@ -61,6 +61,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation yield — the dashboard row a data team reads
+    * after every filter-pipeline run: docs/tokens in, keep counts,
+    * keep rates, and the per-reason drop breakdown (fixed reason
+    * columns — the verdict vocabulary is closed). Composes
+    * qFilterPipeline's verdicts with one (doc_id) equi-join to pick
+    * up the source, then collapses to #sources rows in a single
+    * map-side-combined aggregate; rates are integer micro-division.
+    */
+  def qKeepRate(spark: SparkSession, dir: String): DataFrame = {
+    val v = qFilterPipeline(spark, dir).select("doc_id", "n_tokens", "reason")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    def nReason(r: String) =
+      sum(when(col("reason") === r, 1L).otherwise(0L)).as(s"n_$r")
+    v.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        nReason("keep"), nReason("too_short"), nReason("repetitive"),
+        nReason("low_diversity"), nReason("near_duplicate"),
+        sum(when(col("reason") === "keep", col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("keep_rate",
+        round(expr("n_keep * 1000000 div n_docs") / lit(1e6), 6))
+      .withColumn("token_keep_rate",
+        round(expr("kept_tokens * 1000000 div total_tokens") / lit(1e6), 6))
+      .orderBy("source")
+  }
+
   val DecontamN = 4    // word n-gram width for overlap detection
   val EvalBucket = 90  // md5 split buckets >= this form the held-out set
 
@@ -331,6 +359,7 @@ object Curation {
     "q_length_hist" -> qLengthHist,
     "q_drift_report" -> qDriftReport,
     "q_filter_pipeline" -> qFilterPipeline,
+    "q_keep_rate" -> qKeepRate,
     "q_gram_novelty" -> qGramNovelty,
     "q_source_report" -> qSourceReport,
     "q_curation_e2e" -> qCurationE2e,
@@ -477,30 +506,61 @@ object Curation {
         |  round((dup_docs * 1000000 // n_docs) / 1000000.0, 6) AS dup_frac
         |FROM r ORDER BY source""".stripMargin,
     "q_filter_pipeline" ->
-      s"""WITH ${Dedup.clusterCtes},
-         |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |fs AS (SELECT doc_id, len(words) AS n_tokens,
-         |  len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS ttr FROM fw),
-         |fg AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len(words) - 1),
-         |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM fw),
-         |fc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY doc_id, g),
-         |fr AS (SELECT doc_id,
-         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupfrac
-         |  FROM fc GROUP BY doc_id),
-         |canon AS (SELECT d.doc_id,
-         |    coalesce(c.comp, d.doc_id) AS canonical_id
-         |  FROM documents d LEFT JOIN c${Dedup.ClusterIters} c ON d.doc_id = c.node),
-         |verdict AS (
-         |  SELECT fs.doc_id, n_tokens, ttr, dupfrac,
-         |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
-         |      WHEN dupfrac > $MaxDupBigramFrac THEN 'repetitive'
-         |      WHEN ttr < $MinTypeTokenRatio THEN 'low_diversity'
-         |      WHEN canonical_id <> fs.doc_id THEN 'near_duplicate'
-         |      ELSE 'keep' END AS reason
-         |  FROM fs JOIN fr USING (doc_id) JOIN canon ON canon.doc_id = fs.doc_id)
+      s"""WITH $verdictCtes
          |SELECT doc_id, n_tokens, round(ttr, 6) AS ttr,
          |  round(dupfrac, 6) AS dup_bigram_frac,
          |  (reason = 'keep') AS keep, reason
-         |FROM verdict ORDER BY doc_id""".stripMargin)
+         |FROM verdict ORDER BY doc_id""".stripMargin,
+    "q_keep_rate" ->
+      s"""WITH $verdictCtes,
+         |vs AS (SELECT v.doc_id, v.n_tokens, v.reason, d.source
+         |  FROM verdict v JOIN documents d ON d.doc_id = v.doc_id),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep,
+         |    CAST(sum(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_too_short,
+         |    CAST(sum(CASE WHEN reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_repetitive,
+         |    CAST(sum(CASE WHEN reason = 'low_diversity' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_low_diversity,
+         |    CAST(sum(CASE WHEN reason = 'near_duplicate' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_near_duplicate,
+         |    CAST(sum(CASE WHEN reason = 'keep' THEN n_tokens ELSE 0 END)
+         |      AS BIGINT) AS kept_tokens,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM vs GROUP BY source)
+         |SELECT source, n_docs, n_keep, n_too_short, n_repetitive,
+         |  n_low_diversity, n_near_duplicate, kept_tokens, total_tokens,
+         |  round((n_keep * 1000000 // n_docs) / 1000000.0, 6) AS keep_rate,
+         |  round((kept_tokens * 1000000 // total_tokens) / 1000000.0, 6)
+         |    AS token_keep_rate
+         |FROM a ORDER BY source""".stripMargin)
+
+  /** The filter-pipeline verdict CTE chain (shared by the
+    * q_filter_pipeline and q_keep_rate oracles — identical rules).
+    */
+  private def verdictCtes: String =
+    s"""${Dedup.clusterCtes},
+       |fw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |fs AS (SELECT doc_id, len(words) AS n_tokens,
+       |  len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS ttr FROM fw),
+       |fg AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(words) - 1),
+       |    i -> array_to_string(words[i:i+1], ' '))) AS g FROM fw),
+       |fc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY doc_id, g),
+       |fr AS (SELECT doc_id,
+       |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupfrac
+       |  FROM fc GROUP BY doc_id),
+       |canon AS (SELECT d.doc_id,
+       |    coalesce(c.comp, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN c${Dedup.ClusterIters} c ON d.doc_id = c.node),
+       |verdict AS MATERIALIZED (
+       |  SELECT fs.doc_id, n_tokens, ttr, dupfrac,
+       |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+       |      WHEN dupfrac > $MaxDupBigramFrac THEN 'repetitive'
+       |      WHEN ttr < $MinTypeTokenRatio THEN 'low_diversity'
+       |      WHEN canonical_id <> fs.doc_id THEN 'near_duplicate'
+       |      ELSE 'keep' END AS reason
+       |  FROM fs JOIN fr USING (doc_id) JOIN canon ON canon.doc_id = fs.doc_id)""".stripMargin
 }

@@ -384,6 +384,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pearson correlation between the composite quality score and the
+    * corpus-unigram-LM score — the filter-agreement diagnostic: a
+    * high correlation says the cheap heuristic score and the LM
+    * signal would keep/drop mostly the same documents, so one of the
+    * two passes can be dropped at 100 TB; a low one says they carry
+    * independent information and both stay. Both signals quantize to
+    * integer micro-units per doc, the five regression sums are exact
+    * longs in one map-side-combined aggregate, and the final 1-row
+    * arithmetic converts to double BEFORE the n·Σxy products (the
+    * long product would overflow past ~10⁵ docs) — the identical IEEE
+    * expression on identical longs in both engines.
+    */
+  def qSignalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = qQuality(spark, dir).select(col("doc_id"),
+      round(col("quality_score") * 1e6).cast("long").as("x"))
+    val y = qUnigramLm(spark, dir).select(col("doc_id"),
+      round(col("avg_logp") * 1e6).cast("long").as("y"))
+    x.join(y, "doc_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("num", col("nd") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("denx", col("nd") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("deny", col("nd") * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double"))
+      .select(col("n"),
+        round(col("sx").cast("double") / col("nd") / lit(1e6), 6)
+          .as("mean_quality"),
+        round(col("sy").cast("double") / col("nd") / lit(1e6), 6)
+          .as("mean_logp"),
+        round(col("num") / sqrt(col("denx") * col("deny")), 6).as("pearson_r"))
+  }
+
   val ZipfHead = 100 // fit over the frequency head (the Zipf regime)
 
   /** Zipf-law fit over the vocabulary head — the corpus-health metric
@@ -440,9 +476,49 @@ object TextAnalysis {
     "q_repetition" -> qRepetition,
     "q_pii_scrub" -> qPiiScrub,
     "q_readability" -> qReadability,
-    "q_perplexity_buckets" -> qPerplexityBuckets)
+    "q_perplexity_buckets" -> qPerplexityBuckets,
+    "q_signal_corr" -> qSignalCorr)
 
   val oracles: Map[String, String] = Map(
+    "q_signal_corr" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+         |  FROM documents),
+         |qs AS (SELECT doc_id,
+         |  CAST(round(round(0.4 * least(1.0, len(words) / 50.0)
+         |    + 0.3 * (len(list_distinct(words)) / CAST(len(words) AS DOUBLE))
+         |    + 0.3 * (1.0 - ${sqlHits(EnStops)} / CAST(len(words) AS DOUBLE)), 6)
+         |    * 1000000) AS BIGINT) AS x
+         |  FROM w),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |vocab AS (SELECT tok AS wd, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+         |lq AS MATERIALIZED (
+         |  SELECT wd, CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT)
+         |    AS lq
+         |  FROM vocab CROSS JOIN tot),
+         |ys AS (SELECT doc_id,
+         |    CAST(round(round(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |      * 1000000) AS BIGINT) AS y
+         |  FROM toks JOIN lq ON lq.wd = toks.tok
+         |  GROUP BY doc_id),
+         |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM qs JOIN ys USING (doc_id)),
+         |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+         |  FROM s)
+         |SELECT n,
+         |  round(CAST(sx AS DOUBLE) / nd / 1000000.0, 6) AS mean_quality,
+         |  round(CAST(sy AS DOUBLE) / nd / 1000000.0, 6) AS mean_logp,
+         |  round(num / sqrt(denx * deny), 6) AS pearson_r
+         |FROM d""".stripMargin,
     "q_readability" ->
       s"""WITH s AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -166,6 +166,30 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("keep rate reconciles with the per-doc filter pipeline verdicts") {
+    val kr = operators.Curation.qKeepRate(spark, TestSpark.sf).cache()
+    val v = operators.Curation.qFilterPipeline(spark, TestSpark.sf)
+    assert(kr.agg(sum("n_docs")).head().getLong(0) == v.count())
+    assert(kr.agg(sum("n_keep")).head().getLong(0)
+      == v.filter(col("keep")).count())
+    // the fixed reason columns partition every document
+    val bad = kr.filter(col("n_keep") + col("n_too_short") + col("n_repetitive")
+      + col("n_low_diversity") + col("n_near_duplicate") =!= col("n_docs")).count()
+    assert(bad == 0)
+    assert(kr.filter(col("keep_rate") < 0 || col("keep_rate") > 1).count() == 0)
+    kr.unpersist()
+  }
+
+  test("signal correlation is a valid Pearson r over the full corpus") {
+    val df = TextAnalysis.qSignalCorr(spark, TestSpark.sf)
+    val row = df.head()
+    assert(row.getAs[Long]("n")
+      == Tables.documents(spark, TestSpark.sf).count())
+    val r = row.getAs[Double]("pearson_r")
+    assert(r >= -1.0 && r <= 1.0, s"pearson_r out of range: $r")
+    assert(row.getAs[Double]("mean_logp") < 0.0)
+  }
+
   test("epoch schedule: cap binds exactly when fair share exceeds it") {
     val df = Training.qEpochSchedule(spark, TestSpark.sf)
     assert(df.filter(col("epochs") > Training.MaxEpochs).count() == 0)
