@@ -1005,6 +1005,29 @@ object Analytics {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** One-row graph overview — the "before you run anything" dashboard
+    * (node/edge counts, weight mass, degree spread, density): two tiny
+    * aggregates over the co-occurrence build, ratios on the integer
+    * micro-grid. The whole corpus collapses before any of the numbers
+    * are combined, so this costs one mentions pass at any scale.
+    */
+  def qGraphSummary(spark: SparkSession, dir: String): DataFrame = {
+    val co = cooccur(spark, dir).localCheckpoint(false)
+    val deg = co.select(col("e1").as("n")).unionByName(co.select(col("e2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("d")).as("max_degree"))
+    val edgesAgg = co.agg(count(lit(1)).as("n_edges"),
+      sum(col("weight")).as("total_weight"))
+    nodes.crossJoin(broadcast(edgesAgg))
+      .select(col("n_nodes"), col("n_edges"), col("total_weight"),
+        col("max_degree"),
+        round(expr("n_edges * 2 * 1000000 div n_nodes") / lit(1e6), 6)
+          .as("avg_degree"),
+        round(expr("n_edges * 2 * 1000000 div (n_nodes * (n_nodes - 1))")
+          / lit(1e6), 6).as("density"))
+  }
+
   def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
     val co = cooccur(spark, dir)
     val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
@@ -1118,6 +1141,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edge_support" -> qEdgeSupport,
     "q_ktruss_peel" -> qKtrussPeel,
+    "q_graph_summary" -> qGraphSummary,
     "q_closeness" -> qCloseness,
     "q_betweenness" -> qBetweenness,
     "q_neighbor_sample" -> qNeighborSample,
@@ -1153,6 +1177,21 @@ object Analytics {
          |    AS BIGINT) AS in_truss4
          |FROM cooccur c LEFT JOIN sup s ON s.e1 = c.e1 AND s.e2 = c.e2
          |ORDER BY c.e1, c.e2""".stripMargin,
+    "q_graph_summary" ->
+      s"""WITH $CooccurSql,
+         |dg AS (SELECT n, count(*) AS d FROM (
+         |    SELECT e1 AS n FROM cooccur UNION ALL SELECT e2 FROM cooccur)
+         |  GROUP BY n),
+         |nd AS (SELECT count(*) AS n_nodes, CAST(max(d) AS BIGINT) AS max_degree
+         |  FROM dg),
+         |eg AS (SELECT count(*) AS n_edges,
+         |  CAST(sum(weight) AS BIGINT) AS total_weight FROM cooccur)
+         |SELECT n_nodes, n_edges, total_weight, max_degree,
+         |  round((n_edges * 2 * 1000000 // n_nodes) / 1000000.0, 6)
+         |    AS avg_degree,
+         |  round((n_edges * 2 * 1000000 // (n_nodes * (n_nodes - 1)))
+         |    / 1000000.0, 6) AS density
+         |FROM nd CROSS JOIN eg""".stripMargin,
     "q_ktruss_peel" ->
       s"""WITH $CooccurSql,
          |sup1 AS MATERIALIZED (

@@ -121,6 +121,66 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  val HllM = 256                     // registers (p = 8)
+  val HllAlphaMm: Double =           // α_m · m² (Flajolet et al. 2007)
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+  val HllPow53 = 9007199254740992L   // 2^53: the integer register scale
+
+  /** HyperLogLog distinct count per event type (Flajolet et al. 2007)
+    * — the register-based sketch beside the KMV order-statistics one,
+    * ORACLE-CHECKED because every piece is exact-integer or a single
+    * deterministic double op: the 60-bit md5 hash splits into an
+    * 8-bit register index and a 52-bit suffix whose leading-zero rank
+    * comes from hex-string arithmetic (identical in both engines);
+    * the harmonic sum Σ2^(−reg) is computed as exact LONGS scaled by
+    * 2^53 (a float sum of mixed-magnitude powers of two would be
+    * summation-order-dependent — the one thing a distributed engine
+    * cannot promise); the estimate is one double division by the
+    * exact scaled sum, with Flajolet's small-range linear-counting
+    * correction. Fixed 256-register state per type, mergeable by
+    * register max — the classic 100 TB cardinality shape.
+    */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val regs = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("hll#"), col("user_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("reg", col("h") % HllM)
+      .withColumn("hs", lpad(hex(expr(s"h div $HllM")), 13, "0"))
+      .withColumn("z", length(regexp_extract(col("hs"), "^0*", 0)))
+      .withColumn("d1", expr("substr(hs, z + 1, 1)"))
+      .withColumn("rho",
+        when(col("z") === 13, lit(53))
+          .otherwise(col("z") * 4 + lit(1)
+            + when(col("d1") === "1", 3)
+              .when(col("d1").isin("2", "3"), 2)
+              .when(col("d1").isin("4", "5", "6", "7"), 1)
+              .otherwise(0)))
+      .groupBy("event_type", "reg").agg(max(col("rho")).as("mrho"))
+    val exact = Tables.events(spark, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))"))
+          .as("s_present"))
+      .withColumn("v_zero", lit(HllM.toLong) - col("n_present"))
+      .withColumn("s_scaled",
+        col("s_present") + col("v_zero") * lit(HllPow53))
+      .withColumn("est_raw",
+        lit(HllAlphaMm * HllPow53.toDouble) / col("s_scaled").cast("double"))
+      .withColumn("est_d",
+        when(col("est_raw") <= 2.5 * HllM && col("v_zero") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
+          .otherwise(col("est_raw")))
+      .withColumn("est_users", round(col("est_d")).cast("long"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_present"), col("v_zero"),
+        col("est_users"), col("exact_users"),
+        round(abs(col("est_users") - col("exact_users"))
+          / col("exact_users").cast("double"), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   val HistBuckets = 256
 
   /** One-pass histogram quantiles per event type — the mergeable,
@@ -171,9 +231,57 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> qHeavyHitters,
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_hll_distinct" -> qHllDistinct,
     "q_hist_quantiles" -> qHistQuantiles)
 
   val oracles: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      s"""WITH hh AS (
+         |  SELECT event_type,
+         |    CAST('0x' || substr(md5('hll#' || user_id), 1, 15) AS BIGINT) AS h
+         |  FROM events),
+         |rr AS (
+         |  SELECT event_type, h % $HllM AS reg,
+         |    lpad(hex(h // $HllM), 13, '0') AS hs
+         |  FROM hh),
+         |rho AS (
+         |  SELECT event_type, reg,
+         |    CASE WHEN z = 13 THEN 53
+         |      ELSE z * 4 + 1 + (CASE WHEN d1 = '1' THEN 3
+         |        WHEN d1 IN ('2','3') THEN 2
+         |        WHEN d1 IN ('4','5','6','7') THEN 1 ELSE 0 END)
+         |    END AS rho
+         |  FROM (SELECT event_type, reg,
+         |      length(regexp_extract(hs, '^0*')) AS z,
+         |      substr(hs, length(regexp_extract(hs, '^0*')) + 1, 1) AS d1
+         |    FROM rr)),
+         |regs AS (SELECT event_type, reg, max(rho) AS mrho
+         |  FROM rho GROUP BY event_type, reg),
+         |a AS (SELECT event_type,
+         |    count(*) AS n_present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS s_present
+         |  FROM regs GROUP BY event_type),
+         |e AS (SELECT event_type, n_present,
+         |    $HllM - n_present AS v_zero,
+         |    s_present + ($HllM - n_present) * $HllPow53 AS s_scaled
+         |  FROM a),
+         |est AS (SELECT event_type, n_present, v_zero,
+         |    CASE WHEN ${HllAlphaMm * HllPow53.toDouble}
+         |        / CAST(s_scaled AS DOUBLE) <= ${2.5 * HllM}
+         |        AND v_zero > 0
+         |      THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v_zero)
+         |      ELSE ${HllAlphaMm * HllPow53.toDouble} / CAST(s_scaled AS DOUBLE)
+         |    END AS est_d
+         |  FROM e),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY event_type)
+         |SELECT est.event_type, CAST(n_present AS BIGINT) AS n_present,
+         |  CAST(v_zero AS BIGINT) AS v_zero,
+         |  CAST(round(est_d) AS BIGINT) AS est_users, exact_users,
+         |  round(abs(CAST(round(est_d) AS BIGINT) - exact_users)
+         |    / CAST(exact_users AS DOUBLE), 6) AS rel_err
+         |FROM est JOIN x ON x.event_type = est.event_type
+         |ORDER BY est.event_type""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH d AS MATERIALIZED (
          |  SELECT DISTINCT event_type,

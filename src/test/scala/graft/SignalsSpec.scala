@@ -144,6 +144,27 @@ class SignalsSpec extends AnyFunSuite {
     assert(df.filter(col("rel_err") > 0.5).count() == 0)
   }
 
+  test("HLL registers partition; estimate within the sketch's error regime") {
+    val df = Sketches.qHllDistinct(spark, TestSpark.sf).cache()
+    assert(df.filter(col("n_present") + col("v_zero") =!= Sketches.HllM.toLong)
+      .count() == 0)
+    // 256 registers → ~6.5% typical error; 25% is a loose CI guard
+    assert(df.filter(col("rel_err") > 0.25).count() == 0,
+      s"HLL error above regime: ${df.collect().toSeq}")
+    df.unpersist()
+  }
+
+  test("graph summary reconciles with the co-occurrence table") {
+    val gs = graft.graph.Analytics.qGraphSummary(spark, TestSpark.sf).head()
+    val co = graft.graph.Analytics.qCooccur(spark, TestSpark.sf)
+    assert(gs.getAs[Long]("n_edges") == co.count())
+    assert(gs.getAs[Long]("total_weight")
+      == co.agg(sum("weight")).head().getLong(0))
+    val n = gs.getAs[Long]("n_nodes")
+    assert(gs.getAs[Double]("density") >= 0.0 && gs.getAs[Double]("density") <= 1.0)
+    assert(gs.getAs[Long]("max_degree") <= n - 1)
+  }
+
   test("histogram quantiles bracket the exact percentiles within two buckets") {
     val df = Sketches.qHistQuantiles(spark, TestSpark.sf)
       .join(Tables.events(spark, TestSpark.sf).groupBy("event_type")
