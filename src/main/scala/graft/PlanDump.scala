@@ -79,6 +79,11 @@ object PlanDump {
       "q_top_component" -> "power iteration: broadcast 1-row w, corpus pass + 64-row dim sum",
       "q_training_export" -> "curation verdict → two-level packing → shard hash as ONE plan",
       "q_edge_support" -> "truss support: degree-oriented wedge equi-joins, hub fan-out bounded",
+      "q_ktruss_peel" -> "two peel rounds, same support plan on a shrinking edge list",
+      "q_passage_rank" -> "chunk BM25 → k=1 heap per doc → global TakeOrdered",
+      "q_cypher_sp" -> "Cypher shortestPath compiled to frontier BFS, not a path unroll",
+      "q_hll_distinct" -> "register maxes map-side; harmonic sum as exact scaled longs",
+      "q_dau_stickiness" -> "one (day,user) dedup pass + broadcast day-join window distinct",
       "q_kmv_distinct" -> "KMV minima via TopKPerGroup heaps — distinct hashes never converge",
       "q_hist_quantiles" -> "broadcast min/max + map-side bucket counts; window over ≤256 rows/type",
       "q_grouping_sets" -> "three grouping sets Expanded under ONE partial-agg exchange",
