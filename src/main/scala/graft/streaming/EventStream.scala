@@ -211,6 +211,23 @@ object EventStream {
       }
   }
 
+  /** Streaming heavy hitters — the Misra–Gries typed Aggregator
+    * (functions.FreqItemsAgg, Sketches.freqItems' batch engine) run AS
+    * a streaming stateful aggregate: state is the ≤ k-counter sketch
+    * per group, each micro-batch merges in through the SAME
+    * Aggregator merge the batch path uses — one sketch implementation,
+    * two execution modes (the mergeable-summaries property is exactly
+    * what makes a sketch streamable). Update mode emits the current
+    * sketch per group per batch; with k ≥ distinct keys the sketch is
+    * exact regardless of arrival order, and below that the
+    * Misra–Gries guarantees hold (never overestimates, any key with
+    * freq > n/(k+1) survives) — both spec-pinned.
+    */
+  def heavyHittersStream(words: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.FreqItemsAgg(k))
+    words.groupBy("grp").agg(agg(col("word")).as("sketch"))
+  }
+
   /** Streaming exact dedup twin: drop duplicate event_ids within the
     * watermark horizon (the streaming analogue of Dedup.qDedupExact's
     * grouping — bounded state via the event-time watermark).

@@ -326,6 +326,62 @@ class StreamingSpec extends AnyFunSuite {
       "streaming sketch state diverged from the batch KMV")
   }
 
+  test("streaming MG sketch is exact across micro-batches when k covers the vocabulary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .collect().map(_.getString(0))
+    val nDistinct = words.distinct.length
+    val input = MemoryStream[String]
+    // complete mode: the memory sink holds exactly the CURRENT state
+    // after each trigger, so the final read IS the converged sketch
+    val q = EventStream.heavyHittersStream(
+        input.toDF().select(lit("all").as("grp"), col("value").as("word")),
+        k = nDistinct + 8)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mg_out").start()
+    val (b1, b2) = words.splitAt(words.length / 2)
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // with k >= distinct the MG sketch never evicts, so counts are
+    // EXACT whatever the batching
+    val est = spark.table("mg_out")
+      .select(explode(col("sketch")).as(Seq("word", "est")))
+    val exact = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("est"))
+    assert(est.except(exact).count() == 0 && exact.except(est).count() == 0,
+      "streaming MG state diverged from exact counts at k >= |vocab|")
+  }
+
+  test("streaming MG sketch below capacity keeps the heavy hitter, never overestimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40% of the stream is 'hot'; k=4 counters, fed in 3 batches
+    val stream = (1 to 200).flatMap(i =>
+      Seq("hot") ++ (if (i % 5 == 0) Seq(s"cold$i", s"cold${i}b") else Seq(s"rare$i")))
+    val input = MemoryStream[String]
+    val q = EventStream.heavyHittersStream(
+        input.toDF().select(lit("all").as("grp"), col("value").as("word")), k = 4)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mg_small").start()
+    try {
+      stream.grouped(150).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sk = spark.table("mg_small").head().getAs[Map[String, Long]]("sketch")
+    val trueHot = stream.count(_ == "hot").toLong
+    assert(sk.contains("hot"),
+      s"freq > n/(k+1) key must survive the MG sketch: $sk")
+    assert(sk("hot") <= trueHot, "MG must never overestimate")
+    assert(sk("hot") >= trueHot - stream.size / 5,
+      s"MG undercount beyond the n/(k+1) bound: ${sk("hot")} vs $trueHot")
+  }
+
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
     val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
     val fromSql = ids.toDF("user_id")
