@@ -45,7 +45,13 @@ class InvarianceSpec extends AnyFunSuite {
       // closeness, KMV heap minima, bucketed histogram quantiles,
       // per-lang percentile terciles, grouping-set expand
       "q_edge_support", "q_closeness", "q_kmv_distinct",
-      "q_hist_quantiles", "q_perplexity_buckets", "q_grouping_sets")
+      "q_hist_quantiles", "q_perplexity_buckets", "q_grouping_sets",
+      // closing round-6 additions: truss peel, broadcast day-join
+      // window distinct, k=1 passage heap, verdict rollup, integer-
+      // grid Pearson, scaled-long HLL registers, shortestPath BFS
+      "q_ktruss_peel", "q_dau_stickiness", "q_passage_rank",
+      "q_keep_rate", "q_signal_corr", "q_hll_distinct",
+      "q_graph_summary", "q_cypher_sp")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
