@@ -201,6 +201,7 @@ object Bench {
       "keep_rate" -> "kr", "signal_corr" -> "sgc",
       "cypher_sp" -> "csp",
       "hll_distinct" -> "hll", "graph_summary" -> "gsm",
+      "media_resize" -> "mrz",
       "cluster_purity" -> "cp", "zipf_fit" -> "zf",
       "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
       "mix_temperature" -> "mx", "rag_context" -> "rag",

@@ -172,13 +172,56 @@ object Media {
         (count(lit(1)) - countDistinct(col("cmd5"))).as("n_exact_dups"))
       .orderBy("mime")
 
+  val ResizeStride = 4   // keep every 4th byte (stand-in for pixel decimation)
+  val ResizeCap = 256    // output payload cap (the "target resolution")
+
+  /** Resize plumbing — the last of the brief's four media verbs
+    * (decode / feature-extract / frame-sample / RESIZE): payloads are
+    * decimated by a deterministic byte stride and capped, standing in
+    * for pixel-space downsampling exactly like decodeStub stands in
+    * for the codec (a real deployment swaps the sampling expression
+    * for the image op; the narrow binary→binary pass, the metadata
+    * columns, and the original-never-shuffles shape are the real
+    * plumbing). Emits old/new sizes + content digest so the
+    * round-trip is oracle-checkable.
+    */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .withColumn("s", col("media").cast("string"))
+      .withColumn("resized",
+        expr(s"""array_join(transform(
+          sequence(1, least(length(s), ${ResizeStride * ResizeCap}), $ResizeStride),
+          i -> substr(s, i, 1)), '')"""))
+      .select(col("doc_id"), col("mime"),
+        octet_length(col("media")).cast("long").as("orig_bytes"),
+        length(col("resized")).cast("long").as("resized_bytes"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_resize" -> qMediaResize,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames" -> qMediaFrames,
     "q_media_manifest" -> qMediaManifest,
     "q_media_phash" -> qMediaPhash)
 
   val oracles: Map[String, String] = Map(
+    "q_media_resize" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 'image/png'
+         |         WHEN lang = 'de' THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS mime,
+         |    CAST(length(text) AS BIGINT) AS orig_bytes,
+         |    array_to_string(list_transform(
+         |      generate_series(1, least(length(text), ${ResizeStride * ResizeCap}),
+         |        $ResizeStride),
+         |      i -> substr(text, i, 1)), '') AS resized
+         |  FROM documents)
+         |SELECT doc_id, mime, orig_bytes,
+         |  CAST(length(resized) AS BIGINT) AS resized_bytes,
+         |  md5(resized) AS resized_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_media_manifest" ->
       """WITH m AS (
         |  SELECT CASE WHEN lang = 'en' THEN 'image/png'

@@ -177,6 +177,16 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("media resize: stride decimation with a hard output cap") {
+    val df = multimodal.Media.qMediaResize(spark, TestSpark.sf)
+    val stride = multimodal.Media.ResizeStride
+    val bad = df.filter(col("resized_bytes") > multimodal.Media.ResizeCap
+      || col("resized_bytes") =!=
+        least(ceil(col("orig_bytes") / stride.toDouble),
+          lit(multimodal.Media.ResizeCap.toLong))).count()
+    assert(bad == 0)
+  }
+
   test("media manifest: items and bytes reconcile with the documents table") {
     val m = multimodal.Media.qMediaManifest(spark, TestSpark.sf)
     val nDocs = Tables.documents(spark, TestSpark.sf).count()
