@@ -21,6 +21,134 @@ object Bench {
     val m = String.valueOf(e.getMessage).linesIterator.next()
     s"${e.getClass.getSimpleName}: $m".take(40)
   }
+  // Key compression: with ~120 queries the JSON line must stay well
+  // inside the driver's ~2000-char log tail (≤1500 chars target, sbt
+  // epilogue included) or the round's bench JSON records parsed:null
+  // — rounds 1-3 all did. Keys drop the "q_" prefix, shorten the
+  // cypher family ("cypher_ex14" → "c14"), then apply word-level
+  // codes (first match in list order wins via sequential replace).
+  // Map documented in SURVEY §6; collisions disambiguated by index.
+  private[graft] val abbrev: Seq[(String, String)] = Seq(
+      // whole-name compressions first (the word-level rules below
+      // would otherwise rewrite these names before they can match)
+      "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
+      "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
+      "dau_stickiness" -> "dau", "passage_rank" -> "psg",
+      "keep_rate" -> "kr", "signal_corr" -> "sgc",
+      "cypher_sp" -> "csp",
+      "hll_distinct" -> "hll", "graph_summary" -> "gsm",
+      "media_resize" -> "mrz",
+      "cluster_purity" -> "cp", "zipf_fit" -> "zf",
+      "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
+      "mix_temperature" -> "mx", "rag_context" -> "rag",
+      "entity_resolution" -> "er", "knn_join_ivf" -> "kv",
+      "grouping_sets" -> "gst", "readability" -> "fre",
+      "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
+      "edge_support" -> "esup", "closeness" -> "clos",
+      "epoch_schedule" -> "epo",
+      "q1_agg" -> "q1", "q3_join" -> "q3",
+      "entity_candidates" -> "ecd",
+      "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
+      "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
+      "neardup_candidates" -> "ndc", "source_report" -> "srp",
+      "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
+      "ann_ivfpq" -> "aq", "ann_lsh" -> "al",
+      "ann_ivf" -> "aivf", "ann_pq" -> "apq",
+      "window_suite" -> "win", "length_hist" -> "lh",
+      "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
+      "corpus_stats" -> "cst",
+      "dedup_simhash64" -> "d64", "dedup_temporal" -> "ddt",
+      "dedup_substring" -> "dds", "dedup_embedding" -> "dde",
+      "dedup_incremental" -> "ddi", "dedup_url" -> "ddu",
+      "dedup_containment" -> "ddc", "dedup_ngram" -> "ddn",
+      "source_minhash" -> "smh", "cosine_topk_filtered" -> "ctf", "cosine_topk" -> "ck",
+      "tfidf" -> "tfi", "stratified_sample" -> "ssp",
+      "drift_report" -> "drf", "tokenize_subword" -> "tks",
+      "filter_pipeline" -> "fpi", "semi_anti" -> "sma",
+      "quantize_embeddings" -> "qze", "kcore" -> "kc",
+      "bloom_decontaminate" -> "bld", "shard_export" -> "shx",
+      "subword_vocab" -> "swv", "burst_detect" -> "bst",
+      "curation_e2e" -> "ce2", "dsir_weights" -> "dsr",
+      "hard_negatives" -> "hng", "pmi_cooccur" -> "pmi",
+      "domain_mix" -> "dmx", "full_outer" -> "fo",
+      "top_users" -> "tu", "graph_nodes" -> "gn",
+      "graph_schema" -> "gs", "article_topics" -> "at",
+      "token_count" -> "tc", "percentiles" -> "pc",
+      "bpe_vocab" -> "bpv", "training_export" -> "tex",
+      "doc_similarity" -> "dsm",
+      "media_features" -> "mdf", "media_frames" -> "mfr",
+      "chunk_overlap" -> "chov", "entity_degree" -> "edg",
+      "chunks_by_entities" -> "cbe", "chunks_from_articles" -> "cfa",
+      "vocab_topk" -> "vtk",
+      "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
+      "entity_" -> "ent", "entities" -> "ents", "cosine_" -> "cs",
+      "embeddings" -> "emb", "embedding" -> "emb",
+      "articles_" -> "arts", "articles" -> "arts",
+      "sources_" -> "srcs", "mentioning" -> "mn", "mentions" -> "mns",
+      "quantize_" -> "qz", "sequences" -> "sq", "pack_" -> "pk",
+      "stratified_sample" -> "strat", "train_test_split" -> "tts",
+      "tokenize_subword" -> "toksw", "subword_vocab" -> "swvoc",
+      "decontaminate" -> "dcn", "bloom_" -> "bl",
+      "retrieval" -> "rtr", "expand_" -> "xp", "fingerprint" -> "fpr",
+      "percentiles" -> "pct", "heavy_hitters" -> "hh",
+      "shortest_path" -> "sp", "components" -> "cc",
+      "containment" -> "cnt", "repetition" -> "rep",
+      "sessionize" -> "ssz", "session_window" -> "ssw",
+      "fulltext_query" -> "ftq", "media_" -> "md",
+      "filter_pipeline" -> "fpipe",
+      "events_window" -> "evw", "event_anomaly" -> "eva",
+      "graph_" -> "g", "window_suite" -> "winst", "incremental" -> "inc",
+      "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
+      "link_prediction" -> "lp",
+      "doc_similarity" -> "dsim", "hybrid_search" -> "hyb",
+      "neardup_" -> "nd",
+      "simhash64" -> "sh64", "simhash" -> "sh",
+      "minhash_est" -> "mhe", "minhash" -> "mh",
+      "substring" -> "sub", "ngram" -> "ng", "exact" -> "ex",
+      "clusters" -> "cl", "source_" -> "src",
+      "knn_join_ivf" -> "knnivf", "knn_join" -> "knn",
+      "topk_custom" -> "tkc", "topn_auto" -> "tna",
+      "topn_per_group" -> "tpg", "topk_filtered" -> "tkf", "topk" -> "tk",
+      "unigram_lm" -> "ulm", "bigram_lm" -> "blm",
+      "token_count" -> "tokc", "corpus_stats" -> "cstat",
+      "quality_classifier" -> "qcls", "quality_buckets" -> "qbk",
+      "quality" -> "qly", "lang_id" -> "lid",
+      "lpa_communities" -> "lpa", "lines" -> "ln",
+      "dsir_weights" -> "dsir", "semdedup" -> "sdd",
+      "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
+      "length_hist" -> "lhist", "drift_report" -> "drift",
+      "prf_expansion" -> "prf", "cluster_purity" -> "cpur",
+      "burst_detect" -> "burst", "ql_ranking" -> "ql",
+      "mix_temperature" -> "mixt", "report" -> "rpt",
+      "kmeans" -> "km", "ann_recall" -> "rcl",
+      "modularity" -> "mod", "proto_filter" -> "proto",
+      "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
+      "training_export" -> "texp", "bpe_train" -> "bpe",
+      "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
+      "neighbor_sample" -> "nbs", "betweenness" -> "btw",
+      "top_component" -> "pc1",
+      "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
+      "resolution" -> "res", "temporal" -> "tmp",
+      "curation_e2e" -> "cure",
+      "pii_scrub" -> "pii", "domain_mix" -> "dmix",
+      "shard_export" -> "shard",
+      "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",
+      "full_outer" -> "fout", "semi_anti" -> "semia",
+      "salted_agg" -> "salt",
+      "json_props" -> "jsp", "retention" -> "rtn",
+      "triangles" -> "tri", "sentences" -> "sn",
+      "by_" -> "by", "from_" -> "fr",
+      "article_topics" -> "atop", "candidates" -> "cand",
+      "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
+      "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "rup",
+      "pivot" -> "piv",
+      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmat",
+      "x_amortized_dd" -> "xad", "x_amortized" -> "xam")
+  private[graft] def key(k: String): String = {
+    val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
+    abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -184,133 +312,6 @@ object Bench {
         val s = "%.1f".format(v)
         if (s.endsWith(".0")) s.dropRight(2) else s
       }
-    }
-    // Key compression: with ~120 queries the JSON line must stay well
-    // inside the driver's ~2000-char log tail (≤1500 chars target, sbt
-    // epilogue included) or the round's bench JSON records parsed:null
-    // — rounds 1-3 all did. Keys drop the "q_" prefix, shorten the
-    // cypher family ("cypher_ex14" → "c14"), then apply word-level
-    // codes (first match in list order wins via sequential replace).
-    // Map documented in SURVEY §6; collisions disambiguated by index.
-    val abbrev = Seq(
-      // whole-name compressions first (the word-level rules below
-      // would otherwise rewrite these names before they can match)
-      "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
-      "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
-      "dau_stickiness" -> "dau", "passage_rank" -> "psg",
-      "keep_rate" -> "kr", "signal_corr" -> "sgc",
-      "cypher_sp" -> "csp",
-      "hll_distinct" -> "hll", "graph_summary" -> "gsm",
-      "media_resize" -> "mrz",
-      "cluster_purity" -> "cp", "zipf_fit" -> "zf",
-      "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
-      "mix_temperature" -> "mx", "rag_context" -> "rag",
-      "entity_resolution" -> "er", "knn_join_ivf" -> "kv",
-      "grouping_sets" -> "gst", "readability" -> "fre",
-      "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
-      "edge_support" -> "esup", "closeness" -> "clos",
-      "epoch_schedule" -> "epo",
-      "q1_agg" -> "q1", "q3_join" -> "q3",
-      "entity_candidates" -> "ecd",
-      "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
-      "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
-      "neardup_candidates" -> "ndc", "source_report" -> "srp",
-      "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
-      "ann_ivfpq" -> "aq", "ann_lsh" -> "al",
-      "ann_ivf" -> "aivf", "ann_pq" -> "apq",
-      "window_suite" -> "win", "length_hist" -> "lh",
-      "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
-      "corpus_stats" -> "cst",
-      "dedup_simhash64" -> "d64", "dedup_temporal" -> "ddt",
-      "dedup_substring" -> "dds", "dedup_embedding" -> "dde",
-      "dedup_incremental" -> "ddi", "dedup_url" -> "ddu",
-      "dedup_containment" -> "ddc", "dedup_ngram" -> "ddn",
-      "source_minhash" -> "smh", "cosine_topk_filtered" -> "ctf", "cosine_topk" -> "ck",
-      "tfidf" -> "tfi", "stratified_sample" -> "ssp",
-      "drift_report" -> "drf", "tokenize_subword" -> "tks",
-      "filter_pipeline" -> "fpi", "semi_anti" -> "sma",
-      "quantize_embeddings" -> "qze", "kcore" -> "kc",
-      "bloom_decontaminate" -> "bld", "shard_export" -> "shx",
-      "subword_vocab" -> "swv", "burst_detect" -> "bst",
-      "curation_e2e" -> "ce2", "dsir_weights" -> "dsr",
-      "hard_negatives" -> "hng", "pmi_cooccur" -> "pmi",
-      "domain_mix" -> "dmx", "full_outer" -> "fo",
-      "top_users" -> "tu", "graph_nodes" -> "gn",
-      "graph_schema" -> "gs", "article_topics" -> "at",
-      "token_count" -> "tc", "percentiles" -> "pc",
-      "bpe_vocab" -> "bpv", "training_export" -> "tex",
-      "doc_similarity" -> "dsm",
-      "media_features" -> "mdf", "media_frames" -> "mfr",
-      "chunk_overlap" -> "chov", "entity_degree" -> "edg",
-      "chunks_by_entities" -> "cbe", "chunks_from_articles" -> "cfa",
-      "vocab_topk" -> "vtk",
-      "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
-      "entity_" -> "ent", "entities" -> "ents", "cosine_" -> "cs",
-      "embeddings" -> "emb", "embedding" -> "emb",
-      "articles_" -> "arts", "articles" -> "arts",
-      "sources_" -> "srcs", "mentioning" -> "mn", "mentions" -> "mns",
-      "quantize_" -> "qz", "sequences" -> "sq", "pack_" -> "pk",
-      "stratified_sample" -> "strat", "train_test_split" -> "tts",
-      "tokenize_subword" -> "toksw", "subword_vocab" -> "swvoc",
-      "decontaminate" -> "dcn", "bloom_" -> "bl",
-      "retrieval" -> "rtr", "expand_" -> "xp", "fingerprint" -> "fpr",
-      "percentiles" -> "pct", "heavy_hitters" -> "hh",
-      "shortest_path" -> "sp", "components" -> "cc",
-      "containment" -> "cnt", "repetition" -> "rep",
-      "sessionize" -> "ssz", "session_window" -> "ssw",
-      "fulltext_query" -> "ftq", "media_" -> "md",
-      "filter_pipeline" -> "fpipe",
-      "events_window" -> "evw", "event_anomaly" -> "eva",
-      "graph_" -> "g", "window_suite" -> "winst", "incremental" -> "inc",
-      "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
-      "link_prediction" -> "lp",
-      "doc_similarity" -> "dsim", "hybrid_search" -> "hyb",
-      "neardup_" -> "nd",
-      "simhash64" -> "sh64", "simhash" -> "sh",
-      "minhash_est" -> "mhe", "minhash" -> "mh",
-      "substring" -> "sub", "ngram" -> "ng", "exact" -> "ex",
-      "clusters" -> "cl", "source_" -> "src",
-      "knn_join_ivf" -> "knnivf", "knn_join" -> "knn",
-      "topk_custom" -> "tkc", "topn_auto" -> "tna",
-      "topn_per_group" -> "tpg", "topk_filtered" -> "tkf", "topk" -> "tk",
-      "unigram_lm" -> "ulm", "bigram_lm" -> "blm",
-      "token_count" -> "tokc", "corpus_stats" -> "cstat",
-      "quality_classifier" -> "qcls", "quality_buckets" -> "qbk",
-      "quality" -> "qly", "lang_id" -> "lid",
-      "lpa_communities" -> "lpa", "lines" -> "ln",
-      "dsir_weights" -> "dsir", "semdedup" -> "sdd",
-      "hard_negatives" -> "hneg", "pmi_cooccur" -> "pmic",
-      "length_hist" -> "lhist", "drift_report" -> "drift",
-      "prf_expansion" -> "prf", "cluster_purity" -> "cpur",
-      "burst_detect" -> "burst", "ql_ranking" -> "ql",
-      "mix_temperature" -> "mixt", "report" -> "rpt",
-      "kmeans" -> "km", "ann_recall" -> "rcl",
-      "modularity" -> "mod", "proto_filter" -> "proto",
-      "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
-      "training_export" -> "texp", "bpe_train" -> "bpe",
-      "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
-      "neighbor_sample" -> "nbs", "betweenness" -> "btw",
-      "top_component" -> "pc1",
-      "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
-      "resolution" -> "res", "temporal" -> "tmp",
-      "curation_e2e" -> "cure",
-      "pii_scrub" -> "pii", "domain_mix" -> "dmix",
-      "shard_export" -> "shard",
-      "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",
-      "full_outer" -> "fout", "semi_anti" -> "semia",
-      "salted_agg" -> "salt",
-      "json_props" -> "jsp", "retention" -> "rtn",
-      "triangles" -> "tri", "sentences" -> "sn",
-      "by_" -> "by", "from_" -> "fr",
-      "article_topics" -> "atop", "candidates" -> "cand",
-      "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
-      "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "rup",
-      "pivot" -> "piv",
-      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmat",
-      "x_amortized_dd" -> "xad", "x_amortized" -> "xam")
-    def key(k: String): String = {
-      val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
-      abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
     }
     // Collision guard: two query names must never emit the same key
     // (the driver's per-query map would silently drop one).
