@@ -38,22 +38,25 @@ object Bench {
       "cypher_sp" -> "csp",
       "hll_distinct" -> "hll", "graph_summary" -> "gsm",
       "media_resize" -> "mrz",
+      "dedup_clusters" -> "dcl", "dedup_simhash" -> "dsh",
+      "dedup_exact" -> "dex", "dedup_lines" -> "dln",
+      "dedup_minhash" -> "dmh", "hits" -> "ht",
       "cluster_purity" -> "cp", "zipf_fit" -> "zf",
       "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
       "mix_temperature" -> "mx", "rag_context" -> "rag",
       "entity_resolution" -> "er", "knn_join_ivf" -> "kv",
       "grouping_sets" -> "gst", "readability" -> "fre",
       "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
-      "edge_support" -> "esup", "closeness" -> "clos",
+      "edge_support" -> "es", "closeness" -> "clo",
       "epoch_schedule" -> "epo",
       "q1_agg" -> "q1", "q3_join" -> "q3",
       "entity_candidates" -> "ecd",
       "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
-      "chunk_sentences" -> "chsn", "chunk_fold" -> "chf",
+      "chunk_sentences" -> "csn", "chunk_fold" -> "chf",
       "neardup_candidates" -> "ndc", "source_report" -> "srp",
       "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
       "ann_ivfpq" -> "aq", "ann_lsh" -> "al",
-      "ann_ivf" -> "aivf", "ann_pq" -> "apq",
+      "ann_ivf" -> "ai", "ann_pq" -> "apq",
       "window_suite" -> "win", "length_hist" -> "lh",
       "expand_retrieval" -> "xpr", "proto_filter" -> "prt",
       "corpus_stats" -> "cst",
@@ -77,7 +80,7 @@ object Bench {
       "bpe_vocab" -> "bpv", "training_export" -> "tex",
       "doc_similarity" -> "dsm",
       "media_features" -> "mdf", "media_frames" -> "mfr",
-      "chunk_overlap" -> "chov", "entity_degree" -> "edg",
+      "chunk_overlap" -> "cv", "entity_degree" -> "edg",
       "chunks_by_entities" -> "cbe", "chunks_from_articles" -> "cfa",
       "vocab_topk" -> "vtk",
       "dedup_" -> "dd", "chunks_" -> "ch", "chunk_" -> "ch", "chunk" -> "ch",
@@ -94,9 +97,9 @@ object Bench {
       "shortest_path" -> "sp", "components" -> "cc",
       "containment" -> "cnt", "repetition" -> "rep",
       "sessionize" -> "ssz", "session_window" -> "ssw",
-      "fulltext_query" -> "ftq", "media_" -> "md",
+      "fulltext_query" -> "fq", "media_" -> "md",
       "filter_pipeline" -> "fpipe",
-      "events_window" -> "evw", "event_anomaly" -> "eva",
+      "events_window" -> "ew", "event_anomaly" -> "eva",
       "graph_" -> "g", "window_suite" -> "winst", "incremental" -> "inc",
       "pagerank_weighted" -> "wpr", "pagerank" -> "pr",
       "link_prediction" -> "lp",
@@ -121,28 +124,28 @@ object Bench {
       "burst_detect" -> "burst", "ql_ranking" -> "ql",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
-      "modularity" -> "mod", "proto_filter" -> "proto",
+      "modularity" -> "mo", "proto_filter" -> "proto",
       "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
       "training_export" -> "texp", "bpe_train" -> "bpe",
       "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
       "neighbor_sample" -> "nbs", "betweenness" -> "btw",
       "top_component" -> "pc1",
-      "token_fertility" -> "fert", "ann_ivfpq" -> "ivfpq",
+      "token_fertility" -> "ft", "ann_ivfpq" -> "ivfpq",
       "resolution" -> "res", "temporal" -> "tmp",
       "curation_e2e" -> "cure",
       "pii_scrub" -> "pii", "domain_mix" -> "dmix",
       "shard_export" -> "shard",
-      "rolling_avg" -> "ravg", "range_join" -> "rgj", "asof_join" -> "asof",
+      "rolling_avg" -> "rv", "range_join" -> "rgj", "asof_join" -> "aj",
       "full_outer" -> "fout", "semi_anti" -> "semia",
-      "salted_agg" -> "salt",
+      "salted_agg" -> "sa",
       "json_props" -> "jsp", "retention" -> "rtn",
       "triangles" -> "tri", "sentences" -> "sn",
       "by_" -> "by", "from_" -> "fr",
       "article_topics" -> "atop", "candidates" -> "cand",
       "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
-      "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "rup",
-      "pivot" -> "piv",
-      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmat",
+      "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "ru",
+      "pivot" -> "pv",
+      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmg",
       "x_amortized_dd" -> "xad", "x_amortized" -> "xam")
   private[graft] def key(k: String): String = {
     val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
