@@ -179,6 +179,15 @@ object Catalog {
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  /** ORC round-trip — the other columnar interchange format warehouses
+    * hand over (schema travels in the file, like parquet).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Small-file compaction (the OPTIMIZE housekeeping pass): rewrite a
     * parquet directory into ceil(bytes / targetBytes) files (≥ 1).
     * Streaming sinks and incremental MERGE batches fragment a table
@@ -193,6 +202,16 @@ object Catalog {
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val dir = new java.io.File(path)
+    // flat parquet dirs only: rewriting a partitioned/bucketed layout
+    // (lang=…/ or bucket=…/ subdirectories) through a flat
+    // read-repartition-write would silently destroy the layout the
+    // pruning and MERGE paths depend on — refuse instead
+    val subdirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact() is for flat parquet dirs; $path has partition/bucket " +
+        s"subdirectories (${subdirs.take(3).map(_.getName).mkString(", ")}…) — " +
+        "compact each leaf directory instead")
     def dataFiles(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq

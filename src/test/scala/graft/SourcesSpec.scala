@@ -248,6 +248,28 @@ class SourcesSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("orc round-trip preserves the documents table") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Files.createTempDirectory("graft_orc").toString + "/t"
+    Catalog.writeOrc(docs, out)
+    val back = Catalog.readOrc(spark, out)
+    assert(back.schema == docs.schema)
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+  }
+
+  test("compaction refuses a partitioned layout instead of flattening it") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    docs.write.partitionBy("lang").parquet(out)
+    val e = intercept[IllegalArgumentException] {
+      Catalog.compact(spark, out)
+    }
+    assert(e.getMessage.contains("flat parquet dirs"))
+    // the layout is untouched: per-language pruning still works
+    assert(spark.read.parquet(out).filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("compaction shrinks a fragmented table to the byte-budget file count, rows intact") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val out = Files.createTempDirectory("graft_compact").toString + "/t"
