@@ -96,6 +96,23 @@ class GraphXSpec extends AnyFunSuite {
       s"BFS(${df.size}) vs GraphX-in-budget(${gxInBudget.size}) diverge")
   }
 
+  test("GraphX distances reproduce the harmonic closeness of every seed") {
+    val clo = graph.Analytics.qCloseness(spark, TestSpark.sf).collect()
+    assert(clo.nonEmpty)
+    clo.foreach { row =>
+      val seed = row.getAs[String]("name")
+      val inBudget = GraphXAnalytics.shortestPaths(spark, TestSpark.sf, seed)
+        .filter(col("graphx_dist") >= 1
+          && col("graphx_dist") <= Analytics.CloseDepth)
+        .collect()
+      val h = inBudget.map(r => 1000000L / r.getAs[Long]("graphx_dist")).sum
+      assert(h == row.getAs[Long]("h_micro"),
+        s"seed '$seed': GraphX harmonic $h vs BFS ${row.getAs[Long]("h_micro")}")
+      assert(inBudget.length.toLong == row.getAs[Long]("n_reached"),
+        s"seed '$seed': reach count diverges")
+    }
+  }
+
   test("GraphX personalized PageRank concentrates the same mass as the DataFrame PPR") {
     val df = Analytics.qPagerankPersonalized(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
