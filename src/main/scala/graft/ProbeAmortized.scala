@@ -40,6 +40,22 @@ object ProbeAmortized {
       gq.foreach(time("amort1", _))
       gq.foreach(time("amort2", _))
     } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
+    // same protocol for the DEDUP segment (xad6q — historically the
+    // widest run-to-run swing in the suite; this isolates whether a
+    // slow segment was the plan or the host)
+    val dq = Seq("q_dedup_minhash", "q_dedup_temporal", "q_source_minhash",
+      "q_dedup_incremental", "q_minhash_est", "q_dedup_containment")
+    dq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    dq.foreach(time("dd_cold1", _))
+    dq.foreach(time("dd_cold2", _))
+    val t1 = System.nanoTime()
+    sources.Catalog.materializeShingles(spark, sfDir)
+    println(f"[probe] materialize_shingles ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    spark.conf.set(operators.Dedup.MaterializedConf, sfDir)
+    try {
+      dq.foreach(time("dd_amort1", _))
+      dq.foreach(time("dd_amort2", _))
+    } finally spark.conf.unset(operators.Dedup.MaterializedConf)
     spark.stop()
   }
 }
