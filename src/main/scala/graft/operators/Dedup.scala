@@ -731,12 +731,24 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct()
+    // verification intersects 8-byte hash SETS, not shingle strings —
+    // the candidate join was the one place in the dedup family where
+    // text-sized arrays still crossed an exchange (~30 chars/shingle
+    // vs 8 bytes; same md5 arithmetic in the oracle, so a 32-bit
+    // collision — ~1e-5 per pair at these set sizes — is identical in
+    // both engines). Denominators stay the true shingle-set sizes.
+    val hv = sh.select(col("doc_id"),
+      array_distinct(transform(col("s"),
+        x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("hv"),
+      size(col("s")).cast("double").as("ns"))
     cand
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("s").as("sa")), "doc_id_a")
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("s").as("sb")), "doc_id_b")
+      .join(hv.select(col("doc_id").as("doc_id_a"),
+        col("hv").as("ha"), col("ns").as("na")), "doc_id_a")
+      .join(hv.select(col("doc_id").as("doc_id_b"),
+        col("hv").as("hb"), col("ns").as("nb")), "doc_id_b")
       .withColumn("containment", round(
-        size(array_intersect(col("sa"), col("sb")))
-          / least(size(col("sa")), size(col("sb"))).cast("double"), 6))
+        size(array_intersect(col("ha"), col("hb")))
+          / least(col("na"), col("nb")), 6))
       .filter(col("containment") >= ContainmentThreshold)
       .select("doc_id_a", "doc_id_b", "containment")
       .orderBy("doc_id_a", "doc_id_b")
@@ -1197,14 +1209,20 @@ object Dedup {
          |sd AS MATERIALIZED (SELECT doc_id, h FROM sx JOIN rare USING (h)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM sd a JOIN sd b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |  FROM sd a JOIN sd b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |hv AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s,
+         |      x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))) AS hv,
+         |    CAST(len(s) AS DOUBLE) AS ns
+         |  FROM sh)
          |SELECT doc_id_a, doc_id_b,
-         |  round(len(list_intersect(sa.s, sb.s)) /
-         |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE), 6) AS containment
-         |FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
-         |          JOIN sh sb ON sb.doc_id = doc_id_b
-         |WHERE round(len(list_intersect(sa.s, sb.s)) /
-         |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE), 6) >= $ContainmentThreshold
+         |  round(len(list_intersect(a.hv, b.hv)) / least(a.ns, b.ns), 6)
+         |    AS containment
+         |FROM cand JOIN hv a ON a.doc_id = doc_id_a
+         |          JOIN hv b ON b.doc_id = doc_id_b
+         |WHERE round(len(list_intersect(a.hv, b.hv)) / least(a.ns, b.ns), 6)
+         |  >= $ContainmentThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_dedup_substring" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
