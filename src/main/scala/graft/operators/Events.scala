@@ -48,6 +48,31 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Markov transition matrix over per-user event sequences: counts of
+    * consecutive (src→dst) event-type pairs, plus each source type's
+    * outgoing total and the transition probability as integer
+    * parts-per-million (integer division on exact counts, so no float
+    * crosses the engine boundary). The lag window shuffles once on
+    * user_id — at scale, shuffle-free over a user_id-bucketed source,
+    * like qSessionize — and the probability window runs on the
+    * already-aggregated |types|² matrix, which is trivially small.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("src_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("src_type").isNotNull)
+      .groupBy(col("src_type"), col("event_type").as("dst_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    pairs
+      .withColumn("src_total",
+        sum(col("n_trans")).over(Window.partitionBy("src_type")))
+      .withColumn("p_ppm", expr("n_trans * 1000000 div src_total"))
+      .select("src_type", "dst_type", "n_trans", "src_total", "p_ppm")
+      .orderBy("src_type", "dst_type")
+  }
+
   /** Top-20 users by total purchase value. TakeOrdered (orderBy+limit)
     * picks the 20 survivors — never a global rank window over every
     * user's aggregate (that plan funnels all users into one task).
@@ -336,7 +361,8 @@ object Events {
     "q_events_window" -> qEventsWindow,
     "q_sessionize" -> qSessionize,
     "q_funnel" -> qFunnel,
-    "q_top_users" -> qTopUsers)
+    "q_top_users" -> qTopUsers,
+    "q_event_transitions" -> qEventTransitions)
 
   val oracles: Map[String, String] = Map(
     "q_dau_stickiness" ->
@@ -507,5 +533,19 @@ object Events {
         |SELECT user_id, total_value, n_purchases, rk FROM (
         |  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rk
         |  FROM t)
-        |WHERE rk <= 20 ORDER BY rk""".stripMargin)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src_type,
+        |    event_type AS dst_type
+        |  FROM events),
+        |c AS (
+        |  SELECT src_type, dst_type, count(*) AS n_trans
+        |  FROM p WHERE src_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n_trans,
+        |  CAST(sum(n_trans) OVER (PARTITION BY src_type) AS BIGINT) AS src_total,
+        |  CAST(n_trans * 1000000 // CAST(sum(n_trans) OVER (PARTITION BY src_type) AS BIGINT)
+        |    AS BIGINT) AS p_ppm
+        |FROM c ORDER BY src_type, dst_type""".stripMargin)
 }

@@ -5,7 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The bench reporting contract, asserted at the unit level so the
   * round-5 failure mode (metric line outgrowing the driver's
   * 2000-char log tail → parsed:null, the round's bench zeroed) fails
-  * CI instead of the round.
+  * CI instead of the round. As of round 6 the renderer is
+  * self-limiting (Bench.metricLine): entries emit most-expensive-first
+  * and truncate against LineBudget, so these tests pin BOTH properties
+  * — no truncation at the current surface under worst-case digit
+  * growth, and a hard line cap at any surface size.
   */
 class BenchContractSpec extends AnyFunSuite {
 
@@ -20,18 +24,54 @@ class BenchContractSpec extends AnyFunSuite {
       s"and break round-over-round comparability): $dup")
   }
 
-  test("worst-case metric line fits the driver's 2000-char tail with epilogue") {
-    // r1 prints <10s values as "9.9" (3 chars) and >=10s as whole
-    // seconds (<=3 chars under the 1000s ceiling) — so 3 chars per
-    // value IS the worst case for a green run.
-    val qs = allNames.map(n => s""""${Bench.key(n)}":9.9""")
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":10000.00,"unit":"sec","queries":$qs,"sf":"sf0.001"}"""
-    val epilogue = 100 // "[success] Total time: ..." is ~75 chars + newlines
-    assert(line.length + epilogue <= 2000,
-      s"metric line would be ${line.length} chars (+$epilogue epilogue); " +
-        "compress keys in Bench.abbrev before adding more queries")
+  test("worst-case green run at the current surface: fits AND keeps every key") {
+    // <10s values print as "9.9" (3 chars) and >=10s as whole seconds
+    // (<=3 chars under the 1000s ceiling) — 3 chars per value IS the
+    // worst case for a green run. At today's surface the full map must
+    // ride the line with zero truncation: dropping keys is the escape
+    // hatch for future growth, not a cost paid now.
+    val named = allNames.map(n => (n, 9.9, None: Option[String]))
+    val line = Bench.metricLine(named, 10000.0, "sf0.001")
+    assert(line.length <= Bench.LineBudget,
+      s"metric line is ${line.length} chars; budget ${Bench.LineBudget}")
+    assert(line.contains(s""""nq":${named.size}"""))
+    // When surface growth first trips this, EITHER compress keys in
+    // Bench.abbrev (keep new keys at 2 chars) OR knowingly relax this
+    // assert to a small dropped bound — the runtime line is safe
+    // either way now; this assert only defends full per-query
+    // fidelity, and the entries dropped first are the cheapest.
+    assert(!line.contains("\"dropped\""),
+      "current surface should fit without truncation — compress keys in " +
+        "Bench.abbrev (new keys should be 2 chars)")
+    allNames.foreach(n => assert(line.contains(s""""${Bench.key(n)}":"""),
+      s"key for $n missing from a non-truncated line"))
+  }
+
+  test("pathological surface growth truncates instead of blowing the tail") {
+    // 400 queries at 999.9s each — far past any real surface. The line
+    // must stay under budget, keep the most expensive entries, and
+    // report how many it dropped.
+    val named = (1 to 400).map(i =>
+      (s"q_stress_query_number_$i", 1000.0 - i, None: Option[String]))
+    val line = Bench.metricLine(named, 99999.0, "sf0.1")
+    assert(line.length <= Bench.LineBudget,
+      s"truncated line is ${line.length} chars; budget ${Bench.LineBudget}")
+    assert(line.contains("\"nq\":400"))
+    assert(line.contains("\"dropped\":"), "oversize surface must self-report truncation")
+    // most-expensive-first: the slowest entry always survives
+    assert(line.contains(s""""${Bench.key("q_stress_query_number_1")}":999"""))
+  }
+
+  test("failing entries ride the line capped and the line still fits") {
+    val named = allNames.zipWithIndex.map { case (n, i) =>
+      (n, 9.9, if (i < 9) Some("e" * 40) else None: Option[String])
+    }
+    val line = Bench.metricLine(named, 10000.0, "sf0.01")
+    assert(line.length <= Bench.LineBudget,
+      s"failing-run line is ${line.length} chars; budget ${Bench.LineBudget}")
+    assert(line.contains("\"failures\":9"))
+    // at most two 40-char digests ride the line regardless of count
+    assert(line.sliding(40).count(_ == "e" * 40) <= 2)
   }
 
   test("error strings are capped so a failing run still parses") {

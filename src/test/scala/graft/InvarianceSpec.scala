@@ -51,7 +51,9 @@ class InvarianceSpec extends AnyFunSuite {
       // grid Pearson, scaled-long HLL registers, shortestPath BFS
       "q_ktruss_peel", "q_dau_stickiness", "q_passage_rank",
       "q_keep_rate", "q_signal_corr", "q_hll_distinct",
-      "q_graph_summary", "q_cypher_sp")
+      "q_graph_summary", "q_cypher_sp",
+      // user-sequence lag window + integer-ppm transition matrix
+      "q_event_transitions")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

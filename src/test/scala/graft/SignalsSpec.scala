@@ -232,4 +232,21 @@ class SignalsSpec extends AnyFunSuite {
       && col("alloc_tokens") =!= col("fair_share")).count()
     assert(bad == 0)
   }
+
+  test("event transitions: totals reconcile and probabilities are exact floors") {
+    val df = operators.Events.qEventTransitions(spark, TestSpark.sf).cache()
+    // every event except each user's first contributes exactly one pair
+    val ev = Tables.events(spark, TestSpark.sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val got = df.agg(sum("n_trans")).head().getLong(0)
+    assert(got == expected, s"sum(n_trans)=$got, events-users=$expected")
+    // src_total is the row's own group sum; p_ppm the exact integer floor
+    assert(df.filter(col("p_ppm") =!=
+      expr("n_trans * 1000000 div src_total")).count() == 0)
+    val badTotal = df.groupBy("src_type")
+      .agg(sum("n_trans").as("s"), max("src_total").as("t"), min("src_total").as("t2"))
+      .filter(col("s") =!= col("t") || col("s") =!= col("t2")).count()
+    assert(badTotal == 0)
+    df.unpersist()
+  }
 }
