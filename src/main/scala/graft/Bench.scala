@@ -33,13 +33,14 @@ object Bench {
       // would otherwise rewrite these names before they can match)
       "event_transitions" -> "tx",
       "cube" -> "cb", "ndcg" -> "nc", "bm25" -> "bm",
+      "kmv_overlap" -> "ko",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
-      "media_manifest" -> "mdm", "ktruss_peel" -> "ktp",
-      "dau_stickiness" -> "dau", "passage_rank" -> "psg",
-      "keep_rate" -> "kr", "signal_corr" -> "sgc",
-      "cypher_sp" -> "csp",
-      "hll_distinct" -> "hll", "graph_summary" -> "gsm",
-      "media_resize" -> "mrz",
+      "media_manifest" -> "mm", "ktruss_peel" -> "kt",
+      "dau_stickiness" -> "da", "passage_rank" -> "pg",
+      "keep_rate" -> "kr", "signal_corr" -> "sg",
+      "cypher_sp" -> "cy",
+      "hll_distinct" -> "hl", "graph_summary" -> "gm",
+      "media_resize" -> "mz",
       // simhash64 MUST precede simhash: sequential replace would
       // otherwise rewrite the prefix first and emit "dsh64"
       "dedup_clusters" -> "dcl",
@@ -50,10 +51,10 @@ object Bench {
       "pack_sequences" -> "pk2", "quality_classifier" -> "qc",
       "mix_temperature" -> "mx", "rag_context" -> "rag",
       "entity_resolution" -> "er", "knn_join_ivf" -> "kv",
-      "grouping_sets" -> "gst", "readability" -> "fre",
-      "perplexity_buckets" -> "ppx", "range_search" -> "rgs",
-      "edge_support" -> "es", "closeness" -> "clo",
-      "epoch_schedule" -> "epo",
+      "grouping_sets" -> "gx", "readability" -> "fr",
+      "perplexity_buckets" -> "px", "range_search" -> "rs",
+      "edge_support" -> "es", "closeness" -> "cl",
+      "epoch_schedule" -> "ep",
       "q1_agg" -> "q1", "q3_join" -> "q3",
       "entity_candidates" -> "ecd",
       "articles_mentioning" -> "amn", "sources_mentioning" -> "smn",
@@ -75,9 +76,9 @@ object Bench {
       "filter_pipeline" -> "fpi", "semi_anti" -> "sma",
       "quantize_embeddings" -> "qze", "kcore" -> "kc",
       "bloom_decontaminate" -> "bld", "shard_export" -> "shx",
-      "subword_vocab" -> "swv", "burst_detect" -> "bst",
+      "subword_vocab" -> "swv", "burst_detect" -> "bu",
       "curation_e2e" -> "ce2", "dsir_weights" -> "dsr",
-      "hard_negatives" -> "hng", "pmi_cooccur" -> "pmi",
+      "hard_negatives" -> "hn", "pmi_cooccur" -> "pm",
       "domain_mix" -> "dmx", "full_outer" -> "fo",
       "top_users" -> "tu", "graph_nodes" -> "gn",
       "graph_schema" -> "gs", "article_topics" -> "at",

@@ -121,6 +121,77 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Pairwise source-overlap estimation from KMV sketch ALGEBRA: the
+    * per-type k-minimum-value sketches (same md5 hash discipline as
+    * qKmvDistinct) are merged per type pair — union estimate = the k
+    * smallest of the merged minima, intersection by
+    * inclusion-exclusion, Jaccard as exact integer ppm. The pairwise
+    * stage therefore touches KmvK·|types| sketch rows, never the raw
+    * events: that is the 100 TB shape for "which sources overlap and
+    * by how much" (pairwise joins of raw data are quadratic in data
+    * size; sketch merges are constant-size per pair). The
+    * exact-intersection/union columns ride along as the audit at test
+    * scale — at real scale they are dropped, and the sketch columns
+    * are the product. Every estimate is derived from the same 60-bit
+    * integer minima with identical double expression order in both
+    * engines, so the oracle matches exactly.
+    */
+  def qKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val dist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv#"), col("user_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val mins = graft.plans.TopKPerGroup.topK(
+        dist.withColumn("nh", -col("h")), KmvK, Seq("event_type"), "nh", "h")
+      .select(col("event_type"), col("h"))
+    def est(hk: Column, nk: Column): Column =
+      when(nk < KmvK, nk).otherwise(
+        round(lit((KmvK - 1).toDouble)
+          * (lit(KmvHashMax.toDouble) / hk.cast("double"))).cast("long"))
+    val perType = mins.groupBy("event_type")
+      .agg(max("h").as("h_k"), count(lit(1)).as("n_kept"))
+      .select(col("event_type"), est(col("h_k"), col("n_kept")).as("est"))
+    val types = mins.select(col("event_type").as("ta")).distinct()
+    // |types|² pair generation is the algorithm (tiny row count);
+    // the sketch merge below stays an equi-join via the pair explode.
+    val pairs = types.join(broadcast(types.select(col("ta").as("tb"))),
+      col("ta") < col("tb"))
+    val unionH = pairs
+      .withColumn("event_type", explode(array(col("ta"), col("tb"))))
+      .join(broadcast(mins), "event_type")
+      .select("ta", "tb", "h").distinct()
+    val kuAgg = graft.plans.TopKPerGroup.topK(
+        unionH.withColumn("nh", -col("h")), KmvK, Seq("ta", "tb"), "nh", "h")
+      .groupBy("ta", "tb")
+      .agg(max("h").as("hk_u"), count(lit(1)).as("nk_u"))
+      .select(col("ta"), col("tb"), est(col("hk_u"), col("nk_u")).as("est_union"))
+    // exact audit: distinct (type, user) pairs self-joined on user
+    val du = Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+    val xInter = du.toDF("ta", "u").join(du.toDF("tb", "u2"),
+        col("u") === col("u2") && col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    val xTypes = du.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    kuAgg
+      .join(broadcast(perType.toDF("ta", "est_a")), "ta")
+      .join(broadcast(perType.toDF("tb", "est_b")), "tb")
+      .join(broadcast(xTypes.toDF("ta", "exact_a")), "ta")
+      .join(broadcast(xTypes.toDF("tb", "exact_b")), "tb")
+      .join(broadcast(xInter), Seq("ta", "tb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_inter"))
+      .withColumn("jac_ppm", expr("est_inter * 1000000 div est_union"))
+      .withColumn("exact_jac_ppm", expr("exact_inter * 1000000 div exact_union"))
+      .select("ta", "tb", "est_a", "est_b", "est_union", "est_inter",
+        "exact_inter", "exact_union", "jac_ppm", "exact_jac_ppm")
+      .orderBy("ta", "tb")
+  }
+
   val HllM = 256                     // registers (p = 8)
   val HllAlphaMm: Double =           // α_m · m² (Flajolet et al. 2007)
     0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
@@ -232,7 +303,8 @@ object Sketches {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_kmv_distinct" -> qKmvDistinct,
     "q_hll_distinct" -> qHllDistinct,
-    "q_hist_quantiles" -> qHistQuantiles)
+    "q_hist_quantiles" -> qHistQuantiles,
+    "q_kmv_overlap" -> qKmvOverlap)
 
   val oracles: Map[String, String] = Map(
     "q_hll_distinct" ->
@@ -351,5 +423,64 @@ object Sketches {
          |  round(count(*) / CAST(n_total AS DOUBLE), 6) AS frac
          |FROM t, n GROUP BY word, n_total
          |HAVING count(*) >= n_total / $HhFrac
-         |ORDER BY word""".stripMargin)
+         |ORDER BY word""".stripMargin,
+    "q_kmv_overlap" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substr(md5('kmv#' || user_id), 1, 15) AS BIGINT) AS h
+         |  FROM events),
+         |r AS MATERIALIZED (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM d),
+         |m AS MATERIALIZED (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |ka AS (SELECT event_type, max(h) AS h_k,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM m GROUP BY event_type),
+         |e AS MATERIALIZED (SELECT event_type,
+         |    CASE WHEN n_kept < $KmvK THEN n_kept
+         |      ELSE CAST(round(${(KmvK - 1).toDouble}
+         |        * (${KmvHashMax.toDouble} / CAST(h_k AS DOUBLE))) AS BIGINT)
+         |    END AS est
+         |  FROM ka),
+         |t AS (SELECT DISTINCT event_type FROM events),
+         |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM t a JOIN t b ON a.event_type < b.event_type),
+         |u AS (SELECT DISTINCT ta, tb, h
+         |  FROM p JOIN m ON m.event_type = ta OR m.event_type = tb),
+         |ur AS (SELECT ta, tb, h,
+         |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |  FROM u),
+         |ua AS (SELECT ta, tb, max(CASE WHEN rn <= $KmvK THEN h END) AS hk_u,
+         |    CAST(sum(CASE WHEN rn <= $KmvK THEN 1 ELSE 0 END) AS BIGINT) AS nk_u
+         |  FROM ur GROUP BY ta, tb),
+         |uu AS (SELECT ta, tb,
+         |    CASE WHEN nk_u < $KmvK THEN nk_u
+         |      ELSE CAST(round(${(KmvK - 1).toDouble}
+         |        * (${KmvHashMax.toDouble} / CAST(hk_u AS DOUBLE))) AS BIGINT)
+         |    END AS est_union
+         |  FROM ua),
+         |du AS MATERIALIZED (SELECT DISTINCT event_type, user_id FROM events),
+         |xt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM du GROUP BY event_type),
+         |xi AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |    CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |f AS (SELECT uu.ta, uu.tb, ea.est AS est_a, eb.est AS est_b, est_union,
+         |    GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - est_union) AS est_inter,
+         |    COALESCE(exact_inter, CAST(0 AS BIGINT)) AS exact_inter,
+         |    xa.exact_n + xb.exact_n - COALESCE(exact_inter, CAST(0 AS BIGINT))
+         |      AS exact_union
+         |  FROM uu
+         |  JOIN e ea ON ea.event_type = uu.ta
+         |  JOIN e eb ON eb.event_type = uu.tb
+         |  JOIN xt xa ON xa.event_type = uu.ta
+         |  JOIN xt xb ON xb.event_type = uu.tb
+         |  LEFT JOIN xi ON xi.ta = uu.ta AND xi.tb = uu.tb)
+         |SELECT ta, tb, est_a, est_b, est_union, est_inter, exact_inter,
+         |  exact_union,
+         |  CAST(est_inter * 1000000 // est_union AS BIGINT) AS jac_ppm,
+         |  CAST(exact_inter * 1000000 // exact_union AS BIGINT) AS exact_jac_ppm
+         |FROM f ORDER BY ta, tb""".stripMargin)
 }

@@ -53,7 +53,9 @@ class InvarianceSpec extends AnyFunSuite {
       "q_keep_rate", "q_signal_corr", "q_hll_distinct",
       "q_graph_summary", "q_cypher_sp",
       // user-sequence lag window + integer-ppm transition matrix
-      "q_event_transitions")
+      "q_event_transitions",
+      // KMV sketch merge: pairwise union/intersection estimates
+      "q_kmv_overlap")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -46,6 +46,24 @@ class SketchesSpec extends AnyFunSuite {
       .foreach(w => assert(est.contains(w), s"heavy hitter $w missing"))
   }
 
+  test("kmv overlap: sketch algebra is consistent and error-bounded") {
+    val df = Sketches.qKmvOverlap(spark, TestSpark.sf).cache()
+    val nTypes = Tables.events(spark, TestSpark.sf)
+      .select("event_type").distinct().count()
+    assert(df.count() == nTypes * (nTypes - 1) / 2, "one row per type pair")
+    // inclusion-exclusion consistency + probability bounds
+    assert(df.filter(col("est_inter") > col("est_a") + col("est_b")).count() == 0)
+    assert(df.filter(col("exact_inter") > col("exact_union")).count() == 0)
+    assert(df.filter(col("jac_ppm") < 0 || col("jac_ppm") > 1000000L).count() == 0)
+    assert(df.filter(col("exact_jac_ppm") < 0
+      || col("exact_jac_ppm") > 1000000L).count() == 0)
+    // KMV with k=64 has σ ≈ 1/√(k−2) ≈ 12.7%; 4σ bounds the union est
+    val bad = df.filter(abs(col("est_union") - col("exact_union"))
+      > col("exact_union") * 0.51).count()
+    assert(bad == 0, "union estimate outside 4σ of exact")
+    df.unpersist()
+  }
+
   test("streaming dedup keeps exactly the distinct event_ids") {
     val out = EventStream.runDedupToMemory(spark, TestSpark.sf, "dedup_out")
     val exact = Tables.events(spark, TestSpark.sf)
