@@ -33,7 +33,7 @@ object Bench {
       // would otherwise rewrite these names before they can match)
       "event_transitions" -> "tx",
       "cube" -> "cb", "ndcg" -> "nc", "bm25" -> "bm",
-      "kmv_overlap" -> "ko",
+      "kmv_overlap" -> "ko", "embed_outliers" -> "eo",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

@@ -101,6 +101,44 @@ object Training {
   def qKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansAssign(spark, dir).orderBy("vec_id")
 
+  val OutlierK = 16  // reported most-distant vectors
+
+  /** Embedding-space outlier audit: squared distance of every vector
+    * to the GLOBAL centroid, on an exact integer micro-grid so the
+    * result cannot depend on distributed summation order (floats
+    * quantize per element; the centroid, distances, and ratios are
+    * all long arithmetic — both engines truncate integer division
+    * toward zero, verified). Top-K most-distant vectors through the
+    * TakeOrdered path, with the corpus mean distance and each
+    * outlier's distance ratio as integer percent. Curation use:
+    * embedding outliers are the candidate mislabeled/garbage docs a
+    * pipeline routes to review before they poison neighbor-based
+    * dedup or clustering.
+    *
+    * Scale: one posexplode pass (rows × dims), two map-side-combined
+    * aggregates (per-dim centroid — |dims| rows — and the per-vector
+    * distance), a broadcast of the |dims|-row centroid, TakeOrdered
+    * for the K survivors. No corpus-sized window, nothing quadratic.
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("dim", "qi")))
+    val cent = q.groupBy("dim")
+      .agg(sum("qi").as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("s div n").as("c"))
+    val d2 = q.join(broadcast(cent), "dim")
+      .withColumn("dd", col("qi") - col("c"))
+      .groupBy("vec_id").agg(sum(col("dd") * col("dd")).as("d2"))
+    val mean = d2.agg(expr("sum(d2) div count(1)").as("mean_d2"))
+    TopKUtil.globalTopK(d2, OutlierK, "vec_id",
+        col("d2").desc, col("vec_id"))
+      .crossJoin(broadcast(mean))
+      .withColumn("ratio_pct", expr("d2 * 100 div mean_d2"))
+      .select("rk", "vec_id", "d2", "mean_d2", "ratio_pct")
+      .orderBy("rk")
+  }
+
   /** Cluster-quality audit: label purity of the Lloyd clustering —
     * the health check a curation pipeline runs on the clusters that
     * drive SemDeDup / prototypicality filtering before trusting them
@@ -531,7 +569,8 @@ object Training {
     "q_pack_sequences" -> qPackSequences,
     "q_stratified_sample" -> qStratifiedSample,
     "q_shard_export" -> qShardExport,
-    "q_quantize_embeddings" -> qQuantizeEmbeddings)
+    "q_quantize_embeddings" -> qQuantizeEmbeddings,
+    "q_embed_outliers" -> qEmbedOutliers)
 
   /** The same KmRounds Lloyd rounds unrolled as SQL CTEs (assign →
     * recenter → … → final assign), identical rounding points.
@@ -671,6 +710,29 @@ object Training {
          |    % $NumShards AS shard
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_kmeans" -> kmeansSql,
+    "q_embed_outliers" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(0, len(xq) - 1)) AS dim,
+         |    unnest(xq) AS qi
+         |  FROM v),
+         |cent AS (SELECT dim,
+         |    CAST(sum(qi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+         |  FROM q GROUP BY dim),
+         |d AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum((qi - c) * (qi - c)) AS BIGINT) AS d2
+         |  FROM q JOIN cent USING (dim) GROUP BY vec_id),
+         |m AS (SELECT CAST(sum(d2) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS mean_d2 FROM d),
+         |t AS (SELECT vec_id, d2,
+         |    CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rk
+         |  FROM d)
+         |SELECT rk, vec_id, d2, mean_d2,
+         |  CAST(d2 * 100 // mean_d2 AS BIGINT) AS ratio_pct
+         |FROM t, m WHERE rk <= $OutlierK ORDER BY rk""".stripMargin,
     "q_cluster_purity" -> clusterPuritySql,
     "q_mix_temperature" ->
       """WITH t AS (

@@ -55,7 +55,9 @@ class InvarianceSpec extends AnyFunSuite {
       // user-sequence lag window + integer-ppm transition matrix
       "q_event_transitions",
       // KMV sketch merge: pairwise union/intersection estimates
-      "q_kmv_overlap")
+      "q_kmv_overlap",
+      // integer-grid centroid distances + TakeOrdered outliers
+      "q_embed_outliers")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -233,6 +233,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("embed outliers: ranked descending, max bounds mean, exact ratios") {
+    val df = Training.qEmbedOutliers(spark, TestSpark.sf).cache()
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    assert(df.count() == math.min(Training.OutlierK.toLong, n))
+    assert(df.filter(col("d2") < 0).count() == 0)
+    // rk orders by distance: each row's d2 <= the previous row's
+    val rows = df.orderBy("rk").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("d2") <= a.getAs[Long]("d2"))
+    case _ => ()
+    }
+    // the farthest vector is at least the corpus mean distance out
+    assert(rows.head.getAs[Long]("ratio_pct") >= 100L)
+    assert(df.filter(col("ratio_pct") =!=
+      expr("d2 * 100 div mean_d2")).count() == 0)
+    df.unpersist()
+  }
+
   test("event transitions: totals reconcile and probabilities are exact floors") {
     val df = operators.Events.qEventTransitions(spark, TestSpark.sf).cache()
     // every event except each user's first contributes exactly one pair
