@@ -31,9 +31,67 @@ object Bench {
   private[graft] val abbrev: Seq[(String, String)] = Seq(
       // whole-name compressions first (the word-level rules below
       // would otherwise rewrite these names before they can match)
+      // round-6 batch: every non-cypher, non-segment key compressed to
+      // 2 chars (longest names first so no rule can shadow a longer
+      // one); BENCH_KEYS.md is the decode contract and the KeyMap /
+      // BenchContractSpec collision guards gate regressions. Rules
+      // further down that target these same names are now dead but
+      // harmless (the name is already rewritten when they run).
+      // kept 2-char names that CONTAIN a renamed base go first, or
+      // the shorter rule would corrupt them ("quality" inside
+      // "quality_classifier", "knn_join" inside "knn_join_ivf")
+      "quality_classifier" -> "qc", "knn_join_ivf" -> "kv",
+      "chunks_from_articles" -> "cf", "cosine_topk_filtered" -> "ct",
+      "articles_mentioning" -> "am", "bloom_decontaminate" -> "bd",
+      "quantize_embeddings" -> "qe", "chunks_by_entities" -> "cs",
+      "neardup_candidates" -> "np", "sources_mentioning" -> "sm",
+      "dedup_containment" -> "dc", "dedup_incremental" -> "di",
+      "entity_candidates" -> "ec", "stratified_sample" -> "ss",
+      "pagerank_weighted" -> "pw", "tokenize_subword" -> "ts",
+      "train_test_split" -> "tt", "expand_retrieval" -> "ed",
+      "chunk_sentences" -> "cu", "dedup_simhash64" -> "ds",
+      "dedup_embedding" -> "de", "dedup_substring" -> "dp",
+      "filter_pipeline" -> "fp", "lpa_communities" -> "lc",
+      "neighbor_sample" -> "ns", "quality_buckets" -> "qb",
+      "training_export" -> "te", "dedup_clusters" -> "dd",
+      "dedup_temporal" -> "dt", "doc_similarity" -> "do",
+      "media_features" -> "mf", "pack_sequences" -> "ps",
+      "source_minhash" -> "se", "session_window" -> "sw",
+      "topn_per_group" -> "tp", "decontaminate" -> "dn",
+      "dedup_minhash" -> "dm", "dedup_simhash" -> "du",
+      "entity_degree" -> "ey", "event_anomaly" -> "ea",
+      "hybrid_search" -> "hs", "top_component" -> "to",
+      "prf_expansion" -> "pe", "source_report" -> "sr",
+      "subword_vocab" -> "sv", "curation_e2e" -> "ce",
+      "corpus_stats" -> "cr", "drift_report" -> "dr",
+      "dsir_weights" -> "dw", "kmv_distinct" -> "kd",
+      "media_frames" -> "ma", "gram_novelty" -> "gr",
+      "proto_filter" -> "pf", "shard_export" -> "sd",
+      "window_suite" -> "ws", "betweenness" -> "bs",
+      "dedup_ngram" -> "dg", "dedup_exact" -> "dx",
+      "dedup_lines" -> "dl", "fingerprint" -> "fi",
+      "minhash_est" -> "me", "media_phash" -> "mp",
+      "rag_context" -> "rc", "topk_custom" -> "tk",
+      "chunk_fold" -> "cn", "domain_mix" -> "db",
+      "json_props" -> "jp", "ann_recall" -> "ar",
+      "repetition" -> "rn", "range_join" -> "rj",
+      "sessionize" -> "si", "unigram_lm" -> "ul",
+      "vocab_topk" -> "vt", "bigram_lm" -> "bl",
+      "bpe_train" -> "bt", "bpe_vocab" -> "bv",
+      "centroids" -> "ci", "dedup_url" -> "df",
+      "pii_scrub" -> "pi", "retention" -> "re",
+      "semi_anti" -> "st", "topn_auto" -> "ta",
+      "triangles" -> "tr", "knn_join" -> "kj",
+      "mentions" -> "ms", "semdedup" -> "su",
+      "lang_id" -> "li", "quality" -> "qy",
+      "ann_pq" -> "ap", "funnel" -> "fl",
+      "tfidf" -> "tf", "walks" -> "wa",
+      "mmr" -> "mr", "ppr" -> "pp",
+      "rrf" -> "rf",
       "event_transitions" -> "tx",
       "cube" -> "cb", "ndcg" -> "nc", "bm25" -> "bm",
       "kmv_overlap" -> "ko", "embed_outliers" -> "eo",
+      "lsh_bucket_stats" -> "lb", "skew_report" -> "sk",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

@@ -194,6 +194,27 @@ object Dedup {
       .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
   }
 
+  /** LSH bucket-size audit for the banded minhash join — the skew
+    * check an operator runs BEFORE unleashing a band self-join on a
+    * new corpus: for each bucket size s, how many band buckets have
+    * that size and how many candidate pairs (s·(s−1)/2 each) that
+    * size class will feed into the join. One hot bucket (a band key
+    * shared by thousands of near-identical docs) turns the banded
+    * join quadratic; this histogram is the early warning that decides
+    * between joining as-is, tightening bands, or salting — the
+    * decision that matters at 100 TB, made from two map-side-combined
+    * aggregates over the SAME narrow band-key plan the join itself
+    * scans (16-byte keys, no text on the wire).
+    */
+  def qLshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    bandKeysOfDocs(Tables.documents(spark, dir))
+      .groupBy("bkey").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pairs",
+        expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)"))
+      .select("bucket_size", "n_buckets", "pairs")
+      .orderBy("bucket_size")
+
   /** Standing corpus band index (bkey, corpus_doc_id) — the batch
     * side the streaming near-dup screen probes.
     */
@@ -913,7 +934,8 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainment,
     "q_minhash_est" -> qMinhashEst,
     "q_dedup_incremental" -> qDedupIncremental,
-    "q_dedup_clusters" -> qDedupClusters)
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_lsh_bucket_stats" -> qLshBucketStats)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
     * of simhashPairs' posexplode).
@@ -941,7 +963,7 @@ object Dedup {
   /** Shared oracle CTE chain: shingles → minhash sigs → LSH bands →
     * candidate pairs → jaccard-verified pairs (`verified`).
     */
-  private val MinhashPairsCtes: String =
+  private[graft] val BandsCtes: String =
     s"""$ShinglesSql,
        |hsh AS MATERIALIZED (
        |  SELECT doc_id, s, list_transform(s,
@@ -955,7 +977,11 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, s,
        |    md5(array_to_string(sig[1 + 4*band : 4 + 4*band], '|') || '#' || band) AS bkey
-       |  FROM sigs, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band)),
+       |  FROM sigs, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band))"""
+      .stripMargin
+
+  private val MinhashPairsCtes: String =
+    s"""$BandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1160,6 +1186,14 @@ object Dedup {
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_lsh_bucket_stats" ->
+      s"""WITH $BandsCtes,
+         |bs AS (SELECT bkey, CAST(count(*) AS BIGINT) AS bucket_size
+         |  FROM bands GROUP BY bkey)
+         |SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(count(*) * (bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+         |    AS pairs
+         |FROM bs GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
     "q_neardup_candidates" ->
       s"""WITH $MinhashPairsCtes
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

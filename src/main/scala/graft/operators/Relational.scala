@@ -194,6 +194,31 @@ object Relational {
         sum(col("partial_n")).as("n"))
       .orderBy("l_returnflag")
 
+  val SkewK = 16  // heaviest keys reported
+
+  /** Join/shuffle key-skew profiler — the measurement that DECIDES
+    * whether qSaltedAgg's salting (or AQE skew splitting) is needed
+    * on a key before a big shuffle: the SkewK heaviest keys with
+    * their absolute count, corpus share in exact ppm, and the ratio
+    * to a perfectly uniform fair share in integer percent (100 =
+    * exactly fair). Two map-side-combined aggregates + TakeOrdered —
+    * profiling a key column costs one narrow pass, which is why a
+    * pipeline can afford to run it before EVERY new large join at
+    * 100 TB instead of discovering the hot key from a straggler task.
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys"))
+    TopKUtil.globalTopK(counts, SkewK, "user_id",
+        col("n").desc, col("user_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("fair_x100", expr("n * n_keys * 100 div total"))
+      .select("rk", "user_id", "n", "share_ppm", "fair_x100")
+      .orderBy("rk")
+  }
+
   /** Per-group top-N via the custom TopKPerGroup physical operator
     * (graft.plans: LogicalPlan + Strategy + partial/final heap exec) —
     * same answer as the window variant, radically less shuffle.
@@ -254,9 +279,22 @@ object Relational {
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
-    "q_asof_join" -> qAsofJoin)
+    "q_asof_join" -> qAsofJoin,
+    "q_skew_report" -> qSkewReport)
 
   val oracles: Map[String, String] = Map(
+    "q_skew_report" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY user_id),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         |r AS (SELECT user_id, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk
+         |  FROM c)
+         |SELECT rk, user_id, n,
+         |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+         |  CAST(n * n_keys * 100 // total AS BIGINT) AS fair_x100
+         |FROM r, t WHERE rk <= $SkewK ORDER BY rk""".stripMargin,
     "q_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

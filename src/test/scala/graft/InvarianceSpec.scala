@@ -57,7 +57,9 @@ class InvarianceSpec extends AnyFunSuite {
       // KMV sketch merge: pairwise union/intersection estimates
       "q_kmv_overlap",
       // integer-grid centroid distances + TakeOrdered outliers
-      "q_embed_outliers")
+      "q_embed_outliers",
+      // band-bucket histogram + key-skew profiler
+      "q_lsh_bucket_stats", "q_skew_report")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -233,6 +233,32 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("lsh bucket stats: histogram mass equals band rows, exact pair loads") {
+    val df = operators.Dedup.qLshBucketStats(spark, TestSpark.sf).cache()
+    val bandRows = Tables.documents(spark, TestSpark.sf)
+      .filter(size(split(col("text"), " ")) >= 3).count() * operators.Dedup.LshBands
+    val mass = df.agg(sum(col("bucket_size") * col("n_buckets"))).head().getLong(0)
+    assert(mass == bandRows, s"histogram mass $mass != band rows $bandRows")
+    assert(df.filter(col("pairs") =!=
+      expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)")).count() == 0)
+    assert(df.filter(col("bucket_size") < 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("skew report: ranked, exact shares, heaviest key at least fair") {
+    val df = operators.Relational.qSkewReport(spark, TestSpark.sf).cache()
+    val rows = df.orderBy("rk").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n") <= a.getAs[Long]("n"))
+    case _ => ()
+    }
+    // the heaviest key is never below the uniform fair share
+    assert(rows.head.getAs[Long]("fair_x100") >= 100L)
+    assert(df.filter(col("share_ppm") < 0 || col("share_ppm") > 1000000L)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("embed outliers: ranked descending, max bounds mean, exact ratios") {
     val df = Training.qEmbedOutliers(spark, TestSpark.sf).cache()
     val n = Tables.embeddings(spark, TestSpark.sf).count()
