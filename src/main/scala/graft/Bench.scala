@@ -92,6 +92,7 @@ object Bench {
       "cube" -> "cb", "ndcg" -> "nc", "bm25" -> "bm",
       "kmv_overlap" -> "ko", "embed_outliers" -> "eo",
       "lsh_bucket_stats" -> "lb", "skew_report" -> "sk",
+      "mrr" -> "mq",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

@@ -203,6 +203,37 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Retrieval-eval companion to qNdcg: MRR and hit-count@K per
+    * probe query. First-relevant rank and hits come from ONE
+    * aggregate over the same heap-ranked top-K (TopKPerGroup bounds
+    * the shuffle to K rows per query; no corpus-sized window), and
+    * the reciprocal rank is an exact integer micro value — the
+    * rank-quality number a retrieval pipeline trends per release.
+    */
+  def qMrr(spark: SparkSession, dir: String): DataFrame = {
+    val qs = vectors(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = vectors(spark, dir).filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(qs))
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "qlabel", "vec_id", "label", "score")
+    val ranked = graft.plans.TopKPerGroup.topK(scored, KnnK,
+        Seq("query_id"), orderCol = "score", tieCol = "vec_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+    ranked.groupBy("query_id")
+      .agg(min(when(col("label") === col("qlabel"), col("rk"))).as("fr"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("rr_micro",
+        when(col("fr").isNotNull, expr("1000000 div fr")).otherwise(lit(0L)))
+      .select(col("query_id"),
+        coalesce(col("fr"), lit(0)).cast("long").as("first_rel"),
+        col("hits"), col("rr_micro"))
+      .orderBy("query_id")
+  }
+
   val HybridTerms: Seq[String] = Seq("spark", "join", "fast")
 
   /** Hybrid retrieval: 0.6·cosine + 0.4·keyword-coverage
@@ -660,6 +691,7 @@ object Similarity {
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
     "q_ndcg" -> qNdcg,
+    "q_mrr" -> qMrr,
     "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_hybrid_search" -> qHybridSearch,
     "q_expand_retrieval" -> qExpandRetrieval,
@@ -868,6 +900,28 @@ object Similarity {
          |  round(CASE WHEN idcg_micro > 0
          |    THEN dcg_micro / CAST(idcg_micro AS DOUBLE) ELSE 0.0 END, 6) AS ndcg
          |FROM base ORDER BY query_id""".stripMargin,
+    "q_mrr" ->
+      s"""WITH $VecSql,
+         |qs AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |scored AS MATERIALIZED (
+         |  SELECT query_id, qlabel, e.vec_id, e.label,
+         |    round(${cos("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN qs WHERE e.vec_id >= 5),
+         |ranked AS (SELECT query_id, label, qlabel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT query_id,
+         |  CAST(coalesce(min(CASE WHEN label = qlabel THEN rk END), 0) AS BIGINT)
+         |    AS first_rel,
+         |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits,
+         |  CAST(CASE WHEN min(CASE WHEN label = qlabel THEN rk END) IS NOT NULL
+         |    THEN 1000000 // min(CASE WHEN label = qlabel THEN rk END)
+         |    ELSE 0 END AS BIGINT) AS rr_micro
+         |FROM ranked WHERE rk <= $KnnK GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH $VecSql,
          |qs AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv

@@ -211,6 +211,43 @@ object EventStream {
       }
   }
 
+  case class UserEv(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String)
+  case class LastEv(ts_us: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, src_type: String, dst_type: String)
+
+  /** Streaming twin of Events.qEventTransitions' pair stage: per-user
+    * consecutive (src→dst) event-type pairs emitted at ingest. State
+    * is ONE row per user — the latest event seen — so state size is
+    * the active-user working set, independent of stream volume. Each
+    * micro-batch sorts its per-user slice by (ts_us, event_id) — the
+    * batch op's window order — emits the boundary pair against the
+    * stored last event plus the intra-batch pairs, and retains the
+    * new latest. With a time-ordered feed (batch boundaries anywhere)
+    * the emitted pair counts converge to the batch transition matrix,
+    * which is exactly what the parity spec asserts.
+    */
+  def transitionsStream(events: Dataset[UserEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UserEv], state: GroupState[LastEv]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val withPrev = state.getOption
+              .map(l => UserEv(user, l.ts_us, l.event_id, l.event_type))
+              .toIndexedSeq ++ sorted
+            val last = sorted.last
+            state.update(LastEv(last.ts_us, last.event_id, last.event_type))
+            withPrev.sliding(2).collect {
+              case Seq(a, b) => Transition(user, a.event_type, b.event_type)
+            }
+          }
+      }
+  }
+
   /** Streaming heavy hitters — the Misra–Gries typed Aggregator
     * (functions.FreqItemsAgg, Sketches.freqItems' batch engine) run AS
     * a streaming stateful aggregate: state is the ≤ k-counter sketch

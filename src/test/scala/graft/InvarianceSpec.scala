@@ -59,7 +59,9 @@ class InvarianceSpec extends AnyFunSuite {
       // integer-grid centroid distances + TakeOrdered outliers
       "q_embed_outliers",
       // band-bucket histogram + key-skew profiler
-      "q_lsh_bucket_stats", "q_skew_report")
+      "q_lsh_bucket_stats", "q_skew_report",
+      // heap-ranked first-relevant rank + hits@K
+      "q_mrr")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

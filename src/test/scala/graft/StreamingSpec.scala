@@ -382,6 +382,35 @@ class StreamingSpec extends AnyFunSuite {
       s"MG undercount beyond the n/(k+1) bound: ${sk("hot")} vs $trueHot")
   }
 
+  test("streaming transitions converge to the batch matrix across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[EventStream.UserEv].collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+    // time-ordered split: per-user order holds across the boundary,
+    // so the one-row-per-user state must stitch the cross-batch pair
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[EventStream.UserEv]
+    val q = EventStream.transitionsStream(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tx_out").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tx_out")
+      .groupBy("src_type", "dst_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val want = graft.operators.Events.qEventTransitions(spark, TestSpark.sf)
+      .select("src_type", "dst_type", "n_trans")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "streaming transition counts diverged from the batch matrix")
+  }
+
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
     val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
     val fromSql = ids.toDF("user_id")
