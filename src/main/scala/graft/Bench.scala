@@ -93,6 +93,7 @@ object Bench {
       "kmv_overlap" -> "ko", "embed_outliers" -> "eo",
       "lsh_bucket_stats" -> "lb", "skew_report" -> "sk",
       "mrr" -> "mq",
+      "cross_source_dups" -> "cd", "best_copy" -> "bc",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

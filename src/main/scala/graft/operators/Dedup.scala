@@ -666,6 +666,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Syndication report — the provenance question a NEWS corpus asks
+    * of its near-dup pairs: which source pairs share verified
+    * near-duplicate articles, and how similar are they. Verified
+    * minhash pairs (the banded join, unchanged) are joined to each
+    * side's source and grouped by unordered source pair; similarity
+    * aggregates as exact integer micro-Jaccard sums (round once per
+    * pair, then long arithmetic — distributed sum order can't move
+    * the average). Downstream this drives dedup POLICY: intra-source
+    * pairs are re-crawls to drop, cross-source pairs are syndication
+    * where the keep-side is chosen by qBestCopy.
+    */
+  def qCrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    qDedupMinhash(spark, dir)
+      .join(src.toDF("doc_id_a", "sa"), "doc_id_a")
+      .join(src.toDF("doc_id_b", "sb"), "doc_id_b")
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+      .withColumn("jac_micro", round(col("jaccard") * 1e6).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("sum_jac_micro"))
+      .withColumn("avg_jac_micro", expr("sum_jac_micro div n_pairs"))
+      .select("source_a", "source_b", "n_pairs", "sum_jac_micro", "avg_jac_micro")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Quality-aware canonical pick — best-copy selection per near-dup
+    * cluster: instead of qDedupClusters' min-doc_id canonical, keep
+    * the LONGEST copy (max n_chars, tie → smallest doc_id, via one
+    * struct-min aggregate — no rank window). This is the curation
+    * semantics a training pipeline actually wants: syndicated copies
+    * are often truncated, and dropping all but the longest keeps the
+    * most complete text. Per doc: its cluster, the chosen survivor,
+    * and a keep flag. One groupBy over cluster labels + a cluster-key
+    * equi-join — nothing beyond the label propagation already paid.
+    */
+  def qBestCopy(spark: SparkSession, dir: String): DataFrame = {
+    val cl = qDedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
+    val best = cl.groupBy("canonical_id")
+      .agg(min(struct((-col("n_chars")).as("nn"), col("doc_id"))).as("b"))
+      .select(col("canonical_id"), col("b.doc_id").as("best_doc"))
+    cl.join(best, "canonical_id")
+      .withColumn("keep",
+        when(col("doc_id") === col("best_doc"), 1L).otherwise(0L))
+      .select("doc_id", "canonical_id", "cluster_size", "best_doc", "keep")
+      .orderBy("doc_id")
+  }
+
   /** MinHash estimator audit: for every LSH candidate pair, the
     * signature-agreement Jaccard ESTIMATE (matching slots / K — the
     * number a sketch-only pipeline would act on) next to the exact
@@ -935,7 +984,9 @@ object Dedup {
     "q_minhash_est" -> qMinhashEst,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_clusters" -> qDedupClusters,
-    "q_lsh_bucket_stats" -> qLshBucketStats)
+    "q_lsh_bucket_stats" -> qLshBucketStats,
+    "q_cross_source_dups" -> qCrossSourceDups,
+    "q_best_copy" -> qBestCopy)
 
   /** Segment extraction as a DuckDB CASE over seg_idx (oracle mirror
     * of simhashPairs' posexplode).
@@ -1186,6 +1237,33 @@ object Dedup {
       s"""WITH $MinhashPairsCtes
          |SELECT * FROM verified WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_cross_source_dups" ->
+      s"""WITH $MinhashPairsCtes,
+         |p AS (SELECT doc_id_a, doc_id_b, jaccard FROM verified
+         |  WHERE jaccard >= $JaccardThreshold)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_jac_micro,
+         |  CAST(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_jac_micro
+         |FROM p
+         |JOIN documents da ON da.doc_id = p.doc_id_a
+         |JOIN documents db ON db.doc_id = p.doc_id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_best_copy" ->
+      s"""WITH c AS MATERIALIZED ($dedupClustersSql),
+         |j AS (SELECT c.doc_id, canonical_id, cluster_size, d.n_chars
+         |  FROM c JOIN documents d USING (doc_id)),
+         |b AS (SELECT canonical_id, doc_id AS best_doc FROM (
+         |  SELECT canonical_id, doc_id, row_number() OVER (
+         |    PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.canonical_id, j.cluster_size, b.best_doc,
+         |  CAST(CASE WHEN j.doc_id = b.best_doc THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep
+         |FROM j JOIN b USING (canonical_id) ORDER BY doc_id""".stripMargin,
     "q_lsh_bucket_stats" ->
       s"""WITH $BandsCtes,
          |bs AS (SELECT bkey, CAST(count(*) AS BIGINT) AS bucket_size

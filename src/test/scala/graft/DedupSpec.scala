@@ -216,4 +216,39 @@ class DedupSpec extends AnyFunSuite {
       assert(got == ref(id), s"doc $id: got $got want ${ref(id)}")
     }
   }
+
+  test("cross-source dups: group mass equals the verified pair count") {
+    val spark = TestSpark.spark
+    val df = Dedup.qCrossSourceDups(spark, TestSpark.sf).cache()
+    val nPairs = Dedup.qDedupMinhash(spark, TestSpark.sf).count()
+    assert(df.agg(sum("n_pairs")).head().getLong(0) == nPairs)
+    assert(df.filter(col("avg_jac_micro") =!=
+      expr("sum_jac_micro div n_pairs")).count() == 0)
+    // every pair is at least at the verification threshold
+    assert(df.filter(col("avg_jac_micro") <
+      (Dedup.JaccardThreshold * 1e6).toLong).count() == 0)
+    df.unpersist()
+  }
+
+  test("best copy: one survivor per cluster, and it is the longest copy") {
+    val spark = TestSpark.spark
+    val df = Dedup.qBestCopy(spark, TestSpark.sf).cache()
+    assert(df.count() ==
+      Tables.documents(spark, TestSpark.sf).count(), "one row per doc")
+    val perCluster = df.groupBy("canonical_id")
+      .agg(sum("keep").as("kept"), max("best_doc").as("bmax"),
+        min("best_doc").as("bmin"))
+    assert(perCluster.filter(col("kept") =!= 1L).count() == 0,
+      "exactly one keep per cluster")
+    assert(perCluster.filter(col("bmax") =!= col("bmin")).count() == 0)
+    // the survivor's n_chars is the cluster max (tie -> smallest id)
+    val chars = Tables.documents(spark, TestSpark.sf).select("doc_id", "n_chars")
+    val bad = df.join(chars, "doc_id")
+      .groupBy("canonical_id")
+      .agg(min(struct((-col("n_chars")).as("nn"), col("doc_id"))).as("w"),
+        max(when(col("keep") === 1L, col("doc_id"))).as("got"))
+      .filter(col("w.doc_id") =!= col("got")).count()
+    assert(bad == 0, "keep flag not on the longest copy")
+    df.unpersist()
+  }
 }

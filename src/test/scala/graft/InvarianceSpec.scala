@@ -61,7 +61,9 @@ class InvarianceSpec extends AnyFunSuite {
       // band-bucket histogram + key-skew profiler
       "q_lsh_bucket_stats", "q_skew_report",
       // heap-ranked first-relevant rank + hits@K
-      "q_mrr")
+      "q_mrr",
+      // provenance rollup of verified pairs + struct-min best copy
+      "q_cross_source_dups", "q_best_copy")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
