@@ -94,6 +94,7 @@ object Bench {
       "lsh_bucket_stats" -> "lb", "skew_report" -> "sk",
       "mrr" -> "mq",
       "cross_source_dups" -> "cd", "best_copy" -> "bc",
+      "chunk_dedup" -> "cq", "degree_dist" -> "dv",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

@@ -80,6 +80,24 @@ object Analytics {
   def qCooccur(spark: SparkSession, dir: String): DataFrame =
     cooccur(spark, dir).orderBy("e1", "e2")
 
+  /** Degree-distribution histogram on log2 buckets — the graph health
+    * profile (heavy-tail check, the graph twin of q_zipf_fit): per
+    * bucket floor(log2(degree)), node count and the degree range. A
+    * |buckets|-row result from one map-side-combined aggregate over
+    * the degree table — the shape that still fits on a screen when
+    * the graph has a billion nodes, and the first thing to look at
+    * before running anything iterative on an unknown graph (a
+    * max-degree hub dictates whether PageRank/LPA need salting).
+    */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .withColumn("bucket", floor(log2(col("degree"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("degree").as("min_deg"), max("degree").as("max_deg"))
+      .orderBy("bucket")
+
   val PmiMinWeight = 2
   val PmiTopN = 50
 
@@ -1159,7 +1177,8 @@ object Analytics {
     "q_kcore" -> qKcore,
     "q_lpa_communities" -> qLpaCommunities,
     "q_modularity" -> qModularity,
-    "q_components" -> qComponents)
+    "q_components" -> qComponents,
+    "q_degree_dist" -> qDegreeDist)
 
   val oracles: Map[String, String] = Map(
     "q_closeness" -> closenessSql,
@@ -1243,6 +1262,12 @@ object Analytics {
       s"""WITH $CooccurSql
          |SELECT src AS name, d AS degree, wd AS wdegree
          |FROM deg ORDER BY degree DESC, name""".stripMargin,
+    "q_degree_dist" ->
+      s"""WITH $CooccurSql
+         |SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_pagerank" -> pagerankSql,
     "q_lpa_communities" -> lpaSql,
     "q_modularity" -> modularitySql,

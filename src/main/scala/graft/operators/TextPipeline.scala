@@ -115,6 +115,26 @@ object TextPipeline {
       .select("doc_id", "chunk_id", "chunk_text", "n_chars", "n_words")
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level exact dedup — RAG-index hygiene: a chunk repeated
+    * across syndicated articles floods vector/fulltext top-k with
+    * identical passages, so the index build dedups at CHUNK
+    * granularity, not document granularity (doc-level dedup misses
+    * partial syndication). Duplicate chunk groups by md5 identity
+    * with copy/distinct-doc counts and the canonical first doc; the
+    * retrieval-index analogue of Dedup.qDedupExact. Only 16-byte
+    * hashes cross the one exchange — chunk text never shuffles.
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .select("h", "n_copies", "n_docs", "first_doc")
+      .orderBy("h")
+
   /** The SAME chunk table as `chunks`, computed as one per-document
     * fold instead of the word-explode + window-cumsum plan: a walk
     * over a doc's words carrying (char offset, current chunk id,
@@ -401,7 +421,8 @@ object TextPipeline {
     "q_sentences" -> qSentences,
     "q_mentions" -> qMentions,
     "q_entities" -> qEntities,
-    "q_fulltext_query" -> qFulltextQuery)
+    "q_fulltext_query" -> qFulltextQuery,
+    "q_chunk_dedup" -> qChunkDedup)
 
   val oracles: Map[String, String] = Map(
     "q_chunk_overlap" ->
@@ -423,6 +444,13 @@ object TextPipeline {
          |SELECT doc_id, chunk_id, chunk_text,
          |  length(chunk_text) AS n_chars, n_words
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH $ChunksSql,
+         |hh AS (SELECT doc_id, md5(chunk_text) AS h FROM chunks)
+         |SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM hh GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
     // same rows as q_chunk by construction (the fold is an alternate
     // physical strategy, not different semantics) — same oracle
     "q_chunk_fold" ->

@@ -63,7 +63,9 @@ class InvarianceSpec extends AnyFunSuite {
       // heap-ranked first-relevant rank + hits@K
       "q_mrr",
       // provenance rollup of verified pairs + struct-min best copy
-      "q_cross_source_dups", "q_best_copy")
+      "q_cross_source_dups", "q_best_copy",
+      // chunk-hash dedup groups + log2 degree histogram
+      "q_chunk_dedup", "q_degree_dist")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

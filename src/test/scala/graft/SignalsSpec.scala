@@ -233,6 +233,25 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("chunk dedup: dup groups bounded by chunk mass, counts consistent") {
+    val df = operators.TextPipeline.qChunkDedup(spark, TestSpark.sf).cache()
+    assert(df.count() > 0, "synthetic corpus has duplicate chunks")
+    assert(df.filter(col("n_copies") < 2).count() == 0)
+    assert(df.filter(col("n_docs") > col("n_copies")).count() == 0)
+    val totalChunks = operators.TextPipeline.qChunk(spark, TestSpark.sf).count()
+    assert(df.agg(sum("n_copies")).head().getLong(0) <= totalChunks)
+    df.unpersist()
+  }
+
+  test("degree dist: bucket ranges are exact powers of two, mass = node count") {
+    val df = graph.Analytics.qDegreeDist(spark, TestSpark.sf).cache()
+    val nodes = graph.Analytics.qEntityDegree(spark, TestSpark.sf).count()
+    assert(df.agg(sum("n_nodes")).head().getLong(0) == nodes)
+    assert(df.filter(col("min_deg") < expr("cast(pow(2, bucket) as bigint)")
+      || col("max_deg") >= expr("cast(pow(2, bucket + 1) as bigint)")).count() == 0)
+    df.unpersist()
+  }
+
   test("lsh bucket stats: histogram mass equals band rows, exact pair loads") {
     val df = operators.Dedup.qLshBucketStats(spark, TestSpark.sf).cache()
     val bandRows = Tables.documents(spark, TestSpark.sf)
