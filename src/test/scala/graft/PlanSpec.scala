@@ -439,4 +439,34 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("cosine_sim"), desc)
   }
+
+  test("skew report and embed outliers take their top-K, never a global rank") {
+    for (df <- Seq(operators.Relational.qSkewReport(spark, TestSpark.sf),
+        operators.Training.qEmbedOutliers(spark, TestSpark.sf))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"global top-k must be TakeOrdered:\n$p")
+      // the only Window is the k-row rank above the take
+      val wins = "Window".r.findAllMatchIn(p).map(_.start).toSeq
+      assert(wins.size <= 1 && wins.forall(_ < p.indexOf("TakeOrderedAndProject")),
+        s"window below the top-k take:\n$p")
+    }
+  }
+
+  test("chunk dedup shuffles 16-byte hashes — chunk text stays map-side") {
+    val p = plan(operators.TextPipeline.qChunkDedup(spark, TestSpark.sf))
+    // text is consumed by the md5 projection BEFORE the exchange: no
+    // occurrence of the text column may appear after the first shuffle
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0, s"expected one hash exchange:\n$p")
+    assert(!p.substring(ex).contains("chunk_text"),
+      s"chunk text must not cross the exchange:\n$p")
+  }
+
+  test("kmv overlap's pairwise stage joins sketch rows as broadcasts") {
+    val p = plan(operators.Sketches.qKmvOverlap(spark, TestSpark.sf))
+    assert(p.contains("BroadcastExchange"),
+      s"expected broadcast sketch-row joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian on raw data:\n$p")
+  }
 }
