@@ -95,6 +95,7 @@ object Bench {
       "mrr" -> "mq",
       "cross_source_dups" -> "cd", "best_copy" -> "bc",
       "chunk_dedup" -> "cq", "degree_dist" -> "dv",
+      "stopword_df" -> "sx", "join_size_est" -> "jn",
       "kmv_distinct" -> "kmv", "hist_quantiles" -> "hq",
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",

@@ -219,6 +219,33 @@ object Relational {
       .orderBy("rk")
   }
 
+  /** Join-cardinality pre-estimate — planner arithmetic exposed as an
+    * operator: |A ⋈ B| on an equi-key is EXACTLY Σ_k cntA(k)·cntB(k),
+    * so the output size of a join is computable from the two key
+    * histograms without materializing a single joined row. One row of
+    * sizing facts (inputs, shared keys, exact join rows,
+    * amplification in integer percent of the combined input) — what
+    * decides shuffle partition counts and whether qSkewReport-guided
+    * salting is needed BEFORE paying for the join at 100 TB. The
+    * histograms are map-side-combined aggregates; the key-histogram
+    * join is |keys|-sized, not |rows|-sized. Purchases × clicks on
+    * user_id here.
+    */
+  def qJoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def keyed(t: String) = ev.filter(col("event_type") === t)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val a = keyed("purchase").toDF("user_id", "na")
+    val b = keyed("click").toDF("user_id", "nb")
+    a.join(b, "user_id")
+      .agg(coalesce(sum(expr("na * nb")), lit(0L)).as("join_rows"),
+        count(lit(1)).as("n_keys_shared"))
+      .crossJoin(broadcast(a.agg(coalesce(sum("na"), lit(0L)).as("n_left"))))
+      .crossJoin(broadcast(b.agg(coalesce(sum("nb"), lit(0L)).as("n_right"))))
+      .withColumn("amp_x100", expr("join_rows * 100 div (n_left + n_right)"))
+      .select("n_left", "n_right", "n_keys_shared", "join_rows", "amp_x100")
+  }
+
   /** Per-group top-N via the custom TopKPerGroup physical operator
     * (graft.plans: LogicalPlan + Strategy + partial/final heap exec) —
     * same answer as the window variant, radically less shuffle.
@@ -280,9 +307,23 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
-    "q_skew_report" -> qSkewReport)
+    "q_skew_report" -> qSkewReport,
+    "q_join_size_est" -> qJoinSizeEst)
 
   val oracles: Map[String, String] = Map(
+    "q_join_size_est" ->
+      """WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS na
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nb
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |j AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS join_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys_shared
+        |  FROM a JOIN b USING (user_id)),
+        |l AS (SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_left FROM a),
+        |r AS (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_right FROM b)
+        |SELECT n_left, n_right, n_keys_shared, join_rows,
+        |  CAST(join_rows * 100 // (n_left + n_right) AS BIGINT) AS amp_x100
+        |FROM j, l, r""".stripMargin,
     "q_skew_report" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
          |  FROM events GROUP BY user_id),

@@ -461,7 +461,33 @@ object TextAnalysis {
         round(col("num") * col("num") / (col("den") * col("deny")), 6).as("r2"))
   }
 
+  val StopDfPct = 50L  // words present in > this % of documents
+
+  /** Corpus-specific stopword discovery by document frequency: the
+    * words appearing in ≥ StopDfPct% of documents, with exact integer
+    * DF percent. Published stopword lists don't transfer across
+    * domains/languages; quality signals (stopword ratio, fulltext
+    * scoring) want the CORPUS's own function words, recomputed as the
+    * corpus drifts. One distinct-words-per-doc explode + one
+    * map-side-combined DF aggregate + a 1-row doc-count broadcast —
+    * the candidate set after the DF filter is vocabulary-of-function-
+    * words sized, never corpus sized.
+    */
+  def qStopwordDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(n))
+      .withColumn("df_pct", expr("df_docs * 100 div n_docs"))
+      .filter(col("df_pct") >= StopDfPct)
+      .select("word", "df_docs", "n_docs", "df_pct")
+      .orderBy("word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stopword_df" -> qStopwordDf,
     "q_zipf_fit" -> qZipfFit,
     "q_bigram_lm" -> qBigramLm,
     "q_unigram_lm" -> qUnigramLm,
@@ -480,6 +506,17 @@ object TextAnalysis {
     "q_signal_corr" -> qSignalCorr)
 
   val oracles: Map[String, String] = Map(
+    "q_stopword_df" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |d AS (SELECT word, CAST(count(*) AS BIGINT) AS df_docs
+         |  FROM w GROUP BY word)
+         |SELECT word, df_docs, n_docs,
+         |  CAST(df_docs * 100 // n_docs AS BIGINT) AS df_pct
+         |FROM d, n WHERE df_docs * 100 // n_docs >= $StopDfPct
+         |ORDER BY word""".stripMargin,
     "q_signal_corr" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
          |  FROM documents),

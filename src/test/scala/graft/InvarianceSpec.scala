@@ -65,7 +65,9 @@ class InvarianceSpec extends AnyFunSuite {
       // provenance rollup of verified pairs + struct-min best copy
       "q_cross_source_dups", "q_best_copy",
       // chunk-hash dedup groups + log2 degree histogram
-      "q_chunk_dedup", "q_degree_dist")
+      "q_chunk_dedup", "q_degree_dist",
+      // DF-threshold stopwords + histogram join sizing
+      "q_stopword_df", "q_join_size_est")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

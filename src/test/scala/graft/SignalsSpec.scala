@@ -233,6 +233,30 @@ class SignalsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("stopword discovery: DF bounds hold and threshold is respected") {
+    val df = TextAnalysis.qStopwordDf(spark, TestSpark.sf).cache()
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(df.count() > 0, "corpus has function words")
+    assert(df.filter(col("n_docs") =!= nDocs).count() == 0)
+    assert(df.filter(col("df_docs") > col("n_docs")).count() == 0)
+    assert(df.filter(col("df_pct") < TextAnalysis.StopDfPct).count() == 0)
+    df.unpersist()
+  }
+
+  test("join size estimate equals the materialized join exactly") {
+    val row = Relational.qJoinSizeEst(spark, TestSpark.sf).head()
+    val ev = Tables.events(spark, TestSpark.sf)
+    val actual = ev.filter(col("event_type") === "purchase")
+      .select("user_id")
+      .join(ev.filter(col("event_type") === "click").select("user_id"),
+        "user_id")
+      .count()
+    assert(row.getAs[Long]("join_rows") == actual,
+      s"histogram estimate ${row.getAs[Long]("join_rows")} != joined $actual")
+    assert(row.getAs[Long]("amp_x100") == row.getAs[Long]("join_rows") * 100 /
+      (row.getAs[Long]("n_left") + row.getAs[Long]("n_right")))
+  }
+
   test("chunk dedup: dup groups bounded by chunk mass, counts consistent") {
     val df = operators.TextPipeline.qChunkDedup(spark, TestSpark.sf).cache()
     assert(df.count() > 0, "synthetic corpus has duplicate chunks")
