@@ -30,6 +30,8 @@ import graft.operators.TextPipeline
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
   *                 | v.prop <> 'a' | v.prop < n ...
   *                 | v.prop CONTAINS|STARTS WITH|ENDS WITH 'a'
+  *                 | toLower(v.prop) CONTAINS|STARTS WITH|ENDS WITH|=|<> 'a'
+  *                 | v.prop =~ 'regex'  -- anchored (Cypher semantics)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
   *                   top-level AND conjunct only
   *                 | v[.prop] IS [NOT] NULL  -- bare v checks its uid;
@@ -217,6 +219,18 @@ object CypherLite {
     * lean on).
     */
   case class StrPred(v: String, prop: String, op: String, value: String) extends Pred
+  /** `toLower(v.prop) CONTAINS|STARTS WITH|ENDS WITH|=|<> 'x'` — the
+    * case-insensitive matching idiom LLM-written queries emit
+    * constantly; compiled as lower(col) against the literal as
+    * written (the caller lowercases the literal, as Cypher users do).
+    */
+  case class LowerPred(v: String, prop: String, op: String, value: String) extends Pred
+  /** `v.prop =~ 'regex'` — Cypher regex predicate, compiled to rlike
+    * (Spark's Java-regex find-anywhere... both sides are Java regex
+    * dialects; rlike is unanchored while Cypher `=~` is anchored, so
+    * the pattern is wrapped in ^…$ to keep Cypher semantics).
+    */
+  case class RegexPred(v: String, prop: String, pattern: String) extends Pred
   /** `NOT (v)-[:REL]->(:Label [{prop:'x'}])` — negative pattern
     * predicate (Cypher's "has no such edge"), compiled as a LEFT ANTI
     * join of the bound rows against the hop — the anti-join shape of
@@ -361,7 +375,13 @@ object CypherLite {
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
+    val lowerRe = ("""(?i)toLower\(\s*(\w+)\.(\w+)\s*\)\s*""" +
+      """(CONTAINS|STARTS\s+WITH|ENDS\s+WITH|=|<>)\s*'([^']*)'""").r
+    val regexRe = """(\w+)\.(\w+)\s*=~\s*'([^']*)'""".r
     w.trim match {
+      case lowerRe(v, p, op, value) =>
+        LowerPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
+      case regexRe(v, p, pat) => RegexPred(v, p, pat)
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case isNullRe(v, prop, not) =>
@@ -602,6 +622,16 @@ object CypherLite {
         case "STARTS WITH" => col(s"${v}_$pr").startsWith(value)
         case "ENDS WITH" => col(s"${v}_$pr").endsWith(value)
       }
+      case LowerPred(v, pr, op, value) =>
+        val c = lower(col(s"${v}_$pr"))
+        op match {
+          case "CONTAINS" => c.contains(value)
+          case "STARTS WITH" => c.startsWith(value)
+          case "ENDS WITH" => c.endsWith(value)
+          case "=" => c === value
+          case "<>" => c =!= value
+        }
+      case RegexPred(v, pr, pat) => col(s"${v}_$pr").rlike(s"^(?:$pat)$$")
       case NumPred(v, pr, op, value) => cmp(col(s"${v}_$pr"), op, value)
       case BarePred(n, op, value) => cmp(col(n), op, value)
       case IsNullPred(v, prop, negated) =>

@@ -27,6 +27,36 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(CypherLite.run(spark, TestSpark.sf, q).count() == 0)
   }
 
+  test("toLower predicate matches case-insensitively, exact vs lower(col)") {
+    val q = "MATCH (e:Entity) WHERE toLower(e.name) CONTAINS 'spark' " +
+      "RETURN e.name AS name ORDER BY e.name"
+    val got = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.getString(0)).toSeq
+    val want = CypherLite.nodes(spark, TestSpark.sf, "Entity")
+      .filter(org.apache.spark.sql.functions.lower(col("name")).contains("spark"))
+      .select("name")
+      .orderBy("name").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("=~ regex predicate is anchored like Cypher, not find-anywhere") {
+    // anchored: 'spark.*' must NOT match names merely containing
+    // spark mid-string
+    val q = "MATCH (e:Entity) WHERE e.name =~ 'spark.*' " +
+      "RETURN e.name AS name ORDER BY e.name"
+    val got = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty && got.forall(_.startsWith("spark")))
+    val anyContains = CypherLite.nodes(spark, TestSpark.sf, "Entity")
+      .filter(col("name").contains("spark") && !col("name").startsWith("spark"))
+      .count()
+    val withMid = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (e:Entity) WHERE e.name =~ '.*spark.*' RETURN e.name AS name")
+      .count()
+    assert(withMid == got.size + anyContains,
+      "anchored vs wrapped patterns must differ by the mid-string matches")
+  }
+
   test("STARTS WITH predicate coexists with a WITH pipeline stage (slicer hazard)") {
     // `STARTS WITH` contains the WITH keyword: the stage slicer must
     // not cut the query there
