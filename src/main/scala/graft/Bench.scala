@@ -40,6 +40,8 @@ object Bench {
       // kept 2-char names that CONTAIN a renamed base go first, or
       // the shorter rule would corrupt them ("quality" inside
       // "quality_classifier", "knn_join" inside "knn_join_ivf")
+      "source_entropy" -> "sy", "token_gini" -> "tg",
+      "assortativity" -> "ay",
       "quality_classifier" -> "qc", "knn_join_ivf" -> "kv",
       "chunks_from_articles" -> "cf", "cosine_topk_filtered" -> "ct",
       "articles_mentioning" -> "am", "bloom_decontaminate" -> "bd",
@@ -213,10 +215,21 @@ object Bench {
       "centroids" -> "ctr", "schema" -> "sch", "nodes" -> "nds",
       "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "ru",
       "pivot" -> "pv",
-      "x_mat_shingles" -> "xmd", "x_mat_graph" -> "xmg",
-      "x_amortized_dd" -> "xad", "x_amortized" -> "xam")
+      "x_mat_shingles" -> "w3", "x_mat_graph" -> "w1",
+      "x_amortized_dedup" -> "w4", "x_amortized_graph" -> "w2")
+  /** Cypher examples compress to digit pairs ("cypher_ex14" → "y4"):
+    * c0-c9 for ex0-9, y0-y9 for ex10-19, z0-z9 for ex20-29 — every
+    * key on the line is exactly 2 chars (the worst-case-fit contract
+    * in BenchContractSpec). BENCH_KEYS.md decodes.
+    */
+  private val cypherNum = """^cypher_ex(\d+)$""".r
   private[graft] def key(k: String): String = {
-    val base = k.stripPrefix("q_").replaceFirst("^cypher_ex", "c")
+    val base = k.stripPrefix("q_") match {
+      case cypherNum(n) =>
+        val i = n.toInt
+        if (i < 10) s"c$i" else if (i < 20) s"y${i - 10}" else s"z${i - 20}"
+      case b => b
+    }
     abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
   }
 
@@ -408,7 +421,7 @@ object Bench {
           val tRun = (System.nanoTime() - t1) / 1e9
           release()
           Seq(("x_mat_graph", tMat, None),
-            (s"x_amortized${gq.size}q", tRun, None))
+            ("x_amortized_graph", tRun, None))
         } catch {
           case e: Throwable =>
             Seq(("x_graph_amortized", -1.0, Some(errStr(e))))
@@ -431,7 +444,7 @@ object Bench {
           val tRun = (System.nanoTime() - t1) / 1e9
           release()
           Seq(("x_mat_shingles", tMat, None),
-            (s"x_amortized_dd${dq.size}q", tRun, None))
+            ("x_amortized_dedup", tRun, None))
         } catch {
           case e: Throwable =>
             Seq(("x_dedup_amortized", -1.0, Some(errStr(e))))

@@ -1156,7 +1156,45 @@ object Analytics {
        |ORDER BY h_micro DESC, name""".stripMargin
   }
 
+  /** Degree assortativity of the co-occurrence graph — the Pearson
+    * correlation of (deg(u), deg(v)) over both orientations of every
+    * edge (Newman's r): positive means hubs link to hubs (a resilient
+    * core), negative means hub-and-spoke (delete the hub and the
+    * graph shatters — the property that decides whether LPA/PageRank
+    * results survive entity-resolution merges). All six moment sums
+    * are exact long arithmetic on degrees (bounded by the skew cap ×
+    * chunk count); doubles only touch the final single-row formula,
+    * in identical expression order on both engines.
+    *
+    * Scale shape: two broadcast-or-shuffle equi-joins of the edge
+    * list against the degree table, one map-side-combined global
+    * aggregate — no window, no iteration.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // read by both endpoint joins
+    val xy = e
+      .join(deg.select(col("src"), col("d").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("num", col("nd") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("den", sqrt((col("nd") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+        * (col("nd") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))))
+      .select(expr("n div 2").as("n_edges"),
+        round(col("sx").cast("double") / col("nd"), 6).as("mean_end_degree"),
+        round(when(col("den") > 0, col("num") / col("den")).otherwise(0.0), 6)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> qAssortativity,
     "q_edge_support" -> qEdgeSupport,
     "q_ktruss_peel" -> qKtrussPeel,
     "q_graph_summary" -> qGraphSummary,
@@ -1181,6 +1219,31 @@ object Analytics {
     "q_degree_dist" -> qDegreeDist)
 
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      s"""WITH $CooccurSql,
+         |xy AS (SELECT a.d AS x, b.d AS y
+         |  FROM edges e JOIN deg a ON a.src = e.src
+         |  JOIN deg b ON b.src = e.dst),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM xy)
+         |SELECT n // 2 AS n_edges,
+         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_end_degree,
+         |  round(CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+         |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    ELSE 0 END, 6) AS assortativity
+         |FROM mom""".stripMargin,
     "q_closeness" -> closenessSql,
     "q_edge_support" ->
       s"""WITH $CooccurSql,

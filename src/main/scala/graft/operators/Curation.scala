@@ -355,7 +355,89 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Shannon entropy of the per-language source mix, weighted by
+    * token mass — the training-mix diversity audit: `entropy` in
+    * nats, `eff_sources` = exp(H) (the "effective number of equally
+    * weighted sources" actually feeding the mix — 200 crawl domains
+    * with eff_sources 3.2 is a concentration alarm no count column
+    * shows), and `norm_entropy` = H / ln(k) in [0,1] for cross-lang
+    * comparison. Cross-engine float discipline: the share is floored
+    * onto an integer ppm grid and each p·ln p term is quantized to
+    * micro-nats BEFORE the sum (the qUnigramLm pattern), so the
+    * distributed sum is order-independent; sub-ppm sources fall out
+    * of the grid on both engines (their entropy mass is < 2e-5 nats).
+    *
+    * Scale shape: one map-side-combined groupBy(lang, source) over
+    * the documents scan, then arithmetic on a #langs×#sources-row
+    * table joined against its broadcast per-lang rollup.
+    */
+  def qSourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang", "source").agg(sum("n_tokens").as("tk"))
+    val lt = st.groupBy("lang")
+      .agg(sum("tk").as("lang_tokens"), count(lit(1)).as("n_sources"))
+    st.join(broadcast(lt), "lang")
+      .withColumn("p_ppm", expr("tk * 1000000 div lang_tokens"))
+      .filter(col("p_ppm") > 0)
+      .withColumn("term", round(col("p_ppm").cast("double") / lit(1e6)
+        * log(col("p_ppm").cast("double") / lit(1e6)) * lit(1e6)).cast("long"))
+      .groupBy("lang")
+      .agg(max("n_sources").as("n_sources"),
+        max("lang_tokens").as("lang_tokens"), sum("term").as("hm"))
+      .select(col("lang"), col("n_sources"), col("lang_tokens"),
+        round(-col("hm").cast("double") / lit(1e6), 6).as("entropy"),
+        round(exp(-col("hm").cast("double") / lit(1e6)), 6).as("eff_sources"),
+        round(when(col("n_sources") > 1, -col("hm").cast("double") / lit(1e6)
+          / log(col("n_sources").cast("double"))).otherwise(0.0), 6)
+          .as("norm_entropy"))
+      .orderBy("lang")
+  }
+
+  /** Token-mass concentration across sources: the Gini coefficient
+    * (sorted-rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n) plus the
+    * Lorenz-curve operating points head-count style — the minimum
+    * number of top sources covering 50% / 90% of all tokens. The
+    * "does 1% of domains contribute half the corpus" crawl audit.
+    * All rank/cumulative arithmetic is exact integer math on the
+    * per-source token sums; doubles appear only in the final
+    * single-row division, so both engines compute bit-identical
+    * inputs. Ties broken by source name on both sides.
+    *
+    * Scale shape: the windows run over the per-SOURCE aggregate
+    * (domain-bounded, ~10⁶ rows at web scale — a single partition's
+    * worth), never over documents; the doc-level work is one
+    * map-side-combined groupBy on the scan.
+    */
+  def qTokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("tk"))
+      .localCheckpoint(false) // feeds 3 tiny aggregates below
+    val ranked = st.withColumn("i",
+      row_number().over(Window.orderBy(col("tk"), col("source"))))
+    val cum = st.withColumn("cum", sum("tk").over(Window
+      .orderBy(col("tk").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = st.agg(sum("tk").as("s"), count(lit(1)).as("n"))
+    val s1 = ranked.agg(sum(expr("i * tk")).as("s1"))
+    val conc = cum.crossJoin(broadcast(tot))
+      .agg(sum(when(expr("(cum - tk) * 2 < s"), 1L).otherwise(0L)).as("t50"),
+        sum(when(expr("(cum - tk) * 10 < s * 9"), 1L).otherwise(0L)).as("t90"))
+    tot.crossJoin(broadcast(s1)).crossJoin(broadcast(conc))
+      .select(col("n").as("n_sources"), col("s").as("total_tokens"),
+        round(lit(2.0) * col("s1").cast("double")
+          / (col("n").cast("double") * col("s").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+          .as("gini"),
+        col("t50").as("top50_sources"), col("t90").as("top90_sources"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_entropy" -> qSourceEntropy,
+    "q_token_gini" -> qTokenGini,
     "q_length_hist" -> qLengthHist,
     "q_drift_report" -> qDriftReport,
     "q_filter_pipeline" -> qFilterPipeline,
@@ -390,6 +472,54 @@ object Curation {
          |WHERE bucket < $EvalBucket ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_source_entropy" ->
+      """WITH st AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY lang, source),
+        |lt AS (SELECT lang, CAST(sum(tk) AS BIGINT) AS lang_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM st GROUP BY lang),
+        |tm AS (SELECT lang, n_sources, lang_tokens,
+        |    CAST(round(CAST(tk * 1000000 // lang_tokens AS DOUBLE) / 1e6
+        |      * ln(CAST(tk * 1000000 // lang_tokens AS DOUBLE) / 1e6) * 1e6)
+        |      AS BIGINT) AS term
+        |  FROM st JOIN lt USING (lang)
+        |  WHERE tk * 1000000 // lang_tokens > 0)
+        |SELECT lang, max(n_sources) AS n_sources,
+        |  max(lang_tokens) AS lang_tokens,
+        |  round(-CAST(sum(term) AS DOUBLE) / 1e6, 6) AS entropy,
+        |  round(exp(-CAST(sum(term) AS DOUBLE) / 1e6), 6) AS eff_sources,
+        |  round(CASE WHEN max(n_sources) > 1
+        |    THEN -CAST(sum(term) AS DOUBLE) / 1e6
+        |      / ln(CAST(max(n_sources) AS DOUBLE))
+        |    ELSE 0 END, 6) AS norm_entropy
+        |FROM tm GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_gini" ->
+      """WITH st AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT tk,
+        |    CAST(row_number() OVER (ORDER BY tk, source) AS BIGINT) AS i
+        |  FROM st),
+        |c AS (SELECT tk, CAST(sum(tk) OVER (ORDER BY tk DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM st),
+        |t AS (SELECT CAST(sum(tk) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM st),
+        |s1 AS (SELECT CAST(sum(i * tk) AS BIGINT) AS s1 FROM r),
+        |conc AS (SELECT
+        |    CAST(sum(CASE WHEN (cum - tk) * 2 < s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t50,
+        |    CAST(sum(CASE WHEN (cum - tk) * 10 < s * 9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t90
+        |  FROM c, t)
+        |SELECT n AS n_sources, s AS total_tokens,
+        |  round(2.0 * CAST(s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+        |  t50 AS top50_sources, t90 AS top90_sources
+        |FROM t, s1, conc""".stripMargin,
     "q_length_hist" ->
       s"""WITH b AS (
          |  SELECT source, n_chars // $HistBucketChars AS bucket,

@@ -13,8 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchContractSpec extends AnyFunSuite {
 
-  private val segments = Seq("x_mat_graph", "x_amortized6q",
-    "x_mat_shingles", "x_amortized_dd6q")
+  private val segments = Seq("x_mat_graph", "x_amortized_graph",
+    "x_mat_shingles", "x_amortized_dedup")
   private val allNames = SparkEntry.queries.keys.toSeq ++ segments
 
   test("bench keys are collision-free across the whole query surface") {

@@ -13,7 +13,12 @@ class InvarianceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("representative queries are partition-count invariant") {
-    val names = Seq("q1_agg", "q_dedup_minhash", "q_chunk_sentences",
+    val names = Seq(
+      // round-6 closers: micro-nat entropy terms, exact-integer Gini
+      // ranks, six-moment assortativity sums — all must survive any
+      // partitioning byte-identically
+      "q_source_entropy", "q_token_gini", "q_assortativity",
+      "q1_agg", "q_dedup_minhash", "q_chunk_sentences",
       "q_stratified_sample", "q_cypher_ex7",
       // round-3 additions: span-dedup coverage counts, degree-oriented
       // wedge triangles, the rewrite-rule heap plan, subword fold

@@ -336,4 +336,53 @@ class SignalsSpec extends AnyFunSuite {
     assert(badTotal == 0)
     df.unpersist()
   }
+
+  test("source entropy: bounds hold and a uniform mix maximizes it") {
+    val df = operators.Curation.qSourceEntropy(spark, TestSpark.sf).cache()
+    assert(df.count() > 0)
+    // H >= 0; exp(H) in [1, k]; H/ln(k) in [0, 1] (grid slack 1e-5)
+    val bad = df.filter(col("entropy") < -1e-5
+      || col("eff_sources") < 1.0 - 1e-5
+      || col("eff_sources") > col("n_sources").cast("double") + 1e-5
+      || col("norm_entropy") < -1e-5 || col("norm_entropy") > 1.0 + 1e-5)
+      .count()
+    assert(bad == 0)
+    // lang_tokens is the exact sum over the per-(lang, source) rollup
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("expect"))
+    assert(df.join(docs, "lang")
+      .filter(col("lang_tokens") =!= col("expect")).count() == 0)
+    df.unpersist()
+  }
+
+  test("token gini: Lorenz points nest and the coefficient is bounded") {
+    val r = operators.Curation.qTokenGini(spark, TestSpark.sf).head()
+    val n = r.getAs[Long]("n_sources")
+    val g = r.getAs[Double]("gini")
+    val t50 = r.getAs[Long]("top50_sources")
+    val t90 = r.getAs[Long]("top90_sources")
+    assert(n > 0 && g >= 0.0 && g < 1.0)
+    assert(t50 >= 1 && t50 <= t90 && t90 <= n)
+    // re-derive top50 independently: smallest prefix of sources by
+    // descending tokens whose sum reaches half the total
+    val st = Tables.documents(spark, TestSpark.sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tk"))
+      .orderBy(col("tk").desc, col("source"))
+      .collect().map(_.getAs[Long]("tk"))
+    val total = st.sum
+    val expect50 = st.scanLeft(0L)(_ + _).tail.indexWhere(_ * 2 >= total) + 1
+    assert(t50 == expect50, s"top50=$t50 expected=$expect50")
+  }
+
+  test("assortativity: |r| <= 1 and the moments cover every edge twice") {
+    val r = Analytics.qAssortativity(spark, TestSpark.sf).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"r=$a out of range")
+    val nUndirected = Analytics.cooccur(spark, TestSpark.sf).count()
+    assert(r.getAs[Long]("n_edges") == nUndirected)
+    // mean endpoint degree over both orientations >= 1 by construction
+    assert(r.getAs[Double]("mean_end_degree") >= 1.0)
+  }
 }
