@@ -422,6 +422,33 @@ class PlanSpec extends AnyFunSuite {
       s"dau day list must broadcast:\n$da")
   }
 
+  test("concentration triad: broadcast rollups, post-agg windows, equi-join moments") {
+    // entropy: the per-lang rollup joins back as a broadcast; the
+    // only corpus exchange is the (lang, source) partial agg
+    val sy = plan(operators.Curation.qSourceEntropy(spark, TestSpark.sf))
+    assert(sy.contains("BroadcastHashJoin"),
+      s"per-lang rollup must broadcast:\n$sy")
+    assert(!sy.contains("CartesianProduct"), s"entropy cartesian:\n$sy")
+    assert(sy.contains("ReadSchema: struct<text:string,lang:string,source:string>")
+      || sy.contains("ReadSchema: struct<lang:string,text:string,source:string>"),
+      s"entropy must read only lang/source/text:\n$sy")
+    // gini: windows must run over the per-source aggregate (post-agg,
+    // domain-bounded), never over the documents scan — exactly one
+    // corpus-side exchange (the source partial agg); every join of
+    // the tiny moment rows is a broadcast
+    val tg = plan(operators.Curation.qTokenGini(spark, TestSpark.sf))
+    assert(!tg.contains("CartesianProduct"), s"gini cartesian:\n$tg")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tg).size >= 2,
+      s"gini single-row joins must broadcast:\n$tg")
+    // assortativity: endpoint-degree joins stay equi-joins — no
+    // cartesian, no nested-loop join anywhere (the upstream text
+    // pipeline's per-doc chunking window is shared and bounded)
+    val ay = plan(graph.Analytics.qAssortativity(spark, TestSpark.sf))
+    assert(!ay.contains("CartesianProduct")
+      && !ay.contains("BroadcastNestedLoop"),
+      s"assortativity must stay equi-join:\n$ay")
+  }
+
   test("native functions are SQL-callable through the registry (extensions surface)") {
     graft.plans.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
