@@ -32,6 +32,10 @@ import graft.operators.TextPipeline
   *                 | v.prop CONTAINS|STARTS WITH|ENDS WITH 'a'
   *                 | toLower(v.prop) CONTAINS|STARTS WITH|ENDS WITH|=|<> 'a'
   *                 | v.prop =~ 'regex'  -- anchored (Cypher semantics)
+  *                 | v.prop <|<=|>|>= 'str'  -- lexicographic (the
+  *                   ISO-date-string range idiom)
+  *                 | [exists(](v)-[:REL]->(:Label [{prop:'x'}])[)]
+  *                   -- semi-join; top-level AND conjunct only
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
   *                   top-level AND conjunct only
   *                 | v[.prop] IS [NOT] NULL  -- bare v checks its uid;
@@ -46,7 +50,9 @@ import graft.operators.TextPipeline
   *   witem      := v | v.prop [AS alias] | count/collect/sum as in
   *                 item (sum over a carried alias: sum(n) AS total)
   *   return     := RETURN [DISTINCT] item (, item)*
-  *   item       := v.prop [AS alias] | count([DISTINCT] v) [AS alias]
+  *   item       := v.prop [AS alias] | count([DISTINCT] v|*) [AS alias]
+  *                 | coalesce(v.prop, 'd'|n) [AS alias]  -- OPTIONAL
+  *                   MATCH null-fill; groups like a plain prop
   *                 | collect(v[.prop]) [AS alias]
   *                 | min/max/avg(v[.prop]) [AS alias]  -- avg rounded
   *                   to 6 decimals (summation-order determinism)
@@ -231,6 +237,19 @@ object CypherLite {
     * the pattern is wrapped in ^…$ to keep Cypher semantics).
     */
   case class RegexPred(v: String, prop: String, pattern: String) extends Pred
+  /** `v.prop >= 'str'` — lexicographic string comparison, the idiom
+    * LLMs emit for date-string ranges (`a.publishing_date >=
+    * '2024-01-01'`; ISO-8601 orders correctly as text).
+    */
+  case class StrCmpPred(v: String, prop: String, op: String,
+    value: String) extends Pred
+  /** Positive pattern predicate `(v)-[:REL]->(:Label [{prop:'x'}])`,
+    * bare or `exists(...)`-wrapped — Cypher's "has such an edge",
+    * compiled as a LEFT SEMI join (the dual of [[NotPatPred]]'s
+    * anti-join); top-level AND conjunct only, like its dual.
+    */
+  case class ExistsPatPred(v: String, rel: String, dstLabel: String,
+    dstProp: Option[(String, String)]) extends Pred
   /** `NOT (v)-[:REL]->(:Label [{prop:'x'}])` — negative pattern
     * predicate (Cypher's "has no such edge"), compiled as a LEFT ANTI
     * join of the bound rows against the hop — the anti-join shape of
@@ -272,6 +291,12 @@ object CypherLite {
     alias: Option[String] = None) extends RetItem
   /** Bare column reference (an alias introduced by a WITH stage). */
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
+  /** `coalesce(v.prop, 'default'|n)` — the OPTIONAL MATCH null-fill
+    * idiom (`RETURN coalesce(t.name, 'untagged')`). Groups like a
+    * plain prop when aggregates sit alongside.
+    */
+  case class CoalesceItem(v: String, prop: String, default: Column,
+    alias: Option[String] = None) extends RetItem
   /** Numeric predicate on a bare WITH alias (`n_chunks >= 3`). */
   case class BarePred(name: String, op: String, value: Long) extends Pred
   /** sum(name) / sum(v.prop) — re-aggregation of a value carried out
@@ -318,7 +343,10 @@ object CypherLite {
   private val RelRe =
     """(<-|-)\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)""".r
   private val CountRe =
-    """(?i)count\(\s*(DISTINCT\s+)?(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+    """(?i)count\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val CoalesceRe =
+    ("""(?i)coalesce\(\s*(\w+)\.(\w+)\s*,\s*(?:'([^']*)'|(\d+))\s*\)""" +
+      """(?:\s+(?i:AS)\s+(\w+))?""").r
   private val CollectRe =
     """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val SumRe =
@@ -369,9 +397,13 @@ object CypherLite {
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
     val strRe = """(?i)(\w+)\.(\w+)\s+(CONTAINS|STARTS\s+WITH|ENDS\s+WITH)\s+'([^']*)'""".r
-    val notPatRe = ("""(?i)NOT\s+\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
-      """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""").r
+    val patBody = """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
+      """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)"""
+    val notPatRe = (s"(?i)NOT\\s+$patBody").r
+    val existsPatRe = (s"(?i)exists\\(\\s*$patBody\\s*\\)").r
+    val barePatRe = patBody.r
     val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
+    val strCmpRe = """(\w+)\.(\w+)\s*(<=|>=|<|>)\s*'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
@@ -384,6 +416,11 @@ object CypherLite {
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case existsPatRe(v, rel, lbl, prop, value) =>
+        ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case barePatRe(v, rel, lbl, prop, value) =>
+        ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case strCmpRe(v, p, op, value) => StrCmpPred(v, p, op, value)
       case isNullRe(v, prop, not) =>
         IsNullPred(v, Option(prop), not != null)
       case inRe(v, p, vals) =>
@@ -497,6 +534,9 @@ object CypherLite {
         SumItem(v, Option(prop), Option(alias))
       case AggFnRe(fn, v, prop, alias) =>
         AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
+      case CoalesceRe(v, p, strDef, numDef, alias) =>
+        val default = if (strDef != null) lit(strDef) else lit(numDef.toLong)
+        CoalesceItem(v, p, default, Option(alias))
       case MapRe(v, body, alias) =>
         val dotRe = """\.(\w+)""".r
         val kvRe = """(\w+)\s*:\s*(\w+)\.(\w+)""".r
@@ -638,8 +678,18 @@ object CypherLite {
         val c = col(s"${v}_${prop.getOrElse("uid")}")
         if (negated) c.isNotNull else c.isNull
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
+      case StrCmpPred(v, pr, op, value) =>
+        val c = col(s"${v}_$pr")
+        op match {
+          case "<" => c < value
+          case "<=" => c <= value
+          case ">" => c > value
+          case ">=" => c >= value
+        }
       case _: NotPatPred => throw new IllegalArgumentException(
         "NOT (pattern) is only supported as a top-level AND conjunct")
+      case _: ExistsPatPred => throw new IllegalArgumentException(
+        "(pattern) predicates are only supported as top-level AND conjuncts")
     }
     // UNWIND: the literal list becomes a tiny broadcast relation; the
     // WHERE predicates referencing its alias are the join condition
@@ -670,11 +720,25 @@ object CypherLite {
         }
         df = df.join(hop.select(col("src_uid").as(s"${v}_uid")).distinct(),
           Seq(s"${v}_uid"), "left_anti")
+      // positive pattern: the dual shape — LEFT SEMI against the same
+      // edge-sized hop side (never a fan-out join: exists() must not
+      // multiply rows the way a MATCH hop would)
+      case ExistsPatPred(v, rel, dstLabel, dstProp) =>
+        require(bound.contains(v), s"exists pattern references unbound variable $v")
+        val e = edges(spark, dir, rel, dstLabel)
+        val hop = dstProp.fold(e) { case (p, value) =>
+          e.join(nodes(spark, dir, dstLabel).filter(col(p) === value)
+            .select(col("uid").as("dst_uid")), "dst_uid")
+        }
+        df = df.join(hop.select(col("src_uid").as(s"${v}_uid")).distinct(),
+          Seq(s"${v}_uid"), "left_semi")
       case p => df = df.filter(predCol(p))
     }
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
+      case CountItem("*", _, a) => a.getOrElse("count_all")
       case CountItem(v, _, a) => a.getOrElse(s"count_$v")
+      case CoalesceItem(v, p, _, a) => a.getOrElse(s"coalesce_${v}_$p")
       case CollectItem(v, p, a) =>
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
       case SumItem(v, p, a) =>
@@ -686,6 +750,8 @@ object CypherLite {
     }
     def itemCol(it: RetItem): Column = it match {
       case PropItem(v, p, _) => col(s"${v}_$p").as(outName(it))
+      case CoalesceItem(v, p, default, _) =>
+        coalesce(col(s"${v}_$p"), default).as(outName(it))
       case MapItem(_, entries, _) =>
         to_json(struct(entries.map { case (k, (w, p)) =>
           col(s"${w}_$p").as(k) }: _*)).as(outName(it))
@@ -702,6 +768,9 @@ object CypherLite {
       case None => col(v)
     }
     def aggCol(it: RetItem): Option[Column] = it match {
+      case it @ CountItem("*", distinct, _) =>
+        require(!distinct, "count(DISTINCT *) is not Cypher")
+        Some(count(lit(1)).as(outName(it)))
       case it @ CountItem(v, distinct, _) =>
         val c = varCol(v, None)
         Some((if (distinct) countDistinct(c) else count(c)).as(outName(it)))
@@ -750,6 +819,7 @@ object CypherLite {
         case it: PropItem => itemCol(it)
         case it: MapItem => itemCol(it)
         case it: BareItem => itemCol(it)
+        case it: CoalesceItem => itemCol(it)
       }
       df = if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
         else df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)

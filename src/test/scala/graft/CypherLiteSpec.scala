@@ -27,6 +27,74 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(CypherLite.run(spark, TestSpark.sf, q).count() == 0)
   }
 
+  test("exists pattern semi-join complements the NOT-pattern anti-join") {
+    val total = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) RETURN count(c) AS n").head().getLong(0)
+    val without = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE NOT (c)-[:MENTIONS]->(:Person) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    val withP = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE exists((c)-[:MENTIONS]->(:Person)) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    assert(withP + without == total && withP > 0)
+    // the bare-pattern spelling is the same predicate
+    val bare = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE (c)-[:MENTIONS]->(:Person) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    assert(bare == withP)
+    // semi-join must NOT fan out rows the way a MATCH hop does
+    val hopRows = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(p:Person) RETURN count(c) AS n")
+      .head().getLong(0)
+    assert(hopRows >= withP)
+  }
+
+  test("count(*) counts rows, bare and per-group") {
+    val n = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) RETURN count(*) AS n").head().getLong(0)
+    val nv = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) RETURN count(c) AS n").head().getLong(0)
+    assert(n == nv && n > 0)
+    val grouped = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "RETURN a.doc_id AS doc_id, count(*) AS n ORDER BY doc_id")
+    val viaVar = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "RETURN a.doc_id AS doc_id, count(c) AS n ORDER BY doc_id")
+    assert(grouped.collect().toSeq == viaVar.collect().toSeq)
+  }
+
+  test("string inequality is lexicographic — the ISO-date range idiom") {
+    val cutoff = CypherLite.nodes(spark, TestSpark.sf, "Article")
+      .orderBy("publishing_date").select("publishing_date")
+      .collect().map(_.getString(0)).distinct.apply(1)
+    val got = CypherLite.run(spark, TestSpark.sf,
+      s"MATCH (a:Article) WHERE a.publishing_date >= '$cutoff' " +
+        "RETURN count(a) AS n").head().getLong(0)
+    val want = CypherLite.nodes(spark, TestSpark.sf, "Article")
+      .filter(col("publishing_date") >= cutoff).count()
+    assert(got == want && got > 0)
+    val below = CypherLite.run(spark, TestSpark.sf,
+      s"MATCH (a:Article) WHERE a.publishing_date < '$cutoff' " +
+        "RETURN count(a) AS n").head().getLong(0)
+    assert(got + below ==
+      CypherLite.nodes(spark, TestSpark.sf, "Article").count())
+  }
+
+  test("coalesce null-fills the OPTIONAL MATCH misses and groups correctly") {
+    val df = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) OPTIONAL MATCH (c)-[:MENTIONS]->(p:Person) " +
+        "RETURN coalesce(p.name, 'nobody') AS who, count(c) AS n " +
+        "ORDER BY who")
+    val rows = df.collect()
+    assert(rows.forall(_.getString(0) != null))
+    val misses = rows.filter(_.getString(0) == "nobody").map(_.getLong(1)).sum
+    val without = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE NOT (c)-[:MENTIONS]->(:Person) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    assert(misses == without, s"coalesce misses=$misses anti-join=$without")
+  }
+
   test("toLower predicate matches case-insensitively, exact vs lower(col)") {
     val q = "MATCH (e:Entity) WHERE toLower(e.name) CONTAINS 'spark' " +
       "RETURN e.name AS name ORDER BY e.name"
