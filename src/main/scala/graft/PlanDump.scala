@@ -94,7 +94,10 @@ object PlanDump {
       "q_ndcg" -> "scoring pass shared by n_rel agg and heap top-k; bounded idcg fold",
       "q_prf_expansion" -> "TakeOrdered pool broadcast into map-side-combined TF agg",
       "q_cluster_purity" -> "corpus collapses to K×labels cells on one exchange; struct-min majority",
-      "q_burst_detect" -> "stream collapses to (hour,type) rows; trailing window on the aggregate")
+      "q_burst_detect" -> "stream collapses to (hour,type) rows; trailing window on the aggregate",
+      "q_source_entropy" -> "one (lang,source) shuffle; broadcast per-lang rollup; micro-nat long sums",
+      "q_token_gini" -> "corpus collapses to source rows; windows post-agg; moment rows broadcast",
+      "q_assortativity" -> "endpoint-degree equi-joins + one six-moment map-side-combined agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

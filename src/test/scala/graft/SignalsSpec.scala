@@ -376,6 +376,41 @@ class SignalsSpec extends AnyFunSuite {
     assert(t50 == expect50, s"top50=$t50 expected=$expect50")
   }
 
+  test("entropy and gini hit closed-form values on a hand-built corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    // one lang, two sources with token masses 3:1 → p = (0.75, 0.25)
+    // H = −(0.75·ln0.75 + 0.25·ln0.25) = 0.562335, eff = e^H = 1.754765,
+    // norm = H/ln2 = 0.811278
+    Seq((1L, "w w w", "en", "a", 5L), (2L, "w", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = operators.Curation.qSourceEntropy(spark, dir).head()
+    assert(e.getAs[Long]("n_sources") == 2L)
+    assert(e.getAs[Long]("lang_tokens") == 4L)
+    assert(math.abs(e.getAs[Double]("entropy") - 0.562335) < 5e-6)
+    assert(math.abs(e.getAs[Double]("eff_sources") - 1.754765) < 5e-6)
+    assert(math.abs(e.getAs[Double]("norm_entropy") - 0.811278) < 5e-6)
+    // gini of masses (3,1): sorted asc ranks (1,2) → S1 = 1·1 + 2·3 = 7,
+    // G = 2·7/(2·4) − 3/2 = 0.25; top50 needs only the big source,
+    // top90 needs both
+    val g = operators.Curation.qTokenGini(spark, dir).head()
+    assert(g.getAs[Long]("n_sources") == 2L
+      && g.getAs[Long]("total_tokens") == 4L)
+    assert(math.abs(g.getAs[Double]("gini") - 0.25) < 1e-9)
+    assert(g.getAs[Long]("top50_sources") == 1L
+      && g.getAs[Long]("top90_sources") == 2L)
+    // equal masses: gini exactly 0, entropy exactly ln 2 on the grid
+    Seq((1L, "w w", "en", "a", 3L), (2L, "w w", "en", "b", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g2 = operators.Curation.qTokenGini(spark, dir).head()
+    assert(g2.getAs[Double]("gini") == 0.0)
+    val e2 = operators.Curation.qSourceEntropy(spark, dir).head()
+    assert(math.abs(e2.getAs[Double]("entropy") - math.log(2)) < 5e-6)
+    assert(math.abs(e2.getAs[Double]("norm_entropy") - 1.0) < 5e-6)
+  }
+
   test("assortativity: |r| <= 1 and the moments cover every edge twice") {
     val r = Analytics.qAssortativity(spark, TestSpark.sf).head()
     val a = r.getAs[Double]("assortativity")
