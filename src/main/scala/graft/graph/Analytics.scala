@@ -267,6 +267,20 @@ object Analytics {
     */
   def qLpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
+    val fin = lpaLabels(e)
+    val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
+    fin.join(sizes, "community")
+      .select(col("node").as("name"), col("community"), col("community_size"))
+      .orderBy("name")
+  }
+
+  /** LPA label table (node, community) from an already-checkpointed
+    * edge list — shared by qLpaCommunities and qModularity so the
+    * latter pays the co-occurrence pipeline ONCE (it previously built
+    * `edges` for the weight rollups and again inside the community
+    * call: two full mentions scans for one query).
+    */
+  private def lpaLabels(e: DataFrame): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("src")).limit(LpaSeeds)
       .select(col("src").as("node"), col("src").as("slbl"))
@@ -290,11 +304,7 @@ object Analytics {
           col("seed"))
       if (i % 2 == 0 || i == LpaIters) lbl = lbl.localCheckpoint()
     }
-    val fin = lbl.select(col("node"), coalesce(col("lbl"), col("node")).as("community"))
-    val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
-    fin.join(sizes, "community")
-      .select(col("node").as("name"), col("community"), col("community_size"))
-      .orderBy("name")
+    lbl.select(col("node"), coalesce(col("lbl"), col("node")).as("community"))
   }
 
   /** LPA CTE chain up to the final (node, community) table — shared
@@ -352,8 +362,7 @@ object Analytics {
     */
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
-    val com = qLpaCommunities(spark, dir)
-      .select(col("name").as("node"), col("community"))
+    val com = lpaLabels(e)
       .localCheckpoint(false) // read by both endpoint joins
     val tot = e.agg(sum("weight").cast("long").as("tw"))
     val wc = e
