@@ -1056,8 +1056,12 @@ object Analytics {
   }
 
   def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
-    val co = cooccur(spark, dir)
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
+    // ONE co-occurrence pipeline: the both-direction edge list derives
+    // from the checkpointed pair table (edges(spark, dir) would re-run
+    // the mentions scan a second time — the qKtrussPeel shape)
+    val co = cooccur(spark, dir).localCheckpoint(false)
+    val e = co.select(col("e1").as("src"), col("e2").as("dst"))
+      .unionByName(co.select(col("e2").as("src"), col("e1").as("dst")))
     co.join(supportOf(co.select("e1", "e2"), e), Seq("e1", "e2"))
       .select(col("e1"), col("e2"), col("weight"), col("support"),
         when(col("support") >= TrussSupport, 1L)
