@@ -371,11 +371,18 @@ object Curation {
     * the documents scan, then arithmetic on a #langs×#sources-row
     * table joined against its broadcast per-lang rollup.
     */
-  def qSourceEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val st = Tables.documents(spark, dir)
+  def qSourceEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOfMix(Tables.documents(spark, dir)
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .groupBy("lang", "source").agg(sum("n_tokens").as("tk"))
+      .groupBy("lang", "source").agg(sum("n_tokens").as("tk")))
+
+  /** The entropy arithmetic over a (lang, source, tk) mix table —
+    * shared by the batch query and the streaming monitor's snapshot
+    * (EventStream.sourceMixStream), so both paths are provably the
+    * same formula.
+    */
+  def entropyOfMix(st: DataFrame): DataFrame = {
     val lt = st.groupBy("lang")
       .agg(sum("tk").as("lang_tokens"), count(lit(1)).as("n_sources"))
     st.join(broadcast(lt), "lang")

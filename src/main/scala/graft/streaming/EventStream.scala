@@ -383,6 +383,22 @@ object EventStream {
     * state grows with it either way); only the per-doc counters are
     * streaming state, keyed by doc_id in update mode.
     */
+  /** Streaming source-mix monitor — q_source_entropy's ingest twin:
+    * running token mass per (lang, source) as documents arrive. ONE
+    * stateful aggregate whose state is mix-table-sized (#langs ×
+    * #sources — dashboard-sized at any corpus scale, the state never
+    * grows with documents); the entropy/diversity arithmetic runs
+    * downstream on the snapshot via Curation.entropyOfMix (a second
+    * chained streaming aggregate is a multi-agg plan Structured
+    * Streaming rejects, and the mix table is tiny anyway — the same
+    * split the batch query uses).
+    */
+  def sourceMixStream(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(sum("n_tokens").as("tk"))
+
   def boilerplateScreenStream(docs: DataFrame, boilerHashes: DataFrame): DataFrame =
     graft.operators.Dedup.lineHashesOfDocs(docs)
       .join(boilerHashes, "h")

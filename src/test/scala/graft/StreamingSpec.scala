@@ -144,6 +144,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(1L) && got.contains(2L) && !got.contains(3L) && !got.contains(4L))
   }
 
+  test("streaming source mix snapshot reproduces the batch entropy exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "w w w", "en", "a"), (2L, "w", "en", "b"),
+      (3L, "x x", "de", "c"), (4L, "x x x x", "de", "d"),
+      (5L, "y", "en", "a"))
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = EventStream.sourceMixStream(
+        input.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mix_stream").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // re-materialize the sink view: entropyOfMix self-joins the mix
+    // table, and a memory-sink View resolves to the SAME attribute ids
+    // on both sides (Spark internal error); fresh attributes fix it
+    val sink = spark.table("mix_stream")
+    val snap = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
+      sink.schema)
+    val batchMix = rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("lang"), col("source"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+      .groupBy("lang", "source").agg(sum("n_tokens").as("tk"))
+    assert(snap.except(batchMix).count() == 0
+      && batchMix.except(snap).count() == 0)
+    // the shared arithmetic over the snapshot IS the batch query
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = graft.operators.Curation.qSourceEntropy(spark, dir)
+      .orderBy("lang").collect().toSeq
+    val got = graft.operators.Curation.entropyOfMix(snap)
+      .orderBy("lang").collect().toSeq
+    assert(got == want, s"stream-derived $got vs batch $want")
+  }
+
   test("streaming boilerplate screen matches the batch line-hash join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
