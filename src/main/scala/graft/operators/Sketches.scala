@@ -80,6 +80,50 @@ object Sketches {
       .orderBy("word")
   }
 
+  val CmsDepth = 4   // d independent hash rows: P(all collide) ≤ 2^-d
+  val CmsWidth = 512 // w counters per row: overcount ≤ e·N/w in expectation
+
+  /** Count-Min sketch counters over the token stream (Cormode &
+    * Muthukrishnan 2005): d×w integer counters; token t increments
+    * counter (j, h_j(t)) for each of the d salted md5 hash rows. The
+    * (j, bucket) table IS the mergeable sketch — shard sketches add
+    * cell-wise, so a 100 TB corpus builds it as one map-side-combined
+    * d·w-cell aggregate (fixed size, corpus-independent) instead of a
+    * full-vocabulary shuffle.
+    */
+  def cmsCounters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(transform(sequence(lit(0), lit(CmsDepth - 1)),
+        j => struct(j.as("j"),
+          (conv(substring(md5(concat(lit("cms"), j, lit("#"), col("word"))),
+            1, 8), 16, 10).cast("long") % CmsWidth).as("bucket")))).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-frequency estimates from the CMS: est(t) = min_j counter
+    * (j, h_j(t)) — NEVER an underestimate (every counter t touches
+    * contains all of t's increments), overcount bounded by colliding
+    * mass. Exact counts ride along as audit columns (drop them at
+    * scale; the probe side joins d broadcast-sized counter rows per
+    * distinct word, the vocabulary never re-shuffles).
+    */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("exact"))
+    val probes = exact.select(col("word"), col("exact"),
+        explode(transform(sequence(lit(0), lit(CmsDepth - 1)),
+          j => struct(j.as("j"),
+            (conv(substring(md5(concat(lit("cms"), j, lit("#"), col("word"))),
+              1, 8), 16, 10).cast("long") % CmsWidth).as("bucket")))).as("cell"))
+      .select(col("word"), col("exact"),
+        col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+    probes.join(broadcast(cmsCounters(spark, dir)), Seq("j", "bucket"))
+      .groupBy("word").agg(max("exact").as("exact"), min("c").as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+  }
+
   val KmvK = 64
   val KmvHashMax = 1152921504606846976L   // 2^60: 15 hex digits of md5
 

@@ -216,6 +216,34 @@ object Training {
 
   val StratQuota = 50
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, 2006): each row draws a hash-uniform u ∈ (0, 1]
+    * and scores key = ln(u)/w; the k LARGEST keys are an exact
+    * weighted sample without replacement (u^(1/w) order ≡ ln(u)/w
+    * order). The "sample proportional to quality/token mass" primitive
+    * a curation pipeline uses for eval subsets and mixture draws —
+    * with NO rand(): u derives from md5(salt, doc_id), so any cluster,
+    * any partitioning, any retry produces the same sample.
+    *
+    * Scale shape: one narrow scan computes (w, key); the global top-k
+    * rides TopKUtil.globalTopK (TakeOrdered semantics — partial heaps,
+    * k rows per partition) — no corpus sort, no window.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", size(split(col("text"), " ")).cast("double"))
+      .filter(col("w") > 0)
+      // 12 hex chars → [0, 16^12); +1 maps onto (0, 1] so ln is finite
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(s"$salt#"), col("doc_id"))), 1, 12),
+          16, 10).cast("double") + 1.0) / lit(2.81474976710656e14))
+      .withColumn("es_key", log(col("u")) / col("w"))
+      .select("doc_id", "source", "w", "es_key")
+    TopKUtil.globalTopK(docs, k, "doc_id", col("es_key").desc, col("doc_id"))
+      .select("rk", "doc_id", "source", "w", "es_key")
+  }
+
   /** Stratified quota sampling: exactly K docs per language stratum,
     * picked by smallest deterministic hash (reproducible "random"
     * order, no rand()). The per-stratum selection runs through the

@@ -71,4 +71,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.count() == exact)
     assert(out.select("event_id").distinct().count() == exact)
   }
+
+  test("count-min sketch never underestimates; heavy keys stay sharp") {
+    val est = Sketches.cmsEstimate(spark, TestSpark.sf).cache()
+    // the hard CMS guarantee: every estimate >= the true count
+    assert(est.filter(col("est") < col("exact")).count() == 0)
+    // total counter mass per hash row is exactly the token stream size
+    val n = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " "))).count()
+    val rowMass = Sketches.cmsCounters(spark, TestSpark.sf)
+      .groupBy("j").agg(sum("c").as("m"))
+    assert(rowMass.filter(col("m") =!= n).count() == 0)
+    assert(rowMass.count() == Sketches.CmsDepth.toLong)
+    // expected overcount per probe is N/w per row; min over d rows is
+    // far tighter — 10·N/w catches a broken hash without flaking
+    val bound = 10L * n / Sketches.CmsWidth
+    val worst = est.agg(max("overcount")).head().getLong(0)
+    assert(worst <= bound, s"worst overcount $worst > $bound")
+    // the most frequent token's relative error stays under 10%
+    val top = est.orderBy(col("exact").desc).head()
+    assert(top.getAs[Long]("overcount") * 10 <= top.getAs[Long]("exact"),
+      s"heavy key overcount ${top.getAs[Long]("overcount")} vs ${top.getAs[Long]("exact")}")
+    est.unpersist()
+  }
+
+  test("weighted sample: deterministic, distinct, and weight-biased") {
+    import graft.operators.Training
+    val k = 20
+    val s1 = Training.weightedSample(spark, TestSpark.sf, k)
+    val rows = s1.collect()
+    assert(rows.length == k)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == k)
+    // partition-count invariance: same sample from any layout (the
+    // keys are pure hash functions of doc_id)
+    val s2 = Training.weightedSample(spark, TestSpark.sf, k)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    // bias: selection frequency across independent salts must favor
+    // long documents (w = token mass). Compare the sampled mean token
+    // mass against the corpus mean — A-ES with w-proportional
+    // inclusion should pull it up decisively.
+    val corpusMean = Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("double").as("w")).agg(avg("w")).head().getDouble(0)
+    val sampleMeans = (1 to 8).map { i =>
+      Training.weightedSample(spark, TestSpark.sf, k, s"bias$i")
+        .agg(avg("w")).head().getDouble(0)
+    }
+    assert(sampleMeans.count(_ > corpusMean) >= 7,
+      s"sample means $sampleMeans vs corpus mean $corpusMean")
+  }
 }
