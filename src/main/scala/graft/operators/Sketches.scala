@@ -124,6 +124,49 @@ object Sketches {
       .withColumn("overcount", col("est") - col("exact"))
   }
 
+  val AmsGroups = 5   // median over group means kills outlier estimators
+  val AmsPerGroup = 9 // mean over 9 tames the 2·F2² estimator variance
+
+  /** AMS/tug-of-war sign sums over the token stream (Alon, Matias &
+    * Szegedy 1996): Z_j = Σ_t s_j(t) with s_j ∈ {−1,+1} from salted
+    * md5 — 45 longs of TOTAL state for the corpus. Linearity is the
+    * scale property: Z(A ∪ B) = Z(A) + Z(B), so shard sketches add
+    * (spec-proved exactly on a corpus split); one map-side-combined
+    * fixed-size aggregate, no vocabulary shuffle.
+    */
+  def amsSigns(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(transform(
+        sequence(lit(0), lit(AmsGroups * AmsPerGroup - 1)),
+        j => struct(j.as("j"),
+          (conv(substring(md5(concat(lit("ams"), j, lit("#"), col("word"))),
+            1, 8), 16, 10).cast("long") % 2 * 2 - 1).as("s")))).as("c"))
+      .groupBy(col("c.j").as("j")).agg(sum(col("c.s")).as("z"))
+
+  /** F2 (second frequency moment — the SELF-join size Σ c²) estimated
+    * from the AMS sketch as median-of-means over E[Z²] = F2, next to
+    * the exact value q_join_size_est-style arithmetic gives — the
+    * fixed-state path when the exact full-vocabulary aggregate stops
+    * fitting. The median of AmsGroups means is exact arithmetic over
+    * a 5-row table (sort_array/element_at — no percentile estimator
+    * inside the estimator audit).
+    */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grouped = amsSigns(docs)
+      .withColumn("g", expr(s"j div $AmsPerGroup"))
+      .groupBy("g").agg(avg(expr("z * z")).as("m"))
+    val est = grouped.agg(element_at(sort_array(collect_list(col("m"))),
+      (AmsGroups + 1) / 2).as("f2_est"))
+    val exact = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("f2_exact"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("rel_err",
+        round(abs(col("f2_est") - col("f2_exact"))
+          / col("f2_exact").cast("double"), 6))
+  }
+
   val KmvK = 64
   val KmvHashMax = 1152921504606846976L   // 2^60: 15 hex digits of md5
 

@@ -95,6 +95,29 @@ class SketchesSpec extends AnyFunSuite {
     est.unpersist()
   }
 
+  test("AMS F2: estimator lands near exact; sign sums add across shards") {
+    val r = Sketches.amsF2(spark, TestSpark.sf).head()
+    val est = r.getAs[Double]("f2_est")
+    val exact = r.getAs[Long]("f2_exact")
+    assert(exact > 0 && est > 0)
+    // median-of-means over 45 tug-of-war estimators: within a factor
+    // of 2 is a conservative, non-flaky envelope for this corpus
+    assert(est > exact / 2.0 && est < exact * 2.0,
+      s"AMS est $est vs exact $exact")
+    // LINEARITY — the merge property: Z over the whole corpus equals
+    // the cell-wise sum of Z over a doc_id-parity split, exactly
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val whole = Sketches.amsSigns(docs)
+    val a = Sketches.amsSigns(docs.filter(col("doc_id") % 2 === 0))
+      .withColumnRenamed("z", "za")
+    val b = Sketches.amsSigns(docs.filter(col("doc_id") % 2 === 1))
+      .withColumnRenamed("z", "zb")
+    val merged = a.join(b, "j")
+    assert(whole.join(merged, "j")
+      .filter(col("z") =!= col("za") + col("zb")).count() == 0)
+    assert(whole.count() == (Sketches.AmsGroups * Sketches.AmsPerGroup).toLong)
+  }
+
   test("weighted sample: deterministic, distinct, and weight-biased") {
     import graft.operators.Training
     val k = 20
