@@ -36,6 +36,8 @@ import graft.operators.TextPipeline
   *                   ISO-date-string range idiom)
   *                 | [exists(](v)-[:REL]->(:Label [{prop:'x'}])[)]
   *                   -- semi-join; top-level AND conjunct only
+  *                 | NOT pred  -- plain boolean negation (numeric <>
+  *                   also accepted directly: v.prop <> n)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
   *                   top-level AND conjunct only
   *                 | v[.prop] IS [NOT] NULL  -- bare v checks its uid;
@@ -271,6 +273,11 @@ object CypherLite {
     * the shape LLM-generated queries use.
     */
   case class OrPred(preds: Seq[Pred]) extends Pred
+  /** `NOT <simple-pred>` — plain boolean negation (the pattern form
+    * stays [[NotPatPred]]'s anti-join; this wraps everything else an
+    * LLM writes as `NOT a.lang = 'de'`).
+    */
+  case class NotPred(p: Pred) extends Pred
   sealed trait RetItem
   case class PropItem(v: String, prop: String, alias: Option[String] = None) extends RetItem
   case class CountItem(v: String, distinct: Boolean = false,
@@ -404,18 +411,20 @@ object CypherLite {
     val barePatRe = patBody.r
     val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
     val strCmpRe = """(\w+)\.(\w+)\s*(<=|>=|<|>)\s*'([^']*)'""".r
-    val numRe = """(\w+)\.(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
-    val bareRe = """(\w+)\s*(<=|>=|<|>|=)\s*(\d+)""".r
+    val numRe = """(\w+)\.(\w+)\s*(<=|>=|<>|<|>|=)\s*(\d+)""".r
+    val bareRe = """(\w+)\s*(<=|>=|<>|<|>|=)\s*(\d+)""".r
     val eqColRe = """(\w+)\.(\w+)\s*=\s*(\w+)""".r // RHS is a bare alias (UNWIND)
     val lowerRe = ("""(?i)toLower\(\s*(\w+)\.(\w+)\s*\)\s*""" +
       """(CONTAINS|STARTS\s+WITH|ENDS\s+WITH|=|<>)\s*'([^']*)'""").r
     val regexRe = """(\w+)\.(\w+)\s*=~\s*'([^']*)'""".r
+    val notSimpleRe = """(?is)NOT\s+(.*)""".r
     w.trim match {
       case lowerRe(v, p, op, value) =>
         LowerPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case notSimpleRe(rest) => NotPred(parseSimplePred(rest))
       case existsPatRe(v, rel, lbl, prop, value) =>
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case barePatRe(v, rel, lbl, prop, value) =>
@@ -651,6 +660,7 @@ object CypherLite {
       case ">" => c > value
       case ">=" => c >= value
       case "=" => c === value
+      case "<>" => c =!= value
     }
     def predCol(p: Pred): Column = p match {
       case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
@@ -678,6 +688,7 @@ object CypherLite {
         val c = col(s"${v}_${prop.getOrElse("uid")}")
         if (negated) c.isNotNull else c.isNull
       case OrPred(ps) => ps.map(predCol).reduce(_ || _)
+      case NotPred(p) => !predCol(p)
       case StrCmpPred(v, pr, op, value) =>
         val c = col(s"${v}_$pr")
         op match {

@@ -95,6 +95,28 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(misses == without, s"coalesce misses=$misses anti-join=$without")
   }
 
+  test("plain NOT negation and numeric <> complement their positives") {
+    val total = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article) RETURN count(*) AS n").head().getLong(0)
+    val en = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article) WHERE a.lang = 'en' RETURN count(*) AS n")
+      .head().getLong(0)
+    val notEn = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article) WHERE NOT a.lang = 'en' RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(en + notEn == total && en > 0 && notEn > 0)
+    val neq = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article) WHERE a.doc_id <> 3 RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(neq == total - 1)
+    // NOT distributes over a parenthes-free OR disjunct the Cypher
+    // way: AND binds tighter, so each conjunct negates independently
+    val both = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article) WHERE NOT a.lang = 'en' AND a.doc_id <> 3 " +
+        "RETURN count(*) AS n").head().getLong(0)
+    assert(both <= notEn && both >= notEn - 1)
+  }
+
   test("toLower predicate matches case-insensitively, exact vs lower(col)") {
     val q = "MATCH (e:Entity) WHERE toLower(e.name) CONTAINS 'spark' " +
       "RETURN e.name AS name ORDER BY e.name"
