@@ -122,4 +122,35 @@ object GraphXAnalytics {
       .map { case (_, (t, name)) => (name, t.toLong) }
       .toDF("name", "graphx_triangles")
   }
+
+  /** Degree assortativity on the GraphX representation — the
+    * independent reference for Analytics.qAssortativity. outDegrees
+    * on the stored both-direction edge list IS the DataFrame degree
+    * (one out-edge per incident undirected edge); the six moment
+    * sums accumulate over the directed edge RDD as exact longs, and
+    * the final formula applies the IDENTICAL double operations in the
+    * identical order, so the spec asserts bit-equality, not
+    * approximate agreement.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val gd = g.outerJoinVertices(g.outDegrees)((_, _, d) => d.getOrElse(0))
+    val moms = gd.triplets
+      .map(t => (1L, t.srcAttr.toLong, t.dstAttr.toLong,
+        t.srcAttr.toLong * t.dstAttr, t.srcAttr.toLong * t.srcAttr,
+        t.dstAttr.toLong * t.dstAttr))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3,
+        a._4 + b._4, a._5 + b._5, a._6 + b._6))
+    val (n, sx, sy, sxy, sxx, syy) = moms
+    val nd = n.toDouble
+    val num = nd * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = math.sqrt((nd * sxx.toDouble - sx.toDouble * sx.toDouble)
+      * (nd * syy.toDouble - sy.toDouble * sy.toDouble))
+    Seq((n / 2, BigDecimal(sx.toDouble / nd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(if (den > 0) num / den else 0.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_edges", "mean_end_degree", "assortativity")
+  }
 }

@@ -83,6 +83,18 @@ class GraphXSpec extends AnyFunSuite {
     assert(df.agg(sum("triangles")).head().getLong(0) > 0)
   }
 
+  test("GraphX assortativity reproduces the DataFrame moments bit-for-bit") {
+    val df = Analytics.qAssortativity(spark, TestSpark.sf).head()
+    val gx = GraphXAnalytics.assortativity(spark, TestSpark.sf).head()
+    assert(gx.getAs[Long]("n_edges") == df.getAs[Long]("n_edges"))
+    assert(gx.getAs[Double]("mean_end_degree")
+      == df.getAs[Double]("mean_end_degree"))
+    assert(gx.getAs[Double]("assortativity")
+      == df.getAs[Double]("assortativity"),
+      s"graphx ${gx.getAs[Double]("assortativity")} vs " +
+        s"df ${df.getAs[Double]("assortativity")}")
+  }
+
   test("GraphX ShortestPaths agrees with the bounded BFS within its hop budget") {
     val df = Analytics.qShortestPath(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
