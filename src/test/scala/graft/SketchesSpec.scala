@@ -95,6 +95,41 @@ class SketchesSpec extends AnyFunSuite {
     est.unpersist()
   }
 
+  test("CMS counters stream: micro-batch cells converge to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the same cell aggregation runs as a streaming stateful agg —
+    // cell-wise addition IS the merge, so batch boundaries are moot
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val streamCells = input.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(transform(
+        sequence(lit(0), lit(Sketches.CmsDepth - 1)),
+        j => struct(j.as("j"),
+          (conv(substring(md5(concat(lit("cms"), j, lit("#"), col("word"))),
+            1, 8), 16, 10).cast("long") % Sketches.CmsWidth).as("bucket"))))
+        .as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val q = streamCells.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.size / 2)
+      input.addData(h1: _*)
+      q.processAllAvailable()
+      input.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cms_stream")
+    val want = Sketches.cmsCounters(spark, TestSpark.sf)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "streamed CMS cells differ from the batch sketch")
+  }
+
   test("AMS F2: estimator lands near exact; sign sums add across shards") {
     val r = Sketches.amsF2(spark, TestSpark.sf).head()
     val est = r.getAs[Double]("f2_est")
