@@ -170,8 +170,14 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("norm")).as("fp_md5"),
-        array_min(transform(sequence(lit(0), size(col("words")) - 3),
-          i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(3)))))).as("min_shingle_hash"))
+        // < 3 words → no trigram witness → NULL, matching the oracle's
+        // empty generate_series; unguarded, sequence(0, size-3) turns
+        // DESCENDING and slice throws on the negative start (real
+        // corpora contain empty/whitespace docs — DirtyDataSpec pins)
+        when(size(col("words")) >= 3,
+          array_min(transform(sequence(lit(0), size(col("words")) - 3),
+            i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(3)))))))
+          .as("min_shingle_hash"))
       .orderBy("doc_id")
 
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB-readiness: real corpora contain NULL text, empty strings,
+  * whitespace-only rows, and exotic unicode. Every operator that
+  * takes a documents dir must survive them — no exceptions, no NaN
+  * rows — because at scale these rows WILL appear and a single
+  * throwing task fails the stage. The driver's synthetic tables are
+  * clean, so this fixture injects the dirt deliberately.
+  */
+class DirtyDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dirty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def add(id: Long, t: String, l: String, s: String): Unit =
+      rows.add(org.apache.spark.sql.Row(id, t,
+        l, s, if (t == null) 0L else t.length.toLong))
+    add(1L, "a perfectly ordinary document about spark clusters", "en", "a")
+    add(2L, null, "en", "a")               // NULL text
+    add(3L, "", "en", "b")                 // empty
+    add(4L, "   ", "en", "b")              // whitespace only
+    add(5L, "émoji 🎉 naïve Ωmega ﬃ", "de", "c") // unicode
+    add(6L, "repeated repeated repeated repeated", null, null) // null keys
+    add(7L, "a perfectly ordinary document about spark clusters", "en", "c")
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def runs(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+    test(s"$name survives null/empty/unicode documents") {
+      val out = df.collect() // force full execution
+      assert(out != null)
+    }
+
+  runs("q_token_count")(operators.TextAnalysis.qTokenCount(spark, dir))
+  runs("q_lang_id")(operators.TextAnalysis.qLangId(spark, dir))
+  runs("q_quality")(operators.TextAnalysis.qQuality(spark, dir))
+  runs("q_corpus_stats")(operators.TextAnalysis.qCorpusStats(spark, dir))
+  runs("q_dedup_exact")(operators.Dedup.qDedupExact(spark, dir))
+  runs("q_chunk")(operators.TextPipeline.qChunk(spark, dir))
+  runs("q_source_entropy")(operators.Curation.qSourceEntropy(spark, dir))
+  runs("q_token_gini")(operators.Curation.qTokenGini(spark, dir))
+  runs("q_filter_pipeline")(operators.Curation.qFilterPipeline(spark, dir))
+  runs("q_fingerprint")(operators.TextAnalysis.qFingerprint(spark, dir))
+  runs("weighted_sample")(operators.Training.weightedSample(spark, dir, 3))
+  runs("cms_estimate")(operators.Sketches.cmsEstimate(spark, dir))
+
+  runs("q_repetition")(operators.TextAnalysis.qRepetition(spark, dir))
+  runs("q_readability")(operators.TextAnalysis.qReadability(spark, dir))
+  runs("q_unigram_lm")(operators.TextAnalysis.qUnigramLm(spark, dir))
+  runs("q_bigram_lm")(operators.TextAnalysis.qBigramLm(spark, dir))
+  runs("q_zipf_fit")(operators.TextAnalysis.qZipfFit(spark, dir))
+  runs("q_vocab_topk")(operators.TextAnalysis.qVocabTopk(spark, dir))
+  runs("q_sentences")(operators.TextPipeline.qSentences(spark, dir))
+  runs("q_chunk_fold")(operators.TextPipeline.qChunkFold(spark, dir))
+  runs("q_entities")(operators.TextPipeline.qEntities(spark, dir))
+  runs("q_dedup_minhash")(operators.Dedup.qDedupMinhash(spark, dir))
+  runs("q_dedup_lines")(operators.Dedup.qDedupLines(spark, dir))
+  runs("q_dedup_ngram")(operators.Dedup.qDedupNgram(spark, dir))
+  runs("q_pii_scrub")(operators.TextAnalysis.qPiiScrub(spark, dir))
+  runs("q_length_hist")(operators.Curation.qLengthHist(spark, dir))
+  runs("q_source_report")(operators.Curation.qSourceReport(spark, dir))
+  runs("q_tokenize_subword")(operators.Tokenize.qTokenizeSubword(spark, dir))
+  runs("q_stratified_sample")(operators.Training.qStratifiedSample(spark, dir))
+  runs("q_heavy_hitters")(operators.Sketches.qHeavyHitters(spark, dir))
+
+  test("exact dedup still pairs the surviving identical docs") {
+    val d = operators.Dedup.qDedupExact(spark, dir)
+    // docs 1 and 7 are byte-identical; the dirt must not break that
+    assert(d.filter(col("doc_id").isin(1L, 7L)).count() >= 1)
+  }
+}
