@@ -213,12 +213,18 @@ object Events {
         round(sum(col("value")), 2).as("sx"),
         round(sum(col("value") * col("value")), 2).as("sx2"))
       .withColumn("mean", col("sx") / col("n"))
-      .withColumn("std", sqrt(
+      // a single-event type has no sample variance: n−1 = 0 is an
+      // ANSI DIVIDE_BY_ZERO task failure, not an Infinity (and a
+      // zero-variance type can't z-score anything) — both degrade to
+      // std 0 / z 0, a no-op on the driver's many-events-per-type data
+      .withColumn("std", when(col("n") > 1, sqrt(
         (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+        .otherwise(lit(0.0)))
       .select("event_type", "mean", "std")
     Tables.events(spark, dir)
       .join(broadcast(stats), "event_type")
-      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .withColumn("z", when(col("std") > 0,
+        round((col("value") - col("mean")) / col("std"), 6)).otherwise(lit(0.0)))
       .filter(abs(col("z")) >= AnomalyZ)
       .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
         round(col("mean"), 6).as("type_mean"), col("z"))

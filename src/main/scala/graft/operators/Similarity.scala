@@ -58,11 +58,21 @@ object Similarity {
        | / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |  * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin.replace("\n", " ")
 
-  /** embeddings with double-cast vectors. */
+  /** embeddings with double-cast vectors. Unusable rows — NULL/empty
+    * embeddings, zero vectors, NaN components — are screened HERE,
+    * the one choke point every vector operator reads through: a zero
+    * norm would turn the cosine into an ANSI DIVIDE_BY_ZERO task
+    * failure, and at 100 TB such rows always exist (DirtyEventsSpec
+    * pins the degrade-don't-throw contract). The driver's synthetic
+    * embeddings are all usable, so every oracle is unchanged.
+    */
   def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", normCol(col("v")))
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
 
   private val VecSql =
     """e AS (SELECT vec_id, label,

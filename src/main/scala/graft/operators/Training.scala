@@ -121,7 +121,12 @@ object Training {
     * for the K survivors. No corpus-sized window, nothing quadratic.
     */
   def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // NaN components would blow the integer-grid cast (ANSI
+    // CAST_OVERFLOW); NULL embeddings explode to nothing anyway —
+    // both screened up front, a no-op on the driver's clean vectors
     val q = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull
+        && !exists(col("embedding"), x => isnan(x.cast("double"))))
       .select(col("vec_id"), posexplode(transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("dim", "qi")))
     val cent = q.groupBy("dim")
@@ -279,7 +284,10 @@ object Training {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("maxabs",
         aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .filter(col("maxabs") > 0)
+      // NaN components make maxabs NaN and the int8 cast an ANSI
+      // CAST_OVERFLOW task failure — screen them with the zero
+      // vectors (no-op on the driver's clean embeddings)
+      .filter(col("maxabs") > 0 && !isnan(col("maxabs")))
       .withColumn("scale", lit(127.0) / col("maxabs"))
       .withColumn("qv",
         transform(col("v"), x => round(x * col("scale")).cast("int")))

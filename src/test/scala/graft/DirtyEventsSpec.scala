@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DirtyDataSpec's twin for the events and embeddings tables: real
+  * event streams carry malformed/NULL JSON props, NULL event types,
+  * and zero-variance values; real vector stores carry NULL, empty,
+  * wrong-dimension, and NaN embeddings. Operators must not throw —
+  * the rows must degrade (drop / null out), never fail the stage.
+  */
+class DirtyEventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dirtyev").toString
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false), // epoch nanos
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = true)))
+    val base = 1704110400L * 1000000000L
+    val ev = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def add(id: Long, min: Long, u: Long, t: String, v: Double, p: String): Unit =
+      ev.add(org.apache.spark.sql.Row(id, base + min * 60000000000L, u, t, v, p))
+    add(1L, 0L, 10L, "view", 1.0, """{"page":"a"}""")
+    add(2L, 1L, 10L, "click", 2.0, "{not json at all")   // malformed JSON
+    add(3L, 2L, 10L, null, 3.0, null)                    // null type + props
+    add(4L, 3L, 11L, "purchase", 0.0, "")                // empty props
+    add(5L, 200L, 11L, "view", -5.0, """{"page":null}""") // null JSON value
+    add(6L, 201L, 12L, "view", Double.NaN, """[1,2,3]""") // NaN + non-object
+    spark.createDataFrame(ev, evSchema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true),
+      StructField("label", IntegerType, nullable = false)))
+    val em = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def vec(id: Long, v: Seq[Float], l: Int): Unit =
+      em.add(org.apache.spark.sql.Row(id, v, l))
+    vec(0L, Seq.tabulate(64)(i => (i % 7).toFloat / 7f), 0)
+    vec(1L, Seq.tabulate(64)(i => (i % 5).toFloat / 5f), 1)
+    vec(2L, null, 0)                       // NULL embedding
+    vec(3L, Seq.empty[Float], 1)           // empty vector
+    vec(4L, Seq(1f, 2f, 3f), 0)            // wrong dimension
+    vec(5L, Seq.tabulate(64)(_ => 0f), 1)  // zero vector (norm 0)
+    vec(6L, Seq.tabulate(64)(i => if (i == 0) Float.NaN else 0.5f), 0) // NaN
+    spark.createDataFrame(em, embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def runs(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+    test(s"$name survives dirty events/vectors") {
+      assert(df.collect() != null)
+    }
+
+  runs("q_json_props")(operators.Events.qJsonProps(spark, dir))
+  runs("q_events_window")(operators.Events.qEventsWindow(spark, dir))
+  runs("q_sessionize")(operators.Events.qSessionize(spark, dir))
+  runs("q_top_users")(operators.Events.qTopUsers(spark, dir))
+  runs("q_event_anomaly")(operators.Events.qEventAnomaly(spark, dir))
+  runs("q_event_transitions")(operators.Events.qEventTransitions(spark, dir))
+  runs("q_burst_detect")(operators.Events.qBurstDetect(spark, dir))
+  runs("q_retention")(operators.Events.qRetention(spark, dir))
+  runs("q_cosine_topk")(operators.Similarity.qCosineTopk(spark, dir))
+  runs("q_knn_join")(operators.Similarity.qKnnJoin(spark, dir))
+  runs("q_ann_lsh")(operators.Similarity.qAnnLsh(spark, dir))
+  runs("q_dedup_embedding")(operators.Dedup.qDedupEmbedding(spark, dir))
+  runs("q_embed_outliers")(operators.Training.qEmbedOutliers(spark, dir))
+  runs("q_quantize_embeddings")(
+    operators.Training.qQuantizeEmbeddings(spark, dir))
+}
