@@ -188,9 +188,13 @@ object Media {
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).toDF()
       .withColumn("s", col("media").cast("string"))
+      // empty payloads make sequence(1, 0, stride) an illegal-bounds
+      // task failure (DirtyDataSpec); pin the upper bound to >= 1 —
+      // substr('', 1, 1) = '' so the resize of nothing is nothing
       .withColumn("resized",
         expr(s"""array_join(transform(
-          sequence(1, least(length(s), ${ResizeStride * ResizeCap}), $ResizeStride),
+          sequence(1, greatest(least(length(s), ${ResizeStride * ResizeCap}), 1),
+            $ResizeStride),
           i -> substr(s, i, 1)), '')"""))
       .select(col("doc_id"), col("mime"),
         octet_length(col("media")).cast("long").as("orig_bytes"),

@@ -76,6 +76,12 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_stratified_sample")(operators.Training.qStratifiedSample(spark, dir))
   runs("q_heavy_hitters")(operators.Sketches.qHeavyHitters(spark, dir))
 
+  runs("q_media_features")(multimodal.Media.qMediaFeatures(spark, dir))
+  runs("q_media_frames")(multimodal.Media.qMediaFrames(spark, dir))
+  runs("q_media_manifest")(multimodal.Media.qMediaManifest(spark, dir))
+  runs("q_media_phash")(multimodal.Media.qMediaPhash(spark, dir))
+  runs("q_media_resize")(multimodal.Media.qMediaResize(spark, dir))
+
   test("exact dedup still pairs the surviving identical docs") {
     val d = operators.Dedup.qDedupExact(spark, dir)
     // docs 1 and 7 are byte-identical; the dirt must not break that
