@@ -82,6 +82,14 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_media_phash")(multimodal.Media.qMediaPhash(spark, dir))
   runs("q_media_resize")(multimodal.Media.qMediaResize(spark, dir))
 
+  runs("q_cooccur")(graph.Analytics.qCooccur(spark, dir))
+  runs("q_pagerank")(graph.Analytics.qPagerank(spark, dir))
+  runs("q_graph_nodes")(graph.NewsGraph.qGraphNodes(spark, dir))
+  runs("cypher MATCH over dirty docs")(cypher.CypherLite.run(spark, dir,
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "RETURN a.doc_id AS doc_id, count(c) AS n ORDER BY doc_id"))
+  runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
+
   test("exact dedup still pairs the surviving identical docs") {
     val d = operators.Dedup.qDedupExact(spark, dir)
     // docs 1 and 7 are byte-identical; the dirt must not break that
