@@ -18,7 +18,7 @@ class DirtyEventsSpec extends AnyFunSuite {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType, nullable = false),
       StructField("ts", LongType, nullable = false), // epoch nanos
-      StructField("user_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = true), // anonymous events
       StructField("event_type", StringType, nullable = true),
       StructField("value", DoubleType, nullable = false),
       StructField("props", StringType, nullable = true)))
@@ -32,6 +32,8 @@ class DirtyEventsSpec extends AnyFunSuite {
     add(4L, 3L, 11L, "purchase", 0.0, "")                // empty props
     add(5L, 200L, 11L, "view", -5.0, """{"page":null}""") // null JSON value
     add(6L, 201L, 12L, "view", Double.NaN, """[1,2,3]""") // NaN + non-object
+    ev.add(org.apache.spark.sql.Row(7L, base + 300L * 60000000000L,
+      null, "view", 1.0, "{}")) // anonymous: NULL user_id
     spark.createDataFrame(ev, evSchema)
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val embSchema = StructType(Seq(
