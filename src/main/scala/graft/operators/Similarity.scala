@@ -581,6 +581,15 @@ object Similarity {
   // ---- signed-random-projection LSH ANN --------------------------------
   val LshBits = 8
   val LshTables = 4
+  /** Multi-probe radius: a vector is a candidate if its signature is
+    * within this Hamming distance of the query's in ANY table
+    * (Lv et al. 2007, multi-probe LSH). At per-bit agreement p ≈ 0.62
+    * (this adversarial corpus) exact-bucket probability is p^8 ≈ 2%
+    * per table and recall@10 measured 0.0; allowing hd ≤ 1 probes the
+    * 8 neighboring buckets too (p^8 + 8·p^7(1−p) ≈ 10%/table) and
+    * buys recall without more tables or a bigger index.
+    */
+  val LshProbeHd = 1
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (LshTables·LshBits of
@@ -654,7 +663,8 @@ object Similarity {
       (Seq(col("v").as("qv"), col("nrm").as("qnrm")) ++
         (0 until LshTables).map(t => col(s"sig$t").as(s"qsig$t"))): _*)
     val anyTableHit = (0 until LshTables)
-      .map(t => col(s"sig$t") === col(s"qsig$t"))
+      .map(t => bit_count(col(s"sig$t")
+        .bitwiseXOR(col(s"qsig$t"))) <= LshProbeHd)
       .reduce(_ || _)
     // top-k over the candidate set via TakeOrdered — the bucket-hit
     // candidates grow with the corpus, so no global rank window here
@@ -834,7 +844,9 @@ object Similarity {
       val sigCols = (0 until LshTables)
         .map(t => s"${lshSigSql("v", t)} AS sig$t").mkString(",\n    ")
       val qCols = (0 until LshTables).map(t => s"sig$t AS qsig$t").mkString(", ")
-      val hit = (0 until LshTables).map(t => s"s.sig$t = qsig$t").mkString(" OR ")
+      val hit = (0 until LshTables)
+        .map(t => s"bit_count(xor(s.sig$t, qsig$t)) <= $LshProbeHd")
+        .mkString(" OR ")
       s"""WITH $VecSql,
          |sigs AS MATERIALIZED (
          |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
