@@ -176,7 +176,76 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"subword_split takes 1 argument, got ${args.size}")
         graft.functions.SubwordSplit(args.head)
+      }),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two array<double> (fused codegen loop)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"dot_product takes 2 arguments, got ${args.size}")
+        graft.functions.DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("sq_dist"),
+      info("sq_dist",
+        "sq_dist(a, b) - squared L2 distance of two array<double> (fused codegen loop)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"sq_dist takes 2 arguments, got ${args.size}")
+        graft.functions.SqDist(args.head, args(1))
+      }),
+    (FunctionIdentifier("chunk_fold"),
+      info("chunk_fold",
+        "chunk_fold(text, len) - greedy word-budget chunking in one pass (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"chunk_fold takes 2 arguments, got ${args.size}")
+        graft.functions.ChunkFold(args.head, intLit(args(1), "chunk_fold len"))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(words, n) - distinct word n-gram shingle strings (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"word_shingles takes 2 arguments, got ${args.size}")
+        graft.functions.WordShingles(args.head, intLit(args(1), "word_shingles n"))
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(words, n) - word n-gram strings, one per position (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"word_ngrams takes 2 arguments, got ${args.size}")
+        graft.functions.WordNgrams(args.head, intLit(args(1), "word_ngrams n"))
+      }),
+    (FunctionIdentifier("distinct_gram_md5"),
+      info("distinct_gram_md5",
+        "distinct_gram_md5(words, n) - distinct md5 hashes of word n-grams (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"distinct_gram_md5 takes 2 arguments, got ${args.size}")
+        graft.functions.DistinctGramMd5(args.head, intLit(args(1), "distinct_gram_md5 n"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - k-slot MinHash signature of shingle strings (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"minhash_sig takes 2 arguments, got ${args.size}")
+        graft.functions.MinHashSig(args.head, intLit(args(1), "minhash_sig k"))
+      }),
+    (FunctionIdentifier("sorted_field"),
+      info("sorted_field",
+        "sorted_field(arr, idx) - struct field idx projected in array-sorted order (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"sorted_field takes 2 arguments, got ${args.size}")
+        graft.functions.SortedField(args.head, intLit(args(1), "sorted_field idx"))
       }))
+
+  /** Extract a foldable integer argument (the SQL-literal parameters
+    * of the parameterized native expressions).
+    */
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** Ensure the functions exist on an already-built session
     * (idempotent) — the extensions path covers sessions constructed

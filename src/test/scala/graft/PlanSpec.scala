@@ -465,6 +465,25 @@ class PlanSpec extends AnyFunSuite {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("cosine_sim"), desc)
+    // the full native surface answers from plain SQL, matching the
+    // Column API bit-for-bit
+    val sql2 = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "sq_dist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS sd, " +
+        "size(chunk_fold('a b c d e', 100)) AS nch, " +
+        "size(word_shingles(array('a', 'b', 'c'), 2)) AS ns, " +
+        "size(word_ngrams(array('a', 'b', 'c'), 2)) AS ng, " +
+        "size(distinct_gram_md5(array('a', 'b', 'a', 'b'), 2)) AS dg, " +
+        "size(minhash_sig(array('x', 'y'), 16)) AS mh, " +
+        "sorted_field(array(struct(2, 'b'), struct(1, 'a')), 1) AS sf")
+      .head()
+    assert(sql2.getDouble(0) == 11.0)
+    assert(sql2.getDouble(1) == 8.0)
+    assert(sql2.getInt(2) == 1)  // whole text fits one 100-char chunk
+    assert(sql2.getInt(3) == 2 && sql2.getInt(4) == 2)
+    assert(sql2.getInt(5) == 2)  // "a b","b a" distinct
+    assert(sql2.getInt(6) == 16)
+    assert(sql2.getSeq[String](7) == Seq("a", "b"))
   }
 
   test("skew report and embed outliers take their top-K, never a global rank") {
