@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [key1,key2,...]
+
+An optional third argument restricts the compare to those oracle keys
+(the SPARK_GRAFT_ONLY iteration loop's counterpart).
 
 Reads each <outDir>/<name> parquet result, runs the matching oracle
 SQL from <outDir>/oracle_sql.json in DuckDB against <sfDir>/*.parquet
@@ -11,6 +14,7 @@ import json, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 # spill outside the repo (a cwd .tmp/ once ballooned git history)
 con.sql("SET temp_directory='/tmp/duckdb_spill'")
@@ -21,6 +25,8 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracles.items()):
+    if only is not None and name not in only:
+        continue
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
         print(f"[{name}] MISSING spark result"); fails += 1; continue
