@@ -1206,7 +1206,44 @@ object Analytics {
           .as("assortativity"))
   }
 
+  val TrendTopK = 20
+
+  /** Entity trend risers: weekly mention counts per entity with the
+    * week-over-week delta, top TrendTopK risers (the "what broke into
+    * the news this week" feed a newsroom dashboard renders; week is
+    * derived from the same deterministic publishing_date as
+    * Props.publishingDate, kept in integer day-of-year arithmetic so
+    * both engines walk exact integers end to end — a missing previous
+    * week reads as 0, because "new this week" IS the strongest rise).
+    *
+    * Scale shape: the count groupBy is map-side combined on
+    * (name, label, week) — gazetteer-bounded × 53 cardinality, NOT
+    * corpus-sized; the week-over-week join is a self-join of that
+    * small aggregate; the global top-K is TakeOrdered (orderBy+limit)
+    * so the rank window only ever sees TrendTopK rows.
+    */
+  def qEntityTrends(spark: SparkSession, dir: String): DataFrame = {
+    val c = TextPipeline.mentions(spark, dir)
+      .withColumn("week", expr("((doc_id * 37) % 365) div 7"))
+      .groupBy("name", "label", "week")
+      .agg(count(lit(1)).as("n_mentions"))
+    val prev = c.select(col("name"), col("label"),
+      (col("week") + 1).as("week"), col("n_mentions").as("prev_mentions"))
+    val top = c.join(prev, Seq("name", "label", "week"), "left")
+      .withColumn("prev_mentions", coalesce(col("prev_mentions"), lit(0L)))
+      .withColumn("delta", col("n_mentions") - col("prev_mentions"))
+      .orderBy(col("delta").desc, col("name"), col("week"))
+      .limit(TrendTopK)
+    top.withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("delta").desc, col("name"), col("week"))))
+      .select("name", "label", "week", "n_mentions", "prev_mentions",
+        "delta", "rk")
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_trends" -> qEntityTrends,
     "q_assortativity" -> qAssortativity,
     "q_edge_support" -> qEdgeSupport,
     "q_ktruss_peel" -> qKtrussPeel,
@@ -1232,6 +1269,21 @@ object Analytics {
     "q_degree_dist" -> qDegreeDist)
 
   val oracles: Map[String, String] = Map(
+    "q_entity_trends" ->
+      s"""WITH ${TextPipeline.MentionsSql},
+         |mw AS (SELECT name, label,
+         |    CAST(((doc_id * 37) % 365) // 7 AS BIGINT) AS week FROM mentions),
+         |c AS (SELECT name, label, week, CAST(count(*) AS BIGINT) AS n_mentions
+         |  FROM mw GROUP BY 1, 2, 3),
+         |t AS (SELECT c.name, c.label, c.week, c.n_mentions,
+         |    CAST(COALESCE(p.n_mentions, 0) AS BIGINT) AS prev_mentions,
+         |    c.n_mentions - CAST(COALESCE(p.n_mentions, 0) AS BIGINT) AS delta
+         |  FROM c LEFT JOIN c p
+         |    ON p.name = c.name AND p.label = c.label AND p.week = c.week - 1)
+         |SELECT name, label, week, n_mentions, prev_mentions, delta, rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY delta DESC, name, week) AS rk
+         |  FROM t)
+         |WHERE rk <= $TrendTopK ORDER BY rk""".stripMargin,
     "q_assortativity" ->
       s"""WITH $CooccurSql,
          |xy AS (SELECT a.d AS x, b.d AS y

@@ -965,7 +965,120 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  val WinnowK = 3    // word-gram width for winnowing
+  val WinnowW = 4    // window of consecutive gram hashes (guarantee: ≥1 fingerprint per W grams)
+  val WinnowMaxDf = 50   // stop-fingerprint guard, same rationale as ContainMaxDf
+  val WinnowOverlap = 0.5
+
+  /** Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS local-fingerprinting algorithm): hash every
+    * WinnowK-word gram, keep the MINIMUM hash of each window of
+    * WinnowW consecutive gram hashes, and report document pairs whose
+    * selected-fingerprint sets overlap ≥ WinnowOverlap of the smaller
+    * set. Unlike MinHash (a global random sample), winnowing gives a
+    * POSITIONAL density guarantee — every W-gram stretch contributes
+    * a fingerprint — so partial overlaps (a copied paragraph inside
+    * an otherwise-new doc) are caught in proportion to their length.
+    *
+    * Scale shape: fingerprints are 8-byte longs at expected density
+    * 2/(W+1) of the gram stream; text never crosses an exchange. The
+    * pair join is equi on fingerprint with the stop-fingerprint DF
+    * cap (a corpus-common fingerprint shared by 10^5 docs would emit
+    * 10^10 pairs; a true overlap shares rare fingerprints essentially
+    * surely). Overlap is one double division of two exact integers —
+    * identical single-op IEEE on both engines.
+    */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", transform(sequence(lit(0), size(col("words")) - WinnowK),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("words"), i + 1, lit(WinnowK)))), 1, 8), 16, 10).cast("long")))
+      .withColumn("fps", array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - WinnowW),
+          j => array_min(slice(col("hs"), j + 1, lit(WinnowW))))))
+      .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("nf"))
+      .localCheckpoint(false)  // one hash pass; DF cap, both join sides, sizes all read it
+    // candidates from DF-capped fingerprints (the stop-fp guard);
+    // VERIFY on the FULL fingerprint sets — same two-phase shape as
+    // qDedupContainment, so a pair of identical docs always scores
+    // exactly 1.0 even when some of its fingerprints are corpus-hot
+    val e = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = e.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
+      .select("fp")
+    val ee = e.join(rare, "fp")
+    val cand = ee.select(col("doc_id").as("doc_id_a"), col("fp"))
+      .join(ee.select(col("doc_id").as("doc_id_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    cand
+      .join(f.select(col("doc_id").as("doc_id_a"),
+        col("fps").as("fa"), col("nf").as("na")), "doc_id_a")
+      .join(f.select(col("doc_id").as("doc_id_b"),
+        col("fps").as("fb"), col("nf").as("nb")), "doc_id_b")
+      .withColumn("n_shared", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .withColumn("overlap", round(col("n_shared") / least(col("na"), col("nb")), 6))
+      .filter(col("overlap") >= WinnowOverlap)
+      .select("doc_id_a", "doc_id_b", "n_shared", "overlap")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val CdcMod = 8   // boundary when h(word) ≡ 0 (mod 8) → mean chunk ≈ 8 words
+
+  /** Content-defined chunk dedup (the FastCDC/gear-hash family, Xia
+    * et al. FAST'16, at word granularity): a chunk boundary falls
+    * after every word whose hash ≡ 0 (mod CdcMod), so boundaries are
+    * CONTENT-anchored — inserting a sentence shifts every fixed-size
+    * chunk after it but leaves content-defined chunks untouched.
+    * Reports every chunk occurring in ≥2 distinct documents with its
+    * document/occurrence counts — the shift-robust complement to
+    * q_dedup_substring's fixed-width spans.
+    *
+    * Scale shape: boundary choice is per-row arithmetic (zero
+    * shuffles until the count); chunks travel as 16-byte md5 + an int
+    * word count, never text; the groupBy is map-side combined on the
+    * hash, and output size is bounded by the corpus's duplication,
+    * not its size.
+    */
+  def qDedupCdc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 1)
+      // n=1 guard: sequence(1, 0) DESCENDS in Spark (it is empty in
+      // DuckDB), and element_at(words, 0) throws under ANSI — a
+      // 1-word doc has no interior boundary candidates at all
+      .withColumn("bounds", concat(
+        array(lit(0)),
+        when(size(col("words")) >= 2,
+          filter(sequence(lit(1), size(col("words")) - 1),
+            i => conv(substring(md5(element_at(col("words"), i)), 1, 8), 16, 10)
+              .cast("long") % CdcMod === 0))
+          .otherwise(array().cast("array<int>")),
+        array(size(col("words")))))
+      .withColumn("hs", transform(sequence(lit(1), size(col("bounds")) - 1),
+        j => md5(concat_ws(" ", slice(col("words"),
+          element_at(col("bounds"), j) + 1,
+          element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))))))
+      .withColumn("ls", transform(sequence(lit(1), size(col("bounds")) - 1),
+        j => (element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))
+          .cast("long")))
+    d.select(col("doc_id"), explode(arrays_zip(col("hs"), col("ls"))).as("z"))
+      .select(col("doc_id"), col("z.hs").as("chunk_hash"), col("z.ls").as("n_words"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        max(col("n_words")).as("n_words"))
+      .filter(col("n_docs") >= 2)
+      .select("chunk_hash", "n_words", "n_docs", "n_occ")
+      .orderBy("chunk_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> qWinnow,
+    "q_dedup_cdc" -> qDedupCdc,
     "q_dedup_lines" -> qDedupLines,
     "q_semdedup" -> qSemdedup,
     "q_proto_filter" -> qProtoFilter,
@@ -1116,6 +1229,60 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_winnow" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${WinnowK + WinnowW - 1}),
+         |h AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(words) - ${WinnowK - 1}),
+         |    i -> CAST('0x' || substr(md5(array_to_string(words[i:i+${WinnowK - 1}], ' ')), 1, 8) AS BIGINT)) AS hs
+         |  FROM w),
+         |f AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${WinnowW - 1}),
+         |    j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))) AS fps
+         |  FROM h),
+         |e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |rare AS (SELECT fp FROM e GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $WinnowMaxDf),
+         |ee AS MATERIALIZED (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared,
+         |    round(len(list_intersect(a.fps, b.fps))
+         |      / least(CAST(len(a.fps) AS BIGINT), CAST(len(b.fps) AS BIGINT)), 6)
+         |      AS overlap
+         |  FROM cand JOIN f a ON a.doc_id = doc_id_a
+         |            JOIN f b ON b.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b, n_shared, overlap FROM v
+         |WHERE overlap >= $WinnowOverlap
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_dedup_cdc" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 1),
+         |b AS (
+         |  SELECT doc_id, words,
+         |    list_concat(list_concat([0],
+         |      list_filter(generate_series(1, len(words) - 1),
+         |        i -> CAST('0x' || substr(md5(words[i]), 1, 8) AS BIGINT) % $CdcMod = 0)),
+         |      [len(words)]) AS bounds
+         |  FROM w),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(bounds) - 1),
+         |      j -> md5(array_to_string(words[bounds[j] + 1 : bounds[j + 1]], ' ')))) AS chunk_hash,
+         |    unnest(list_transform(generate_series(1, len(bounds) - 1),
+         |      j -> CAST(bounds[j + 1] - bounds[j] AS BIGINT))) AS n_words
+         |  FROM b)
+         |SELECT chunk_hash, max(n_words) AS n_words,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM ch GROUP BY chunk_hash
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
     "q_proto_filter" ->
       s"""WITH $semAsgCtes,
          |th AS (SELECT cluster,

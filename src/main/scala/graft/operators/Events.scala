@@ -354,7 +354,45 @@ object Events {
       .orderBy("day")
   }
 
+  val PathTopK = 20
+
+  /** Top within-session event-type paths (length-3 n-grams of the
+    * session's ordered event stream): the "what do users actually do"
+    * companion to q_event_transitions' first-order Markov matrix —
+    * a 3-gram distinguishes view→cart→purchase from view→cart→view,
+    * which no transition matrix can.
+    *
+    * Scale shape: one shuffle on user_id (shared with sessionize; a
+    * user_id-bucketed source makes it exchange-free), two lead()s in
+    * the SAME window pass, then a map-side-combined count whose key
+    * space is |event_types|³ — the final rank window runs on that
+    * tiny aggregate, never on events.
+    */
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val bySession = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts_us", "event_id")
+    val counts = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("e2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))))
+      .filter(col("rk") <= PathTopK)
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_paths" -> qSessionPaths,
     "q_dau_stickiness" -> qDauStickiness,
     "q_burst_detect" -> qBurstDetect,
     "q_session_window" -> qSessionWindow,
@@ -371,6 +409,31 @@ object Events {
     "q_event_transitions" -> qEventTransitions)
 
   val oracles: Map[String, String] = Map(
+    "q_session_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > ${SessionGapUs} THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM e),
+         |p AS (
+         |  SELECT event_type AS e1,
+         |    lead(event_type, 1) OVER
+         |      (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id) AS e2,
+         |    lead(event_type, 2) OVER
+         |      (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id) AS e3
+         |  FROM s),
+         |c AS (
+         |  SELECT e1, e2, e3, count(*) AS n_paths FROM p
+         |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT e1, e2, e3, n_paths, rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS rk
+         |  FROM c)
+         |WHERE rk <= $PathTopK ORDER BY rk""".stripMargin,
     "q_dau_stickiness" ->
       s"""WITH du AS MATERIALIZED (
          |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

@@ -24,27 +24,31 @@ class BenchContractSpec extends AnyFunSuite {
       s"and break round-over-round comparability): $dup")
   }
 
-  test("worst-case green run at the current surface: fits AND keeps every key") {
+  test("worst-case green run at the current surface: fits, bounded drop, audit tail intact") {
     // <10s values print as "9.9" (3 chars) and >=10s as whole seconds
     // (<=3 chars under the 1000s ceiling) — 3 chars per value IS the
-    // worst case for a green run. At today's surface the full map must
-    // ride the line with zero truncation: dropping keys is the escape
-    // hatch for future growth, not a cost paid now.
+    // worst case for a green run. The driver tail fits ~204 9-char
+    // entries; every key was already compressed to 2 chars in round 6,
+    // so past that STRUCTURAL ceiling the renderer's escape hatch is
+    // the contract: cheapest entries drop first, "dropped" reports the
+    // count, and "nq" always carries the full surface size. Bound the
+    // worst-case loss tightly so surface growth stays deliberate, and
+    // note that REAL lines are shorter than this bound (sub-second
+    // values are 3 chars, >=10s values 2-3 — the round-6 artifact held
+    // 201 keys in 1863 chars).
     val named = allNames.map(n => (n, 9.9, None: Option[String]))
     val line = Bench.metricLine(named, 10000.0, "sf0.001")
     assert(line.length <= Bench.LineBudget,
       s"metric line is ${line.length} chars; budget ${Bench.LineBudget}")
     assert(line.contains(s""""nq":${named.size}"""))
-    // When surface growth first trips this, EITHER compress keys in
-    // Bench.abbrev (keep new keys at 2 chars) OR knowingly relax this
-    // assert to a small dropped bound — the runtime line is safe
-    // either way now; this assert only defends full per-query
-    // fidelity, and the entries dropped first are the cheapest.
-    assert(!line.contains("\"dropped\""),
-      "current surface should fit without truncation — compress keys in " +
-        "Bench.abbrev (new keys should be 2 chars)")
-    allNames.foreach(n => assert(line.contains(s""""${Bench.key(n)}":"""),
-      s"key for $n missing from a non-truncated line"))
+    val dropped = "\"dropped\":(\\d+)".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(dropped <= 8,
+      s"worst-case line drops $dropped entries — keys must stay 2 chars " +
+        "and surface growth past the tail ceiling must be deliberate")
+    val missing = allNames.filterNot(n => line.contains(s""""${Bench.key(n)}":"""))
+    assert(missing.size == dropped,
+      s"missing keys (${missing.size}) must equal the reported drop count $dropped")
   }
 
   test("pathological surface growth truncates instead of blowing the tail") {

@@ -420,4 +420,71 @@ class SignalsSpec extends AnyFunSuite {
     // mean endpoint degree over both orientations >= 1 by construction
     assert(r.getAs[Double]("mean_end_degree") >= 1.0)
   }
+
+  test("winnow: pairs ordered, overlap in [threshold, 1], exact dups score 1.0") {
+    val w = operators.Dedup.qWinnow(spark, TestSpark.sf).cache()
+    assert(w.filter(col("doc_id_a") >= col("doc_id_b")).count() == 0)
+    assert(w.filter(col("overlap") < operators.Dedup.WinnowOverlap
+      || col("overlap") > 1.0).count() == 0)
+    assert(w.filter(col("n_shared") < 1L).count() == 0)
+    // identical texts have identical fingerprint sets → any exact-dup
+    // pair that surfaces must score exactly 1.0
+    val exactPairs = operators.Dedup.qDedupExact(spark, TestSpark.sf)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+    val offenders = w.join(exactPairs, Seq("doc_id_a", "doc_id_b"))
+      .filter(col("overlap") =!= 1.0).count()
+    assert(offenders == 0, "an identical-text pair scored < 1.0")
+    w.unpersist()
+  }
+
+  test("cdc dedup: counts consistent and boundaries are content-anchored") {
+    val c = operators.Dedup.qDedupCdc(spark, TestSpark.sf).cache()
+    assert(c.count() > 0)
+    assert(c.filter(col("n_docs") < 2 || col("n_occ") < col("n_docs")
+      || col("n_words") < 1L).count() == 0)
+    // shift-robustness, the property fixed-size chunking lacks: a doc
+    // prefixed with one new word re-chunks to the SAME interior chunks
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    Seq((1L, base.trim, "en", "a", 1L),
+        (2L, ("prefixword " + base).trim, "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the two docs must share at least one content-defined chunk
+    assert(operators.Dedup.qDedupCdc(spark, dir).count() > 0)
+    c.unpersist()
+  }
+
+  test("session paths: rk consecutive, counts monotone, bounded by transitions") {
+    val p = operators.Events.qSessionPaths(spark, TestSpark.sf).cache()
+    val rows = p.orderBy("rk").collect()
+    assert(rows.nonEmpty && rows.length <= operators.Events.PathTopK)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+    val counts = rows.map(_.getAs[Long]("n_paths"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // total trigrams per session = max(0, n_events - 2): the top path
+    // can never exceed the corpus-wide trigram budget
+    val budget = operators.Events.qSessionize(spark, TestSpark.sf)
+      .select(greatest(col("n_events") - 2, lit(0L)).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(counts.sum <= budget)
+    p.unpersist()
+  }
+
+  test("entity trends: delta arithmetic exact, top risers ordered") {
+    val t = Analytics.qEntityTrends(spark, TestSpark.sf).cache()
+    val rows = t.orderBy("rk").collect()
+    assert(rows.nonEmpty && rows.length <= Analytics.TrendTopK)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getAs[Long]("delta")
+      == r.getAs[Long]("n_mentions") - r.getAs[Long]("prev_mentions")))
+    assert(rows.forall(r => r.getAs[Long]("prev_mentions") >= 0L))
+    assert(rows.forall { r =>
+      val wk = r.getAs[Long]("week"); wk >= 0L && wk <= 52L })
+    val deltas = rows.map(_.getAs[Long]("delta"))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+    t.unpersist()
+  }
 }
