@@ -515,4 +515,47 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast sketch-row joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian on raw data:\n$p")
   }
+
+  // every shuffle's output attribute set, walked from the tree (the
+  // printed plan is root-first, so "after the first Exchange" in TEXT
+  // includes upstream stages and cannot pin what crosses the wire)
+  private def shuffleCols(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[Seq[String]] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case e: ShuffleExchangeExec =>
+        e.output.map(_.name).toSeq +: p.children.flatMap(walk)
+      case _ => p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("winnow pairs via equi-join on fingerprints — no cartesian, no text on the wire") {
+    val df = operators.Dedup.qWinnow(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in winnow:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in winnow:\n$p")
+    val shuffled = shuffleCols(df)
+    assert(shuffled.nonEmpty)
+    assert(shuffled.forall(cols => !cols.contains("text") && !cols.contains("words")),
+      s"document text crossed a shuffle: $shuffled")
+  }
+
+  test("cdc dedup reads only doc_id+text and ships hashes, not chunk text") {
+    val df = operators.Dedup.qDedupCdc(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected 2-column read schema:\n$p")
+    val shuffled = shuffleCols(df)
+    assert(shuffled.nonEmpty)
+    assert(shuffled.forall(cols => !cols.contains("text") && !cols.contains("words")),
+      s"document/chunk text crossed a shuffle: $shuffled")
+  }
+
+  test("entity trends ends in TakeOrdered — no corpus-sized rank window") {
+    val p = plan(graph.Analytics.qEntityTrends(spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
 }
