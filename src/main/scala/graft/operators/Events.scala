@@ -368,11 +368,14 @@ object Events {
     * space is |event_types|³ — the final rank window runs on that
     * tiny aggregate, never on events.
     */
-  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+  /** The pre-rank counts stage of [[qSessionPaths]], exposed so the
+    * streaming twin's parity spec can compare full path counts.
+    */
+  def sessionPathCounts(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val bySession = Window.partitionBy("user_id", "session_idx")
       .orderBy("ts_us", "event_id")
-    val counts = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
@@ -384,7 +387,10 @@ object Events {
       .filter(col("e2").isNotNull && col("e3").isNotNull)
       .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
       .agg(count(lit(1)).as("n_paths"))
-    counts
+  }
+
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    sessionPathCounts(spark, dir)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))))
       .filter(col("rk") <= PathTopK)

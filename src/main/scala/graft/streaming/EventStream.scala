@@ -248,6 +248,44 @@ object EventStream {
       }
   }
 
+  case class PathEv(ts_us: Long, event_id: Long, event_type: String)
+  case class PathState(evs: Seq[PathEv])
+  case class PathOut(user_id: Long, e1: String, e2: String, e3: String)
+
+  /** Streaming twin of Events.sessionPathCounts' trigram stage:
+    * per-user state is the last ≤2 events of the OPEN session (a gap
+    * over SessionGapUs clears it — the sessionize boundary), so each
+    * arriving event emits at most one length-3 path. State size is
+    * bounded at two small rows per active user, independent of both
+    * stream volume and session length; with a time-ordered feed the
+    * emitted path multiset equals the batch trigram counts exactly,
+    * which the parity spec asserts across a mid-corpus split.
+    */
+  def sessionPathsStream(events: Dataset[UserEv]): Dataset[PathOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UserEv], state: GroupState[PathState]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var buf = state.getOption.map(_.evs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[PathOut]
+            for (e <- sorted) {
+              if (buf.nonEmpty
+                  && e.ts_us - buf.last.ts_us > graft.operators.Events.SessionGapUs)
+                buf = Vector.empty
+              if (buf.size == 2)
+                out += PathOut(user, buf(0).event_type, buf(1).event_type, e.event_type)
+              buf = (buf :+ PathEv(e.ts_us, e.event_id, e.event_type)).takeRight(2)
+            }
+            state.update(PathState(buf))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming heavy hitters — the Misra–Gries typed Aggregator
     * (functions.FreqItemsAgg, Sketches.freqItems' batch engine) run AS
     * a streaming stateful aggregate: state is the ≤ k-counter sketch

@@ -455,6 +455,35 @@ class StreamingSpec extends AnyFunSuite {
       "streaming transition counts diverged from the batch matrix")
   }
 
+  test("streaming session paths equal the batch trigram counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[EventStream.UserEv].collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+    // time-ordered split: the ≤2-event session tail in state must
+    // stitch trigrams that straddle the batch boundary, and a session
+    // gap at the boundary must clear it
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[EventStream.UserEv]
+    val q = EventStream.sessionPathsStream(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("paths_out").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("paths_out")
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"))
+    val want = graft.operators.Events.sessionPathCounts(spark, TestSpark.sf)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "streaming path counts diverged from the batch trigram counts")
+  }
+
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
     val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
     val fromSql = ids.toDF("user_id")
