@@ -67,6 +67,7 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_top_users")(operators.Events.qTopUsers(spark, dir))
   runs("q_event_anomaly")(operators.Events.qEventAnomaly(spark, dir))
   runs("q_event_transitions")(operators.Events.qEventTransitions(spark, dir))
+  runs("q_session_paths")(operators.Events.qSessionPaths(spark, dir))
   runs("q_burst_detect")(operators.Events.qBurstDetect(spark, dir))
   runs("q_retention")(operators.Events.qRetention(spark, dir))
   runs("q_cosine_topk")(operators.Similarity.qCosineTopk(spark, dir))
