@@ -1043,8 +1043,13 @@ object Dedup {
     * hash, and output size is bounded by the corpus's duplication,
     * not its size.
     */
-  def qDedupCdc(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** The content-defined chunking stage of [[qDedupCdc]] over an
+    * arbitrary documents frame — stateless narrow pass (works under a
+    * streaming source unchanged; the ingest screen joins its output
+    * against the standing duplicated-chunk set).
+    */
+  def cdcChunksOfDocs(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 1)
       // n=1 guard: sequence(1, 0) DESCENDS in Spark (it is empty in
@@ -1067,6 +1072,10 @@ object Dedup {
           .cast("long")))
     d.select(col("doc_id"), explode(arrays_zip(col("hs"), col("ls"))).as("z"))
       .select(col("doc_id"), col("z.hs").as("chunk_hash"), col("z.ls").as("n_words"))
+  }
+
+  def qDedupCdc(spark: SparkSession, dir: String): DataFrame = {
+    cdcChunksOfDocs(Tables.documents(spark, dir))
       .groupBy("chunk_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),

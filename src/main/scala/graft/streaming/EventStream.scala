@@ -444,6 +444,23 @@ object EventStream {
       .agg(count(lit(1)).as("n_boiler_lines"),
         sum(col("n_chars")).as("boiler_chars"))
 
+  /** Streaming CDC-chunk screen — qDedupCdc's ingest twin: incoming
+    * documents are content-defined-chunked (stateless narrow pass,
+    * boundaries anchored to word hashes so a syndicated copy with an
+    * inserted paragraph still shares every untouched chunk) and
+    * checked against the STANDING duplicated-chunk hash set from the
+    * batch pass. Stream-static equi-join on the 16-byte hash; only
+    * the per-doc counters are streaming state, keyed by doc_id in
+    * update mode — state is one row per flagged incoming doc, never
+    * corpus-sized.
+    */
+  def cdcScreenStream(docs: DataFrame, dupChunkHashes: DataFrame): DataFrame =
+    graft.operators.Dedup.cdcChunksOfDocs(docs)
+      .join(dupChunkHashes, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("n_words")).as("dup_words"))
+
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).
     */

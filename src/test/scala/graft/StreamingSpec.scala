@@ -226,6 +226,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L), "only d1 carries the standing boiler line")
   }
 
+  test("streaming CDC screen flags shifted syndication against the standing chunk set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // standing corpus: the same long passage in two docs → its
+    // content-defined chunks are the standing duplicated-chunk set
+    val passage = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    val corpus = Seq(
+      (100L, passage.trim + " ending one"),
+      (101L, passage.trim + " ending two")).toDF("doc_id", "text")
+    val standing = graft.operators.Dedup.cdcChunksOfDocs(corpus)
+      .groupBy("chunk_hash").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("chunk_hash")
+    // incoming: d1 syndicates the passage SHIFTED by a new prefix —
+    // content-anchored boundaries must still match; d2 is clean
+    val d1 = (1L, "breaking exclusive " + passage.trim)
+    val d2 = (2L, "completely fresh words that no standing document contains today at all")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.cdcScreenStream(
+        input.toDF().toDF("doc_id", "text"), standing)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_stream").start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_stream")
+      .select("doc_id", "n_dup_chunks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup.cdcChunksOfDocs(
+        Seq(d1, d2).toDF("doc_id", "text"))
+      .join(standing, "chunk_hash")
+      .groupBy("doc_id").agg(count("*").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.contains(1L) && got(1L) >= 1L,
+      "the shifted syndicated copy must share standing chunks")
+    assert(!got.contains(2L), "the clean doc must not be flagged")
+  }
+
   test("streaming near-dup screen matches the batch band join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
