@@ -194,6 +194,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing density guarantee holds for arbitrary generated texts") {
+    import spark.implicits._
+    import graft.operators.Dedup.{WinnowK, WinnowW}
+    // Schleimer et al. §3: every window of W consecutive gram hashes
+    // contributes >=1 selected fingerprint, and one selected hash can
+    // be the min of at most W windows — so distinct fingerprints
+    // >= ceil(nWindows / W). Recompute fps with the operator's own
+    // column expressions over generated texts and check the bound.
+    val longText: Gen[String] =
+      Gen.choose(WinnowK + WinnowW - 1, 80)
+        .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(longText, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val f = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", transform(sequence(lit(0), size(col("words")) - WinnowK),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("words"), i + 1, lit(WinnowK)))), 1, 8), 16, 10).cast("long")))
+      .withColumn("nw", size(col("hs")) - WinnowW + 1)
+      .withColumn("nf", size(array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - WinnowW),
+          j => array_min(slice(col("hs"), j + 1, lit(WinnowW)))))))
+    val bad = f.filter(col("nf") * WinnowW < col("nw")).count()
+    assert(bad == 0, "a doc selected fewer fingerprints than the density bound")
+  }
+
+  test("content-defined chunks partition every generated document exactly") {
+    import spark.implicits._
+    val docs = samples(text, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val back = graft.operators.Dedup.cdcChunksOfDocs(docs)
+      .groupBy("doc_id").agg(sum("n_words").as("total"))
+    val bad = back.join(docs, "doc_id")
+      .filter(col("total") =!= size(split(col("text"), " ")).cast("long"))
+      .count()
+    assert(bad == 0, "CDC chunk word counts must partition the document")
+  }
+
   private def sigOf(ws: Seq[String]): Long = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.unsafe.types.UTF8String
