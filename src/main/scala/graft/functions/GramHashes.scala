@@ -147,6 +147,64 @@ object GramHashStructs {
     shims.column(GramHashStructs(shims.expression(words), n))
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03) in ONE codegen'd JVM pass: k-gram md5-prefix hashes →
+  * min of every w-hash window → distinct mins in first-occurrence
+  * order. Bit-identical to the HOF twin
+  * `array_distinct(transform(sequence(0, nh-w), j ->
+  * array_min(slice(hs, j+1, w))))` over
+  * `hs = transform(sequence(0, m-k), i ->
+  * conv(substring(md5(gram_i), 1, 8), 16, 10))` — proved by
+  * PropertySpec on generated corpora — but without the two
+  * interpreted lambda chains (CodegenFallback per position with an
+  * md5/concat sub-tree each). Returns the empty array when the doc
+  * has fewer than k+w-1 words (callers filter first).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends GramExpression {
+  override def n: Int = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, words =>
+      s"${ev.value} = graft.functions.WinnowFps.compute($words, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  def compute(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val m = words.numElements()
+    val nh = m - k + 1
+    if (nh < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](nh)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nh) {
+      hs(i) = GramHashes.md5Prefix(GramHashes.gramAt(words, i, k, sb))
+      i += 1
+    }
+    // w is tiny (4): the direct O(nh*w) scan beats a deque's boxing
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((nh max 4) * 2)
+    var j = 0
+    while (j <= nh - w) {
+      var mn = hs(j)
+      var t = 1
+      while (t < w) { if (hs(j + t) < mn) mn = hs(j + t); t += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+  def winnow_fps(words: Column, k: Int, w: Int): Column =
+    shims.column(WinnowFps(shims.expression(words), k, w))
+}
+
 case class DistinctGramMd5(child: Expression, n: Int) extends GramExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "distinct_gram_md5"

@@ -992,12 +992,10 @@ object Dedup {
     val f = Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= WinnowK + WinnowW - 1)
-      .withColumn("hs", transform(sequence(lit(0), size(col("words")) - WinnowK),
-        i => conv(substring(md5(concat_ws(" ",
-          slice(col("words"), i + 1, lit(WinnowK)))), 1, 8), 16, 10).cast("long")))
-      .withColumn("fps", array_distinct(
-        transform(sequence(lit(0), size(col("hs")) - WinnowW),
-          j => array_min(slice(col("hs"), j + 1, lit(WinnowW))))))
+      // native one-pass expression (gram md5 prefixes → window mins →
+      // distinct); PropertySpec proves bit-equality with the HOF twin
+      .withColumn("fps",
+        graft.functions.WinnowFps.winnow_fps(col("words"), WinnowK, WinnowW))
       .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("nf"))
       .localCheckpoint(false)  // one hash pass; DF cap, both join sides, sizes all read it
     // candidates from DF-capped fingerprints (the stop-fp guard);

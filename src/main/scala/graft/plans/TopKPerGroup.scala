@@ -219,6 +219,14 @@ object GraftExtensions {
         require(args.size == 2, s"distinct_gram_md5 takes 2 arguments, got ${args.size}")
         graft.functions.DistinctGramMd5(args.head, intLit(args(1), "distinct_gram_md5 n"))
       }),
+    (FunctionIdentifier("winnow_fps"),
+      info("winnow_fps",
+        "winnow_fps(words, k, w) - winnowing fingerprints: distinct w-window mins of k-gram md5-prefix hashes (native expression)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, s"winnow_fps takes 3 arguments, got ${args.size}")
+        graft.functions.WinnowFps(args.head,
+          intLit(args(1), "winnow_fps k"), intLit(args(2), "winnow_fps w"))
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(shingles, k) - k-slot MinHash signature of shingle strings (native expression)"),

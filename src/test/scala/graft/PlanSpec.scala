@@ -475,7 +475,8 @@ class PlanSpec extends AnyFunSuite {
         "size(word_ngrams(array('a', 'b', 'c'), 2)) AS ng, " +
         "size(distinct_gram_md5(array('a', 'b', 'a', 'b'), 2)) AS dg, " +
         "size(minhash_sig(array('x', 'y'), 16)) AS mh, " +
-        "sorted_field(array(struct(2, 'b'), struct(1, 'a')), 1) AS sf")
+        "sorted_field(array(struct(2, 'b'), struct(1, 'a')), 1) AS sf, " +
+        "size(winnow_fps(array('a','b','c','d','e','f','g'), 3, 4)) AS wf")
       .head()
     assert(sql2.getDouble(0) == 11.0)
     assert(sql2.getDouble(1) == 8.0)
@@ -484,6 +485,8 @@ class PlanSpec extends AnyFunSuite {
     assert(sql2.getInt(5) == 2)  // "a b","b a" distinct
     assert(sql2.getInt(6) == 16)
     assert(sql2.getSeq[String](7) == Seq("a", "b"))
+    // 5 gram hashes → 2 windows of 4 → 1-2 distinct mins, never 0
+    assert(sql2.getInt(8) >= 1 && sql2.getInt(8) <= 2)
   }
 
   test("skew report and embed outliers take their top-K, never a global rank") {

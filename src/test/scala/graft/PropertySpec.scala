@@ -221,6 +221,28 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, "a doc selected fewer fingerprints than the density bound")
   }
 
+  test("native winnow_fps is bit-equal to the HOF window-min chain") {
+    import spark.implicits._
+    import graft.operators.Dedup.{WinnowK, WinnowW}
+    val anyText: Gen[String] =
+      Gen.choose(WinnowK + WinnowW - 1, 120)
+        .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(anyText, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+    val twin = docs
+      .withColumn("hs", transform(sequence(lit(0), size(col("words")) - WinnowK),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("words"), i + 1, lit(WinnowK)))), 1, 8), 16, 10).cast("long")))
+      .withColumn("hof", array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - WinnowW),
+          j => array_min(slice(col("hs"), j + 1, lit(WinnowW))))))
+      .withColumn("native",
+        graft.functions.WinnowFps.winnow_fps(col("words"), WinnowK, WinnowW))
+    val bad = twin.filter(col("hof") =!= col("native")).count()
+    assert(bad == 0, "native winnow fingerprints diverged from the HOF chain")
+  }
+
   test("content-defined chunks partition every generated document exactly") {
     import spark.implicits._
     val docs = samples(text, 40).zipWithIndex
