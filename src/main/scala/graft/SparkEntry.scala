@@ -27,7 +27,8 @@ object SparkEntry {
       (operators.Training.queries, operators.Training.oracles),
       (operators.Tokenize.queries, operators.Tokenize.oracles),
       (operators.Curation.queries, operators.Curation.oracles),
-      (operators.Sketches.queries, operators.Sketches.oracles))
+      (operators.Sketches.queries, operators.Sketches.oracles),
+      (sources.Catalog.queries, sources.Catalog.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

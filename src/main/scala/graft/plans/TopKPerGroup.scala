@@ -177,6 +177,13 @@ object GraftExtensions {
         require(args.size == 1, s"subword_split takes 1 argument, got ${args.size}")
         graft.functions.SubwordSplit(args.head)
       }),
+    (FunctionIdentifier("zorder64"),
+      info("zorder64",
+        "zorder64(a, b) - 62-bit Morton interleave of two bigints (Z-order clustering key)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"zorder64 takes 2 arguments, got ${args.size}")
+        graft.functions.ZOrder64(args.head, args(1))
+      }),
     (FunctionIdentifier("dot_product"),
       info("dot_product",
         "dot_product(a, b) - dot product of two array<double> (fused codegen loop)"),

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrder64
+import graft.sources.Catalog
+
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("spread/unspread round-trip every 31-bit pattern class") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq(0L, 1L, 2L, 3L, 0x7fffffffL, 0x40000000L, 0x55555555L,
+      0x2aaaaaaaL) ++ Seq.fill(200)(rnd.nextLong().abs & 0x7fffffffL)
+    samples.foreach { v =>
+      assert(ZOrder64.unspread(ZOrder64.spread(v)) === v, s"round-trip $v")
+    }
+  }
+
+  test("compute interleaves losslessly and clamps out-of-range keys monotonely") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong().abs & 0x7fffffffL
+      val b = rnd.nextLong().abs & 0x7fffffffL
+      val z = ZOrder64.compute(a, b)
+      assert(z >= 0L, "z-value must stay non-negative (signed sort safety)")
+      assert(ZOrder64.unspread(z) === a)
+      assert(ZOrder64.unspread(z >>> 1) === b)
+    }
+    // saturation: below-range pins to the curve origin, above-range to the
+    // far corner — monotone, never wrapped
+    assert(ZOrder64.compute(-5L, 3L) === ZOrder64.compute(0L, 3L))
+    assert(ZOrder64.compute(Long.MaxValue, 3L) === ZOrder64.compute(0x7fffffffL, 3L))
+  }
+
+  test("native expression matches the JVM helper and survives codegen") {
+    val df = spark.range(500).select(
+      col("id"),
+      ZOrder64.zorder64(col("id") * 7 % 100, col("id")).as("zv"))
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === ZOrder64.compute(id * 7 % 100, id))
+    }
+  }
+
+  test("z-ordered layout confines a 2-D box to a strict file subset; hash layout scatters it") {
+    val tmp = Files.createTempDirectory("zorder_spec").toString
+    val zPath = s"$tmp/z"
+    val hPath = s"$tmp/h"
+    val nFiles = 16
+    Catalog.writeZOrdered(spark, TestSpark.sf, zPath, nFiles)
+    // counter-layout: same rows, hash-scattered across the same file count
+    Tables.documents(spark, TestSpark.sf)
+      .repartition(nFiles, col("doc_id"))
+      .write.parquet(hPath)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("doc_id").between(100, 299) && col("n_chars").between(100, 300))
+        .select(input_file_name()).distinct().count()
+    val zTouched = filesTouched(zPath)
+    val hTouched = filesTouched(hPath)
+    // 77 matching doc_ids over 16 hash buckets: essentially every file
+    // (deterministic hash; allow a straggler-empty bucket or two)
+    assert(hTouched >= (nFiles - 2).toLong,
+      s"hash layout should scatter the box across ~all $nFiles files, got $hTouched")
+    assert(zTouched < hTouched,
+      s"z-order must confine the box to fewer files: z=$zTouched hash=$hTouched")
+    assert(zTouched <= nFiles / 2,
+      s"a ~15%-selectivity box should live in at most half the z-files, got $zTouched")
+  }
+
+  test("z-ordered layout is lossless: full read-back equals the source table") {
+    val zPath = Files.createTempDirectory("zorder_lossless").toString + "/z"
+    Catalog.writeZOrdered(spark, TestSpark.sf, zPath, 4)
+    val src = Tables.documents(spark, TestSpark.sf)
+    val back = spark.read.parquet(zPath)
+    assert(back.count() === src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    assert(back.join(src, Seq("doc_id", "n_chars", "lang", "source", "text"))
+      .count() === src.count())
+  }
+
+  test("q_zorder_scan pushes both range predicates into the parquet scan") {
+    val df = Catalog.qZOrderScan(spark, TestSpark.sf)
+    // formatted mode prints the full PushedFilters list (toString
+    // truncates it at 100 chars, hiding the n_chars entries)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(doc_id,100") &&
+      plan.contains("GreaterThanOrEqual(n_chars,100"),
+      s"both box predicates must reach the scan:\n$plan")
+  }
+}
