@@ -40,7 +40,7 @@ object Bench {
       // kept 2-char names that CONTAIN a renamed base go first, or
       // the shorter rule would corrupt them ("quality" inside
       // "quality_classifier", "knn_join" inside "knn_join_ivf")
-      "zorder_scan" -> "zs",
+      "zorder_scan" -> "zs", "bootstrap_ci" -> "bi",
       "session_paths" -> "sq", "entity_trends" -> "et",
       "dedup_cdc" -> "cz", "winnow" -> "wn",
       "source_entropy" -> "sy", "token_gini" -> "tg",

@@ -272,6 +272,44 @@ object Training {
       .orderBy("lang", "rk")
   }
 
+  val BootstrapReps = 32
+
+  /** Poisson bootstrap of a corpus mean — the distributed bootstrap
+    * (resampling-with-replacement is impossible at 100 TB, but each
+    * replicate's per-row resample count is ≈Poisson(1), so R replicate
+    * means fall out of ONE corpus scan: a narrow broadcast ×R row
+    * expansion, then a map-side-combined aggregate whose output is R
+    * rows). The per-(doc, replicate) weight is deterministic — a
+    * 32-bit uniform from the first 8 md5 hex chars stepped through
+    * fixed Poisson(1)-CDF thresholds (literal longs on the 2^32 grid,
+    * identical in both engines; counts >4 truncate to 4, covering
+    * 99.63% of the CDF exactly and the tail conservatively) — and the
+    * replicate means land on an integer ppm grid via BIGINT division,
+    * so no float ever crosses the engine boundary. Downstream, the
+    * 2.5/97.5 percentiles of the 32 means are the CI; the replicate
+    * rows themselves are the oracle-checked output.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val reps = spark.range(BootstrapReps).select(col("id").as("r"))
+    Tables.documents(spark, dir)
+      .select("doc_id", "n_chars")
+      .crossJoin(broadcast(reps))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("boot#"), col("doc_id").cast("string"),
+          lit("#"), col("r").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("u") < 1580030169L, 0L)
+          .when(col("u") < 3160060338L, 1L)
+          .when(col("u") < 3950075422L, 2L)
+          .when(col("u") < 4213413783L, 3L)
+          .otherwise(4L))
+      .groupBy("r")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w") * col("n_chars")).as("wsum"))
+      .selectExpr("r", "n_eff", "(1000000 * wsum) div n_eff AS mean_ppm")
+      .orderBy("r")
+  }
+
   /** Int8 max-abs embedding quantization with reconstruction-error
     * report — the 4× storage cut applied before embeddings land in a
     * 100 TB vector store. Pure narrow HOF folds per row (codegen'd,
@@ -606,6 +644,7 @@ object Training {
     "q_stratified_sample" -> qStratifiedSample,
     "q_shard_export" -> qShardExport,
     "q_quantize_embeddings" -> qQuantizeEmbeddings,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_embed_outliers" -> qEmbedOutliers)
 
   /** The same KmRounds Lloyd rounds unrolled as SQL CTEs (assign →
@@ -711,6 +750,23 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      s"""WITH reps AS (SELECT unnest(generate_series(0, ${BootstrapReps - 1})) AS r),
+         |x AS (
+         |  SELECT reps.r, d.n_chars,
+         |    CAST('0x' || substr(md5('boot#' || d.doc_id || '#' || reps.r), 1, 8)
+         |      AS BIGINT) AS u
+         |  FROM documents d CROSS JOIN reps),
+         |w AS (
+         |  SELECT r, n_chars,
+         |    CASE WHEN u < 1580030169 THEN 0 WHEN u < 3160060338 THEN 1
+         |         WHEN u < 3950075422 THEN 2 WHEN u < 4213413783 THEN 3
+         |         ELSE 4 END AS w
+         |  FROM x)
+         |SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST((1000000 * CAST(sum(w * n_chars) AS BIGINT))
+         |    // CAST(sum(w) AS BIGINT) AS BIGINT) AS mean_ppm
+         |FROM w GROUP BY r ORDER BY r""".stripMargin,
     "q_epoch_schedule" ->
       s"""WITH t AS (
          |  SELECT source, count(*) AS n_docs,

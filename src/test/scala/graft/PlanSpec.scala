@@ -476,7 +476,8 @@ class PlanSpec extends AnyFunSuite {
         "size(distinct_gram_md5(array('a', 'b', 'a', 'b'), 2)) AS dg, " +
         "size(minhash_sig(array('x', 'y'), 16)) AS mh, " +
         "sorted_field(array(struct(2, 'b'), struct(1, 'a')), 1) AS sf, " +
-        "size(winnow_fps(array('a','b','c','d','e','f','g'), 3, 4)) AS wf")
+        "size(winnow_fps(array('a','b','c','d','e','f','g'), 3, 4)) AS wf, " +
+        "zorder64(5L, 3L) AS zv")
       .head()
     assert(sql2.getDouble(0) == 11.0)
     assert(sql2.getDouble(1) == 8.0)
@@ -487,6 +488,9 @@ class PlanSpec extends AnyFunSuite {
     assert(sql2.getSeq[String](7) == Seq("a", "b"))
     // 5 gram hashes → 2 windows of 4 → 1-2 distinct mins, never 0
     assert(sql2.getInt(8) >= 1 && sql2.getInt(8) <= 2)
+    // interleave(0b101, 0b011) = even bits 1,0,1 + odd bits 1,1,0 = 0b011011
+    assert(sql2.getLong(9) == graft.functions.ZOrder64.compute(5L, 3L))
+    assert(sql2.getLong(9) == 27L)
   }
 
   test("skew report and embed outliers take their top-K, never a global rank") {
