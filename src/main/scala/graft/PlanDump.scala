@@ -97,7 +97,9 @@ object PlanDump {
       "q_burst_detect" -> "stream collapses to (hour,type) rows; trailing window on the aggregate",
       "q_source_entropy" -> "one (lang,source) shuffle; broadcast per-lang rollup; micro-nat long sums",
       "q_token_gini" -> "corpus collapses to source rows; windows post-agg; moment rows broadcast",
-      "q_assortativity" -> "endpoint-degree equi-joins + one six-moment map-side-combined agg")
+      "q_assortativity" -> "endpoint-degree equi-joins + one six-moment map-side-combined agg",
+      "q_zorder_scan" -> "z-clustered layout read-back: both box predicates pushed to the scan",
+      "q_bootstrap_ci" -> "broadcast ×32 replicate expand + ONE map-side-combined 32-row agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

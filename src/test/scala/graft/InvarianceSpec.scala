@@ -72,7 +72,9 @@ class InvarianceSpec extends AnyFunSuite {
       // chunk-hash dedup groups + log2 degree histogram
       "q_chunk_dedup", "q_degree_dist",
       // DF-threshold stopwords + histogram join sizing
-      "q_stopword_df", "q_join_size_est")
+      "q_stopword_df", "q_join_size_est",
+      // z-ordered layout read-back, Poisson-weight replicate sums
+      "q_zorder_scan", "q_bootstrap_ci")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
