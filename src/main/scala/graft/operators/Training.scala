@@ -289,20 +289,29 @@ object Training {
     * 2.5/97.5 percentiles of the 32 means are the CI; the replicate
     * rows themselves are the oracle-checked output.
     */
+  /** The 32-bit uniform for (doc, replicate): first 8 md5 hex chars. */
+  def poissonU(docId: Column, r: Column): Column =
+    conv(substring(md5(concat(lit("boot#"), docId.cast("string"),
+      lit("#"), r.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** u → Poisson(1) resample count via fixed CDF thresholds on the
+    * 2^32 grid (literal longs, engine-identical; >4 truncates to 4).
+    * Shared by the batch operator and its streaming twin.
+    */
+  def poissonW(u: Column): Column =
+    when(u < 1580030169L, 0L)
+      .when(u < 3160060338L, 1L)
+      .when(u < 3950075422L, 2L)
+      .when(u < 4213413783L, 3L)
+      .otherwise(4L)
+
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val reps = spark.range(BootstrapReps).select(col("id").as("r"))
     Tables.documents(spark, dir)
       .select("doc_id", "n_chars")
       .crossJoin(broadcast(reps))
-      .withColumn("u",
-        conv(substring(md5(concat(lit("boot#"), col("doc_id").cast("string"),
-          lit("#"), col("r").cast("string"))), 1, 8), 16, 10).cast("long"))
-      .withColumn("w",
-        when(col("u") < 1580030169L, 0L)
-          .when(col("u") < 3160060338L, 1L)
-          .when(col("u") < 3950075422L, 2L)
-          .when(col("u") < 4213413783L, 3L)
-          .otherwise(4L))
+      .withColumn("u", poissonU(col("doc_id"), col("r")))
+      .withColumn("w", poissonW(col("u")))
       .groupBy("r")
       .agg(sum("w").as("n_eff"),
         sum(col("w") * col("n_chars")).as("wsum"))

@@ -437,6 +437,34 @@ object EventStream {
       .groupBy("lang", "source")
       .agg(sum("n_tokens").as("tk"))
 
+  /** Streaming Poisson-bootstrap sums — live corpus-metric error bars
+    * at ingest (q_bootstrapCi's twin). Each arriving doc fans out to
+    * BootstrapReps rows through a broadcast stream-static join on a
+    * constant key (the static side is the 32-row replicate table, so
+    * the fan-out is narrow), gets the SAME deterministic per-(doc,
+    * replicate) Poisson(1) weight as the batch operator
+    * (Training.poissonU/poissonW — one implementation, two execution
+    * modes), and lands in ONE stateful aggregate whose state is
+    * exactly BootstrapReps rows regardless of volume. Replicate sums
+    * are plain additive, so micro-batch boundaries and arrival order
+    * cannot change the converged (n_eff, wsum) — the parity spec
+    * splits the corpus mid-stream and matches the batch operator's
+    * replicate means exactly. The ppm division runs downstream on the
+    * 32-row snapshot (same split as the batch plan's final project).
+    */
+  def bootstrapStream(docs: DataFrame): DataFrame = {
+    val reps = broadcast(docs.sparkSession.range(
+        graft.operators.Training.BootstrapReps)
+      .select(col("id").as("r"), lit(1).as("one")))
+    docs.select(col("doc_id"), col("n_chars"), lit(1).as("one"))
+      .join(reps, "one")
+      .withColumn("w", graft.operators.Training.poissonW(
+        graft.operators.Training.poissonU(col("doc_id"), col("r"))))
+      .groupBy("r")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w") * col("n_chars")).as("wsum"))
+  }
+
   def boilerplateScreenStream(docs: DataFrame, boilerHashes: DataFrame): DataFrame =
     graft.operators.Dedup.lineHashesOfDocs(docs)
       .join(boilerHashes, "h")

@@ -83,6 +83,7 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_media_resize")(multimodal.Media.qMediaResize(spark, dir))
 
   runs("q_zorder_scan")(sources.Catalog.qZOrderScan(spark, dir))
+  runs("q_bootstrap_ci")(operators.Training.qBootstrapCi(spark, dir))
   runs("q_winnow")(operators.Dedup.qWinnow(spark, dir))
   runs("q_dedup_cdc")(operators.Dedup.qDedupCdc(spark, dir))
   runs("q_entity_trends")(graph.Analytics.qEntityTrends(spark, dir))

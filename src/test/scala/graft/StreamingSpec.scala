@@ -188,6 +188,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream-derived $got vs batch $want")
   }
 
+  test("streaming bootstrap sums converge to the batch replicate means across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 40L).map(i =>
+      (i, s"doc number $i with some text", 10L + (i * 7) % 97))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStream.bootstrapStream(
+        input.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("boot_stream").start()
+    try {
+      input.addData(rows.take(17): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(17): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the ppm division runs on the 32-row snapshot, the same split as
+    // the batch plan's final project
+    val snap = spark.table("boot_stream")
+      .selectExpr("r", "n_eff", "(1000000 * wsum) div n_eff AS mean_ppm")
+      .orderBy("r").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString
+    rows.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = graft.operators.Training.qBootstrapCi(spark, dir).collect().toSeq
+    assert(snap == want, s"stream-derived $snap vs batch $want")
+  }
+
   test("streaming boilerplate screen matches the batch line-hash join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
