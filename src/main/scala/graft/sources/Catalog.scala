@@ -217,6 +217,105 @@ object Catalog {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
 
+  // ---- Manifest-based snapshot isolation ------------------------------
+
+  /** Snapshot commit (the Iceberg-style core, minus the catalog
+    * service): data files are staged under `data/<version>-<uuid>/`,
+    * then made visible by writing `v{N}.manifest` (the file list) and
+    * flipping the tiny `_latest` pointer file LAST via atomic rename.
+    * A reader pins whatever manifest the pointer named when its scan
+    * was constructed, so it is immune to concurrent commits and can
+    * never observe a half-written table — a failed writer leaves only
+    * invisible stray files (no pointer flip, no manifest). Old
+    * versions stay readable (time travel) until [[vacuumSnapshots]].
+    * At 100 TB this is the difference between "replace the table"
+    * being a multi-hour window of readers seeing mixed state and a
+    * single metadata flip; the commit cost is O(#files) manifest
+    * lines + one rename, independent of data volume.
+    *
+    * `overwrite = false` appends: the new manifest lists the previous
+    * version's files plus the staged ones (data files are immutable
+    * and shared across versions). Single-writer-at-a-time, like any
+    * manifest table without a locking catalog service in front.
+    */
+  def snapshotCommit(spark: SparkSession, df: DataFrame, path: String,
+      overwrite: Boolean = true): Int = {
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val prev = latestVersion(path)
+    val version = prev + 1
+    val stage = new java.io.File(root, f"data/v$version%05d")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.getPath)
+    val staged = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    val carried =
+      if (overwrite || prev == 0) Seq.empty
+      else manifestFiles(path, prev)
+    val manifest = new java.io.File(root, s"v$version.manifest")
+    java.nio.file.Files.write(manifest.toPath,
+      (carried ++ staged).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the commit point: readers see the new version only after this
+    // rename (atomic on POSIX; object stores use a conditional put)
+    val tmp = new java.io.File(root, "_latest.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "_latest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  def latestVersion(path: String): Int = {
+    val p = new java.io.File(path, "_latest")
+    if (p.exists())
+      new String(java.nio.file.Files.readAllBytes(p.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  private def manifestFiles(path: String, version: Int): Seq[String] = {
+    val m = new java.io.File(path, s"v$version.manifest")
+    require(m.exists(), s"no manifest for version $version at $path")
+    new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Read a snapshot: the given version, or the committed latest. The
+    * file list is resolved HERE, at scan construction — concurrent
+    * commits after this call cannot change what this DataFrame reads.
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latestVersion(path)
+    require(v > 0, s"no committed snapshot at $path")
+    spark.read.parquet(manifestFiles(path, v): _*)
+  }
+
+  /** Drop all versions older than the newest `keep`, deleting data
+    * files no surviving manifest references (immutable files are
+    * shared across versions, so reference counting is the file-set
+    * union). Run OUTSIDE any reader's pin window (the usual
+    * retention-period contract).
+    */
+  def vacuumSnapshots(path: String, keep: Int = 1): Unit = {
+    val latest = latestVersion(path)
+    val cut = latest - keep + 1
+    if (cut <= 1) return
+    val live = (cut to latest).flatMap(v => manifestFiles(path, v)).toSet
+    (1 until cut).foreach { v =>
+      val m = new java.io.File(path, s"v$v.manifest")
+      if (m.exists()) {
+        manifestFiles(path, v).filterNot(live.contains)
+          .foreach(f => { new java.io.File(f).delete(); () })
+        m.delete(); ()
+      }
+    }
+  }
+
   /** CSV round-trip (header + explicit schema on read). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -288,4 +288,44 @@ class SourcesSpec extends AnyFunSuite {
     val after = spark.read.parquet(out).collect().toSet
     assert(after == want, "compaction must preserve rows exactly")
   }
+
+  test("snapshot commits isolate readers, time-travel, and survive a crashed writer") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap").toString + "/t"
+    val v1rows = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+    val v1 = Catalog.snapshotCommit(spark, v1rows, path)
+    assert(v1 == 1 && Catalog.latestVersion(path) == 1)
+    // reader pins v1 at scan construction...
+    val pinned = Catalog.readSnapshot(spark, path)
+    // ...then a concurrent overwrite commits v2
+    val v2rows = Seq((3L, "gamma")).toDF("id", "s")
+    assert(Catalog.snapshotCommit(spark, v2rows, path) == 2)
+    assert(pinned.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)),
+      "pinned reader must still see v1 after the v2 commit")
+    assert(Catalog.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sameElements(Array(3L)), "fresh reader sees v2")
+    // time travel
+    assert(Catalog.readSnapshot(spark, path, version = 1).count() == 2)
+    // append commit: v3 = v2 ∪ batch (immutable files shared)
+    val v3rows = Seq((4L, "delta")).toDF("id", "s")
+    assert(Catalog.snapshotCommit(spark, v3rows, path, overwrite = false) == 3)
+    assert(Catalog.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    // crashed writer: staged data + even a manifest, but NO pointer
+    // flip — readers are unaffected until the commit point
+    Seq((99L, "stray")).toDF("id", "s").write
+      .parquet(s"$path/data/v00099")
+    assert(Catalog.latestVersion(path) == 3)
+    assert(Catalog.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    // vacuum to the newest version only: v1's files go, v3 still reads
+    Catalog.vacuumSnapshots(path, keep = 1)
+    assert(Catalog.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    val e = intercept[IllegalArgumentException] {
+      Catalog.readSnapshot(spark, path, version = 1).collect()
+    }
+    assert(e.getMessage.contains("no manifest"),
+      "vacuumed version must be explicitly gone, not silently empty")
+  }
 }
