@@ -83,6 +83,30 @@ class ZOrderSpec extends AnyFunSuite {
       .count() === src.count())
   }
 
+  test("OPTIMIZE ZORDER as a snapshot commit: clustered rewrite behind a pointer flip") {
+    // the full lakehouse housekeeping story from the two primitives:
+    // v1 = raw ingest order, v2 = the SAME rows z-clustered — readers
+    // pinned on v1 are untouched while the rewrite runs, and the flip
+    // makes the clustered layout visible atomically
+    val table = Files.createTempDirectory("zorder_snap").toString + "/t"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    assert(Catalog.snapshotCommit(spark, docs.repartition(16, col("doc_id")), table) === 1)
+    val pinned = Catalog.readSnapshot(spark, table)
+    val zTmp = Files.createTempDirectory("zorder_snap_stage").toString + "/z"
+    Catalog.writeZOrdered(spark, TestSpark.sf, zTmp, 16)
+    assert(Catalog.snapshotCommit(spark, spark.read.parquet(zTmp), table) === 2)
+    // rows identical across the rewrite; pinned reader still on v1
+    assert(Catalog.readSnapshot(spark, table).count() === docs.count())
+    assert(pinned.count() === docs.count())
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("doc_id").between(100, 299) && col("n_chars").between(100, 300))
+        .select(input_file_name()).distinct().count()
+    // the committed clustered version confines the box; v1 scatters it
+    assert(filesTouched(Catalog.readSnapshot(spark, table)) <
+      filesTouched(Catalog.readSnapshot(spark, table, version = 1)),
+      "the z-clustered snapshot must touch fewer files for the 2-D box")
+  }
+
   test("q_zorder_scan pushes both range predicates into the parquet scan") {
     val df = Catalog.qZOrderScan(spark, TestSpark.sf)
     // formatted mode prints the full PushedFilters list (toString
