@@ -255,6 +255,27 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, "CDC chunk word counts must partition the document")
   }
 
+  test("Poisson bootstrap weights follow the Poisson(1) law empirically") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Training
+    // 20k deterministic (doc, replicate) pairs through the fixed CDF
+    // thresholds: the empirical mass at each count and the mean must
+    // sit on Poisson(1) — this is what makes the replicate means an
+    // actual bootstrap rather than arbitrary reweighting
+    val n = 20000
+    val w = spark.range(n)
+      .select(Training.poissonW(Training.poissonU(col("id"), lit(7L))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p0 = w.getOrElse(0L, 0L).toDouble / n
+    val p1 = w.getOrElse(1L, 0L).toDouble / n
+    assert(math.abs(p0 - 0.3679) < 0.02, s"P(w=0)=$p0 should be ~1/e")
+    assert(math.abs(p1 - 0.3679) < 0.02, s"P(w=1)=$p1 should be ~1/e")
+    val mean = w.map { case (k, c) => k * c }.sum.toDouble / n
+    assert(math.abs(mean - 1.0) < 0.03,
+      s"mean weight $mean must be ~1 (truncation at 4 shaves <0.4%)")
+  }
+
   private def sigOf(ws: Seq[String]): Long = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.unsafe.types.UTF8String
