@@ -13,6 +13,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(TestSpark.spark, TestSpark.sf)
       assert(df.schema.fields.nonEmpty, "schema must be non-empty")
+      // global scale guard: no operator may plan an unbounded
+      // cartesian product — every cross pairing in the library rides
+      // a broadcast of a provably tiny side (BNLJ) or a banded
+      // equi-join, and this asserts it for EVERY query, not just the
+      // plan-audited headline list
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
