@@ -274,21 +274,6 @@ object Training {
 
   val BootstrapReps = 32
 
-  /** Poisson bootstrap of a corpus mean — the distributed bootstrap
-    * (resampling-with-replacement is impossible at 100 TB, but each
-    * replicate's per-row resample count is ≈Poisson(1), so R replicate
-    * means fall out of ONE corpus scan: a narrow broadcast ×R row
-    * expansion, then a map-side-combined aggregate whose output is R
-    * rows). The per-(doc, replicate) weight is deterministic — a
-    * 32-bit uniform from the first 8 md5 hex chars stepped through
-    * fixed Poisson(1)-CDF thresholds (literal longs on the 2^32 grid,
-    * identical in both engines; counts >4 truncate to 4, covering
-    * 99.63% of the CDF exactly and the tail conservatively) — and the
-    * replicate means land on an integer ppm grid via BIGINT division,
-    * so no float ever crosses the engine boundary. Downstream, the
-    * 2.5/97.5 percentiles of the 32 means are the CI; the replicate
-    * rows themselves are the oracle-checked output.
-    */
   /** The 32-bit uniform for (doc, replicate): first 8 md5 hex chars. */
   def poissonU(docId: Column, r: Column): Column =
     conv(substring(md5(concat(lit("boot#"), docId.cast("string"),
@@ -305,6 +290,23 @@ object Training {
       .when(u < 4213413783L, 3L)
       .otherwise(4L)
 
+  /** Poisson bootstrap of a corpus mean — the distributed bootstrap
+    * (resampling-with-replacement is impossible at 100 TB, but each
+    * replicate's per-row resample count is ≈Poisson(1), so R replicate
+    * means fall out of ONE corpus scan: a narrow broadcast ×R row
+    * expansion, then a map-side-combined aggregate whose output is R
+    * rows). The per-(doc, replicate) weight is deterministic — a
+    * 32-bit uniform from the first 8 md5 hex chars stepped through
+    * fixed Poisson(1)-CDF thresholds (literal longs on the 2^32 grid,
+    * identical in both engines; counts >4 truncate to 4, covering
+    * 99.63% of the CDF exactly and the tail conservatively) — and the
+    * replicate means land on an integer ppm grid via BIGINT division
+    * decomposed as quotient·1e6 + (remainder·1e6) div n_eff, so the
+    * intermediate never exceeds max(wsum, n_eff·1e6) and no float ever
+    * crosses the engine boundary. Downstream, the 2.5/97.5 percentiles
+    * of the 32 means are the CI; the replicate rows themselves are the
+    * oracle-checked output.
+    */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val reps = spark.range(BootstrapReps).select(col("id").as("r"))
     Tables.documents(spark, dir)
@@ -315,7 +317,8 @@ object Training {
       .groupBy("r")
       .agg(sum("w").as("n_eff"),
         sum(col("w") * col("n_chars")).as("wsum"))
-      .selectExpr("r", "n_eff", "(1000000 * wsum) div n_eff AS mean_ppm")
+      .selectExpr("r", "n_eff",
+        "(wsum div n_eff) * 1000000 + ((wsum % n_eff) * 1000000) div n_eff AS mean_ppm")
       .orderBy("r")
   }
 
@@ -772,10 +775,13 @@ object Training {
          |         WHEN u < 3950075422 THEN 2 WHEN u < 4213413783 THEN 3
          |         ELSE 4 END AS w
          |  FROM x)
-         |SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
-         |  CAST((1000000 * CAST(sum(w * n_chars) AS BIGINT))
-         |    // CAST(sum(w) AS BIGINT) AS BIGINT) AS mean_ppm
-         |FROM w GROUP BY r ORDER BY r""".stripMargin,
+         |,agg AS (
+         |  SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(w * n_chars) AS BIGINT) AS wsum
+         |  FROM w GROUP BY r)
+         |SELECT r, n_eff,
+         |  (wsum // n_eff) * 1000000 + ((wsum % n_eff) * 1000000) // n_eff AS mean_ppm
+         |FROM agg ORDER BY r""".stripMargin,
     "q_epoch_schedule" ->
       s"""WITH t AS (
          |  SELECT source, count(*) AS n_docs,

@@ -122,8 +122,11 @@ object Catalog {
     * of files vs. a hash-scattered layout touching all of them).
     */
   def qZOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    // per-process path: two JVMs running this query against the same
+    // sf dir must not Overwrite each other's copy mid-scan (litter is
+    // bounded at one dir per process, re-overwritten per invocation)
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_zorder_${new java.io.File(dir).getName}").getPath
+      s"graft_zorder_${ProcessHandle.current().pid()}_${new java.io.File(dir).getName}").getPath
     writeZOrdered(spark, dir, out)
     spark.read.parquet(out)
       .filter(col("doc_id").between(100, 299) &&
@@ -220,8 +223,10 @@ object Catalog {
   // ---- Manifest-based snapshot isolation ------------------------------
 
   /** Snapshot commit (the Iceberg-style core, minus the catalog
-    * service): data files are staged under `data/<version>-<uuid>/`,
-    * then made visible by writing `v{N}.manifest` (the file list) and
+    * service): data files are staged under `data/v{N}/` (deterministic
+    * — a retry of a crashed commit overwrites its own strays; see the
+    * single-writer note below), then made visible by writing
+    * `v{N}.manifest` (the file list) and
     * flipping the tiny `_latest` pointer file LAST via atomic rename.
     * A reader pins whatever manifest the pointer named when its scan
     * was constructed, so it is immune to concurrent commits and can
@@ -287,11 +292,16 @@ object Catalog {
   /** Read a snapshot: the given version, or the committed latest. The
     * file list is resolved HERE, at scan construction — concurrent
     * commits after this call cannot change what this DataFrame reads.
+    * Explicit versions must be committed: a stray manifest from a
+    * writer that died before its pointer flip is not readable state.
     */
   def readSnapshot(spark: SparkSession, path: String,
       version: Int = -1): DataFrame = {
-    val v = if (version > 0) version else latestVersion(path)
+    val latest = latestVersion(path)
+    val v = if (version > 0) version else latest
     require(v > 0, s"no committed snapshot at $path")
+    require(v <= latest,
+      s"version $v at $path is not committed (latest is $latest)")
     spark.read.parquet(manifestFiles(path, v): _*)
   }
 
@@ -305,14 +315,31 @@ object Catalog {
     val latest = latestVersion(path)
     val cut = latest - keep + 1
     if (cut <= 1) return
-    val live = (cut to latest).flatMap(v => manifestFiles(path, v)).toSet
-    (1 until cut).foreach { v =>
-      val m = new java.io.File(path, s"v$v.manifest")
-      if (m.exists()) {
-        manifestFiles(path, v).filterNot(live.contains)
-          .foreach(f => { new java.io.File(f).delete(); () })
-        m.delete(); ()
+    def manifestExists(v: Int) =
+      new java.io.File(path, s"v$v.manifest").exists()
+    // a prior, tighter vacuum may already have dropped manifests
+    // inside this retention window — only surviving ones define live
+    val live = (cut to latest).filter(manifestExists)
+      .flatMap(v => manifestFiles(path, v)).toSet
+    (1 until cut).filter(manifestExists).foreach { v =>
+      val dirs = scala.collection.mutable.Set.empty[java.io.File]
+      manifestFiles(path, v).filterNot(live.contains).foreach { f =>
+        val file = new java.io.File(f)
+        dirs += file.getParentFile
+        file.delete(); ()
       }
+      // reclaim the staging dirs too: once no parquet survives, drop
+      // the write markers (_SUCCESS, .crc checksums) and the empty
+      // dir itself — otherwise every overwritten version leaves
+      // listing litter
+      dirs.foreach { d =>
+        val left = Option(d.listFiles()).getOrElse(Array.empty)
+        if (!left.exists(_.getName.endsWith(".parquet"))) {
+          left.filter(_.isFile).foreach(f => { f.delete(); () })
+          d.delete(); ()
+        }
+      }
+      new java.io.File(path, s"v$v.manifest").delete(); ()
     }
   }
 

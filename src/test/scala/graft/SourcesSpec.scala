@@ -311,13 +311,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(Catalog.snapshotCommit(spark, v3rows, path, overwrite = false) == 3)
     assert(Catalog.readSnapshot(spark, path).collect()
       .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
-    // crashed writer: staged data + even a manifest, but NO pointer
-    // flip — readers are unaffected until the commit point
+    // crashed writer: staged data AND a manifest, but NO pointer
+    // flip — readers are unaffected until the commit point, and the
+    // uncommitted version cannot be time-traveled into either
     Seq((99L, "stray")).toDF("id", "s").write
       .parquet(s"$path/data/v00099")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/v99.manifest"),
+      new java.io.File(s"$path/data/v00099").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).mkString("\n"))
     assert(Catalog.latestVersion(path) == 3)
     assert(Catalog.readSnapshot(spark, path).collect()
       .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    val uncommitted = intercept[IllegalArgumentException] {
+      Catalog.readSnapshot(spark, path, version = 99)
+    }
+    assert(uncommitted.getMessage.contains("not committed"))
     // vacuum to the newest version only: v1's files go, v3 still reads
     Catalog.vacuumSnapshots(path, keep = 1)
     assert(Catalog.readSnapshot(spark, path).collect()
@@ -327,5 +336,27 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no manifest"),
       "vacuumed version must be explicitly gone, not silently empty")
+  }
+
+  test("vacuum is re-entrant across retention windows and reclaims staging litter") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_vac").toString + "/t"
+    (1 to 3).foreach { i =>
+      Catalog.snapshotCommit(spark, Seq((i.toLong, s"v$i")).toDF("id", "s"), path)
+    }
+    // tight vacuum drops v1/v2's manifests
+    Catalog.vacuumSnapshots(path, keep = 1)
+    Catalog.snapshotCommit(spark, Seq((4L, "v4")).toDF("id", "s"), path)
+    // a LARGER retention window than the previous vacuum now spans
+    // already-dropped versions — must skip them, not crash
+    Catalog.vacuumSnapshots(path, keep = 3)
+    assert(Catalog.readSnapshot(spark, path).collect().map(_.getLong(0))
+      .sameElements(Array(4L)))
+    assert(Catalog.readSnapshot(spark, path, version = 3).count() == 1)
+    // vacuumed versions leave NO litter: no empty staging dir, no
+    // _SUCCESS marker, no manifest
+    val d1 = new java.io.File(s"$path/data/v00001")
+    assert(!d1.exists(), s"vacuum must remove the reclaimed staging dir $d1")
+    assert(!new java.io.File(s"$path/v1.manifest").exists())
   }
 }

@@ -207,7 +207,8 @@ class StreamingSpec extends AnyFunSuite {
     // the ppm division runs on the 32-row snapshot, the same split as
     // the batch plan's final project
     val snap = spark.table("boot_stream")
-      .selectExpr("r", "n_eff", "(1000000 * wsum) div n_eff AS mean_ppm")
+      .selectExpr("r", "n_eff",
+        "(wsum div n_eff) * 1000000 + ((wsum % n_eff) * 1000000) div n_eff AS mean_ppm")
       .orderBy("r").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString
     rows.toDF("doc_id", "text", "n_chars")
