@@ -3,10 +3,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The shingle-consuming dedup family — the queries the amortized
     * materialized-shingles segment re-runs against the bucketed table.
+    * Shared with the warm-up block and ProbeAmortized: ONE list, or a
+    * rename desynchronizes what the warm-up compiles from what the
+    * timed segment runs.
     */
-  private val DedupAmortizedQs = Seq("q_dedup_minhash", "q_dedup_temporal",
+  private[graft] val DedupAmortizedQs = Seq("q_dedup_minhash", "q_dedup_temporal",
     "q_source_minhash", "q_dedup_incremental", "q_minhash_est",
     "q_dedup_containment")
+
+  /** The graph-query family the materialized-graph segment re-runs. */
+  private[graft] val GraphAmortizedQs = Seq("q_cooccur", "q_entity_degree",
+    "q_graph_nodes", "q_chunks_by_entities", "q_article_topics",
+    "q_cypher_ex1")
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -377,9 +385,7 @@ object Bench {
       try {
         sources.Catalog.materializeGraph(spark, warmDir)
         spark.conf.set(operators.TextPipeline.MaterializedConf, warmDir)
-        Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
-          "q_chunks_by_entities", "q_article_topics", "q_cypher_ex1")
-          .filter(SparkEntry.queries.contains)
+        GraphAmortizedQs.filter(SparkEntry.queries.contains)
           .foreach(n => try SparkEntry.queries(n)(spark, warmDir).count()
             catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
@@ -409,9 +415,7 @@ object Bench {
     // distort each other.
     val amortized: Seq[(String, Double, Option[String])] =
       if (only.isEmpty) {
-        val gq = Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
-          "q_chunks_by_entities", "q_article_topics", "q_cypher_ex1")
-          .filter(SparkEntry.queries.contains)
+        val gq = GraphAmortizedQs.filter(SparkEntry.queries.contains)
         try {
           val t0 = System.nanoTime()
           sources.Catalog.materializeGraph(spark, sfDir)
@@ -426,8 +430,11 @@ object Bench {
           Seq(("x_mat_graph", tMat, None),
             ("x_amortized_graph", tRun, None))
         } catch {
+          // failure rides the SAME key as success (w2 in BENCH_KEYS) —
+          // an ad-hoc name would be mangled by the abbrev rules into
+          // an undecodable key on exactly the evidence that matters
           case e: Throwable =>
-            Seq(("x_graph_amortized", -1.0, Some(errStr(e))))
+            Seq(("x_amortized_graph", -1.0, Some(errStr(e))))
         } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
       } else Seq.empty
     // Amortized dedup path: materialize the per-doc shingle table once
@@ -450,7 +457,7 @@ object Bench {
             ("x_amortized_dedup", tRun, None))
         } catch {
           case e: Throwable =>
-            Seq(("x_dedup_amortized", -1.0, Some(errStr(e))))
+            Seq(("x_amortized_dedup", -1.0, Some(errStr(e))))
         } finally spark.conf.unset(operators.Dedup.MaterializedConf)
       } else Seq.empty
     // A failing query is REPORTED, not silently timed at -1: per-query

@@ -21,8 +21,7 @@ object ProbeAmortized {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val gq = Seq("q_cooccur", "q_entity_degree", "q_graph_nodes",
-      "q_chunks_by_entities", "q_article_topics", "q_cypher_ex1")
+    val gq = Bench.GraphAmortizedQs
     def time(tag: String, n: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
@@ -43,8 +42,7 @@ object ProbeAmortized {
     // same protocol for the DEDUP segment (xad6q — historically the
     // widest run-to-run swing in the suite; this isolates whether a
     // slow segment was the plan or the host)
-    val dq = Seq("q_dedup_minhash", "q_dedup_temporal", "q_source_minhash",
-      "q_dedup_incremental", "q_minhash_est", "q_dedup_containment")
+    val dq = Bench.DedupAmortizedQs
     dq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     dq.foreach(time("dd_cold1", _))
     dq.foreach(time("dd_cold2", _))

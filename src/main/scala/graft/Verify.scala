@@ -61,11 +61,27 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Stage-then-rename: cancelJobGroup is ASYNCHRONOUS, so a
+      // timed-out query's write could otherwise commit parquet into
+      // the final dir AFTER the _ERROR marker lands there and read as
+      // green. The write targets a stage dir; only an in-time success
+      // publishes it — a late commit strands in .stage_* and a
+      // late rename onto the marker dir fails harmlessly.
       val f = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        finally spark.sparkContext.clearJobGroup()
+        val stage = new java.io.File(s"$outDir/.stage_$name")
+        def rmRec(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rmRec)); x.delete(): Unit
+        }
+        rmRec(stage)
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(stage.getPath)
+          val dst = new java.io.File(s"$outDir/$name")
+          rmRec(dst)
+          if (!stage.renameTo(dst))
+            throw new IllegalStateException(s"publish failed for $name")
+        } finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(f, timeoutSec.seconds)
       catch {

@@ -408,6 +408,10 @@ object CypherLite {
       """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)"""
     val notPatRe = (s"(?i)NOT\\s+$patBody").r
     val existsPatRe = (s"(?i)exists\\(\\s*$patBody\\s*\\)").r
+    // NOT exists((v)-[:R]->(:L)) ≡ NOT (v)-[:R]->(:L) — must resolve
+    // to the anti-join BEFORE notSimpleRe wraps it in a NotPred the
+    // column compiler rightly rejects for pattern predicates
+    val notExistsPatRe = (s"(?i)NOT\\s+exists\\(\\s*$patBody\\s*\\)").r
     val barePatRe = patBody.r
     val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
     val strCmpRe = """(\w+)\.(\w+)\s*(<=|>=|<|>)\s*'([^']*)'""".r
@@ -422,6 +426,8 @@ object CypherLite {
       case lowerRe(v, p, op, value) =>
         LowerPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
+      case notExistsPatRe(v, rel, lbl, prop, value) =>
+        NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notSimpleRe(rest) => NotPred(parseSimplePred(rest))

@@ -31,14 +31,17 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (aa.numElements() != bb.numElements()) null
+    if (aa.numElements() != bb.numElements() ||
+      ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb)) null
     else CosineSim.compute(aa, bb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if ($a.numElements() != $b.numElements() ||
+         |    graft.functions.ArrayNulls.hasNull($a) ||
+         |    graft.functions.ArrayNulls.hasNull($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.CosineSim.compute($a, $b);

@@ -37,14 +37,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (aa.numElements() != bb.numElements()) null
+    if (aa.numElements() != bb.numElements() ||
+      ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb)) null
     else DotProduct.compute(aa, bb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if ($a.numElements() != $b.numElements() ||
+         |    graft.functions.ArrayNulls.hasNull($a) ||
+         |    graft.functions.ArrayNulls.hasNull($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
@@ -54,6 +57,23 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Null-element witness for array<double> inputs: the HOF twins
+  * (aggregate over zip_with) null-poison the whole fold when any
+  * element is NULL, so the native expressions return NULL on the same
+  * inputs instead of silently reading the slot as 0.0.
+  */
+object ArrayNulls {
+  def hasNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 }
 
 object DotProduct {

@@ -63,14 +63,24 @@ object GramHashes {
     new String(out)
   }
 
-  /** The i-th n-gram of `words`, joined by a single space. */
+  /** The i-th n-gram of `words`, joined by a single space. NULL
+    * elements are skipped exactly as concat_ws skips them (separator
+    * only between kept words) — the HOF twins build grams through
+    * concat_ws, so this is what keeps row-equality on dirty arrays
+    * instead of an NPE task failure.
+    */
   private[functions] def gramAt(words: ArrayData, i: Int, n: Int,
       sb: java.lang.StringBuilder): String = {
     sb.setLength(0)
     var j = 0
+    var appended = false // empty strings still count (concat_ws keeps them)
     while (j < n) {
-      if (j > 0) sb.append(' ')
-      sb.append(words.getUTF8String(i + j).toString)
+      val w = words.getUTF8String(i + j)
+      if (w != null) {
+        if (appended) sb.append(' ')
+        sb.append(w.toString)
+        appended = true
+      }
       j += 1
     }
     sb.toString

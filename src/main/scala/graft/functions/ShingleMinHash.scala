@@ -63,9 +63,16 @@ object WordShingles {
     while (i <= m - n) {
       sb.setLength(0)
       var j = 0
+      // NULL words are skipped, concat_ws-style (see GramHashes.gramAt);
+      // empty strings still count as appended (concat_ws keeps them)
+      var appended = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
+        val w = words.getUTF8String(i + j)
+        if (w != null) {
+          if (appended) sb.append(' ')
+          sb.append(w.toString)
+          appended = true
+        }
         j += 1
       }
       seen.add(sb.toString)
@@ -128,12 +135,17 @@ object MinHashSig {
     val m = shingles.numElements()
     var i = 0
     while (i < m) {
-      val h = baseHash(shingles.getUTF8String(i))
-      var j = 0
-      while (j < k) {
-        val v = (h * (1000003L + 7919L * j) + 12345L + 911L * j) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // a NULL shingle contributes nothing (md5(NULL) is NULL on the
+      // HOF path and aggregate minima skip it) — not an NPE
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val h = baseHash(s)
+        var j = 0
+        while (j < k) {
+          val v = (h * (1000003L + 7919L * j) + 12345L + 911L * j) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }

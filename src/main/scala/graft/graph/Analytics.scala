@@ -120,7 +120,9 @@ object Analytics {
       .agg(array_sort(collect_set(col("name"))).as("ents"))
       .filter(size(col("ents")) <= MaxEntitiesPerChunk)
       .localCheckpoint(false) // read 3×: total, entity counts, pairs
-    val tChunks = chunkEnts.count()
+    // the chunk total folds in as a broadcast 1-row aggregate (house
+    // discipline: no extra driver action, no scalar folded into the plan)
+    val tot = chunkEnts.agg(count(lit(1)).as("t_chunks"))
     val cnt = chunkEnts.select(explode(col("ents")).as("name"))
       .groupBy("name").agg(count(lit(1)).as("c"))
     val pairs = chunkEnts.filter(size(col("ents")) >= 2)
@@ -135,8 +137,9 @@ object Analytics {
     pairs
       .join(broadcast(cnt.select(col("name").as("e1"), col("c").as("c1"))), "e1")
       .join(broadcast(cnt.select(col("name").as("e2"), col("c").as("c2"))), "e2")
+      .crossJoin(broadcast(tot))
       .withColumn("pmi", round(log(
-        (col("weight") * lit(tChunks)).cast("double") /
+        (col("weight") * col("t_chunks")).cast("double") /
           (col("c1") * col("c2")).cast("double")), 6))
       .select("e1", "e2", "weight", "c1", "c2", "pmi")
       .orderBy(col("pmi").desc, col("e1"), col("e2"))
@@ -1049,9 +1052,11 @@ object Analytics {
     nodes.crossJoin(broadcast(edgesAgg))
       .select(col("n_nodes"), col("n_edges"), col("total_weight"),
         col("max_degree"),
-        round(expr("n_edges * 2 * 1000000 div n_nodes") / lit(1e6), 6)
+        // greatest(…, 1): the dashboard row must survive a degenerate
+        // corpus whose graph is empty (0 or 1 nodes), not DIVIDE_BY_ZERO
+        round(expr("n_edges * 2 * 1000000 div greatest(n_nodes, 1)") / lit(1e6), 6)
           .as("avg_degree"),
-        round(expr("n_edges * 2 * 1000000 div (n_nodes * (n_nodes - 1))")
+        round(expr("n_edges * 2 * 1000000 div greatest(n_nodes * (n_nodes - 1), 1)")
           / lit(1e6), 6).as("density"))
   }
 
@@ -1334,9 +1339,9 @@ object Analytics {
          |eg AS (SELECT count(*) AS n_edges,
          |  CAST(sum(weight) AS BIGINT) AS total_weight FROM cooccur)
          |SELECT n_nodes, n_edges, total_weight, max_degree,
-         |  round((n_edges * 2 * 1000000 // n_nodes) / 1000000.0, 6)
+         |  round((n_edges * 2 * 1000000 // greatest(n_nodes, 1)) / 1000000.0, 6)
          |    AS avg_degree,
-         |  round((n_edges * 2 * 1000000 // (n_nodes * (n_nodes - 1)))
+         |  round((n_edges * 2 * 1000000 // greatest(n_nodes * (n_nodes - 1), 1))
          |    / 1000000.0, 6) AS density
          |FROM nd CROSS JOIN eg""".stripMargin,
     "q_ktruss_peel" ->

@@ -242,7 +242,10 @@ object Relational {
         count(lit(1)).as("n_keys_shared"))
       .crossJoin(broadcast(a.agg(coalesce(sum("na"), lit(0L)).as("n_left"))))
       .crossJoin(broadcast(b.agg(coalesce(sum("nb"), lit(0L)).as("n_right"))))
-      .withColumn("amp_x100", expr("join_rows * 100 div (n_left + n_right)"))
+      // greatest(…, 1): an events slice with no purchase AND no click
+      // rows must degrade to amp 0, not an ANSI DIVIDE_BY_ZERO task
+      .withColumn("amp_x100",
+        expr("join_rows * 100 div greatest(n_left + n_right, 1)"))
       .select("n_left", "n_right", "n_keys_shared", "join_rows", "amp_x100")
   }
 
@@ -322,7 +325,7 @@ object Relational {
         |l AS (SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_left FROM a),
         |r AS (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_right FROM b)
         |SELECT n_left, n_right, n_keys_shared, join_rows,
-        |  CAST(join_rows * 100 // (n_left + n_right) AS BIGINT) AS amp_x100
+        |  CAST(join_rows * 100 // greatest(n_left + n_right, 1) AS BIGINT) AS amp_x100
         |FROM j, l, r""".stripMargin,
     "q_skew_report" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n

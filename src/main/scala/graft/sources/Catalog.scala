@@ -403,9 +403,19 @@ object Catalog {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(dir)
+    // move-aside swap, not delete-then-rename: the table is only ever
+    // absent for the instant between two renames (metadata ops), and a
+    // failed second rename leaves the original intact at .compact_old
+    // instead of the table existing only in the tmp dir
+    val old = new java.io.File(path.stripSuffix("/") + ".compact_old")
+    rm(old)
+    require(dir.renameTo(old), s"compaction move-aside failed for $path")
     val ok = new java.io.File(tmp).renameTo(dir)
-    require(ok, s"compaction swap failed for $path")
+    if (!ok) {
+      old.renameTo(dir) // restore — the original data is still whole
+      require(ok, s"compaction swap failed for $path (original restored)")
+    }
+    rm(old)
     nFiles
   }
 

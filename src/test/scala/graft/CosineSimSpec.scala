@@ -40,6 +40,26 @@ class CosineSimSpec extends AnyFunSuite {
     assert(bad == 0, "native vector primitives must match the HOF folds bit-for-bit")
   }
 
+  test("null array elements yield NULL, matching the HOF twins' null-poisoning") {
+    import spark.implicits._
+    // [3.0, null] must NOT be read as [3.0, 0.0]: the HOF aggregate
+    // over zip_with null-poisons the fold, and the dirty-vector screen
+    // depends on that null to drop the row
+    val df = Seq((Seq[java.lang.Double](3.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val r = df.select(
+      graft.functions.DotProduct.dot_product(col("a"), col("b")).as("d"),
+      graft.functions.SqDist.sq_dist(col("a"), col("b")).as("s"),
+      CosineSim.cosine_sim(col("a"), col("b")).as("c"),
+      Similarity.dotColHof(col("a"), col("b")).as("dh")).head()
+    assert(r.isNullAt(0), "dot_product must be NULL on a null element")
+    assert(r.isNullAt(1), "sq_dist must be NULL on a null element")
+    assert(r.isNullAt(2), "cosine_sim must be NULL on a null element")
+    assert(r.isNullAt(3), "HOF twin null-poisons — the contract being matched")
+  }
+
   test("registers as a SQL function") {
     CosineSim.register(spark)
     val r = spark.sql(

@@ -47,6 +47,12 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (c:Chunk)-[:MENTIONS]->(p:Person) RETURN count(c) AS n")
       .head().getLong(0)
     assert(hopRows >= withP)
+    // NOT exists((c)-[...]) — the two grammar forms composed — must be
+    // the same anti-join as the bare NOT pattern, not a compile error
+    val notExists = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk) WHERE NOT exists((c)-[:MENTIONS]->(:Person)) " +
+        "RETURN count(c) AS n").head().getLong(0)
+    assert(notExists == without)
   }
 
   test("count(*) counts rows, bare and per-group") {

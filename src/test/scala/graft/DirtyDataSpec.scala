@@ -88,6 +88,7 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_dedup_cdc")(operators.Dedup.qDedupCdc(spark, dir))
   runs("q_entity_trends")(graph.Analytics.qEntityTrends(spark, dir))
 
+  runs("q_graph_summary")(graph.Analytics.qGraphSummary(spark, dir))
   runs("q_cooccur")(graph.Analytics.qCooccur(spark, dir))
   runs("q_pagerank")(graph.Analytics.qPagerank(spark, dir))
   runs("q_graph_nodes")(graph.NewsGraph.qGraphNodes(spark, dir))

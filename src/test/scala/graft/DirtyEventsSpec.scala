@@ -77,4 +77,26 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_embed_outliers")(operators.Training.qEmbedOutliers(spark, dir))
   runs("q_quantize_embeddings")(
     operators.Training.qQuantizeEmbeddings(spark, dir))
+  runs("q_join_size_est")(operators.Relational.qJoinSizeEst(spark, dir))
+
+  test("q_join_size_est degrades to amp 0 when neither join side has rows") {
+    // an events slice with ONLY view rows: both keyed aggregates empty,
+    // n_left + n_right = 0 — must yield amp_x100 = 0, not DIVIDE_BY_ZERO
+    val d = java.nio.file.Files.createTempDirectory("graft_noviews").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = true)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(1L, 1704110400L * 1000000000L,
+      10L, "view", 1.0, "{}"))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = operators.Relational.qJoinSizeEst(spark, d).head()
+    assert(r.getAs[Long]("amp_x100") == 0L)
+    assert(r.getAs[Long]("join_rows") == 0L)
+  }
 }

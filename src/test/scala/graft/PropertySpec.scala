@@ -255,6 +255,27 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, "CDC chunk word counts must partition the document")
   }
 
+  test("gram/shingle/minhash natives survive NULL array elements concat_ws-style") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // SQL-registered natives accept array<string> with nulls; the HOF
+    // twins build grams via concat_ws, which SKIPS nulls — so the
+    // natives must skip them too, not NPE the task
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS ws")
+    val r = df.select(
+      graft.functions.WordNgrams.word_ngrams(col("ws"), 2).as("ng"),
+      graft.functions.WordShingles.word_shingles(col("ws"), 2).as("sh"),
+      graft.functions.MinHashSig.minhash_sig(col("ws"), 4).as("mh"),
+      graft.functions.DistinctGramMd5.distinct_gram_md5(col("ws"), 2).as("dg"),
+      graft.functions.WinnowFps.winnow_fps(col("ws"), 1, 2).as("wf")).head()
+    // windows [a,null]→"a" and [null,b]→"b" (concat_ws separator only
+    // between kept words)
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[String](1).toSet == Set("a", "b"))
+    assert(r.getSeq[Long](2).size == 4)
+    assert(r.getSeq[String](3).size == 2)
+    assert(r.getSeq[Long](4).nonEmpty)
+  }
+
   test("Poisson bootstrap weights follow the Poisson(1) law empirically") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Training
