@@ -31,22 +31,23 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (aa.numElements() != bb.numElements() ||
-      ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb)) null
+    if (aa.numElements() != bb.numElements()) null
     else CosineSim.compute(aa, bb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
       s"""
-         |if ($a.numElements() != $b.numElements() ||
-         |    graft.functions.ArrayNulls.hasNull($a) ||
-         |    graft.functions.ArrayNulls.hasNull($b)) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.CosineSim.compute($a, $b);
+         |  java.lang.Double $r = graft.functions.CosineSim.compute($a, $b);
+         |  if ($r == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $r.doubleValue(); }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -61,13 +62,15 @@ object CosineSim {
     * fold). Zero-norm inputs yield NaN — identical to the HOF path's
     * 0.0/0.0.
     */
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result (HOF-fold parity), fused in the loop
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -75,7 +78,7 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   def cosine_sim(a: Column, b: Column): Column =

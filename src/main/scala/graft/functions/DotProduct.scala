@@ -37,56 +37,47 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (aa.numElements() != bb.numElements() ||
-      ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb)) null
+    if (aa.numElements() != bb.numElements()) null
     else DotProduct.compute(aa, bb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
       s"""
-         |if ($a.numElements() != $b.numElements() ||
-         |    graft.functions.ArrayNulls.hasNull($a) ||
-         |    graft.functions.ArrayNulls.hasNull($b)) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
+         |  java.lang.Double $r = graft.functions.DotProduct.compute($a, $b);
+         |  if ($r == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $r.doubleValue(); }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
-/** Null-element witness for array<double> inputs: the HOF twins
-  * (aggregate over zip_with) null-poison the whole fold when any
-  * element is NULL, so the native expressions return NULL on the same
-  * inputs instead of silently reading the slot as 0.0.
-  */
-object ArrayNulls {
-  def hasNull(a: ArrayData): Boolean = {
-    val n = a.numElements()
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i)) return true
-      i += 1
-    }
-    false
-  }
-}
-
 object DotProduct {
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Returns null when any element is NULL — the HOF twin (aggregate
+    * over zip_with) null-poisons the fold, and reading the slot as
+    * 0.0 would silently mis-score exactly the dirty rows the vector
+    * screen exists to drop. The check rides the SAME loop as the
+    * arithmetic (one traversal, one bitmask test per slot).
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       dot += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    dot
+    java.lang.Double.valueOf(dot)
   }
 
   def dot_product(a: Column, b: Column): Column =

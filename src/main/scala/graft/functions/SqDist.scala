@@ -31,22 +31,23 @@ case class SqDist(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (aa.numElements() != bb.numElements() ||
-      ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb)) null
+    if (aa.numElements() != bb.numElements()) null
     else SqDist.compute(aa, bb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sqRes")
       s"""
-         |if ($a.numElements() != $b.numElements() ||
-         |    graft.functions.ArrayNulls.hasNull($a) ||
-         |    graft.functions.ArrayNulls.hasNull($b)) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.SqDist.compute($a, $b);
+         |  java.lang.Double $r = graft.functions.SqDist.compute($a, $b);
+         |  if ($r == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $r.doubleValue(); }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDist =
@@ -55,16 +56,18 @@ case class SqDist(left: Expression, right: Expression)
 
 object SqDist {
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Null element → null (HOF-fold parity); check fused in the loop. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   def sq_dist(a: Column, b: Column): Column =
