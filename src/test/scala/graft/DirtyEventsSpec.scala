@@ -78,6 +78,17 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_quantize_embeddings")(
     operators.Training.qQuantizeEmbeddings(spark, dir))
   runs("q_join_size_est")(operators.Relational.qJoinSizeEst(spark, dir))
+  runs("q_funnel")(operators.Events.qFunnel(spark, dir))
+  runs("q_pivot")(operators.Events.qPivot(spark, dir))
+  runs("q_session_window")(operators.Events.qSessionWindow(spark, dir))
+  runs("q_rolling_avg")(operators.Events.qRollingAvg(spark, dir))
+  runs("q_range_join")(operators.Events.qRangeJoin(spark, dir))
+  runs("q_asof_join")(operators.Relational.qAsofJoin(spark, dir))
+  runs("q_dau_stickiness")(operators.Events.qDauStickiness(spark, dir))
+  runs("q_skew_report")(operators.Relational.qSkewReport(spark, dir))
+  runs("q_hll_distinct")(operators.Sketches.qHllDistinct(spark, dir))
+  runs("q_kmv_distinct")(operators.Sketches.qKmvDistinct(spark, dir))
+  runs("q_kmv_overlap")(operators.Sketches.qKmvOverlap(spark, dir))
 
   test("q_join_size_est degrades to amp 0 when neither join side has rows") {
     // an events slice with ONLY view rows: both keyed aggregates empty,
