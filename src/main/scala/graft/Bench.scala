@@ -244,16 +244,13 @@ object Bench {
     abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
   }
 
-  // 1-decimal timings with trailing ".0" dropped ("2.0" → "2");
-  // values >= 10 s print as whole seconds: the tenths digit carries no
-  // information there, and it bounds digit growth when the driver
-  // benches under load (the r5 overflow lesson applied to values).
-  private[graft] def r1(v: Double): String =
-    if (v >= 9.95) Math.round(v).toString
-    else {
-      val s = "%.1f".format(v)
-      if (s.endsWith(".0")) s.dropRight(2) else s
-    }
+  // Per-query timings as INTEGER DECISECONDS ("np":61 = 6.1 s): same
+  // tenths precision as the former "6.1" rendering but with no decimal
+  // point and no leading "0." — 1-2 chars per sub-10s value instead of
+  // 3, which at 210+ keys is the ~300 chars that kept the round-6 line
+  // from carrying its full surface. The line self-describes the unit
+  // ("qunit":"ds"); the headline "value" stays in seconds.
+  private[graft] def ds(v: Double): String = Math.round(v * 10).toString
 
   /** Char budget for the metric line: the driver parses it from the
     * trailing ~2000 chars of the sbt log, which sbt's epilogue
@@ -265,9 +262,10 @@ object Bench {
     * per-query entries render most-expensive-first and stop before the
     * line can outgrow [[LineBudget]], so the line stays parseable at
     * ANY surface size and under ANY load-inflated digit growth — the
-    * two ways a round can lose its bench evidence. A normal run at the
-    * current surface still carries every key (BenchContractSpec pins
-    * both properties); `nq` always reports the full query count and
+    * two ways a round can lose its bench evidence. Per-query values are
+    * integer deciseconds (`"qunit":"ds"` rides the line) so the full
+    * 210+-key surface fits with zero truncation — BenchContractSpec
+    * pins both properties; `nq` always reports the full query count and
     * `dropped` appears only when truncation actually bit (the cheapest
     * entries go first — the expensive tail is the evidence the judge
     * audits). Failure reporting cannot blow the budget either: error
@@ -297,9 +295,9 @@ object Bench {
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{"""
     val sfField = s""","sf":"$sfName"}"""
     val fixed = head.length + 1 + errField.length + sfField.length +
-      s""","nq":${named.size}""".length
+      s""","nq":${named.size},"qunit":"ds"""".length
     val entries = keys.zip(named)
-      .map { case (k, (_, v, _)) => (s""""$k":${r1(v)}""", v) }
+      .map { case (k, (_, v, _)) => (s""""$k":${ds(v)}""", v) }
       .sortBy(-_._2)
     def fill(budget: Int): Seq[String] = {
       var used = 0
@@ -320,7 +318,7 @@ object Bench {
       else fill(LineBudget - fixed - s""","dropped":${named.size}""".length)
     val dropped = entries.size - kept.size
     head + kept.mkString(",") + "}" +
-      s""","nq":${named.size}""" +
+      s""","nq":${named.size},"qunit":"ds"""" +
       (if (dropped > 0) s""","dropped":$dropped""" else "") +
       errField + sfField
   }

@@ -64,26 +64,29 @@ object Verify {
       // Stage-then-rename: cancelJobGroup is ASYNCHRONOUS, so a
       // timed-out query's write could otherwise commit parquet into
       // the final dir AFTER the _ERROR marker lands there and read as
-      // green. The write targets a stage dir; only an in-time success
-      // publishes it — a late commit strands in .stage_* and a
-      // late rename onto the marker dir fails harmlessly.
+      // green. The future writes ONLY to the stage dir; publication
+      // (rmRec(dst) + rename) happens on the MAIN thread, strictly
+      // after Await.result succeeds — a late stage commit from a
+      // cancelled job strands in .stage_* and can never replace the
+      // _ERROR marker the main thread wrote.
+      val stage = new java.io.File(s"$outDir/.stage_$name")
+      def rmRec(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rmRec)); x.delete(): Unit
+      }
+      rmRec(stage)
       val f = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        val stage = new java.io.File(s"$outDir/.stage_$name")
-        def rmRec(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rmRec)); x.delete(): Unit
-        }
-        rmRec(stage)
-        try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(stage.getPath)
-          val dst = new java.io.File(s"$outDir/$name")
-          rmRec(dst)
-          if (!stage.renameTo(dst))
-            throw new IllegalStateException(s"publish failed for $name")
-        } finally spark.sparkContext.clearJobGroup()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(stage.getPath)
+        finally spark.sparkContext.clearJobGroup()
       }
-      try Await.result(f, timeoutSec.seconds)
+      try {
+        Await.result(f, timeoutSec.seconds)
+        val dst = new java.io.File(s"$outDir/$name")
+        rmRec(dst)
+        if (!stage.renameTo(dst))
+          throw new IllegalStateException(s"publish failed for $name")
+      }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)

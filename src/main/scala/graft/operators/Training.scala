@@ -317,8 +317,11 @@ object Training {
       .groupBy("r")
       .agg(sum("w").as("n_eff"),
         sum(col("w") * col("n_chars")).as("wsum"))
+      // greatest(n_eff,1): an all-zero-weight replicate (prob e^-n, so
+      // only degenerate corpora) has wsum=0 too, so the guarded mean
+      // degrades to 0 instead of a NULL-vs-DuckDB-//0-error divergence.
       .selectExpr("r", "n_eff",
-        "(wsum div n_eff) * 1000000 + ((wsum % n_eff) * 1000000) div n_eff AS mean_ppm")
+        "(wsum div greatest(n_eff, 1)) * 1000000 + ((wsum % greatest(n_eff, 1)) * 1000000) div greatest(n_eff, 1) AS mean_ppm")
       .orderBy("r")
   }
 
@@ -780,7 +783,7 @@ object Training {
          |    CAST(sum(w * n_chars) AS BIGINT) AS wsum
          |  FROM w GROUP BY r)
          |SELECT r, n_eff,
-         |  (wsum // n_eff) * 1000000 + ((wsum % n_eff) * 1000000) // n_eff AS mean_ppm
+         |  (wsum // greatest(n_eff, 1)) * 1000000 + ((wsum % greatest(n_eff, 1)) * 1000000) // greatest(n_eff, 1) AS mean_ppm
          |FROM agg ORDER BY r""".stripMargin,
     "q_epoch_schedule" ->
       s"""WITH t AS (

@@ -412,8 +412,12 @@ object Catalog {
     require(dir.renameTo(old), s"compaction move-aside failed for $path")
     val ok = new java.io.File(tmp).renameTo(dir)
     if (!ok) {
-      old.renameTo(dir) // restore — the original data is still whole
-      require(ok, s"compaction swap failed for $path (original restored)")
+      // restore — the original data is still whole at .compact_old; if
+      // the restore rename ALSO fails, say where the data actually is
+      // instead of asserting a restore that didn't happen
+      val restored = old.renameTo(dir)
+      require(ok, s"compaction swap failed for $path (original " +
+        s"${if (restored) "restored" else s"left at $old"})")
     }
     rm(old)
     nFiles

@@ -24,31 +24,31 @@ class BenchContractSpec extends AnyFunSuite {
       s"and break round-over-round comparability): $dup")
   }
 
-  test("worst-case green run at the current surface: fits, bounded drop, audit tail intact") {
-    // <10s values print as "9.9" (3 chars) and >=10s as whole seconds
-    // (<=3 chars under the 1000s ceiling) — 3 chars per value IS the
-    // worst case for a green run. The driver tail fits ~204 9-char
-    // entries; every key was already compressed to 2 chars in round 6,
-    // so past that STRUCTURAL ceiling the renderer's escape hatch is
-    // the contract: cheapest entries drop first, "dropped" reports the
-    // count, and "nq" always carries the full surface size. Bound the
-    // worst-case loss tightly so surface growth stays deliberate, and
-    // note that REAL lines are shorter than this bound (sub-second
-    // values are 3 chars, >=10s values 2-3 — the round-6 artifact held
-    // 201 keys in 1863 chars).
+  test("worst-case green run at the current surface: full line, zero drop") {
+    // Values render as integer deciseconds (round-7 change): a 9.9 s
+    // entry is "99" (2 chars), so the whole-surface worst case for a
+    // green run is 8 chars/entry. The round-6 line at 3-char values
+    // silently dropped its 3-4 cheapest entries; the decisecond format
+    // exists precisely so the FULL surface rides the line — pin that:
+    // no "dropped" field at the current surface, every key present,
+    // and the self-describing unit marker on the line.
     val named = allNames.map(n => (n, 9.9, None: Option[String]))
     val line = Bench.metricLine(named, 10000.0, "sf0.001")
     assert(line.length <= Bench.LineBudget,
       s"metric line is ${line.length} chars; budget ${Bench.LineBudget}")
     assert(line.contains(s""""nq":${named.size}"""))
-    val dropped = "\"dropped\":(\\d+)".r.findFirstMatchIn(line)
-      .map(_.group(1).toInt).getOrElse(0)
-    assert(dropped <= 8,
-      s"worst-case line drops $dropped entries — keys must stay 2 chars " +
-        "and surface growth past the tail ceiling must be deliberate")
+    assert(line.contains(""""qunit":"ds""""), "unit marker must ride the line")
+    assert(!line.contains("\"dropped\":"),
+      "current surface must fit whole — add keys deliberately or shrink values")
     val missing = allNames.filterNot(n => line.contains(s""""${Bench.key(n)}":"""))
-    assert(missing.size == dropped,
-      s"missing keys (${missing.size}) must equal the reported drop count $dropped")
+    assert(missing.isEmpty, s"keys missing from a non-truncated line: $missing")
+  }
+
+  test("deciseconds render: tenths precision, no decimal point") {
+    assert(Bench.ds(6.1) == "61")
+    assert(Bench.ds(0.04) == "0")
+    assert(Bench.ds(0.37) == "4")
+    assert(Bench.ds(12.0) == "120")
   }
 
   test("pathological surface growth truncates instead of blowing the tail") {
@@ -62,8 +62,9 @@ class BenchContractSpec extends AnyFunSuite {
       s"truncated line is ${line.length} chars; budget ${Bench.LineBudget}")
     assert(line.contains("\"nq\":400"))
     assert(line.contains("\"dropped\":"), "oversize surface must self-report truncation")
-    // most-expensive-first: the slowest entry always survives
-    assert(line.contains(s""""${Bench.key("q_stress_query_number_1")}":999"""))
+    // most-expensive-first: the slowest entry always survives (999 s
+    // renders as 9990 deciseconds)
+    assert(line.contains(s""""${Bench.key("q_stress_query_number_1")}":9990"""))
   }
 
   test("failing entries ride the line capped and the line still fits") {

@@ -208,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
     // the batch plan's final project
     val snap = spark.table("boot_stream")
       .selectExpr("r", "n_eff",
-        "(wsum div n_eff) * 1000000 + ((wsum % n_eff) * 1000000) div n_eff AS mean_ppm")
+        "(wsum div greatest(n_eff, 1)) * 1000000 + ((wsum % greatest(n_eff, 1)) * 1000000) div greatest(n_eff, 1) AS mean_ppm")
       .orderBy("r").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString
     rows.toDF("doc_id", "text", "n_chars")
