@@ -424,40 +424,12 @@ object Similarity {
   }
 
   // ---- product quantization ANN ----------------------------------------
-  val PqM = 8       // subspaces
-  val PqSubDim = 8  // dims per subspace (PqM * PqSubDim = Dim)
+  val PqM = 32      // subspaces
+  val PqSubDim = 2  // dims per subspace (PqM * PqSubDim = Dim)
   val PqK = 16      // codewords per subspace
-  val PqStride = 31 // codeword k of every subspace comes from vec_id = 31k
-
-  /** (vec_id, m, sv): the M subvectors of each vector. */
-  private def pqSubspaces(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
-      slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
-
-  /** Product-quantization ANN — the 100 TB vector-search design: each
-    * vector is encoded as M=8 nibble codes (argmin-distance codeword
-    * per subspace; deterministic codebook = subvectors of vec_id=31k),
-    * and query scoring is ADC: the query's 128 codeword distances are
-    * computed ONCE, then every vector's approximate distance is a sum
-    * of M table lookups — no full-vector arithmetic per candidate, and
-    * the stored corpus is 8 bytes/vector instead of 256.
-    *
-    * Cross-engine float discipline: per-(m,codeword) query distances
-    * are quantized once to integer micro-units, so per-vector ADC sums
-    * are exact integers — independent of summation order (the same
-    * rule as the unigram LM). Encoding argmins compare raw doubles,
-    * which both engines fold identically.
-    *
-    * Scale shape: codebook and query-distance tables are 128 rows —
-    * broadcast; encoding is a map-side-combined max_by per (vec_id,
-    * m); the only corpus-sized shuffle carries (vec_id, m, code)
-    * triples (17 bytes). Top-k is TakeOrdered.
-    */
-  private def pqCodebook(e: DataFrame): DataFrame =
-    pqSubspaces(e.filter(col("vec_id") % PqStride === 0
-        && col("vec_id") < PqStride * PqK))
-      .select(expr(s"vec_id div $PqStride").cast("int").as("k"),
-        col("m"), col("sv").as("cv"))
+  val PqStride = 31 // k-means INIT: codeword k seeded from vec_id = 31k
+  val PqIters = 5   // Lloyd rounds refining the sampled init
+  val PqTrainSample = 4096 // vec_id cap bounding the training sample
 
   private def sqDist(a: Column, b: Column): Column =
     graft.functions.SqDist.sq_dist(a, b)
@@ -466,49 +438,162 @@ object Similarity {
   private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x)
 
-  /** (vec_id, m, code): argmin-distance codeword per subspace (ties →
-    * smallest k), via map-side-combined max_by. Spec-visible.
+  /** (vec_id, m, x0, x1): the M 2-dim subvectors of each vector, with
+    * components on the integer micro grid (round(x·1e6) as BIGINT).
+    * Everything downstream — k-means training, encoding, ADC — is pure
+    * integer arithmetic, so sums are associative and no distributed
+    * summation order can flip a codeword or a distance across engines.
     */
-  private[graft] def pqEncode(e: DataFrame): DataFrame =
-    pqSubspaces(e).join(broadcast(pqCodebook(e)), "m")
-      .withColumn("d2", sqDist(col("sv"), col("cv")))
+  private[graft] def pqSubspaces(e: DataFrame): DataFrame = {
+    def mic(c: Column) = round(c * 1e6).cast("long")
+    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        struct(mic(element_at(col("v"), m * PqSubDim + 1)).as("x0"),
+          mic(element_at(col("v"), m * PqSubDim + 2)).as("x1"))): _*))
+        .as(Seq("m", "s")))
+      .select(col("vec_id"), col("m"),
+        col("s.x0").as("x0"), col("s.x1").as("x1"))
+  }
+
+  /** Integer squared distance between a subvector (x0,x1) and a
+    * codeword (c0,c1) — micro² units.
+    */
+  private def d2Col: Column =
+    (col("x0") - col("c0")) * (col("x0") - col("c0")) +
+      (col("x1") - col("c1")) * (col("x1") - col("c1"))
+
+  /** K-means-trained PQ codebook (m, k, c0, c1): Lloyd's algorithm
+    * from a deterministic sampled init (subvectors of vec_id = 31k),
+    * PqIters rounds of argmin assignment + integer centroid update.
+    * Data-sampled codewords alone left recall@10 at 0.3-0.4 on this
+    * near-orthogonal corpus (round-6 audit); training the codebook —
+    * what FAISS does — is what buys servable recall (0.8 at the gate
+    * SF; residual IVF-PQ encoding was prototyped too and measured
+    * WORSE here, 0.4, because ~6 near-orthogonal centroids leave
+    * residuals as spread as the vectors; see SURVEY §6).
+    *
+    * Training runs IN-MEMORY over a bounded deterministic sample
+    * (vec_id < PqTrainSample → ≤ PqTrainSample·M subvector tuples,
+    * ~3 MB) — the FAISS design: codebooks train on a sample, never the
+    * corpus, because 5 corpus passes for a 512-row table is the wrong
+    * plan at any scale. The collect is the bounded-sample seam (same
+    * policy as the HITS scalar): its size is a constant, not a
+    * function of corpus size. A first distributed-Lloyd draft (5
+    * in-plan rounds) was measured 8× slower (9.5 s vs 1.2 s solo at
+    * sf0.1) with all the time in per-round job+codegen overhead.
+    *
+    * Cross-engine discipline: all-integer arithmetic; the centroid
+    * update is the SHIFTED floor mean ((Σ(x+1e6)) div n) − 1e6 — the
+    * dividend is nonnegative, so JVM `/`, Spark `div` and DuckDB `//`
+    * agree even though components are signed. Ties → smallest k;
+    * empty clusters keep their previous codeword. The DuckDB oracle
+    * replays training verbatim as unrolled CTEs (pqCteSql).
+    */
+  private[graft] def pqTrainCodebook(subs: DataFrame): DataFrame = {
+    val spark = subs.sparkSession
+    val sample = subs.filter(col("vec_id") < PqTrainSample)
+      .select("vec_id", "m", "x0", "x1").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byM = sample.groupBy(_._2)
+    val c0 = Array.ofDim[Long](PqM, PqK)
+    val c1 = Array.ofDim[Long](PqM, PqK)
+    var m = 0
+    while (m < PqM) {
+      val pts = byM(m)
+      var k = 0
+      while (k < PqK) {
+        val seed = pts.find(_._1 == k.toLong * PqStride).get
+        c0(m)(k) = seed._3; c1(m)(k) = seed._4
+        k += 1
+      }
+      var it = 0
+      while (it < PqIters) {
+        val s0 = new Array[Long](PqK); val s1 = new Array[Long](PqK)
+        val n = new Array[Long](PqK)
+        pts.foreach { case (_, _, x0, x1) =>
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < PqK) {
+            val dx = x0 - c0(m)(j); val dy = x1 - c1(m)(j)
+            val d = dx * dx + dy * dy
+            if (d < bestD) { bestD = d; best = j } // strict < : ties → smallest j
+            j += 1
+          }
+          s0(best) += x0 + 1000000L; s1(best) += x1 + 1000000L; n(best) += 1
+        }
+        var j = 0
+        while (j < PqK) {
+          if (n(j) > 0) { // empty cluster keeps its previous codeword
+            c0(m)(j) = s0(j) / n(j) - 1000000L
+            c1(m)(j) = s1(j) / n(j) - 1000000L
+          }
+          j += 1
+        }
+        it += 1
+      }
+      m += 1
+    }
+    import spark.implicits._
+    (for { mm <- 0 until PqM; k <- 0 until PqK }
+      yield (mm, k, c0(mm)(k), c1(mm)(k))).toDF("m", "k", "c0", "c1")
+  }
+
+  /** (vec_id, m, code): argmin-distance codeword per subspace against
+    * the trained codebook (ties → smallest k), via map-side-combined
+    * max_by. Spec-visible.
+    */
+  private[graft] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("d2", d2Col)
       .groupBy("vec_id", "m")
       .agg(max_by(col("k"), struct(-col("d2"), -col("k"))).as("code"))
 
+  /** Product-quantization ANN — the 100 TB vector-search design: each
+    * vector is encoded as M=32 nibble codes (16 bytes vs 256 raw), and
+    * query scoring is ADC: the query's 512 codeword distances are
+    * computed ONCE, then every vector's approximate distance is a sum
+    * of M integer table lookups — no full-vector arithmetic per
+    * candidate. Codebook is k-means-trained in-plan (pqTrainCodebook);
+    * ADC sums are exact BIGINTs, independent of summation order.
+    */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val subs = pqSubspaces(e)
-    val cb = pqCodebook(e)
-    val enc = pqEncode(e)
+    val cb = pqTrainCodebook(subs)
+    val enc = pqEncode(subs, cb)
     val qd = cb.join(broadcast(subs.filter(col("vec_id") === 0)
-        .select(col("m"), col("sv").as("qsv"))), "m")
-      .select(col("m"), col("k").as("code"),
-        round(sqDist(col("qsv"), col("cv")) * 1e6).cast("long").as("qmicro"))
+        .select(col("m"), col("x0"), col("x1"))), "m")
+      .withColumn("qmicro", d2Col)
+      .select(col("m"), col("k").as("code"), col("qmicro"))
     val adc = enc.join(broadcast(qd), Seq("m", "code"))
       .groupBy("vec_id").agg(sum("qmicro").as("adc_micro"))
       .filter(col("vec_id") =!= 0)
     TopKUtil.globalTopK(adc, KnnK, "vec_id", col("adc_micro"), col("vec_id"))
       .select(col("vec_id"),
-        round(col("adc_micro") / lit(1e6), 6).as("adc_dist"), col("rk"))
+        round(col("adc_micro") / lit(1e12), 6).as("adc_dist"), col("rk"))
       .orderBy("rk")
   }
 
   /** IVF-PQ ANN — the two quantizers composed, which is the actual
-    * billion-vector serving design (FAISS IVFPQ, no-residual flavor):
-    * the IVF coarse quantizer prunes the corpus to the query's
-    * IvfProbes nearest cells, and ADC scores ONLY those cells'
-    * members from their 8-byte PQ codes — per-query cost is
+    * billion-vector serving design (FAISS IVFPQ): the IVF coarse
+    * quantizer prunes the corpus to the query's IvfProbes nearest
+    * cells, and ADC scores ONLY those cells' members from their
+    * 16-byte k-means-trained PQ codes — per-query cost is
     * (nprobe/K)·corpus table lookups, with no full-vector arithmetic
-    * after the probe pick.
+    * after the probe pick. This is the no-residual flavor BY
+    * MEASUREMENT, not omission: residual encoding (codebook on
+    * v − centroid, per-cell ADC tables) was prototyped and halved
+    * recall here (0.4 vs 0.8) — with ~6 near-orthogonal centroids the
+    * residuals stay as spread as the vectors while the codebook loses
+    * the benefit of training on the raw distribution.
     *
-    * Scale shape: centroids, codebook, and the query's 128-entry ADC
+    * Scale shape: centroids, codebook, and the query's 512-entry ADC
     * table are all broadcast; in production the IVF assignment and PQ
     * codes are computed once at ingest and stored (here both derive
     * in-plan from the same deterministic rules as q_ann_ivf /
     * q_ann_pq, so the oracle can replay them); the probed-member
     * restriction lands BEFORE the ADC join, so the only corpus-sized
-    * work after pruning is a sum of M=8 integer lookups per surviving
-    * vector. Same integer-micro ADC discipline as q_ann_pq — sums are
+    * work after pruning is a sum of M=32 integer lookups per surviving
+    * vector. Same integer ADC discipline as q_ann_pq — sums are
     * order-independent across engines.
     */
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
@@ -528,16 +613,17 @@ object Similarity {
     // nprobe/K fraction of the corpus that survives the coarse prune
     val members = assigned.join(probed, "cid").filter(col("vec_id") =!= 0)
     val subs = pqSubspaces(e)
-    val qd = pqCodebook(e).join(broadcast(subs.filter(col("vec_id") === 0)
-        .select(col("m"), col("sv").as("qsv"))), "m")
-      .select(col("m"), col("k").as("code"),
-        round(sqDist(col("qsv"), col("cv")) * 1e6).cast("long").as("qmicro"))
-    val adc = pqEncode(e).join(members, "vec_id")
+    val cb = pqTrainCodebook(subs)
+    val qd = cb.join(broadcast(subs.filter(col("vec_id") === 0)
+        .select(col("m"), col("x0"), col("x1"))), "m")
+      .withColumn("qmicro", d2Col)
+      .select(col("m"), col("k").as("code"), col("qmicro"))
+    val adc = pqEncode(subs, cb).join(members, "vec_id")
       .join(broadcast(qd), Seq("m", "code"))
       .groupBy("vec_id", "cid").agg(sum("qmicro").as("adc_micro"))
     TopKUtil.globalTopK(adc, KnnK, "vec_id", col("adc_micro"), col("vec_id"))
       .select(col("vec_id"), col("cid"),
-        round(col("adc_micro") / lit(1e6), 6).as("adc_dist"), col("rk"))
+        round(col("adc_micro") / lit(1e12), 6).as("adc_dist"), col("rk"))
       .orderBy("rk")
   }
 
@@ -719,29 +805,54 @@ object Similarity {
 
   private def cos(a: String, b: String) = cosineDuckSql(a, b)
 
-  /** PQ encode + query-ADC-table CTEs (shared by the q_ann_pq and
-    * q_ann_ivfpq oracles — identical codes and micro-distances).
+  /** PQ k-means training + encode + query-ADC-table CTEs (shared by
+    * the q_ann_pq and q_ann_ivfpq oracles — identical codebooks, codes
+    * and integer distances). The PqIters Lloyd rounds are unrolled:
+    * a{i} is the argmin assignment against cb{i-1}, cb{i} the shifted
+    * integer floor-mean update with empty clusters keeping their old
+    * codeword — exactly pqTrainCodebook's plan.
     */
-  private def pqCteSql: String =
+  private def pqCteSql: String = {
+    val d2 = "(s.x0-c.c0)*(s.x0-c.c0)+(s.x1-c.c1)*(s.x1-c.c1)"
+    val iters = (1 to PqIters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, m, k, x0, x1 FROM (
+         |    SELECT s.vec_id, s.m, c.k, s.x0, s.x1,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY $d2, c.k) AS rn
+         |    FROM tr s JOIN cb${i - 1} c ON s.m = c.m)
+         |  WHERE rn = 1),
+         |cb$i AS MATERIALIZED (
+         |  SELECT c.m, c.k,
+         |    CAST(coalesce(u.u0, c.c0) AS BIGINT) AS c0,
+         |    CAST(coalesce(u.u1, c.c1) AS BIGINT) AS c1
+         |  FROM cb${i - 1} c LEFT JOIN (
+         |    SELECT m, k,
+         |      CAST((sum(x0 + 1000000) // count(*)) - 1000000 AS BIGINT) AS u0,
+         |      CAST((sum(x1 + 1000000) // count(*)) - 1000000 AS BIGINT) AS u1
+         |    FROM a$i GROUP BY m, k) u ON c.m = u.m AND c.k = u.k)""".stripMargin
+    }.mkString(",\n")
     s"""sub AS MATERIALIZED (
-       |  SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+       |  SELECT vec_id, m,
+       |    CAST(round(v[$PqSubDim*m+1]*1000000) AS BIGINT) AS x0,
+       |    CAST(round(v[$PqSubDim*m+2]*1000000) AS BIGINT) AS x1
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
-       |cb AS MATERIALIZED (
-       |  SELECT CAST(vec_id // $PqStride AS INT) AS k, m, sv AS cv
+       |tr AS MATERIALIZED (SELECT * FROM sub WHERE vec_id < $PqTrainSample),
+       |cb0 AS MATERIALIZED (
+       |  SELECT m, CAST(vec_id // $PqStride AS INT) AS k, x0 AS c0, x1 AS c1
        |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqK}),
-       |d AS MATERIALIZED (
-       |  SELECT s.vec_id, s.m, c.k,
-       |    list_sum(list_transform(generate_series(1, $PqSubDim),
-       |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
-       |  FROM sub s JOIN cb c ON s.m = c.m),
-       |enc AS (
+       |$iters,
+       |enc AS MATERIALIZED (
        |  SELECT vec_id, m, k AS code FROM (
-       |    SELECT vec_id, m, k,
-       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
-       |    FROM d)
+       |    SELECT s.vec_id, s.m, c.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $d2, c.k) AS rn
+       |    FROM sub s JOIN cb$PqIters c ON s.m = c.m)
        |  WHERE rn = 1),
-       |qd AS (SELECT m, k AS code, CAST(round(d2 * 1000000) AS BIGINT) AS qmicro
-       |  FROM d WHERE vec_id = 0)""".stripMargin
+       |qd AS (
+       |  SELECT c.m, c.k AS code, CAST($d2 AS BIGINT) AS qmicro
+       |  FROM cb$PqIters c JOIN sub s ON s.m = c.m AND s.vec_id = 0)""".stripMargin
+  }
 
   /** Each ANN oracle replayed verbatim as a derived table, joined to
     * the exact brute-force top-K — recall is engine-agnostic because
@@ -823,7 +934,7 @@ object Similarity {
          |  JOIN probed p ON a.cid = p.cid
          |  JOIN qd ON enc.m = qd.m AND enc.code = qd.code
          |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id, a.cid)
-         |SELECT vec_id, cid, round(adc_micro / 1000000.0, 6) AS adc_dist, rk FROM (
+         |SELECT vec_id, cid, round(adc_micro / 1000000000000.0, 6) AS adc_dist, rk FROM (
          |  SELECT vec_id, cid, adc_micro,
          |    row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
          |  FROM adc)
@@ -835,7 +946,7 @@ object Similarity {
          |  SELECT enc.vec_id, CAST(sum(qmicro) AS BIGINT) AS adc_micro
          |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
          |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id)
-         |SELECT vec_id, round(adc_micro / 1000000.0, 6) AS adc_dist, rk FROM (
+         |SELECT vec_id, round(adc_micro / 1000000000000.0, 6) AS adc_dist, rk FROM (
          |  SELECT vec_id, adc_micro,
          |    row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
          |  FROM adc)

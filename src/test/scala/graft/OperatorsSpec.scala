@@ -266,32 +266,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("PQ encoding picks the argmin codeword per subspace (ties to smallest k)") {
+  test("PQ codes are the argmin against the k-means codebook, which beats its init") {
     val e = Similarity.vectors(spark, TestSpark.sf)
-    val vecs = e.select(col("vec_id"), col("v")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val codebook: Map[(Int, Int), Array[Double]] = // (m, k) -> subvector
-      (0 until Similarity.PqK).flatMap { k =>
-        val v = vecs(k.toLong * Similarity.PqStride)
-        (0 until Similarity.PqM).map(m =>
-          (m, k) -> v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim))
-      }.toMap
-    val enc = Similarity.pqEncode(e).collect()
+    val subs = Similarity.pqSubspaces(e)
+    val sv = subs.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val cbDf = Similarity.pqTrainCodebook(subs)
+    val cb = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cb.size == Similarity.PqM * Similarity.PqK, "full M×K codebook")
+    // every code is the integer-argmin codeword (ties → smallest k)
+    val enc = Similarity.pqEncode(subs, cbDf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    assert(enc.size == vecs.size * Similarity.PqM, "8 codes per vector")
-    vecs.take(30).foreach { case (id, v) =>
-      (0 until Similarity.PqM).foreach { m =>
-        val sv = v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
-        val best = (0 until Similarity.PqK).minBy { k =>
-          val cv = codebook((m, k))
-          // same left-to-right fold as the plan
-          var s = 0.0; var i = 0
-          while (i < sv.length) { val dx = sv(i) - cv(i); s += dx * dx; i += 1 }
-          (s, k)
-        }
-        assert(enc((id, m)) == best, s"code for vec $id subspace $m")
-      }
+    assert(enc.size == sv.size, "one code per (vector, subspace)")
+    def d2(a: (Long, Long), b: (Long, Long)): Long = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; dx * dx + dy * dy
     }
+    enc.take(200).foreach { case ((id, m), code) =>
+      val best = (0 until Similarity.PqK).minBy(k => (d2(sv((id, m)), cb((m, k))), k))
+      assert(code == best, s"code for vec $id subspace $m")
+    }
+    // the trained codebook's total quantization error is <= the
+    // sampled init's (Lloyd monotonicity — this is what lifted
+    // recall@10 from 0.3 to 0.8 at the gate SF)
+    val init = sv.collect { case ((id, m), xy)
+        if id % Similarity.PqStride == 0 &&
+          id < Similarity.PqStride.toLong * Similarity.PqK =>
+      (m, (id / Similarity.PqStride).toInt) -> xy
+    }.toMap
+    def totalErr(book: Map[(Int, Int), (Long, Long)]): BigInt =
+      sv.iterator.map { case ((_, m), xy) =>
+        BigInt((0 until Similarity.PqK).map(k => d2(xy, book((m, k)))).min)
+      }.sum
+    val (errInit, errTrained) = (totalErr(init), totalErr(cb))
+    assert(errTrained < errInit,
+      s"k-means must reduce quantization error: $errTrained vs init $errInit")
   }
 
   test("PQ ANN returns k rows with nonnegative ADC distances in rank order") {
