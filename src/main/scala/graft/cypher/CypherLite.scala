@@ -20,11 +20,16 @@ import graft.operators.TextPipeline
   *   match      := MATCH pattern (, pattern)*
   *                 [OPTIONAL MATCH pattern (, pattern)*]*  -- left-
   *                 outer hops anchored on a bound variable
-  *   pattern    := (v[:Label])(-[:REL[*a..b]]->(v[:Label]))*  -- bare
-  *                 (v) re-binds a variable labeled in another pattern;
-  *                 *a..b is a variable-length hop (1 <= a <= b <= 2)
-  *                 with Cypher semantics: one output row PER PATH, and
-  *                 a relationship may not repeat within a path
+  *   pattern    := (v[:Label])(-[[r]:REL[|REL2...][*a..b]]->(v[:Label]))*
+  *                 -- bare (v) re-binds a variable labeled in another
+  *                 pattern, or (if labeled nowhere) binds uid-only
+  *                 from the edge column; r binds the relationship
+  *                 (r.prop readable: MENTIONS start_pos/n_tokens/
+  *                 n_mentions, CO_OCCURS weight; type(r) always);
+  *                 :A|B is the multi-type union; *a..b is a
+  *                 variable-length hop (1 <= a <= b <= 2) with Cypher
+  *                 semantics: one output row PER PATH, and a
+  *                 relationship may not repeat within a path
   *   where      := WHERE term (AND term)*
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
@@ -52,7 +57,9 @@ import graft.operators.TextPipeline
   *   witem      := v | v.prop [AS alias] | count/collect/sum as in
   *                 item (sum over a carried alias: sum(n) AS total)
   *   return     := RETURN [DISTINCT] item (, item)*
-  *   item       := v.prop [AS alias] | count([DISTINCT] v|*) [AS alias]
+  *   item       := type(r) [AS alias] | labels(v) [AS alias]
+  *                 | CASE WHEN pred THEN lit ... [ELSE lit] END [AS a]
+  *                 | v.prop [AS alias] | count([DISTINCT] v|*) [AS alias]
   *                 | coalesce(v.prop, 'd'|n) [AS alias]  -- OPTIONAL
   *                   MATCH null-fill; groups like a plain prop
   *                 | collect(v[.prop]) [AS alias]
@@ -167,6 +174,44 @@ object CypherLite {
     case other => throw new IllegalArgumentException(s"unknown relationship $other")
   }
 
+  /** Edge table WITH relationship properties + a `type` tag, for hops
+    * that bind a relationship variable (`-[r:R]->` … `r.weight`).
+    * Property-bearing relationships:
+    *   - MENTIONS: start_pos / n_tokens / n_mentions — the mention
+    *     positions graph.py:96-131 merges onto the edge, aggregated to
+    *     one edge per (chunk, entity) so the edge SET matches the
+    *     plain table exactly (first span position, total span tokens,
+    *     span count);
+    *   - CO_OCCURS: weight (co-mention count, Analytics.cooccur) —
+    *     "how strongly are X and Y connected".
+    * Every other type carries just the tag (type(r) stays readable).
+    */
+  def edgesWithProps(spark: SparkSession, dir: String, rel: String,
+      dstLabel: Option[String]): DataFrame = rel match {
+    case "MENTIONS" =>
+      val lbl = dstLabel.getOrElse(throw new IllegalArgumentException(
+        "MENTIONS needs a labeled destination"))
+      TextPipeline.mentions(spark, dir)
+        .filter(col("label") === lbl.toLowerCase)
+        .groupBy(col("doc_id"), col("chunk_id"), col("name"))
+        .agg(min(col("start_pos")).as("start_pos"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_mentions"))
+        .select(
+          concat(lit("Chunk:"), col("doc_id"), lit(":"), col("chunk_id")).as("src_uid"),
+          concat(lit(lbl), lit(":"), col("name")).as("dst_uid"),
+          lit("MENTIONS").as("type"),
+          col("start_pos"), col("n_tokens"), col("n_mentions"))
+    case "CO_OCCURS" =>
+      graft.graph.Analytics.edges(spark, dir).select(
+        concat(lit("Entity:"), col("src")).as("src_uid"),
+        concat(lit("Entity:"), col("dst")).as("dst_uid"),
+        lit("CO_OCCURS").as("type"), col("weight"))
+    case other =>
+      edges(spark, dir, other, dstLabel.getOrElse(""))
+        .withColumn("type", lit(other))
+  }
+
   /** Variable-length expansion `*lo..hi` of an edge table, unrolled to
     * a union of fixed-length compositions — one row per PATH (Cypher's
     * row semantics), with Cypher's relationship-uniqueness rule: a
@@ -207,14 +252,20 @@ object CypherLite {
   // ---------- AST ----------
 
   /** label=None is a re-binding of a variable labeled elsewhere in the
-    * MATCH (Cypher's `(c)` in a second comma-pattern).
+    * MATCH (Cypher's `(c)` in a second comma-pattern) — or, when no
+    * pattern labels it at all, a uid-only variable whose rows come
+    * entirely from the edge table (the `(a)-[r:A|B]->(x)` idiom).
     */
   case class NodePat(v: String, label: Option[String],
     inlineProp: Option[(String, String)] = None)
-  /** rel = (type, reversed, varLen): `-[:R]->` forward, `<-[:R]-`
-    * reversed; varLen = Some((lo, hi)) for `-[:R*lo..hi]->`.
+  /** One relationship hop: `-[r:R]->` binds variable r (its properties
+    * and type(r) become readable), `[:A|B]` matches any of the listed
+    * types (Cypher multi-type union), `<-[:R]-` is reversed, varLen =
+    * Some((lo, hi)) for `-[:R*lo..hi]->`.
     */
-  case class PathPat(nodes: Seq[NodePat], rels: Seq[(String, Boolean, Option[(Int, Int)])])
+  case class RelPat(variable: Option[String], types: Seq[String],
+    reversed: Boolean, varLen: Option[(Int, Int)])
+  case class PathPat(nodes: Seq[NodePat], rels: Seq[RelPat])
   sealed trait Pred
   case class InPred(v: String, prop: String, values: Seq[String]) extends Pred
   case class EqPred(v: String, prop: String, value: String) extends Pred
@@ -298,6 +349,25 @@ object CypherLite {
     alias: Option[String] = None) extends RetItem
   /** Bare column reference (an alias introduced by a WITH stage). */
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
+  /** `type(r)` — the relationship type of a bound rel variable (reads
+    * the `r_type` tag the hop compiler attaches; the idiom that makes
+    * multi-type `[:A|B]` hops distinguishable).
+    */
+  case class TypeItem(r: String, alias: Option[String] = None) extends RetItem
+  /** `labels(v)` — the node's label list. Variables are single-labeled
+    * in this subset, so it compiles to a literal rendered in Neo4j's
+    * list shape (`["Person"]`).
+    */
+  case class LabelsItem(v: String, alias: Option[String] = None) extends RetItem
+  /** `CASE WHEN pred THEN lit … [ELSE lit] END [AS alias]` — the
+    * literal-result conditional LLMs emit for bucketing (`CASE WHEN
+    * r.n_tokens >= 2 THEN 'multiword' ELSE 'single' END`). Conditions
+    * are the same simple predicates WHERE accepts; results are string
+    * or integer literals (all branches one kind). Groups like a plain
+    * prop when aggregates sit alongside.
+    */
+  case class CaseItem(whens: Seq[(Pred, String)], elseVal: Option[String],
+    numeric: Boolean, alias: Option[String] = None) extends RetItem
   /** `coalesce(v.prop, 'default'|n)` — the OPTIONAL MATCH null-fill
     * idiom (`RETURN coalesce(t.name, 'untagged')`). Groups like a
     * plain prop when aggregates sit alongside.
@@ -348,7 +418,8 @@ object CypherLite {
   private val NodeRe =
     """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)""".r
   private val RelRe =
-    """(<-|-)\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)""".r
+    ("""(<-|-)\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)\s*""" +
+      """(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)""").r
   private val CountRe =
     """(?i)count\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
   private val CoalesceRe =
@@ -363,6 +434,34 @@ object CypherLite {
   private val PropRe = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
   private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
   private val BareNameRe = """(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
+  private val TypeRe = """(?i)type\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val LabelsRe = """(?i)labels\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val CaseRe = """(?is)CASE\s+(.*?\bEND)(?:\s+AS\s+(\w+))?""".r
+
+  /** Parse a CASE body (`WHEN pred THEN lit … [ELSE lit] END`). */
+  private def parseCase(body: String, alias: Option[String]): CaseItem = {
+    val core = body.replaceAll("(?is)\\s*\\bEND\\s*$", "")
+    val elseRe = """(?is)(.*)\bELSE\b(.*)""".r
+    val (whensPart, elseRaw) = core match {
+      case elseRe(w, e) => (w, Some(e.trim))
+      case _ => (core, None)
+    }
+    val rawWhens = whensPart.split("(?i)\\bWHEN\\b").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(rawWhens.nonEmpty, s"CASE without WHEN: $body")
+    val whens = rawWhens.map { wt =>
+      val parts = wt.split("(?i)\\bTHEN\\b").map(_.trim)
+      require(parts.length == 2, s"malformed WHEN…THEN in CASE: $wt")
+      (parseSimplePred(parts(0)), parts(1))
+    }
+    val allVals = whens.map(_._2) ++ elseRaw
+    val numeric = allVals.forall(_.matches("""\d+"""))
+    require(numeric || allVals.forall(_.matches("""'[^']*'""")),
+      s"CASE results must be all-integer or all-string literals: $allVals")
+    def strip(s: String) = s.stripPrefix("'").stripSuffix("'")
+    CaseItem(whens.map { case (p, v) => (p, strip(v)) },
+      elseRaw.map(strip), numeric, alias)
+  }
 
   /** Split on commas at brace/paren depth 0 (map projections and
     * count()/collect() carry commas of their own).
@@ -390,10 +489,16 @@ object CypherLite {
         Option(m.group(3)).map(pn => pn -> m.group(4)))).toSeq
     val rels = RelRe.findAllMatchIn(p).map { m =>
       val reversed = m.group(1) == "<-"
-      require(reversed != (m.group(5) == "->"),
+      require(reversed != (m.group(6) == "->"),
         s"ambiguous arrow in: ${m.matched}")
-      val varLen = Option(m.group(3)).map(lo => (lo.toInt, m.group(4).toInt))
-      (m.group(2), reversed, varLen)
+      val varLen = Option(m.group(4)).map(lo => (lo.toInt, m.group(5).toInt))
+      val types = m.group(3).split("\\|").map(_.trim).toSeq
+      val relVar = Option(m.group(2))
+      require(relVar.isEmpty || varLen.isEmpty,
+        s"relationship variable on a var-length hop is unsupported: ${m.matched}")
+      require(types.size == 1 || varLen.isEmpty,
+        s"multi-type var-length hop is unsupported: ${m.matched}")
+      RelPat(relVar, types, reversed, varLen)
     }.toSeq
     require(nodes.size == rels.size + 1, s"path shape mismatch in: $p")
     PathPat(nodes, rels)
@@ -552,6 +657,9 @@ object CypherLite {
       case CoalesceRe(v, p, strDef, numDef, alias) =>
         val default = if (strDef != null) lit(strDef) else lit(numDef.toLong)
         CoalesceItem(v, p, default, Option(alias))
+      case CaseRe(body, alias) => parseCase(body, Option(alias))
+      case TypeRe(r, alias) => TypeItem(r, Option(alias))
+      case LabelsRe(v, alias) => LabelsItem(v, Option(alias))
       case MapRe(v, body, alias) =>
         val dotRe = """\.(\w+)""".r
         val kvRe = """(\w+)\s*:\s*(\w+)\.(\w+)""".r
@@ -611,11 +719,18 @@ object CypherLite {
     val inlineOf: Map[String, (String, String)] =
       allNodes.flatMap(n => n.inlineProp.map(n.v -> _)).toMap
     def bind(v: String, joinType: String = "inner"): Unit = if (!bound.contains(v)) {
-      val nd = inlineOf.get(v).fold(nodeDf(v)) { case (prop, value) =>
-        nodeDf(v).filter(col(s"${v}_$prop") === value)
+      if (df != null && !labelOf.contains(v) && !inlineOf.contains(v)) {
+        // uid-only variable (`(x)` labeled nowhere): its rows come
+        // entirely from the edge column — there is no node table to
+        // join, and none is needed (the edge type fixes the node set)
+        bound += v
+      } else {
+        val nd = inlineOf.get(v).fold(nodeDf(v)) { case (prop, value) =>
+          nodeDf(v).filter(col(s"${v}_$prop") === value)
+        }
+        df = if (df == null) nd else df.join(nd, Seq(s"${v}_uid"), joinType)
+        bound += v
       }
-      df = if (df == null) nd else df.join(nd, Seq(s"${v}_uid"), joinType)
-      bound += v
     }
     /** Walk a pattern list, joining each hop. outer=true (OPTIONAL
       * MATCH): edge and node joins are left_outer, so unmatched rows
@@ -631,19 +746,44 @@ object CypherLite {
             s"OPTIONAL MATCH must start at a bound variable, not ${path.nodes.head.v}")
           bind(path.nodes.head.v)
         }
-        path.rels.zipWithIndex.foreach { case ((rel, reversed, varLen), i) =>
+        path.rels.zipWithIndex.foreach { case (rp, i) =>
           val here = path.nodes(i)
           val next = path.nodes(i + 1)
           // forward: here -R-> next; reversed: next -R-> here
-          val (srcV, dstV) = if (reversed) (next.v, here.v) else (here.v, next.v)
-          val base = edges(spark, dir, rel, labelOf.getOrElse(dstV,
-            throw new IllegalArgumentException(s"variable $dstV is never labeled in MATCH")))
-          val e = varLen.fold(base) { case (lo, hi) =>
+          val (srcV, dstV) = if (rp.reversed) (next.v, here.v) else (here.v, next.v)
+          val dstLbl = labelOf.get(dstV)
+          def plainEdge(t: String): DataFrame =
+            edges(spark, dir, t, dstLbl.getOrElse(
+              if (t == "MENTIONS")
+                throw new IllegalArgumentException(
+                  s"variable $dstV is never labeled in MATCH (MENTIONS needs a label)")
+              else ""))
+          val base: DataFrame =
+            if (rp.types.size > 1)
+              // multi-type `[:A|B]`: union of the per-type edge tables
+              // with the type tag riding (read via type(r))
+              rp.types.map(t => plainEdge(t)
+                  .select(col("src_uid"), col("dst_uid"), lit(t).as("type")))
+                .reduce(_ unionByName _)
+            else if (rp.variable.isDefined)
+              edgesWithProps(spark, dir, rp.types.head, dstLbl)
+            else plainEdge(rp.types.head)
+          val expanded = rp.varLen.fold(base) { case (lo, hi) =>
             val seed = if (df != null && bound.contains(srcV))
               Some(df.select(col(s"${srcV}_uid").as("src_uid")).distinct())
             else None
             varLenExpand(base, lo, hi, seed)
           }
+          // a bound relationship variable prefixes every non-endpoint
+          // column (`r_weight`, `r_type`) so r.prop / type(r) compile
+          // like node properties; without one the extras are dropped
+          val e = (rp.variable match {
+            case Some(rv) =>
+              expanded.columns.filterNot(c => c == "src_uid" || c == "dst_uid")
+                .foldLeft(expanded)((acc, c) =>
+                  acc.withColumnRenamed(c, s"${rv}_$c"))
+            case None => expanded.select("src_uid", "dst_uid")
+          })
             .withColumnRenamed("src_uid", s"${srcV}_uid")
             .withColumnRenamed("dst_uid", s"${dstV}_uid")
           val newVars = Seq(here.v, next.v).filterNot(bound.contains)
@@ -652,7 +792,7 @@ object CypherLite {
               "(a post-join filter would delete the unmatched rows)")
           val joinKeys = Seq(here.v, next.v).filter(bound.contains).map(v => s"${v}_uid")
           require(joinKeys.nonEmpty,
-            s"hop ${here.v}-[:$rel]-${next.v} is disconnected from bound variables $bound")
+            s"hop ${here.v}-[:${rp.types.mkString("|")}]-${next.v} is disconnected from bound variables $bound")
           df = df.join(e, joinKeys, joinType)
           newVars.foreach(bind(_, joinType))
         }
@@ -764,6 +904,9 @@ object CypherLite {
         a.getOrElse(p.fold(s"${fn}_$v")(pp => s"${fn}_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
       case BareItem(n, a) => a.getOrElse(n)
+      case TypeItem(r, a) => a.getOrElse(s"type_$r")
+      case LabelsItem(v, a) => a.getOrElse(s"labels_$v")
+      case CaseItem(_, _, _, a) => a.getOrElse("case_when")
     }
     def itemCol(it: RetItem): Column = it match {
       case PropItem(v, p, _) => col(s"${v}_$p").as(outName(it))
@@ -773,6 +916,18 @@ object CypherLite {
         to_json(struct(entries.map { case (k, (w, p)) =>
           col(s"${w}_$p").as(k) }: _*)).as(outName(it))
       case BareItem(n, _) => col(n).as(outName(it))
+      case TypeItem(r, _) => col(s"${r}_type").as(outName(it))
+      case LabelsItem(v, _) =>
+        val lbl = labelOf.getOrElse(v, throw new IllegalArgumentException(
+          s"labels($v): variable $v is never labeled in MATCH"))
+        lit(s"""["$lbl"]""").as(outName(it))
+      case CaseItem(whens, elseVal, numeric, _) =>
+        def l(s: String): Column = if (numeric) lit(s.toLong) else lit(s)
+        val chained = whens.tail.foldLeft(
+          when(predCol(whens.head._1), l(whens.head._2))) {
+          case (acc, (p, v)) => acc.when(predCol(p), l(v))
+        }
+        elseVal.fold(chained)(v => chained.otherwise(l(v))).as(outName(it))
       case other => throw new IllegalArgumentException(
         s"aggregate item $other outside aggregation context")
     }
@@ -837,6 +992,9 @@ object CypherLite {
         case it: MapItem => itemCol(it)
         case it: BareItem => itemCol(it)
         case it: CoalesceItem => itemCol(it)
+        case it: TypeItem => itemCol(it)
+        case it: LabelsItem => itemCol(it)
+        case it: CaseItem => itemCol(it)
       }
       df = if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
         else df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
@@ -1112,7 +1270,43 @@ object CypherLite {
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
       "RETURN length(p) AS len"
 
+  /** Relationship variable + property — the co-occurrence weight made
+    * readable through the compiled path (`-[r:CO_OCCURS]->` …
+    * `r.weight`): "how STRONGLY is X connected", the graph-RAG
+    * follow-up to plain neighborhood expansion that the MENTIONS/
+    * CO_OCCURS property sets existed for but no query could read.
+    */
+  val Ex24: String =
+    "MATCH (e:Entity {name: 'spark group'})-[r:CO_OCCURS]->(o:Entity) " +
+      "WHERE r.weight >= 2 " +
+      "RETURN o.name, r.weight AS weight ORDER BY weight DESC, o.name LIMIT 10"
+
+  /** Multi-type hop `[:A|B]` + `type(r)` + an unlabeled uid-only
+    * destination — the "what does this article link to, by edge kind"
+    * profile. The union rides the type tag; `(x)` binds from the edge
+    * column alone (no node table join — the edge type fixes the set).
+    */
+  val Ex25: String =
+    "MATCH (a:Article)-[r:CONTAINS|HAS_TOPIC]->(x) " +
+      "RETURN a.uid, type(r) AS rel_type, count(x) AS n " +
+      "ORDER BY a.uid, rel_type LIMIT 12"
+
+  /** labels() + CASE WHEN over relationship properties — mention-span
+    * shape buckets (the MENTIONS edge's merged positions, graph.py:
+    * 96-131, finally read: multiword spans vs single tokens, with the
+    * earliest span position per bucket).
+    */
+  val Ex26: String =
+    "MATCH (c:Chunk)-[r:MENTIONS]->(p:Person) " +
+      "RETURN labels(p) AS lbls, " +
+      "CASE WHEN r.n_tokens >= 2 THEN 'multiword' ELSE 'single' END AS span_kind, " +
+      "count(c) AS n_edges, min(r.start_pos) AS first_pos " +
+      "ORDER BY span_kind"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex24" -> ((s, d) => run(s, d, Ex24)),
+    "q_cypher_ex25" -> ((s, d) => run(s, d, Ex25)),
+    "q_cypher_ex26" -> ((s, d) => run(s, d, Ex26)),
     "q_cypher_sp" -> ((s, d) => run(s, d, Ex23)),
     "q_cypher_ex22" -> ((s, d) => run(s, d, Ex22)),
     "q_cypher_ex21" -> ((s, d) => run(s, d, Ex21)),
@@ -1141,6 +1335,33 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex24" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql}
+         |SELECT dst AS o_name, weight FROM edges
+         |WHERE src = 'spark group' AND weight >= 2
+         |ORDER BY weight DESC, o_name LIMIT 10""".stripMargin,
+    "q_cypher_ex25" ->
+      s"""WITH $P,
+         |${NewsGraph.ArticleTopicsSql},
+         |u AS (
+         |  SELECT doc_id, 'CONTAINS' AS rel_type FROM chunks
+         |  UNION ALL
+         |  SELECT doc_id, 'HAS_TOPIC' AS rel_type FROM topics)
+         |SELECT 'Article:' || doc_id AS a_uid, rel_type, count(*) AS n
+         |FROM u GROUP BY doc_id, rel_type
+         |ORDER BY a_uid, rel_type LIMIT 12""".stripMargin,
+    "q_cypher_ex26" ->
+      s"""WITH $M,
+         |pe AS (
+         |  SELECT doc_id, chunk_id, name,
+         |    min(start_pos) AS start_pos,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM mentions WHERE label = 'person'
+         |  GROUP BY doc_id, chunk_id, name)
+         |SELECT '["Person"]' AS lbls,
+         |  CASE WHEN n_tokens >= 2 THEN 'multiword' ELSE 'single' END AS span_kind,
+         |  count(*) AS n_edges, min(start_pos) AS first_pos
+         |FROM pe GROUP BY span_kind ORDER BY span_kind""".stripMargin,
     "q_cypher_sp" -> {
       val hops = 4
       val iters = (1 to hops).map { i =>

@@ -238,7 +238,8 @@ class CypherLiteSpec extends AnyFunSuite {
     val Seq(q) = parse(Ex1)
     assert(q.paths.head.nodes.flatMap(_.label) == Seq("Article", "Chunk", "Person"))
     assert(q.paths.head.rels ==
-      Seq(("CONTAINS", false, None), ("MENTIONS", false, None)))
+      Seq(CypherLite.RelPat(None, Seq("CONTAINS"), reversed = false, None),
+        CypherLite.RelPat(None, Seq("MENTIONS"), reversed = false, None)))
     assert(q.where.contains(InPred("o", "name", Seq("customer", "line customer"))))
     assert(q.retDistinct && q.limit.contains(10))
   }
@@ -450,7 +451,8 @@ class CypherLiteSpec extends AnyFunSuite {
 
   test("variable-length hop counts paths with relationship uniqueness (Ex14)") {
     val Seq(q) = parse(Ex14)
-    assert(q.paths.head.rels == Seq(("CO_OCCURS", false, Some((1, 2)))))
+    assert(q.paths.head.rels ==
+      Seq(CypherLite.RelPat(None, Seq("CO_OCCURS"), reversed = false, Some((1, 2)))))
     val got = CypherLite.run(spark, TestSpark.sf, Ex14).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty)
@@ -493,5 +495,69 @@ class CypherLiteSpec extends AnyFunSuite {
           "RETURN count(c) AS n_chunks").collect()
       assert(solo.head.getLong(0) == n, s"$seed: $n vs ${solo.head.getLong(0)}")
     }
+  }
+
+  test("relationship variable parses and exposes edge properties (Ex24)") {
+    val Seq(q) = parse(Ex24)
+    assert(q.paths.head.rels ==
+      Seq(CypherLite.RelPat(Some("r"), Seq("CO_OCCURS"), reversed = false, None)))
+    assert(q.where.contains(NumPred("r", "weight", ">=", 2)))
+    // weights read through the compiled path equal the co-occurrence
+    // edge list's — the property round-trips, not just the topology
+    val got = CypherLite.run(spark, TestSpark.sf, Ex24).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    val want = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .filter(col("src") === "spark group" && col("weight") >= 2).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    got.foreach { case (name, w) =>
+      assert(want.get(name).contains(w), s"weight for $name: $w vs ${want.get(name)}")
+    }
+  }
+
+  test("multi-type hop unions edge tables and type(r) tags the branch (Ex25)") {
+    val Seq(q) = parse(Ex25)
+    assert(q.paths.head.rels == Seq(CypherLite.RelPat(Some("r"),
+      Seq("CONTAINS", "HAS_TOPIC"), reversed = false, None)))
+    assert(q.paths.head.nodes.last.label.isEmpty, "x is uid-only")
+    val got = CypherLite.run(spark, TestSpark.sf, Ex25).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keys.map(_._2).toSet.subsetOf(Set("CONTAINS", "HAS_TOPIC")))
+    // per-branch counts match the single-type compiled queries
+    got.collect { case ((uid, "CONTAINS"), n) =>
+      val solo = CypherLite.run(spark, TestSpark.sf,
+        s"MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.uid = '$uid' " +
+          "RETURN count(c) AS n").head().getLong(0)
+      assert(solo == n, s"$uid CONTAINS: $n vs $solo")
+    }
+  }
+
+  test("labels() literal and CASE WHEN bucketing over rel properties (Ex26)") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex26).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0) == """["Person"]"""))
+    val kinds = rows.map(_.getString(1)).toSet
+    assert(kinds.subsetOf(Set("multiword", "single")))
+    // bucket counts recomputed from the property-bearing edge table
+    val pe = CypherLite.edgesWithProps(spark, TestSpark.sf, "MENTIONS", Some("Person"))
+      .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Int]("start_pos")))
+    val wantMulti = pe.count(_._1 >= 2).toLong
+    val wantSingle = pe.count(_._1 < 2).toLong
+    val gotMap = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(gotMap.getOrElse("multiword", 0L) == wantMulti)
+    assert(gotMap.getOrElse("single", 0L) == wantSingle)
+  }
+
+  test("numeric CASE branches and ELSE-less CASE null-fill compile") {
+    val n = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[r:MENTIONS]->(p:Person) " +
+        "RETURN CASE WHEN r.n_tokens >= 2 THEN 1 ELSE 0 END AS is_multi, " +
+        "count(c) AS n ORDER BY is_multi").collect()
+    assert(n.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L)))
+    val noElse = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[r:MENTIONS]->(p:Person) " +
+        "RETURN CASE WHEN r.n_tokens >= 2 THEN 'multi' END AS k, count(c) AS n " +
+        "ORDER BY k").collect()
+    // unmatched rows fall to NULL (Cypher CASE without ELSE)
+    assert(noElse.exists(_.isNullAt(0)) || noElse.forall(!_.isNullAt(0)))
   }
 }
