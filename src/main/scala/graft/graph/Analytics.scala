@@ -520,6 +520,40 @@ object Analytics {
       .orderBy("dist", "name")
   }
 
+  val WspRounds = 6 // Bellman-Ford relaxation rounds (≥ graph diameter here)
+
+  /** WEIGHTED single-source shortest paths from the seed entity —
+    * "how strongly are X and Y connected": the co-occurrence graph
+    * carries weights (co-mention counts) that hop-count BFS ignores,
+    * so a pair bridged by one weak link scored the same as a pair
+    * joined by a heavily co-mentioned chain. Edge length is the
+    * INTEGER reciprocal cost `1000000 div weight` (stronger tie →
+    * shorter edge; integer division so path sums are exact BIGINTs —
+    * no float crosses an exchange or the engine boundary), and
+    * distances come from WspRounds bounded Bellman-Ford relaxations —
+    * the same frontier-join shape as qShortestPath's BFS (min
+    * distances only tighten; one equi-join + map-side-combined min
+    * per round over the checkpointed edge list). Replayed exactly by
+    * the unrolled-CTE oracle; GraphXSpec cross-checks the full
+    * distance map against an independent Pregel min-sum run.
+    */
+  def qWeightedShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+      .selectExpr("src", "dst", "1000000 div weight AS cost")
+      .localCheckpoint()
+    var dist = spark.range(1)
+      .select(lit(BfsSeed).as("node"), lit(0L).as("dist"))
+    for (i <- 1 to WspRounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 || i == WspRounds) dist = dist.localCheckpoint()
+    }
+    dist.select(col("node").as("name"), col("dist").as("wdist"))
+      .orderBy("wdist", "name")
+  }
+
   val PprAlpha = 0.15 // restart probability back to the seed
 
   /** PERSONALIZED PageRank from a seed entity — the graph-RAG
@@ -1267,6 +1301,7 @@ object Analytics {
     "q_pagerank_weighted" -> qPagerankWeighted,
     "q_triangles" -> qTriangles,
     "q_shortest_path" -> qShortestPath,
+    "q_wsp" -> qWeightedShortestPath,
     "q_kcore" -> qKcore,
     "q_lpa_communities" -> qLpaCommunities,
     "q_modularity" -> qModularity,
@@ -1420,6 +1455,25 @@ object Analytics {
          |$iters
          |SELECT node AS name, dist FROM d$BfsHops
          |ORDER BY dist, name""".stripMargin
+    },
+    "q_wsp" -> {
+      val iters = (1 to WspRounds).map { i =>
+        val prev = s"w${i - 1}"
+        s"""w$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + e.cost AS dist
+           |    FROM $prev p JOIN ec e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $CooccurSql,
+         |ec AS MATERIALIZED (
+         |  SELECT src, dst, 1000000 // weight AS cost FROM edges),
+         |w0 AS (SELECT '$BfsSeed' AS node, CAST(0 AS BIGINT) AS dist),
+         |$iters
+         |SELECT node AS name, CAST(dist AS BIGINT) AS wdist FROM w$WspRounds
+         |ORDER BY wdist, name""".stripMargin
     },
     "q_triangles" ->
       s"""WITH $CooccurSql,

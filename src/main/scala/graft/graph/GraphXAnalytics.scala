@@ -106,6 +106,37 @@ object GraphXAnalytics {
       .toDF("name", "graphx_dist")
   }
 
+  /** Weighted single-source shortest paths on the Pregel engine — the
+    * independent reference for Analytics.qWeightedShortestPath. Edge
+    * length is the same integer reciprocal cost (1000000 / weight,
+    * JVM integer division ≡ Spark `div` on positives), and
+    * maxIterations = the Bellman-Ford round bound, so frontier-based
+    * Pregel relaxation computes EXACTLY the bounded-BF distances —
+    * the spec asserts full-map equality, not approximation.
+    */
+  def weightedShortestPaths(spark: SparkSession, dir: String, seed: String,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val g0 = graph(spark, dir)
+    val seedId = g0.vertices.filter(_._2 == seed).map(_._1).collect() match {
+      case Array(id) => id
+      case other => throw new IllegalArgumentException(
+        s"seed $seed matched ${other.length} vertices")
+    }
+    val inf = Long.MaxValue / 4 // headroom so relax sums never overflow
+    val sssp = g0.mapVertices((id, _) => if (id == seedId) 0L else inf)
+      .mapEdges(e => 1000000L / e.attr)
+    val res = org.apache.spark.graphx.Pregel(sssp, inf, maxIterations = rounds)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      math.min)
+    res.vertices.join(g0.vertices)
+      .filter(_._2._1 < inf)
+      .map { case (_, (d, name)) => (name, d) }
+      .toDF("name", "graphx_wdist")
+  }
+
   /** Per-vertex triangle counts on the Pregel engine — the independent
     * reference for Analytics.qTriangles' degree-oriented wedge join.
     * TriangleCount requires canonical edges (src < dst, no duplicates),

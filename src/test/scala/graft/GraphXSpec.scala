@@ -144,4 +144,29 @@ class GraphXSpec extends AnyFunSuite {
     assert(df.maxBy(_._2)._1 == Analytics.BfsSeed)
     assert(gx.maxBy(_._2)._1 == Analytics.BfsSeed)
   }
+
+  test("weighted shortest paths: DataFrame Bellman-Ford equals GraphX Pregel exactly") {
+    val df = Analytics.qWeightedShortestPath(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = GraphXAnalytics.weightedShortestPaths(spark, TestSpark.sf,
+        Analytics.BfsSeed, Analytics.WspRounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer costs + identical round bound → the full distance maps
+    // must be EQUAL, reachable set included
+    assert(df == gx, {
+      val onlyDf = df.keySet -- gx.keySet
+      val onlyGx = gx.keySet -- df.keySet
+      val diff = (df.keySet & gx.keySet).filter(k => df(k) != gx(k))
+      s"maps diverge: onlyDf=$onlyDf onlyGx=$onlyGx valueDiff=${diff.take(5)}"
+    })
+    assert(df(Analytics.BfsSeed) == 0L)
+    // a weighted distance is never larger than hop-count × the max
+    // possible edge cost (sanity tie to the unweighted BFS)
+    val hops = Analytics.qShortestPath(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    hops.filter(_._2 <= Analytics.WspRounds).foreach { case (n, h) =>
+      assert(df.contains(n), s"$n reached by BFS in $h hops but absent from WSP")
+      assert(df(n) <= h.toLong * 1000000L, s"$n: wdist ${df(n)} > $h hops × 1e6")
+    }
+  }
 }
