@@ -102,33 +102,48 @@ object Catalog {
     * and nothing here is local-mode-specific (at 100 TB, nFiles
     * scales with corpus bytes / target file size).
     */
-  def writeZOrdered(spark: SparkSession, dir: String, outPath: String,
-      nFiles: Int = 8): Unit = {
+  /** The z-clustered documents DataFrame (one output file per range
+    * partition) — exposed so callers can route the SAME layout through
+    * any sink: a plain parquet write (writeZOrdered) or a snapshot
+    * commit (where re-reading an already-written copy would let the
+    * scan bin-pack the small files together and coarsen the layout).
+    */
+  def zOrderedDocuments(spark: SparkSession, dir: String,
+      nFiles: Int = 8): DataFrame = {
     import graft.functions.ZOrder64.zorder64
     Tables.documents(spark, dir)
       .withColumn("zv", zorder64(col("n_chars"), col("doc_id")))
       .repartitionByRange(nFiles, col("zv"))
       .sortWithinPartitions("zv")
       .drop("zv")
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
 
-  /** 2-D box scan over the z-ordered layout (ORACLE-CHECKED): write
-    * the clustered copy, read it back under a predicate on both
+  def writeZOrdered(spark: SparkSession, dir: String, outPath: String,
+      nFiles: Int = 8): Unit =
+    zOrderedDocuments(spark, dir, nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** 2-D box scan over the z-ordered layout (ORACLE-CHECKED): commit
+    * the clustered copy as a MANIFEST SNAPSHOT, read it back through
+    * manifest-level stats pruning under a predicate on both
     * clustering columns, and return the matching rows — hash-equal to
-    * the same filter on the original table proves the layout
-    * transform is lossless and filter-correct. ZOrderSpec separately
-    * proves the locality claim (the box's rows occupy a strict subset
-    * of files vs. a hash-scattered layout touching all of them).
+    * the same filter on the original table proves the whole path
+    * (layout transform → stats collection → manifest pruning →
+    * residual filter) is lossless and filter-correct. ZOrderSpec
+    * separately proves the locality claims (fewer files than a
+    * hash-scattered layout; pruned set ⊇ the truly-touched set and
+    * strictly smaller than the snapshot).
     */
   def qZOrderScan(spark: SparkSession, dir: String): DataFrame = {
     // per-process path: two JVMs running this query against the same
     // sf dir must not Overwrite each other's copy mid-scan (litter is
-    // bounded at one dir per process, re-overwritten per invocation)
+    // bounded at one dir per process; vacuum keeps one live version)
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_zorder_${ProcessHandle.current().pid()}_${new java.io.File(dir).getName}").getPath
-    writeZOrdered(spark, dir, out)
-    spark.read.parquet(out)
+    val v = snapshotCommit(spark, zOrderedDocuments(spark, dir), out)
+    vacuumSnapshots(out, keep = 1)
+    readSnapshotPruned(spark, out,
+        Map("doc_id" -> (100L, 299L), "n_chars" -> (100L, 300L)), version = v)
       .filter(col("doc_id").between(100, 299) &&
         col("n_chars").between(100, 300))
       .select(col("doc_id"), col("n_chars"), col("lang"),
@@ -243,6 +258,11 @@ object Catalog {
     * and shared across versions). Single-writer-at-a-time, like any
     * manifest table without a locking catalog service in front.
     */
+  /** Columns per-file min/max stats are collected for at commit time
+    * (manifest-level pruning; see [[readSnapshotPruned]]).
+    */
+  val StatColumns: Seq[String] = Seq("doc_id", "n_chars", "lang")
+
   def snapshotCommit(spark: SparkSession, df: DataFrame, path: String,
       overwrite: Boolean = true): Int = {
     val root = new java.io.File(path)
@@ -254,12 +274,52 @@ object Catalog {
     val staged = Option(stage.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
+    // Per-file min/max stats for the manifest (the Iceberg/Delta
+    // move): ONE pass over the staged files grouped by
+    // input_file_name, so a box query can prune at MANIFEST level —
+    // at 100 TB parquet-footer pruning still pays a listing + footer
+    // read per file; the manifest answers from metadata alone. The
+    // collect is manifest-sized (O(#files) — the same bound as the
+    // manifest write itself). Manifest line: path [\t col \t min \t
+    // max]*; columns with NULL or separator-carrying extremes are
+    // simply omitted (absent stats → never pruned, always safe).
+    val statCols = df.columns.filter(StatColumns.contains)
+    val statsOf: Map[String, Seq[String]] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        spark.read.parquet(stage.getPath)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            // input_file_name is a URI (file:///…); staged paths are
+            // plain absolute paths — normalize through URI
+            val raw = r.getString(0)
+            val p = try new java.net.URI(raw).getPath catch {
+              case _: Exception => raw.stripPrefix("file:")
+            }
+            val triples = statCols.zipWithIndex.flatMap { case (c, i) =>
+              (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+                case (Some(mn), Some(mx))
+                    if !(mn + mx).exists(ch => ch == '\t' || ch == '\n') =>
+                  Seq(c, mn, mx)
+                case _ => Seq.empty
+              }
+            }
+            p -> triples.toSeq
+          }.toMap
+      }
+    val stagedLines = staged.map(p =>
+      (p +: statsOf.getOrElse(p, Seq.empty)).mkString("\t"))
     val carried =
       if (overwrite || prev == 0) Seq.empty
-      else manifestFiles(path, prev)
+      else manifestLines(path, prev)
     val manifest = new java.io.File(root, s"v$version.manifest")
     java.nio.file.Files.write(manifest.toPath,
-      (carried ++ staged).mkString("", "\n", "\n")
+      (carried ++ stagedLines).mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the commit point: readers see the new version only after this
     // rename (atomic on POSIX; object stores use a conditional put)
@@ -281,12 +341,77 @@ object Catalog {
     else 0
   }
 
-  private def manifestFiles(path: String, version: Int): Seq[String] = {
+  private def manifestLines(path: String, version: Int): Seq[String] = {
     val m = new java.io.File(path, s"v$version.manifest")
     require(m.exists(), s"no manifest for version $version at $path")
     new String(java.nio.file.Files.readAllBytes(m.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** One manifest entry: the data file plus its per-column (min, max)
+    * stats (absent for pre-stats manifests or skipped columns).
+    */
+  case class ManifestEntry(path: String, stats: Map[String, (String, String)])
+
+  private def manifestEntries(path: String, version: Int): Seq[ManifestEntry] =
+    manifestLines(path, version).map { line =>
+      val fields = line.split("\t", -1)
+      ManifestEntry(fields.head,
+        fields.drop(1).grouped(3).collect {
+          case Array(c, mn, mx) => c -> (mn, mx)
+        }.toMap)
+    }
+
+  private def manifestFiles(path: String, version: Int): Seq[String] =
+    manifestEntries(path, version).map(_.path)
+
+  /** Manifest-level file pruning: keep only files whose stats can
+    * match `ranges` (numeric inclusive [lo, hi] per column) and `eqs`
+    * (string equality; lexicographic min/max containment). Files
+    * without stats for a referenced column are kept — absence of
+    * evidence never prunes. Returns (surviving files, total files).
+    * Composes with [[writeZOrdered]]: committing the z-ordered layout
+    * gives every file a tight box in (doc_id, n_chars), so a box
+    * query opens only the files its box overlaps — the scan plan
+    * never even lists the rest (they are dropped before
+    * spark.read.parquet is constructed).
+    */
+  def prunedSnapshotFiles(path: String, ranges: Map[String, (Long, Long)],
+      eqs: Map[String, String] = Map.empty,
+      version: Int = -1): (Seq[String], Int) = {
+    val latest = latestVersion(path)
+    val v = if (version > 0) version else latest
+    require(v > 0, s"no committed snapshot at $path")
+    val entries = manifestEntries(path, v)
+    def liveFor(e: ManifestEntry): Boolean = {
+      val numOk = ranges.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) =>
+          try { !(mx.toLong < lo || mn.toLong > hi) }
+          catch { case _: NumberFormatException => true } // unknown → keep
+        }
+      }
+      val eqOk = eqs.forall { case (c, value) =>
+        e.stats.get(c).forall { case (mn, mx) => mn <= value && value <= mx }
+      }
+      numOk && eqOk
+    }
+    (entries.filter(liveFor).map(_.path), entries.size)
+  }
+
+  /** Read a snapshot with manifest-level pruning applied. The pruning
+    * is a FILE-SELECTION step only — callers still apply their row
+    * filter (pruning keeps any file that could match; the residual
+    * filter drops the rest of its rows).
+    */
+  def readSnapshotPruned(spark: SparkSession, path: String,
+      ranges: Map[String, (Long, Long)],
+      eqs: Map[String, String] = Map.empty,
+      version: Int = -1): DataFrame = {
+    val (files, _) = prunedSnapshotFiles(path, ranges, eqs, version)
+    if (files.isEmpty)
+      readSnapshot(spark, path, version).limit(0)
+    else spark.read.parquet(files: _*)
   }
 
   /** Read a snapshot: the given version, or the committed latest. The

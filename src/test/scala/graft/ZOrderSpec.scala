@@ -118,4 +118,49 @@ class ZOrderSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(n_chars,100"),
       s"both box predicates must reach the scan:\n$plan")
   }
+
+  test("manifest stats prune a box query to only the matching z-ordered files") {
+    // The Iceberg/Delta move the snapshot layer stopped short of:
+    // at 100 TB parquet-footer pruning still pays a listing + footer
+    // read per file — the manifest's per-file min/max answers from
+    // metadata alone, BEFORE the scan is even constructed.
+    val table = Files.createTempDirectory("manifest_prune").toString + "/t"
+    val nFiles = 16
+    // commit the z-clustered DataFrame DIRECTLY: re-reading a written
+    // copy would bin-pack the small files together and coarsen the
+    // layout the pruning claim depends on
+    assert(Catalog.snapshotCommit(spark,
+      Catalog.zOrderedDocuments(spark, TestSpark.sf, nFiles), table) === 1)
+    val ranges = Map("doc_id" -> (100L, 299L), "n_chars" -> (100L, 300L))
+    val (kept, total) = Catalog.prunedSnapshotFiles(table, ranges)
+    assert(total >= nFiles - 2, s"expected ~$nFiles committed files, got $total")
+    // correctness: pruned read + residual filter ≡ full read + filter
+    def boxRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id").between(100, 299) && col("n_chars").between(100, 300))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val full = boxRows(Catalog.readSnapshot(spark, table))
+    val pruned = boxRows(Catalog.readSnapshotPruned(spark, table, ranges))
+    assert(pruned == full, "pruned scan must return the identical box rows")
+    // the pruning claim: the kept set is EXACTLY the files the box
+    // touches — no file is opened that footer pruning would also skip
+    val touched = Catalog.readSnapshot(spark, table)
+      .filter(col("doc_id").between(100, 299) && col("n_chars").between(100, 300))
+      .select(input_file_name()).distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    assert(touched.subsetOf(kept.toSet), "pruning must never drop a matching file")
+    // min/max stats are per-column (same granularity as parquet
+    // footers), so kept may exceed the exactly-touched set by files
+    // whose column ranges overlap without a joint hit — bound the
+    // looseness against the truly-touched set and require REAL
+    // pruning (files dropped before the scan is constructed)
+    assert(kept.size < total,
+      s"the box must prune at least one file: kept ${kept.size}/$total")
+    assert(kept.size <= touched.size + total / 2,
+      s"per-column stats too loose: kept ${kept.size}, touched ${touched.size}, total $total")
+    // string-equality pruning composes (lang is a stat column)
+    val (langKept, _) = Catalog.prunedSnapshotFiles(table,
+      Map.empty, eqs = Map("lang" -> "zz_no_such_lang"))
+    assert(langKept.isEmpty || langKept.size < total,
+      "an impossible lang literal should prune aggressively")
+  }
 }
