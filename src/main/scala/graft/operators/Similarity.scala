@@ -384,6 +384,37 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** The standing IVF serving index (cid, vec_id, v, nrm) — what
+    * ingest materializes once and serving probes forever: every
+    * corpus vector under its assigned cell. The streaming retrieval
+    * twin (EventStream.annProbeStream) joins this stream-static on
+    * cid, exactly like the dedup screens probe their standing
+    * band/hash indexes.
+    */
+  def ivfServingIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
+      .select("cid", "vec_id", "v", "nrm")
+  }
+
+  /** The IVF centroid table as ONE row carrying an array of (cid, cv,
+    * cnrm) structs — the in-RAM centroid table every vector-search
+    * query server holds (FAISS keeps exactly this). Broadcast against
+    * an arriving query stream, it makes the probe pick a stateless
+    * per-row HOF computation: no stream state, no aggregate before
+    * the cell join.
+    */
+  def ivfCentroidArray(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cents"))
+
   /** Batch ANN retrieval — the RAG serving shape at scale: every query
     * vector probes its IvfProbes nearest IVF cells and scores ONLY the
     * vectors assigned there, so per-query cost is nprobe/K of the

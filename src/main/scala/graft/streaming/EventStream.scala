@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -381,6 +381,47 @@ object EventStream {
     * doc_id in update mode. At scale the static side is the same
     * benchmark-sized broadcast the batch plan uses.
     */
+  /** Streaming ANN retrieval twin — qKnnJoinIvf at serve time: each
+    * ARRIVING query vector picks its IvfProbes nearest cells from the
+    * broadcast one-row centroid array (a stateless per-row HOF sort —
+    * the in-RAM centroid table every query server holds, so there is
+    * no aggregate and no stream state before the cell join), probes
+    * the STANDING cell index by stream-static equi-join on cid
+    * (mirroring the dedup screens' standing band/hash indexes), and
+    * keeps its top-k by cosine through ONE bounded update-mode
+    * aggregate (TopKByScoreAgg: state = k pairs per query, mergeable,
+    * so micro-batch boundaries cannot change the converged result).
+    * Scores ride the same integer micro-grid as the batch plan —
+    * StreamingSpec splits the query stream mid-batch and matches
+    * qKnnJoinIvf exactly.
+    */
+  def annProbeStream(queries: DataFrame, centArray: DataFrame,
+      index: DataFrame,
+      k: Int = graft.operators.Similarity.KnnK): DataFrame = {
+    import graft.operators.Similarity.IvfProbes
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val probed = queries.withColumn("one", lit(1))
+      .join(broadcast(centArray.withColumn("one", lit(1))), "one")
+      // per-row probe pick: sort (−qcos, cid) structs ascending =
+      // cosine desc with cid tie-break — the batch probe pick's exact
+      // ordering (dot's HOF fold is spec'd bit-equal to the native)
+      .withColumn("probes", slice(transform(array_sort(transform(col("cents"),
+          c => struct((-(dot(col("qv"), c.getField("cv"))
+              / (col("qnrm") * c.getField("cnrm")))).as("negq"),
+            c.getField("cid").as("cid")))),
+          s => s.getField("cid")), 1, IvfProbes))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        explode(col("probes")).as("cid"))
+    val scored = probed.join(index, "cid")
+      .withColumn("score_micro",
+        round(round(dot(col("qv"), col("v")) / (col("nrm") * col("qnrm")), 6) * 1e6)
+          .cast("long"))
+    val topk = udaf(new graft.functions.TopKByScoreAgg(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score_micro"), col("vec_id")).as("topk"))
+  }
+
   def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
     graft.operators.Curation.gramsOfDocs(docs)
       .join(broadcast(evalGrams), "gh")

@@ -553,6 +553,46 @@ class StreamingSpec extends AnyFunSuite {
       "streaming path counts diverged from the batch trigram counts")
   }
 
+  test("streaming ANN probe matches qKnnJoinIvf across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.operators.Similarity
+    // the standing serving state: cell index over the corpus half
+    // (vec_id >= 5, qKnnJoinIvf's split) + the one-row centroid array
+    val index = S.ivfServingIndex(spark, TestSpark.sf)
+      .filter(col("vec_id") >= 5).localCheckpoint(false)
+    val centArr = S.ivfCentroidArray(spark, TestSpark.sf).localCheckpoint(false)
+    // arriving queries: the same 5 probe vectors, split mid-stream
+    val qRows = S.vectors(spark, TestSpark.sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val input = MemoryStream[(Long, Seq[Double], Double)]
+    val q = EventStream.annProbeStream(
+        input.toDF().toDF("query_id", "qv", "qnrm"), centArr, index)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ann_stream").start()
+    try {
+      input.addData(qRows.take(2).toSeq: _*); q.processAllAvailable()
+      input.addData(qRows.drop(2).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_stream")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t._2").as("vec_id"),
+        col("t._1").as("score_micro"), (col("i") + 1).as("rk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+      .toSet
+    val want = S.qKnnJoinIvf(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Math.round(r.getDouble(2) * 1e6), r.getInt(3).toLong))
+      .toSet
+    assert(got == want, {
+      val miss = want -- got; val extra = got -- want
+      s"stream vs batch diverged: missing=${miss.take(5)} extra=${extra.take(5)}"
+    })
+  }
+
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
     val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
     val fromSql = ids.toDF("user_id")
