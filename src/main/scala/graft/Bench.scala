@@ -15,6 +15,13 @@ object Bench {
   private[graft] val GraphAmortizedQs = Seq("q_cooccur", "q_entity_degree",
     "q_graph_nodes", "q_chunks_by_entities", "q_article_topics",
     "q_cypher_ex1")
+
+  /** The ANN family the materialized-index segment re-runs: every
+    * query that consumes the IVF assignment or the PQ codes the
+    * standing index stores (Catalog.materializeAnn).
+    */
+  private[graft] val AnnAmortizedQs = Seq("q_ann_ivf", "q_knn_join_ivf",
+    "q_ann_pq", "q_ann_ivfpq")
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -227,7 +234,8 @@ object Bench {
       "cooccur" -> "co", "funnel" -> "fun", "rollup" -> "ru",
       "pivot" -> "pv",
       "x_mat_shingles" -> "w3", "x_mat_graph" -> "w1",
-      "x_amortized_dedup" -> "w4", "x_amortized_graph" -> "w2")
+      "x_amortized_dedup" -> "w4", "x_amortized_graph" -> "w2",
+      "x_mat_ann" -> "w5", "x_amortized_ann" -> "w6")
   /** Cypher examples compress to digit pairs ("cypher_ex14" → "y4"):
     * c0-c9 for ex0-9, y0-y9 for ex10-19, z0-z9 for ex20-29 — every
     * key on the line is exactly 2 chars (the worst-case-fit contract
@@ -397,6 +405,15 @@ object Bench {
             catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
       finally spark.conf.unset(operators.Dedup.MaterializedConf)
+      // and for the ANN family's materialized-index path
+      try {
+        sources.Catalog.materializeAnn(spark, warmDir)
+        spark.conf.set(operators.Similarity.MaterializedConf, warmDir)
+        AnnAmortizedQs.filter(SparkEntry.queries.contains)
+          .foreach(n => try SparkEntry.queries(n)(spark, warmDir).count()
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+      finally spark.conf.unset(operators.Similarity.MaterializedConf)
     }
     release()
     // Amortized graph path: materialize the bucketed chunk/mention
@@ -458,6 +475,29 @@ object Bench {
             Seq(("x_amortized_dedup", -1.0, Some(errStr(e))))
         } finally spark.conf.unset(operators.Dedup.MaterializedConf)
       } else Seq.empty
+    // Amortized ANN path: materialize the IVF serving index + PQ
+    // codes/codebook once (timed), then re-run the ANN family against
+    // the standing tables — the FAISS-style encode-at-ingest /
+    // probe-at-serving split.
+    val annAmortized: Seq[(String, Double, Option[String])] =
+      if (only.isEmpty) {
+        val aq = AnnAmortizedQs.filter(SparkEntry.queries.contains)
+        try {
+          val t0 = System.nanoTime()
+          sources.Catalog.materializeAnn(spark, sfDir)
+          val tMat = (System.nanoTime() - t0) / 1e9
+          spark.conf.set(operators.Similarity.MaterializedConf, sfDir)
+          val t1 = System.nanoTime()
+          aq.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+          val tRun = (System.nanoTime() - t1) / 1e9
+          release()
+          Seq(("x_mat_ann", tMat, None),
+            ("x_amortized_ann", tRun, None))
+        } catch {
+          case e: Throwable =>
+            Seq(("x_amortized_ann", -1.0, Some(errStr(e))))
+        } finally spark.conf.unset(operators.Similarity.MaterializedConf)
+      } else Seq.empty
     // A failing query is REPORTED, not silently timed at -1: per-query
     // err strings and a failure count ride the emitted JSON.
     val results = selected.map { case (name, fn) =>
@@ -469,7 +509,7 @@ object Bench {
       release()
       (name, dt, err)
     }
-    val all = results.toSeq ++ amortized ++ dedupAmortized
+    val all = results.toSeq ++ amortized ++ dedupAmortized ++ annAmortized
     // The driver captures only the trailing ~2000 chars of output —
     // metricLine is self-limiting against that window (see its doc).
     val total = results.map(_._2).sum

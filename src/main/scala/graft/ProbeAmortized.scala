@@ -54,6 +54,19 @@ object ProbeAmortized {
       dq.foreach(time("dd_amort1", _))
       dq.foreach(time("dd_amort2", _))
     } finally spark.conf.unset(operators.Dedup.MaterializedConf)
+    // same protocol for the ANN segment (standing IVF + PQ index)
+    val aq = Bench.AnnAmortizedQs
+    aq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    aq.foreach(time("ann_cold1", _))
+    aq.foreach(time("ann_cold2", _))
+    val t2 = System.nanoTime()
+    sources.Catalog.materializeAnn(spark, sfDir)
+    println(f"[probe] materialize_ann ${(System.nanoTime() - t2) / 1e9}%.2f s")
+    spark.conf.set(operators.Similarity.MaterializedConf, sfDir)
+    try {
+      aq.foreach(time("ann_amort1", _))
+      aq.foreach(time("ann_amort2", _))
+    } finally spark.conf.unset(operators.Similarity.MaterializedConf)
     spark.stop()
   }
 }

@@ -71,6 +71,34 @@ object Catalog {
       .saveAsTable(table)
   }
 
+  /** Write the standing ANN artifacts — the IVF serving index
+    * (cell-bucketed so a probe's cell scan is bucket-local), the PQ
+    * code table (vec_id-bucketed for the members↔codes join), and the
+    * trained PQ codebook (M·K rows, broadcast at query time) — the
+    * three tables a FAISS-style deployment computes once at ingest.
+    * Similarity.MaterializedConf switches the ANN family's reads onto
+    * them: per-query work drops to probe-pick + cell scan + ADC
+    * lookups, with assignment and codebook training fully amortized.
+    */
+  def materializeAnn(spark: SparkSession, dir: String,
+      ivfTable: String = "graft_ivf",
+      codesTable: String = "graft_pq_codes",
+      codebookTable: String = "graft_pq_codebook"): Unit = {
+    import graft.operators.Similarity
+    Seq(ivfTable, codesTable, codebookTable).foreach(dropManaged(spark, _))
+    Similarity.ivfServingIndex(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
+      .saveAsTable(ivfTable)
+    val subs = Similarity.pqSubspaces(Similarity.vectors(spark, dir))
+    val cb = Similarity.pqTrainCodebook(subs)
+    cb.write.mode(SaveMode.Overwrite).saveAsTable(codebookTable)
+    Similarity.pqEncode(subs, cb)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
+      .saveAsTable(codesTable)
+  }
+
   /** The co-located join over the bucketed tables: both per-doc
     * aggregations AND the join run on the bucket layout, so nothing
     * shuffles on doc_id (join keys must equal the bucket spec —

@@ -14,7 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   private val segments = Seq("x_mat_graph", "x_amortized_graph",
-    "x_mat_shingles", "x_amortized_dedup")
+    "x_mat_shingles", "x_amortized_dedup",
+    "x_mat_ann", "x_amortized_ann")
   private val allNames = SparkEntry.queries.keys.toSeq ++ segments
 
   test("bench keys are collision-free across the whole query surface") {

@@ -66,6 +66,33 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Dedup.MaterializedConf)
   }
 
+  test("materialized-ANN indirection serves identical results across the family") {
+    import graft.operators.Similarity
+    val family = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "q_ann_ivf" -> (Similarity.qAnnIvf _),
+      "q_knn_join_ivf" -> (Similarity.qKnnJoinIvf _),
+      "q_ann_pq" -> (Similarity.qAnnPq _),
+      "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _))
+    val cold = family.map { case (n, fn) =>
+      n -> fn(spark, TestSpark.sf).collect().map(_.toSeq).toSeq }.toMap
+    Catalog.materializeAnn(spark, TestSpark.sf)
+    spark.conf.set(Similarity.MaterializedConf, TestSpark.sf)
+    try {
+      family.foreach { case (n, fn) =>
+        val df = fn(spark, TestSpark.sf)
+        val plan = df.queryExecution.optimizedPlan.toString
+        // every plan must probe the standing index, not re-derive it
+        val table = if (n.contains("pq")) "graft_pq_codes" else "graft_ivf"
+        assert(plan.contains(table), s"$n: expected a $table scan")
+        assert(df.collect().map(_.toSeq).toSeq == cold(n), s"$n: amortized ≠ cold")
+      }
+      // dir-keyed: a different sf dir must NOT be served the tables
+      val other = Similarity.qAnnIvf(spark, "/root/testdata/sf0.01")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_ivf"),
+        "stale ANN materialization served for the wrong dir")
+    } finally spark.conf.unset(Similarity.MaterializedConf)
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
