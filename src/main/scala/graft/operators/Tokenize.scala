@@ -166,7 +166,15 @@ object Tokenize {
     var vocab = v0.localCheckpoint(false)
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to BpeRounds) {
+      // fully-merged single-symbol words contribute no pairs: Spark's
+      // sequence(1, 0) DESCENDS (it is empty in DuckDB/Postgres), so an
+      // unguarded size-1 syms would probe element_at(syms, 2) and throw
+      // — bitten by corpora with a hyper-frequent short token whose
+      // merges chain to completion inside BpeRounds (the oracle's
+      // generate_series(1, 0) is already empty, so this guard is what
+      // keeps both engines on the same semantics)
       val pairs = vocab
+        .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("a"),

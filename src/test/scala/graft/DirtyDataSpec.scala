@@ -102,4 +102,31 @@ class DirtyDataSpec extends AnyFunSuite {
     // docs 1 and 7 are byte-identical; the dirt must not break that
     assert(d.filter(col("doc_id").isin(1L, 7L)).count() >= 1)
   }
+
+  test("BPE survives a word that fully merges mid-training") {
+    // a hyper-frequent 2-char token chains (q,</w>) then (z,q</w>) in
+    // two rounds and becomes a SINGLE symbol — the remaining rounds
+    // must skip it (Spark's sequence(1, 0) descends, so an unguarded
+    // pair builder probes element_at(syms, 2) on the 1-element array
+    // and throws; DuckDB's generate_series(1, 0) is empty)
+    val d = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val t = "zq zq zq zq zq zq zq zq alpha beta gamma delta"
+    rows.add(org.apache.spark.sql.Row(1L, t, "en", "a", t.length.toLong))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val merges = operators.Tokenize.qBpeTrain(spark, d).collect()
+    assert(merges.length == operators.Tokenize.BpeRounds)
+    val merged = merges.map(_.getAs[String]("merged"))
+    assert(merged.take(2).toSeq == Seq("q</w>", "zq</w>"),
+      s"unexpected first merges: ${merged.toSeq}")
+    // rounds 3+ keep training on the still-splittable words
+    assert(merged.drop(2).forall(m => !m.contains("zq</w>")))
+  }
 }
