@@ -412,11 +412,21 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, blocked on SRP-LSH buckets
     * (reusing Similarity.Hyperplanes regrouped into EmbLshTables
     * narrow tables for recall): candidates share a bucket in ANY
-    * table, then verify cosine ≥ τ. Bucket population is data-
-    * independent of corpus size per key count (2^bits per table), so
-    * the block join never degenerates to all-pairs the way a small
-    * fixed cluster-label blocking does. Norms ride the candidate join
+    * table, then verify cosine ≥ τ. Norms ride the candidate join
     * precomputed — one dot product per verified pair.
+    *
+    * Scale shape: candidate count is Σ_buckets load², so the knobs are
+    * bits ≈ log2(n/target_load) and tables ≈ p_bit^-bits for recall
+    * (p_bit = 1 - acos(τ)/π). At THIS query's audit threshold
+    * (τ=0.35, p_bit≈0.61) wider signatures collapse recall
+    * (p^4≈0.14/table already), which is LSH theory saying low-τ range
+    * search has no cheap blocking — and the round-7 ×10 sweep confirms
+    * the growth here is the ANSWER (output ×103, runtime/pair flat):
+    * the output is quadratic because the corpus genuinely contains
+    * quadratically many τ-similar pairs. The 100 TB path for low-τ is
+    * qSemDedup's cluster∩LSH intersection; for production near-dup
+    * (τ≈0.9, p_bit≈0.86) raising EmbLshBits with n keeps both recall
+    * and per-bucket load bounded.
     */
   val EmbLshTables = 8
   val EmbLshBits = 4
