@@ -59,17 +59,24 @@ import graft.operators.TextPipeline
   *   return     := RETURN [DISTINCT] item (, item)*
   *   item       := type(r) [AS alias] | labels(v) [AS alias]
   *                 | CASE WHEN pred THEN lit ... [ELSE lit] END [AS a]
-  *                 | v.prop [AS alias] | count([DISTINCT] v|*) [AS alias]
+  *                 | v.prop [AS alias]
+  *                 | count([DISTINCT] v[.prop]|*) [AS alias]
+  *                 | size(collect([DISTINCT] v[.prop])) [AS alias]
+  *                   -- ≡ count (collect skips nulls)
   *                 | coalesce(v.prop, 'd'|n) [AS alias]  -- OPTIONAL
   *                   MATCH null-fill; groups like a plain prop
-  *                 | collect(v[.prop]) [AS alias]
+  *                 | collect([DISTINCT] v[.prop]) [AS alias]
   *                 | min/max/avg(v[.prop]) [AS alias]  -- avg rounded
   *                   to 6 decimals (summation-order determinism)
   *                 | v{.prop, key: w.prop, ...} [AS alias]  -- map
   *                   projection, emitted as a compact JSON string
   *                 -- aggregates group implicitly by the plain props
   *   orderby    := ORDER BY key [ASC|DESC] (, key [ASC|DESC])*
-  *                 where key := v.prop | bare-alias
+  *                 where key := v.prop | bare-alias | count(…) |
+  *                 sum(…) | min/max/avg(…) | size(collect(…)) --
+  *                 aggregate keys resolve to the matching RETURN
+  *                 aggregate; unrecognized keys throw (never silently
+  *                 unsorted)
   *   skip       := SKIP n   -- after ORDER BY, before LIMIT (pagination)
   *   limit      := LIMIT n
   *
@@ -331,14 +338,19 @@ object CypherLite {
   case class NotPred(p: Pred) extends Pred
   sealed trait RetItem
   case class PropItem(v: String, prop: String, alias: Option[String] = None) extends RetItem
+  /** count(v) / count(v.prop) / count(*) / count(DISTINCT …) — prop
+    * form counts non-null property values (Cypher semantics; also the
+    * compile target of `size(collect(…))`, which is count by
+    * definition since collect skips nulls).
+    */
   case class CountItem(v: String, distinct: Boolean = false,
-    alias: Option[String] = None) extends RetItem
+    alias: Option[String] = None, prop: Option[String] = None) extends RetItem
   /** collect(v) gathers node uids, collect(v.prop) gathers values;
     * flattened to a sorted ' | '-joined string (Neo4j's list order is
     * unspecified, so the sorted form is the deterministic analogue).
     */
   case class CollectItem(v: String, prop: Option[String] = None,
-    alias: Option[String] = None) extends RetItem
+    alias: Option[String] = None, distinct: Boolean = false) extends RetItem
   /** Property-map projection `v{.p1, key: w.p2}` (vector_index.ipynb
     * retrieval query's `chunk{.position, ..., date: a.publishing_date}`)
     * — compiles to a compact JSON string (to_json over a struct; the
@@ -408,7 +420,7 @@ object CypherLite {
     where: Seq[Pred],
     stages: Seq[WithStage],
     retDistinct: Boolean, ret: Seq[RetItem],
-    orderBy: Seq[(PropItem, Boolean)], // (key, descending)
+    orderBy: Seq[(RetItem, Boolean)], // (key, descending)
     limit: Option[Int],
     unwind: Option[(Seq[String], String)] = None, // UNWIND [...] AS alias
     skip: Option[Int] = None) // SKIP n (applies after ORDER BY, before LIMIT)
@@ -421,12 +433,27 @@ object CypherLite {
     ("""(<-|-)\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)\s*""" +
       """(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)""").r
   private val CountRe =
-    """(?i)count\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+    """(?i)count\(\s*(DISTINCT\s+)?(\*|\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
+  /** `size(collect([DISTINCT] v[.prop]))` — the list-length idiom LLMs
+    * emit instead of count(); collect skips nulls, so it IS count.
+    */
+  private val SizeCollectRe =
+    """(?i)size\(\s*collect\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)\s*\)(?:\s+AS\s+(\w+))?""".r
+
+  /** size(collect(…)) rewrites to count with a size_collect default
+    * name (regex groups arrive as nullable Java strings).
+    */
+  private def sizeCollect(distinct: String, v: String, prop: String,
+      alias: String): CountItem =
+    CountItem(v, distinct != null,
+      Some(Option(alias).getOrElse(
+        s"size_collect_$v${Option(prop).fold("")("_" + _)}")),
+      Option(prop))
   private val CoalesceRe =
     ("""(?i)coalesce\(\s*(\w+)\.(\w+)\s*,\s*(?:'([^']*)'|(\d+))\s*\)""" +
       """(?:\s+(?i:AS)\s+(\w+))?""").r
   private val CollectRe =
-    """(?i)collect\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
+    """(?i)collect\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val SumRe =
     """(?i)sum\(\s*(\w+)(?:\.(\w+))?\s*\)(?:\s+AS\s+(\w+))?""".r
   private val AggFnRe =
@@ -627,10 +654,12 @@ object CypherLite {
         val vars = Seq.newBuilder[String]
         val items = Seq.newBuilder[RetItem]
         splitTop(itemsPart).foreach {
-          case CountRe(distinct, v, alias) =>
-            items += CountItem(v, distinct != null, Option(alias))
-          case CollectRe(v, prop, alias) =>
-            items += CollectItem(v, Option(prop), Option(alias))
+          case SizeCollectRe(distinct, v, prop, alias) =>
+            items += sizeCollect(distinct, v, prop, alias)
+          case CountRe(distinct, v, prop, alias) =>
+            items += CountItem(v, distinct != null, Option(alias), Option(prop))
+          case CollectRe(distinct, v, prop, alias) =>
+            items += CollectItem(v, Option(prop), Option(alias), distinct != null)
           case SumRe(v, prop, alias) =>
             items += SumItem(v, Option(prop), Option(alias))
           case PropRe(v, p, alias) => items += PropItem(v, p, Option(alias))
@@ -646,10 +675,12 @@ object CypherLite {
       throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
     val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
-      case CountRe(distinct, v, alias) =>
-        CountItem(v, distinct != null, Option(alias))
-      case CollectRe(v, prop, alias) =>
-        CollectItem(v, Option(prop), Option(alias))
+      case SizeCollectRe(distinct, v, prop, alias) =>
+        sizeCollect(distinct, v, prop, alias)
+      case CountRe(distinct, v, prop, alias) =>
+        CountItem(v, distinct != null, Option(alias), Option(prop))
+      case CollectRe(distinct, v, prop, alias) =>
+        CollectItem(v, Option(prop), Option(alias), distinct != null)
       case SumRe(v, prop, alias) =>
         SumItem(v, Option(prop), Option(alias))
       case AggFnRe(fn, v, prop, alias) =>
@@ -673,17 +704,33 @@ object CypherLite {
       case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
+    // ORDER BY keys: props, bare aliases, or INLINE AGGREGATES
+    // (`ORDER BY count(c) DESC`) — the latter resolve against the
+    // structurally-matching RETURN aggregate at compile time. An
+    // unrecognized key THROWS: silently dropping it would return
+    // correctly-valued rows in the wrong order, the worst failure mode
+    // for a compiled query surface.
     val orderBy = section(retSrc, "ORDER", Seq("SKIP", "LIMIT")).toSeq.flatMap {
-      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).flatMap { raw =>
+      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).map { raw =>
         val desc = raw.matches("(?is).*\\bDESC\\s*$")
         val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim
-        s match {
+        val key: RetItem = s match {
+          case SizeCollectRe(distinct, v, prop, alias) =>
+            sizeCollect(distinct, v, prop, alias)
+          case CountRe(distinct, v, prop, alias) =>
+            CountItem(v, distinct != null, Option(alias), Option(prop))
+          case SumRe(v, prop, alias) =>
+            SumItem(v, Option(prop), Option(alias))
+          case AggFnRe(fn, v, prop, alias) =>
+            AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
           case ss if ss.matches("""\w+\.\w+""") =>
-            val Array(v, p) = ss.split("\\."); Some(PropItem(v, p) -> desc)
+            val Array(v, p) = ss.split("\\."); PropItem(v, p)
           case ss if ss.matches("""\w+""") =>
-            Some(PropItem("", ss) -> desc) // bare WITH alias
-          case _ => None
+            PropItem("", ss) // bare WITH alias
+          case other => throw new IllegalArgumentException(
+            s"unsupported ORDER BY key: $other")
         }
+        key -> desc
       }
     }
     val skip = section(retSrc, "SKIP", Seq("LIMIT")).map(_.trim.toInt)
@@ -893,10 +940,11 @@ object CypherLite {
     }
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
-      case CountItem("*", _, a) => a.getOrElse("count_all")
-      case CountItem(v, _, a) => a.getOrElse(s"count_$v")
+      case CountItem("*", _, a, _) => a.getOrElse("count_all")
+      case CountItem(v, _, a, p) =>
+        a.getOrElse(p.fold(s"count_$v")(pp => s"count_${v}_$pp"))
       case CoalesceItem(v, p, _, a) => a.getOrElse(s"coalesce_${v}_$p")
-      case CollectItem(v, p, a) =>
+      case CollectItem(v, p, a, _) =>
         a.getOrElse(p.fold(s"collect_$v")(pp => s"collect_${v}_$pp"))
       case SumItem(v, p, a) =>
         a.getOrElse(p.fold(s"sum_$v")(pp => s"sum_${v}_$pp"))
@@ -940,15 +988,16 @@ object CypherLite {
       case None => col(v)
     }
     def aggCol(it: RetItem): Option[Column] = it match {
-      case it @ CountItem("*", distinct, _) =>
+      case it @ CountItem("*", distinct, _, _) =>
         require(!distinct, "count(DISTINCT *) is not Cypher")
         Some(count(lit(1)).as(outName(it)))
-      case it @ CountItem(v, distinct, _) =>
-        val c = varCol(v, None)
+      case it @ CountItem(v, distinct, _, prop) =>
+        val c = varCol(v, prop)
         Some((if (distinct) countDistinct(c) else count(c)).as(outName(it)))
-      case it @ CollectItem(v, prop, _) =>
+      case it @ CollectItem(v, prop, _, distinct) =>
+        val arr = collect_list(varCol(v, prop).cast("string"))
         Some(concat_ws(" | ",
-          array_sort(collect_list(varCol(v, prop).cast("string")))).as(outName(it)))
+          array_sort(if (distinct) array_distinct(arr) else arr)).as(outName(it)))
       case it @ SumItem(v, prop, _) =>
         Some(sum(varCol(v, prop)).as(outName(it)))
       case it @ AggFnItem(fn, v, prop, _) =>
@@ -1005,12 +1054,30 @@ object CypherLite {
     }
     if (q.orderBy.nonEmpty) {
       // ORDER BY v.prop resolves to the aliased output column if the
-      // RETURN list renamed it; v == "" is a bare WITH alias
+      // RETURN list renamed it; v == "" is a bare WITH alias; an
+      // aggregate key (`ORDER BY count(c) DESC`) resolves to the
+      // structurally-matching RETURN aggregate's output column (the
+      // sort runs AFTER the aggregation select, so a non-RETURNed
+      // aggregate has no column to sort on — loud error, not a guess)
+      def anon(it: RetItem): RetItem = it match {
+        case c: CountItem => c.copy(alias = None)
+        case c: SumItem => c.copy(alias = None)
+        case c: AggFnItem => c.copy(alias = None)
+        case other => other
+      }
       val orderCols = q.orderBy.map { case (o, desc) =>
-        val name = q.ret.collectFirst {
-          case PropItem(v, p, Some(a)) if v == o.v && p == o.prop => a
-          case BareItem(n, Some(a)) if o.v.isEmpty && n == o.prop => a
-        }.getOrElse(if (o.v.isEmpty) o.prop else s"${o.v}_${o.prop}")
+        val name = o match {
+          case p: PropItem =>
+            q.ret.collectFirst {
+              case PropItem(v, pp, Some(a)) if v == p.v && pp == p.prop => a
+              case BareItem(n, Some(a)) if p.v.isEmpty && n == p.prop => a
+            }.getOrElse(if (p.v.isEmpty) p.prop else s"${p.v}_${p.prop}")
+          case agg =>
+            q.ret.collectFirst {
+              case it if anon(it) == anon(agg) => outName(it)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ORDER BY aggregate has no matching RETURN item: $agg"))
+        }
         if (desc) col(name).desc else col(name)
       }
       df = df.orderBy(orderCols: _*)
@@ -1303,7 +1370,33 @@ object CypherLite {
       "count(c) AS n_edges, min(r.start_pos) AS first_pos " +
       "ORDER BY span_kind"
 
+  /** ORDER BY an INLINE aggregate (round 7) — `ORDER BY count(c)
+    * DESC` with the aggregate aliased in RETURN, the leaderboard shape
+    * LLMs actually emit (they alias for the output column but repeat
+    * the aggregate in the sort key). Resolves to the matching RETURN
+    * aggregate's column; before round 7 this key was SILENTLY DROPPED
+    * (right rows, wrong order) — the parser now throws on any
+    * unrecognized ORDER BY key.
+    */
+  val Ex27: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "RETURN o.name, count(c) AS n_chunks " +
+      "ORDER BY count(c) DESC, o.name LIMIT 10"
+
+  /** collect(DISTINCT …) + size(collect(DISTINCT …)) (round 7) — the
+    * per-article entity rollup with its cardinality, sorted by the
+    * size() aggregate inline. size(collect(x)) compiles to count(x)
+    * (collect skips nulls, so they are the same number).
+    */
+  val Ex28: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "RETURN a.uid, collect(DISTINCT o.name) AS orgs, " +
+      "size(collect(DISTINCT o.name)) AS n_orgs " +
+      "ORDER BY size(collect(DISTINCT o.name)) DESC, a.uid LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
+    "q_cypher_ex28" -> ((s, d) => run(s, d, Ex28)),
     "q_cypher_ex24" -> ((s, d) => run(s, d, Ex24)),
     "q_cypher_ex25" -> ((s, d) => run(s, d, Ex25)),
     "q_cypher_ex26" -> ((s, d) => run(s, d, Ex26)),
@@ -1335,6 +1428,24 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex27" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization')
+         |SELECT name AS o_name, count(*) AS n_chunks
+         |FROM edges GROUP BY name
+         |ORDER BY n_chunks DESC, o_name LIMIT 10""".stripMargin,
+    "q_cypher_ex28" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization')
+         |SELECT 'Article:' || doc_id AS a_uid,
+         |  string_agg(DISTINCT name, ' | ' ORDER BY name) AS orgs,
+         |  count(DISTINCT name) AS n_orgs
+         |FROM edges GROUP BY doc_id
+         |ORDER BY n_orgs DESC, a_uid LIMIT 10""".stripMargin,
     "q_cypher_ex24" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql}
          |SELECT dst AS o_name, weight FROM edges

@@ -560,4 +560,64 @@ class CypherLiteSpec extends AnyFunSuite {
     // unmatched rows fall to NULL (Cypher CASE without ELSE)
     assert(noElse.exists(_.isNullAt(0)) || noElse.forall(!_.isNullAt(0)))
   }
+
+  test("ORDER BY an inline aggregate resolves to the RETURN aggregate (Ex27)") {
+    val inline = CypherLite.run(spark, TestSpark.sf, Ex27).collect()
+    assert(inline.nonEmpty)
+    // the aliased-sort spelling is the same query
+    val aliased = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "RETURN o.name, count(c) AS n_chunks " +
+        "ORDER BY n_chunks DESC, o.name LIMIT 10").collect()
+    assert(inline.map(_.toSeq).toSeq == aliased.map(_.toSeq).toSeq)
+    // descending order actually holds
+    val ns = inline.map(_.getAs[Long]("n_chunks"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("unrecognized ORDER BY keys throw instead of silently unsorting") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (c:Chunk) RETURN c.uid ORDER BY c.uid + 1")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+    // an aggregate key with no matching RETURN aggregate is also loud
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+          "RETURN o.name ORDER BY count(c) DESC").collect()
+    }
+    assert(e2.getMessage.contains("no matching RETURN"))
+  }
+
+  test("collect(DISTINCT) dedupes and size(collect(DISTINCT)) is its count (Ex28)") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex28).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orgs = r.getAs[String]("orgs").split(" \\| ").toSeq
+      assert(orgs.distinct == orgs, s"collect(DISTINCT) kept dups: $orgs")
+      assert(orgs.length.toLong == r.getAs[Long]("n_orgs"),
+        s"size(collect(DISTINCT)) != list length in $r")
+    }
+    // descending by n_orgs with a_uid tiebreak
+    val key = rows.map(r => (-r.getAs[Long]("n_orgs"), r.getAs[String]("a_uid")))
+    assert(key.sameElements(key.sorted))
+    // non-distinct collect on the same match keeps duplicates
+    val plain = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "RETURN a.uid, collect(o.name) AS orgs, count(o) AS n " +
+        "ORDER BY n DESC, a.uid LIMIT 5").collect()
+    assert(plain.exists { r =>
+      val os = r.getAs[String]("orgs").split(" \\| ").toSeq
+      os.distinct.length < os.length
+    }, "expected at least one article with a repeated org mention")
+    // count(v.prop) counts non-null property values like count(v)
+    val byProp = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "RETURN count(o.name) AS n").head().getLong(0)
+    val byVar = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "RETURN count(o) AS n").head().getLong(0)
+    assert(byProp == byVar && byProp > 0)
+  }
 }
