@@ -143,6 +143,7 @@ object Bench {
       "chunk_sentences" -> "csn", "chunk_fold" -> "chf",
       "neardup_candidates" -> "ndc", "source_report" -> "srp",
       "media_phash" -> "mph", "knn_join_ivf" -> "kivf",
+      "ann_ivfpq_refine" -> "af",
       "ann_ivfpq" -> "aq", "ann_lsh" -> "al",
       "ann_ivf" -> "ai", "ann_pq" -> "apq",
       "window_suite" -> "win", "length_hist" -> "lh",

@@ -421,13 +421,36 @@ object Similarity {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % IvfStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    assignToCells(e, cents)
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
+      .select("cid", "vec_id", "v", "nrm")
+  }
+
+  /** Nearest-cell assignment (vec_id, cid) against an explicit
+    * centroid table — map-side-combined max_by per vector: the
+    * broadcast cross keeps a vector's K centroid rows in its input
+    * partition, so the partial aggregate collapses them locally and
+    * the exchange carries ONE narrow (vec_id, cid) row per vector.
+    * Tie-break: highest cosine, then lowest centroid id. Shared by
+    * the full index build and Catalog.mergeVectors' incremental adds
+    * (which pin the ORIGINAL centroid set — FAISS add() semantics).
+    */
+  private[graft] def assignToCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
-      .join(e.select("vec_id", "v", "nrm"), "vec_id")
-      .select("cid", "vec_id", "v", "nrm")
-  }
+
+  /** The same usability screen as [[vectors]] for an arbitrary
+    * (vec_id, embedding, …) batch — the ingest-side prep
+    * Catalog.mergeVectors runs on arriving vectors.
+    */
+  private[graft] def prepVectors(batch: DataFrame): DataFrame =
+    batch.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", normCol(col("v")))
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
 
   /** The IVF centroid table as ONE row carrying an array of (cid, cv,
     * cnrm) structs — the in-RAM centroid table every vector-search
@@ -674,6 +697,55 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Exact re-rank shortlist width, as a multiple of KnnK. */
+  val RefineFactor = 4
+
+  /** IVF-PQ with an exact re-ranking stage (FAISS IndexRefine): the
+    * ADC pass keeps a SHORTLIST of RefineFactor·K candidates instead
+    * of K, then ONLY those ids fetch their full vectors and re-score
+    * with the true cosine — the standard production recipe for
+    * recovering the recall PQ's 16-byte codes give up, at a bounded
+    * extra cost (RefineFactor·K point-lookups per query, independent
+    * of corpus size; the shortlist rides a broadcast against one
+    * vector scan, and the codes table never carries full vectors).
+    * With RefineFactor→∞ this IS qAnnIvf (exact within probed cells),
+    * so recall is capped by the coarse quantizer — the audit row
+    * (q_ann_recall `ivfpq_refine`) shows where this lands between
+    * `ivfpq` and `ivf`.
+    */
+  def qAnnIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
+      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(IvfProbes)
+      .select("cid")
+    val members = ivfIndexCk(spark, dir).select("cid", "vec_id")
+      .join(probed, "cid").filter(col("vec_id") =!= 0)
+    val (enc, cb) = pqIndexCk(spark, dir)
+    val qd = cb.join(broadcast(pqSubspaces(e.filter(col("vec_id") === 0))
+        .select(col("m"), col("x0"), col("x1"))), "m")
+      .withColumn("qmicro", d2Col)
+      .select(col("m"), col("k").as("code"), col("qmicro"))
+    val adc = enc.join(members, "vec_id")
+      .join(broadcast(qd), Seq("m", "code"))
+      .groupBy("vec_id", "cid").agg(sum("qmicro").as("adc_micro"))
+    val shortlist = TopKUtil.globalTopK(adc, KnnK * RefineFactor,
+        "vec_id", col("adc_micro"), col("vec_id"))
+      .select("vec_id", "cid")
+    // exact re-rank: the tiny shortlist broadcasts against ONE vector
+    // scan — full-vector arithmetic happens RefineFactor·K times total
+    val rescored = e.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    TopKUtil.globalTopK(rescored, KnnK, "vec_id", col("score").desc, col("vec_id"))
+      .select("vec_id", "cid", "score", "rk")
+      .orderBy("rk")
+  }
+
   /** ANN recall audit — recall@K of every approximate index against
     * the exact brute-force top-K, in one plan: the evaluation every
     * vector-search deployment runs before trusting an index (and
@@ -704,6 +776,7 @@ object Similarity {
     Seq(
       "ivf" -> qAnnIvf(spark, dir),
       "ivfpq" -> qAnnIvfPq(spark, dir),
+      "ivfpq_refine" -> qAnnIvfPqRefine(spark, dir),
       "lsh" -> qAnnLsh(spark, dir),
       "pq" -> qAnnPq(spark, dir))
       .map { case (m, df) => recallOf(m, df) }
@@ -836,6 +909,7 @@ object Similarity {
     "q_range_search" -> qRangeSearch,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_ivfpq_refine" -> qAnnIvfPqRefine,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
@@ -913,6 +987,7 @@ object Similarity {
          |${base(key)}
          |)) a JOIN ex USING (vec_id)""".stripMargin
     val legs = Seq("ivf" -> "q_ann_ivf", "ivfpq" -> "q_ann_ivfpq",
+        "ivfpq_refine" -> "q_ann_ivfpq_refine",
         "lsh" -> "q_ann_lsh", "pq" -> "q_ann_pq")
       .map { case (m, k) => leg(m, k) }.mkString("\nUNION ALL\n")
     s"""WITH ex AS MATERIALIZED (SELECT vec_id FROM (
@@ -985,6 +1060,41 @@ object Similarity {
          |  SELECT vec_id, cid, adc_micro,
          |    row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
          |  FROM adc)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
+    "q_ann_ivfpq_refine" ->
+      s"""WITH $VecSql, $QVecSql,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfStride = 0),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${cos("c.cv", "qv")} DESC, c.cid) AS rn
+         |    FROM cents c CROSS JOIN q)
+         |  WHERE rn <= $IvfProbes),
+         |$pqCteSql,
+         |adc AS (
+         |  SELECT enc.vec_id, a.cid, CAST(sum(qmicro) AS BIGINT) AS adc_micro
+         |  FROM enc JOIN assigned a ON enc.vec_id = a.vec_id
+         |  JOIN probed p ON a.cid = p.cid
+         |  JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.vec_id <> 0 GROUP BY enc.vec_id, a.cid),
+         |shortlist AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (ORDER BY adc_micro, vec_id) AS rk
+         |    FROM adc)
+         |  WHERE rk <= ${KnnK * RefineFactor})
+         |SELECT vec_id, cid, score, rk FROM (
+         |  SELECT s.vec_id, s.cid, round(${cos("e.v", "qv")}, 6) AS score,
+         |    row_number() OVER (
+         |      ORDER BY round(${cos("e.v", "qv")}, 6) DESC, s.vec_id) AS rk
+         |  FROM shortlist s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q)
          |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
     "q_ann_pq" ->
       s"""WITH $VecSql,

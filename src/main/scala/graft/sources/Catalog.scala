@@ -83,9 +83,20 @@ object Catalog {
   def materializeAnn(spark: SparkSession, dir: String,
       ivfTable: String = "graft_ivf",
       codesTable: String = "graft_pq_codes",
-      codebookTable: String = "graft_pq_codebook"): Unit = {
+      codebookTable: String = "graft_pq_codebook",
+      centroidsTable: String = "graft_ivf_centroids"): Unit = {
     import graft.operators.Similarity
-    Seq(ivfTable, codesTable, codebookTable).foreach(dropManaged(spark, _))
+    Seq(ivfTable, codesTable, codebookTable, centroidsTable)
+      .foreach(dropManaged(spark, _))
+    // the coarse quantizer is its OWN artifact (as in FAISS): pinned
+    // at build time so later mergeVectors batches can never pollute
+    // the centroid set (a batch vec_id hitting the modular rule must
+    // not become a centroid)
+    Similarity.vectors(spark, dir)
+      .filter(col("vec_id") % Similarity.IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
     Similarity.ivfServingIndex(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
@@ -95,6 +106,40 @@ object Catalog {
     cb.write.mode(SaveMode.Overwrite).saveAsTable(codebookTable)
     Similarity.pqEncode(subs, cb)
       .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
+      .saveAsTable(codesTable)
+  }
+
+  /** Incremental ANN ingest — FAISS add() semantics: new vectors join
+    * the standing index WITHOUT retraining anything. The coarse
+    * quantizer stays the PINNED centroid table materializeAnn wrote
+    * (never re-derived from data, so batches can't pollute it), the
+    * PQ codebook stays the trained table, and the
+    * batch appends as bucketed files alongside the existing ones —
+    * per-batch cost is batch_size·K assignment dot products plus
+    * batch_size·M code argmins, independent of standing-index size.
+    * Quantizer drift is the retrain-policy decision (FAISS leaves it
+    * to the caller too); materializeAnn is the full rebuild.
+    *
+    * batch: (vec_id, embedding, …) rows whose vec_ids are not already
+    * indexed (caller contract, same as mergeDocuments' key ownership).
+    */
+  def mergeVectors(spark: SparkSession, batch: DataFrame,
+      ivfTable: String = "graft_ivf",
+      codesTable: String = "graft_pq_codes",
+      codebookTable: String = "graft_pq_codebook",
+      centroidsTable: String = "graft_ivf_centroids"): Unit = {
+    import graft.operators.Similarity
+    val e = Similarity.prepVectors(batch).localCheckpoint(false)
+    val cents = spark.table(centroidsTable)
+    Similarity.assignToCells(e, cents)
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
+      .select("cid", "vec_id", "v", "nrm")
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
+      .saveAsTable(ivfTable)
+    Similarity.pqEncode(Similarity.pqSubspaces(e), spark.table(codebookTable))
+      .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
       .saveAsTable(codesTable)
   }

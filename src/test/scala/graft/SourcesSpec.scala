@@ -93,6 +93,52 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.MaterializedConf)
   }
 
+  test("mergeVectors: incremental adds match a full rebuild on the pinned quantizer") {
+    import graft.operators.Similarity
+    val sf = TestSpark.sf
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the held-out batch avoids the centroid rule AND the codebook
+    // seed rule, so the old dir builds the SAME quantizer the full
+    // dir would derive and codebook training can still seed
+    val isNew = col("vec_id") % Similarity.IvfStride =!= 0 &&
+      col("vec_id") % Similarity.PqStride =!= 0 &&
+      col("vec_id") % 7 === 3
+    val oldDir = Files.createTempDirectory("graft_annmerge").toString
+    all.filter(!isNew).write.mode("overwrite")
+      .parquet(s"$oldDir/embeddings.parquet")
+    Catalog.materializeAnn(spark, oldDir)
+    val before = spark.table("graft_ivf").count()
+    Catalog.mergeVectors(spark, all.filter(isNew))
+    // every usable vector is indexed exactly once
+    val merged = spark.table("graft_ivf")
+    assert(merged.count() == all.count() && merged.count() > before)
+    assert(merged.select("vec_id").distinct().count() == merged.count())
+    // 1) the merged IVF table IS the full rebuild (same centroid set)
+    val full = Similarity.ivfServingIndex(spark, sf)
+      .select("cid", "vec_id")
+    val got = merged.select("cid", "vec_id")
+    assert(got.except(full).isEmpty && full.except(got).isEmpty,
+      "incremental assignment diverged from the full rebuild")
+    // 2) batch codes use the STANDING codebook (no retrain)
+    val wantCodes = Similarity.pqEncode(
+      Similarity.pqSubspaces(Similarity.vectors(spark, sf)),
+      spark.table("graft_pq_codebook"))
+    val gotCodes = spark.table("graft_pq_codes")
+    assert(gotCodes.count() == wantCodes.count())
+    assert(gotCodes.except(wantCodes).isEmpty,
+      "merged codes diverged from standing-codebook encoding")
+    // 3) end-to-end: serving the merged index answers the full-corpus
+    // query identically to the cold in-plan path
+    val cold = Similarity.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    spark.conf.set(Similarity.MaterializedConf, sf)
+    try {
+      val served = Similarity.qAnnIvf(spark, sf)
+      assert(served.queryExecution.optimizedPlan.toString.contains("graft_ivf"))
+      assert(served.collect().map(_.toSeq).toSeq == cold,
+        "merged standing index served different results than cold")
+    } finally spark.conf.unset(Similarity.MaterializedConf)
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
