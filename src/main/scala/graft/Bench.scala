@@ -213,7 +213,7 @@ object Bench {
       "burst_detect" -> "burst", "ql_ranking" -> "ql",
       "mix_temperature" -> "mixt", "report" -> "rpt",
       "kmeans" -> "km", "ann_recall" -> "rcl",
-      "modularity" -> "mo", "proto_filter" -> "proto",
+      "modularity" -> "mo", "louvain" -> "lv", "proto_filter" -> "proto",
       "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
       "training_export" -> "texp", "bpe_train" -> "bpe",
       "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",

@@ -367,6 +367,15 @@ object Analytics {
     val e = edges(spark, dir).localCheckpoint(false)
     val com = lpaLabels(e)
       .localCheckpoint(false) // read by both endpoint joins
+    modularityBreakdown(e, com)
+  }
+
+  /** Per-community modularity of an arbitrary (node, community)
+    * partition over an edge list — shared by qModularity (LPA
+    * partition) and the qLouvain quality spec (its refined partition
+    * must not score below LPA's).
+    */
+  private[graft] def modularityBreakdown(e: DataFrame, com: DataFrame): DataFrame = {
     val tot = e.agg(sum("weight").cast("long").as("tw"))
     val wc = e
       .join(com.select(col("node").as("src"), col("community").as("cs")), "src")
@@ -406,6 +415,144 @@ object Analytics {
        |    / 1000000.0, 6) AS q
        |FROM dt LEFT JOIN wi USING (community) CROSS JOIN tot
        |ORDER BY community""".stripMargin
+
+  val LouvainRounds = 3
+
+  /** Louvain-style local-move refinement of the LPA partition
+    * (Blondel et al. 2008's move phase, synchronized): for
+    * LouvainRounds rounds every node evaluates the modularity GAIN of
+    * moving to each neighboring community — gain(i→c) = w_i,c/W −
+    * k_i·Σtot(c∖i)/W² — and moves only if the best candidate STRICTLY
+    * beats staying (ties → stay; among candidates, smaller community
+    * id). All nodes decide simultaneously against the round-start
+    * partition, which is what makes the rounds deterministic and
+    * embarrassingly parallel (sequential node-by-node moves — the
+    * classic formulation — serialize the whole graph through one
+    * scan order); the synchronous variant is the standard distributed
+    * adaptation and the spec asserts the refinement never scores
+    * below the LPA partition it starts from.
+    *
+    * Arithmetic: gains live on the integer micro-grid with the SAME
+    * bounded-factor discipline as qModularity ((x·10⁶ div W) factors
+    * ≤ 10⁶ before multiplying), so both engines floor identically and
+    * no distributed summation order can flip a move.
+    *
+    * Scale shape per round: one equi-join of the edge list against
+    * the partition (w_i,c rollup, map-side combined), a
+    * #communities-sized Σtot rollup, and per-node argmax as a single
+    * struct-min aggregate — no rank windows, nothing corpus²; lineage
+    * checkpointed per round like the other iterative ops.
+    */
+  def qLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val fin = louvainLabels(e)
+    val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
+    fin.join(sizes, "community")
+      .select(col("node").as("name"), col("community"), col("community_size"))
+      .orderBy("name")
+  }
+
+  /** The refined (node, community) table — see qLouvain. */
+  private[graft] def louvainLabels(e: DataFrame): DataFrame = {
+    val kdeg = e.groupBy("src").agg(sum("weight").cast("long").as("k"))
+      .select(col("src").as("node"), col("k"))
+      .localCheckpoint(false) // read twice per round
+    val totW = e.agg(sum("weight").cast("long").as("tw"))
+    var com = lpaLabels(e).localCheckpoint(false)
+    for (_ <- 1 to LouvainRounds) {
+      val tot = com.join(kdeg, "node")
+        .groupBy("community").agg(sum("k").cast("long").as("tot"))
+      // weight from each node into each adjacent community
+      val wic = e.join(com.select(col("node").as("dst"),
+          col("community").as("c")), "dst")
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(sum("weight").cast("long").as("w"))
+        .localCheckpoint(false) // read by candidates AND the stay gain
+      val gains = wic
+        .join(com, "node")
+        .join(kdeg, "node")
+        .join(tot.select(col("community").as("c"), col("tot")), "c")
+        .crossJoin(broadcast(totW))
+        .withColumn("tot_adj", col("tot") -
+          when(col("c") === col("community"), col("k")).otherwise(lit(0L)))
+        .withColumn("gain",
+          expr("w * 1000000 div tw" +
+            " - ((k * 1000000 div tw) * (tot_adj * 1000000 div tw)) div 1000000"))
+      val best = gains.groupBy("node")
+        .agg(min(struct((-col("gain")).as("ng"), col("c").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("best_c"), (-col("b.ng")).as("best_gain"))
+      val stay = com.join(kdeg, "node")
+        .join(tot, "community")
+        .join(wic.withColumnRenamed("c", "community"),
+          Seq("node", "community"), "left")
+        .crossJoin(broadcast(totW))
+        .withColumn("w0", coalesce(col("w"), lit(0L)))
+        .withColumn("tot_adj", col("tot") - col("k"))
+        .withColumn("stay_gain",
+          expr("w0 * 1000000 div tw" +
+            " - ((k * 1000000 div tw) * (tot_adj * 1000000 div tw)) div 1000000"))
+        .select("node", "stay_gain")
+      com = com.join(best, Seq("node"), "left")
+        .join(stay, "node")
+        .select(col("node"),
+          when(col("best_gain") > col("stay_gain"), col("best_c"))
+            .otherwise(col("community")).as("community"))
+        .localCheckpoint()
+    }
+    com
+  }
+
+  /** The same rounds unrolled as CTEs — identical micro-grid floors,
+    * identical stay-beats-tie rule.
+    */
+  private def louvainSql: String = {
+    val rounds = (1 to LouvainRounds).map { r =>
+      val prev = s"lv${r - 1}"
+      s"""t$r AS MATERIALIZED (
+         |  SELECT f.community, CAST(sum(d.wd) AS BIGINT) AS tot
+         |  FROM $prev f JOIN deg d ON d.src = f.node GROUP BY f.community),
+         |w$r AS MATERIALIZED (
+         |  SELECT e.src AS node, f.community AS c, CAST(sum(e.weight) AS BIGINT) AS w
+         |  FROM edges e JOIN $prev f ON f.node = e.dst GROUP BY e.src, f.community),
+         |g$r AS MATERIALIZED (
+         |  SELECT w.node, w.c,
+         |    w.w * 1000000 // tw
+         |      - ((d.wd * 1000000 // tw)
+         |         * ((t.tot - CASE WHEN w.c = f.community THEN d.wd ELSE 0 END)
+         |            * 1000000 // tw)) // 1000000 AS gain
+         |  FROM w$r w JOIN $prev f ON f.node = w.node
+         |  JOIN deg d ON d.src = w.node
+         |  JOIN t$r t ON t.community = w.c CROSS JOIN tots),
+         |b$r AS MATERIALIZED (
+         |  SELECT node, c AS best_c, gain AS best_gain FROM (
+         |    SELECT node, c, gain,
+         |      row_number() OVER (PARTITION BY node ORDER BY gain DESC, c) AS rn
+         |    FROM g$r) WHERE rn = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT f.node,
+         |    coalesce(w.w, 0) * 1000000 // tw
+         |      - ((d.wd * 1000000 // tw)
+         |         * ((t.tot - d.wd) * 1000000 // tw)) // 1000000 AS sg
+         |  FROM $prev f JOIN deg d ON d.src = f.node
+         |  JOIN t$r t ON t.community = f.community
+         |  LEFT JOIN w$r w ON w.node = f.node AND w.c = f.community
+         |  CROSS JOIN tots),
+         |lv$r AS MATERIALIZED (
+         |  SELECT f.node,
+         |    CASE WHEN b.best_gain > s.sg THEN b.best_c
+         |         ELSE f.community END AS community
+         |  FROM $prev f JOIN s$r s ON s.node = f.node
+         |  LEFT JOIN b$r b ON b.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lpaCtes,
+       |tots AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM edges),
+       |lv0 AS MATERIALIZED (SELECT node, community FROM fin),
+       |$rounds,
+       |sz AS (SELECT community, count(*) AS community_size
+       |  FROM lv$LouvainRounds GROUP BY community)
+       |SELECT node AS name, community, community_size
+       |FROM lv$LouvainRounds JOIN sz USING (community) ORDER BY name""".stripMargin
+  }
 
   /** Unrolled PageRank iteration CTEs for the oracle (recursive CTEs
     * can't aggregate in the recursive term, so we unroll — the oracle
@@ -1305,6 +1452,7 @@ object Analytics {
     "q_kcore" -> qKcore,
     "q_lpa_communities" -> qLpaCommunities,
     "q_modularity" -> qModularity,
+    "q_louvain" -> qLouvain,
     "q_components" -> qComponents,
     "q_degree_dist" -> qDegreeDist)
 
@@ -1439,6 +1587,7 @@ object Analytics {
     "q_pagerank" -> pagerankSql,
     "q_lpa_communities" -> lpaSql,
     "q_modularity" -> modularitySql,
+    "q_louvain" -> louvainSql,
     "q_shortest_path" -> {
       val iters = (1 to BfsHops).map { i =>
         val prev = s"d${i - 1}"

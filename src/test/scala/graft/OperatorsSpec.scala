@@ -558,6 +558,28 @@ class OperatorsSpec extends AnyFunSuite {
       "sum of community degree masses != total edge weight")
   }
 
+  test("louvain refinement never scores below the LPA partition it starts from") {
+    import graft.graph.Analytics
+    import org.apache.spark.sql.functions.col
+    val e = Analytics.edges(spark, TestSpark.sf).localCheckpoint(false)
+    def globalQ(com: org.apache.spark.sql.DataFrame): Double =
+      Analytics.modularityBreakdown(e, com).agg(sum("q")).head().getDouble(0)
+    val lpa = Analytics.qLpaCommunities(spark, TestSpark.sf)
+      .select(col("name").as("node"), col("community"))
+    val lv = Analytics.qLouvain(spark, TestSpark.sf)
+      .select(col("name").as("node"), col("community"))
+    // same node set, every node assigned exactly once
+    assert(lv.count() == lpa.count())
+    assert(lv.select("node").distinct().count() == lv.count())
+    val (qLpa, qLv) = (globalQ(lpa), globalQ(lv))
+    assert(qLv >= qLpa - 1e-9,
+      s"louvain Q $qLv fell below LPA Q $qLpa")
+    // a refined community id is always one of the graph's node names
+    // (communities are anchored on nodes, never invented)
+    assert(lv.join(e.select(col("src").as("community")).distinct(),
+      Seq("community"), "left_anti").count() == 0)
+  }
+
   test("burst detection: z recomputes from the trailing hourly counts") {
     import graft.operators.Events
     val rows = Events.qBurstDetect(spark, TestSpark.sf).collect()
