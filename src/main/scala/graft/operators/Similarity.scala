@@ -68,7 +68,11 @@ object Similarity {
     */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      // wrong-dimension rows are screened WITH the null/zero/NaN ones:
+      // under ANSI a short vector reaching pqSubspaces' element_at(v,
+      // Dim) is a TASK FAILURE, not a null — and at 100 TB such rows
+      // exist (the HOF paths only degrade because zip_with null-pads)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", normCol(col("v")))
@@ -446,7 +450,7 @@ object Similarity {
     * Catalog.mergeVectors runs on arriving vectors.
     */
   private[graft] def prepVectors(batch: DataFrame): DataFrame =
-    batch.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    batch.filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", normCol(col("v")))
@@ -570,47 +574,55 @@ object Similarity {
       .select("vec_id", "m", "x0", "x1").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     val byM = sample.groupBy(_._2)
-    val c0 = Array.ofDim[Long](PqM, PqK)
-    val c1 = Array.ofDim[Long](PqM, PqK)
+    val out = Seq.newBuilder[(Int, Int, Long, Long)]
     var m = 0
     while (m < PqM) {
-      val pts = byM(m)
-      var k = 0
-      while (k < PqK) {
-        val seed = pts.find(_._1 == k.toLong * PqStride).get
-        c0(m)(k) = seed._3; c1(m)(k) = seed._4
-        k += 1
-      }
-      var it = 0
-      while (it < PqIters) {
-        val s0 = new Array[Long](PqK); val s1 = new Array[Long](PqK)
-        val n = new Array[Long](PqK)
-        pts.foreach { case (_, _, x0, x1) =>
-          var best = 0; var bestD = Long.MaxValue
+      val pts = byM.getOrElse(m, Array.empty[(Long, Int, Long, Long)])
+      if (pts.nonEmpty) {
+        // codeword k seeds from the k-th id in (seed-rule-first,
+        // ascending) order: on a DENSE id space this is exactly the
+        // historical vec_id == k·PqStride rule; on sparse/filtered id
+        // spaces (the production norm) it degrades to the smallest
+        // available ids — and to FEWER than PqK codewords on tiny
+        // samples — instead of crashing the build. The oracle's cb0
+        // replays the same ordering (row_number over the same sort).
+        val ordered = pts.sortBy(p => (p._1 % PqStride != 0, p._1))
+        val kEff = math.min(PqK, ordered.length)
+        val c0 = new Array[Long](kEff); val c1 = new Array[Long](kEff)
+        var k = 0
+        while (k < kEff) { c0(k) = ordered(k)._3; c1(k) = ordered(k)._4; k += 1 }
+        var it = 0
+        while (it < PqIters) {
+          val s0 = new Array[Long](kEff); val s1 = new Array[Long](kEff)
+          val n = new Array[Long](kEff)
+          pts.foreach { case (_, _, x0, x1) =>
+            var best = 0; var bestD = Long.MaxValue
+            var j = 0
+            while (j < kEff) {
+              val dx = x0 - c0(j); val dy = x1 - c1(j)
+              val d = dx * dx + dy * dy
+              if (d < bestD) { bestD = d; best = j } // strict < : ties → smallest j
+              j += 1
+            }
+            s0(best) += x0 + 1000000L; s1(best) += x1 + 1000000L; n(best) += 1
+          }
           var j = 0
-          while (j < PqK) {
-            val dx = x0 - c0(m)(j); val dy = x1 - c1(m)(j)
-            val d = dx * dx + dy * dy
-            if (d < bestD) { bestD = d; best = j } // strict < : ties → smallest j
+          while (j < kEff) {
+            if (n(j) > 0) { // empty cluster keeps its previous codeword
+              c0(j) = s0(j) / n(j) - 1000000L
+              c1(j) = s1(j) / n(j) - 1000000L
+            }
             j += 1
           }
-          s0(best) += x0 + 1000000L; s1(best) += x1 + 1000000L; n(best) += 1
+          it += 1
         }
-        var j = 0
-        while (j < PqK) {
-          if (n(j) > 0) { // empty cluster keeps its previous codeword
-            c0(m)(j) = s0(j) / n(j) - 1000000L
-            c1(m)(j) = s1(j) / n(j) - 1000000L
-          }
-          j += 1
-        }
-        it += 1
+        k = 0
+        while (k < kEff) { out += ((m, k, c0(k), c1(k))); k += 1 }
       }
       m += 1
     }
     import spark.implicits._
-    (for { mm <- 0 until PqM; k <- 0 until PqK }
-      yield (mm, k, c0(mm)(k), c1(mm)(k))).toDF("m", "k", "c0", "c1")
+    out.result().toDF("m", "k", "c0", "c1")
   }
 
   /** (vec_id, m, code): argmin-distance codeword per subspace against
@@ -960,8 +972,12 @@ object Similarity {
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
        |tr AS MATERIALIZED (SELECT * FROM sub WHERE vec_id < $PqTrainSample),
        |cb0 AS MATERIALIZED (
-       |  SELECT m, CAST(vec_id // $PqStride AS INT) AS k, x0 AS c0, x1 AS c1
-       |  FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqK}),
+       |  SELECT m, k, c0, c1 FROM (
+       |    SELECT m, CAST(row_number() OVER (PARTITION BY m
+       |        ORDER BY (vec_id % $PqStride <> 0), vec_id) - 1 AS INT) AS k,
+       |      x0 AS c0, x1 AS c1
+       |    FROM tr)
+       |  WHERE k < $PqK),
        |$iters,
        |enc AS MATERIALIZED (
        |  SELECT vec_id, m, k AS code FROM (

@@ -73,6 +73,12 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_cosine_topk")(operators.Similarity.qCosineTopk(spark, dir))
   runs("q_knn_join")(operators.Similarity.qKnnJoin(spark, dir))
   runs("q_ann_lsh")(operators.Similarity.qAnnLsh(spark, dir))
+  runs("q_ann_ivf")(operators.Similarity.qAnnIvf(spark, dir))
+  runs("q_ann_pq")(operators.Similarity.qAnnPq(spark, dir))
+  runs("q_ann_ivfpq")(operators.Similarity.qAnnIvfPq(spark, dir))
+  runs("q_ann_ivfpq_refine")(operators.Similarity.qAnnIvfPqRefine(spark, dir))
+  runs("q_knn_join_ivf")(operators.Similarity.qKnnJoinIvf(spark, dir))
+  runs("q_ann_recall")(operators.Similarity.qAnnRecall(spark, dir))
   runs("q_dedup_embedding")(operators.Dedup.qDedupEmbedding(spark, dir))
   runs("q_embed_outliers")(operators.Training.qEmbedOutliers(spark, dir))
   runs("q_quantize_embeddings")(
