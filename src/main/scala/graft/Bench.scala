@@ -216,7 +216,7 @@ object Bench {
       "modularity" -> "mo", "louvain" -> "lv", "proto_filter" -> "proto",
       "zipf_fit" -> "zipf", "gram_novelty" -> "nov",
       "training_export" -> "texp", "bpe_train" -> "bpe",
-      "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk",
+      "bpe_vocab" -> "bpev", "rag_context" -> "ragc", "walks" -> "wlk", "node2vec" -> "nv",
       "neighbor_sample" -> "nbs", "betweenness" -> "btw",
       "top_component" -> "pc1",
       "token_fertility" -> "ft", "ann_ivfpq" -> "ivfpq",

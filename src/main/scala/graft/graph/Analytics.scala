@@ -1009,6 +1009,104 @@ object Analytics {
        |ORDER BY seed, step""".stripMargin
   }
 
+  /** node2vec in/out bias (Grover & Leskovec 2016): α = 1/p for the
+    * return hop, 1 for a common neighbor of the previous node, 1/q
+    * otherwise — lifted to INTEGER weights (×lcm(p,q)) so the
+    * cumulative-sum sampling below is exact in both engines. p = q =
+    * 4 → return/far weight 1, common-neighbor weight 4: a
+    * homophily-biased walk that stays inside the local cluster.
+    */
+  val N2vReturnW = 1
+  val N2vCommonW = 4
+  val N2vFarW = 1
+
+  /** Deterministic node2vec walks — the SECOND-ORDER biased variant of
+    * qWalks: the step-t choice depends on where the walk came from.
+    * Each neighbor of the current node gets an integer bias weight
+    * (see above; step 1 has no previous node → uniform), and the
+    * "random" pick is r = hash(seed, t) mod Σw landing in the
+    * neighbor's cumulative-weight slot (neighbors ordered by name) —
+    * with all weights equal this degenerates to exactly qWalks'
+    * hash-mod-degree indexed pick, and it is reproducible on any
+    * engine/partitioning, no rand().
+    *
+    * Scale shape per step: the frontier joins the edge list once for
+    * the neighbor set and LEFT-joins (prev, dst) against the edge set
+    * for the common-neighbor mark — both narrow equi-joins; the
+    * cumulative window partitions by walk (one current node's
+    * neighbor list per partition, the same hub-skew class as qWalks'
+    * adjacency index, capped upstream by the per-chunk entity cap).
+    * The frontier carries (seed, prev, node) only.
+    */
+  def qNode2vec(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var frontier = e.select(col("src").as("seed")).distinct()
+      .select(col("seed"), lit(null).cast("string").as("prev"),
+        col("seed").as("node"))
+    var out = frontier.select(col("seed"), lit(0).as("step"), col("node"))
+    val slot = Window.partitionBy("seed").orderBy("dst")
+    val whole = Window.partitionBy("seed")
+    for (t <- 1 to WalkSteps) {
+      val picked = frontier
+        .join(e.select(col("src").as("node"), col("dst")), "node")
+        .join(e.select(col("src").as("prev"), col("dst"),
+          lit(1).as("pc")).distinct(), Seq("prev", "dst"), "left")
+        .withColumn("w",
+          when(col("prev").isNull, lit(N2vCommonW))           // step 1: uniform
+            .when(col("dst") === col("prev"), lit(N2vReturnW)) // return hop
+            .when(col("pc") === 1, lit(N2vCommonW))            // dist-1 from prev
+            .otherwise(lit(N2vFarW)))                          // dist-2 (outward)
+        .withColumn("cum", sum("w").over(slot))
+        .withColumn("tot", sum("w").over(whole))
+        .withColumn("r",
+          conv(substring(md5(concat(lit("n2v#"), col("seed"), lit(s"#$t"))),
+            1, 8), 16, 10).cast("long") % col("tot"))
+        .filter(col("r") >= col("cum") - col("w") && col("r") < col("cum"))
+        .select(col("seed"), col("node").as("prev"), col("dst").as("node"))
+        .localCheckpoint(false)
+      frontier = picked
+      out = out.unionByName(picked.select(col("seed"), lit(t).as("step"), col("node")))
+    }
+    out.select("seed", "step", "node").orderBy("seed", "step")
+  }
+
+  /** The same biased hops unrolled as CTEs — identical weights,
+    * identical cumulative slots, identical hash arithmetic.
+    */
+  private def node2vecSql: String = {
+    val hops = (1 to WalkSteps).map { t =>
+      val prev = s"v${t - 1}"
+      s"""n$t AS MATERIALIZED (
+         |  SELECT w.seed, w.node AS cur, e.dst,
+         |    CASE WHEN w.prev IS NULL THEN $N2vCommonW
+         |         WHEN e.dst = w.prev THEN $N2vReturnW
+         |         WHEN pc.dst IS NOT NULL THEN $N2vCommonW
+         |         ELSE $N2vFarW END AS w
+         |  FROM $prev w JOIN edges e ON e.src = w.node
+         |  LEFT JOIN (SELECT DISTINCT src, dst FROM edges) pc
+         |    ON pc.src = w.prev AND pc.dst = e.dst),
+         |v$t AS MATERIALIZED (
+         |  SELECT seed, cur AS prev, dst AS node FROM (
+         |    SELECT seed, cur, dst, w,
+         |      sum(w) OVER (PARTITION BY seed ORDER BY dst) AS cum,
+         |      sum(w) OVER (PARTITION BY seed) AS tot
+         |    FROM n$t) x
+         |  WHERE CAST('0x' || substr(md5('n2v#' || seed || '#$t'), 1, 8) AS BIGINT) % tot
+         |        >= cum - w
+         |    AND CAST('0x' || substr(md5('n2v#' || seed || '#$t'), 1, 8) AS BIGINT) % tot
+         |        < cum)""".stripMargin
+    }.mkString(",\n")
+    val sels = (0 to WalkSteps).map(t => s"SELECT seed, $t AS step, node FROM v$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $CooccurSql,
+       |v0 AS (SELECT DISTINCT src AS seed, CAST(NULL AS VARCHAR) AS prev,
+       |  src AS node FROM edges),
+       |$hops
+       |$sels
+       |ORDER BY seed, step""".stripMargin
+  }
+
   val SampleFan1 = 3 // hop-1 fanout
   val SampleFan2 = 2 // hop-2 fanout per hop-1 neighbor
 
@@ -1438,6 +1536,7 @@ object Analytics {
     "q_betweenness" -> qBetweenness,
     "q_neighbor_sample" -> qNeighborSample,
     "q_walks" -> qWalks,
+    "q_node2vec" -> qNode2vec,
     "q_cooccur" -> qCooccur,
     "q_pmi_cooccur" -> qPmiCooccur,
     "q_entity_degree" -> qEntityDegree,
@@ -1557,6 +1656,7 @@ object Analytics {
     "q_betweenness" -> betweennessSql,
     "q_neighbor_sample" -> neighborSampleSql,
     "q_walks" -> walksSql,
+    "q_node2vec" -> node2vecSql,
     "q_cooccur" ->
       s"""WITH $CooccurSql
          |SELECT e1, e2, weight FROM cooccur ORDER BY e1, e2""".stripMargin,

@@ -558,6 +558,32 @@ class OperatorsSpec extends AnyFunSuite {
       "sum of community degree masses != total edge weight")
   }
 
+  test("node2vec walks follow edges and the in/out bias changes the paths") {
+    import graft.graph.Analytics
+    import org.apache.spark.sql.functions.col
+    val walks = Analytics.qNode2vec(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val edges = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val bySeed = walks.groupBy(_._1)
+    // every seed walks the full length, every hop is a real edge
+    bySeed.foreach { case (seed, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.length == Analytics.WalkSteps + 1, s"$seed: short walk")
+      assert(path.head == seed)
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edges.contains((a, b)), s"$seed: $a->$b is not an edge")
+      }
+    }
+    // the second-order bias actually matters: biased and uniform walks
+    // diverge somewhere (they share the hash family but not the pick)
+    val uniform = Analytics.qWalks(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(walks.exists(w => !uniform.contains(w)),
+      "biased walks identical to uniform walks — bias is a no-op")
+  }
+
   test("louvain refinement never scores below the LPA partition it starts from") {
     import graft.graph.Analytics
     import org.apache.spark.sql.functions.col
