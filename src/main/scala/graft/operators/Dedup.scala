@@ -45,7 +45,14 @@ object Dedup {
       |  FROM docs WHERE len(words) >= 3)""".stripMargin
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** The same shingle sets over an arbitrary documents batch — the
+    * ingest-side seam Catalog.mergeShingles appends through (pure
+    * per-doc function of text, so batch rows ARE the rebuild rows).
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shingleCol(col("words")).as("s"))

@@ -42,10 +42,18 @@ object TextPipeline {
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
 
   /** (doc_id, pos [1-based], word, off [exclusive char offset]). */
-  def words(spark: SparkSession, dir: String): DataFrame = {
+  def words(spark: SparkSession, dir: String): DataFrame =
+    wordsOf(Tables.documents(spark, dir))
+
+  /** The same tokenization over an arbitrary documents batch — the
+    * ingest-side seam Catalog.mergeGraph derives a batch's chunk and
+    * mention rows through (chunks/mentions are pure per-doc functions
+    * of text, so batch-derived rows ARE the full-rebuild rows).
+    */
+  private[graft] def wordsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
       .withColumn("pos", col("p0") + 1).drop("p0")
       .withColumn("off", coalesce(sum(length(col("word")) + 1).over(w), lit(0L)))
@@ -91,15 +99,18 @@ object TextPipeline {
     * MaterializedConf).
     */
   def chunks(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "graft_chunks").getOrElse {
-      withChunkId(words(spark, dir))
-        .groupBy(col("doc_id"), col("chunk_id"))
-        .agg(
-          concat_ws(" ", graft.functions.SortedField.sorted_field(
-            collect_list(struct(col("pos"), col("word"))), 1)).as("chunk_text"),
-          count(lit(1)).cast("long").as("n_words"))
-        .withColumn("n_chars", length(col("chunk_text")).cast("long"))
-    }
+    materialized(spark, dir, "graft_chunks")
+      .getOrElse(chunksOf(Tables.documents(spark, dir)))
+
+  /** Chunk rows for an arbitrary documents batch (see wordsOf). */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame =
+    withChunkId(wordsOf(docs))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        concat_ws(" ", graft.functions.SortedField.sorted_field(
+          collect_list(struct(col("pos"), col("word"))), 1)).as("chunk_text"),
+        count(lit(1)).cast("long").as("n_words"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
 
   val ChunksPieceSql: String =
     s"""chunks AS MATERIALIZED (
@@ -227,22 +238,26 @@ object TextPipeline {
     * (islands via pos - row_number()).
     */
   def mentions(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "graft_mentions").getOrElse {
-      import spark.implicits._
-      val gaz = Gazetteer.toDF("word", "label")
-      val hits = withChunkId(words(spark, dir))
-        .join(broadcast(gaz), "word")
-      val isl = Window.partitionBy("doc_id", "chunk_id", "label").orderBy("pos")
-      hits
-        .withColumn("grp", col("pos") - row_number().over(isl))
-        .groupBy(col("doc_id"), col("chunk_id"), col("label"), col("grp"))
-        .agg(
-          concat_ws(" ", graft.functions.SortedField.sorted_field(
-            collect_list(struct(col("pos"), col("word"))), 1)).as("name"),
-          min(col("pos")).as("start_pos"),
-          count(lit(1)).cast("long").as("n_tokens"))
-        .drop("grp")
-    }
+    materialized(spark, dir, "graft_mentions")
+      .getOrElse(mentionsOf(Tables.documents(spark, dir)))
+
+  /** Mention rows for an arbitrary documents batch (see wordsOf). */
+  private[graft] def mentionsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gaz = Gazetteer.toDF("word", "label")
+    val hits = withChunkId(wordsOf(docs))
+      .join(broadcast(gaz), "word")
+    val isl = Window.partitionBy("doc_id", "chunk_id", "label").orderBy("pos")
+    hits
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy(col("doc_id"), col("chunk_id"), col("label"), col("grp"))
+      .agg(
+        concat_ws(" ", graft.functions.SortedField.sorted_field(
+          collect_list(struct(col("pos"), col("word"))), 1)).as("name"),
+        min(col("pos")).as("start_pos"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .drop("grp")
+  }
 
   val MentionsPieceSql: String =
     s"""gaz(gword, label) AS (VALUES $GazetteerSql),

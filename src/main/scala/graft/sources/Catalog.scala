@@ -54,6 +54,31 @@ object Catalog {
       .saveAsTable(mentionsTable)
   }
 
+  /** Incremental graph ingest — the materialized-graph counterpart of
+    * mergeVectors: a batch of NEW documents appends its chunk and
+    * mention rows to the standing bucketed tables. Chunks/mentions
+    * are pure per-doc functions of text, so batch-derived rows are
+    * byte-identical to what a full rebuild would produce for those
+    * doc_ids — no quantizer/codebook subtleties, just bucketed
+    * appends; per-batch cost is the text pipeline over the batch
+    * alone, independent of standing-table size.
+    *
+    * batch: (doc_id, text, …) rows whose doc_ids are not already in
+    * the tables (caller contract, same as mergeDocuments).
+    */
+  def mergeGraph(spark: SparkSession, batch: DataFrame,
+      chunksTable: String = "graft_chunks",
+      mentionsTable: String = "graft_mentions"): Unit = {
+    TextPipeline.chunksOf(batch)
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
+      .saveAsTable(chunksTable)
+    TextPipeline.mentionsOf(batch)
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
+      .saveAsTable(mentionsTable)
+  }
+
   /** Write the dedup family's per-doc shingle sets as a bucketed,
     * sorted table — the ingest-once half of the amortized dedup path
     * (Dedup.MaterializedConf switches the family's reads onto it).
@@ -70,6 +95,17 @@ object Catalog {
       .bucketBy(Buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
   }
+
+  /** Incremental shingle ingest — mergeGraph's counterpart for the
+    * dedup family's standing table (same contract: NEW doc_ids only,
+    * batch-sized cost, bucketed append).
+    */
+  def mergeShingles(spark: SparkSession, batch: DataFrame,
+      table: String = "graft_shingles"): Unit =
+    Dedup.shinglesOf(batch)
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
 
   /** Write the standing ANN artifacts — the IVF serving index
     * (cell-bucketed so a probe's cell scan is bucket-local), the PQ

@@ -139,6 +139,44 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.MaterializedConf)
   }
 
+  test("mergeGraph/mergeShingles: incremental adds equal a full rebuild") {
+    import graft.operators.{Dedup, TextPipeline}
+    val sf = TestSpark.sf
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val isNew = col("doc_id") % 5 === 2
+    val oldDir = Files.createTempDirectory("graft_gmerge").toString
+    all.filter(!isNew).write.mode("overwrite")
+      .parquet(s"$oldDir/documents.parquet")
+    Catalog.materializeGraph(spark, oldDir)
+    Catalog.materializeShingles(spark, oldDir)
+    Catalog.mergeGraph(spark, all.filter(isNew))
+    Catalog.mergeShingles(spark, all.filter(isNew))
+    // chunks/mentions/shingles are pure per-doc functions, so the
+    // merged tables must EQUAL the full rebuild row-for-row
+    val wantChunks = TextPipeline.chunks(spark, sf)
+    val gotChunks = spark.table("graft_chunks")
+    assert(gotChunks.count() == wantChunks.count())
+    assert(gotChunks.except(wantChunks).isEmpty &&
+      wantChunks.except(gotChunks).isEmpty, "chunks diverged")
+    val wantMentions = TextPipeline.mentions(spark, sf)
+    val gotMentions = spark.table("graft_mentions")
+    assert(gotMentions.except(wantMentions).isEmpty &&
+      wantMentions.except(gotMentions).isEmpty, "mentions diverged")
+    assert(spark.table("graft_shingles")
+      .except(Dedup.shingleTable(spark, sf)).isEmpty, "shingles diverged")
+    // end-to-end: a graph query served from the merged tables answers
+    // identically to the cold full-corpus plan
+    val cold = graft.graph.Analytics.qCooccur(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(TextPipeline.MaterializedConf, sf)
+    try {
+      val served = graft.graph.Analytics.qCooccur(spark, sf)
+      assert(served.queryExecution.optimizedPlan.toString.contains("graft_mentions"))
+      assert(served.collect().map(_.toSeq).toSeq == cold,
+        "merged graph tables served different co-occurrence edges")
+    } finally spark.conf.unset(TextPipeline.MaterializedConf)
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
