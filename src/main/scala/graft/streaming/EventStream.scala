@@ -372,6 +372,34 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ingest → standing graph/shingle tables: every
+    * micro-batch of documents appends its chunk/mention/shingle rows
+    * through Catalog.mergeGraph/mergeShingles — the continuous-ingest
+    * twin of the materialize-once path, so the amortized query family
+    * stays current as documents arrive instead of waiting for a
+    * rebuild. Appends are made idempotent per doc_id by anti-joining
+    * the batch against the chunk table's existing doc_ids (a
+    * doc_id-only scan of the bucketed layout): a replayed batch after
+    * failure re-appends nothing, which is what lets an append-only
+    * sink meet foreachBatch's at-least-once delivery.
+    */
+  def graphIngestStream(docs: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val fresh0 = batch.dropDuplicates("doc_id")
+        val fresh = (if (s.catalog.tableExists("graft_chunks"))
+            fresh0.join(s.table("graft_chunks").select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          else fresh0).localCheckpoint(false) // read by both merges
+        if (!fresh.isEmpty) {
+          graft.sources.Catalog.mergeGraph(s, fresh)
+          graft.sources.Catalog.mergeShingles(s, fresh)
+        }
+      }
+      .start()
+
   /** Streaming decontamination screen: documents are checked against
     * the STATIC held-out gram set as they arrive — the continuous-
     * ingest twin of Curation.qDecontaminate. Per-row 4-gram hashing is

@@ -104,6 +104,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
   }
 
+  test("streaming graph ingest keeps the standing tables current and replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, TextPipeline}
+    // base corpus materialized once (the ingest-time build)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_gstream").toString
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val base = Seq(doc(1L, "alpha beta alpha beta spark group news"),
+        doc(2L, "gamma delta gamma delta spark group report"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    sources.Catalog.materializeGraph(spark, baseDir)
+    sources.Catalog.materializeShingles(spark, baseDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gsck").toString
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = EventStream.graphIngestStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), ckpt)
+    val d3 = doc(3L, "epsilon zeta epsilon zeta spark group update")
+    val d4 = doc(4L, "eta theta eta theta column column wire")
+    try {
+      input.addData(d3)
+      q.processAllAvailable()
+      input.addData(d4, d3) // d3 REPLAYED — must append nothing
+      q.processAllAvailable()
+    } finally q.stop()
+    val allDocs = base.unionByName(Seq(d3, d4)
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val wantChunks = TextPipeline.chunksOf(allDocs)
+    val gotChunks = spark.table("graft_chunks")
+    assert(gotChunks.count() == wantChunks.count(),
+      s"replay duplicated rows: ${gotChunks.count()} vs ${wantChunks.count()}")
+    assert(gotChunks.except(wantChunks).isEmpty &&
+      wantChunks.except(gotChunks).isEmpty, "streamed chunks diverged")
+    assert(spark.table("graft_mentions")
+      .except(TextPipeline.mentionsOf(allDocs)).isEmpty, "mentions diverged")
+    assert(spark.table("graft_shingles")
+      .except(Dedup.shinglesOf(allDocs)).isEmpty, "shingles diverged")
+  }
+
   test("streaming decontamination screen matches the batch gram join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
