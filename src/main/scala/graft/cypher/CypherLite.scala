@@ -48,12 +48,14 @@ import graft.operators.TextPipeline
   *                 | v[.prop] IS [NOT] NULL  -- bare v checks its uid;
   *                   the OPTIONAL MATCH anti-join idiom
   *   with       := (WITH DISTINCT v
-  *                 | WITH witem (, witem)* [WHERE term (AND term)*])*
+  *                 | WITH witem (, witem)* [WHERE term (AND term)*]
+  *                   [ORDER BY key [ASC|DESC] (, …)*] [LIMIT n])*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
   *                 previous stage's output; bare aliases introduced by
   *                 one stage are grouping vars / aggregate inputs /
   *                 predicates of later stages; a stage's WHERE is
-  *                 Cypher's HAVING
+  *                 Cypher's HAVING; ORDER BY+LIMIT is the mid-pipeline
+  *                 top-N (compiled as TakeOrdered, never a full sort)
   *   witem      := v | v.prop [AS alias] | count/collect/sum as in
   *                 item (sum over a carried alias: sum(n) AS total)
   *   return     := RETURN [DISTINCT] item (, item)*
@@ -409,7 +411,9 @@ object CypherLite {
     * the uid, so semantics match grouping by the node); a var that is
     * a bare alias from an earlier stage carries that single column.
     */
-  case class WithClause(vars: Seq[String], items: Seq[RetItem], preds: Seq[Pred])
+  case class WithClause(vars: Seq[String], items: Seq[RetItem], preds: Seq[Pred],
+    orderBy: Seq[(RetItem, Boolean)] = Seq.empty, // WITH … ORDER BY … (top-N stage)
+    limit: Option[Int] = None)                    // … LIMIT n
     extends WithStage
   /** optPaths: OPTIONAL MATCH patterns — compiled as left-outer hops
     * (unmatched variables surface as NULL uids/props, so count(v)
@@ -439,6 +443,36 @@ object CypherLite {
     */
   private val SizeCollectRe =
     """(?i)size\(\s*collect\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)\s*\)(?:\s+AS\s+(\w+))?""".r
+
+  /** ORDER BY key list (after the ORDER keyword, `BY` included or
+    * not): props, bare aliases, or inline aggregates — shared by the
+    * final ORDER BY and the WITH-stage top-N clause. Unrecognized
+    * keys THROW (a silently dropped key would return right rows in
+    * the wrong order, the worst failure mode for a compiled surface).
+    */
+  private def parseOrderKeys(src: String): Seq[(RetItem, Boolean)] =
+    src.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq.map { raw =>
+        val desc = raw.matches("(?is).*\\bDESC\\s*$")
+        val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim
+        val key: RetItem = s match {
+          case SizeCollectRe(distinct, v, prop, alias) =>
+            sizeCollect(distinct, v, prop, alias)
+          case CountRe(distinct, v, prop, alias) =>
+            CountItem(v, distinct != null, Option(alias), Option(prop))
+          case SumRe(v, prop, alias) =>
+            SumItem(v, Option(prop), Option(alias))
+          case AggFnRe(fn, v, prop, alias) =>
+            AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
+          case ss if ss.matches("""\w+\.\w+""") =>
+            val Array(v, p) = ss.split("\\."); PropItem(v, p)
+          case ss if ss.matches("""\w+""") =>
+            PropItem("", ss) // bare WITH alias
+          case other => throw new IllegalArgumentException(
+            s"unsupported ORDER BY key: $other")
+        }
+        key -> desc
+      }
 
   /** size(collect(…)) rewrites to count with a size_collect default
     * name (regex groups arrive as nullable Java strings).
@@ -647,9 +681,24 @@ object CypherLite {
       if (b.matches("(?is)\\s*DISTINCT\\s+\\w+\\s*"))
         WithDistinct(b.replaceAll("(?i)DISTINCT", "").trim)
       else {
-        val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(b) match {
-          case Some(m) => (b.substring(0, m.start), Some(b.substring(m.end)))
+        // WITH … [WHERE …] [ORDER BY …] [LIMIT n] — the mid-pipeline
+        // top-N stage ("top 5 orgs by count, THEN …"); slice the tail
+        // clauses off right-to-left before the items/WHERE split
+        val liM = "(?i)\\bLIMIT\\b".r.findFirstMatchIn(b)
+        val (bNoLimit, stageLimit) = liM match {
+          case Some(m) => (b.substring(0, m.start),
+            Some(b.substring(m.end).trim.toInt))
           case None => (b, None)
+        }
+        val obM = "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(bNoLimit)
+        val (bCore, stageOrder) = obM match {
+          case Some(m) => (bNoLimit.substring(0, m.start),
+            parseOrderKeys(bNoLimit.substring(m.end)))
+          case None => (bNoLimit, Seq.empty[(RetItem, Boolean)])
+        }
+        val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(bCore) match {
+          case Some(m) => (bCore.substring(0, m.start), Some(bCore.substring(m.end)))
+          case None => (bCore, None)
         }
         val vars = Seq.newBuilder[String]
         val items = Seq.newBuilder[RetItem]
@@ -667,10 +716,12 @@ object CypherLite {
           case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
         }
         WithClause(vars.result(), items.result(),
-          predPart.toSeq.flatMap(parsePreds))
+          predPart.toSeq.flatMap(parsePreds), stageOrder, stageLimit)
       }
     }
-    val retSrc = withMs.lastOption.map(m => q0.substring(m.end)).getOrElse(q0)
+    // slice from RETURN itself (not the last WITH's end): a stage's
+    // own ORDER BY/LIMIT must not be mistaken for the final ones
+    val retSrc = retStart.map(q0.substring).getOrElse(q0)
     val retS = section(retSrc, "RETURN", Seq("ORDER", "SKIP", "LIMIT")).getOrElse(
       throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
@@ -710,29 +761,8 @@ object CypherLite {
     // unrecognized key THROWS: silently dropping it would return
     // correctly-valued rows in the wrong order, the worst failure mode
     // for a compiled query surface.
-    val orderBy = section(retSrc, "ORDER", Seq("SKIP", "LIMIT")).toSeq.flatMap {
-      _.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim).map { raw =>
-        val desc = raw.matches("(?is).*\\bDESC\\s*$")
-        val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim
-        val key: RetItem = s match {
-          case SizeCollectRe(distinct, v, prop, alias) =>
-            sizeCollect(distinct, v, prop, alias)
-          case CountRe(distinct, v, prop, alias) =>
-            CountItem(v, distinct != null, Option(alias), Option(prop))
-          case SumRe(v, prop, alias) =>
-            SumItem(v, Option(prop), Option(alias))
-          case AggFnRe(fn, v, prop, alias) =>
-            AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
-          case ss if ss.matches("""\w+\.\w+""") =>
-            val Array(v, p) = ss.split("\\."); PropItem(v, p)
-          case ss if ss.matches("""\w+""") =>
-            PropItem("", ss) // bare WITH alias
-          case other => throw new IllegalArgumentException(
-            s"unsupported ORDER BY key: $other")
-        }
-        key -> desc
-      }
-    }
+    val orderBy = section(retSrc, "ORDER", Seq("SKIP", "LIMIT")).toSeq
+      .flatMap(parseOrderKeys)
     val skip = section(retSrc, "SKIP", Seq("LIMIT")).map(_.trim.toInt)
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
     Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit,
@@ -1009,11 +1039,43 @@ object CypherLite {
         }).as(outName(it)))
       case _ => None
     }
+    // ORDER BY key → output column resolution, shared by WITH-stage
+    // top-N clauses and the final ORDER BY: a prop/bare key resolves
+    // to the (possibly aliased) output column; an aggregate key
+    // resolves to the structurally-matching aggregate item (the sort
+    // runs AFTER the aggregation, so a non-emitted aggregate has no
+    // column to sort on — loud error, not a guess)
+    def resolveOrder(keys: Seq[(RetItem, Boolean)], items: Seq[RetItem]): Seq[Column] = {
+      def anonItem(it: RetItem): RetItem = it match {
+        case c: CountItem => c.copy(alias = None)
+        case c: SumItem => c.copy(alias = None)
+        case c: AggFnItem => c.copy(alias = None)
+        case other => other
+      }
+      keys.map { case (o, desc) =>
+        val name = o match {
+          case p: PropItem =>
+            items.collectFirst {
+              case PropItem(v, pp, Some(a)) if v == p.v && pp == p.prop => a
+              case BareItem(n, Some(a)) if p.v.isEmpty && n == p.prop => a
+            }.getOrElse(if (p.v.isEmpty) p.prop else s"${p.v}_${p.prop}")
+          case agg =>
+            items.collectFirst {
+              case it if anonItem(it) == anonItem(agg) => outName(it)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ORDER BY aggregate has no matching RETURN item: $agg"))
+        }
+        if (desc) col(name).desc else col(name)
+      }
+    }
     // WITH pipeline stages, in order: DISTINCT-dedup, or implicit
     // grouping over carried vars (their full column sets when node
     // variables — functionally dependent on the uid — or the single
     // column when a bare alias from an earlier stage) + plain props,
-    // then the post-aggregation WHERE (Cypher's HAVING)
+    // then the post-aggregation WHERE (Cypher's HAVING), then the
+    // stage's own ORDER BY + LIMIT (the mid-pipeline top-N — compiled
+    // as orderBy+limit, which Spark plans as TakeOrdered, never a
+    // full sort)
     q.stages.foreach {
       case WithDistinct(v) =>
         df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
@@ -1031,6 +1093,9 @@ object CypherLite {
           else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
           else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         wc.preds.foreach(p => df = df.filter(predCol(p)))
+        if (wc.orderBy.nonEmpty)
+          df = df.orderBy(resolveOrder(wc.orderBy, wc.items): _*)
+        wc.limit.foreach(n => df = df.limit(n))
     }
     val aggExprs: Seq[Column] = q.ret.flatMap(aggCol)
     if (aggExprs.nonEmpty) {
@@ -1052,36 +1117,8 @@ object CypherLite {
       df = df.select(q.ret.map(itemCol): _*)
       if (q.retDistinct) df = df.distinct()
     }
-    if (q.orderBy.nonEmpty) {
-      // ORDER BY v.prop resolves to the aliased output column if the
-      // RETURN list renamed it; v == "" is a bare WITH alias; an
-      // aggregate key (`ORDER BY count(c) DESC`) resolves to the
-      // structurally-matching RETURN aggregate's output column (the
-      // sort runs AFTER the aggregation select, so a non-RETURNed
-      // aggregate has no column to sort on — loud error, not a guess)
-      def anon(it: RetItem): RetItem = it match {
-        case c: CountItem => c.copy(alias = None)
-        case c: SumItem => c.copy(alias = None)
-        case c: AggFnItem => c.copy(alias = None)
-        case other => other
-      }
-      val orderCols = q.orderBy.map { case (o, desc) =>
-        val name = o match {
-          case p: PropItem =>
-            q.ret.collectFirst {
-              case PropItem(v, pp, Some(a)) if v == p.v && pp == p.prop => a
-              case BareItem(n, Some(a)) if p.v.isEmpty && n == p.prop => a
-            }.getOrElse(if (p.v.isEmpty) p.prop else s"${p.v}_${p.prop}")
-          case agg =>
-            q.ret.collectFirst {
-              case it if anon(it) == anon(agg) => outName(it)
-            }.getOrElse(throw new IllegalArgumentException(
-              s"ORDER BY aggregate has no matching RETURN item: $agg"))
-        }
-        if (desc) col(name).desc else col(name)
-      }
-      df = df.orderBy(orderCols: _*)
-    }
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(resolveOrder(q.orderBy, q.ret): _*)
     // SKIP compiles to Dataset.offset — with LIMIT it lands as one
     // GlobalLimit(skip+limit)/offset pair in the plan, so the sort
     // above still runs as TakeOrdered(skip+limit), never a full sort
@@ -1394,7 +1431,21 @@ object CypherLite {
       "size(collect(DISTINCT o.name)) AS n_orgs " +
       "ORDER BY size(collect(DISTINCT o.name)) DESC, a.uid LIMIT 10"
 
+  /** Mid-pipeline top-N (round 7) — `WITH … ORDER BY … LIMIT n` then
+    * RETURN re-sorted: "the 5 most-mentioned organizations,
+    * alphabetically" — the two-phase shape LLMs emit whenever the
+    * question combines a leaderboard with a differently-ordered
+    * presentation (or further matching). The stage compiles to
+    * orderBy+limit (TakeOrdered — never a full sort), and the final
+    * ORDER BY runs over the 5 surviving rows.
+    */
+  val Ex29: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WITH o.name AS org, count(c) AS n ORDER BY n DESC, org LIMIT 5 " +
+      "RETURN org, n ORDER BY org"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
     "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
     "q_cypher_ex28" -> ((s, d) => run(s, d, Ex28)),
     "q_cypher_ex24" -> ((s, d) => run(s, d, Ex24)),
@@ -1428,6 +1479,16 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex29" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization'),
+         |top5 AS (
+         |  SELECT name AS org, count(*) AS n
+         |  FROM edges GROUP BY name
+         |  ORDER BY n DESC, org LIMIT 5)
+         |SELECT org, n FROM top5 ORDER BY org""".stripMargin,
     "q_cypher_ex27" ->
       s"""WITH $M,
          |edges AS (

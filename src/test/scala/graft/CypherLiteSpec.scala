@@ -561,6 +561,25 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(noElse.exists(_.isNullAt(0)) || noElse.forall(!_.isNullAt(0)))
   }
 
+  test("WITH … ORDER BY … LIMIT is a mid-pipeline top-N (Ex29)") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex29).collect()
+    assert(rows.length == 5)
+    // alphabetical presentation of the top-5-by-count set
+    val orgs = rows.map(_.getString(0))
+    assert(orgs.sameElements(orgs.sorted))
+    // the kept set IS the count-leaderboard head (recompute it)
+    val lead = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "WITH o.name AS org, count(c) AS n " +
+        "RETURN org, n ORDER BY n DESC, org LIMIT 5").collect()
+      .map(_.getString(0)).toSet
+    assert(orgs.toSet == lead)
+    // a stage LIMIT must not be mistaken for the final LIMIT: the
+    // final ORDER BY org ran (not the stage's ORDER BY n DESC)
+    val ns = rows.map(_.getLong(1))
+    assert(!ns.sameElements(ns.sorted.reverse) || orgs.sameElements(orgs.sorted))
+  }
+
   test("ORDER BY an inline aggregate resolves to the RETURN aggregate (Ex27)") {
     val inline = CypherLite.run(spark, TestSpark.sf, Ex27).collect()
     assert(inline.nonEmpty)
