@@ -107,6 +107,47 @@ object Catalog {
       .bucketBy(Buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
 
+  /** Small-file compaction for a standing bucketed table: every
+    * merge* append lands one file set per batch, so a
+    * continuously-ingesting deployment accumulates files per bucket
+    * until scan/open overhead dominates (the classic streaming-sink
+    * pathology). Rewrites the table into a fresh single-file-set
+    * bucket layout via stage-then-swap: the rewrite lands in
+    * <table>_compacting, the old table drops only AFTER the rewrite
+    * succeeded, and the rename is a catalog op — readers of the old
+    * table are never exposed to a half-written layout. Contents,
+    * bucket spec, and sort order are preserved (spec-pinned), so
+    * every co-located join/prune property survives compaction.
+    */
+  def compactStandingTable(spark: SparkSession, table: String,
+      bucketCol: String, sortCols: Seq[String]): Unit = {
+    require(spark.catalog.tableExists(table), s"no such table: $table")
+    val tmp = s"${table}_compacting"
+    dropManaged(spark, tmp)
+    spark.table(table)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(tmp)
+    dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Compact all ANN/graph/shingle standing tables that exist — the
+    * periodic maintenance pass after a run of incremental merges.
+    */
+  def compactStandingTables(spark: SparkSession): Unit = {
+    val specs = Seq(
+      ("graft_ivf", "cid", Seq("cid", "vec_id")),
+      ("graft_pq_codes", "vec_id", Seq("vec_id", "m")),
+      ("graft_chunks", "doc_id", Seq("doc_id", "chunk_id")),
+      ("graft_mentions", "doc_id", Seq("doc_id", "chunk_id")),
+      ("graft_shingles", "doc_id", Seq("doc_id")))
+    specs.foreach { case (t, b, s) =>
+      if (spark.catalog.tableExists(t)) compactStandingTable(spark, t, b, s)
+    }
+  }
+
   /** Write the standing ANN artifacts — the IVF serving index
     * (cell-bucketed so a probe's cell scan is bucket-local), the PQ
     * code table (vec_id-bucketed for the members↔codes join), and the

@@ -177,6 +177,34 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(TextPipeline.MaterializedConf)
   }
 
+  test("compaction shrinks merge-accumulated files and preserves contents + layout") {
+    import graft.operators.TextPipeline
+    val sf = TestSpark.sf
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val oldDir = Files.createTempDirectory("graft_compact").toString
+    all.filter(col("doc_id") % 3 === 0).write.mode("overwrite")
+      .parquet(s"$oldDir/documents.parquet")
+    Catalog.materializeGraph(spark, oldDir)
+    Catalog.mergeGraph(spark, all.filter(col("doc_id") % 3 === 1))
+    Catalog.mergeGraph(spark, all.filter(col("doc_id") % 3 === 2))
+    def files(t: String): Int = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val before = files("graft_chunks")
+    assert(before > Catalog.Buckets, s"expected >1 file set, got $before")
+    val want = spark.table("graft_chunks").collect().map(_.toSeq).toSet
+    Catalog.compactStandingTables(spark)
+    val after = files("graft_chunks")
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    assert(spark.table("graft_chunks").collect().map(_.toSeq).toSet == want,
+      "compaction changed table contents")
+    // the rewritten table is still the bucketed layout chunks() serves
+    assert(spark.table("graft_chunks").count() ==
+      TextPipeline.chunks(spark, sf).count())
+  }
+
   test("lang-partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Catalog.writePartitioned(spark, TestSpark.sf, out)
