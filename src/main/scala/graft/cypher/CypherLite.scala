@@ -49,7 +49,11 @@ import graft.operators.TextPipeline
   *                   the OPTIONAL MATCH anti-join idiom
   *   with       := (WITH DISTINCT v
   *                 | WITH witem (, witem)* [WHERE term (AND term)*]
-  *                   [ORDER BY key [ASC|DESC] (, …)*] [LIMIT n])*
+  *                   [ORDER BY key [ASC|DESC] (, …)*] [LIMIT n]
+  *                   [MATCH pattern (, pattern)* [WHERE term …]]
+  *                   -- the two-phase expand: fresh variables only,
+  *                   joined back on a `v.prop = alias` equality
+  *                   (without one the stage is a refused cartesian))*
   *                 -- pipeline stages CHAIN: each WITH re-groups the
   *                 previous stage's output; bare aliases introduced by
   *                 one stage are grouping vars / aggregate inputs /
@@ -415,6 +419,14 @@ object CypherLite {
     orderBy: Seq[(RetItem, Boolean)] = Seq.empty, // WITH … ORDER BY … (top-N stage)
     limit: Option[Int] = None)                    // … LIMIT n
     extends WithStage
+  /** `MATCH pattern [WHERE …]` AFTER a WITH stage — the two-phase
+    * shape ("top-N entities, THEN expand around them"). The new
+    * patterns bind FRESH variables and join back to the carried stage
+    * output through at least one `v.prop = <carried alias>` equality
+    * in the WHERE (the equality IS the join condition — without one
+    * the stage would be a cartesian product and compile refuses).
+    */
+  case class WithMatch(paths: Seq[PathPat], preds: Seq[Pred]) extends WithStage
   /** optPaths: OPTIONAL MATCH patterns — compiled as left-outer hops
     * (unmatched variables surface as NULL uids/props, so count(v)
     * naturally counts matches and skips the misses — Cypher
@@ -677,7 +689,24 @@ object CypherLite {
         .getOrElse(throw new IllegalArgumentException(s"no RETURN after WITH in: $q0"))
       q0.substring(m.end, end).trim
     }
-    val stages: Seq[WithStage] = stageBodies.map { b =>
+    val stages: Seq[WithStage] = stageBodies.flatMap { b0 =>
+      // `WITH … MATCH pattern [WHERE …]` — a post-aggregation MATCH
+      // (the two-phase expand) splits off as its own stage; the WITH
+      // items/ORDER/LIMIT parse from the text before the MATCH
+      val mM = "(?i)\\bMATCH\\b".r.findFirstMatchIn(b0)
+      val (b, matchStage) = mM match {
+        case Some(m) =>
+          val right = b0.substring(m.end)
+          val (patPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(right) match {
+            case Some(w) => (right.substring(0, w.start), Some(right.substring(w.end)))
+            case None => (right, None)
+          }
+          (b0.substring(0, m.start).trim,
+            Seq(WithMatch(parsePaths(patPart),
+              predPart.toSeq.flatMap(parsePreds))))
+        case None => (b0, Seq.empty[WithStage])
+      }
+      val withStage: WithStage =
       if (b.matches("(?is)\\s*DISTINCT\\s+\\w+\\s*"))
         WithDistinct(b.replaceAll("(?i)DISTINCT", "").trim)
       else {
@@ -718,6 +747,7 @@ object CypherLite {
         WithClause(vars.result(), items.result(),
           predPart.toSeq.flatMap(parsePreds), stageOrder, stageLimit)
       }
+      withStage +: matchStage
     }
     // slice from RETURN itself (not the last WITH's end): a stage's
     // own ORDER BY/LIMIT must not be mistaken for the final ones
@@ -778,7 +808,15 @@ object CypherLite {
     * variable — no cartesian pattern products).
     */
   def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
-    val allNodes = (q.paths ++ q.optPaths).flatMap(_.nodes)
+    val stageMatchPaths = q.stages.collect { case wm: WithMatch => wm.paths }.flatten
+    // a post-WITH MATCH binds FRESH variables (re-binding a head var
+    // after aggregation destroyed its columns would silently resolve
+    // against the stale labelOf entry)
+    val headVars = (q.paths ++ q.optPaths).flatMap(_.nodes).map(_.v).toSet
+    val clash = stageMatchPaths.flatMap(_.nodes).map(_.v).toSet.intersect(headVars)
+    require(clash.isEmpty,
+      s"post-WITH MATCH must use fresh variables; reused: ${clash.mkString(", ")}")
+    val allNodes = (q.paths ++ q.optPaths ++ stageMatchPaths).flatMap(_.nodes)
     val labelOf: Map[String, String] =
       allNodes.flatMap(n => n.label.map(n.v -> _)).toMap
     def nodeDf(v: String): DataFrame = {
@@ -1077,6 +1115,33 @@ object CypherLite {
     // as orderBy+limit, which Spark plans as TakeOrdered, never a
     // full sort)
     q.stages.foreach {
+      case wm: WithMatch =>
+        // two-phase expand: compile the fresh patterns as their own
+        // join pipeline (the SAME hop machinery — df/bound swap out
+        // for the sub-build), then join back to the carried stage
+        // output on the `v.prop = <carried alias>` equalities; the
+        // carried side is tiny post-aggregation (top-N), so Catalyst
+        // broadcasts it into the pattern scan
+        val carried = df
+        df = null
+        val boundBefore = bound
+        bound = Set.empty
+        processPaths(wm.paths, outer = false)
+        val sub = df
+        bound = bound ++ boundBefore
+        val (eqJoins, rest) = wm.preds.partition {
+          case EqColPred(_, _, ref) => carried.columns.contains(ref)
+          case _ => false
+        }
+        require(eqJoins.nonEmpty,
+          "post-WITH MATCH must join back via v.prop = <carried alias> " +
+            "(otherwise the stage is a cartesian product)")
+        val cond = eqJoins.map { case EqColPred(v, p, ref) =>
+          sub(s"${v}_$p") === carried(ref)
+          case p => throw new IllegalStateException(s"non-equality join pred: $p")
+        }.reduce(_ && _)
+        df = carried.join(sub, cond)
+        rest.foreach(p => df = df.filter(predCol(p)))
       case WithDistinct(v) =>
         df = df.select(df.columns.filter(_.startsWith(s"${v}_")).map(col).toSeq: _*).distinct()
       case wc: WithClause =>
@@ -1444,7 +1509,23 @@ object CypherLite {
       "WITH o.name AS org, count(c) AS n ORDER BY n DESC, org LIMIT 5 " +
       "RETURN org, n ORDER BY org"
 
+  /** Two-phase MATCH (round 7) — `MATCH … WITH …top-N… MATCH … WHERE
+    * v.prop = alias RETURN …`: aggregate to a leaderboard, then
+    * EXPAND around the survivors with a second pattern — the
+    * "top entities, now show me their articles" shape that is the
+    * whole point of graph-RAG retrieval. The second MATCH binds fresh
+    * variables and joins back on the carried alias; the carried side
+    * is 3 rows, so it broadcasts into the pattern scan.
+    */
+  val Ex30: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WITH o.name AS org, count(c) AS n ORDER BY n DESC, org LIMIT 3 " +
+      "MATCH (a:Article)-[:CONTAINS]->(c2:Chunk)-[:MENTIONS]->(o2:Organization) " +
+      "WHERE o2.name = org " +
+      "RETURN org, n, count(DISTINCT a) AS n_articles ORDER BY org"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
     "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
     "q_cypher_ex28" -> ((s, d) => run(s, d, Ex28)),
@@ -1479,6 +1560,18 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex30" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT DISTINCT doc_id, chunk_id, name
+         |  FROM mentions WHERE label = 'organization'),
+         |top3 AS (
+         |  SELECT name AS org, count(*) AS n
+         |  FROM edges GROUP BY name
+         |  ORDER BY n DESC, org LIMIT 3)
+         |SELECT org, n, count(DISTINCT e.doc_id) AS n_articles
+         |FROM top3 t JOIN edges e ON e.name = t.org
+         |GROUP BY org, n ORDER BY org""".stripMargin,
     "q_cypher_ex29" ->
       s"""WITH $M,
          |edges AS (

@@ -561,6 +561,38 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(noElse.exists(_.isNullAt(0)) || noElse.forall(!_.isNullAt(0)))
   }
 
+  test("two-phase MATCH expands around the carried top-N (Ex30)") {
+    val rows = CypherLite.run(spark, TestSpark.sf, Ex30).collect()
+    assert(rows.length == 3)
+    // recompute each org's distinct-article count independently
+    rows.foreach { r =>
+      val (org, nArt) = (r.getString(0), r.getLong(2))
+      val want = CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->" +
+          s"(o:Organization {name: '$org'}) " +
+          "RETURN count(DISTINCT a) AS n").head().getLong(0)
+      assert(nArt == want, s"$org: $nArt != $want")
+    }
+    // reusing a head variable in the second MATCH is refused loudly
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+          "WITH o.name AS org, count(c) AS n " +
+          "MATCH (c)-[:MENTIONS]->(p:Person) " +
+          "WHERE p.name = org RETURN org, count(p) AS np")
+    }
+    assert(e1.getMessage.contains("fresh variables"))
+    // a second MATCH with no join-back equality is a refused cartesian
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+          "WITH o.name AS org, count(c) AS n " +
+          "MATCH (a:Article)-[:CONTAINS]->(c2:Chunk) " +
+          "RETURN org, count(a) AS na")
+    }
+    assert(e2.getMessage.contains("join back"))
+  }
+
   test("WITH … ORDER BY … LIMIT is a mid-pipeline top-N (Ex29)") {
     val rows = CypherLite.run(spark, TestSpark.sf, Ex29).collect()
     assert(rows.length == 5)
