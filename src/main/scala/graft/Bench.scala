@@ -110,7 +110,7 @@ object Bench {
       "rrf" -> "rf",
       "event_transitions" -> "tx",
       "cube" -> "cb", "ndcg" -> "nc", "bm25" -> "bm",
-      "kmv_overlap" -> "ko", "embed_outliers" -> "eo",
+      "kmv_overlap" -> "ko", "katz" -> "kz", "embed_outliers" -> "eo",
       "lsh_bucket_stats" -> "lb", "skew_report" -> "sk",
       "mrr" -> "mq",
       "cross_source_dups" -> "cd", "best_copy" -> "bc",

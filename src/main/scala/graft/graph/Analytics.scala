@@ -178,6 +178,72 @@ object Analytics {
       .orderBy(col("pagerank").desc, col("name"))
   }
 
+  val KatzIters = 4
+  /** Attenuation as an exact integer divisor: α = 1/KatzDiv = 0.1. */
+  val KatzDiv = 10L
+
+  /** Katz centrality (Katz 1953) — the walk-counting centrality that
+    * credits a node for ALL weighted walks reaching it, attenuated by
+    * length: x_t = 1 + α·AᵀW·x_{t-1}, fixed KatzIters rounds. Unlike
+    * PageRank there is no degree normalization, so a node connected
+    * to well-connected hubs scores high even with few edges — the
+    * "influence by association" view that complements pagerank's
+    * mass-conservation view and HITS' hub/authority split.
+    *
+    * Exactness: scores live on an integer micro-grid (x·10⁶ as
+    * BIGINT); each round is s = 10⁶ + (Σ s_in·w) div KatzDiv — ONE
+    * floor per node per round over an exact integer sum, so no
+    * distributed summation order can perturb a score and the DuckDB
+    * oracle replays the rounds bit-equal. Growth bound: s multiplies
+    * by ≈ W_in/KatzDiv per round (hub W_in ~10² at these SFs →
+    * s₄ ~ 10¹³, far inside BIGINT; at extreme weighted degrees raise
+    * KatzDiv — α must satisfy α < 1/λ_max for convergence anyway).
+    *
+    * Scale shape per round: one equi-join of the score table against
+    * the pre-checkpointed edge list + a map-side-combined integer
+    * rollup to one row per node — identical to the PageRank loop,
+    * lineage truncated per round.
+    */
+  def qKatz(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    var x = e.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1000000L))
+    for (i <- 1 to KatzIters) {
+      val inc = x.select(col("node").as("src"), col("s"))
+        .join(e, "src")
+        .groupBy("dst")
+        .agg(expr(s"sum(s * weight) div $KatzDiv").as("v"))
+        .select(col("dst").as("node"), col("v"))
+      x = x.select("node")
+        .join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1000000L) + coalesce(col("v"), lit(0L))).as("s"))
+      if (i % 2 == 0 || i == KatzIters) x = x.localCheckpoint()
+    }
+    x.select(col("node").as("name"),
+        round(col("s") / lit(1e6), 6).as("katz"))
+      .orderBy(col("katz").desc, col("name"))
+  }
+
+  /** The same rounds unrolled as CTEs — identical integer floors. */
+  private def katzSql: String = {
+    val iters = (1 to KatzIters).map { i =>
+      val prev = s"k${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    CAST(1000000 + coalesce(inc.v, 0) AS BIGINT) AS s
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(p.s * e.weight) // $KatzDiv AS BIGINT) AS v
+         |    FROM $prev p JOIN edges e ON p.node = e.src
+         |    GROUP BY e.dst) inc ON inc.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CooccurSql,
+       |k0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+       |$iters
+       |SELECT node AS name, round(s / 1000000.0, 6) AS katz
+       |FROM k$KatzIters ORDER BY katz DESC, name""".stripMargin
+  }
+
   /** WEIGHTED PageRank: rank mass distributes proportionally to edge
     * weight (co-occurrence count) instead of uniformly across
     * neighbors — a frequently-co-mentioned pair passes more authority
@@ -1541,6 +1607,7 @@ object Analytics {
     "q_pmi_cooccur" -> qPmiCooccur,
     "q_entity_degree" -> qEntityDegree,
     "q_pagerank" -> qPagerank,
+    "q_katz" -> qKatz,
     "q_ppr" -> qPagerankPersonalized,
     "q_link_prediction" -> qLinkPrediction,
     "q_hits" -> qHits,
@@ -1685,6 +1752,7 @@ object Analytics {
          |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
          |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_pagerank" -> pagerankSql,
+    "q_katz" -> katzSql,
     "q_lpa_communities" -> lpaSql,
     "q_modularity" -> modularitySql,
     "q_louvain" -> louvainSql,

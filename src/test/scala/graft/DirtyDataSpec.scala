@@ -94,6 +94,7 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_louvain")(graph.Analytics.qLouvain(spark, dir))
   runs("q_wsp")(graph.Analytics.qWeightedShortestPath(spark, dir))
   runs("q_node2vec")(graph.Analytics.qNode2vec(spark, dir))
+  runs("q_katz")(graph.Analytics.qKatz(spark, dir))
   runs("q_graph_nodes")(graph.NewsGraph.qGraphNodes(spark, dir))
   runs("cypher MATCH over dirty docs")(cypher.CypherLite.run(spark, dir,
     "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +

@@ -558,6 +558,33 @@ class OperatorsSpec extends AnyFunSuite {
       "sum of community degree masses != total edge weight")
   }
 
+  test("katz centrality replays exactly from the collected edge list") {
+    import graft.graph.Analytics
+    import org.apache.spark.sql.functions.col
+    val edges = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact integer replay of the same rounds
+    val nodes = edges.map(_._1).distinct
+    var s = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to Analytics.KatzIters) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => s(e._1) * e._3).sum / Analytics.KatzDiv
+      }
+      s = nodes.map(n => n -> (1000000L + inc.getOrElse(n, 0L))).toMap
+    }
+    val got = Analytics.qKatz(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == s.keySet)
+    s.foreach { case (n, micro) =>
+      val want = BigDecimal(micro) / 1000000
+      assert(math.abs(got(n) - want.toDouble) < 1e-6, s"$n: ${got(n)} != $want")
+    }
+    // walk-counting view: every score >= 1 (the self walk) and some
+    // node actually accumulated attenuated walk mass
+    assert(got.values.forall(_ >= 1.0) && got.values.exists(_ > 1.0))
+  }
+
   test("node2vec walks follow edges and the in/out bias changes the paths") {
     import graft.graph.Analytics
     import org.apache.spark.sql.functions.col
