@@ -267,6 +267,23 @@ object Bench {
     */
   private[graft] val LineBudget = 1900
 
+  /** Extra reserve when the run has FAILURES: a failing run exits
+    * non-zero, so sbt appends ~3 `[error]` epilogue lines (~210
+    * chars) instead of one `[success]` line, and the human-facing
+    * stderr failure list (printed BEFORE the final metric line, but
+    * stream interleaving is not guaranteed, so budget as if it
+    * landed after) is capped at [[FailListCap]] chars. Round 7 lost
+    * its driver bench artifact exactly here: the epilogue pushed the
+    * metric line's head out of the 2000-char tail on the one run
+    * where the per-query evidence mattered most.
+    */
+  private[graft] val FailEpilogueReserve = 450
+
+  /** Cap on the stderr failure list's length (humans get the head;
+    * the JSON's failures/errors fields are the machine record).
+    */
+  private[graft] val FailListCap = 200
+
   /** Renders THE metric line the driver parses. Self-limiting: the
     * per-query entries render most-expensive-first and stop before the
     * line can outgrow [[LineBudget]], so the line stays parseable at
@@ -320,11 +337,15 @@ object Bench {
     // Two-pass budget: "dropped" only widens the line when truncation
     // actually bites, so its worst-case width is reserved only on the
     // second pass — a surface that fits pays zero overhead for the
-    // escape hatch.
-    val full = fill(LineBudget - fixed)
+    // escape hatch. A failing run reserves the failure epilogue's
+    // worst-case width too (FailEpilogueReserve) — the line must
+    // survive the tail-window even with sbt's [error] lines after it.
+    val budget =
+      (if (failed.isEmpty) LineBudget else LineBudget - FailEpilogueReserve)
+    val full = fill(budget - fixed)
     val kept =
       if (full.size == entries.size) full
-      else fill(LineBudget - fixed - s""","dropped":${named.size}""".length)
+      else fill(budget - fixed - s""","dropped":${named.size}""".length)
     val dropped = entries.size - kept.size
     head + kept.mkString(",") + "}" +
       s""","nq":${named.size},"qunit":"ds"""" +
@@ -522,16 +543,21 @@ object Bench {
     // between the final copy and sbt's epilogue.
     println(line)
     spark.stop()
-    println(line)
     val failedAll = all.collect { case (n, _, Some(e)) => s"${key(n)}: $e" }
     if (failedAll.nonEmpty) {
-      // Full (un-capped count, still 40-char-capped strings) failure
-      // list on stderr for humans, then a non-zero exit so the
-      // driver's rc check flags the round — a bench that exits 0 with
-      // failing queries reads as green (ADVICE r5).
+      // Failure list BEFORE the final metric line (round-7 regression:
+      // printed after, it pushed the line's head out of the driver's
+      // 2000-char tail on exactly the run where per-query evidence
+      // mattered). Capped for humans; the JSON's failures/errors
+      // fields are the machine record, and metricLine already
+      // reserved FailEpilogueReserve for sbt's [error] epilogue.
       System.err.println(
-        s"[bench] ${failedAll.size} queries FAILED: ${failedAll.mkString("; ")}")
-      sys.exit(1)
+        (s"[bench] ${failedAll.size} queries FAILED: " +
+          failedAll.mkString("; ")).take(FailListCap))
     }
+    println(line)
+    // Non-zero exit so the driver's rc check flags the round — a
+    // bench that exits 0 with failing queries reads as green (r5).
+    if (failedAll.nonEmpty) sys.exit(1)
   }
 }

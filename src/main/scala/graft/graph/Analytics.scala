@@ -179,7 +179,9 @@ object Analytics {
   }
 
   val KatzIters = 4
-  /** Attenuation as an exact integer divisor: α = 1/KatzDiv = 0.1. */
+  /** FLOOR of the attenuation divisor — the effective divisor is
+    * data-derived (see qKatz): kd = max(KatzDiv, max weighted degree).
+    */
   val KatzDiv = 10L
 
   /** Katz centrality (Katz 1953) — the walk-counting centrality that
@@ -190,29 +192,48 @@ object Analytics {
     * "influence by association" view that complements pagerank's
     * mass-conservation view and HITS' hub/authority split.
     *
-    * Exactness: scores live on an integer micro-grid (x·10⁶ as
-    * BIGINT); each round is s = 10⁶ + (Σ s_in·w) div KatzDiv — ONE
-    * floor per node per round over an exact integer sum, so no
-    * distributed summation order can perturb a score and the DuckDB
-    * oracle replays the rounds bit-equal. Growth bound: s multiplies
-    * by ≈ W_in/KatzDiv per round (hub W_in ~10² at these SFs →
-    * s₄ ~ 10¹³, far inside BIGINT; at extreme weighted degrees raise
-    * KatzDiv — α must satisfy α < 1/λ_max for convergence anyway).
+    * α is DATA-DERIVED: α = 1/kd with kd = max(KatzDiv, max weighted
+    * degree W_max). Katz requires α < 1/λ_max for convergence, and
+    * λ_max ≤ W_max for a nonnegative adjacency, so a FIXED α on a
+    * data-dependent spectral radius diverges by construction — the
+    * round-7 fixed α = 0.1 overflowed BIGINT at sf0.1, where hub
+    * weighted degrees are ~10× the gate SF's. kd is a one-pass
+    * pre-aggregate both engines derive from the same edge table, so
+    * the oracle stays bit-exact.
+    *
+    * Exactness + growth bound: scores live on an integer micro-grid
+    * (x·10⁶ as BIGINT); each round is s = 10⁶ + (Σ s_in·w) div kd —
+    * ONE floor per node per round over an exact integer sum. With
+    * kd ≥ W_max, (Σ s_in·w) div kd ≤ max(s_in)·W_in/kd ≤ max(s_in),
+    * so by induction s_t ≤ (t+1)·10⁶ — LINEAR in rounds, never
+    * geometric; the largest intermediate is Σ s_in·w ≤
+    * KatzIters·10⁶·kd, inside BIGINT for any kd < 2·10¹² (guarded —
+    * beyond that the weights themselves need re-scaling).
     *
     * Scale shape per round: one equi-join of the score table against
     * the pre-checkpointed edge list + a map-side-combined integer
     * rollup to one row per node — identical to the PageRank loop,
-    * lineage truncated per round.
+    * lineage truncated per round; the kd pre-pass is one
+    * map-side-combined rollup + 1-row action (the HITS-normalizer
+    * driver-scalar pattern).
     */
   def qKatz(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
+    val maxWd = Option(
+      e.groupBy("src").agg(sum("weight").cast("long").as("wd"))
+        .agg(max(col("wd"))).first().getAs[java.lang.Long](0))
+      .fold(0L)(_.longValue())
+    val kd = math.max(KatzDiv, maxWd)
+    require(kd < 2000000000000L,
+      s"q_katz: max weighted degree $kd leaves no BIGINT headroom " +
+        s"(need kd·${KatzIters}e6 < 2^63); re-scale edge weights first")
     var x = e.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1000000L))
     for (i <- 1 to KatzIters) {
       val inc = x.select(col("node").as("src"), col("s"))
         .join(e, "src")
         .groupBy("dst")
-        .agg(expr(s"sum(s * weight) div $KatzDiv").as("v"))
+        .agg(expr(s"sum(s * weight) div $kd").as("v"))
         .select(col("dst").as("node"), col("v"))
       x = x.select("node")
         .join(inc, Seq("node"), "left")
@@ -225,7 +246,10 @@ object Analytics {
       .orderBy(col("katz").desc, col("name"))
   }
 
-  /** The same rounds unrolled as CTEs — identical integer floors. */
+  /** The same rounds unrolled as CTEs — identical integer floors,
+    * identical data-derived divisor (kdv replays the Scala pre-pass
+    * off the same deg table).
+    */
   private def katzSql: String = {
     val iters = (1 to KatzIters).map { i =>
       val prev = s"k${i - 1}"
@@ -233,11 +257,12 @@ object Analytics {
          |  SELECT d.src AS node,
          |    CAST(1000000 + coalesce(inc.v, 0) AS BIGINT) AS s
          |  FROM deg d LEFT JOIN (
-         |    SELECT e.dst, CAST(sum(p.s * e.weight) // $KatzDiv AS BIGINT) AS v
+         |    SELECT e.dst, CAST(sum(p.s * e.weight) // (SELECT kd FROM kdv) AS BIGINT) AS v
          |    FROM $prev p JOIN edges e ON p.node = e.src
          |    GROUP BY e.dst) inc ON inc.dst = d.src)""".stripMargin
     }.mkString(",\n")
     s"""WITH $CooccurSql,
+       |kdv AS (SELECT greatest($KatzDiv, max(wd)) AS kd FROM deg),
        |k0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
        |$iters
        |SELECT node AS name, round(s / 1000000.0, 6) AS katz

@@ -80,6 +80,35 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.sliding(40).count(_ == "e" * 40) <= 2)
   }
 
+  test("failing full-surface run survives the 2000-char tail with the epilogue") {
+    // The round-7 artifact killer: ONE failing query made the run exit
+    // non-zero, and the epilogue after the final metric line (stderr
+    // failure list + sbt's ~3 [error] lines) pushed the line's head out
+    // of the driver's 2000-char tail → parsed:null. Simulate that run
+    // end-to-end at the CURRENT surface: render the line as main would,
+    // append the worst-case epilogue, take the trailing 2000 chars, and
+    // assert the COMPLETE line is still inside the window.
+    val named = allNames.zipWithIndex.map { case (n, i) =>
+      (n, 9.9, if (i == 7) Some("SparkArithmeticException: ARITHMETIC_OV")
+        else None: Option[String])
+    }
+    val line = Bench.metricLine(named, 10000.0, "sf0.1")
+    assert(line.contains("\"failures\":1"))
+    // worst-case epilogue: the capped stderr list lands AFTER the line
+    // (stream interleaving is not guaranteed) + sbt's error epilogue
+    val stderrList = ("[bench] 1 queries FAILED: " + "x" * 300)
+      .take(Bench.FailListCap)
+    val sbtEpilogue = Seq(
+      "[error] Nonzero exit code returned from runner: 1",
+      "[error] (Compile / runMain) Nonzero exit code returned from runner: 1",
+      "[error] Total time: 310 s (05:10), completed Jan 1, 2026, 1:23:45 PM")
+    val log = Seq("…earlier output…", line, stderrList) ++ sbtEpilogue
+    val tail = log.mkString("\n").takeRight(2000)
+    assert(tail.contains(line),
+      s"metric line (${line.length} chars) must survive the tail window " +
+        s"with the failure epilogue (${(stderrList +: sbtEpilogue).map(_.length).sum} chars) after it")
+  }
+
   test("error strings are capped so a failing run still parses") {
     // 40-char digests, at most 2 on the line (plus the count): even a
     // many-failure run adds a bounded errors field.

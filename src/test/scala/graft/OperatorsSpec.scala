@@ -564,12 +564,16 @@ class OperatorsSpec extends AnyFunSuite {
     val edges = Analytics.edges(spark, TestSpark.sf)
       .select("src", "dst", "weight").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    // exact integer replay of the same rounds
+    // exact integer replay of the same rounds, INCLUDING the
+    // data-derived divisor kd = max(KatzDiv, max weighted degree) —
+    // the round-8 overflow fix (fixed α diverged at sf0.1)
     val nodes = edges.map(_._1).distinct
+    val kd = math.max(Analytics.KatzDiv,
+      edges.groupBy(_._1).values.map(_.map(_._3).sum).max)
     var s = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to Analytics.KatzIters) {
       val inc = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> es.map(e => s(e._1) * e._3).sum / Analytics.KatzDiv
+        dst -> es.map(e => s(e._1) * e._3).sum / kd
       }
       s = nodes.map(n => n -> (1000000L + inc.getOrElse(n, 0L))).toMap
     }
@@ -583,6 +587,40 @@ class OperatorsSpec extends AnyFunSuite {
     // walk-counting view: every score >= 1 (the self walk) and some
     // node actually accumulated attenuated walk mass
     assert(got.values.forall(_ >= 1.0) && got.values.exists(_ > 1.0))
+    // THE overflow guarantee: with kd >= max weighted degree each
+    // round's increment is bounded by the round-start max, so scores
+    // grow LINEARLY in rounds — s_t <= (t+1)·1e6 — for ANY weight
+    // distribution (the sf0.1 crash class is structurally gone)
+    assert(got.values.forall(_ <= Analytics.KatzIters + 1.0),
+      "katz scores must stay within the linear growth bound (kd >= W_max)")
+  }
+
+  test("katz growth bound holds on a hub-heavy fixture (overflow regression)") {
+    // A dense hub graph is exactly what blew BIGINT under the fixed
+    // divisor: every round multiplied hub scores by ~W_in/10. Build a
+    // star+clique weighted edge list where the hub's weighted degree
+    // dwarfs KatzDiv and replay the derived-divisor recurrence — the
+    // bound must hold with room, and the divisor must be the hub's
+    // weighted degree, not the constant.
+    import graft.graph.Analytics
+    val spokes = (1 to 200).map(i => s"n$i")
+    val hubEdges = spokes.flatMap(sp =>
+      Seq(("hub", sp, 5000L), (sp, "hub", 5000L))) // W_hub = 1e6
+    val kd = math.max(Analytics.KatzDiv,
+      hubEdges.groupBy(_._1).values.map(_.map(_._3).sum).max)
+    assert(kd == 1000000L, "divisor must derive from the hub's weighted degree")
+    val nodes = hubEdges.map(_._1).distinct
+    var s = nodes.map(_ -> 1000000L).toMap
+    for (t <- 1 to Analytics.KatzIters) {
+      val inc = hubEdges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => s(e._1) * e._3).sum / kd
+      }
+      s = nodes.map(n => n -> (1000000L + inc.getOrElse(n, 0L))).toMap
+      assert(s.values.max <= (t + 1) * 1000000L,
+        s"round $t broke the linear bound: max ${s.values.max}")
+    }
+    // the old fixed divisor would have reached ~1e6·(1e6/10)^4 = 1e26
+    assert(s("hub") <= (Analytics.KatzIters + 1) * 1000000L)
   }
 
   test("node2vec walks follow edges and the in/out bias changes the paths") {
