@@ -463,7 +463,9 @@ object CypherLite {
     * the wrong order, the worst failure mode for a compiled surface).
     */
   private def parseOrderKeys(src: String): Seq[(RetItem, Boolean)] =
-    src.replaceAll("(?i)^\\s*BY", "").split(",").map(_.trim)
+    // \b: only the standalone BY keyword — a first key that merely
+    // STARTS with "by" (alias `bytes`) must not be mangled (ADVICE r7)
+    src.replaceAll("(?i)^\\s*BY\\b", "").split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq.map { raw =>
         val desc = raw.matches("(?is).*\\bDESC\\s*$")
         val s = raw.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "").trim

@@ -562,9 +562,10 @@ object Similarity {
     * sf0.1) with all the time in per-round job+codegen overhead.
     *
     * Cross-engine discipline: all-integer arithmetic; the centroid
-    * update is the SHIFTED floor mean ((Σ(x+1e6)) div n) − 1e6 — the
-    * dividend is nonnegative, so JVM `/`, Spark `div` and DuckDB `//`
-    * agree even though components are signed. Ties → smallest k;
+    * update is the bare TRUNCATING mean Σx div n — JVM `/`, Spark
+    * `div` and DuckDB `//` all truncate toward zero (DuckDB probed:
+    * -7//2 = -3), so the identical formula is bit-equal across
+    * engines for any sign, no shift needed. Ties → smallest k;
     * empty clusters keep their previous codeword. The DuckDB oracle
     * replays training verbatim as unrolled CTEs (pqCteSql).
     */
@@ -604,13 +605,20 @@ object Similarity {
               if (d < bestD) { bestD = d; best = j } // strict < : ties → smallest j
               j += 1
             }
-            s0(best) += x0 + 1000000L; s1(best) += x1 + 1000000L; n(best) += 1
+            s0(best) += x0; s1(best) += x1; n(best) += 1
           }
           var j = 0
           while (j < kEff) {
             if (n(j) > 0) { // empty cluster keeps its previous codeword
-              c0(j) = s0(j) / n(j) - 1000000L
-              c1(j) = s1(j) / n(j) - 1000000L
+              // plain truncating mean, NO shift: JVM `/` and DuckDB
+              // `//` BOTH truncate toward zero (probed: -7//2 = -3 in
+              // DuckDB), so the bare formula is bit-equal across
+              // engines for ANY sign — the former +1e6 shift guarded
+              // against a flooring `//` DuckDB doesn't have (ADVICE
+              // r7's premise), and Math.floorDiv diverges on negative
+              // sums (measured: adc_dist drift at the sf0.01 gate).
+              c0(j) = s0(j) / n(j)
+              c1(j) = s1(j) / n(j)
             }
             j += 1
           }
@@ -941,9 +949,10 @@ object Similarity {
   /** PQ k-means training + encode + query-ADC-table CTEs (shared by
     * the q_ann_pq and q_ann_ivfpq oracles — identical codebooks, codes
     * and integer distances). The PqIters Lloyd rounds are unrolled:
-    * a{i} is the argmin assignment against cb{i-1}, cb{i} the shifted
-    * integer floor-mean update with empty clusters keeping their old
-    * codeword — exactly pqTrainCodebook's plan.
+    * a{i} is the argmin assignment against cb{i-1}, cb{i} the integer
+    * truncating-mean update (sum // count — DuckDB `//` truncates
+    * toward zero exactly like JVM `/`) with empty clusters keeping
+    * their old codeword — exactly pqTrainCodebook's plan.
     */
   private def pqCteSql: String = {
     val d2 = "(s.x0-c.c0)*(s.x0-c.c0)+(s.x1-c.c1)*(s.x1-c.c1)"
@@ -961,8 +970,8 @@ object Similarity {
          |    CAST(coalesce(u.u1, c.c1) AS BIGINT) AS c1
          |  FROM cb${i - 1} c LEFT JOIN (
          |    SELECT m, k,
-         |      CAST((sum(x0 + 1000000) // count(*)) - 1000000 AS BIGINT) AS u0,
-         |      CAST((sum(x1 + 1000000) // count(*)) - 1000000 AS BIGINT) AS u1
+         |      CAST(sum(x0) // count(*) AS BIGINT) AS u0,
+         |      CAST(sum(x1) // count(*) AS BIGINT) AS u1
          |    FROM a$i GROUP BY m, k) u ON c.m = u.m AND c.k = u.k)""".stripMargin
     }.mkString(",\n")
     s"""sub AS MATERIALIZED (

@@ -69,15 +69,29 @@ object Catalog {
   def mergeGraph(spark: SparkSession, batch: DataFrame,
       chunksTable: String = "graft_chunks",
       mentionsTable: String = "graft_mentions"): Unit = {
+    mergeChunks(spark, batch, chunksTable)
+    mergeMentions(spark, batch, mentionsTable)
+  }
+
+  /** Chunk-table half of mergeGraph — exposed separately so a
+    * replay-safe ingester can screen EACH standing table against its
+    * own doc_id set (the two appends are not atomic; see
+    * EventStream.ingestGraphBatch).
+    */
+  def mergeChunks(spark: SparkSession, batch: DataFrame,
+      chunksTable: String = "graft_chunks"): Unit =
     TextPipeline.chunksOf(batch)
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
       .saveAsTable(chunksTable)
+
+  /** Mention-table half of mergeGraph (same contract as mergeChunks). */
+  def mergeMentions(spark: SparkSession, batch: DataFrame,
+      mentionsTable: String = "graft_mentions"): Unit =
     TextPipeline.mentionsOf(batch)
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
       .saveAsTable(mentionsTable)
-  }
 
   /** Write the dedup family's per-doc shingle sets as a bucketed,
     * sorted table — the ingest-once half of the amortized dedup path

@@ -374,31 +374,70 @@ object EventStream {
 
   /** Streaming ingest → standing graph/shingle tables: every
     * micro-batch of documents appends its chunk/mention/shingle rows
-    * through Catalog.mergeGraph/mergeShingles — the continuous-ingest
-    * twin of the materialize-once path, so the amortized query family
-    * stays current as documents arrive instead of waiting for a
-    * rebuild. Appends are made idempotent per doc_id by anti-joining
-    * the batch against the chunk table's existing doc_ids (a
-    * doc_id-only scan of the bucketed layout): a replayed batch after
-    * failure re-appends nothing, which is what lets an append-only
-    * sink meet foreachBatch's at-least-once delivery.
+    * through Catalog.mergeChunks/mergeMentions/mergeShingles — the
+    * continuous-ingest twin of the materialize-once path, so the
+    * amortized query family stays current as documents arrive instead
+    * of waiting for a rebuild. Replay-safety is per
+    * [[ingestGraphBatch]]; batch ids are scoped to ONE stream, so a
+    * deployment running several ingest streams must give each its own
+    * ledgerTable (batch 7 of stream A is not batch 7 of stream B).
     */
-  def graphIngestStream(docs: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def graphIngestStream(docs: DataFrame, checkpoint: String,
+      ledgerTable: String = "graft_ingest_ledger"): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val fresh0 = batch.dropDuplicates("doc_id")
-        val fresh = (if (s.catalog.tableExists("graft_chunks"))
-            fresh0.join(s.table("graft_chunks").select("doc_id").distinct(),
-              Seq("doc_id"), "left_anti")
-          else fresh0).localCheckpoint(false) // read by both merges
-        if (!fresh.isEmpty) {
-          graft.sources.Catalog.mergeGraph(s, fresh)
-          graft.sources.Catalog.mergeShingles(s, fresh)
-        }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestGraphBatch(batch.sparkSession, batch.toDF(), batchId, ledgerTable)
       }
       .start()
+
+  /** One graph-ingest micro-batch, replay-safe against foreachBatch's
+    * at-least-once delivery AND a crash BETWEEN the three table
+    * appends (they are not atomic — ADVICE r7):
+    *
+    *  - Each standing table is screened against ITS OWN doc_id set,
+    *    not a single table's: a run that crashed after the chunks
+    *    append but before mentions/shingles re-derives exactly the
+    *    missing tables' rows on replay (the former chunks-only screen
+    *    filtered the replayed docs out entirely and silently lost
+    *    their mention/shingle rows forever).
+    *  - A committed-batch LEDGER (one batch_id row appended strictly
+    *    AFTER all three appends succeed) short-circuits replays of
+    *    fully-committed batches — without it, a doc that legitimately
+    *    produces zero rows for some table would be re-derived on
+    *    every restart (correct but wasted work; the ledger bounds it
+    *    to one replay window).
+    *
+    * Idempotency argument: appends only ever add rows for doc_ids a
+    * table does not yet contain, so any interleaving of crashes and
+    * replays converges to exactly-one-copy per (table, doc_id); the
+    * ledger append is the commit point and is itself idempotent
+    * (duplicate batch_id rows are harmless — the screen is EXISTS).
+    */
+  private[graft] def ingestGraphBatch(s: SparkSession, batch0: DataFrame,
+      batchId: Long, ledgerTable: String = "graft_ingest_ledger"): Unit = {
+    if (s.catalog.tableExists(ledgerTable) &&
+        !s.table(ledgerTable).filter(col("batch_id") === batchId).isEmpty)
+      return // fully committed — replay is a no-op
+    val batch = batch0.dropDuplicates("doc_id")
+      .localCheckpoint(false) // read by up to three screens + merges
+    def freshFor(table: String): DataFrame =
+      if (s.catalog.tableExists(table))
+        batch.join(s.table(table).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else batch
+    val c = freshFor("graft_chunks")
+    if (!c.isEmpty) graft.sources.Catalog.mergeChunks(s, c)
+    val m = freshFor("graft_mentions")
+    if (!m.isEmpty) graft.sources.Catalog.mergeMentions(s, m)
+    val g = freshFor("graft_shingles")
+    if (!g.isEmpty) graft.sources.Catalog.mergeShingles(s, g)
+    // commit point: all three tables own the batch now
+    import s.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(ledgerTable)
+  }
 
   /** Streaming decontamination screen: documents are checked against
     * the STATIC held-out gram set as they arrive — the continuous-

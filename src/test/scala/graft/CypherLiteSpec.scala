@@ -414,6 +414,19 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(page == full.drop(3), s"expected page 2; got $page vs $full")
   }
 
+  test("ORDER BY key starting with the letters 'by' is not mangled (ADVICE r7)") {
+    // the BY-keyword stripper must use a word boundary: an alias named
+    // `bytes` used to be rewritten to `tes` and fail resolution
+    val rows = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+        "WITH o.name AS org, count(c) AS bytes " +
+        "RETURN org, bytes ORDER BY bytes DESC, org LIMIT 5").collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy(identity)),
+      "must sort by the 'bytes' alias, descending")
+  }
+
   test("ORDER BY DESC sorts descending with ascending tiebreak (Ex13)") {
     val Seq(q) = parse(Ex13)
     assert(q.orderBy == Seq(PropItem("", "n") -> true, PropItem("", "org") -> false))

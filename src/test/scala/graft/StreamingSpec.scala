@@ -119,8 +119,13 @@ class StreamingSpec extends AnyFunSuite {
     sources.Catalog.materializeShingles(spark, baseDir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gsck").toString
     val input = MemoryStream[(Long, String, String, String, Long)]
+    // fresh per-stream ledger: batch ids restart at 0 for every new
+    // stream, so a stale ledger from an earlier suite run (the
+    // warehouse persists across JVMs) would silently skip batch 0
+    spark.sql("DROP TABLE IF EXISTS graft_ledger_sspec")
     val q = EventStream.graphIngestStream(
-      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), ckpt)
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), ckpt,
+      ledgerTable = "graft_ledger_sspec")
     val d3 = doc(3L, "epsilon zeta epsilon zeta spark group update")
     val d4 = doc(4L, "eta theta eta theta column column wire")
     try {
@@ -141,6 +146,48 @@ class StreamingSpec extends AnyFunSuite {
       .except(TextPipeline.mentionsOf(allDocs)).isEmpty, "mentions diverged")
     assert(spark.table("graft_shingles")
       .except(Dedup.shinglesOf(allDocs)).isEmpty, "shingles diverged")
+  }
+
+  test("graph ingest replay heals a crash BETWEEN the three table appends") {
+    import graft.operators.{Dedup, TextPipeline}
+    // ADVICE r7: the old chunks-only screen lost a batch's mention/
+    // shingle rows FOREVER if the job died after the chunks append —
+    // the replay saw the doc_ids already in graft_chunks and skipped
+    // everything. Reproduce that exact crash window, then replay.
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val base = Seq(doc(1L, "alpha beta alpha beta spark group news"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    sources.Catalog.materializeGraph(spark, baseDir)
+    sources.Catalog.materializeShingles(spark, baseDir)
+    spark.sql("DROP TABLE IF EXISTS graft_ledger_crash")
+    val b = Seq(doc(7L, "epsilon zeta epsilon zeta spark group update"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // simulated crash: ONLY the chunks append of batch 42 landed
+    sources.Catalog.mergeChunks(spark, b)
+    assert(spark.table("graft_chunks").filter($"doc_id" === 7L).count() > 0)
+    assert(spark.table("graft_mentions").filter($"doc_id" === 7L).count() == 0,
+      "crash window precondition: mentions append never ran")
+    // replay of batch 42 (ledger has no commit record for it)
+    EventStream.ingestGraphBatch(spark, b, 42L, "graft_ledger_crash")
+    val allDocs = base.unionByName(b)
+    assert(spark.table("graft_chunks").except(TextPipeline.chunksOf(allDocs)).isEmpty &&
+      TextPipeline.chunksOf(allDocs).except(spark.table("graft_chunks")).isEmpty,
+      "replay must not duplicate the chunks that DID land")
+    assert(spark.table("graft_mentions").except(TextPipeline.mentionsOf(allDocs)).isEmpty &&
+      TextPipeline.mentionsOf(allDocs).except(spark.table("graft_mentions")).isEmpty,
+      "replay must heal the missing mention rows")
+    assert(spark.table("graft_shingles").except(Dedup.shinglesOf(allDocs)).isEmpty &&
+      Dedup.shinglesOf(allDocs).except(spark.table("graft_shingles")).isEmpty,
+      "replay must heal the missing shingle rows")
+    // second replay of the SAME batch id: committed → full no-op
+    val counts = Seq("graft_chunks", "graft_mentions", "graft_shingles")
+      .map(t => spark.table(t).count())
+    EventStream.ingestGraphBatch(spark, b, 42L, "graft_ledger_crash")
+    assert(Seq("graft_chunks", "graft_mentions", "graft_shingles")
+      .map(t => spark.table(t).count()) == counts,
+      "a committed batch id must replay as a no-op")
   }
 
   test("streaming decontamination screen matches the batch gram join") {
