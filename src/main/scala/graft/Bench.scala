@@ -120,6 +120,7 @@ object Bench {
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",
       "keep_rate" -> "kr", "signal_corr" -> "sg",
+      "cypher_wsp" -> "cg", "cypher_asp" -> "cj",
       "cypher_sp" -> "cy",
       "hll_distinct" -> "hl", "graph_summary" -> "gm",
       "media_resize" -> "mz",

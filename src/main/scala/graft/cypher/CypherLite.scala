@@ -1214,29 +1214,112 @@ object CypherLite {
     ("""^MATCH\s+(\w+)\s*=\s*shortestPath\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
       """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
       """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
-      """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)$""").r
+      """RETURN\s+(length|wlength)\((\w+)\)\s+AS\s+(\w+)$""").r
 
   private def runShortestPath(spark: SparkSession, dir: String,
       m: scala.util.matching.Regex.Match): DataFrame = {
     val (srcLabel, srcName) = (m.group(2), m.group(3))
     val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
     val (dstLabel, dstName) = (m.group(7), m.group(8))
-    require(m.group(1) == m.group(9), "length() must reference the path variable")
+    val weighted = m.group(9) == "wlength"
+    require(m.group(1) == m.group(10), s"${m.group(9)}() must reference the path variable")
     require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    val srcUid = s"$srcLabel:$srcName"
+    val dstUid = s"$dstLabel:$dstName"
+    if (weighted) {
+      // WEIGHTED shortest path — `wlength(p)`: minimum path COST over
+      // the reciprocal-weight edge length 1000000 div weight (stronger
+      // tie → shorter edge — qWeightedShortestPath's exact cost rule),
+      // relaxed by `hi` Bellman-Ford rounds over the same frontier-join
+      // loop. Neo4j reaches this through GDS Dijkstra; CypherLite
+      // exposes it as wlength() on the shortestPath pattern so "how
+      // STRONGLY are X and Y connected" composes with the r.weight
+      // property ex24 made readable. Only the weighted relationship
+      // supports it; `lo` must be 1 (the bound counts hops, which a
+      // cost-relaxation loop does not track).
+      require(rel == "CO_OCCURS", s"wlength needs a weighted relationship, not $rel")
+      require(lo == 1, "wlength supports *1..k bounds only")
+      val e = edgesWithProps(spark, dir, rel, None)
+        .selectExpr("src_uid", "dst_uid", "1000000 div weight AS cost")
+        .localCheckpoint(false)
+      var dist = spark.range(1)
+        .select(lit(srcUid).as("node"), lit(0L).as("dist"))
+      for (i <- 1 to hi) {
+        val relaxed = dist.join(e, dist("node") === e("src_uid"))
+          .select(col("dst_uid").as("node"), (col("dist") + col("cost")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+        if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+      }
+      dist.filter(col("node") === dstUid)
+        .select(col("dist").as(m.group(11)))
+    } else {
+      val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+      var dist = spark.range(1)
+        .select(lit(srcUid).as("node"), lit(0L).as("dist"))
+      for (i <- 1 to hi) {
+        val relaxed = dist.join(e, dist("node") === e("src_uid"))
+          .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+        if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+      }
+      dist.filter(col("node") === dstUid && col("dist") >= lo)
+        .select(col("dist").as(m.group(11)))
+    }
+  }
+
+  /** `MATCH p = allShortestPaths((a:L {name:'x'})-[:REL*lo..hi]-(b:L
+    * {name:'y'})) RETURN length(p) AS l, count(p) AS n` — how many
+    * distinct shortest paths join the anchors (Neo4j's
+    * allShortestPaths, consumed through the aggregate the LLM idiom
+    * wraps around it: "how many ways are X and Y connected?").
+    *
+    * Compiled as layered BFS with PATH COUNTING (the σ recurrence
+    * betweenness uses): frontier i carries, per node first reached at
+    * depth i, the number of depth-i paths from the seed (sum over
+    * predecessor counts); settled nodes leave the frontier, so a
+    * node's count is finalized in the one layer that reaches it.
+    * One equi-join + map-side-combined sum + anti-join per round —
+    * never a path enumeration (deg^hi paths would be the wrong plan
+    * at any scale; the count table carries one row per node).
+    */
+  private val AspRe =
+    ("""^MATCH\s+(\w+)\s*=\s*allShortestPaths\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)\s*,\s*count\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  private def runAllShortestPaths(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
+      "length()/count() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
     val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
     val srcUid = s"$srcLabel:$srcName"
     val dstUid = s"$dstLabel:$dstName"
-    var dist = spark.range(1)
-      .select(lit(srcUid).as("node"), lit(0L).as("dist"))
+    var frontier = spark.range(1)
+      .select(lit(srcUid).as("node"), lit(1L).as("cnt"))
+    var reached = frontier.select(col("node"), lit(0).as("dist"), col("cnt"))
+      .localCheckpoint(false)
     for (i <- 1 to hi) {
-      val relaxed = dist.join(e, dist("node") === e("src_uid"))
-        .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+      val nxt = frontier.join(e, frontier("node") === e("src_uid"))
+        .groupBy(col("dst_uid").as("node"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(false) // read by reached AND the next round
+      reached = reached
+        .unionByName(nxt.select(col("node"), lit(i).as("dist"), col("cnt")))
+        .localCheckpoint(false)
+      frontier = nxt
     }
-    dist.filter(col("node") === dstUid && col("dist") >= lo)
-      .select(col("dist").as(m.group(10)))
+    reached.filter(col("node") === dstUid &&
+        col("dist") >= lo && col("dist") <= hi)
+      .select(col("dist").cast("long").as(m.group(10)),
+        col("cnt").as(m.group(12)))
   }
 
   /** Parse + compile (UNION = distinct union of branch plans). */
@@ -1244,9 +1327,12 @@ object CypherLite {
     val trimmed = cypher.trim
     SpRe.findFirstMatchIn(trimmed) match {
       case Some(m) => runShortestPath(spark, dir, m)
-      case None =>
-        parse(cypher).map(q => compile(spark, dir, q))
-          .reduce((a, b) => a.union(b).distinct())
+      case None => AspRe.findFirstMatchIn(trimmed) match {
+        case Some(m) => runAllShortestPaths(spark, dir, m)
+        case None =>
+          parse(cypher).map(q => compile(spark, dir, q))
+            .reduce((a, b) => a.union(b).distinct())
+      }
     }
   }
 
@@ -1441,6 +1527,25 @@ object CypherLite {
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
       "RETURN length(p) AS len"
 
+  /** WEIGHTED shortest path (round 8) — "how STRONGLY are X and Y
+    * connected": wlength(p) minimizes the reciprocal-weight cost sum
+    * over CO_OCCURS (qWeightedShortestPath's exact cost rule), the
+    * path-function composition of the r.weight property ex24 exposed.
+    */
+  val ExWsp: String =
+    "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..6]-(b:Entity {name:'column column'})) " +
+      "RETURN wlength(p) AS wcost"
+
+  /** allShortestPaths (round 8) — "how many ways are X and Y
+    * connected": shortest hop distance + the count of distinct
+    * shortest paths, by layered path-counting BFS.
+    */
+  val ExAsp: String =
+    "MATCH p = allShortestPaths((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
+      "RETURN length(p) AS len, count(p) AS n_paths"
+
   /** Relationship variable + property — the co-occurrence weight made
     * readable through the compiled path (`-[r:CO_OCCURS]->` …
     * `r.weight`): "how STRONGLY is X connected", the graph-RAG
@@ -1535,6 +1640,8 @@ object CypherLite {
     "q_cypher_ex25" -> ((s, d) => run(s, d, Ex25)),
     "q_cypher_ex26" -> ((s, d) => run(s, d, Ex26)),
     "q_cypher_sp" -> ((s, d) => run(s, d, Ex23)),
+    "q_cypher_wsp" -> ((s, d) => run(s, d, ExWsp)),
+    "q_cypher_asp" -> ((s, d) => run(s, d, ExAsp)),
     "q_cypher_ex22" -> ((s, d) => run(s, d, Ex22)),
     "q_cypher_ex21" -> ((s, d) => run(s, d, Ex21)),
     "q_cypher_ex20" -> ((s, d) => run(s, d, Ex20)),
@@ -1646,6 +1753,52 @@ object CypherLite {
          |$iters
          |SELECT CAST(dist AS BIGINT) AS len FROM d$hops
          |WHERE node = 'column column' AND dist >= 1""".stripMargin
+    },
+    "q_cypher_wsp" -> {
+      // qWsp's Bellman-Ford CTEs, selected down to the anchored target
+      val rounds = 6
+      val iters = (1 to rounds).map { i =>
+        val prev = s"w${i - 1}"
+        s"""w$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + e.cost AS dist
+           |    FROM $prev p JOIN ec e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |ec AS MATERIALIZED (
+         |  SELECT src, dst, 1000000 // weight AS cost FROM edges),
+         |w0 AS (SELECT 'spark group' AS node, CAST(0 AS BIGINT) AS dist),
+         |$iters
+         |SELECT CAST(dist AS BIGINT) AS wcost FROM w$rounds
+         |WHERE node = 'column column'""".stripMargin
+    },
+    "q_cypher_asp" -> {
+      // layered path-counting BFS unrolled: frontier f_i carries the
+      // number of depth-i shortest paths per first-reached node
+      val hops = 4
+      val iters = (1 to hops).map { i =>
+        val prev = i - 1
+        s"""f$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, CAST(sum(f.cnt) AS BIGINT) AS cnt
+           |  FROM f$prev f JOIN edges e ON f.node = e.src
+           |  WHERE e.dst NOT IN (SELECT node FROM s$prev)
+           |  GROUP BY e.dst),
+           |s$i AS MATERIALIZED (
+           |  SELECT node FROM s$prev UNION ALL SELECT node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val hits = (1 to hops)
+        .map(i => s"SELECT $i AS dist, cnt FROM f$i WHERE node = 'column column'")
+        .mkString(" UNION ALL ")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |f0 AS (SELECT 'spark group' AS node, CAST(1 AS BIGINT) AS cnt),
+         |s0 AS (SELECT node FROM f0),
+         |$iters,
+         |r AS ($hits)
+         |SELECT CAST(dist AS BIGINT) AS len, cnt AS n_paths FROM r
+         |WHERE dist >= 1 ORDER BY dist LIMIT 1""".stripMargin
     },
     "q_cypher_ex21" ->
       s"""WITH $M,

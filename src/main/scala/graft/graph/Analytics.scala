@@ -528,6 +528,13 @@ object Analytics {
     * ≤ 10⁶ before multiplying), so both engines floor identically and
     * no distributed summation order can flip a move.
     *
+    * BIGINT headroom: every numerator x (w_i,c / k_i / Σtot) is ≤ the
+    * total weight W, so each factor (x·10⁶ div W) ≤ 10⁶ and the
+    * product ≤ 10¹²; the one data-dependent intermediate is x·10⁶
+    * itself, which needs W < 9.2·10¹² (total co-mention weight — at
+    * 10¹² total mentions rescale weights first). Same bound governs
+    * modularityBreakdown.
+    *
     * Scale shape per round: one equi-join of the edge list against
     * the partition (w_i,c rollup, map-side combined), a
     * #communities-sized Σtot rollup, and per-node argmax as a single
@@ -543,14 +550,57 @@ object Analytics {
       .orderBy("name")
   }
 
-  /** The refined (node, community) table — see qLouvain. */
+  val Louvain2Rounds = 2
+
+  /** The refined (node, community) table — see qLouvain. Two phases
+    * since round 8 (real Blondel iteration, not move-only): the move
+    * phase refines the LPA partition, then ONE graph-coarsening step
+    * contracts each community to a super-node (edge weights summed;
+    * internal edges become self-loops, which is what carries w_in
+    * into the coarse level) and the SAME move rounds run on the
+    * contracted graph — merging whole communities at once, the moves
+    * no single node can make. Final labels map each node through its
+    * community's coarse community. Identical gain arithmetic at both
+    * levels (the contracted graph preserves total weight and
+    * k_super = Σ k_member, so the micro-grid gain formula is
+    * level-agnostic); the coarse pass costs #communities-sized
+    * rounds, asymptotically free next to phase 1.
+    */
   private[graft] def louvainLabels(e: DataFrame): DataFrame = {
+    val com1 = louvainMoveRounds(e, lpaLabels(e), LouvainRounds)
+      .localCheckpoint(false) // read by the contraction AND the mapback
+    val superE = e
+      .join(com1.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(com1.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum("weight").cast("long").as("weight"))
+      .localCheckpoint(false)
+    val init2 = superE.select(col("src").as("node")).distinct()
+      .withColumn("community", col("node"))
+    val com2 = louvainMoveRounds(superE, init2, Louvain2Rounds)
+    com1.select(col("node"), col("community").as("c1"))
+      .join(com2.select(col("node").as("c1"), col("community")), "c1")
+      .select("node", "community")
+  }
+
+  /** Move-only phase-1 partition — kept visible so the quality spec
+    * can pin Q(two-phase) ≥ Q(move-only).
+    */
+  private[graft] def louvainMoveOnly(e: DataFrame): DataFrame =
+    louvainMoveRounds(e, lpaLabels(e), LouvainRounds)
+
+  /** Synchronized local-move rounds (see qLouvain) over an arbitrary
+    * weighted edge list from an arbitrary starting partition — the
+    * one loop both Louvain phases run.
+    */
+  private def louvainMoveRounds(e: DataFrame, init: DataFrame,
+      rounds: Int): DataFrame = {
     val kdeg = e.groupBy("src").agg(sum("weight").cast("long").as("k"))
       .select(col("src").as("node"), col("k"))
       .localCheckpoint(false) // read twice per round
     val totW = e.agg(sum("weight").cast("long").as("tw"))
-    var com = lpaLabels(e).localCheckpoint(false)
-    for (_ <- 1 to LouvainRounds) {
+    var com = init.localCheckpoint(false)
+    for (_ <- 1 to rounds) {
       val tot = com.join(kdeg, "node")
         .groupBy("community").agg(sum("k").cast("long").as("tot"))
       // weight from each node into each adjacent community
@@ -594,55 +644,76 @@ object Analytics {
   }
 
   /** The same rounds unrolled as CTEs — identical micro-grid floors,
-    * identical stay-beats-tie rule.
+    * identical stay-beats-tie rule — parameterized over (edge table,
+    * degree table, chain prefix) so BOTH Louvain levels replay through
+    * the one generator (phase 1 on `edges`/`deg` as lv0..lvN, phase 2
+    * on the contracted `se`/`sdeg` as sv0..svM).
     */
-  private def louvainSql: String = {
-    val rounds = (1 to LouvainRounds).map { r =>
-      val prev = s"lv${r - 1}"
-      s"""t$r AS MATERIALIZED (
+  private def louvainRoundsSql(p: String, edgesT: String, degT: String,
+      chain: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"$chain${r - 1}"
+      s"""${p}t$r AS MATERIALIZED (
          |  SELECT f.community, CAST(sum(d.wd) AS BIGINT) AS tot
-         |  FROM $prev f JOIN deg d ON d.src = f.node GROUP BY f.community),
-         |w$r AS MATERIALIZED (
+         |  FROM $prev f JOIN $degT d ON d.src = f.node GROUP BY f.community),
+         |${p}w$r AS MATERIALIZED (
          |  SELECT e.src AS node, f.community AS c, CAST(sum(e.weight) AS BIGINT) AS w
-         |  FROM edges e JOIN $prev f ON f.node = e.dst GROUP BY e.src, f.community),
-         |g$r AS MATERIALIZED (
+         |  FROM $edgesT e JOIN $prev f ON f.node = e.dst GROUP BY e.src, f.community),
+         |${p}g$r AS MATERIALIZED (
          |  SELECT w.node, w.c,
          |    w.w * 1000000 // tw
          |      - ((d.wd * 1000000 // tw)
          |         * ((t.tot - CASE WHEN w.c = f.community THEN d.wd ELSE 0 END)
          |            * 1000000 // tw)) // 1000000 AS gain
-         |  FROM w$r w JOIN $prev f ON f.node = w.node
-         |  JOIN deg d ON d.src = w.node
-         |  JOIN t$r t ON t.community = w.c CROSS JOIN tots),
-         |b$r AS MATERIALIZED (
+         |  FROM ${p}w$r w JOIN $prev f ON f.node = w.node
+         |  JOIN $degT d ON d.src = w.node
+         |  JOIN ${p}t$r t ON t.community = w.c CROSS JOIN tots),
+         |${p}b$r AS MATERIALIZED (
          |  SELECT node, c AS best_c, gain AS best_gain FROM (
          |    SELECT node, c, gain,
          |      row_number() OVER (PARTITION BY node ORDER BY gain DESC, c) AS rn
-         |    FROM g$r) WHERE rn = 1),
-         |s$r AS MATERIALIZED (
+         |    FROM ${p}g$r) WHERE rn = 1),
+         |${p}s$r AS MATERIALIZED (
          |  SELECT f.node,
          |    coalesce(w.w, 0) * 1000000 // tw
          |      - ((d.wd * 1000000 // tw)
          |         * ((t.tot - d.wd) * 1000000 // tw)) // 1000000 AS sg
-         |  FROM $prev f JOIN deg d ON d.src = f.node
-         |  JOIN t$r t ON t.community = f.community
-         |  LEFT JOIN w$r w ON w.node = f.node AND w.c = f.community
+         |  FROM $prev f JOIN $degT d ON d.src = f.node
+         |  JOIN ${p}t$r t ON t.community = f.community
+         |  LEFT JOIN ${p}w$r w ON w.node = f.node AND w.c = f.community
          |  CROSS JOIN tots),
-         |lv$r AS MATERIALIZED (
+         |$chain$r AS MATERIALIZED (
          |  SELECT f.node,
          |    CASE WHEN b.best_gain > s.sg THEN b.best_c
          |         ELSE f.community END AS community
-         |  FROM $prev f JOIN s$r s ON s.node = f.node
-         |  LEFT JOIN b$r b ON b.node = f.node)""".stripMargin
+         |  FROM $prev f JOIN ${p}s$r s ON s.node = f.node
+         |  LEFT JOIN ${p}b$r b ON b.node = f.node)""".stripMargin
     }.mkString(",\n")
+
+  private def louvainSql: String = {
+    val phase1 = louvainRoundsSql("", "edges", "deg", "lv", LouvainRounds)
+    val phase2 = louvainRoundsSql("p2", "se", "sdeg", "sv", Louvain2Rounds)
     s"""WITH $lpaCtes,
        |tots AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM edges),
        |lv0 AS MATERIALIZED (SELECT node, community FROM fin),
-       |$rounds,
+       |$phase1,
+       |se AS MATERIALIZED (
+       |  SELECT f1.community AS src, f2.community AS dst,
+       |    CAST(sum(e.weight) AS BIGINT) AS weight
+       |  FROM edges e JOIN lv$LouvainRounds f1 ON f1.node = e.src
+       |  JOIN lv$LouvainRounds f2 ON f2.node = e.dst
+       |  GROUP BY f1.community, f2.community),
+       |sdeg AS MATERIALIZED (
+       |  SELECT src, CAST(sum(weight) AS BIGINT) AS wd FROM se GROUP BY src),
+       |sv0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS community FROM se),
+       |$phase2,
+       |fin2 AS MATERIALIZED (
+       |  SELECT l.node, s.community
+       |  FROM lv$LouvainRounds l JOIN sv$Louvain2Rounds s ON s.node = l.community),
        |sz AS (SELECT community, count(*) AS community_size
-       |  FROM lv$LouvainRounds GROUP BY community)
+       |  FROM fin2 GROUP BY community)
        |SELECT node AS name, community, community_size
-       |FROM lv$LouvainRounds JOIN sz USING (community) ORDER BY name""".stripMargin
+       |FROM fin2 JOIN sz USING (community) ORDER BY name""".stripMargin
   }
 
   /** Unrolled PageRank iteration CTEs for the oracle (recursive CTEs
@@ -774,6 +845,11 @@ object Analytics {
     * per round over the checkpointed edge list). Replayed exactly by
     * the unrolled-CTE oracle; GraphXSpec cross-checks the full
     * distance map against an independent Pregel min-sum run.
+    *
+    * BIGINT headroom (data-INdependent): every edge cost is
+    * `1000000 div weight` ≤ 10⁶ and a kept distance has ≤ WspRounds
+    * edges, so dist ≤ WspRounds·10⁶ (= 6·10⁶) and each relaxation
+    * sum ≤ (WspRounds+1)·10⁶ — no weight distribution can overflow.
     */
   def qWeightedShortestPath(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
@@ -1266,6 +1342,16 @@ object Analytics {
     * pivots, depth-capped at BtwDepth. The division rides the integer
     * micro-grid — each term is floor(σv·(1e6+Δw)/σw) in BIGINTs — so
     * accumulation order can never flip a value between engines.
+    *
+    * BIGINT headroom (data-DEPENDENT — the katz class): σ is a pure
+    * path count bounded by D^BtwDepth (D = max degree), and
+    * Δ_micro ≤ 10⁶·(1+R) with R the largest depth-bounded descendant
+    * count (Brandes: δ(v) < reachable pairs), so the product
+    * σv·(10⁶+Δw) needs σ_max·(1+R) < 9.2·10¹². At these SFs σ_max is
+    * ~10³ (spec-checked); on a graph where D^4 approaches 10¹² the
+    * right move is NOT a bigger integer but pivot-local frontier
+    * truncation (cap σ per layer) or edge-weight rescaling — the same
+    * remedy class as qKatz's derived divisor.
     *
     * Scale shape: the classic distributed BFS — each layer is one
     * equi-join frontier→edges + an anti-join against the visited set

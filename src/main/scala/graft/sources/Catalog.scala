@@ -27,7 +27,7 @@ object Catalog {
     * interrupted run may have left the directory without the catalog
     * entry).
     */
-  private def dropManaged(spark: SparkSession, t: String): Unit = {
+  private[graft] def dropManaged(spark: SparkSession, t: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -179,14 +179,12 @@ object Catalog {
     import graft.operators.Similarity
     Seq(ivfTable, codesTable, codebookTable, centroidsTable)
       .foreach(dropManaged(spark, _))
-    // the coarse quantizer is its OWN artifact (as in FAISS): pinned
-    // at build time so later mergeVectors batches can never pollute
-    // the centroid set (a batch vec_id hitting the modular rule must
-    // not become a centroid)
-    Similarity.vectors(spark, dir)
-      .filter(col("vec_id") % Similarity.IvfStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    // the coarse quantizer is its OWN artifact (as in FAISS): k-means
+    // TRAINED once at build time (Similarity.ivfCentroids) and pinned,
+    // so later mergeVectors batches assign against the same centroids
+    // the standing index was built under — quantizer drift is the
+    // caller's retrain-policy decision, never an accident
+    Similarity.ivfCentroids(spark, dir)
       .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
     Similarity.ivfServingIndex(spark, dir)
       .write.mode(SaveMode.Overwrite)

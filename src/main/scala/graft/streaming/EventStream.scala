@@ -432,8 +432,13 @@ object EventStream {
     if (!m.isEmpty) graft.sources.Catalog.mergeMentions(s, m)
     val g = freshFor("graft_shingles")
     if (!g.isEmpty) graft.sources.Catalog.mergeShingles(s, g)
-    // commit point: all three tables own the batch now
+    // commit point: all three tables own the batch now. If the ledger
+    // is absent from the CATALOG, clear any stale warehouse dir first
+    // (a leftover location from a dead catalog fails the create with
+    // LOCATION_ALREADY_EXISTS — the catalog is the source of truth).
     import s.implicits._
+    if (!s.catalog.tableExists(ledgerTable))
+      graft.sources.Catalog.dropManaged(s, ledgerTable)
     Seq(batchId).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(ledgerTable)

@@ -20,6 +20,47 @@ class CypherLiteSpec extends AnyFunSuite {
       s"cypher len=$len vs BFS ${want.toSeq}")
   }
 
+  test("wlength shortestPath matches the standalone weighted-SP operator") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExWsp).collect()
+    assert(got.length == 1, s"expected one path row, got ${got.toSeq}")
+    val wcost = got(0).getAs[Long]("wcost")
+    // parity with qWeightedShortestPath (same seed, same cost rule,
+    // same round count) at the anchored target
+    val want = graft.graph.Analytics.qWeightedShortestPath(spark, TestSpark.sf)
+      .filter(col("name") === "column column").collect()
+    assert(want.nonEmpty && want(0).getAs[Long]("wdist") == wcost,
+      s"cypher wcost=$wcost vs qWsp ${want.toSeq}")
+    // a weighted cost is never below cheapest-edge × hop distance and
+    // the hop-count path exists wherever the weighted one does
+    assert(wcost > 0)
+  }
+
+  test("allShortestPaths counts every minimal path, at the BFS distance") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExAsp).collect()
+    assert(got.length == 1, s"expected one row, got ${got.toSeq}")
+    val (len, n) = (got(0).getAs[Long]("len"), got(0).getAs[Long]("n_paths"))
+    // distance agrees with the plain shortestPath compile
+    val sp = CypherLite.run(spark, TestSpark.sf, Ex23).head().getAs[Long]("len")
+    assert(len == sp, s"asp len=$len vs sp len=$sp")
+    assert(n >= 1)
+    // exact count cross-check: enumerate len-hop paths over the
+    // collected edge list (tiny at this SF)
+    val adj = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def countPaths(from: String, to: String, k: Long): Long =
+      if (k == 0) { if (from == to) 1L else 0L }
+      else adj.getOrElse(from, Array.empty[String])
+        .map(countPaths(_, to, k - 1)).sum
+    // shortest-path count = #walks of exactly `len` hops that end at
+    // the target AND never reach it earlier; at minimal length every
+    // such walk is a shortest path (a walk can't revisit the target
+    // before `len` — that would be a shorter path)
+    assert(countPaths("spark group", "column column", len) == n,
+      s"asp count $n != enumerated ${countPaths("spark group", "column column", len)}")
+  }
+
   test("shortestPath to an unreachable node returns no row (Cypher semantics)") {
     val q = "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'no such entity xyz'})) " +

@@ -669,6 +669,55 @@ class OperatorsSpec extends AnyFunSuite {
     // (communities are anchored on nodes, never invented)
     assert(lv.join(e.select(col("src").as("community")).distinct(),
       Seq("community"), "left_anti").count() == 0)
+    // phase 2 (round 8): the coarse-level pass must not score below
+    // the move-only partition it contracts — the Blondel iteration
+    // only merges communities when the gain formula says so
+    val moveOnly = Analytics.louvainMoveOnly(e)
+    val qMove = globalQ(moveOnly)
+    assert(qLv >= qMove - 1e-9,
+      s"two-phase Q $qLv fell below move-only Q $qMove")
+    // coarsening can only merge, never split: every move-only
+    // community maps to exactly one final community
+    val mapped = moveOnly.select(col("node"), col("community").as("c1"))
+      .join(lv, "node")
+    assert(mapped.select("c1", "community").distinct().count() ==
+      mapped.select("c1").distinct().count(),
+      "phase 2 split a phase-1 community")
+  }
+
+  test("betweenness sigma counts stay far inside BIGINT headroom (micro-grid audit)") {
+    // the qBetweenness doc bound: σv·(1e6+Δw) needs σ_max·(1+R) <
+    // 9.2e12 (R = max depth-bounded reachable count). Replay the
+    // forward path-count BFS from the real pivots and assert the
+    // product sits orders of magnitude inside the bound — the
+    // data-dependent half of the katz-class overflow audit.
+    import graft.graph.Analytics
+    val edges = Analytics.edges(spark, TestSpark.sf).select("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.view.mapValues(_.length).toSeq
+      .sortBy { case (n, d) => (-d, n) }.take(Analytics.BtwSeeds).map(_._1)
+    var worstSigma = 1L
+    var worstReach = 1L
+    seeds.foreach { s =>
+      var sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Set(s)
+      var visited = Set(s)
+      for (_ <- 1 to Analytics.BtwDepth) {
+        val nxt = scala.collection.mutable.Map.empty[String, Long]
+        frontier.foreach(u => adj.getOrElse(u, Array.empty[String]).foreach { v =>
+          if (!visited(v)) nxt(v) = nxt.getOrElse(v, 0L) + sigma(u)
+        })
+        sigma ++= nxt
+        frontier = nxt.keySet.toSet
+        visited ++= frontier
+      }
+      worstSigma = math.max(worstSigma, sigma.values.max)
+      worstReach = math.max(worstReach, visited.size.toLong)
+    }
+    val product = BigInt(worstSigma) * BigInt(1L + worstReach)
+    assert(product < BigInt("9200000000"), // bound/1000: three orders of margin
+      s"sigma $worstSigma × reach $worstReach leaves too little BIGINT headroom")
   }
 
   test("burst detection: z recomputes from the trailing hourly counts") {
@@ -765,22 +814,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("NDCG: bounded by 1, consistent with hand-computed gains from the knn ranking") {
+  test("NDCG: bounded by 1, consistent with hand-computed gains from the exact ranking") {
+    import org.apache.spark.sql.expressions.Window
     val rows = Similarity.qNdcg(spark, TestSpark.sf).collect()
-    assert(rows.length == 5, "one row per probe query")
-    // recompute per-query DCG from the exact knn ranking + labels
-    val labels = graft.Tables.embeddings(spark, TestSpark.sf)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val knn = Similarity.qKnnJoin(spark, TestSpark.sf).collect()
+    assert(rows.length == Similarity.ProbeBatch, "one row per probe query")
+    // independent per-query ranking over the SAME probe batch via a
+    // rank window (qNdcg itself ranks through the TopKPerGroup heap,
+    // so this also cross-checks the custom operator)
+    val qs = Similarity.vectors(spark, TestSpark.sf)
+      .filter(col("vec_id") < Similarity.ProbeBatch)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val ranked = Similarity.vectors(spark, TestSpark.sf)
+      .filter(col("vec_id") >= Similarity.ProbeBatch)
+      .crossJoin(broadcast(qs))
+      .withColumn("score", round(
+        Similarity.dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= Similarity.KnnK)
+      .select("query_id", "label", "qlabel", "rk").collect()
       .groupBy(_.getLong(0))
     rows.foreach { r =>
       val (q, nRel, dcgM, idcgM, ndcg) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
       assert(ndcg >= 0.0 && ndcg <= 1.0, s"query $q: ndcg $ndcg out of [0,1]")
       assert(dcgM <= idcgM, s"query $q: dcg $dcgM exceeds ideal $idcgM")
-      val expDcg = knn(q).map { k =>
-        val rel = labels(k.getLong(1)) == labels(q)
+      val expDcg = ranked(q).map { k =>
+        val rel = k.getInt(1) == k.getInt(2)
         if (rel) math.rint(1e6 / (math.log(k.getInt(3) + 1) / math.log(2))).toLong
         else 0L
       }.sum

