@@ -99,6 +99,10 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("cypher MATCH over dirty docs")(cypher.CypherLite.run(spark, dir,
     "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
       "RETURN a.doc_id AS doc_id, count(c) AS n ORDER BY doc_id"))
+  runs("cypher weighted shortestPath over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExWsp))
+  runs("cypher allShortestPaths over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExAsp))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 
   test("exact dedup still pairs the surviving identical docs") {
