@@ -566,6 +566,18 @@ object Analytics {
     * level-agnostic); the coarse pass costs #communities-sized
     * rounds, asymptotically free next to phase 1.
     */
+  /** Coarse graphs up to this many super-EDGES run phase 2 on the
+    * driver (one collect of a #communities-sized table — the bounded-
+    * side seam PQ/IVF training also uses): the distributed loop's
+    * per-round stage latency dwarfs the actual work when the
+    * contracted graph is thousands of rows (measured: +5 s at sf0.1
+    * for a ~dozens-node coarse graph). Beyond the bound — millions of
+    * communities — the identical distributed loop runs instead; both
+    * paths compute the same exact-integer recurrence, spec-proved
+    * equal, so the oracle never sees which one ran.
+    */
+  val CoarseDriverMaxEdges = 200000L
+
   private[graft] def louvainLabels(e: DataFrame): DataFrame = {
     val com1 = louvainMoveRounds(e, lpaLabels(e), LouvainRounds)
       .localCheckpoint(false) // read by the contraction AND the mapback
@@ -575,12 +587,82 @@ object Analytics {
       .groupBy(col("cs").as("src"), col("cd").as("dst"))
       .agg(sum("weight").cast("long").as("weight"))
       .localCheckpoint(false)
-    val init2 = superE.select(col("src").as("node")).distinct()
-      .withColumn("community", col("node"))
-    val com2 = louvainMoveRounds(superE, init2, Louvain2Rounds)
+    val spark = e.sparkSession
+    val nSuperEdges = superE.count()
+    val com2 =
+      if (nSuperEdges <= CoarseDriverMaxEdges) {
+        val edges = superE.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val fin = louvainMoveRoundsLocal(edges, Louvain2Rounds)
+        import spark.implicits._
+        fin.toSeq.toDF("c1", "community")
+      } else {
+        val init2 = superE.select(col("src").as("node")).distinct()
+          .withColumn("community", col("node"))
+        louvainMoveRounds(superE, init2, Louvain2Rounds)
+          .select(col("node").as("c1"), col("community"))
+      }
     com1.select(col("node"), col("community").as("c1"))
-      .join(com2.select(col("node").as("c1"), col("community")), "c1")
+      .join(broadcast(com2), "c1")
       .select("node", "community")
+  }
+
+  /** UTF-8 byte order — Spark compares strings as binary UTF-8, and
+    * the local coarse phase must break gain ties exactly like the
+    * distributed struct-min (JVM String ordering diverges on
+    * supplementary characters).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The SAME synchronized move recurrence as [[louvainMoveRounds]],
+    * executed on the driver over a collected (bounded) edge list from
+    * the identity partition — pure exact-integer arithmetic (every
+    * dividend nonnegative, so JVM `/` matches Spark `div` and DuckDB
+    * `//`), ties → stay / smallest community by UTF-8 order.
+    * Spec-proved equal to the distributed loop.
+    */
+  private[graft] def louvainMoveRoundsLocal(
+      edges: Array[(String, String, Long)], rounds: Int): Map[String, String] = {
+    if (edges.isEmpty) return Map.empty
+    val kdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val tw = edges.map(_._3).sum
+    var com: Map[String, String] = kdeg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val cur = com
+      val tot = cur.toSeq.groupBy(_._2)
+        .map { case (c, ns) => c -> ns.map(p => kdeg(p._1)).sum }
+      val wic = edges.groupBy(ed => (ed._1, cur(ed._2)))
+        .map { case (key, es) => key -> es.map(_._3).sum }
+      val byNode = wic.toSeq.groupBy(_._1._1)
+      def gainOf(node: String, c: String, w: Long): Long = {
+        val k = kdeg(node)
+        val totAdj = tot.getOrElse(c, 0L) - (if (c == cur(node)) k else 0L)
+        w * 1000000L / tw -
+          ((k * 1000000L / tw) * (totAdj * 1000000L / tw)) / 1000000L
+      }
+      com = cur.map { case (node, c0) =>
+        val stayGain = gainOf(node, c0, wic.getOrElse((node, c0), 0L))
+        var bestC: String = null
+        var bestGain = Long.MinValue
+        byNode.getOrElse(node, Seq.empty).foreach { case ((_, c), w) =>
+          val g = gainOf(node, c, w)
+          if (g > bestGain || (g == bestGain && utf8Less(c, bestC)))
+            { bestGain = g; bestC = c }
+        }
+        node -> (if (bestC != null && bestGain > stayGain) bestC else c0)
+      }
+    }
+    com
   }
 
   /** Move-only phase-1 partition — kept visible so the quality spec
@@ -593,7 +675,7 @@ object Analytics {
     * weighted edge list from an arbitrary starting partition — the
     * one loop both Louvain phases run.
     */
-  private def louvainMoveRounds(e: DataFrame, init: DataFrame,
+  private[graft] def louvainMoveRounds(e: DataFrame, init: DataFrame,
       rounds: Int): DataFrame = {
     val kdeg = e.groupBy("src").agg(sum("weight").cast("long").as("k"))
       .select(col("src").as("node"), col("k"))

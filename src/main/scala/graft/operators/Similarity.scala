@@ -876,33 +876,6 @@ object Similarity {
         Seq("query_id"), orderCol = "score", tieCol = "vec_id")
       .select("query_id", "vec_id")
 
-  /** Exact brute-force top-K per probe — the audit baseline. */
-  private def exactTopkBatch(spark: SparkSession, dir: String): DataFrame =
-    topkPerQuery(vectors(spark, dir).filter(col("vec_id") >= ProbeBatch)
-      .crossJoin(broadcast(probeBatch(spark, dir)))
-      .withColumn("score",
-        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .select("query_id", "vec_id", "score"))
-
-  /** IVF top-K per probe (qKnnJoinIvf's shape over the audit batch). */
-  private def ivfTopkBatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
-    val qs = probeBatch(spark, dir)
-    val centScores = cents.crossJoin(broadcast(qs))
-      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
-      .select("query_id", "cid", "qcos")
-    val probed = graft.plans.TopKPerGroup.topK(centScores, IvfProbes,
-        Seq("query_id"), orderCol = "qcos", tieCol = "cid")
-      .select("query_id", "cid")
-    topkPerQuery(ivfIndexCk(spark, dir).join(probed, "cid")
-      .filter(col("vec_id") >= ProbeBatch)
-      .join(broadcast(qs), "query_id")
-      .withColumn("score",
-        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .select("query_id", "vec_id", "score"))
-  }
-
   /** Per-probe ADC lookup tables (query_id, m, code, qmicro):
     * ProbeBatch·M·K rows — the batch of 16 "query distance tables"
     * a PQ server computes per incoming query, broadcast as one unit.
@@ -920,44 +893,6 @@ object Similarity {
         adc.withColumn("nadc", -col("adc_micro")), k,
         Seq("query_id"), orderCol = "nadc", tieCol = "vec_id")
       .select("query_id", "vec_id")
-
-  /** Whole-corpus ADC distances per probe (PQ flat scan). */
-  private def pqAdcBatch(spark: SparkSession, dir: String): DataFrame = {
-    val (enc, cb) = pqIndexCk(spark, dir)
-    enc.filter(col("vec_id") >= ProbeBatch)
-      .join(broadcast(adcTablesBatch(spark, dir, cb)), Seq("m", "code"))
-      .groupBy("query_id", "vec_id").agg(sum("qmicro").as("adc_micro"))
-  }
-
-  /** Cell-restricted ADC distances per probe (IVF-PQ). */
-  private def ivfpqAdcBatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
-    val qs = probeBatch(spark, dir)
-    val centScores = cents.crossJoin(broadcast(qs))
-      .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
-      .select("query_id", "cid", "qcos")
-    val probed = graft.plans.TopKPerGroup.topK(centScores, IvfProbes,
-        Seq("query_id"), orderCol = "qcos", tieCol = "cid")
-      .select("query_id", "cid")
-    val members = ivfIndexCk(spark, dir).select("cid", "vec_id")
-      .join(probed, "cid").filter(col("vec_id") >= ProbeBatch)
-      .select("query_id", "vec_id")
-    val (enc, cb) = pqIndexCk(spark, dir)
-    enc.join(members, "vec_id")
-      .join(broadcast(adcTablesBatch(spark, dir, cb)), Seq("query_id", "m", "code"))
-      .groupBy("query_id", "vec_id").agg(sum("qmicro").as("adc_micro"))
-  }
-
-  /** IVF-PQ + exact re-rank per probe (qAnnIvfPqRefine's shape). */
-  private def refineTopkBatch(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = adcTopk(ivfpqAdcBatch(spark, dir), KnnK * RefineFactor)
-    topkPerQuery(vectors(spark, dir).join(broadcast(shortlist), "vec_id")
-      .join(broadcast(probeBatch(spark, dir)), "query_id")
-      .withColumn("score",
-        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .select("query_id", "vec_id", "score"))
-  }
 
   /** Multi-probe LSH top-K (qAnnLsh's shape over the audit batch). */
   private def lshTopkBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -988,17 +923,61 @@ object Similarity {
     * reported 1.0s that said nothing about serving arbitrary queries).
     *
     * Scale shape: the corpus-side work (assignment, codebook, sigs)
-    * is probe-count-independent; per-probe additions are broadcast
-    * probe picks, ADC-table joins and TopKPerGroup heaps — each
-    * bounded by ProbeBatch·K rows after its heap. The mean divides by
-    * the ACTUAL probe count (count of usable probe vectors), so a
+    * is probe-count-independent AND shared — the centroid training,
+    * the cell assignment, the PQ codebook/codes, the probe picks and
+    * the per-probe ADC tables are each built ONCE and checkpointed,
+    * then every leg that needs them reads the shared table (the first
+    * cut re-derived them per leg: three k-means trainings + two
+    * codebook trainings + two assignment passes per audit run).
+    * Per-probe additions are broadcast probe picks, ADC-table joins
+    * and TopKPerGroup heaps — each bounded by ProbeBatch·K rows after
+    * its heap. The mean divides by the ACTUAL probe count, so a
     * screened-out probe shrinks the denominator identically in both
     * engines.
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = exactTopkBatch(spark, dir)
+    val qs = probeBatch(spark, dir)
+      .localCheckpoint(false) // ProbeBatch rows; every leg broadcasts it
+    val cents = ivfCentsCk(spark, dir)
+      .localCheckpoint(false) // IvfK rows; ONE k-means training
+    val idx = ivfIndexCk(spark, dir)
+      .localCheckpoint(false) // ONE assignment pass; ivf + ivfpq legs
+    val (enc0, cb) = pqIndexCk(spark, dir) // ONE codebook training
+    val enc = enc0.localCheckpoint(false)  // pq + ivfpq legs
+    val qd = adcTablesBatch(spark, dir, cb)
+      .localCheckpoint(false) // ProbeBatch·M·K rows
+    val probed = graft.plans.TopKPerGroup.topK(
+        cents.crossJoin(broadcast(qs))
+          .withColumn("qcos",
+            dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+          .select("query_id", "cid", "qcos"),
+        IvfProbes, Seq("query_id"), orderCol = "qcos", tieCol = "cid")
+      .select("query_id", "cid")
+      .localCheckpoint(false) // ProbeBatch·IvfProbes rows; two legs
+    def score(df: DataFrame): DataFrame = df
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "score")
+    val exact = topkPerQuery(score(
+        vectors(spark, dir).filter(col("vec_id") >= ProbeBatch)
+          .crossJoin(broadcast(qs))))
       .localCheckpoint(false) // ProbeBatch·K rows; joined by all five methods
-    val probeIds = probeBatch(spark, dir).select("query_id")
+    val ivfK = topkPerQuery(score(idx.join(probed, "cid")
+      .filter(col("vec_id") >= ProbeBatch)
+      .join(broadcast(qs), "query_id")))
+    val pqAdc = enc.filter(col("vec_id") >= ProbeBatch)
+      .join(broadcast(qd), Seq("m", "code"))
+      .groupBy("query_id", "vec_id").agg(sum("qmicro").as("adc_micro"))
+    val members = idx.select("cid", "vec_id").join(probed, "cid")
+      .filter(col("vec_id") >= ProbeBatch).select("query_id", "vec_id")
+    val cellAdc = enc.join(members, "vec_id")
+      .join(broadcast(qd), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id").agg(sum("qmicro").as("adc_micro"))
+      .localCheckpoint(false) // read by the ivfpq top-k AND the refine shortlist
+    val refineK = topkPerQuery(score(vectors(spark, dir)
+      .join(broadcast(adcTopk(cellAdc, KnnK * RefineFactor)), "vec_id")
+      .join(broadcast(qs), "query_id")))
+    val probeIds = qs.select("query_id")
     def statsOf(method: String, ann: DataFrame): DataFrame = {
       val hits = ann.join(exact, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("h"))
@@ -1010,11 +989,11 @@ object Similarity {
           round(col("mh") / lit(KnnK.toDouble), 6).as("min_recall"))
     }
     Seq(
-      "ivf" -> ivfTopkBatch(spark, dir),
-      "ivfpq" -> adcTopk(ivfpqAdcBatch(spark, dir), KnnK),
-      "ivfpq_refine" -> refineTopkBatch(spark, dir),
+      "ivf" -> ivfK,
+      "ivfpq" -> adcTopk(cellAdc, KnnK),
+      "ivfpq_refine" -> refineK,
       "lsh" -> lshTopkBatch(spark, dir),
-      "pq" -> adcTopk(pqAdcBatch(spark, dir), KnnK))
+      "pq" -> adcTopk(pqAdc, KnnK))
       .map { case (m, df) => statsOf(m, df) }
       .reduce(_ unionByName _)
       .orderBy("method")

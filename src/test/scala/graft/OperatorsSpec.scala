@@ -683,6 +683,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mapped.select("c1", "community").distinct().count() ==
       mapped.select("c1").distinct().count(),
       "phase 2 split a phase-1 community")
+    // the driver-side coarse path (taken when the contracted graph is
+    // small) must equal the distributed loop BIT-FOR-BIT — same
+    // exact-integer recurrence, same stay/tie rules
+    val superE = e
+      .join(moveOnly.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(moveOnly.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum("weight").cast("long").as("weight"))
+      .localCheckpoint(false)
+    val localPath = Analytics.louvainMoveRoundsLocal(
+      superE.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      Analytics.Louvain2Rounds)
+    val init2 = superE.select(col("src").as("node")).distinct()
+      .withColumn("community", col("node"))
+    val distPath = Analytics.louvainMoveRounds(superE, init2, Analytics.Louvain2Rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(localPath == distPath,
+      s"driver-side coarse phase diverged from the distributed loop")
   }
 
   test("betweenness sigma counts stay far inside BIGINT headroom (micro-grid audit)") {
