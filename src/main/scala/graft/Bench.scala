@@ -121,6 +121,7 @@ object Bench {
       "dau_stickiness" -> "da", "passage_rank" -> "pg",
       "keep_rate" -> "kr", "signal_corr" -> "sg",
       "cypher_wsp" -> "cg", "cypher_asp" -> "cj",
+      "ann_sq8" -> "a8", "ann_binary" -> "ab",
       "cypher_sp" -> "cy",
       "hll_distinct" -> "hl", "graph_summary" -> "gm",
       "media_resize" -> "mz",

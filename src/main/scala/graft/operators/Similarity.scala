@@ -977,6 +977,35 @@ object Similarity {
     val refineK = topkPerQuery(score(vectors(spark, dir)
       .join(broadcast(adcTopk(cellAdc, KnnK * RefineFactor)), "vec_id")
       .join(broadcast(qs), "query_id")))
+    // sq8 leg: flat int8 scan per probe (qAnnSq8's shape)
+    val q8 = sq8Codes(vectors(spark, dir)).localCheckpoint(false)
+    val q8p = q8.filter(col("vec_id") < ProbeBatch)
+      .select(col("vec_id").as("query_id"),
+        col("qv8").as("pv8"), col("qnrm8").as("pnrm8"))
+    val sq8K = topkPerQuery(q8.filter(col("vec_id") >= ProbeBatch)
+      .crossJoin(broadcast(q8p))
+      .withColumn("score", round(
+        intDot(col("qv8"), col("pv8")) / (col("qnrm8") * col("pnrm8")), 6))
+      .select("query_id", "vec_id", "score"))
+    // binary leg: per-probe Hamming shortlist + exact re-rank
+    val sigB = vectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"),
+        signBitsCol(col("v"), 0, Dim / 2).as("blo"),
+        signBitsCol(col("v"), Dim / 2, Dim).as("bhi"))
+      .localCheckpoint(false)
+    val bqp = sigB.filter(col("vec_id") < ProbeBatch)
+      .select(col("vec_id").as("query_id"),
+        col("blo").as("qlo"), col("bhi").as("qhi"))
+    val hamB = sigB.filter(col("vec_id") >= ProbeBatch)
+      .crossJoin(broadcast(bqp))
+      .withColumn("nhd", -(bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+        bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
+      .select("query_id", "vec_id", "nhd")
+    val bShort = graft.plans.TopKPerGroup.topK(hamB, KnnK * RefineFactor,
+        Seq("query_id"), orderCol = "nhd", tieCol = "vec_id")
+      .select("query_id", "vec_id")
+    val binK = topkPerQuery(score(vectors(spark, dir)
+      .join(broadcast(bShort), "vec_id")
+      .join(broadcast(qs), "query_id")))
     val probeIds = qs.select("query_id")
     def statsOf(method: String, ann: DataFrame): DataFrame = {
       val hits = ann.join(exact, Seq("query_id", "vec_id"))
@@ -989,11 +1018,13 @@ object Similarity {
           round(col("mh") / lit(KnnK.toDouble), 6).as("min_recall"))
     }
     Seq(
+      "binary" -> binK,
       "ivf" -> ivfK,
       "ivfpq" -> adcTopk(cellAdc, KnnK),
       "ivfpq_refine" -> refineK,
       "lsh" -> lshTopkBatch(spark, dir),
-      "pq" -> adcTopk(pqAdc, KnnK))
+      "pq" -> adcTopk(pqAdc, KnnK),
+      "sq8" -> sq8K)
       .map { case (m, df) => statsOf(m, df) }
       .reduce(_ unionByName _)
       .orderBy("method")
@@ -1097,6 +1128,101 @@ object Similarity {
       .orderBy("rk")
   }
 
+  // ---- scalar + binary quantization ANN ---------------------------------
+
+  /** Int8 SCALAR-QUANTIZATION ANN (FAISS IndexScalarQuantizer SQ8 —
+    * the 4× storage cut between flat floats and PQ codes): every
+    * vector is per-vector max-abs quantized to int8 components
+    * (q_quantize_embeddings' exact rule), and query scoring is the
+    * EXACT BIGINT dot of the two code arrays normalized by the code
+    * norms — an integer-exact cosine approximation whose only floats
+    * are per-row (sqrt + one division), so no distributed order can
+    * perturb a score. |code| ≤ 127 ⇒ |dot| ≤ Dim·127² ≈ 10⁶ — BIGINT
+    * headroom is data-independent.
+    */
+  def qAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val q8 = sq8Codes(vectors(spark, dir))
+    val probe = q8.filter(col("vec_id") === 0)
+      .select(col("qv8").as("pv8"), col("qnrm8").as("pnrm8"))
+    val scored = q8.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("score", round(
+        intDot(col("qv8"), col("pv8")) / (col("qnrm8") * col("pnrm8")), 6))
+    TopKUtil.globalTopK(scored, KnnK, "vec_id", col("score").desc, col("vec_id"))
+      .select("vec_id", "score", "rk")
+      .orderBy("rk")
+  }
+
+  /** (vec_id, qv8: array<long> of int8 codes, qnrm8): per-vector
+    * max-abs int8 quantization — the ingest-side encode of the SQ8
+    * index (shares q_quantize_embeddings' rule and NaN/zero screen).
+    */
+  private def sq8Codes(e: DataFrame): DataFrame =
+    e.withColumn("maxabs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .filter(col("maxabs") > 0 && !isnan(col("maxabs")))
+      .withColumn("qv8",
+        transform(col("v"), x => round(x * lit(127.0) / col("maxabs")).cast("long")))
+      .withColumn("qnrm8",
+        sqrt(aggregate(col("qv8"), lit(0L), (a, x) => a + x * x).cast("double")))
+      .select("vec_id", "qv8", "qnrm8")
+
+  /** Exact BIGINT dot of two integer code arrays. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** BINARY (1-bit) quantization ANN with exact re-rank — the
+    * 64-bits-per-vector extreme of the storage/recall trade (the
+    * binary-embedding serving recipe: Hamming distance over sign
+    * bits prunes the corpus, then a RefineFactor·K shortlist fetches
+    * full vectors for true-cosine re-ranking, exactly like
+    * qAnnIvfPqRefine's refine stage). The signature is TWO 32-bit
+    * sign words (bit i = v[i] > 0) — split so neither engine ever
+    * shifts into a BIGINT's sign bit (DuckDB raises on 1<<63); the
+    * per-bit powers are PRECOMPUTED literals, so no shift operator
+    * exists in either plan. Hamming = bit_count(xor(lo)) +
+    * bit_count(xor(hi)), an exact integer.
+    */
+  def qAnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val sig = e.select(col("vec_id"), col("v"), col("nrm"),
+      signBitsCol(col("v"), 0, Dim / 2).as("blo"),
+      signBitsCol(col("v"), Dim / 2, Dim).as("bhi"))
+    val probe = sig.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"),
+        col("blo").as("qlo"), col("bhi").as("qhi"))
+    val ham = sig.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("hd",
+        (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
+    val shortlist = TopKUtil.globalTopK(ham, KnnK * RefineFactor,
+        "vec_id", col("hd"), col("vec_id"))
+      .select("vec_id", "hd")
+    // exact re-rank: RefineFactor·K full-vector cosines total
+    val rescored = e.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probe.select("qv", "qnrm")))
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    TopKUtil.globalTopK(rescored, KnnK, "vec_id", col("score").desc, col("vec_id"))
+      .select("vec_id", "hd", "score", "rk")
+      .orderBy("rk")
+  }
+
+  /** Sign-bit word over dims [from, until): Σ (v[i] > 0)·2^(i−from),
+    * powers as Scala-side literals (never an engine shift).
+    */
+  private def signBitsCol(v: Column, from: Int, until: Int): Column =
+    (from until until).map(i =>
+      when(element_at(v, i + 1) > 0, lit(1L << (i - from))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** The same sign word in DuckDB SQL. */
+  private def signBitsSql(v: String, from: Int, until: Int): String =
+    (from until until).map(i =>
+      s"CASE WHEN $v[${i + 1}] > 0 THEN CAST(${1L << (i - from)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+
   val RangeTheta = 0.2
 
   /** Radius (range) search: every corpus vector within cosine ≥
@@ -1122,6 +1248,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_search" -> qRangeSearch,
+    "q_ann_sq8" -> qAnnSq8,
+    "q_ann_binary" -> qAnnBinary,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_refine" -> qAnnIvfPqRefine,
@@ -1262,7 +1390,8 @@ object Similarity {
          |    FROM $t JOIN ex USING (query_id, vec_id) GROUP BY query_id) hh
          |  USING (query_id))""".stripMargin
     val legs = Seq("ivf" -> "ivfk", "ivfpq" -> "ivfpqk",
-        "ivfpq_refine" -> "refk", "lsh" -> "lshk", "pq" -> "pqk")
+        "ivfpq_refine" -> "refk", "lsh" -> "lshk", "pq" -> "pqk",
+        "sq8" -> "sq8k", "binary" -> "bink")
       .map { case (m, t) => leg(m, t) }.mkString("\nUNION ALL\n")
     val sigCols = (0 until LshTables)
       .map(t => s"${lshSigSql("v", t)} AS sig$t").mkString(",\n    ")
@@ -1345,6 +1474,36 @@ object Similarity {
        |        s.vec_id) AS rk
        |    FROM sigs s CROSS JOIN qsig q
        |    WHERE ($hit) AND s.vec_id >= $ProbeBatch)
+       |  WHERE rk <= $KnnK),
+       |$sq8CteSql,
+       |q8p AS (SELECT vec_id AS query_id, qv8 AS pv8, qnrm8 AS pnrm8
+       |  FROM q8n WHERE vec_id < $ProbeBatch),
+       |sq8k AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |        round(${intDotSql("n.qv8", "p.pv8")} / (n.qnrm8 * p.pnrm8), 6) DESC,
+       |        n.vec_id) AS rk
+       |    FROM q8n n CROSS JOIN q8p p WHERE n.vec_id >= $ProbeBatch)
+       |  WHERE rk <= $KnnK),
+       |$binSigCteSql,
+       |bqp AS (SELECT vec_id AS query_id, blo AS qlo, bhi AS qhi
+       |  FROM bsg WHERE vec_id < $ProbeBatch),
+       |bsl AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        bit_count(xor(s.blo, qlo)) + bit_count(xor(s.bhi, qhi)),
+       |        s.vec_id) AS rk
+       |    FROM bsg s CROSS JOIN bqp q WHERE s.vec_id >= $ProbeBatch)
+       |  WHERE rk <= ${KnnK * RefineFactor}),
+       |bink AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY round(${cos("e.v", "qv")}, 6) DESC, s.vec_id) AS rk
+       |    FROM bsl s JOIN e ON e.vec_id = s.vec_id
+       |    JOIN qs ON qs.query_id = s.query_id)
        |  WHERE rk <= $KnnK)
        |SELECT method, mean_recall, min_recall FROM (
        |$legs
@@ -1384,8 +1543,67 @@ object Similarity {
        |SELECT rk, vec_id, mmr FROM ($sels) ORDER BY rk""".stripMargin
   }
 
+  /** Int8 code + code-norm CTEs shared by the q_ann_sq8 oracle and
+    * the recall audit's sq8 leg (q8n: vec_id, qv8, qnrm8).
+    */
+  private def sq8CteSql: String =
+    s"""q8c AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) AS qv8
+       |  FROM (SELECT vec_id, v,
+       |      list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+       |  WHERE maxabs > 0 AND NOT isnan(maxabs)),
+       |q8n AS MATERIALIZED (
+       |  SELECT vec_id, qv8,
+       |    sqrt(CAST(list_sum(list_transform(qv8, x -> x * x)) AS DOUBLE)) AS qnrm8
+       |  FROM q8c)""".stripMargin
+
+  private def intDotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]))"
+
+  /** Sign-word CTE (bsg: vec_id, v, nrm, blo, bhi) shared by the
+    * q_ann_binary oracle and the recall audit's binary leg.
+    */
+  private def binSigCteSql: String =
+    s"""bsg AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    ${signBitsSql("v", 0, Dim / 2)} AS blo,
+       |    ${signBitsSql("v", Dim / 2, Dim)} AS bhi
+       |  FROM e)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     "q_mmr" -> mmrSql,
+    "q_ann_sq8" ->
+      s"""WITH $VecSql,
+         |$sq8CteSql,
+         |p AS (SELECT qv8 AS pv8, qnrm8 AS pnrm8 FROM q8n WHERE vec_id = 0)
+         |SELECT vec_id, score, rk FROM (
+         |  SELECT n.vec_id,
+         |    round(${intDotSql("n.qv8", "pv8")} / (n.qnrm8 * pnrm8), 6) AS score,
+         |    row_number() OVER (ORDER BY
+         |      round(${intDotSql("n.qv8", "pv8")} / (n.qnrm8 * pnrm8), 6) DESC,
+         |      n.vec_id) AS rk
+         |  FROM q8n n CROSS JOIN p WHERE n.vec_id <> 0)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
+    "q_ann_binary" ->
+      s"""WITH $VecSql,
+         |$binSigCteSql,
+         |p AS (SELECT v AS qv, nrm AS qnrm, blo AS qlo, bhi AS qhi
+         |  FROM bsg WHERE vec_id = 0),
+         |hm AS MATERIALIZED (
+         |  SELECT s.vec_id,
+         |    CAST(bit_count(xor(s.blo, qlo)) + bit_count(xor(s.bhi, qhi)) AS BIGINT) AS hd
+         |  FROM bsg s CROSS JOIN p WHERE s.vec_id <> 0),
+         |sl AS (SELECT vec_id, hd FROM (
+         |    SELECT vec_id, hd, row_number() OVER (ORDER BY hd, vec_id) AS rk
+         |    FROM hm)
+         |  WHERE rk <= ${KnnK * RefineFactor})
+         |SELECT vec_id, hd, score, rk FROM (
+         |  SELECT s.vec_id, s.hd, round(${cos("e.v", "qv")}, 6) AS score,
+         |    row_number() OVER (
+         |      ORDER BY round(${cos("e.v", "qv")}, 6) DESC, s.vec_id) AS rk
+         |  FROM sl s JOIN e ON e.vec_id = s.vec_id CROSS JOIN p)
+         |WHERE rk <= $KnnK ORDER BY rk""".stripMargin,
     "q_ann_ivfpq" ->
       s"""WITH $VecSql, $QVecSql,
          |$ivfTrainCteSql,
