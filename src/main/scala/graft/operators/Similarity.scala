@@ -978,7 +978,7 @@ object Similarity {
       .join(broadcast(adcTopk(cellAdc, KnnK * RefineFactor)), "vec_id")
       .join(broadcast(qs), "query_id")))
     // sq8 leg: flat int8 scan per probe (qAnnSq8's shape)
-    val q8 = sq8Codes(vectors(spark, dir)).localCheckpoint(false)
+    val q8 = sq8Ck(spark, dir).localCheckpoint(false)
     val q8p = q8.filter(col("vec_id") < ProbeBatch)
       .select(col("vec_id").as("query_id"),
         col("qv8").as("pv8"), col("qnrm8").as("pnrm8"))
@@ -988,10 +988,7 @@ object Similarity {
         intDot(col("qv8"), col("pv8")) / (col("qnrm8") * col("pnrm8")), 6))
       .select("query_id", "vec_id", "score"))
     // binary leg: per-probe Hamming shortlist + exact re-rank
-    val sigB = vectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"),
-        signBitsCol(col("v"), 0, Dim / 2).as("blo"),
-        signBitsCol(col("v"), Dim / 2, Dim).as("bhi"))
-      .localCheckpoint(false)
+    val sigB = binSigCk(spark, dir).localCheckpoint(false)
     val bqp = sigB.filter(col("vec_id") < ProbeBatch)
       .select(col("vec_id").as("query_id"),
         col("blo").as("qlo"), col("bhi").as("qhi"))
@@ -1141,7 +1138,7 @@ object Similarity {
     * headroom is data-independent.
     */
   def qAnnSq8(spark: SparkSession, dir: String): DataFrame = {
-    val q8 = sq8Codes(vectors(spark, dir))
+    val q8 = sq8Ck(spark, dir)
     val probe = q8.filter(col("vec_id") === 0)
       .select(col("qv8").as("pv8"), col("qnrm8").as("pnrm8"))
     val scored = q8.filter(col("vec_id") =!= 0)
@@ -1153,11 +1150,29 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Standing SQ8 code table when materialized, else encoded in-plan. */
+  private def sq8Ck(spark: SparkSession, dir: String): DataFrame =
+    if (materialized(spark, dir, "graft_sq8")) spark.table("graft_sq8")
+    else sq8Codes(vectors(spark, dir))
+
+  /** Standing sign-bit table when materialized, else derived in-plan. */
+  private def binSigCk(spark: SparkSession, dir: String): DataFrame =
+    if (materialized(spark, dir, "graft_bsig")) spark.table("graft_bsig")
+    else binSigs(vectors(spark, dir))
+
+  /** (vec_id, blo, bhi): the 8-byte binary index rows — what
+    * materializeAnn stores and mergeVectors appends.
+    */
+  private[graft] def binSigs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      signBitsCol(col("v"), 0, Dim / 2).as("blo"),
+      signBitsCol(col("v"), Dim / 2, Dim).as("bhi"))
+
   /** (vec_id, qv8: array<long> of int8 codes, qnrm8): per-vector
     * max-abs int8 quantization — the ingest-side encode of the SQ8
     * index (shares q_quantize_embeddings' rule and NaN/zero screen).
     */
-  private def sq8Codes(e: DataFrame): DataFrame =
+  private[graft] def sq8Codes(e: DataFrame): DataFrame =
     e.withColumn("maxabs",
         aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
       .filter(col("maxabs") > 0 && !isnan(col("maxabs")))
@@ -1184,15 +1199,11 @@ object Similarity {
     * bit_count(xor(hi)), an exact integer.
     */
   def qAnnBinary(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val sig = e.select(col("vec_id"), col("v"), col("nrm"),
-      signBitsCol(col("v"), 0, Dim / 2).as("blo"),
-      signBitsCol(col("v"), Dim / 2, Dim).as("bhi"))
-    val probe = sig.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("nrm").as("qnrm"),
-        col("blo").as("qlo"), col("bhi").as("qhi"))
+    val sig = binSigCk(spark, dir)
+    val qsig = sig.filter(col("vec_id") === 0)
+      .select(col("blo").as("qlo"), col("bhi").as("qhi"))
     val ham = sig.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(probe))
+      .crossJoin(broadcast(qsig))
       .withColumn("hd",
         (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
           bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
@@ -1200,8 +1211,8 @@ object Similarity {
         "vec_id", col("hd"), col("vec_id"))
       .select("vec_id", "hd")
     // exact re-rank: RefineFactor·K full-vector cosines total
-    val rescored = e.join(broadcast(shortlist), "vec_id")
-      .crossJoin(broadcast(probe.select("qv", "qnrm")))
+    val rescored = vectors(spark, dir).join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(queryVec(spark, dir)))
       .withColumn("score",
         round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
     TopKUtil.globalTopK(rescored, KnnK, "vec_id", col("score").desc, col("vec_id"))

@@ -154,6 +154,8 @@ object Catalog {
     val specs = Seq(
       ("graft_ivf", "cid", Seq("cid", "vec_id")),
       ("graft_pq_codes", "vec_id", Seq("vec_id", "m")),
+      ("graft_sq8", "vec_id", Seq("vec_id")),
+      ("graft_bsig", "vec_id", Seq("vec_id")),
       ("graft_chunks", "doc_id", Seq("doc_id", "chunk_id")),
       ("graft_mentions", "doc_id", Seq("doc_id", "chunk_id")),
       ("graft_shingles", "doc_id", Seq("doc_id")))
@@ -175,10 +177,24 @@ object Catalog {
       ivfTable: String = "graft_ivf",
       codesTable: String = "graft_pq_codes",
       codebookTable: String = "graft_pq_codebook",
-      centroidsTable: String = "graft_ivf_centroids"): Unit = {
+      centroidsTable: String = "graft_ivf_centroids",
+      sq8Table: String = "graft_sq8",
+      bsigTable: String = "graft_bsig"): Unit = {
     import graft.operators.Similarity
-    Seq(ivfTable, codesTable, codebookTable, centroidsTable)
+    Seq(ivfTable, codesTable, codebookTable, centroidsTable,
+        sq8Table, bsigTable)
       .foreach(dropManaged(spark, _))
+    // the quantized serving twins: int8 codes + 8-byte sign words,
+    // per-vector pure encodes (round 8 — q_ann_sq8 / q_ann_binary
+    // read these instead of re-encoding the corpus per query)
+    Similarity.sq8Codes(Similarity.vectors(spark, dir))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(sq8Table)
+    Similarity.binSigs(Similarity.vectors(spark, dir))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(bsigTable)
     // the coarse quantizer is its OWN artifact (as in FAISS): k-means
     // TRAINED once at build time (Similarity.ivfCentroids) and pinned,
     // so later mergeVectors batches assign against the same centroids
@@ -217,7 +233,9 @@ object Catalog {
       ivfTable: String = "graft_ivf",
       codesTable: String = "graft_pq_codes",
       codebookTable: String = "graft_pq_codebook",
-      centroidsTable: String = "graft_ivf_centroids"): Unit = {
+      centroidsTable: String = "graft_ivf_centroids",
+      sq8Table: String = "graft_sq8",
+      bsigTable: String = "graft_bsig"): Unit = {
     import graft.operators.Similarity
     val e = Similarity.prepVectors(batch).localCheckpoint(false)
     val cents = spark.table(centroidsTable)
@@ -231,6 +249,18 @@ object Catalog {
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
       .saveAsTable(codesTable)
+    // sq8 and binary codes are per-vector pure functions — incremental
+    // encode == rebuild for the batch rows, no pinned state involved
+    if (spark.catalog.tableExists(sq8Table))
+      Similarity.sq8Codes(e)
+        .write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(sq8Table)
+    if (spark.catalog.tableExists(bsigTable))
+      Similarity.binSigs(e)
+        .write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(bsigTable)
   }
 
   /** The co-located join over the bucketed tables: both per-doc

@@ -72,7 +72,9 @@ class SourcesSpec extends AnyFunSuite {
       "q_ann_ivf" -> (Similarity.qAnnIvf _),
       "q_knn_join_ivf" -> (Similarity.qKnnJoinIvf _),
       "q_ann_pq" -> (Similarity.qAnnPq _),
-      "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _))
+      "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _),
+      "q_ann_sq8" -> (Similarity.qAnnSq8 _),
+      "q_ann_binary" -> (Similarity.qAnnBinary _))
     val cold = family.map { case (n, fn) =>
       n -> fn(spark, TestSpark.sf).collect().map(_.toSeq).toSeq }.toMap
     Catalog.materializeAnn(spark, TestSpark.sf)
@@ -82,7 +84,11 @@ class SourcesSpec extends AnyFunSuite {
         val df = fn(spark, TestSpark.sf)
         val plan = df.queryExecution.optimizedPlan.toString
         // every plan must probe the standing index, not re-derive it
-        val table = if (n.contains("pq")) "graft_pq_codes" else "graft_ivf"
+        val table =
+          if (n.contains("sq8")) "graft_sq8"
+          else if (n.contains("binary")) "graft_bsig"
+          else if (n.contains("pq")) "graft_pq_codes"
+          else "graft_ivf"
         assert(plan.contains(table), s"$n: expected a $table scan")
         assert(df.collect().map(_.toSeq).toSeq == cold(n), s"$n: amortized ≠ cold")
       }
@@ -136,6 +142,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotCodes.count() == wantCodes.count())
     assert(gotCodes.except(wantCodes).isEmpty,
       "merged codes diverged from standing-codebook encoding")
+    // 2b) sq8 / binary codes are per-vector pure: merged tables equal
+    // a full re-encode of the whole corpus
+    val wantSq8 = Similarity.sq8Codes(Similarity.vectors(spark, sf))
+    assert(spark.table("graft_sq8").except(wantSq8).isEmpty &&
+      wantSq8.except(spark.table("graft_sq8")).isEmpty,
+      "merged sq8 codes diverged from a full re-encode")
+    val wantBsig = Similarity.binSigs(Similarity.vectors(spark, sf))
+    assert(spark.table("graft_bsig").except(wantBsig).isEmpty &&
+      wantBsig.except(spark.table("graft_bsig")).isEmpty,
+      "merged binary sigs diverged from a full re-encode")
     // 3) end-to-end: serving the merged index probes the standing
     // tables AND the pinned centroids (probe picks must use the SAME
     // quantizer the cells were assigned under, not an in-plan retrain)
