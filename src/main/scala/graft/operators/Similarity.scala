@@ -1234,6 +1234,78 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0 THEN CAST(${1L << (i - from)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString("(", " + ", ")")
 
+  /** The LSH design grid q_lsh_tune sweeps: ways to regroup the 32
+    * deterministic hyperplanes into (tables × bits) layouts. More
+    * bits/table → smaller buckets → fewer candidate pairs but lower
+    * per-table collision probability; more tables buys recall back at
+    * index-size cost. The sweep MEASURES both sides of that trade on
+    * the actual corpus.
+    */
+  val LshLayouts: Seq[(Int, Int)] = Seq((1, 32), (2, 16), (4, 8), (8, 4))
+
+  /** LSH layout tuner — the design-space sweep an operator runs
+    * BEFORE committing a 100 TB blocking configuration: for each
+    * (tables × bits) regrouping of the same 32 hyperplanes, the
+    * EXACT candidate-pair load (Σ_buckets c·(c−1)/2 — the verify-join
+    * bill the layout would generate) and the measured mean recall@K
+    * over the ProbeBatch audit probes (exact-bucket match in any
+    * table → exact-cosine top-K vs the brute-force baseline). Pure
+    * integer bucket counts + the audit's recall machinery, so the
+    * oracle replays every layout verbatim; complements
+    * q_lsh_bucket_stats (which profiles the ONE configured layout).
+    *
+    * Scale shape: per layout, one narrow sig projection (the 32
+    * plane dots are shared work), a bucket-count rollup, and the
+    * probe-batch join — nothing pairwise ever materializes; the pair
+    * LOAD is computed from bucket sizes, not by emitting pairs.
+    */
+  def qLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).localCheckpoint(false)
+    val qs = probeBatch(spark, dir).localCheckpoint(false)
+    val exact = topkPerQuery(
+        e.filter(col("vec_id") >= ProbeBatch)
+          .crossJoin(broadcast(qs))
+          .withColumn("score",
+            round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+          .select("query_id", "vec_id", "score"))
+      .localCheckpoint(false) // joined by every layout's recall leg
+    val probeIds = qs.select("query_id")
+    LshLayouts.map { case (nt, bits) =>
+      var sigs = e
+      (0 until nt).foreach { t =>
+        sigs = sigs.withColumn(s"s$t",
+          srpSigNative(col("v"), t * bits until (t + 1) * bits))
+      }
+      sigs = sigs.localCheckpoint(false) // read by the load AND recall legs
+      val load = (0 until nt).map(t =>
+          sigs.groupBy(col(s"s$t").as("sig")).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p")))
+        .reduce(_ unionByName _)
+        .agg(sum("p").as("cand_pairs"))
+      val qsigs = sigs.filter(col("vec_id") < ProbeBatch).select(
+        (Seq(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")) ++
+          (0 until nt).map(t => col(s"s$t").as(s"qs$t"))): _*)
+      val anyHit = (0 until nt).map(t => col(s"s$t") === col(s"qs$t")).reduce(_ || _)
+      val topk = topkPerQuery(sigs.filter(col("vec_id") >= ProbeBatch)
+        .crossJoin(broadcast(qsigs))
+        .filter(anyHit)
+        .withColumn("score",
+          round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        .select("query_id", "vec_id", "score"))
+      val hits = topk.join(exact, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val rec = probeIds.join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("h"), lit(0L)).as("h"))
+        .agg(sum("h").as("th"), count(lit(1)).as("np"))
+        .select(round(col("th") / (col("np") * lit(KnnK.toDouble)), 6)
+          .as("mean_recall"))
+      load.crossJoin(rec)
+        .select(lit(nt).as("n_tables"), lit(bits).as("bits"),
+          col("cand_pairs"), col("mean_recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("n_tables")
+  }
+
   val RangeTheta = 0.2
 
   /** Radius (range) search: every corpus vector within cosine ≥
@@ -1259,6 +1331,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_search" -> qRangeSearch,
+    "q_lsh_tune" -> qLshTune,
     "q_ann_sq8" -> qAnnSq8,
     "q_ann_binary" -> qAnnBinary,
     "q_ann_pq" -> qAnnPq,
@@ -1582,8 +1655,71 @@ object Similarity {
        |    ${signBitsSql("v", Dim / 2, Dim)} AS bhi
        |  FROM e)""".stripMargin
 
+  /** Every layout replayed verbatim: shared probe-exact baseline, then
+    * per-layout sig projection, bucket-size pair load, exact-bucket
+    * candidate recall — identical integer arithmetic throughout.
+    */
+  private def lshTuneSql: String = {
+    val blocks = LshLayouts.map { case (nt, bits) =>
+      val sigCols = (0 until nt)
+        .map(t => s"${srpSigSql("v", t * bits until (t + 1) * bits)} AS s$t")
+        .mkString(",\n    ")
+      val qCols = (0 until nt).map(t => s"s$t AS qs$t").mkString(", ")
+      val hit = (0 until nt).map(t => s"s.s$t = qs$t").mkString(" OR ")
+      val perTable = (0 until nt).map(t =>
+        s"""SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS p
+           |    FROM (SELECT s$t, count(*) AS c FROM sg$nt GROUP BY s$t)""".stripMargin)
+        .mkString("\n    UNION ALL ")
+      s"""sg$nt AS MATERIALIZED (
+         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         |    $sigCols
+         |  FROM e),
+         |ld$nt AS (SELECT CAST(sum(p) AS BIGINT) AS cand_pairs FROM (
+         |    $perTable)),
+         |qsg$nt AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, $qCols
+         |  FROM sg$nt WHERE vec_id < $ProbeBatch),
+         |tk$nt AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        round(${dotDuckSql("s.v", "qv")} / (s.nrm * qnrm), 6) DESC,
+         |        s.vec_id) AS rk
+         |    FROM sg$nt s CROSS JOIN qsg$nt q
+         |    WHERE ($hit) AND s.vec_id >= $ProbeBatch)
+         |  WHERE rk <= $KnnK),
+         |rc$nt AS (
+         |  SELECT round(sum(h) / (count(*) * ${KnnK}.0), 6) AS mean_recall FROM (
+         |    SELECT q.query_id, coalesce(hh.h, 0) AS h
+         |    FROM (SELECT query_id FROM qb) q
+         |    LEFT JOIN (SELECT query_id, count(*) AS h
+         |      FROM tk$nt JOIN ex USING (query_id, vec_id) GROUP BY query_id) hh
+         |    USING (query_id)))""".stripMargin
+    }.mkString(",\n")
+    val rows = LshLayouts.map { case (nt, bits) =>
+      s"""SELECT $nt AS n_tables, $bits AS bits,
+         |  (SELECT cand_pairs FROM ld$nt) AS cand_pairs,
+         |  (SELECT mean_recall FROM rc$nt) AS mean_recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $VecSql,
+       |qb AS (SELECT vec_id AS query_id FROM e WHERE vec_id < $ProbeBatch),
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${cos("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+       |    FROM e CROSS JOIN (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $ProbeBatch) q
+       |    WHERE e.vec_id >= $ProbeBatch)
+       |  WHERE rk <= $KnnK),
+       |$blocks
+       |SELECT n_tables, bits, cand_pairs, mean_recall FROM (
+       |$rows
+       |) ORDER BY n_tables""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     "q_mmr" -> mmrSql,
+    "q_lsh_tune" -> lshTuneSql,
     "q_ann_sq8" ->
       s"""WITH $VecSql,
          |$sq8CteSql,
