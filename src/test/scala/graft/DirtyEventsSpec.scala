@@ -79,6 +79,9 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_ann_ivfpq_refine")(operators.Similarity.qAnnIvfPqRefine(spark, dir))
   runs("q_knn_join_ivf")(operators.Similarity.qKnnJoinIvf(spark, dir))
   runs("q_ann_recall")(operators.Similarity.qAnnRecall(spark, dir))
+  runs("q_ann_sq8")(operators.Similarity.qAnnSq8(spark, dir))
+  runs("q_ann_binary")(operators.Similarity.qAnnBinary(spark, dir))
+  runs("q_lsh_tune")(operators.Similarity.qLshTune(spark, dir))
   runs("q_dedup_embedding")(operators.Dedup.qDedupEmbedding(spark, dir))
   runs("q_embed_outliers")(operators.Training.qEmbedOutliers(spark, dir))
   runs("q_quantize_embeddings")(

@@ -703,6 +703,98 @@ class OperatorsSpec extends AnyFunSuite {
       s"driver-side coarse phase diverged from the distributed loop")
   }
 
+  test("sq8 ANN: every returned score recomputes from first-principles int8 codes") {
+    val rows = Similarity.qAnnSq8(spark, TestSpark.sf).collect()
+    assert(rows.length == Similarity.KnnK)
+    val vecs = Similarity.vectors(spark, TestSpark.sf)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def codes(v: Array[Double]): Array[Long] = {
+      val maxabs = v.map(math.abs).max
+      // HALF_UP like Spark's round(), not rint's half-even
+      v.map(x => BigDecimal(x * 127.0 / maxabs)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val p = codes(vecs(0L))
+    val pn = math.sqrt(p.map(x => x * x).sum.toDouble)
+    rows.foreach { r =>
+      val (id, score) = (r.getLong(0), r.getDouble(1))
+      val c = codes(vecs(id))
+      val want = BigDecimal(c.zip(p).map { case (a, b) => a * b }.sum /
+          (math.sqrt(c.map(x => x * x).sum.toDouble) * pn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - want) < 1e-9, s"vec $id: $score != $want")
+    }
+    // int8 quantization keeps this corpus's exact top-10 (the audit's
+    // sq8 1.0/1.0 row, pinned at the unit level for the single probe)
+    val exact = Similarity.qCosineTopk(spark, TestSpark.sf).collect()
+      .map(_.getLong(0)).take(Similarity.KnnK).toSet
+    assert(rows.map(_.getLong(0)).toSet == exact,
+      "sq8 top-10 diverged from exact top-10 on the clean corpus")
+  }
+
+  test("binary ANN: sign words recompute per vector and hamming bounds hold") {
+    val rows = Similarity.qAnnBinary(spark, TestSpark.sf).collect()
+    assert(rows.length == Similarity.KnnK)
+    val vecs = Similarity.vectors(spark, TestSpark.sf)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def words(v: Array[Double]): (Long, Long) = {
+      def w(from: Int, until: Int): Long =
+        (from until until).map(i => if (v(i) > 0) 1L << (i - from) else 0L).sum
+      (w(0, Similarity.Dim / 2), w(Similarity.Dim / 2, Similarity.Dim))
+    }
+    val (qlo, qhi) = words(vecs(0L))
+    rows.foreach { r =>
+      val (id, hd) = (r.getLong(0), r.getLong(1))
+      val (lo, hi) = words(vecs(id))
+      val want = java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi)
+      assert(hd == want, s"vec $id: hamming $hd != recomputed $want")
+      assert(hd >= 0 && hd <= Similarity.Dim)
+    }
+    // the shortlist rule: every returned id's hamming distance is
+    // within the RefineFactor·K smallest over the whole corpus
+    val allHd = vecs.collect { case (id, v) if id != 0L =>
+      val (lo, hi) = words(v)
+      (java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi), id)
+    }.toSeq.sorted.take(Similarity.KnnK * Similarity.RefineFactor)
+    val cutoff = allHd.last._1
+    rows.foreach(r => assert(r.getLong(1) <= cutoff,
+      s"vec ${r.getLong(0)} outside the hamming shortlist"))
+  }
+
+  test("lsh_tune: pair loads recompute from bucket sizes, recall within [0,1] and monotone-ish") {
+    val rows = Similarity.qLshTune(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Similarity.LshLayouts)
+    // recompute the 8×4 layout's pair load from first principles
+    val vecs = Similarity.vectors(spark, TestSpark.sf)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def srp(v: Array[Double], planes: Range): Long =
+      planes.zipWithIndex.map { case (p, j) =>
+        val w = Similarity.Hyperplanes(p)
+        val d = v.zip(w).map { case (a, b) => a * b }.sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+    val (nt, bits) = (8, 4)
+    val want = (0 until nt).map { t =>
+      vecs.groupBy { case (_, v) => srp(v, t * bits until (t + 1) * bits) }
+        .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    }.sum
+    val got = rows.find(t => t._1 == nt).get._3
+    assert(got == want, s"8×4 pair load $got != recomputed $want")
+    rows.foreach { case (_, _, pairs, rec) =>
+      assert(pairs >= 0 && rec >= 0.0 && rec <= 1.0)
+    }
+    // more tables of fewer bits can only widen candidate sets: pair
+    // load and recall are non-decreasing down the sweep on this corpus
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted),
+      "pair load must grow as buckets widen")
+    assert(rows.map(_._4).sameElements(rows.map(_._4).sorted),
+      "recall must not shrink as candidate sets widen")
+  }
+
   test("betweenness sigma counts stay far inside BIGINT headroom (micro-grid audit)") {
     // the qBetweenness doc bound: σv·(1e6+Δw) needs σ_max·(1+R) <
     // 9.2e12 (R = max depth-bounded reachable count). Replay the
