@@ -1712,6 +1712,240 @@ object Analytics {
        |ORDER BY h_micro DESC, name""".stripMargin
   }
 
+  val AnfSeeds = 16
+  val AnfHops = 4
+
+  /** Neighborhood function from sampled sources (ANF — Palmer et al.
+    * KDD '02): N(h) = #(root, node) pairs with d(root, node) ≤ h,
+    * from AnfSeeds deterministic pseudo-uniform pivots. Pivots are
+    * md5-ORDERED, not degree-ordered like qBetweenness/qCloseness's —
+    * ANF estimates a population average, and high-degree pivots would
+    * bias reach upward. Output per hop: the pair count, the average
+    * ball size on the integer micro-grid, and the permille-of-final
+    * reach curve whose 90% knee is the effective diameter.
+    *
+    * Scale shape: the same bounded frontier/visited BFS as closeness
+    * (one equi-join + anti-join per hop); state is ≤ AnfSeeds × V
+    * (root, node) pairs. Cost is linear in seeds — the all-nodes
+    * scale path is qAnfHll (HyperANF) below, which replaces the
+    * exact visited set with fixed-width register state.
+    */
+  def qAnf(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val seeds = e.select("src").distinct()
+      .orderBy(md5(col("src")), col("src")).limit(AnfSeeds)
+      .select(col("src").as("root"))
+    var visited = seeds.select(col("root"), col("root").as("node"))
+      .localCheckpoint(false)
+    var frontier = visited
+    var counts = visited.agg(count(lit(1)).as("n_pairs"))
+      .withColumn("hop", lit(0L))
+    for (h <- 1 to AnfHops) {
+      val next = frontier.select(col("root"), col("node").as("src"))
+        .join(e, "src")
+        .select(col("root"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("root", "node"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next
+      counts = counts.unionByName(
+        visited.agg(count(lit(1)).as("n_pairs")).withColumn("hop", lit(h.toLong)))
+    }
+    val last = visited.agg(count(lit(1)).as("n_max"))
+    counts.crossJoin(broadcast(last))
+      .select(col("hop"), col("n_pairs"),
+        expr(s"n_pairs * 1000000 div $AnfSeeds").as("avg_reach_micro"),
+        expr("n_pairs * 1000000 div greatest(n_max, 1)").as("pct_of_max_micro"))
+      .orderBy("hop")
+  }
+
+  private def anfSql: String = {
+    val levels = (1 to AnfHops).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT p.root, e.dst AS node
+         |  FROM f${h - 1} p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |    WHERE v.root = p.root AND v.node = e.dst)),
+         |v$h AS MATERIALIZED (
+         |  SELECT * FROM v${h - 1} UNION ALL SELECT root, node FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val cnt = (0 to AnfHops)
+      .map(h => s"SELECT $h AS hop, count(*) AS n_pairs FROM v$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $CooccurSql,
+       |seeds AS (SELECT src AS root FROM (SELECT DISTINCT src FROM edges)
+       |  ORDER BY md5(src), src LIMIT $AnfSeeds),
+       |v0 AS (SELECT root, root AS node FROM seeds),
+       |f0 AS (SELECT root, node FROM v0),
+       |$levels,
+       |c AS ($cnt),
+       |mx AS (SELECT n_pairs AS n_max FROM c WHERE hop = $AnfHops)
+       |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_pairs * 1000000 // $AnfSeeds AS BIGINT) AS avg_reach_micro,
+       |  CAST(n_pairs * 1000000 // greatest(n_max, 1) AS BIGINT) AS pct_of_max_micro
+       |FROM c CROSS JOIN mx ORDER BY hop""".stripMargin
+  }
+
+  val AnfHllM = 256 // registers (p = 8, same layout as qHllDistinct)
+  val AnfHllAlphaMm: Double = // α_256·m² (Flajolet et al. 2007)
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
+  /** Linear-counting estimates m·ln(m/v0) pre-rounded to the integer
+    * micro-grid IN SCALA and inlined as the same CASE literal into
+    * both engines — so no libm call (whose last-ulp behaviour differs
+    * across runtimes) ever touches a hashed value. v0 = 0 never hits
+    * the CASE (the branch requires v_zero > 0).
+    */
+  private val anfHllLcCase: String =
+    (1 until AnfHllM).map { v0 =>
+      val micro =
+        math.round(AnfHllM.toDouble * math.log(AnfHllM.toDouble / v0) * 1e6)
+      s"WHEN $v0 THEN $micro"
+    }.mkString("CASE v_zero ", " ", " ELSE 0 END")
+
+  /** HyperANF (Boldi–Rosa–Vigna WWW '11): the neighborhood function
+    * over ALL nodes with fixed-width HLL register state instead of
+    * exact visited sets — N̂(h) = Σ_v |B(v,h)|^ from per-node sketches
+    * B_v updated by register-max over in-neighbours each round. This
+    * is the 100 TB path for distance distributions / effective
+    * diameter: state is V × m (node, reg, mrho) rows — never V² — and
+    * each round is one shuffle-on-src equi-join + a (node, reg) max,
+    * both AQE-friendly; the register union IS groupBy-max, mergeable
+    * in any order. Register/rho derivation and the 2^53 integer
+    * harmonic-sum scale are shared with qHllDistinct (the discipline
+    * that makes the estimate hash-identical cross-engine); the
+    * small-range correction reads a pre-rounded micro-grid CASE so no
+    * runtime ln() is involved. ORACLE-CHECKED end to end.
+    */
+  def qAnfHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches.HllPow53
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var regs = e.select(col("src").as("node")).distinct()
+      .withColumn("h",
+        conv(substring(md5(concat(lit("anf#"), col("node"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("reg", col("h") % AnfHllM)
+      // rho suffix is h div 256: a clean 52-bit field that always
+      // fits the 13-hex window (a narrower register split left a
+      // 54-bit suffix whose variable-width window skewed rho off its
+      // geometric law — the estimate ran +50% hot; and m = 64 itself
+      // put hop-3 balls in the raw-estimator bias zone n ≈ 2.5-5m
+      // that HLL++'s bias tables exist for — m = 256 keeps them in
+      // the accurate linear-counting regime instead).
+      .withColumn("hs", lpad(hex(expr("h div 256")), 13, "0"))
+      .withColumn("z", length(regexp_extract(col("hs"), "^0*", 0)))
+      .withColumn("d1", expr("substr(hs, z + 1, 1)"))
+      .withColumn("mrho",
+        when(col("z") === 13, lit(53))
+          .otherwise(col("z") * 4 + lit(1)
+            + when(col("d1") === "1", 3)
+              .when(col("d1").isin("2", "3"), 2)
+              .when(col("d1").isin("4", "5", "6", "7"), 1)
+              .otherwise(0)))
+      .select("node", "reg", "mrho")
+      .localCheckpoint(false)
+    def estAt(r: DataFrame, hop: Int): DataFrame =
+      r.groupBy("node")
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))"))
+            .as("s_present"))
+        .withColumn("v_zero", lit(AnfHllM.toLong) - col("n_present"))
+        .withColumn("s_scaled",
+          col("s_present") + col("v_zero") * lit(HllPow53))
+        .withColumn("est_raw",
+          lit(AnfHllAlphaMm * HllPow53.toDouble) / col("s_scaled").cast("double"))
+        .withColumn("est_micro",
+          when(col("est_raw") <= 2.5 * AnfHllM && col("v_zero") > 0,
+            expr(s"CAST(($anfHllLcCase) AS BIGINT)"))
+            .otherwise(round(col("est_raw") * lit(1000000.0)).cast("long")))
+        .agg(count(lit(1)).as("n_nodes"), sum("est_micro").as("nf_micro"))
+        .withColumn("hop", lit(hop.toLong))
+    // Systolic delta propagation (the HyperANF paper's key trick):
+    // only registers that IMPROVED last round cross the edge join.
+    // Register merge is a monotone max-lattice, so a value absorbed
+    // without improving a neighbour's slot is dominated there and the
+    // fixpoint per round is identical to full propagation (the spec
+    // replays the FULL recurrence and pins nf_micro equality). Early
+    // rounds are cheap because few registers exist; late rounds
+    // because few still change — the edge join never carries the
+    // saturated V×m state.
+    var changed = regs
+    var out = estAt(regs, 0)
+    for (h <- 1 to AnfHops) {
+      val prop = changed.withColumnRenamed("node", "src").join(e, "src")
+        .select(col("dst").as("node"), col("reg"), col("mrho"))
+      val merged = regs.unionByName(prop)
+        .groupBy("node", "reg").agg(max("mrho").as("mrho"))
+        .localCheckpoint(false)
+      changed = merged
+        .join(regs.withColumnRenamed("mrho", "old"), Seq("node", "reg"), "left")
+        .filter(col("old").isNull || col("mrho") > col("old"))
+        .select("node", "reg", "mrho")
+        .localCheckpoint(false)
+      regs = merged
+      out = out.unionByName(estAt(regs, h))
+    }
+    out.select(col("hop"), col("n_nodes"), col("nf_micro"),
+        round(col("nf_micro") / lit(1000000.0), 3).as("nf_est"))
+      .orderBy("hop")
+  }
+
+  private def anfHllSql: String = {
+    import graft.operators.Sketches.HllPow53
+    val c = AnfHllAlphaMm * HllPow53.toDouble
+    val rounds = (1 to AnfHops).map { h =>
+      s"""r$h AS MATERIALIZED (
+         |  SELECT node, reg, max(mrho) AS mrho FROM (
+         |    SELECT node, reg, mrho FROM r${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.reg, p.mrho
+         |    FROM r${h - 1} p JOIN edges e ON e.src = p.node)
+         |  GROUP BY node, reg)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to AnfHops).map { h =>
+      s"""a$h AS (SELECT node, count(*) AS n_present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS s_present
+         |  FROM r$h GROUP BY node),
+         |s$h AS (SELECT node, $AnfHllM - n_present AS v_zero,
+         |    s_present + ($AnfHllM - n_present) * $HllPow53 AS s_scaled
+         |  FROM a$h),
+         |e$h AS (SELECT node,
+         |    CASE WHEN $c / CAST(s_scaled AS DOUBLE) <= ${2.5 * AnfHllM}
+         |        AND v_zero > 0
+         |      THEN CAST(($anfHllLcCase) AS BIGINT)
+         |      ELSE CAST(round($c / CAST(s_scaled AS DOUBLE) * 1000000.0) AS BIGINT)
+         |    END AS est_micro
+         |  FROM s$h),
+         |c$h AS (SELECT $h AS hop, count(*) AS n_nodes,
+         |  CAST(sum(est_micro) AS BIGINT) AS nf_micro FROM e$h)""".stripMargin
+    }.mkString(",\n")
+    val un = (0 to AnfHops).map(h => s"SELECT * FROM c$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $CooccurSql,
+       |h0 AS (SELECT DISTINCT src AS node FROM edges),
+       |h1 AS (SELECT node,
+       |    CAST('0x' || substr(md5('anf#' || node), 1, 15) AS BIGINT) AS h
+       |  FROM h0),
+       |h2 AS (SELECT node, h % $AnfHllM AS reg,
+       |    lpad(hex(h // 256), 13, '0') AS hs FROM h1),
+       |r0 AS MATERIALIZED (SELECT node, reg,
+       |    CASE WHEN z = 13 THEN 53
+       |      ELSE z * 4 + 1 + (CASE WHEN d1 = '1' THEN 3
+       |        WHEN d1 IN ('2','3') THEN 2
+       |        WHEN d1 IN ('4','5','6','7') THEN 1 ELSE 0 END)
+       |    END AS mrho
+       |  FROM (SELECT node, reg,
+       |      length(regexp_extract(hs, '^0*')) AS z,
+       |      substr(hs, length(regexp_extract(hs, '^0*')) + 1, 1) AS d1
+       |    FROM h2)),
+       |$rounds,
+       |$ests
+       |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  nf_micro, round(nf_micro / 1000000.0, 3) AS nf_est
+       |FROM ($un) ORDER BY hop""".stripMargin
+  }
+
   /** Degree assortativity of the co-occurrence graph — the Pearson
     * correlation of (deg(u), deg(v)) over both orientations of every
     * edge (Newman's r): positive means hubs link to hubs (a resilient
@@ -1813,7 +2047,9 @@ object Analytics {
     "q_modularity" -> qModularity,
     "q_louvain" -> qLouvain,
     "q_components" -> qComponents,
-    "q_degree_dist" -> qDegreeDist)
+    "q_degree_dist" -> qDegreeDist,
+    "q_anf" -> qAnf,
+    "q_anf_hll" -> qAnfHll)
 
   val oracles: Map[String, String] = Map(
     "q_entity_trends" ->
@@ -1946,6 +2182,8 @@ object Analytics {
          |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_pagerank" -> pagerankSql,
     "q_katz" -> katzSql,
+    "q_anf" -> anfSql,
+    "q_anf_hll" -> anfHllSql,
     "q_lpa_communities" -> lpaSql,
     "q_modularity" -> modularitySql,
     "q_louvain" -> louvainSql,

@@ -37,7 +37,10 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.metricLine(named, 10000.0, "sf0.001")
     assert(line.length <= Bench.LineBudget,
       s"metric line is ${line.length} chars; budget ${Bench.LineBudget}")
-    assert(line.contains(s""""nq":${named.size}"""))
+    // nq rides ONLY truncated lines (on a full line the count is the
+    // queries-map size — the 9 chars bought the 228-key surface)
+    assert(!line.contains(""""nq":"""),
+      "nq on a full line is pure overhead — it must ride truncation only")
     assert(line.contains(""""qunit":"ds""""), "unit marker must ride the line")
     assert(!line.contains("\"dropped\":"),
       "current surface must fit whole — add keys deliberately or shrink values")

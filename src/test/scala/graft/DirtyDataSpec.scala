@@ -91,6 +91,8 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_graph_summary")(graph.Analytics.qGraphSummary(spark, dir))
   runs("q_cooccur")(graph.Analytics.qCooccur(spark, dir))
   runs("q_pagerank")(graph.Analytics.qPagerank(spark, dir))
+  runs("q_anf")(graph.Analytics.qAnf(spark, dir))
+  runs("q_anf_hll")(graph.Analytics.qAnfHll(spark, dir))
   runs("q_louvain")(graph.Analytics.qLouvain(spark, dir))
   runs("q_wsp")(graph.Analytics.qWeightedShortestPath(spark, dir))
   runs("q_node2vec")(graph.Analytics.qNode2vec(spark, dir))

@@ -1096,4 +1096,115 @@ class OperatorsSpec extends AnyFunSuite {
       assert(tv >= 0.0 && tv <= 1.0, s"$src: tv_dist $tv out of range")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sampled ANF replays exactly from the collected edge list") {
+    import graft.graph.Analytics
+    val edges = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val nodes = edges.map(_._1).distinct
+    val seeds = nodes.sortBy(n => (md5hex(n), n)).take(Analytics.AnfSeeds)
+    var balls: Map[String, Set[String]] = seeds.map(s => s -> Set(s)).toMap
+    var expected = Vector(balls.values.map(_.size.toLong).sum)
+    for (_ <- 1 to Analytics.AnfHops) {
+      balls = balls.map { case (r, b) =>
+        r -> (b ++ b.flatMap(n => adj.getOrElse(n, Set.empty)))
+      }
+      expected :+= balls.values.map(_.size.toLong).sum
+    }
+    val rows = Analytics.qAnf(spark, TestSpark.sf).collect()
+    val got = rows.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 to Analytics.AnfHops).foreach { h =>
+      assert(got(h) == expected(h), s"hop $h: ${got(h)} != ${expected(h)}")
+    }
+    // the reach-curve contract: monotone, saturating at exactly 100%
+    assert(rows.map(_.getLong(3)).last == 1000000L)
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("HyperANF registers replay exactly; estimate tracks the true ball sizes") {
+    import graft.graph.Analytics
+    val m = Analytics.AnfHllM
+    val edges = Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = edges.map(_._1).distinct
+    // exact independent replay of the register derivation (same
+    // 60-bit md5 prefix / p=6 split / 13-hex-window rho as the query)
+    def initRho(n: String): (Int, Int) = {
+      val h = java.lang.Long.parseLong(md5hex("anf#" + n).take(15), 16)
+      val reg = (h % m).toInt
+      val hexs = java.lang.Long.toHexString(h / 256).toUpperCase
+      val hs = if (hexs.length >= 13) hexs.substring(0, 13)
+        else ("0" * (13 - hexs.length)) + hexs
+      val z = hs.takeWhile(_ == '0').length
+      val rho = if (z == 13) 53 else {
+        z * 4 + 1 + (hs(z) match {
+          case '1' => 3
+          case '2' | '3' => 2
+          case c if c >= '4' && c <= '7' => 1
+          case _ => 0
+        })
+      }
+      (reg, rho)
+    }
+    var regs: Map[String, Map[Int, Int]] = nodes.map { n =>
+      val (reg, rho) = initRho(n)
+      n -> Map(reg -> rho)
+    }.toMap
+    val inEdges = edges.groupBy(_._2)
+    val pow53 = graft.operators.Sketches.HllPow53
+    val cD = Analytics.AnfHllAlphaMm * pow53.toDouble
+    def lut(v0: Int): Long =
+      math.round(m.toDouble * math.log(m.toDouble / v0) * 1e6)
+    def nfMicro(rg: Map[String, Map[Int, Int]]): Long =
+      rg.values.map { mm =>
+        val sPresent = mm.values.map(r => 1L << (53 - r)).sum
+        val vZero = m - mm.size
+        val sScaled = sPresent + vZero.toLong * pow53
+        val estRaw = cD / sScaled.toDouble
+        if (estRaw <= 2.5 * m && vZero > 0) lut(vZero)
+        else math.round(estRaw * 1e6)
+      }.sum
+    var expected = Vector(nfMicro(regs))
+    for (_ <- 1 to Analytics.AnfHops) {
+      val prev = regs
+      regs = prev.map { case (n, mm) =>
+        n -> inEdges.getOrElse(n, Array.empty[(String, String)])
+          .foldLeft(mm) { case (acc, (src, _)) =>
+            prev(src).foldLeft(acc) { case (a, (reg, rho)) =>
+              a.updated(reg, math.max(a.getOrElse(reg, 0), rho))
+            }
+          }
+      }
+      expected :+= nfMicro(regs)
+    }
+    val rows = Analytics.qAnfHll(spark, TestSpark.sf).collect()
+    assert(rows.forall(_.getLong(1) == nodes.length.toLong))
+    (0 to Analytics.AnfHops).foreach { h =>
+      assert(rows(h).getLong(2) == expected(h),
+        s"hop $h: nf_micro ${rows(h).getLong(2)} != ${expected(h)}")
+    }
+    // accuracy against the true neighborhood function (m=64 → ~13%
+    // standard error; node-level errors partially cancel in the sum)
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var balls = nodes.map(n => n -> Set(n)).toMap
+    var exact = Vector(balls.values.map(_.size.toLong).sum)
+    for (_ <- 1 to Analytics.AnfHops) {
+      balls = balls.map { case (n, b) =>
+        n -> (b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+      }
+      exact :+= balls.values.map(_.size.toLong).sum
+    }
+    (0 to Analytics.AnfHops).foreach { h =>
+      val est = expected(h) / 1e6
+      val rel = math.abs(est - exact(h)) / exact(h).toDouble
+      assert(rel <= 0.15, s"hop $h: est $est vs exact ${exact(h)} (rel $rel)")
+    }
+  }
 }
