@@ -74,7 +74,10 @@ class InvarianceSpec extends AnyFunSuite {
       // DF-threshold stopwords + histogram join sizing
       "q_stopword_df", "q_join_size_est",
       // z-ordered layout read-back, Poisson-weight replicate sums
-      "q_zorder_scan", "q_bootstrap_ci")
+      "q_zorder_scan", "q_bootstrap_ci",
+      // round-8 extension: frontier pair counts + HLL register max
+      // with delta propagation — both merge-order-free by design
+      "q_anf", "q_anf_hll")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

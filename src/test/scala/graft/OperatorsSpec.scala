@@ -1190,7 +1190,7 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rows(h).getLong(2) == expected(h),
         s"hop $h: nf_micro ${rows(h).getLong(2)} != ${expected(h)}")
     }
-    // accuracy against the true neighborhood function (m=64 → ~13%
+    // accuracy against the true neighborhood function (m=256 → ~6.5%
     // standard error; node-level errors partially cancel in the sum)
     val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
     var balls = nodes.map(n => n -> Set(n)).toMap
