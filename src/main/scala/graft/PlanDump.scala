@@ -99,7 +99,9 @@ object PlanDump {
       "q_token_gini" -> "corpus collapses to source rows; windows post-agg; moment rows broadcast",
       "q_assortativity" -> "endpoint-degree equi-joins + one six-moment map-side-combined agg",
       "q_zorder_scan" -> "z-clustered layout read-back: both box predicates pushed to the scan",
-      "q_bootstrap_ci" -> "broadcast ×32 replicate expand + ONE map-side-combined 32-row agg")
+      "q_bootstrap_ci" -> "broadcast ×32 replicate expand + ONE map-side-combined 32-row agg",
+      "q_anf" -> "sampled ANF: frontier equi-join + anti-join per hop, pair state only",
+      "q_anf_hll" -> "HyperANF: delta-register edge join + (node,reg) max — no V² state")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
