@@ -1735,6 +1735,7 @@ object Analytics {
     val seeds = e.select("src").distinct()
       .orderBy(md5(col("src")), col("src")).limit(AnfSeeds)
       .select(col("src").as("root"))
+      .localCheckpoint(false) // read by the pair init AND the seed count
     var visited = seeds.select(col("root"), col("root").as("node"))
       .localCheckpoint(false)
     var frontier = visited
@@ -1753,9 +1754,13 @@ object Analytics {
         visited.agg(count(lit(1)).as("n_pairs")).withColumn("hop", lit(h.toLong)))
     }
     val last = visited.agg(count(lit(1)).as("n_max"))
-    counts.crossJoin(broadcast(last))
+    // divide by the ACTUAL pivot count, not the AnfSeeds cap — a graph
+    // with fewer than AnfSeeds nodes must still report avg ball = 1.0
+    // at hop 0 (both 1-row aggregates broadcast into the 5-row frame)
+    val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
+    counts.crossJoin(broadcast(last)).crossJoin(broadcast(nSeeds))
       .select(col("hop"), col("n_pairs"),
-        expr(s"n_pairs * 1000000 div $AnfSeeds").as("avg_reach_micro"),
+        expr("n_pairs * 1000000 div greatest(n_seeds, 1)").as("avg_reach_micro"),
         expr("n_pairs * 1000000 div greatest(n_max, 1)").as("pct_of_max_micro"))
       .orderBy("hop")
   }
@@ -1774,34 +1779,51 @@ object Analytics {
       .map(h => s"SELECT $h AS hop, count(*) AS n_pairs FROM v$h")
       .mkString("\n  UNION ALL ")
     s"""WITH $CooccurSql,
-       |seeds AS (SELECT src AS root FROM (SELECT DISTINCT src FROM edges)
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS root FROM (SELECT DISTINCT src FROM edges)
        |  ORDER BY md5(src), src LIMIT $AnfSeeds),
        |v0 AS (SELECT root, root AS node FROM seeds),
        |f0 AS (SELECT root, node FROM v0),
        |$levels,
        |c AS ($cnt),
+       |ns AS (SELECT count(*) AS n_seeds FROM seeds),
        |mx AS (SELECT n_pairs AS n_max FROM c WHERE hop = $AnfHops)
        |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_pairs AS BIGINT) AS n_pairs,
-       |  CAST(n_pairs * 1000000 // $AnfSeeds AS BIGINT) AS avg_reach_micro,
+       |  CAST(n_pairs * 1000000 // greatest(n_seeds, 1) AS BIGINT) AS avg_reach_micro,
        |  CAST(n_pairs * 1000000 // greatest(n_max, 1) AS BIGINT) AS pct_of_max_micro
-       |FROM c CROSS JOIN mx ORDER BY hop""".stripMargin
+       |FROM c CROSS JOIN mx CROSS JOIN ns ORDER BY hop""".stripMargin
   }
 
-  val AnfHllM = 256 // registers (p = 8, same layout as qHllDistinct)
-  val AnfHllAlphaMm: Double = // α_256·m² (Flajolet et al. 2007)
-    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+  /** Register count and α_m·m² are THE SAME layout constants as
+    * qHllDistinct's — aliased, not redefined, so the "shared
+    * discipline" cannot silently fork if one side is retuned. The rho
+    * suffix `h div 256` below is window-fixed (13 hex digits = 52
+    * bits), NOT m-derived: it stays 256 for any m ≤ 256 (smaller m
+    * just leaves bits log2(m)..7 unused — deriving it from m is what
+    * skewed rho off its geometric law at m = 64).
+    */
+  val AnfHllM: Int = graft.operators.Sketches.HllM
+  val AnfHllAlphaMm: Double = graft.operators.Sketches.HllAlphaMm
+  require(AnfHllM <= 256,
+    "AnfHllM > 256 would overlap the register index with the 52-bit rho window")
 
   /** Linear-counting estimates m·ln(m/v0) pre-rounded to the integer
-    * micro-grid IN SCALA and inlined as the same CASE literal into
+    * MILLI grid IN SCALA and inlined as the same CASE literal into
     * both engines — so no libm call (whose last-ulp behaviour differs
     * across runtimes) ever touches a hashed value. v0 = 0 never hits
-    * the CASE (the branch requires v_zero > 0).
+    * the CASE (the branch requires v_zero > 0). Milli, not micro:
+    * nf_milli = N(h)·10³ must fit BIGINT, and N(h) ≤ V·avg-ball can
+    * reach ~10¹⁴ on a 10M-node connected graph — a micro grid
+    * overflows exactly at the scale the operator exists for (the
+    * katz-class bound: N(h) < 9.2·10¹⁵ holds to billions of nodes at
+    * realistic ball sizes; per-node precision 10⁻³ is far below the
+    * sketch's own error).
     */
   private val anfHllLcCase: String =
     (1 until AnfHllM).map { v0 =>
-      val micro =
-        math.round(AnfHllM.toDouble * math.log(AnfHllM.toDouble / v0) * 1e6)
-      s"WHEN $v0 THEN $micro"
+      val milli =
+        math.round(AnfHllM.toDouble * math.log(AnfHllM.toDouble / v0) * 1e3)
+      s"WHEN $v0 THEN $milli"
     }.mkString("CASE v_zero ", " ", " ELSE 0 END")
 
   /** HyperANF (Boldi–Rosa–Vigna WWW '11): the neighborhood function
@@ -1855,18 +1877,18 @@ object Analytics {
           col("s_present") + col("v_zero") * lit(HllPow53))
         .withColumn("est_raw",
           lit(AnfHllAlphaMm * HllPow53.toDouble) / col("s_scaled").cast("double"))
-        .withColumn("est_micro",
+        .withColumn("est_milli",
           when(col("est_raw") <= 2.5 * AnfHllM && col("v_zero") > 0,
             expr(s"CAST(($anfHllLcCase) AS BIGINT)"))
-            .otherwise(round(col("est_raw") * lit(1000000.0)).cast("long")))
-        .agg(count(lit(1)).as("n_nodes"), sum("est_micro").as("nf_micro"))
+            .otherwise(round(col("est_raw") * lit(1000.0)).cast("long")))
+        .agg(count(lit(1)).as("n_nodes"), sum("est_milli").as("nf_milli"))
         .withColumn("hop", lit(hop.toLong))
     // Systolic delta propagation (the HyperANF paper's key trick):
     // only registers that IMPROVED last round cross the edge join.
     // Register merge is a monotone max-lattice, so a value absorbed
     // without improving a neighbour's slot is dominated there and the
     // fixpoint per round is identical to full propagation (the spec
-    // replays the FULL recurrence and pins nf_micro equality). Early
+    // replays the FULL recurrence and pins nf_milli equality). Early
     // rounds are cheap because few registers exist; late rounds
     // because few still change — the edge join never carries the
     // saturated V×m state.
@@ -1886,8 +1908,8 @@ object Analytics {
       regs = merged
       out = out.unionByName(estAt(regs, h))
     }
-    out.select(col("hop"), col("n_nodes"), col("nf_micro"),
-        round(col("nf_micro") / lit(1000000.0), 3).as("nf_est"))
+    out.select(col("hop"), col("n_nodes"), col("nf_milli"),
+        round(col("nf_milli") / lit(1000.0), 3).as("nf_est"))
       .orderBy("hop")
   }
 
@@ -1914,11 +1936,11 @@ object Analytics {
          |    CASE WHEN $c / CAST(s_scaled AS DOUBLE) <= ${2.5 * AnfHllM}
          |        AND v_zero > 0
          |      THEN CAST(($anfHllLcCase) AS BIGINT)
-         |      ELSE CAST(round($c / CAST(s_scaled AS DOUBLE) * 1000000.0) AS BIGINT)
-         |    END AS est_micro
+         |      ELSE CAST(round($c / CAST(s_scaled AS DOUBLE) * 1000.0) AS BIGINT)
+         |    END AS est_milli
          |  FROM s$h),
          |c$h AS (SELECT $h AS hop, count(*) AS n_nodes,
-         |  CAST(sum(est_micro) AS BIGINT) AS nf_micro FROM e$h)""".stripMargin
+         |  CAST(sum(est_milli) AS BIGINT) AS nf_milli FROM e$h)""".stripMargin
     }.mkString(",\n")
     val un = (0 to AnfHops).map(h => s"SELECT * FROM c$h")
       .mkString("\n  UNION ALL ")
@@ -1942,7 +1964,7 @@ object Analytics {
        |$rounds,
        |$ests
        |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_nodes AS BIGINT) AS n_nodes,
-       |  nf_micro, round(nf_micro / 1000000.0, 3) AS nf_est
+       |  nf_milli, round(nf_milli / 1000.0, 3) AS nf_est
        |FROM ($un) ORDER BY hop""".stripMargin
   }
 

@@ -1122,9 +1122,13 @@ class OperatorsSpec extends AnyFunSuite {
     (0 to Analytics.AnfHops).foreach { h =>
       assert(got(h) == expected(h), s"hop $h: ${got(h)} != ${expected(h)}")
     }
-    // the reach-curve contract: monotone, saturating at exactly 100%
+    // the reach-curve contract: monotone, saturating at exactly 100%,
+    // and the hop-0 average ball is exactly 1.0 — the division is by
+    // the ACTUAL pivot count, not the AnfSeeds cap
     assert(rows.map(_.getLong(3)).last == 1000000L)
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.head.getLong(2) == 1000000L,
+      "hop-0 avg_reach_micro must be exactly 1.0 (divide by real seed count)")
   }
 
   test("HyperANF registers replay exactly; estimate tracks the true ball sizes") {
@@ -1135,7 +1139,7 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     val nodes = edges.map(_._1).distinct
     // exact independent replay of the register derivation (same
-    // 60-bit md5 prefix / p=6 split / 13-hex-window rho as the query)
+    // 60-bit md5 prefix / p=8 split / 13-hex-window rho as the query)
     def initRho(n: String): (Int, Int) = {
       val h = java.lang.Long.parseLong(md5hex("anf#" + n).take(15), 16)
       val reg = (h % m).toInt
@@ -1161,17 +1165,17 @@ class OperatorsSpec extends AnyFunSuite {
     val pow53 = graft.operators.Sketches.HllPow53
     val cD = Analytics.AnfHllAlphaMm * pow53.toDouble
     def lut(v0: Int): Long =
-      math.round(m.toDouble * math.log(m.toDouble / v0) * 1e6)
-    def nfMicro(rg: Map[String, Map[Int, Int]]): Long =
+      math.round(m.toDouble * math.log(m.toDouble / v0) * 1e3)
+    def nfMilli(rg: Map[String, Map[Int, Int]]): Long =
       rg.values.map { mm =>
         val sPresent = mm.values.map(r => 1L << (53 - r)).sum
         val vZero = m - mm.size
         val sScaled = sPresent + vZero.toLong * pow53
         val estRaw = cD / sScaled.toDouble
         if (estRaw <= 2.5 * m && vZero > 0) lut(vZero)
-        else math.round(estRaw * 1e6)
+        else math.round(estRaw * 1e3)
       }.sum
-    var expected = Vector(nfMicro(regs))
+    var expected = Vector(nfMilli(regs))
     for (_ <- 1 to Analytics.AnfHops) {
       val prev = regs
       regs = prev.map { case (n, mm) =>
@@ -1182,13 +1186,13 @@ class OperatorsSpec extends AnyFunSuite {
             }
           }
       }
-      expected :+= nfMicro(regs)
+      expected :+= nfMilli(regs)
     }
     val rows = Analytics.qAnfHll(spark, TestSpark.sf).collect()
     assert(rows.forall(_.getLong(1) == nodes.length.toLong))
     (0 to Analytics.AnfHops).foreach { h =>
       assert(rows(h).getLong(2) == expected(h),
-        s"hop $h: nf_micro ${rows(h).getLong(2)} != ${expected(h)}")
+        s"hop $h: nf_milli ${rows(h).getLong(2)} != ${expected(h)}")
     }
     // accuracy against the true neighborhood function (m=256 → ~6.5%
     // standard error; node-level errors partially cancel in the sum)
@@ -1202,7 +1206,7 @@ class OperatorsSpec extends AnyFunSuite {
       exact :+= balls.values.map(_.size.toLong).sum
     }
     (0 to Analytics.AnfHops).foreach { h =>
-      val est = expected(h) / 1e6
+      val est = expected(h) / 1e3
       val rel = math.abs(est - exact(h)) / exact(h).toDouble
       assert(rel <= 0.15, s"hop $h: est $est vs exact ${exact(h)} (rel $rel)")
     }
