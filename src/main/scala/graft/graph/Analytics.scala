@@ -70,6 +70,29 @@ object Analytics {
        |  FROM edges GROUP BY src),
        |nn AS (SELECT count(*) AS c FROM deg)""".stripMargin
 
+  /** Both-direction co-occurrence edges of a DOC BATCH only — the
+    * per-doc-pure half of cooccur() (pairs never cross documents, so
+    * a batch's edges are computable without the standing corpus).
+    * Weights are irrelevant to reachability, so this emits distinct
+    * unweighted (src, dst) — the input shape of the incremental ANF
+    * path (Catalog.mergeAnfDocs).
+    */
+  private[graft] def edgesOf(docs: DataFrame): DataFrame = {
+    val ents = TextPipeline.mentionsOf(docs)
+      .groupBy("doc_id", "chunk_id")
+      .agg(array_sort(collect_set(col("name"))).as("ents"))
+      .filter(size(col("ents")) >= 2 && size(col("ents")) <= MaxEntitiesPerChunk)
+    val pairs = ents
+      .select(explode(flatten(transform(col("ents"),
+        (x, i) => transform(
+          slice(col("ents"), i + 2, size(col("ents"))),
+          y => struct(x.as("e1"), y.as("e2")))))).as("p"))
+      .select(col("p.e1").as("src"), col("p.e2").as("dst"))
+    pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   /** Both-direction edge list (src, dst, weight). */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val co = cooccur(spark, dir)
@@ -1840,21 +1863,22 @@ object Analytics {
     * small-range correction reads a pre-rounded micro-grid CASE so no
     * runtime ln() is involved. ORACLE-CHECKED end to end.
     */
-  def qAnfHll(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sketches.HllPow53
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
-    var regs = e.select(col("src").as("node")).distinct()
+  /** Per-node HLL register init: node → (node, reg, mrho). The rho
+    * suffix is h div 256: a clean 52-bit field that always fits the
+    * 13-hex window (a narrower register split left a 54-bit suffix
+    * whose variable-width window skewed rho off its geometric law —
+    * the estimate ran +50% hot; and m = 64 itself put hop-3 balls in
+    * the raw-estimator bias zone n ≈ 2.5-5m that HLL++'s bias tables
+    * exist for — m = 256 keeps them in the accurate linear-counting
+    * regime instead). Shared by qAnfHll and the standing-table path
+    * (Catalog.materializeAnf / mergeAnfDocs).
+    */
+  private[graft] def anfRegInit(nodes: DataFrame): DataFrame =
+    nodes
       .withColumn("h",
         conv(substring(md5(concat(lit("anf#"), col("node"))), 1, 15), 16, 10)
           .cast("long"))
       .withColumn("reg", col("h") % AnfHllM)
-      // rho suffix is h div 256: a clean 52-bit field that always
-      // fits the 13-hex window (a narrower register split left a
-      // 54-bit suffix whose variable-width window skewed rho off its
-      // geometric law — the estimate ran +50% hot; and m = 64 itself
-      // put hop-3 balls in the raw-estimator bias zone n ≈ 2.5-5m
-      // that HLL++'s bias tables exist for — m = 256 keeps them in
-      // the accurate linear-counting regime instead).
       .withColumn("hs", lpad(hex(expr("h div 256")), 13, "0"))
       .withColumn("z", length(regexp_extract(col("hs"), "^0*", 0)))
       .withColumn("d1", expr("substr(hs, z + 1, 1)"))
@@ -1866,23 +1890,35 @@ object Analytics {
               .when(col("d1").isin("4", "5", "6", "7"), 1)
               .otherwise(0)))
       .select("node", "reg", "mrho")
+
+  /** Per-hop HyperANF estimate over a register set — one row:
+    * (n_nodes, nf_milli, hop). Shared by qAnfHll and the standing-
+    * table serving path.
+    */
+  private[graft] def anfEstAt(r: DataFrame, hop: Int): DataFrame = {
+    import graft.operators.Sketches.HllPow53
+    r.groupBy("node")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))"))
+          .as("s_present"))
+      .withColumn("v_zero", lit(AnfHllM.toLong) - col("n_present"))
+      .withColumn("s_scaled",
+        col("s_present") + col("v_zero") * lit(HllPow53))
+      .withColumn("est_raw",
+        lit(AnfHllAlphaMm * HllPow53.toDouble) / col("s_scaled").cast("double"))
+      .withColumn("est_milli",
+        when(col("est_raw") <= 2.5 * AnfHllM && col("v_zero") > 0,
+          expr(s"CAST(($anfHllLcCase) AS BIGINT)"))
+          .otherwise(round(col("est_raw") * lit(1000.0)).cast("long")))
+      .agg(count(lit(1)).as("n_nodes"), sum("est_milli").as("nf_milli"))
+      .withColumn("hop", lit(hop.toLong))
+  }
+
+  def qAnfHll(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var regs = anfRegInit(e.select(col("src").as("node")).distinct())
       .localCheckpoint(false)
-    def estAt(r: DataFrame, hop: Int): DataFrame =
-      r.groupBy("node")
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))"))
-            .as("s_present"))
-        .withColumn("v_zero", lit(AnfHllM.toLong) - col("n_present"))
-        .withColumn("s_scaled",
-          col("s_present") + col("v_zero") * lit(HllPow53))
-        .withColumn("est_raw",
-          lit(AnfHllAlphaMm * HllPow53.toDouble) / col("s_scaled").cast("double"))
-        .withColumn("est_milli",
-          when(col("est_raw") <= 2.5 * AnfHllM && col("v_zero") > 0,
-            expr(s"CAST(($anfHllLcCase) AS BIGINT)"))
-            .otherwise(round(col("est_raw") * lit(1000.0)).cast("long")))
-        .agg(count(lit(1)).as("n_nodes"), sum("est_milli").as("nf_milli"))
-        .withColumn("hop", lit(hop.toLong))
+    def estAt(r: DataFrame, hop: Int): DataFrame = anfEstAt(r, hop)
     // Systolic delta propagation (the HyperANF paper's key trick):
     // only registers that IMPROVED last round cross the edge join.
     // Register merge is a monotone max-lattice, so a value absorbed

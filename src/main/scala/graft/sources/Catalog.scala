@@ -263,6 +263,134 @@ object Catalog {
         .saveAsTable(bsigTable)
   }
 
+  /** Standing HyperANF artifact: the per-hop register layers
+    * (hop, node, reg, mrho) plus the dedup'd unweighted edge set the
+    * layers were propagated over — distance-distribution serving
+    * (effective diameter, reach curves) becomes a register-table
+    * aggregate with NO BFS at query time (anfEstimates), and new
+    * documents maintain the layers incrementally (mergeAnfDocs)
+    * instead of recomputing V×m×hops register state per ingest.
+    * Register layout and propagation are exactly qAnfHll's
+    * (Analytics.anfRegInit / the full-propagation recurrence the
+    * OperatorsSpec replay pins).
+    */
+  def materializeAnf(spark: SparkSession, dir: String,
+      regsTable: String = "graft_anf_regs",
+      edgesTable: String = "graft_anf_edges"): Unit = {
+    import graft.graph.Analytics
+    Seq(regsTable, edgesTable).foreach(dropManaged(spark, _))
+    val e = Analytics.edges(spark, dir).select("src", "dst").distinct()
+      .localCheckpoint()
+    e.write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "src").sortBy("src", "dst")
+      .saveAsTable(edgesTable)
+    var regs = Analytics
+      .anfRegInit(e.select(col("src").as("node")).distinct())
+      .localCheckpoint()
+    def layer(r: DataFrame, hop: Int): DataFrame =
+      r.select(lit(hop).as("hop"), col("node"), col("reg"), col("mrho"))
+    layer(regs, 0).write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "node").sortBy("node", "reg")
+      .saveAsTable(regsTable)
+    for (h <- 1 to Analytics.AnfHops) {
+      val prop = regs.withColumnRenamed("node", "src").join(e, "src")
+        .select(col("dst").as("node"), col("reg"), col("mrho"))
+      regs = regs.unionByName(prop)
+        .groupBy("node", "reg").agg(max("mrho").as("mrho"))
+        .localCheckpoint()
+      layer(regs, h).write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "node").sortBy("node", "reg")
+        .saveAsTable(regsTable)
+    }
+  }
+
+  /** Read-repair view of one register layer: mergeAnfDocs appends
+    * register IMPROVEMENTS as new generations, so readers take the
+    * per-(node, reg) max — the HLL union is the same max, which is
+    * why append-only maintenance is sound here.
+    */
+  def anfRegsAt(spark: SparkSession, hop: Int,
+      regsTable: String = "graft_anf_regs"): DataFrame =
+    spark.table(regsTable).filter(col("hop") === hop)
+      .groupBy("node", "reg").agg(max("mrho").as("mrho"))
+
+  /** Serving-shape neighborhood function from the standing registers:
+    * per-hop estimates with no BFS at query time (spec-pinned equal
+    * to qAnfHll's output on the same corpus).
+    */
+  def anfEstimates(spark: SparkSession,
+      regsTable: String = "graft_anf_regs"): DataFrame = {
+    import graft.graph.Analytics
+    (0 to Analytics.AnfHops)
+      .map(h => Analytics.anfEstAt(anfRegsAt(spark, h, regsTable), h))
+      .reduce(_ unionByName _)
+      .select(col("hop"), col("n_nodes"), col("nf_milli"),
+        round(col("nf_milli") / lit(1000.0), 3).as("nf_est"))
+      .orderBy("hop")
+  }
+
+  /** Incremental HyperANF ingest: a NEW-doc batch's co-occurrence
+    * edges join the standing register layers WITHOUT a rebuild.
+    * Additions are the monotone direction of the register
+    * max-lattice, so bounded delta rounds land on exactly the rebuilt
+    * fixpoint (spec-pinned set-equal): new nodes seed hop 0, then
+    * each hop absorbs (a) rows improved at the previous hop crossing
+    * ALL edges, (b) the previous hop's full layer crossing the NEW
+    * edges only, and (c) the previous hop's improvements themselves
+    * (the r_h ⊇ r_{h-1} invariant) — everything else is dominated by
+    * the old fixpoint and never moves. Appended rows are register
+    * improvements only, so per-batch cost follows the affected
+    * neighborhood, not the corpus. Edge DELETIONS are a rebuild
+    * (sketches cannot unmerge — the FAISS remove() contract).
+    */
+  def mergeAnfDocs(spark: SparkSession, batch: DataFrame,
+      regsTable: String = "graft_anf_regs",
+      edgesTable: String = "graft_anf_edges"): Unit = {
+    import graft.graph.Analytics
+    // eager: pinned BEFORE the edge append below rewrites the table
+    // this anti-join reads
+    val newEdges = Analytics.edgesOf(batch)
+      .join(spark.table(edgesTable), Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    if (newEdges.isEmpty) return
+    newEdges.write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "src").sortBy("src", "dst")
+      .saveAsTable(edgesTable)
+    val allEdges = spark.table(edgesTable).select("src", "dst")
+      .localCheckpoint()
+    def layer(r: DataFrame, hop: Int): DataFrame =
+      r.select(lit(hop).as("hop"), col("node"), col("reg"), col("mrho"))
+    // hop 0: registers for genuinely new nodes (eager before append)
+    val newNodes = newEdges.select(col("src").as("node")).distinct()
+      .join(anfRegsAt(spark, 0, regsTable).select("node").distinct(),
+        Seq("node"), "left_anti")
+    var changed = Analytics.anfRegInit(newNodes).localCheckpoint()
+    layer(changed, 0).write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "node").sortBy("node", "reg")
+      .saveAsTable(regsTable)
+    for (h <- 1 to Analytics.AnfHops) {
+      // post-append view: r_{h-1}_new = old layer ∪ its improvements
+      val prevFull = anfRegsAt(spark, h - 1, regsTable).localCheckpoint()
+      val cand = changed
+        .unionByName(changed.withColumnRenamed("node", "src")
+          .join(allEdges, "src")
+          .select(col("dst").as("node"), col("reg"), col("mrho")))
+        .unionByName(prevFull.withColumnRenamed("node", "src")
+          .join(newEdges, "src")
+          .select(col("dst").as("node"), col("reg"), col("mrho")))
+        .groupBy("node", "reg").agg(max("mrho").as("mrho"))
+      changed = cand
+        .join(anfRegsAt(spark, h, regsTable).withColumnRenamed("mrho", "old"),
+          Seq("node", "reg"), "left")
+        .filter(col("old").isNull || col("mrho") > col("old"))
+        .select("node", "reg", "mrho")
+        .localCheckpoint() // eager before this layer's append
+      layer(changed, h).write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "node").sortBy("node", "reg")
+        .saveAsTable(regsTable)
+    }
+  }
+
   /** The co-located join over the bucketed tables: both per-doc
     * aggregations AND the join run on the bucket layout, so nothing
     * shuffles on doc_id (join keys must equal the bucket spec —

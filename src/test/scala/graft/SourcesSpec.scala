@@ -210,6 +210,39 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(TextPipeline.MaterializedConf)
   }
 
+  test("mergeAnfDocs: incremental register maintenance equals a full rebuild") {
+    import graft.graph.Analytics
+    val sf = TestSpark.sf
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val isNew = col("doc_id") % 5 === 2
+    val oldDir = Files.createTempDirectory("graft_anfmerge").toString
+    all.filter(!isNew).write.mode("overwrite")
+      .parquet(s"$oldDir/documents.parquet")
+    Catalog.materializeAnf(spark, oldDir)
+    Catalog.mergeAnfDocs(spark, all.filter(isNew))
+    // rebuild from the full corpus into separate tables — the merge
+    // must have landed on exactly this fixpoint (max-lattice
+    // monotonicity: additions only ever raise registers)
+    Catalog.materializeAnf(spark, sf,
+      regsTable = "graft_anf_regs_rb", edgesTable = "graft_anf_edges_rb")
+    val gotE = spark.table("graft_anf_edges").select("src", "dst")
+    val wantE = spark.table("graft_anf_edges_rb").select("src", "dst")
+    assert(gotE.except(wantE).isEmpty && wantE.except(gotE).isEmpty,
+      "standing edge set diverged from the rebuild")
+    (0 to Analytics.AnfHops).foreach { h =>
+      val got = Catalog.anfRegsAt(spark, h)
+      val want = Catalog.anfRegsAt(spark, h, "graft_anf_regs_rb")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"hop-$h register layer diverged from the rebuild")
+    }
+    // serving: the standing-register estimates answer exactly what
+    // the BFS query computes cold on the full corpus
+    val served = Catalog.anfEstimates(spark).collect().map(_.toSeq).toSeq
+    val cold = Analytics.qAnfHll(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == cold,
+      "standing-register estimates diverged from qAnfHll")
+  }
+
   test("compaction shrinks merge-accumulated files and preserves contents + layout") {
     import graft.operators.TextPipeline
     val sf = TestSpark.sf
