@@ -147,8 +147,36 @@ object Catalog {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
-  /** Compact all ANN/graph/shingle standing tables that exist — the
-    * periodic maintenance pass after a run of incremental merges.
+  /** Squash-compaction for the standing ANF register table:
+    * mergeAnfDocs appends register-improvement generations per
+    * (hop, node, reg) — dominated rows are read-repaired away by
+    * anfRegsAt at query time but still cost scan I/O forever.
+    * Rewrites each hop layer's max-merged view through the same
+    * stage-then-swap as compactStandingTable (readers of the old
+    * table never see a half-written layout). Unlike the generic
+    * compactor this DROPS dominated rows — sound because anfRegsAt's
+    * max-merge IS the read contract (spec-pinned: layers and served
+    * estimates identical across the squash).
+    */
+  def compactAnfRegs(spark: SparkSession,
+      regsTable: String = "graft_anf_regs"): Unit = {
+    import graft.graph.Analytics
+    require(spark.catalog.tableExists(regsTable), s"no such table: $regsTable")
+    val tmp = s"${regsTable}_compacting"
+    dropManaged(spark, tmp)
+    (0 to Analytics.AnfHops)
+      .map(h => anfRegsAt(spark, h, regsTable)
+        .select(lit(h).as("hop"), col("node"), col("reg"), col("mrho")))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "node").sortBy("node", "reg")
+      .saveAsTable(tmp)
+    dropManaged(spark, regsTable)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $regsTable")
+  }
+
+  /** Compact all ANN/graph/shingle/ANF standing tables that exist —
+    * the periodic maintenance pass after a run of incremental merges.
     */
   def compactStandingTables(spark: SparkSession): Unit = {
     val specs = Seq(
@@ -158,10 +186,15 @@ object Catalog {
       ("graft_bsig", "vec_id", Seq("vec_id")),
       ("graft_chunks", "doc_id", Seq("doc_id", "chunk_id")),
       ("graft_mentions", "doc_id", Seq("doc_id", "chunk_id")),
-      ("graft_shingles", "doc_id", Seq("doc_id")))
+      ("graft_shingles", "doc_id", Seq("doc_id")),
+      ("graft_anf_edges", "src", Seq("src", "dst")))
     specs.foreach { case (t, b, s) =>
       if (spark.catalog.tableExists(t)) compactStandingTable(spark, t, b, s)
     }
+    // the register table gets the SQUASHING compactor (dominated
+    // generations are dropped, not just re-filed)
+    if (spark.catalog.tableExists("graft_anf_regs"))
+      compactAnfRegs(spark)
   }
 
   /** Write the standing ANN artifacts — the IVF serving index
@@ -348,46 +381,71 @@ object Catalog {
       edgesTable: String = "graft_anf_edges"): Unit = {
     import graft.graph.Analytics
     // eager: pinned BEFORE the edge append below rewrites the table
-    // this anti-join reads
-    val newEdges = Analytics.edgesOf(batch)
+    // the anti-join reads
+    val batchEdges = Analytics.edgesOf(batch).localCheckpoint()
+    if (batchEdges.isEmpty) return
+    val newEdges = batchEdges
       .join(spark.table(edgesTable), Seq("src", "dst"), "left_anti")
       .localCheckpoint()
-    if (newEdges.isEmpty) return
-    newEdges.write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "src").sortBy("src", "dst")
-      .saveAsTable(edgesTable)
+    if (!newEdges.isEmpty)
+      newEdges.write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "src").sortBy("src", "dst")
+        .saveAsTable(edgesTable)
+    // Propagation walks the batch's TOUCHED CONE — every (node, reg)
+    // candidate derivable from the batch's nodes at each hop, carried
+    // at its CURRENT table value — rather than the smaller
+    // improved-rows-only (systolic) seed. The cone recurrence is a
+    // pure function of (standing tables, batchEdges), so a replay
+    // after a crash at ANY point (between the edge append and any
+    // layer append, or mid-layers) recomputes the same cone against
+    // the healed-so-far state and fills exactly what is missing; the
+    // systolic seed is cheaper but loses improvement flows across OLD
+    // edges when a replay finds earlier layers already appended —
+    // correctness over the smaller join. A fully-applied replay
+    // appends nothing (every candidate dominated): the merge is
+    // idempotent WITHOUT a ledger (the streaming twin adds one only
+    // to bound the wasted cone walk).
     val allEdges = spark.table(edgesTable).select("src", "dst")
       .localCheckpoint()
     def layer(r: DataFrame, hop: Int): DataFrame =
       r.select(lit(hop).as("hop"), col("node"), col("reg"), col("mrho"))
-    // hop 0: registers for genuinely new nodes (eager before append)
-    val newNodes = newEdges.select(col("src").as("node")).distinct()
+    def appendLayer(r: DataFrame, hop: Int): Unit =
+      if (!r.isEmpty)
+        layer(r, hop).write.mode(SaveMode.Append)
+          .bucketBy(Buckets, "node").sortBy("node", "reg")
+          .saveAsTable(regsTable)
+    // hop 0: registers for nodes layer 0 does not know yet (eager
+    // before its own append)
+    val batchNodes = batchEdges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val newNodes = batchNodes
       .join(anfRegsAt(spark, 0, regsTable).select("node").distinct(),
         Seq("node"), "left_anti")
-    var changed = Analytics.anfRegInit(newNodes).localCheckpoint()
-    layer(changed, 0).write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "node").sortBy("node", "reg")
-      .saveAsTable(regsTable)
+    appendLayer(Analytics.anfRegInit(newNodes).localCheckpoint(), 0)
+    // cone at hop 0 = the batch nodes' (post-append) layer-0 rows
+    var touched = anfRegsAt(spark, 0, regsTable)
+      .join(batchNodes, Seq("node"))
+      .localCheckpoint()
     for (h <- 1 to Analytics.AnfHops) {
       // post-append view: r_{h-1}_new = old layer ∪ its improvements
-      val prevFull = anfRegsAt(spark, h - 1, regsTable).localCheckpoint()
-      val cand = changed
-        .unionByName(changed.withColumnRenamed("node", "src")
+      val prevFull = anfRegsAt(spark, h - 1, regsTable)
+      val cand = touched
+        .unionByName(touched.withColumnRenamed("node", "src")
           .join(allEdges, "src")
           .select(col("dst").as("node"), col("reg"), col("mrho")))
         .unionByName(prevFull.withColumnRenamed("node", "src")
-          .join(newEdges, "src")
+          .join(batchEdges, "src")
           .select(col("dst").as("node"), col("reg"), col("mrho")))
         .groupBy("node", "reg").agg(max("mrho").as("mrho"))
-      changed = cand
+        .localCheckpoint() // eager before this layer's append
+      val improved = cand
         .join(anfRegsAt(spark, h, regsTable).withColumnRenamed("mrho", "old"),
           Seq("node", "reg"), "left")
         .filter(col("old").isNull || col("mrho") > col("old"))
         .select("node", "reg", "mrho")
-        .localCheckpoint() // eager before this layer's append
-      layer(changed, h).write.mode(SaveMode.Append)
-        .bucketBy(Buckets, "node").sortBy("node", "reg")
-        .saveAsTable(regsTable)
+        .localCheckpoint()
+      appendLayer(improved, h)
+      touched = cand
     }
   }
 

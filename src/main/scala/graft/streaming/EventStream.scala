@@ -444,6 +444,48 @@ object EventStream {
       .saveAsTable(ledgerTable)
   }
 
+  /** Streaming ingest → standing ANF registers: every micro-batch of
+    * documents folds its co-occurrence edges into the per-hop
+    * register layers through Catalog.mergeAnfDocs — the continuous
+    * twin of materializeAnf, so effective-diameter / reach-curve
+    * serving (Catalog.anfEstimates) stays current as documents arrive
+    * instead of waiting for a register rebuild. Replay-safety is
+    * structural: the merge's cone walk is a pure function of
+    * (standing tables, batch edges) and appends only
+    * dominated-screened improvements, so an at-least-once redelivery
+    * or a crash between the edge append and any layer append heals on
+    * replay; the ledger exists only to make committed-batch replays
+    * free instead of a wasted cone walk. Batch ids are scoped to ONE
+    * stream (same contract as graphIngestStream).
+    */
+  def anfIngestStream(docs: DataFrame, checkpoint: String,
+      ledgerTable: String = "graft_anf_ledger"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestAnfBatch(batch.sparkSession, batch.toDF(), batchId, ledgerTable)
+      }
+      .start()
+
+  /** One ANF-ingest micro-batch: ledger short-circuit, then the
+    * idempotent register merge, then the commit record (appended
+    * strictly after the merge completed — the same commit-point
+    * discipline as ingestGraphBatch).
+    */
+  private[graft] def ingestAnfBatch(s: SparkSession, batch: DataFrame,
+      batchId: Long, ledgerTable: String = "graft_anf_ledger"): Unit = {
+    if (s.catalog.tableExists(ledgerTable) &&
+        !s.table(ledgerTable).filter(col("batch_id") === batchId).isEmpty)
+      return // fully committed — replay is a no-op
+    graft.sources.Catalog.mergeAnfDocs(s, batch.dropDuplicates("doc_id"))
+    import s.implicits._
+    if (!s.catalog.tableExists(ledgerTable))
+      graft.sources.Catalog.dropManaged(s, ledgerTable)
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(ledgerTable)
+  }
+
   /** Streaming decontamination screen: documents are checked against
     * the STATIC held-out gram set as they arrive — the continuous-
     * ingest twin of Curation.qDecontaminate. Per-row 4-gram hashing is

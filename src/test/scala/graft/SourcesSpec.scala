@@ -220,6 +220,12 @@ class SourcesSpec extends AnyFunSuite {
       .parquet(s"$oldDir/documents.parquet")
     Catalog.materializeAnf(spark, oldDir)
     Catalog.mergeAnfDocs(spark, all.filter(isNew))
+    // at-least-once replay: a second merge of the same batch walks
+    // the same cone, finds every candidate dominated, appends nothing
+    val regRowsOnce = spark.table("graft_anf_regs").count()
+    Catalog.mergeAnfDocs(spark, all.filter(isNew))
+    assert(spark.table("graft_anf_regs").count() == regRowsOnce,
+      "replayed merge appended rows — the cone walk must be idempotent")
     // rebuild from the full corpus into separate tables — the merge
     // must have landed on exactly this fixpoint (max-lattice
     // monotonicity: additions only ever raise registers)
@@ -241,6 +247,25 @@ class SourcesSpec extends AnyFunSuite {
     val cold = Analytics.qAnfHll(spark, sf).collect().map(_.toSeq).toSeq
     assert(served == cold,
       "standing-register estimates diverged from qAnfHll")
+    // squash-compaction: dominated generations from the merge are
+    // dropped, every layer and the served estimates are unchanged
+    val rowsBefore = spark.table("graft_anf_regs").count()
+    Catalog.compactAnfRegs(spark)
+    val rowsAfter = spark.table("graft_anf_regs").count()
+    assert(rowsAfter <= rowsBefore,
+      "squash compaction must never grow the register table")
+    (0 to Analytics.AnfHops).foreach { h =>
+      val got = Catalog.anfRegsAt(spark, h)
+      val want = Catalog.anfRegsAt(spark, h, "graft_anf_regs_rb")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"hop-$h register layer changed across the squash")
+      // post-squash each layer holds exactly its max-merged view
+      assert(spark.table("graft_anf_regs")
+        .filter(col("hop") === h).count() == want.count(),
+        s"hop-$h still carries dominated generations after the squash")
+    }
+    assert(Catalog.anfEstimates(spark).collect().map(_.toSeq).toSeq == cold,
+      "served estimates changed across the squash")
   }
 
   test("compaction shrinks merge-accumulated files and preserves contents + layout") {

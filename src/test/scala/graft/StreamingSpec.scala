@@ -190,6 +190,74 @@ class StreamingSpec extends AnyFunSuite {
       "a committed batch id must replay as a no-op")
   }
 
+  test("streaming ANF ingest keeps register layers current, replay- and crash-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.Analytics
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_anfstream").toString
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val base = Seq(doc(1L, "alpha beta alpha beta spark group news"),
+        doc(2L, "gamma delta gamma delta spark group report"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    sources.Catalog.materializeAnf(spark, baseDir)
+    spark.sql("DROP TABLE IF EXISTS graft_anf_ledger_sspec")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anfck").toString
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = EventStream.anfIngestStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), ckpt,
+      ledgerTable = "graft_anf_ledger_sspec")
+    val d3 = doc(3L, "epsilon zeta epsilon zeta spark table update")
+    val d4 = doc(4L, "eta theta eta theta table group wire")
+    try {
+      input.addData(d3)
+      q.processAllAvailable()
+      input.addData(d4, d3) // d3 REPLAYED across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed layers must equal a cold rebuild over ALL docs
+    val allDir = java.nio.file.Files.createTempDirectory("graft_anfall").toString
+    base.unionByName(Seq(d3, d4)
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$allDir/documents.parquet")
+    sources.Catalog.materializeAnf(spark, allDir,
+      regsTable = "graft_anf_regs_srb", edgesTable = "graft_anf_edges_srb")
+    (0 to Analytics.AnfHops).foreach { h =>
+      val got = sources.Catalog.anfRegsAt(spark, h)
+      val want = sources.Catalog.anfRegsAt(spark, h, "graft_anf_regs_srb")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"streamed hop-$h layer diverged from the rebuild")
+    }
+    // crash window: a batch's edges landed but NO layer did — replay
+    // of the same (uncommitted) batch must heal every layer
+    val d5 = doc(5L, "iota kappa iota kappa spark window brief")
+    val b5 = Seq(d5).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Analytics.edgesOf(b5)
+      .join(spark.table("graft_anf_edges"), Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(sources.Catalog.Buckets, "src").sortBy("src", "dst")
+      .saveAsTable("graft_anf_edges") // the simulated dead run
+    EventStream.ingestAnfBatch(spark, b5, 99L, "graft_anf_ledger_sspec")
+    val all5Dir = java.nio.file.Files.createTempDirectory("graft_anfa5").toString
+    base.unionByName(Seq(d3, d4, d5)
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$all5Dir/documents.parquet")
+    sources.Catalog.materializeAnf(spark, all5Dir,
+      regsTable = "graft_anf_regs_srb5", edgesTable = "graft_anf_edges_srb5")
+    (0 to Analytics.AnfHops).foreach { h =>
+      val got = sources.Catalog.anfRegsAt(spark, h)
+      val want = sources.Catalog.anfRegsAt(spark, h, "graft_anf_regs_srb5")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"crash replay left hop-$h stale vs the rebuild")
+    }
+    // committed batch id replays as a full no-op
+    val n = spark.table("graft_anf_regs").count()
+    EventStream.ingestAnfBatch(spark, b5, 99L, "graft_anf_ledger_sspec")
+    assert(spark.table("graft_anf_regs").count() == n,
+      "a committed batch id must replay as a no-op")
+  }
+
   test("streaming decontamination screen matches the batch gram join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
