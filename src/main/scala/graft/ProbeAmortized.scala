@@ -67,6 +67,28 @@ object ProbeAmortized {
       aq.foreach(time("ann_amort1", _))
       aq.foreach(time("ann_amort2", _))
     } finally spark.conf.unset(operators.Similarity.MaterializedConf)
+    // ANF register artifact: rebuild vs serve vs incremental maintain.
+    // The merge batch's edges are already standing (full-corpus
+    // build), so anf_merge_1pct measures the pure cone walk — the
+    // replay upper bound and a fair proxy for a same-sized real batch
+    // (a real batch adds the improvement appends on top).
+    def timeThunk(tag: String)(f: => Unit): Unit = {
+      val t = System.nanoTime(); f
+      println(f"[probe] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
+    }
+    timeThunk("anf_cold_query") {
+      SparkEntry.queries("q_anf_hll")(spark, sfDir).count()
+    }
+    val t3 = System.nanoTime()
+    sources.Catalog.materializeAnf(spark, sfDir)
+    println(f"[probe] materialize_anf ${(System.nanoTime() - t3) / 1e9}%.2f s")
+    timeThunk("anf_serve1")(sources.Catalog.anfEstimates(spark).count())
+    timeThunk("anf_serve2")(sources.Catalog.anfEstimates(spark).count())
+    val batch = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 7)
+    timeThunk("anf_merge_1pct")(sources.Catalog.mergeAnfDocs(spark, batch))
+    timeThunk("anf_compact")(sources.Catalog.compactAnfRegs(spark))
+    timeThunk("anf_serve_postcompact")(sources.Catalog.anfEstimates(spark).count())
     spark.stop()
   }
 }
