@@ -35,20 +35,26 @@ object Analytics {
     * one groupBy counts them — the self-join formulation re-executed
     * the mentions pipeline four times.
     */
-  def cooccur(spark: SparkSession, dir: String): DataFrame = {
-    val ents = TextPipeline.mentions(spark, dir)
+  def cooccur(spark: SparkSession, dir: String): DataFrame =
+    chunkPairs(TextPipeline.mentions(spark, dir))
+      .groupBy("e1", "e2")
+      .agg(count(lit(1)).as("weight"))
+
+  /** The per-chunk i<j entity-pair generator shared by cooccur (full
+    * corpus) and edgesOf (doc batch) — ONE definition, so the
+    * incremental ANF edge set can never silently diverge from the
+    * rebuild's pairing rule (skew cap, sort/distinct discipline).
+    */
+  private def chunkPairs(ments: DataFrame): DataFrame =
+    ments
       .groupBy("doc_id", "chunk_id")
       .agg(array_sort(collect_set(col("name"))).as("ents"))
       .filter(size(col("ents")) >= 2 && size(col("ents")) <= MaxEntitiesPerChunk)
-    ents
       .select(explode(flatten(transform(col("ents"),
         (x, i) => transform(
           slice(col("ents"), i + 2, size(col("ents"))),
           y => struct(x.as("e1"), y.as("e2")))))).as("p"))
       .select(col("p.e1"), col("p.e2"))
-      .groupBy("e1", "e2")
-      .agg(count(lit(1)).as("weight"))
-  }
 
   val CooccurSql: String =
     s"""${TextPipeline.MentionsSql},
@@ -78,16 +84,8 @@ object Analytics {
     * path (Catalog.mergeAnfDocs).
     */
   private[graft] def edgesOf(docs: DataFrame): DataFrame = {
-    val ents = TextPipeline.mentionsOf(docs)
-      .groupBy("doc_id", "chunk_id")
-      .agg(array_sort(collect_set(col("name"))).as("ents"))
-      .filter(size(col("ents")) >= 2 && size(col("ents")) <= MaxEntitiesPerChunk)
-    val pairs = ents
-      .select(explode(flatten(transform(col("ents"),
-        (x, i) => transform(
-          slice(col("ents"), i + 2, size(col("ents"))),
-          y => struct(x.as("e1"), y.as("e2")))))).as("p"))
-      .select(col("p.e1").as("src"), col("p.e2").as("dst"))
+    val pairs = chunkPairs(TextPipeline.mentionsOf(docs))
+      .select(col("e1").as("src"), col("e2").as("dst"))
     pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -1817,18 +1815,15 @@ object Analytics {
        |FROM c CROSS JOIN mx CROSS JOIN ns ORDER BY hop""".stripMargin
   }
 
-  /** Register count and α_m·m² are THE SAME layout constants as
-    * qHllDistinct's — aliased, not redefined, so the "shared
-    * discipline" cannot silently fork if one side is retuned. The rho
-    * suffix `h div 256` below is window-fixed (13 hex digits = 52
-    * bits), NOT m-derived: it stays 256 for any m ≤ 256 (smaller m
-    * just leaves bits log2(m)..7 unused — deriving it from m is what
-    * skewed rho off its geometric law at m = 64).
+  /** Register count, α_m·m², AND the window-fixed rho divisor are THE
+    * SAME layout constants as qHllDistinct's — aliased, not
+    * redefined, so the "shared discipline" cannot silently fork if
+    * one side is retuned (Sketches.RhoWindowDiv owns the 52-bit-
+    * window invariant and its guard; both sketches read it).
     */
   val AnfHllM: Int = graft.operators.Sketches.HllM
   val AnfHllAlphaMm: Double = graft.operators.Sketches.HllAlphaMm
-  require(AnfHllM <= 256,
-    "AnfHllM > 256 would overlap the register index with the 52-bit rho window")
+  private val RhoWindowDiv: Int = graft.operators.Sketches.RhoWindowDiv
 
   /** Linear-counting estimates m·ln(m/v0) pre-rounded to the integer
     * MILLI grid IN SCALA and inlined as the same CASE literal into
@@ -1860,11 +1855,11 @@ object Analytics {
     * in any order. Register/rho derivation and the 2^53 integer
     * harmonic-sum scale are shared with qHllDistinct (the discipline
     * that makes the estimate hash-identical cross-engine); the
-    * small-range correction reads a pre-rounded micro-grid CASE so no
+    * small-range correction reads a pre-rounded milli-grid CASE so no
     * runtime ln() is involved. ORACLE-CHECKED end to end.
     */
   /** Per-node HLL register init: node → (node, reg, mrho). The rho
-    * suffix is h div 256: a clean 52-bit field that always fits the
+    * suffix is h div RhoWindowDiv: a clean 52-bit field that fits the
     * 13-hex window (a narrower register split left a 54-bit suffix
     * whose variable-width window skewed rho off its geometric law —
     * the estimate ran +50% hot; and m = 64 itself put hop-3 balls in
@@ -1879,7 +1874,7 @@ object Analytics {
         conv(substring(md5(concat(lit("anf#"), col("node"))), 1, 15), 16, 10)
           .cast("long"))
       .withColumn("reg", col("h") % AnfHllM)
-      .withColumn("hs", lpad(hex(expr("h div 256")), 13, "0"))
+      .withColumn("hs", lpad(hex(expr(s"h div $RhoWindowDiv")), 13, "0"))
       .withColumn("z", length(regexp_extract(col("hs"), "^0*", 0)))
       .withColumn("d1", expr("substr(hs, z + 1, 1)"))
       .withColumn("mrho",
@@ -1986,7 +1981,7 @@ object Analytics {
        |    CAST('0x' || substr(md5('anf#' || node), 1, 15) AS BIGINT) AS h
        |  FROM h0),
        |h2 AS (SELECT node, h % $AnfHllM AS reg,
-       |    lpad(hex(h // 256), 13, '0') AS hs FROM h1),
+       |    lpad(hex(h // $RhoWindowDiv), 13, '0') AS hs FROM h1),
        |r0 AS MATERIALIZED (SELECT node, reg,
        |    CASE WHEN z = 13 THEN 53
        |      ELSE z * 4 + 1 + (CASE WHEN d1 = '1' THEN 3

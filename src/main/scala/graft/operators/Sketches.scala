@@ -280,6 +280,17 @@ object Sketches {
   }
 
   val HllM = 256                     // registers (p = 8)
+  /** The rho-suffix divisor is WINDOW-FIXED at 256 (13 hex digits =
+    * 52 bits), NOT derived from HllM: `h div m` for m < 256 leaves a
+    * > 52-bit suffix whose variable-width hex window skews rho off
+    * its geometric law (measured +50% hot on the ANF estimate when
+    * m = 64 derived its own window). Any m ≤ 256 reads disjoint
+    * bits (reg = low log2(m), rho = bits 8-59); retuning HllM
+    * requires ONLY this comment's invariant, never this constant.
+    */
+  val RhoWindowDiv = 256
+  require(HllM <= RhoWindowDiv,
+    "HllM > 256 would overlap the register index with the 52-bit rho window")
   val HllAlphaMm: Double =           // α_m · m² (Flajolet et al. 2007)
     0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
   val HllPow53 = 9007199254740992L   // 2^53: the integer register scale
@@ -304,7 +315,7 @@ object Sketches {
         conv(substring(md5(concat(lit("hll#"), col("user_id"))), 1, 15), 16, 10)
           .cast("long").as("h"))
       .withColumn("reg", col("h") % HllM)
-      .withColumn("hs", lpad(hex(expr(s"h div $HllM")), 13, "0"))
+      .withColumn("hs", lpad(hex(expr(s"h div $RhoWindowDiv")), 13, "0"))
       .withColumn("z", length(regexp_extract(col("hs"), "^0*", 0)))
       .withColumn("d1", expr("substr(hs, z + 1, 1)"))
       .withColumn("rho",
@@ -401,7 +412,7 @@ object Sketches {
          |  FROM events),
          |rr AS (
          |  SELECT event_type, h % $HllM AS reg,
-         |    lpad(hex(h // $HllM), 13, '0') AS hs
+         |    lpad(hex(h // $RhoWindowDiv), 13, '0') AS hs
          |  FROM hh),
          |rho AS (
          |  SELECT event_type, reg,

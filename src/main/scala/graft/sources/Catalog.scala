@@ -136,10 +136,19 @@ object Catalog {
   def compactStandingTable(spark: SparkSession, table: String,
       bucketCol: String, sortCols: Seq[String]): Unit = {
     require(spark.catalog.tableExists(table), s"no such table: $table")
+    stageThenSwap(spark, table, spark.table(table), bucketCol, sortCols)
+  }
+
+  /** The crash-ordered swap shared by every standing-table compactor:
+    * the rewrite lands in <table>_compacting, the old table drops
+    * only AFTER the rewrite succeeded, and the rename is a catalog
+    * op — readers of the old table never see a half-written layout.
+    */
+  private def stageThenSwap(spark: SparkSession, table: String,
+      df: DataFrame, bucketCol: String, sortCols: Seq[String]): Unit = {
     val tmp = s"${table}_compacting"
     dropManaged(spark, tmp)
-    spark.table(table)
-      .write.mode(SaveMode.Overwrite)
+    df.write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(tmp)
@@ -160,19 +169,14 @@ object Catalog {
     */
   def compactAnfRegs(spark: SparkSession,
       regsTable: String = "graft_anf_regs"): Unit = {
-    import graft.graph.Analytics
     require(spark.catalog.tableExists(regsTable), s"no such table: $regsTable")
-    val tmp = s"${regsTable}_compacting"
-    dropManaged(spark, tmp)
-    (0 to Analytics.AnfHops)
-      .map(h => anfRegsAt(spark, h, regsTable)
-        .select(lit(h).as("hop"), col("node"), col("reg"), col("mrho")))
-      .reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "node").sortBy("node", "reg")
-      .saveAsTable(tmp)
-    dropManaged(spark, regsTable)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $regsTable")
+    // ONE scan + one shuffle: the per-hop max IS a grouped max over
+    // (hop, node, reg) — a per-hop anfRegsAt loop would re-scan the
+    // (large, generation-accumulated) table once per hop
+    val squashed = spark.table(regsTable)
+      .groupBy("hop", "node", "reg").agg(max("mrho").as("mrho"))
+      .select("hop", "node", "reg", "mrho")
+    stageThenSwap(spark, regsTable, squashed, "node", Seq("node", "reg"))
   }
 
   /** Compact all ANN/graph/shingle/ANF standing tables that exist —
@@ -380,6 +384,14 @@ object Catalog {
       regsTable: String = "graft_anf_regs",
       edgesTable: String = "graft_anf_edges"): Unit = {
     import graft.graph.Analytics
+    // explicit bootstrap precondition: inside a streaming foreachBatch
+    // a raw TABLE_OR_VIEW_NOT_FOUND would kill the query into an
+    // unbounded retry loop with an error naming a table, not the
+    // missing build step
+    require(spark.catalog.tableExists(edgesTable) &&
+        spark.catalog.tableExists(regsTable),
+      s"standing ANF tables $edgesTable/$regsTable missing — " +
+        "run materializeAnf once before merging batches")
     // eager: pinned BEFORE the edge append below rewrites the table
     // the anti-join reads
     val batchEdges = Analytics.edgesOf(batch).localCheckpoint()
