@@ -1944,6 +1944,28 @@ object Analytics {
       .orderBy("hop")
   }
 
+  /** Effective diameter (Palmer/HyperANF convention): the smallest —
+    * linearly interpolated — hop h where the neighborhood function
+    * reaches `frac` (default 0.9) of its final value. Consumes either
+    * qAnfHll's output or Catalog.anfEstimates' (same schema); a
+    * driver-side fold over AnfHops+1 rows — the scalar a capacity
+    * planner or a "how connected is this graph" dashboard actually
+    * wants from the distance distribution.
+    */
+  def effectiveDiameter(est: DataFrame, frac: Double = 0.9): Double = {
+    val nf = est.orderBy("hop").select("nf_milli").collect()
+      .map(_.getLong(0).toDouble)
+    require(nf.nonEmpty, "empty neighborhood function")
+    val target = frac * nf.last
+    val h = nf.indexWhere(_ >= target)
+    if (h <= 0) 0.0
+    else {
+      // interpolate within the step that crosses the target
+      val (lo, hi) = (nf(h - 1), nf(h))
+      if (hi == lo) h.toDouble else (h - 1) + (target - lo) / (hi - lo)
+    }
+  }
+
   private def anfHllSql: String = {
     import graft.operators.Sketches.HllPow53
     val c = AnfHllAlphaMm * HllPow53.toDouble

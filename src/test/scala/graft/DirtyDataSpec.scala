@@ -93,6 +93,19 @@ class DirtyDataSpec extends AnyFunSuite {
   runs("q_pagerank")(graph.Analytics.qPagerank(spark, dir))
   runs("q_anf")(graph.Analytics.qAnf(spark, dir))
   runs("q_anf_hll")(graph.Analytics.qAnfHll(spark, dir))
+
+  test("mergeAnfDocs survives a null/empty/unicode document batch") {
+    sources.Catalog.materializeAnf(spark, dir,
+      regsTable = "graft_anf_regs_dirty", edgesTable = "graft_anf_edges_dirty")
+    // merging the SAME dirty corpus back is the worst case: every
+    // edge already standing, all cone candidates dominated
+    sources.Catalog.mergeAnfDocs(spark,
+      graft.Tables.documents(spark, dir),
+      regsTable = "graft_anf_regs_dirty", edgesTable = "graft_anf_edges_dirty")
+    val est = sources.Catalog.anfEstimates(spark, "graft_anf_regs_dirty")
+      .collect()
+    assert(est.length == graph.Analytics.AnfHops + 1)
+  }
   runs("q_louvain")(graph.Analytics.qLouvain(spark, dir))
   runs("q_wsp")(graph.Analytics.qWeightedShortestPath(spark, dir))
   runs("q_node2vec")(graph.Analytics.qNode2vec(spark, dir))

@@ -1210,5 +1210,18 @@ class OperatorsSpec extends AnyFunSuite {
       val rel = math.abs(est - exact(h)) / exact(h).toDouble
       assert(rel <= 0.15, s"hop $h: est $est vs exact ${exact(h)} (rel $rel)")
     }
+    // effective diameter: interpolated 90% knee, replayed exactly
+    val eff = Analytics.effectiveDiameter(
+      Analytics.qAnfHll(spark, TestSpark.sf))
+    assert(eff >= 0.0 && eff <= Analytics.AnfHops.toDouble,
+      s"effective diameter $eff outside [0, hops]")
+    val nf = expected.map(_.toDouble)
+    val target = 0.9 * nf.last
+    val h0 = nf.indexWhere(_ >= target)
+    val want =
+      if (h0 <= 0) 0.0
+      else (h0 - 1) + (target - nf(h0 - 1)) / (nf(h0) - nf(h0 - 1))
+    assert(math.abs(eff - want) < 1e-9,
+      s"effective diameter $eff != replayed $want")
   }
 }
