@@ -184,4 +184,24 @@ object GraphXAnalytics {
         BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_edges", "mean_end_degree", "assortativity")
   }
+
+  /** Per-hop neighborhood-function pair counts from the given
+    * landmark seeds on the Pregel ShortestPaths engine — the THIRD
+    * independent implementation behind Analytics.qAnf (DataFrame
+    * frontier BFS, the spec's driver replay, and this). GraphX runs
+    * to fixpoint; counting dist ≤ h per hop restricts to the BFS
+    * bound. Returns N(0..maxHop).
+    */
+  def anfCounts(spark: SparkSession, dir: String, seeds: Seq[String],
+      maxHop: Int): Seq[Long] = {
+    val g = graph(spark, dir)
+    val seedSet = seeds.toSet
+    val ids = g.vertices.filter(v => seedSet(v._2)).map(_._1).collect().toSeq
+    require(ids.size == seeds.size,
+      s"resolved ${ids.size} of ${seeds.size} seed names")
+    val dists = org.apache.spark.graphx.lib.ShortestPaths.run(g, ids)
+      .vertices.flatMap { case (_, spmap) => spmap.values.map(_.toLong) }
+      .collect()
+    (0 to maxHop).map(h => dists.count(_ <= h).toLong)
+  }
 }

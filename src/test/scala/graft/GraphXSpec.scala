@@ -169,4 +169,21 @@ class GraphXSpec extends AnyFunSuite {
       assert(df(n) <= h.toLong * 1000000L, s"$n: wdist ${df(n)} > $h hops × 1e6")
     }
   }
+
+  test("GraphX landmark distances reproduce the sampled ANF reach curve") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nodes = Analytics.edges(spark, TestSpark.sf)
+      .select("src").distinct().as[String].collect()
+    val seeds = nodes.sortBy(n => (md5hex(n), n))
+      .take(Analytics.AnfSeeds).toSeq
+    val got = Analytics.qAnf(spark, TestSpark.sf).orderBy("hop")
+      .select("n_pairs").as[Long].collect().toSeq
+    val want = GraphXAnalytics.anfCounts(
+      spark, TestSpark.sf, seeds, Analytics.AnfHops)
+    assert(got == want,
+      s"DataFrame ANF $got != Pregel landmark counts $want")
+  }
 }
