@@ -22,18 +22,17 @@ object ProbeAmortized {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val gq = Bench.GraphAmortizedQs
-    def time(tag: String, n: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"[probe] $tag $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def timeThunk(tag: String)(f: => Unit): Unit = {
+      val t = System.nanoTime(); f
+      println(f"[probe] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
     }
+    def time(tag: String, n: String): Unit =
+      timeThunk(s"$tag $n")(SparkEntry.queries(n)(spark, sfDir).count())
     // warm-up at smallest sf (same as Bench)
     gq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     gq.foreach(time("cold1", _))
     gq.foreach(time("cold2", _))
-    val t0 = System.nanoTime()
-    sources.Catalog.materializeGraph(spark, sfDir)
-    println(f"[probe] materialize ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    timeThunk("materialize")(sources.Catalog.materializeGraph(spark, sfDir))
     spark.conf.set(operators.TextPipeline.MaterializedConf, sfDir)
     try {
       gq.foreach(time("amort1", _))
@@ -46,9 +45,8 @@ object ProbeAmortized {
     dq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     dq.foreach(time("dd_cold1", _))
     dq.foreach(time("dd_cold2", _))
-    val t1 = System.nanoTime()
-    sources.Catalog.materializeShingles(spark, sfDir)
-    println(f"[probe] materialize_shingles ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    timeThunk("materialize_shingles")(
+      sources.Catalog.materializeShingles(spark, sfDir))
     spark.conf.set(operators.Dedup.MaterializedConf, sfDir)
     try {
       dq.foreach(time("dd_amort1", _))
@@ -59,9 +57,7 @@ object ProbeAmortized {
     aq.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     aq.foreach(time("ann_cold1", _))
     aq.foreach(time("ann_cold2", _))
-    val t2 = System.nanoTime()
-    sources.Catalog.materializeAnn(spark, sfDir)
-    println(f"[probe] materialize_ann ${(System.nanoTime() - t2) / 1e9}%.2f s")
+    timeThunk("materialize_ann")(sources.Catalog.materializeAnn(spark, sfDir))
     spark.conf.set(operators.Similarity.MaterializedConf, sfDir)
     try {
       aq.foreach(time("ann_amort1", _))
@@ -72,16 +68,10 @@ object ProbeAmortized {
     // build), so anf_merge_1pct measures the pure cone walk — the
     // replay upper bound and a fair proxy for a same-sized real batch
     // (a real batch adds the improvement appends on top).
-    def timeThunk(tag: String)(f: => Unit): Unit = {
-      val t = System.nanoTime(); f
-      println(f"[probe] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
-    }
     timeThunk("anf_cold_query") {
       SparkEntry.queries("q_anf_hll")(spark, sfDir).count()
     }
-    val t3 = System.nanoTime()
-    sources.Catalog.materializeAnf(spark, sfDir)
-    println(f"[probe] materialize_anf ${(System.nanoTime() - t3) / 1e9}%.2f s")
+    timeThunk("materialize_anf")(sources.Catalog.materializeAnf(spark, sfDir))
     timeThunk("anf_serve1")(sources.Catalog.anfEstimates(spark).count())
     timeThunk("anf_serve2")(sources.Catalog.anfEstimates(spark).count())
     val batch = Tables.documents(spark, sfDir)

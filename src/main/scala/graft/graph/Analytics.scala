@@ -1886,13 +1886,15 @@ object Analytics {
               .otherwise(0)))
       .select("node", "reg", "mrho")
 
-  /** Per-hop HyperANF estimate over a register set — one row:
-    * (n_nodes, nf_milli, hop). Shared by qAnfHll and the standing-
-    * table serving path.
+  /** Hop-grouped HyperANF estimates over a (hop, node, reg, mrho)
+    * register frame — one row per hop: (hop, n_nodes, nf_milli). ONE
+    * aggregation plan regardless of hop count, so the standing-table
+    * serving path scans the register table once instead of once per
+    * hop. Shared by qAnfHll (via anfEstAt) and Catalog.anfEstimates.
     */
-  private[graft] def anfEstAt(r: DataFrame, hop: Int): DataFrame = {
+  private[graft] def anfEstByHop(r: DataFrame): DataFrame = {
     import graft.operators.Sketches.HllPow53
-    r.groupBy("node")
+    r.groupBy("hop", "node")
       .agg(count(lit(1)).as("n_present"),
         sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))"))
           .as("s_present"))
@@ -1905,15 +1907,20 @@ object Analytics {
         when(col("est_raw") <= 2.5 * AnfHllM && col("v_zero") > 0,
           expr(s"CAST(($anfHllLcCase) AS BIGINT)"))
           .otherwise(round(col("est_raw") * lit(1000.0)).cast("long")))
+      .groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum("est_milli").as("nf_milli"))
-      .withColumn("hop", lit(hop.toLong))
   }
+
+  /** Single-hop convenience over [[anfEstByHop]] for the iterative
+    * query path (per-round frames carry no hop column).
+    */
+  private[graft] def anfEstAt(r: DataFrame, hop: Int): DataFrame =
+    anfEstByHop(r.withColumn("hop", lit(hop.toLong)))
 
   def qAnfHll(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).select("src", "dst").localCheckpoint()
     var regs = anfRegInit(e.select(col("src").as("node")).distinct())
       .localCheckpoint(false)
-    def estAt(r: DataFrame, hop: Int): DataFrame = anfEstAt(r, hop)
     // Systolic delta propagation (the HyperANF paper's key trick):
     // only registers that IMPROVED last round cross the edge join.
     // Register merge is a monotone max-lattice, so a value absorbed
@@ -1924,7 +1931,7 @@ object Analytics {
     // because few still change — the edge join never carries the
     // saturated V×m state.
     var changed = regs
-    var out = estAt(regs, 0)
+    var out = anfEstAt(regs, 0)
     for (h <- 1 to AnfHops) {
       val prop = changed.withColumnRenamed("node", "src").join(e, "src")
         .select(col("dst").as("node"), col("reg"), col("mrho"))
@@ -1937,7 +1944,7 @@ object Analytics {
         .select("node", "reg", "mrho")
         .localCheckpoint(false)
       regs = merged
-      out = out.unionByName(estAt(regs, h))
+      out = out.unionByName(anfEstAt(regs, h))
     }
     out.select(col("hop"), col("n_nodes"), col("nf_milli"),
         round(col("nf_milli") / lit(1000.0), 3).as("nf_est"))
@@ -1953,8 +1960,11 @@ object Analytics {
     * wants from the distance distribution.
     */
   def effectiveDiameter(est: DataFrame, frac: Double = 0.9): Double = {
-    val nf = est.orderBy("hop").select("nf_milli").collect()
-      .map(_.getLong(0).toDouble)
+    // coalesce: an edge-free corpus yields rows with NULL nf_milli
+    // (global agg over zero nodes) — an empty graph's diameter is 0
+    val nf = est.orderBy("hop")
+      .select(coalesce(col("nf_milli"), lit(0L)))
+      .collect().map(_.getLong(0).toDouble)
     require(nf.nonEmpty, "empty neighborhood function")
     val target = frac * nf.last
     val h = nf.indexWhere(_ >= target)

@@ -358,11 +358,22 @@ object Catalog {
   def anfEstimates(spark: SparkSession,
       regsTable: String = "graft_anf_regs"): DataFrame = {
     import graft.graph.Analytics
-    (0 to Analytics.AnfHops)
-      .map(h => Analytics.anfEstAt(anfRegsAt(spark, h, regsTable), h))
-      .reduce(_ unionByName _)
-      .select(col("hop"), col("n_nodes"), col("nf_milli"),
-        round(col("nf_milli") / lit(1000.0), 3).as("nf_est"))
+    // ONE scan of the (generation-accumulated) register table: the
+    // read-repair max and the per-hop estimates ride a single
+    // hop-grouped plan — a per-hop anfRegsAt loop re-scanned the
+    // table once per hop on exactly the hot serving path. The static
+    // hop frame keeps the AnfHops+1-row contract on an edge-free
+    // corpus (a grouped agg emits nothing for absent hops).
+    import spark.implicits._
+    val est = Analytics.anfEstByHop(
+      spark.table(regsTable)
+        .groupBy("hop", "node", "reg").agg(max("mrho").as("mrho")))
+    (0 to Analytics.AnfHops).map(_.toLong).toDF("hop")
+      .join(est, Seq("hop"), "left")
+      .select(col("hop"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("nf_milli"), lit(0L)).as("nf_milli"),
+        round(coalesce(col("nf_milli"), lit(0L)) / lit(1000.0), 3).as("nf_est"))
       .orderBy("hop")
   }
 
@@ -371,11 +382,13 @@ object Catalog {
     * Additions are the monotone direction of the register
     * max-lattice, so bounded delta rounds land on exactly the rebuilt
     * fixpoint (spec-pinned set-equal): new nodes seed hop 0, then
-    * each hop absorbs (a) rows improved at the previous hop crossing
-    * ALL edges, (b) the previous hop's full layer crossing the NEW
-    * edges only, and (c) the previous hop's improvements themselves
-    * (the r_h ⊇ r_{h-1} invariant) — everything else is dominated by
-    * the old fixpoint and never moves. Appended rows are register
+    * each hop absorbs (a) the batch's cone at the previous hop
+    * crossing ALL edges, (b) the previous hop's full layer crossing
+    * ALL of the batch's edges (standing or not — using only
+    * never-seen edges here would leave term (b) empty on a
+    * crash-replay whose edges already landed), and (c) the cone
+    * itself (the r_h ⊇ r_{h-1} invariant) — everything else is
+    * dominated by the old fixpoint and never moves. Appended rows are register
     * improvements only, so per-batch cost follows the affected
     * neighborhood, not the corpus. Edge DELETIONS are a rebuild
     * (sketches cannot unmerge — the FAISS remove() contract).
@@ -417,8 +430,11 @@ object Catalog {
     // appends nothing (every candidate dominated): the merge is
     // idempotent WITHOUT a ledger (the streaming twin adds one only
     // to bound the wasted cone walk).
+    // lazy on purpose: nothing mutates edgesTable after the append
+    // above, and an eager checkpoint would pin the FULL corpus edge
+    // list into block storage on every micro-batch of the streaming
+    // twin — four bucketed disk scans are the cheaper read
     val allEdges = spark.table(edgesTable).select("src", "dst")
-      .localCheckpoint()
     def layer(r: DataFrame, hop: Int): DataFrame =
       r.select(lit(hop).as("hop"), col("node"), col("reg"), col("mrho"))
     def appendLayer(r: DataFrame, hop: Int): Unit =

@@ -172,12 +172,9 @@ class GraphXSpec extends AnyFunSuite {
 
   test("GraphX landmark distances reproduce the sampled ANF reach curve") {
     import spark.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val nodes = Analytics.edges(spark, TestSpark.sf)
       .select("src").distinct().as[String].collect()
-    val seeds = nodes.sortBy(n => (md5hex(n), n))
+    val seeds = nodes.sortBy(n => (TestSpark.md5hex(n), n))
       .take(Analytics.AnfSeeds).toSeq
     val got = Analytics.qAnf(spark, TestSpark.sf).orderBy("hop")
       .select("n_pairs").as[Long].collect().toSeq

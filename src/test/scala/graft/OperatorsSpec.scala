@@ -1097,9 +1097,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(s: String): String = TestSpark.md5hex(s)
 
   test("sampled ANF replays exactly from the collected edge list") {
     import graft.graph.Analytics

@@ -17,4 +17,13 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Lowercase-hex md5 — the shared replay of Spark/DuckDB `md5()`
+    * used by specs that re-derive hash-ordered seeds or register
+    * layouts (one definition, so a hashing-discipline change cannot
+    * leave one cross-check testing a stale derivation).
+    */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
