@@ -303,4 +303,44 @@ class PropertySpec extends AnyFunSuite {
     SimHash64.compute(ArrayData.toArrayData(
       ws.map(w => UTF8String.fromString(w)).toArray))
   }
+
+  test("sampled ANF equals exact BFS on arbitrary generated corpora") {
+    import spark.implicits._
+    // gazetteer surface + filler: random co-mention topologies the
+    // driver corpus never produces (incl. zero-edge corpora)
+    val entity = Gen.oneOf("spark", "table", "part", "group", "row",
+      "column", "window", "customer", "supplier")
+    val tok = Gen.frequency(3 -> entity, 2 -> word)
+    val gtext = Gen.choose(5, 40)
+      .flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    (0 until 4).foreach { trial =>
+      val texts = (0 until 30).flatMap(i =>
+        gtext.apply(Gen.Parameters.default, Seed(1000L * trial + i)))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_anfprop$trial").toString
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val edges = graph.Analytics.edges(spark, dir)
+        .select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val adj = edges.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).toSet }
+      val seeds = edges.map(_._1).distinct
+        .sortBy(n => (TestSpark.md5hex(n), n))
+        .take(graph.Analytics.AnfSeeds)
+      var balls = seeds.map(s => s -> Set(s)).toMap
+      var want = Vector(balls.values.map(_.size.toLong).sum)
+      for (_ <- 1 to graph.Analytics.AnfHops) {
+        balls = balls.map { case (r, b) =>
+          r -> (b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+        }
+        want :+= balls.values.map(_.size.toLong).sum
+      }
+      val got = graph.Analytics.qAnf(spark, dir).orderBy("hop")
+        .select("n_pairs").as[Long].collect().toVector
+      assert(got == want, s"trial $trial: ANF $got != BFS replay $want")
+    }
+  }
 }
