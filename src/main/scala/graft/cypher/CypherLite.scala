@@ -27,7 +27,7 @@ import graft.operators.TextPipeline
   *                 (r.prop readable: MENTIONS start_pos/n_tokens/
   *                 n_mentions, CO_OCCURS weight; type(r) always);
   *                 :A|B is the multi-type union; *a..b is a
-  *                 variable-length hop (1 <= a <= b <= 2) with Cypher
+  *                 variable-length hop (1 <= a <= b <= 3) with Cypher
   *                 semantics: one output row PER PATH, and a
   *                 relationship may not repeat within a path
   *   where      := WHERE term (AND term)*
@@ -244,9 +244,9 @@ object CypherLite {
     */
   private def varLenExpand(e0: DataFrame, lo: Int, hi: Int,
       seed: Option[DataFrame]): DataFrame = {
-    require(lo >= 1 && lo <= hi && hi <= 2, s"unsupported var-length bounds *$lo..$hi")
-    // The edge table is referenced by up to three plan branches below
-    // (seeded first leg, both legs of the 2-hop composition); without
+    require(lo >= 1 && lo <= hi && hi <= 3, s"unsupported var-length bounds *$lo..$hi")
+    // The edge table is referenced by several plan branches below
+    // (seeded first leg, the legs of each composition); without
     // a barrier each reference re-executes the whole upstream pipeline
     // (mentions → co-occur for CO_OCCURS). Lazy, so 1-hop-only
     // expansions pay a barrier, not an extra job.
@@ -257,6 +257,17 @@ object CypherLite {
       case 2 => e0s.select(col("src_uid"), col("dst_uid").as("mid_uid"))
         .join(e0c.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
         .filter(col("dst_uid") =!= col("src_uid"))
+        .select("src_uid", "dst_uid")
+      // length-3 relationship-uniqueness (Cypher: a rel may not repeat
+      // in a path) reduces to two inequalities because the edge table
+      // carries no self-loops: e2≠e1 ⇔ m2≠src, e3≠e2 ⇔ dst≠m1, and
+      // e3=e1 would force m2=src (already excluded)
+      case 3 => e0s.select(col("src_uid"), col("dst_uid").as("m1_uid"))
+        .join(e0c.select(col("src_uid").as("m1_uid"),
+          col("dst_uid").as("m2_uid")), "m1_uid")
+        .filter(col("m2_uid") =!= col("src_uid"))
+        .join(e0c.select(col("src_uid").as("m2_uid"), col("dst_uid")), "m2_uid")
+        .filter(col("dst_uid") =!= col("m1_uid"))
         .select("src_uid", "dst_uid")
     }
     legs.reduce(_ unionByName _)

@@ -725,4 +725,37 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN count(o) AS n").head().getLong(0)
     assert(byProp == byVar && byProp > 0)
   }
+
+  test("*1..3 var-length hop: per-path rows with relationship uniqueness") {
+    val seed = "spark group"
+    val got = CypherLite.run(spark, TestSpark.sf,
+      s"MATCH (e:Entity {name: '$seed'})-[:CO_OCCURS*1..3]->(o:Entity) " +
+        "RETURN o.name AS name, count(*) AS n_paths ORDER BY name")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay: enumerate length-1..3 walks from the seed with
+    // no repeated UNDIRECTED edge (Cypher relationship uniqueness)
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj: Map[String, Seq[String]] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    def und(a: String, b: String): (String, String) =
+      if (a < b) (a, b) else (b, a)
+    val counts = collection.mutable.Map.empty[String, Long]
+    def walk(node: String, used: Set[(String, String)], depth: Int): Unit = {
+      if (depth > 0)
+        counts(node) = counts.getOrElse(node, 0L) + 1L
+      if (depth < 3)
+        adj.getOrElse(node, Seq.empty).foreach { nxt =>
+          val e = und(node, nxt)
+          if (!used(e)) walk(nxt, used + e, depth + 1)
+        }
+    }
+    walk(seed, Set.empty, 0)
+    assert(got == counts.toMap,
+      s"per-path counts diverged: ${got.toSeq.sorted.take(5)}... vs " +
+        s"${counts.toSeq.sorted.take(5)}...")
+    assert(got.nonEmpty && got.values.exists(_ > 1),
+      "fixture must produce multi-path targets or the test is vacuous")
+  }
 }
