@@ -227,12 +227,18 @@ object CypherLite {
 
   /** Variable-length expansion `*lo..hi` of an edge table, unrolled to
     * a union of fixed-length compositions — one row per PATH (Cypher's
-    * row semantics), with Cypher's relationship-uniqueness rule: a
-    * 2-hop path may not reuse its first edge, which on an undirected
-    * (both-direction) edge list is exactly the dst≠origin filter.
-    * Bounded hi (≤2) keeps the unrolled plan a fixed join chain the
-    * optimizer can reorder; each composition is an equi-join on the
-    * midpoint uid.
+    * row semantics), with Cypher's relationship-uniqueness rule
+    * encoded as midpoint inequalities. Bounded hi (≤3) keeps the
+    * unrolled plan a fixed join chain the optimizer can reorder; each
+    * composition is an equi-join on a midpoint uid, and the 3-hop leg
+    * EXTENDS the shared 2-hop frame instead of recomposing it.
+    *
+    * SCOPE: the uniqueness inequalities assume a SYMMETRIC (both-
+    * direction) self-loop-free edge layer — true for CO_OCCURS, and
+    * vacuous for the bipartite rels (their compositions are empty).
+    * A future cyclic DIRECTED relationship would need e1≠e3 tracked
+    * as edge identity, not endpoint inequality: Cypher allows a→b→a
+    * over two distinct directed rels, which dst≠origin wrongly drops.
     *
     * `seed` (the already-bound-and-filtered source frontier, when the
     * hop starts at a bound variable) restricts the FIRST leg of every
@@ -252,20 +258,22 @@ object CypherLite {
     // expansions pay a barrier, not an extra job.
     val e0c = e0.localCheckpoint(false)
     val e0s = seed.fold(e0c)(s => e0c.join(s, Seq("src_uid"), "left_semi"))
+    // the 2-hop frame (midpoint retained) is shared by legs 2 and 3 —
+    // lazy, so *1..1 never builds it; the lazy barrier keeps a *1..3
+    // plan from running the seeded first join twice across branches
+    lazy val hop2 = e0s.select(col("src_uid"), col("dst_uid").as("m1_uid"))
+      .join(e0c.select(col("src_uid").as("m1_uid"),
+        col("dst_uid").as("m2_uid")), "m1_uid")
+      .filter(col("m2_uid") =!= col("src_uid"))
+      .localCheckpoint(false)
     val legs = (lo to hi).map {
       case 1 => e0s
-      case 2 => e0s.select(col("src_uid"), col("dst_uid").as("mid_uid"))
-        .join(e0c.select(col("src_uid").as("mid_uid"), col("dst_uid")), "mid_uid")
-        .filter(col("dst_uid") =!= col("src_uid"))
-        .select("src_uid", "dst_uid")
+      case 2 => hop2.select(col("src_uid"), col("m2_uid").as("dst_uid"))
       // length-3 relationship-uniqueness (Cypher: a rel may not repeat
       // in a path) reduces to two inequalities because the edge table
       // carries no self-loops: e2≠e1 ⇔ m2≠src, e3≠e2 ⇔ dst≠m1, and
       // e3=e1 would force m2=src (already excluded)
-      case 3 => e0s.select(col("src_uid"), col("dst_uid").as("m1_uid"))
-        .join(e0c.select(col("src_uid").as("m1_uid"),
-          col("dst_uid").as("m2_uid")), "m1_uid")
-        .filter(col("m2_uid") =!= col("src_uid"))
+      case 3 => hop2
         .join(e0c.select(col("src_uid").as("m2_uid"), col("dst_uid")), "m2_uid")
         .filter(col("dst_uid") =!= col("m1_uid"))
         .select("src_uid", "dst_uid")

@@ -1104,17 +1104,8 @@ class OperatorsSpec extends AnyFunSuite {
     val edges = Analytics.edges(spark, TestSpark.sf)
       .select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
-    val nodes = edges.map(_._1).distinct
-    val seeds = nodes.sortBy(n => (md5hex(n), n)).take(Analytics.AnfSeeds)
-    var balls: Map[String, Set[String]] = seeds.map(s => s -> Set(s)).toMap
-    var expected = Vector(balls.values.map(_.size.toLong).sum)
-    for (_ <- 1 to Analytics.AnfHops) {
-      balls = balls.map { case (r, b) =>
-        r -> (b ++ b.flatMap(n => adj.getOrElse(n, Set.empty)))
-      }
-      expected :+= balls.values.map(_.size.toLong).sum
-    }
+    val expected = TestSpark.anfBfsReplay(
+      edges.toSeq, Analytics.AnfSeeds, Analytics.AnfHops)
     val rows = Analytics.qAnf(spark, TestSpark.sf).collect()
     val got = rows.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     (0 to Analytics.AnfHops).foreach { h =>

@@ -325,19 +325,8 @@ class PropertySpec extends AnyFunSuite {
       val edges = graph.Analytics.edges(spark, dir)
         .select("src", "dst").collect()
         .map(r => (r.getString(0), r.getString(1)))
-      val adj = edges.groupBy(_._1)
-        .map { case (s, es) => s -> es.map(_._2).toSet }
-      val seeds = edges.map(_._1).distinct
-        .sortBy(n => (TestSpark.md5hex(n), n))
-        .take(graph.Analytics.AnfSeeds)
-      var balls = seeds.map(s => s -> Set(s)).toMap
-      var want = Vector(balls.values.map(_.size.toLong).sum)
-      for (_ <- 1 to graph.Analytics.AnfHops) {
-        balls = balls.map { case (r, b) =>
-          r -> (b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
-        }
-        want :+= balls.values.map(_.size.toLong).sum
-      }
+      val want = TestSpark.anfBfsReplay(
+        edges.toSeq, graph.Analytics.AnfSeeds, graph.Analytics.AnfHops)
       val got = graph.Analytics.qAnf(spark, dir).orderBy("hop")
         .select("n_pairs").as[Long].collect().toVector
       assert(got == want, s"trial $trial: ANF $got != BFS replay $want")
