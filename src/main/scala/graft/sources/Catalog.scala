@@ -29,14 +29,19 @@ object Catalog {
     */
   private[graft] def dropManaged(spark: SparkSession, t: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $t")
+    // the warehouse dir is the LOWERCASED identifier (Spark lowercases
+    // managed-table names) — the raw name would miss the leftover on a
+    // case-sensitive filesystem and re-fail with LOCATION_ALREADY_EXISTS
     val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(loc)
-    }
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      t.toLowerCase)
+    if (loc.exists()) rmTree(loc)
+  }
+
+  /** Recursive delete shared by every local-cleanup path. */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
   }
 
   /** Write chunks + mentions as bucketed, sorted tables. */
@@ -79,19 +84,23 @@ object Catalog {
     * EventStream.ingestGraphBatch).
     */
   def mergeChunks(spark: SparkSession, batch: DataFrame,
-      chunksTable: String = "graft_chunks"): Unit =
+      chunksTable: String = "graft_chunks"): Unit = {
+    healSwap(spark, chunksTable)
     TextPipeline.chunksOf(batch)
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
       .saveAsTable(chunksTable)
+  }
 
   /** Mention-table half of mergeGraph (same contract as mergeChunks). */
   def mergeMentions(spark: SparkSession, batch: DataFrame,
-      mentionsTable: String = "graft_mentions"): Unit =
+      mentionsTable: String = "graft_mentions"): Unit = {
+    healSwap(spark, mentionsTable)
     TextPipeline.mentionsOf(batch)
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
       .saveAsTable(mentionsTable)
+  }
 
   /** Write the dedup family's per-doc shingle sets as a bucketed,
     * sorted table — the ingest-once half of the amortized dedup path
@@ -115,11 +124,13 @@ object Catalog {
     * batch-sized cost, bucketed append).
     */
   def mergeShingles(spark: SparkSession, batch: DataFrame,
-      table: String = "graft_shingles"): Unit =
+      table: String = "graft_shingles"): Unit = {
+    healSwap(spark, table)
     Dedup.shinglesOf(batch)
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
+  }
 
   /** Small-file compaction for a standing bucketed table: every
     * merge* append lands one file set per batch, so a
@@ -135,26 +146,52 @@ object Catalog {
     */
   def compactStandingTable(spark: SparkSession, table: String,
       bucketCol: String, sortCols: Seq[String]): Unit = {
+    healSwap(spark, table)
     require(spark.catalog.tableExists(table), s"no such table: $table")
     stageThenSwap(spark, table, spark.table(table), bucketCol, sortCols)
   }
 
   /** The crash-ordered swap shared by every standing-table compactor:
-    * the rewrite lands in <table>_compacting, the old table drops
-    * only AFTER the rewrite succeeded, and the rename is a catalog
-    * op — readers of the old table never see a half-written layout.
+    * the rewrite lands in <table>_compacting, the live name is
+    * RENAMED aside (never dropped while the replacement is pending),
+    * the rewrite takes the live name, and only then does the retired
+    * copy drop. A crash at any point leaves either the live table or
+    * a recoverable sibling that [[healSwap]] adopts — the previous
+    * drop-then-rename order had a window where a crash left NO table,
+    * and the next merge*'s Append silently re-created it empty
+    * (corpus fork).
     */
   private def stageThenSwap(spark: SparkSession, table: String,
       df: DataFrame, bucketCol: String, sortCols: Seq[String]): Unit = {
     val tmp = s"${table}_compacting"
+    val retired = s"${table}_retired"
     dropManaged(spark, tmp)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(tmp)
-    dropManaged(spark, table)
+    dropManaged(spark, retired)
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    dropManaged(spark, retired)
   }
+
+  /** Adopt whichever side an interrupted [[stageThenSwap]] left
+    * behind: if the live name is missing, a completed `_compacting`
+    * rewrite wins (it holds the full contents), else the `_retired`
+    * original is restored. Called by the compactors and every merge*
+    * entry point so an Append can never re-create a swapped-away
+    * table as empty.
+    */
+  private[graft] def healSwap(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val tmp = s"${table}_compacting"
+      val retired = s"${table}_retired"
+      if (spark.catalog.tableExists(tmp))
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else if (spark.catalog.tableExists(retired))
+        spark.sql(s"ALTER TABLE $retired RENAME TO $table")
+    }
 
   /** Squash-compaction for the standing ANF register table:
     * mergeAnfDocs appends register-improvement generations per
@@ -169,6 +206,7 @@ object Catalog {
     */
   def compactAnfRegs(spark: SparkSession,
       regsTable: String = "graft_anf_regs"): Unit = {
+    healSwap(spark, regsTable)
     require(spark.catalog.tableExists(regsTable), s"no such table: $regsTable")
     // ONE scan + one shuffle: the per-hop max IS a grouped max over
     // (hop, node, reg) — a per-hop anfRegsAt loop would re-scan the
@@ -221,14 +259,17 @@ object Catalog {
     Seq(ivfTable, codesTable, codebookTable, centroidsTable,
         sq8Table, bsigTable)
       .foreach(dropManaged(spark, _))
+    // ONE pinned vector frame feeds every artifact (previously four
+    // independent vectors() scans re-ran the screen per table)
+    val e = Similarity.vectors(spark, dir).localCheckpoint()
     // the quantized serving twins: int8 codes + 8-byte sign words,
     // per-vector pure encodes (round 8 — q_ann_sq8 / q_ann_binary
     // read these instead of re-encoding the corpus per query)
-    Similarity.sq8Codes(Similarity.vectors(spark, dir))
+    Similarity.sq8Codes(e)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "vec_id").sortBy("vec_id")
       .saveAsTable(sq8Table)
-    Similarity.binSigs(Similarity.vectors(spark, dir))
+    Similarity.binSigs(e)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "vec_id").sortBy("vec_id")
       .saveAsTable(bsigTable)
@@ -236,14 +277,20 @@ object Catalog {
     // TRAINED once at build time (Similarity.ivfCentroids) and pinned,
     // so later mergeVectors batches assign against the same centroids
     // the standing index was built under — quantizer drift is the
-    // caller's retrain-policy decision, never an accident
+    // caller's retrain-policy decision, never an accident. The
+    // serving index assigns against the JUST-WRITTEN table (it used
+    // to call ivfServingIndex, which re-trained its own centroid
+    // copy — double k-means per build, held together only by
+    // training determinism)
     Similarity.ivfCentroids(spark, dir)
       .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
-    Similarity.ivfServingIndex(spark, dir)
+    Similarity.assignToCells(e, spark.table(centroidsTable))
+      .join(e.select("vec_id", "v", "nrm"), "vec_id")
+      .select("cid", "vec_id", "v", "nrm")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
       .saveAsTable(ivfTable)
-    val subs = Similarity.pqSubspaces(Similarity.vectors(spark, dir))
+    val subs = Similarity.pqSubspaces(e)
     val cb = Similarity.pqTrainCodebook(subs)
     cb.write.mode(SaveMode.Overwrite).saveAsTable(codebookTable)
     Similarity.pqEncode(subs, cb)
@@ -274,6 +321,15 @@ object Catalog {
       sq8Table: String = "graft_sq8",
       bsigTable: String = "graft_bsig"): Unit = {
     import graft.operators.Similarity
+    // same bootstrap contract as mergeAnfDocs: a missing quantizer
+    // inside a streaming foreachBatch must name the build step, not
+    // retry-loop on TABLE_OR_VIEW_NOT_FOUND
+    require(spark.catalog.tableExists(centroidsTable) &&
+        spark.catalog.tableExists(codebookTable),
+      s"standing ANN tables $centroidsTable/$codebookTable missing — " +
+        "run materializeAnn once before merging batches")
+    Seq(ivfTable, codesTable, sq8Table, bsigTable)
+      .foreach(healSwap(spark, _))
     val e = Similarity.prepVectors(batch).localCheckpoint(false)
     val cents = spark.table(centroidsTable)
     Similarity.assignToCells(e, cents)
@@ -401,6 +457,7 @@ object Catalog {
     // a raw TABLE_OR_VIEW_NOT_FOUND would kill the query into an
     // unbounded retry loop with an error naming a table, not the
     // missing build step
+    Seq(edgesTable, regsTable).foreach(healSwap(spark, _))
     require(spark.catalog.tableExists(edgesTable) &&
         spark.catalog.tableExists(regsTable),
       s"standing ANF tables $edgesTable/$regsTable missing — " +
@@ -624,15 +681,13 @@ object Catalog {
     val stage = path + ".staging"
     compacted.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stage)
     // commit: per-bucket directory swap (metadata ops, not data I/O)
-    def rm(f: java.io.File): Unit =
-      if (f.exists()) { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
     touched.foreach { b =>
       val dst = new java.io.File(path, s"bucket=$b")
       val src = new java.io.File(stage, s"bucket=$b")
-      rm(dst)
+      if (dst.exists()) rmTree(dst)
       require(src.renameTo(dst), s"failed to commit bucket $b")
     }
-    rm(new java.io.File(stage))
+    rmTree(new java.io.File(stage))
     // drop the cached file listing — subsequent reads must see the
     // swapped bucket directories, not the pre-merge file names
     spark.catalog.refreshByPath(path)
@@ -789,6 +844,11 @@ object Catalog {
     val latest = latestVersion(path)
     val v = if (version > 0) version else latest
     require(v > 0, s"no committed snapshot at $path")
+    // same committed-versions-only contract as readSnapshot: a stray
+    // manifest from a writer that died before its pointer flip is not
+    // readable state (a commit retry rewrites its files underneath)
+    require(v <= latest,
+      s"version $v at $path is not committed (latest is $latest)")
     val entries = manifestEntries(path, v)
     def liveFor(e: ManifestEntry): Boolean = {
       val numOk = ranges.forall { case (c, (lo, hi)) =>
@@ -797,8 +857,16 @@ object Catalog {
           catch { case _: NumberFormatException => true } // unknown → keep
         }
       }
+      // numeric-looking stats compare as numbers (lexicographic "7" >
+      // "30" would wrongly prune a file containing doc_id 7); true
+      // string columns fall back to lexicographic containment
       val eqOk = eqs.forall { case (c, value) =>
-        e.stats.get(c).forall { case (mn, mx) => mn <= value && value <= mx }
+        e.stats.get(c).forall { case (mn, mx) =>
+          try { mn.toLong <= value.toLong && value.toLong <= mx.toLong }
+          catch {
+            case _: NumberFormatException => mn <= value && value <= mx
+          }
+        }
       }
       numOk && eqOk
     }
@@ -843,6 +911,9 @@ object Catalog {
     * retention-period contract).
     */
   def vacuumSnapshots(path: String, keep: Int = 1): Unit = {
+    // keep=0 would compute live=∅ and delete the committed version's
+    // files while _latest still points at it — unrecoverable
+    require(keep >= 1, s"vacuum must keep at least the live version (keep=$keep)")
     val latest = latestVersion(path)
     val cut = latest - keep + 1
     if (cut <= 1) return
@@ -930,16 +1001,12 @@ object Catalog {
     spark.read.parquet(path)
       .repartition(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
     // move-aside swap, not delete-then-rename: the table is only ever
     // absent for the instant between two renames (metadata ops), and a
     // failed second rename leaves the original intact at .compact_old
     // instead of the table existing only in the tmp dir
     val old = new java.io.File(path.stripSuffix("/") + ".compact_old")
-    rm(old)
+    rmTree(old)
     require(dir.renameTo(old), s"compaction move-aside failed for $path")
     val ok = new java.io.File(tmp).renameTo(dir)
     if (!ok) {
@@ -950,7 +1017,7 @@ object Catalog {
       require(ok, s"compaction swap failed for $path (original " +
         s"${if (restored) "restored" else s"left at $old"})")
     }
-    rm(old)
+    rmTree(old)
     nFiles
   }
 
@@ -963,7 +1030,12 @@ object Catalog {
     */
   def writeTextDocs(df: DataFrame, path: String, nFiles: Int = 3): Unit = {
     import org.apache.spark.sql.functions._
-    df.select(concat_ws("\t", col("doc_id"),
+    // doc_id coalesces too: concat_ws SKIPS a NULL key, emitting a
+    // 3-field line the reader's line framing drops SILENTLY — an
+    // empty first field instead flows through the connector's
+    // explicit malformed-skip policy (observable), not the framing
+    df.select(concat_ws("\t",
+        coalesce(col("doc_id").cast("string"), lit("")),
         coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
         regexp_replace(coalesce(col("text"), lit("")), "[\\t\\n\\r]", " ")).as("value"))
       .repartition(nFiles)

@@ -268,6 +268,36 @@ class SourcesSpec extends AnyFunSuite {
       "served estimates changed across the squash")
   }
 
+  test("healSwap adopts an interrupted compaction swap instead of forking the corpus") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    Catalog.materializeShingles(spark, sf)
+    val before = spark.table("graft_shingles").count()
+    assert(before > 0)
+    // crash window A: live name renamed aside, replacement not in
+    // place — the old drop-then-rename order left NO table here and
+    // the next Append silently re-created it empty
+    spark.sql("DROP TABLE IF EXISTS graft_shingles_retired")
+    spark.sql("ALTER TABLE graft_shingles RENAME TO graft_shingles_retired")
+    Catalog.compactStandingTable(spark, "graft_shingles", "doc_id", Seq("doc_id"))
+    assert(spark.table("graft_shingles").count() == before,
+      "compactor must adopt the retired original, not fail or fork")
+    // crash window B: a COMPLETED rewrite sits at _compacting and the
+    // live name is gone — a merge must adopt it before appending
+    spark.sql("DROP TABLE IF EXISTS graft_shingles_compacting")
+    spark.sql("ALTER TABLE graft_shingles RENAME TO graft_shingles_compacting")
+    val batch = Seq((990001L, "alpha beta alpha beta spark group news",
+        "en", "s", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Catalog.mergeShingles(spark, batch)
+    val after = spark.table("graft_shingles").count()
+    assert(after >= before,
+      s"merge after adoption lost rows: $after < $before")
+    assert(spark.table("graft_shingles")
+      .filter(col("doc_id") === 990001L).count() > 0,
+      "the batch itself must have appended")
+  }
+
   test("compaction shrinks merge-accumulated files and preserves contents + layout") {
     import graft.operators.TextPipeline
     val sf = TestSpark.sf
