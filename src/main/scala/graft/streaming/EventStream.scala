@@ -63,16 +63,17 @@ object EventStream {
     */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapUs = 1800L * 1000000L
+    val gapUs = graft.operators.Events.SessionGapUs
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
+      .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           // Sort this batch's events; fold into open sessions, emitting
           // closed ones. (Batch-at-once semantics for the memory-sink
-          // test path; a production job relies on watermark timeouts.)
+          // test path — state is intentionally never read or written;
+          // a production job relies on watermark timeouts.)
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
-          var open = state.getOption.flatMap(_.headOption)
+          var open: Option[SessionState] = None
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             open match {
@@ -87,9 +88,8 @@ object EventStream {
             }
           }
           // Emit the trailing open session too (end-of-stream flush for
-          // the test path) and clear state.
+          // the test path).
           open.foreach(s => out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value))
-          state.remove()
           out.result().iterator
       }
   }
@@ -106,10 +106,10 @@ object EventStream {
   def sessionizeStreaming(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapUs = 1800L * 1000000L
+    val gapUs = graft.operators.Events.SessionGapUs
     events
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
-      .withWatermark("ts_t", "30 minutes")
+      .withWatermark("ts_t", s"${gapUs / 60000000L} minutes")
       .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -127,7 +127,15 @@ object EventStream {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  open = Some(s.copy(last_us = e.ts_us, n = s.n + 1,
+                  // max/min, not assignment: a LATE-but-within-watermark
+                  // event (the case the 30-min watermark exists to
+                  // admit) must never regress the session end — a
+                  // regressed last_us mis-splits on the next event and
+                  // fires the inactivity timeout early
+                  open = Some(s.copy(
+                    start_us = math.min(s.start_us, e.ts_us),
+                    last_us = math.max(s.last_us, e.ts_us),
+                    n = s.n + 1,
                     sum_value = s.sum_value + e.value))
                 case Some(s) =>
                   out += SessionOut(user, s.start_us, s.last_us, s.n, s.sum_value)
@@ -421,11 +429,21 @@ object EventStream {
       return // fully committed — replay is a no-op
     val batch = batch0.dropDuplicates("doc_id")
       .localCheckpoint(false) // read by up to three screens + merges
-    def freshFor(table: String): DataFrame =
-      if (s.catalog.tableExists(table))
-        batch.join(s.table(table).select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
-      else batch
+    def freshFor(table: String): DataFrame = {
+      // heal BEFORE the existence check: a compaction swap that died
+      // mid-rename leaves the live name absent — an unhealed screen
+      // would return the batch unscreened and the merge (which heals
+      // internally) would then append duplicates forever
+      graft.sources.Catalog.healSwap(s, table)
+      val screened =
+        if (s.catalog.tableExists(table))
+          batch.join(s.table(table).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        else batch
+      // eager: the isEmpty probe and the merge's write would otherwise
+      // run the standing-table-sized screen join twice per micro-batch
+      screened.localCheckpoint()
+    }
     val c = freshFor("graft_chunks")
     if (!c.isEmpty) graft.sources.Catalog.mergeChunks(s, c)
     val m = freshFor("graft_mentions")
@@ -486,15 +504,23 @@ object EventStream {
       .saveAsTable(ledgerTable)
   }
 
-  /** Streaming decontamination screen: documents are checked against
-    * the STATIC held-out gram set as they arrive — the continuous-
-    * ingest twin of Curation.qDecontaminate. Per-row 4-gram hashing is
-    * a stateless narrow pass; the membership check is a stream-static
-    * broadcast join (stateless — no stream state grows with the eval
-    * set); only the per-doc hit counter is streaming state, keyed by
-    * doc_id in update mode. At scale the static side is the same
-    * benchmark-sized broadcast the batch plan uses.
+  /** Ingest-time state bound shared by the per-key screen aggregates:
+    * one document's (or query's) contributing rows all live in its
+    * own arrival micro-batch (current_timestamp is batch-constant in
+    * micro-batch mode), so the aggregate needs no unbounded
+    * cross-batch state — keying by an ingest-time window under a
+    * processing-time watermark lets the state store EVICT each key
+    * once the watermark passes its window. A continuous crawl's
+    * screen state stays window-sized instead of stream-lifetime-
+    * sized (it USED to grow one row per key forever); the window
+    * column is dropped after each agg because screen keys arrive
+    * once.
     */
+  private val IngestWindow = "10 minutes"
+  private def ingestStamped(df: DataFrame): DataFrame =
+    df.withColumn("ingest_t", current_timestamp())
+      .withWatermark("ingest_t", IngestWindow)
+
   /** Streaming ANN retrieval twin — qKnnJoinIvf at serve time: each
     * ARRIVING query vector picks its IvfProbes nearest cells from the
     * broadcast one-row centroid array (a stateless per-row HOF sort —
@@ -512,10 +538,15 @@ object EventStream {
   def annProbeStream(queries: DataFrame, centArray: DataFrame,
       index: DataFrame,
       k: Int = graft.operators.Similarity.KnnK): DataFrame = {
-    import graft.operators.Similarity.IvfProbes
+    import graft.operators.Similarity.{Dim, IvfProbes}
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val probed = queries.withColumn("one", lit(1))
+    // the prepVectors screen the batch path gets for free (its queries
+    // come from vectors()): a null/wrong-dim/zero-norm query would
+    // null-poison the probe pick and silently emit garbage top-k
+    val screened = queries.filter(col("qv").isNotNull &&
+      size(col("qv")) === Dim && col("qnrm") > 0 && !isnan(col("qnrm")))
+    val probed = screened.withColumn("one", lit(1))
       .join(broadcast(centArray.withColumn("one", lit(1))), "one")
       // per-row probe pick: sort (−qcos, cid) structs ascending =
       // cosine desc with cid tie-break — the batch probe pick's exact
@@ -532,15 +563,28 @@ object EventStream {
         round(round(dot(col("qv"), col("v")) / (col("nrm") * col("qnrm")), 6) * 1e6)
           .cast("long"))
     val topk = udaf(new graft.functions.TopKByScoreAgg(k))
-    scored.groupBy("query_id")
+    ingestStamped(scored)
+      .groupBy(window(col("ingest_t"), IngestWindow), col("query_id"))
       .agg(topk(col("score_micro"), col("vec_id")).as("topk"))
+      .select("query_id", "topk")
   }
 
+  /** Streaming decontamination screen: documents are checked against
+    * the STATIC held-out gram set as they arrive — the continuous-
+    * ingest twin of Curation.qDecontaminate. Per-row 4-gram hashing is
+    * a stateless narrow pass; the membership check is a stream-static
+    * broadcast join (stateless — no stream state grows with the eval
+    * set); the per-doc hit counter is the only streaming state,
+    * ingest-windowed so it evicts instead of accumulating one row per
+    * screened doc forever. At scale the static side is the same
+    * benchmark-sized broadcast the batch plan uses.
+    */
   def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
-    graft.operators.Curation.gramsOfDocs(docs)
+    ingestStamped(graft.operators.Curation.gramsOfDocs(docs))
       .join(broadcast(evalGrams), "gh")
-      .groupBy("doc_id")
+      .groupBy(window(col("ingest_t"), IngestWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
+      .select("doc_id", "n_hit_grams")
 
   /** Streaming near-dup screen — qDedupMinhash's twin at ingest time:
     * each arriving document is shingled, MinHash-signed, and LSH-
@@ -554,28 +598,18 @@ object EventStream {
     * a standing document in ≥1 band; output is the candidate-pair
     * stream (doc_id, corpus_doc_id, n_shared_bands), which a crawl
     * screen drops outright or routes to the batch verification join.
-    * Only the per-pair counter is streaming state, keyed in update
-    * mode — one row per surviving candidate pair, the same set the
-    * batch plan dedupes before verification.
+    * The per-pair counter is the only streaming state,
+    * ingest-windowed so it evicts instead of accumulating one row
+    * per candidate pair forever.
     */
   def nearDupScreenStream(docs: DataFrame, corpusBands: DataFrame): DataFrame =
-    graft.operators.Dedup.bandKeysOfDocs(docs)
+    ingestStamped(graft.operators.Dedup.bandKeysOfDocs(docs))
       .join(corpusBands, "bkey")
-      .groupBy("doc_id", "corpus_doc_id")
+      .groupBy(window(col("ingest_t"), IngestWindow),
+        col("doc_id"), col("corpus_doc_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+      .select("doc_id", "corpus_doc_id", "n_shared_bands")
 
-  /** Streaming boilerplate screen: incoming documents are checked
-    * against the STANDING boilerplate line-hash set as they arrive —
-    * the continuous-ingest twin of Dedup.qDedupLines (new crawl
-    * batches get their nav-bar/cookie-banner mass flagged against
-    * yesterday's corpus statistics without rescanning the corpus).
-    * Line hashing is a stateless narrow pass; the membership check is
-    * a stream-static equi-join on the 8-byte hash (Spark broadcasts
-    * the static side when it fits, and falls back to a stream-static
-    * shuffle join when the standing set is itself large — no stream
-    * state grows with it either way); only the per-doc counters are
-    * streaming state, keyed by doc_id in update mode.
-    */
   /** Streaming source-mix monitor — q_source_entropy's ingest twin:
     * running token mass per (lang, source) as documents arrive. ONE
     * stateful aggregate whose state is mix-table-sized (#langs ×
@@ -620,29 +654,43 @@ object EventStream {
         sum(col("w") * col("n_chars")).as("wsum"))
   }
 
+  /** Streaming boilerplate screen: incoming documents are checked
+    * against the STANDING boilerplate line-hash set as they arrive —
+    * the continuous-ingest twin of Dedup.qDedupLines (new crawl
+    * batches get their nav-bar/cookie-banner mass flagged against
+    * yesterday's corpus statistics without rescanning the corpus).
+    * Line hashing is a stateless narrow pass; the membership check is
+    * a stream-static equi-join on the 8-byte hash (Spark broadcasts
+    * the static side when it fits, and falls back to a stream-static
+    * shuffle join when the standing set is itself large — no stream
+    * state grows with it either way); the per-doc counters are the
+    * only streaming state, ingest-windowed so they evict.
+    */
   def boilerplateScreenStream(docs: DataFrame, boilerHashes: DataFrame): DataFrame =
-    graft.operators.Dedup.lineHashesOfDocs(docs)
+    ingestStamped(graft.operators.Dedup.lineHashesOfDocs(docs))
       .join(boilerHashes, "h")
-      .groupBy("doc_id")
+      .groupBy(window(col("ingest_t"), IngestWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_boiler_lines"),
         sum(col("n_chars")).as("boiler_chars"))
+      .select("doc_id", "n_boiler_lines", "boiler_chars")
 
   /** Streaming CDC-chunk screen — qDedupCdc's ingest twin: incoming
     * documents are content-defined-chunked (stateless narrow pass,
     * boundaries anchored to word hashes so a syndicated copy with an
     * inserted paragraph still shares every untouched chunk) and
     * checked against the STANDING duplicated-chunk hash set from the
-    * batch pass. Stream-static equi-join on the 16-byte hash; only
-    * the per-doc counters are streaming state, keyed by doc_id in
-    * update mode — state is one row per flagged incoming doc, never
-    * corpus-sized.
+    * batch pass. Stream-static equi-join on the 16-byte hash; the
+    * per-doc counters are the only streaming state, ingest-windowed
+    * so the state store holds a window of flagged docs, never the
+    * stream's lifetime of them.
     */
   def cdcScreenStream(docs: DataFrame, dupChunkHashes: DataFrame): DataFrame =
-    graft.operators.Dedup.cdcChunksOfDocs(docs)
+    ingestStamped(graft.operators.Dedup.cdcChunksOfDocs(docs))
       .join(dupChunkHashes, "chunk_hash")
-      .groupBy("doc_id")
+      .groupBy(window(col("ingest_t"), IngestWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_dup_chunks"),
         sum(col("n_words")).as("dup_words"))
+      .select("doc_id", "n_dup_chunks", "dup_words")
 
   /** Run the windowed agg over the parquet-backed stream into a memory
     * sink and return the materialized result (synchronous; test/demo).

@@ -83,6 +83,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark event cannot regress an open session's end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000000L
+    val t0 = 1700000000L * 1000000L
+    val input = MemoryStream[(Long, Long, Double)]
+    val sessions = EventStream.sessionizeStreaming(
+      input.toDF().toDF("user_id", "ts_us", "value"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      input.addData((1L, t0, 1.0), (1L, t0 + 10 * min, 2.0))
+      q.processAllAvailable()
+      // batch 2: a DELAYED event from inside the open session window
+      // (5 min old, watermark lags 30 min — it is admitted). The old
+      // merge branch set last_us back to t0+5min, so the next event
+      // at +32min falsely split the session.
+      input.addData((1L, t0 + 5 * min, 1.5))
+      q.processAllAvailable()
+      input.addData((1L, t0 + 32 * min, 3.0)) // 22 min after the TRUE end
+      q.processAllAvailable()
+      input.addData((2L, t0 + 200 * min, 9.0)) // watermark advance
+      q.processAllAvailable()
+      input.addData((2L, t0 + 201 * min, 9.0)) // u1 timeout fires
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").filter(col("user_id") === 1).collect()
+      assert(u1.length == 1,
+        s"late event must not split the session: ${u1.toSeq}")
+      assert(u1(0).getAs[Long]("start_us") == t0)
+      assert(u1(0).getAs[Long]("end_us") == t0 + 32 * min)
+      assert(u1(0).getAs[Long]("n_events") == 4)
+    } finally q.stop()
+  }
+
   test("streaming upsert merges micro-batches into the catalog (exactly-once per key)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
