@@ -104,19 +104,30 @@ object Similarity {
     spark.conf.getOption(MaterializedConf).contains(dir) &&
       spark.catalog.tableExists(table)
 
-  /** (cid, vec_id, v, nrm) — the bucketed standing index when the
-    * indirection is active, else derived in-plan (identical rows:
-    * same deterministic centroid rule + assignment aggregate).
+  /** (centroids, index) resolved TOGETHER — both from the standing
+    * tables or both derived in-plan from ONE training. FAISS
+    * semantics: serving must probe the SAME centroids the index was
+    * assigned under, or probe picks and cell membership silently
+    * disagree. Per-table checks (the previous shape) could mix a
+    * pinned quantizer with a freshly-trained index when
+    * materializeAnn crashed between its writes; and the in-plan path
+    * now trains ONCE and assigns under those centroids
+    * (ivfServingIndex used to retrain its own copy, doubling the
+    * driver-side k-means per query and holding correctness together
+    * only by training determinism).
     */
-  private def ivfIndexCk(spark: SparkSession, dir: String): DataFrame =
-    if (materialized(spark, dir, "graft_ivf")) spark.table("graft_ivf")
-    else ivfServingIndex(spark, dir)
+  private def ivfCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    if (materialized(spark, dir, "graft_ivf_centroids") &&
+        spark.catalog.tableExists("graft_ivf"))
+      (spark.table("graft_ivf_centroids"), spark.table("graft_ivf"))
+    else {
+      val cents = ivfCentroids(spark, dir).localCheckpoint(false)
+      (cents, ivfServingIndex(spark, dir, cents))
+    }
 
-  /** (cid, cv, cnrm) — the PINNED trained centroid table when the
-    * amortized indirection is active (FAISS semantics: the coarse
-    * quantizer is a build-time artifact; serving must probe the SAME
-    * centroids the standing index was assigned under, or probe picks
-    * and cell membership silently disagree), else trained in-plan.
+  /** (cid, cv, cnrm) only — for consumers that never touch cell
+    * membership (the serving probe pick). Same pinned-when-
+    * materialized rule.
     */
   private def ivfCentsCk(spark: SparkSession, dir: String): DataFrame =
     if (materialized(spark, dir, "graft_ivf_centroids"))
@@ -374,7 +385,11 @@ object Similarity {
           lit(MmrLambdaX10) * col("qs") - lit(10 - MmrLambdaX10) * col("pen"))
         .orderBy(col("mmr").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("mmr"), lit(r).as("rk"))
-      sel = sel.unionByName(next)
+      // barrier each round: sel is referenced THREE times building the
+      // next round (union, pen join, anti-join) — uncheckpointed, the
+      // final plan holds ~3^(MmrK-1) copies of the round-1 subtree and
+      // plan size explodes with any MmrK increase
+      sel = sel.unionByName(next).localCheckpoint(false)
     }
     sel.select("rk", "vec_id", "mmr").orderBy("rk")
   }
@@ -485,12 +500,10 @@ object Similarity {
     * TRAINED centroids; the query probes the IvfProbes nearest cells.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
     // the standing index carries the assignment (map-side-combined
     // max_by per vector when derived in-plan — see ivfServingIndex;
     // a bucketed table scan when the amortized indirection is active)
-    val idx = ivfIndexCk(spark, dir)
+    val (cents, idx) = ivfCk(spark, dir)
     // probe pick + final top-k: TakeOrdered (orderBy+limit), never a
     // global window over the candidate set — the centroid list and the
     // probed cells both grow with the corpus
@@ -517,9 +530,17 @@ object Similarity {
     * cid, exactly like the dedup screens probe their standing
     * band/hash indexes.
     */
-  def ivfServingIndex(spark: SparkSession, dir: String): DataFrame = {
+  def ivfServingIndex(spark: SparkSession, dir: String): DataFrame =
+    ivfServingIndex(spark, dir, ivfCentroids(spark, dir))
+
+  /** Index build against an EXPLICIT centroid table — the form every
+    * internal caller uses so training happens exactly once per plan
+    * (Catalog.materializeAnn passes its just-written table; ivfCk
+    * passes its single in-plan training).
+    */
+  def ivfServingIndex(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
     val e = vectors(spark, dir)
-    val cents = ivfCentroids(spark, dir)
     assignToCells(e, cents)
       .join(e.select("vec_id", "v", "nrm"), "vec_id")
       .select("cid", "vec_id", "v", "nrm")
@@ -573,8 +594,7 @@ object Similarity {
     */
   def qKnnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
-    val idx = ivfIndexCk(spark, dir)
+    val (cents, idx) = ivfCk(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val centScores = cents.crossJoin(broadcast(queries))
@@ -785,7 +805,7 @@ object Similarity {
     */
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
+    val (cents, ivfIdx) = ivfCk(spark, dir)
     val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
       .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
       .orderBy(col("qcos").desc, col("cid"))
@@ -793,7 +813,7 @@ object Similarity {
       .select("cid")
     // probed-cell membership first: the ADC join only ever sees the
     // nprobe/K fraction of the corpus that survives the coarse prune
-    val members = ivfIndexCk(spark, dir).select("cid", "vec_id")
+    val members = ivfIdx.select("cid", "vec_id")
       .join(probed, "cid").filter(col("vec_id") =!= 0)
     val (enc, cb) = pqIndexCk(spark, dir)
     val qd = cb.join(broadcast(pqSubspaces(e.filter(col("vec_id") === 0))
@@ -827,13 +847,13 @@ object Similarity {
     */
   def qAnnIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    val cents = ivfCentsCk(spark, dir)
+    val (cents, ivfIdx) = ivfCk(spark, dir)
     val probed = cents.crossJoin(broadcast(queryVec(spark, dir)))
       .withColumn("qcos", dotCol(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
       .orderBy(col("qcos").desc, col("cid"))
       .limit(IvfProbes)
       .select("cid")
-    val members = ivfIndexCk(spark, dir).select("cid", "vec_id")
+    val members = ivfIdx.select("cid", "vec_id")
       .join(probed, "cid").filter(col("vec_id") =!= 0)
     val (enc, cb) = pqIndexCk(spark, dir)
     val qd = cb.join(broadcast(pqSubspaces(e.filter(col("vec_id") === 0))
@@ -895,24 +915,38 @@ object Similarity {
       .select("query_id", "vec_id")
 
   /** Multi-probe LSH top-K (qAnnLsh's shape over the audit batch). */
+  /** The LSH candidate-then-score serving scaffold shared by the
+    * recall audit's lsh leg and qLshTune's per-layout legs: corpus
+    * rows carrying per-table signature columns are screened by the
+    * layout's HIT RULE against the probe batch's signatures,
+    * survivors cosine-score, each probe keeps its top-k. ONE
+    * definition so the audit rows and the serving shape cannot
+    * silently diverge — the hit rule is the only degree of freedom,
+    * which makes the deliberate multi-probe (Hamming ≤ LshProbeHd)
+    * vs exact-bucket difference between the two consumers explicit.
+    */
+  private def lshCandidateTopk(sigs: DataFrame, sigCols: Seq[String],
+      hitFor: (Column, Column) => Column): DataFrame = {
+    val qsigs = sigs.filter(col("vec_id") < ProbeBatch).select(
+      (Seq(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")) ++
+        sigCols.map(c => col(c).as(s"q$c"))): _*)
+    val anyHit = sigCols.map(c => hitFor(col(c), col(s"q$c"))).reduce(_ || _)
+    topkPerQuery(sigs.filter(col("vec_id") >= ProbeBatch)
+      .crossJoin(broadcast(qsigs))
+      .filter(anyHit)
+      .withColumn("score",
+        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "score"))
+  }
+
   private def lshTopkBatch(spark: SparkSession, dir: String): DataFrame = {
     var e = vectors(spark, dir)
     (0 until LshTables).foreach { t =>
       e = e.withColumn(s"sig$t", lshSigCol(col("v"), t))
     }
-    val qs = e.filter(col("vec_id") < ProbeBatch).select(
-      (Seq(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")) ++
-        (0 until LshTables).map(t => col(s"sig$t").as(s"qsig$t"))): _*)
-    val anyTableHit = (0 until LshTables)
-      .map(t => bit_count(col(s"sig$t")
-        .bitwiseXOR(col(s"qsig$t"))) <= LshProbeHd)
-      .reduce(_ || _)
-    topkPerQuery(e.filter(col("vec_id") >= ProbeBatch)
-      .crossJoin(broadcast(qs))
-      .filter(anyTableHit)
-      .withColumn("score",
-        round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .select("query_id", "vec_id", "score"))
+    lshCandidateTopk(e, (0 until LshTables).map(t => s"sig$t"),
+      (s, q) => bit_count(s.bitwiseXOR(q)) <= LshProbeHd)
   }
 
   /** ANN recall audit — MULTI-PROBE recall@K of every approximate
@@ -938,9 +972,10 @@ object Similarity {
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val qs = probeBatch(spark, dir)
       .localCheckpoint(false) // ProbeBatch rows; every leg broadcasts it
-    val cents = ivfCentsCk(spark, dir)
+    val (cents0, idx0) = ivfCk(spark, dir)
+    val cents = cents0
       .localCheckpoint(false) // IvfK rows; ONE k-means training
-    val idx = ivfIndexCk(spark, dir)
+    val idx = idx0
       .localCheckpoint(false) // ONE assignment pass; ivf + ivfpq legs
     val (enc0, cb) = pqIndexCk(spark, dir) // ONE codebook training
     val enc = enc0.localCheckpoint(false)  // pq + ivfpq legs
@@ -1282,16 +1317,11 @@ object Similarity {
             .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p")))
         .reduce(_ unionByName _)
         .agg(sum("p").as("cand_pairs"))
-      val qsigs = sigs.filter(col("vec_id") < ProbeBatch).select(
-        (Seq(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")) ++
-          (0 until nt).map(t => col(s"s$t").as(s"qs$t"))): _*)
-      val anyHit = (0 until nt).map(t => col(s"s$t") === col(s"qs$t")).reduce(_ || _)
-      val topk = topkPerQuery(sigs.filter(col("vec_id") >= ProbeBatch)
-        .crossJoin(broadcast(qsigs))
-        .filter(anyHit)
-        .withColumn("score",
-          round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-        .select("query_id", "vec_id", "score"))
+      // exact-bucket hit rule (vs the recall audit's multi-probe
+      // Hamming rule) — the one degree of freedom in the shared
+      // scaffold, by design
+      val topk = lshCandidateTopk(sigs, (0 until nt).map(t => s"s$t"),
+        (s, q) => s === q)
       val hits = topk.join(exact, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       val rec = probeIds.join(hits, Seq("query_id"), "left")
