@@ -151,8 +151,12 @@ object Dedup {
     * per-seed hashing, identical arithmetic in the SQL oracle.
     */
   val MinhashP = 1000000007L
-  private def affineA(j: Int): Long = 1000003L + 7919L * j
-  private def affineB(j: Int): Long = 12345L + 911L * j
+  // The affine rehash family h·(1000003 + 7919·j) + 12345 + 911·j is
+  // pinned as LITERALS at each site (the HOF twin below, BandsCtes,
+  // and the source-minhash/temporal oracles): the native MinHashSig
+  // generates the same constants in codegen, and the specs prove
+  // row-equality — an indirection here would only pretend to be the
+  // single source of truth the expression tree can't actually read.
 
   private def minhashSigs(sh: DataFrame): DataFrame =
     sh.withColumn("sig",
@@ -398,7 +402,7 @@ object Dedup {
     * near-identical docs almost surely do; no O(n²)).
     */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = shingles(spark, dir)
+    val keyed = shinglesCk(spark, dir) // standing table when amortized
       .withColumn("block", array_min(transform(col("s"), x => md5(x))))
       .localCheckpoint(false)   // barrier: see minhashSigs
     val cand = keyed.select(col("doc_id").as("doc_id_a"), col("block"))
@@ -485,7 +489,14 @@ object Dedup {
     * BEFORE the argmax and the keep rule, so distributed float order
     * can never flip an assignment or a verdict.
     */
-  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The SemDeDup nearest-centroid assignment shared by qSemdedup and
+    * qProtoFilter — ONE definition of the rounding-sensitive pipeline
+    * (round-6 centroid means and cosines, struct-min argmax with the
+    * label tie rule), mirroring what semAsgCtes already is for the
+    * SQL side. Returns (e, assigned), both checkpointed where their
+    * consumers re-read them.
+    */
+  private def semAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -505,11 +516,17 @@ object Dedup {
       .groupBy("vec_id")
       .agg(min(struct((-col("cc")).as("nc"), col("label").as("l"))).as("b"))
       .select(col("vec_id"), col("b.l").as("cluster"), (-col("b.nc")).as("cent_cos"))
-      .localCheckpoint(false) // read by blocking, the keep rule (×2), and the report
+      .localCheckpoint(false) // read by blocking/threshold, keep rules, reports
+    (e, assigned)
+  }
+
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val (e, assigned) = semAssign(spark, dir)
     val sigArr = array((0 until EmbLshTables).map(t =>
       Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
     val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
       .join(assigned.select("vec_id", "cluster"), "vec_id")
+      .localCheckpoint(false) // 32 plane projections once; both sides of the self-join
     val cand = buckets
       .select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"), col("cluster"))
       .join(buckets.select(col("vec_id").as("vec_id_b"), col("t"),
@@ -955,25 +972,7 @@ object Dedup {
     * broadcast back) — never a cluster-sized rank window.
     */
   def qProtoFilter(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.normCol(col("v")))
-    val cents = Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(round(avg(col("x").cast("double")), 6).as("c"))
-      .groupBy("label")
-      .agg(graft.functions.SortedField.sorted_field(
-        collect_list(struct(col("dim"), col("c"))), 1).as("cv"))
-      .withColumn("cnrm", Similarity.normCol(col("cv")))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cc",
-        round(Similarity.dotCol(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .groupBy("vec_id")
-      .agg(min(struct((-col("cc")).as("nc"), col("label").as("l"))).as("b"))
-      .select(col("vec_id"), col("b.l").as("cluster"), (-col("b.nc")).as("cent_cos"))
-      .localCheckpoint(false) // read by the threshold agg AND the verdict join
+    val (_, assigned) = semAssign(spark, dir)
     val th = assigned.groupBy("cluster")
       .agg(round(expr(s"percentile(cent_cos, $ProtoPct)"), 6).as("p10"))
     assigned.join(broadcast(th), "cluster")
@@ -1567,8 +1566,8 @@ object Dedup {
          |  round(len(list_intersect(a.s, b.s)) /
          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
          |FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s)) /
-         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
+         |WHERE round(len(list_intersect(a.s, b.s)) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) >= 0.3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_semdedup" -> {
       val dotab = Similarity.dotDuckSql("ea.v", "eb.v")
