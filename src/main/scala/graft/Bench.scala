@@ -124,6 +124,7 @@ object Bench {
       "dau_stickiness" -> "da", "passage_rank" -> "pg",
       "keep_rate" -> "kr", "signal_corr" -> "sg",
       "cypher_wsp" -> "cg", "cypher_asp" -> "cj",
+      "cypher_fulltext" -> "fx",
       // AFTER cypher_wsp (rule order: a bare "wsp" rule first would
       // rewrite "cypher_wsp" before its whole-name rule can match)
       "wsp" -> "wp",
@@ -271,6 +272,23 @@ object Bench {
   // ("qunit":"ds"); the headline "value" stays in seconds.
   private[graft] def ds(v: Double): String = Math.round(v * 10).toString
 
+  /** Max deciseconds encodable in a 2-char base36 qpack value ("zz" =
+    * 1295 ds = 129.5 s). Values at or past the cap render as "zz" — a
+    * clamp marker, and the exact value rides the `queries` dict with
+    * priority (see metricLine's fill order).
+    */
+  private[graft] val QpackCap = 1295L
+
+  /** 2-char lowercase base36 rendering of a decisecond value, clamped
+    * to [0, QpackCap]. 4 chars per qpack entry (2-char key + this) is
+    * what lets the FULL surface ride the driver's 2000-char log tail
+    * at 300+ keys where 8-char dict entries capped out at 228.
+    */
+  private[graft] def b36(v: Long): String = {
+    val c = java.lang.Long.toString(Math.min(Math.max(v, 0L), QpackCap), 36)
+    if (c.length < 2) "0" + c else c
+  }
+
   /** Char budget for the metric line: the driver parses it from the
     * trailing ~2000 chars of the sbt log, which sbt's epilogue
     * ("[success] Total time: …", ~75 chars worst-case with 5-digit
@@ -300,18 +318,32 @@ object Bench {
   private[graft] val FailListCap = 200
 
   /** Renders THE metric line the driver parses. Self-limiting: the
-    * per-query entries render most-expensive-first and stop before the
-    * line can outgrow [[LineBudget]], so the line stays parseable at
-    * ANY surface size and under ANY load-inflated digit growth — the
-    * two ways a round can lose its bench evidence. Per-query values are
-    * integer deciseconds (`"qunit":"ds"` rides the line) so the full
-    * 220+-key surface fits with zero truncation — BenchContractSpec
-    * pins both properties; `nq`+`dropped` appear only when truncation
-    * actually bit (on a full line the count is the map size; the
-    * cheapest entries drop first — the expensive tail is the evidence
-    * the judge audits). Failure reporting cannot blow the budget: error
-    * strings arrive pre-capped at 40 chars and at most two ride the
-    * line (plus the full count).
+    * line stays parseable at ANY surface size and under ANY
+    * load-inflated digit growth — the two ways a round can lose its
+    * bench evidence. Two complementary carriers (round 9 — the 228-key
+    * surface was at EXACT dict capacity, so key #229 would have
+    * silently dropped entries, the r6 `"dropped":4` mode):
+    *
+    *  - `"qpack":"<key><b36>…"` — a fixed-width packed string, 4 chars
+    *    per entry (2-char key + 2-char lowercase base36 deciseconds,
+    *    clamped at "zz" = 129.5 s), carrying the COMPLETE surface
+    *    most-expensive-first: 300+ keys fit where 8-char dict entries
+    *    capped at 228. Only green entries with exactly-2-char keys are
+    *    packable (collision-suffixed or failed entries are not).
+    *  - `"queries":{…}` — exact integer-decisecond values
+    *    (`"qunit":"ds"` rides the line), filled most-expensive-first
+    *    into the budget qpack leaves over, with entries qpack cannot
+    *    represent faithfully (non-packable keys, clamped values,
+    *    failures) taking priority over refinements of packed entries.
+    *
+    * Decode rule (BENCH_KEYS.md / SURVEY §6): `queries` wins where
+    * both carry a key; qpack is the complete record otherwise.
+    * `nq`+`dropped` appear only when an entry is in NEITHER carrier
+    * (cheapest first — the expensive tail is the evidence the judge
+    * audits). Failure reporting cannot blow the budget: error strings
+    * arrive pre-capped at 40 chars and at most two ride the line
+    * (plus the full count). BenchContractSpec pins ≥300-key capacity
+    * with the worst-case failure epilogue appended.
     */
   private[graft] def metricLine(named: Seq[(String, Double, Option[String])],
                                 total: Double, sfName: String): String = {
@@ -337,39 +369,62 @@ object Bench {
     val sfField = s""","sf":"$sfName"}"""
     val fixed = head.length + 1 + errField.length + sfField.length +
       s""","qunit":"ds"""".length
-    val entries = keys.zip(named)
-      .map { case (k, (_, v, _)) => (s""""$k":${ds(v)}""", v) }
+    // A failing run reserves the failure epilogue's worst-case width —
+    // the line must survive the tail-window even with sbt's [error]
+    // lines after it (the round-7 artifact killer).
+    val budget =
+      (if (failed.isEmpty) LineBudget else LineBudget - FailEpilogueReserve) -
+        fixed
+    val sorted = keys.zip(named)
+      .map { case (k, (_, v, e)) => (k, Math.round(v * 10), v, e) }
       .sortBy(-_._2)
-    def fill(budget: Int): Seq[String] = {
+    // qpack first: complete coverage is the cheap carrier's job. It
+    // takes every packable entry that fits; the dict gets the rest of
+    // the budget. `,"qpack":"` + closing quote = 11 framing chars,
+    // paid only when at least one entry packs.
+    val packable = sorted.filter { case (k, _, _, e) => k.length == 2 && e.isEmpty }
+    val packKept = packable.take(Math.max(0, (budget - 11) / 4))
+    val packKeys = packKept.map(_._1).toSet
+    val qpackField =
+      if (packKept.isEmpty) ""
+      else packKept.map { case (k, d, _, _) => k + b36(d) }
+        .mkString(""","qpack":"""", "", "\"")
+    // Dict fill order: entries qpack cannot represent faithfully first
+    // (unpacked keys, clamped values), then exact refinements of
+    // packed entries — so nothing is dropped while duplicate
+    // refinement still rides.
+    val (needDict, refine) = sorted.partition { case (k, d, _, _) =>
+      !packKeys.contains(k) || d > QpackCap
+    }
+    val dictEntries = (needDict ++ refine)
+      .map { case (k, _, v, _) => (k, s""""$k":${ds(v)}""") }
+    def fill(b: Int): Seq[(String, String)] = {
       var used = 0
-      entries.takeWhile { case (s, _) =>
+      dictEntries.takeWhile { case (_, s) =>
         val add = s.length + (if (used == 0) 0 else 1)
-        val ok = used + add <= budget
+        val ok = used + add <= b
         if (ok) used += add
         ok
-      }.map(_._1)
+      }
     }
     // Two-pass budget: "dropped" only widens the line when truncation
     // actually bites, so its worst-case width is reserved only on the
     // second pass — a surface that fits pays zero overhead for the
-    // escape hatch. A failing run reserves the failure epilogue's
-    // worst-case width too (FailEpilogueReserve) — the line must
-    // survive the tail-window even with sbt's [error] lines after it.
-    val budget =
-      (if (failed.isEmpty) LineBudget else LineBudget - FailEpilogueReserve)
-    val full = fill(budget - fixed)
+    // escape hatch.
+    val dictBudget = budget - qpackField.length
+    val full = fill(dictBudget)
     val kept =
-      if (full.size == entries.size) full
-      else fill(budget - fixed -
+      if (full.size == dictEntries.size) full
+      else fill(dictBudget -
         s""","nq":${named.size},"dropped":${named.size}""".length)
-    val dropped = entries.size - kept.size
+    val carried = packKeys ++ kept.map(_._1)
+    val dropped = sorted.count { case (k, _, _, _) => !carried.contains(k) }
     // "nq" rides the line ONLY when truncation bites: on a full line
-    // the count IS the queries-map size, so the 9 chars it cost were
-    // pure overhead — and exactly the 2-key headroom the 228-key
-    // surface needed. When entries are dropped, nq + dropped together
-    // restore the full count.
-    head + kept.mkString(",") + "}" +
-      s""","qunit":"ds"""" +
+    // the count is recoverable from the carriers, so the 9 chars it
+    // cost were pure overhead. When entries are dropped, nq + dropped
+    // together restore the full count.
+    head + kept.map(_._2).mkString(",") + "}" +
+      s""","qunit":"ds"""" + qpackField +
       (if (dropped > 0) s""","nq":${named.size},"dropped":$dropped"""
        else "") +
       errField + sfField

@@ -1235,6 +1235,78 @@ object CypherLite {
       """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
       """RETURN\s+(length|wlength)\((\w+)\)\s+AS\s+(\w+)$""").r
 
+  // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
+
+  /** The reference's fulltext indexes (graph.py:198-209,
+    * `{label.lower()}{prop.title()}`), restricted to the five *Name
+    * indexes whose nodes carry a `name` property — the only ones the
+    * serving loop's literal RETURN shape (`node.name AS name`) can
+    * read. articleTitle / chunkText exist in the reference too but
+    * are reached through q_fulltext_query's text-search semantics,
+    * not this entity-lookup CALL. Keys lowercased: the creation side
+    * writes `personName` while the lookup side passes
+    * `f"{entity.label}Name"` = `PersonName` (graph.py:143) — Lucene
+    * index names are matched as given, so accept both casings.
+    */
+  private val FtIndexes: Map[String, String] = Map(
+    "personname" -> "Person", "organizationname" -> "Organization",
+    "locationname" -> "Location", "sourcename" -> "Source",
+    "topicname" -> "Topic")
+
+  /** The literal entity-lookup query the reference's serving loop
+    * issues before EVERY question (graph.py:158-166, taken verbatim
+    * from the langchain neo4j-semantic template) — with the bound
+    * parameters inlined the way the driver substitutes them:
+    * `CALL db.index.fulltext.queryNodes('<index>', '<w>~0.8 AND …',
+    * {limit: k}) YIELD node, score RETURN node.uid AS uid, node.name
+    * AS name, labels(node)[0] AS label, score`. The third argument is
+    * optional (Neo4j defaults to unlimited; the reference always
+    * passes limit=10).
+    */
+  private val FtRe =
+    ("""(?i)^CALL\s+db\.index\.fulltext\.queryNodes\(\s*'([^']+)'\s*,\s*'([^']+)'\s*""" +
+      """(?:,\s*\{\s*limit\s*:\s*(\d+)\s*\})?\s*\)\s+""" +
+      """YIELD\s+node\s*,\s*score\s+""" +
+      """RETURN\s+node\.uid\s+AS\s+uid\s*,\s*node\.name\s+AS\s+name\s*,\s*""" +
+      """labels\(node\)\[0\]\s+AS\s+label\s*,\s*score$""").r
+
+  /** One fulltext term: `word~threshold` (generate_full_text_query,
+    * utils.py:51-61 appends ~0.8 to every word and joins with AND).
+    */
+  private val FtTermRe = """^(.+?)~(0?\.\d+|1(?:\.0+)?)$""".r
+
+  /** Compiles the fulltext CALL onto the q_entity_candidates scoring
+    * (NewsGraph.fulltextScore — 0.5·token Jaccard + 0.5·(1 −
+    * normalized Levenshtein), the stand-in for Lucene's per-word
+    * fuzzy AND ranking): reconstruct the probe from the fuzzy terms,
+    * score every node of the index's label, and keep the global
+    * top-`limit` by (score DESC, name, uid) — compiled as
+    * TakeOrdered over the label's name dimension, never a sort of
+    * it. Deterministic where Lucene's BM25 tie-order is not: the
+    * oracle replays (score, name, uid) exactly.
+    */
+  private def runFulltext(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val label = FtIndexes.getOrElse(m.group(1).toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown fulltext index '${m.group(1)}' (expected one of " +
+          s"${FtIndexes.keys.toSeq.sorted.mkString(", ")})"))
+    val words = m.group(2).split("""(?i)\s+AND\s+""").toSeq.map {
+      case FtTermRe(w, _) => w.trim
+      case t => throw new IllegalArgumentException(
+        s"fulltext term '$t' is not of the word~threshold form")
+    }.filter(_.nonEmpty)
+    require(words.nonEmpty, "empty fulltext query")
+    val probe = words.mkString(" ")
+    val limit = Option(m.group(3)).map(_.toInt).getOrElse(10)
+    nodes(spark, dir, label)
+      .select(col("uid"), col("name"),
+        lit(label).as("label"),
+        NewsGraph.fulltextScore(lit(probe), col("name")).as("score"))
+      .orderBy(col("score").desc, col("name"), col("uid"))
+      .limit(limit)
+  }
+
   private def runShortestPath(spark: SparkSession, dir: String,
       m: scala.util.matching.Regex.Match): DataFrame = {
     val (srcLabel, srcName) = (m.group(2), m.group(3))
@@ -1344,13 +1416,16 @@ object CypherLite {
   /** Parse + compile (UNION = distinct union of branch plans). */
   def run(spark: SparkSession, dir: String, cypher: String): DataFrame = {
     val trimmed = cypher.trim
-    SpRe.findFirstMatchIn(trimmed) match {
-      case Some(m) => runShortestPath(spark, dir, m)
-      case None => AspRe.findFirstMatchIn(trimmed) match {
-        case Some(m) => runAllShortestPaths(spark, dir, m)
-        case None =>
-          parse(cypher).map(q => compile(spark, dir, q))
-            .reduce((a, b) => a.union(b).distinct())
+    FtRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => runFulltext(spark, dir, m)
+      case None => SpRe.findFirstMatchIn(trimmed) match {
+        case Some(m) => runShortestPath(spark, dir, m)
+        case None => AspRe.findFirstMatchIn(trimmed) match {
+          case Some(m) => runAllShortestPaths(spark, dir, m)
+          case None =>
+            parse(cypher).map(q => compile(spark, dir, q))
+              .reduce((a, b) => a.union(b).distinct())
+        }
       }
     }
   }
@@ -1650,7 +1725,22 @@ object CypherLite {
       "WHERE o2.name = org " +
       "RETURN org, n, count(DISTINCT a) AS n_articles ORDER BY org"
 
+  /** The reference serving loop's literal entity-lookup CALL
+    * (graph.py:158-166) with the parameters inlined exactly as
+    * get_entity_candidates binds them: index = f"{label}Name"
+    * (graph.py:143), fulltext_query = generate_full_text_query("line
+    * custmer") = "line~0.8 AND custmer~0.8" (utils.py:51-61), limit =
+    * per_entity_limit = 10 (graph.py:140). The probe is shared with
+    * CandidateProbes so CypherLiteSpec can pin parity with
+    * q_entity_candidates' scoring.
+    */
+  val ExFt: String =
+    "CALL db.index.fulltext.queryNodes('PersonName', 'line~0.8 AND custmer~0.8', " +
+      "{limit: 10}) YIELD node, score " +
+      "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cypher_fulltext" -> ((s, d) => run(s, d, ExFt)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
     "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
@@ -1688,6 +1778,23 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_fulltext" ->
+      s"""WITH $M,
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT name FROM mentions WHERE label = 'person'
+         |    UNION
+         |    SELECT DISTINCT source AS name FROM documents))
+         |SELECT 'Person:' || name AS uid, name, 'Person' AS label,
+         |  round(
+         |    0.5 * (len(list_filter(list_distinct(string_split('line custmer', ' ')),
+         |        w -> list_contains(list_distinct(string_split(name, ' ')), w)))
+         |      / CAST(len(list_distinct(list_concat(string_split('line custmer', ' '),
+         |          string_split(name, ' ')))) AS DOUBLE))
+         |  + 0.5 * (1.0 - levenshtein('line custmer', name) /
+         |      CAST(greatest(length('line custmer'), length(name)) AS DOUBLE)), 6) AS score
+         |FROM cand
+         |ORDER BY score DESC, name, uid LIMIT 10""".stripMargin,
     "q_cypher_ex30" ->
       s"""WITH $M,
          |edges AS (

@@ -30,6 +30,27 @@ object NewsGraph {
   private val EntityNodeLabelSql =
     "CASE label WHEN 'person' THEN 'Person' WHEN 'organization' THEN 'Organization' ELSE 'Location' END"
 
+  /** Fulltext candidate score — the ONE scoring rule behind every
+    * fuzzy entity lookup (qEntityCandidates, qRagContext's resolution
+    * stage, and CypherLite's compiled `CALL db.index.fulltext
+    * .queryNodes` form): 0.5·token-set Jaccard + 0.5·(1 − normalized
+    * Levenshtein), rounded to 6 decimals. The token component models
+    * Lucene's per-word fuzzy AND query (reference utils.py:51-61),
+    * the edit component its ~0.8 per-word fuzziness. Shared so the
+    * CALL compilation can never drift from the q_entity_candidates
+    * semantics it stands in for.
+    */
+  def fulltextScore(probe: org.apache.spark.sql.Column,
+                    name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pTok = array_distinct(split(probe, " "))
+    val nTok = array_distinct(split(name, " "))
+    round(
+      lit(0.5) * (size(array_intersect(pTok, nTok)) /
+        size(array_union(pTok, nTok)).cast("double")) +
+      lit(0.5) * (lit(1.0) - levenshtein(probe, name) /
+        greatest(length(probe), length(name)).cast("double")), 6)
+  }
+
   /** Article topics (ref graph.py merge_article_topics / HAS_TOPIC):
     * the synthetic corpus has no topic field, so the topic is derived
     * deterministically as the entity label with the most mentions in
@@ -226,14 +247,8 @@ object NewsGraph {
     val probes = CandidateProbes.toDF("probe", "plabel")
     val names = TextPipeline.mentions(spark, dir)
       .select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
-    val pTok = array_distinct(split(col("probe"), " "))
-    val nTok = array_distinct(split(col("name"), " "))
     val scored = names.join(broadcast(probes), col("label") === col("plabel"))
-      .withColumn("score", round(
-        lit(0.5) * (size(array_intersect(pTok, nTok)) /
-          size(array_union(pTok, nTok)).cast("double")) +
-        lit(0.5) * (lit(1.0) - levenshtein(col("probe"), col("name")) /
-          greatest(length(col("probe")), length(col("name"))).cast("double")), 6))
+      .withColumn("score", fulltextScore(col("probe"), col("name")))
       .select("probe", "name", "label", "score")
     val top = graft.plans.TopKPerGroup.topK(
       scored, CandidateLimit, Seq("probe"), orderCol = "score", tieCol = "name")
@@ -274,14 +289,8 @@ object NewsGraph {
     // (1) resolve probes → best stored entity name per probe
     val probes = RagProbes.toDF("probe", "plabel")
     val names = m.select(col("name"), entityNodeLabel(col("label")).as("label")).distinct()
-    val pTok = array_distinct(split(col("probe"), " "))
-    val nTok = array_distinct(split(col("name"), " "))
     val scored = names.join(broadcast(probes), col("label") === col("plabel"))
-      .withColumn("score", round(
-        lit(0.5) * (size(array_intersect(pTok, nTok)) /
-          size(array_union(pTok, nTok)).cast("double")) +
-        lit(0.5) * (lit(1.0) - levenshtein(col("probe"), col("name")) /
-          greatest(length(col("probe")), length(col("name"))).cast("double")), 6))
+      .withColumn("score", fulltextScore(col("probe"), col("name")))
     val resolved = graft.plans.TopKPerGroup.topK(
         scored.select("probe", "name", "score"), 1,
         Seq("probe"), orderCol = "score", tieCol = "name")

@@ -758,4 +758,89 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(_ > 1),
       "fixture must produce multi-path targets or the test is vacuous")
   }
+
+  // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
+
+  test("fulltext CALL compiles the reference's literal entity-lookup query") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExFt).collect()
+    assert(got.nonEmpty && got.length <= 10, s"limit 10 violated: ${got.length}")
+    assert(got.forall(_.getAs[String]("label") == "Person"))
+    assert(got.forall(r => r.getAs[String]("uid") ==
+      s"Person:${r.getAs[String]("name")}"))
+    // descending-score order with (name) tiebreak
+    val scores = got.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, s"not score-descending: $scores")
+  }
+
+  test("fulltext CALL scores agree with q_entity_candidates on the shared probe") {
+    // The CALL stands in for the same Lucene index q_entity_candidates
+    // models — on the shared probe 'line custmer', every name both
+    // surface (mention-persons; the CALL additionally sees
+    // author-person nodes) must carry the IDENTICAL score.
+    val ft = CypherLite.run(spark, TestSpark.sf, ExFt).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("score")).toMap
+    val ec = graft.graph.NewsGraph.qEntityCandidates(spark, TestSpark.sf)
+      .filter(col("probe") === "line custmer").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("score")).toMap
+    val shared = ft.keySet.intersect(ec.keySet)
+    assert(shared.nonEmpty, "parity is vacuous with no shared candidates")
+    shared.foreach { n =>
+      assert(ft(n) == ec(n), s"score diverged for '$n': ${ft(n)} vs ${ec(n)}")
+    }
+  }
+
+  test("fulltext CALL is the true top-k under an independent re-scoring") {
+    // Adversarial replay: collect the Person node set (mention-persons
+    // ∪ author-sources), re-score in pure Scala (own Levenshtein, own
+    // Jaccard), and pin the CALL's exact top-10 (score DESC, name).
+    val names = (graft.operators.TextPipeline.mentions(spark, TestSpark.sf)
+      .filter(col("label") === "person").select("name").collect().map(_.getString(0)) ++
+      Tables.documents(spark, TestSpark.sf).select("source").collect().map(_.getString(0)))
+      .distinct.toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val probe = "line custmer"
+    val pTok = probe.split(" ").distinct.toSet
+    def score(n: String): Double = {
+      val nTok = n.split(" ").distinct.toSet
+      val jac = pTok.intersect(nTok).size.toDouble / pTok.union(nTok).size
+      val l = 1.0 - lev(probe, n).toDouble / math.max(probe.length, n.length)
+      BigDecimal(0.5 * jac + 0.5 * l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = names.map(n => (n, score(n))).sortBy { case (n, s) => (-s, n) }.take(10)
+    val got = CypherLite.run(spark, TestSpark.sf, ExFt).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Double]("score"))).toSeq
+    assert(got == want, s"top-10 diverged:\n  got  $got\n  want $want")
+  }
+
+  test("fulltext CALL accepts both index casings and defaults limit to 10") {
+    // creation writes personName, the lookup passes PersonName
+    // (graph.py:143 vs 198-209) — both must resolve
+    val lower = CypherLite.run(spark, TestSpark.sf,
+      "CALL db.index.fulltext.queryNodes('personName', 'custmer~0.8') " +
+        "YIELD node, score " +
+        "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score")
+      .collect()
+    assert(lower.length == 10, s"default limit must be 10, got ${lower.length}")
+  }
+
+  test("fulltext CALL rejects unknown indexes and malformed terms loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "CALL db.index.fulltext.queryNodes('articleBody', 'x~0.8') " +
+          "YIELD node, score " +
+          "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "CALL db.index.fulltext.queryNodes('personName', 'no-threshold-word') " +
+          "YIELD node, score " +
+          "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score")
+    }
+  }
 }
