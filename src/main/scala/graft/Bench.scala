@@ -124,7 +124,7 @@ object Bench {
       "dau_stickiness" -> "da", "passage_rank" -> "pg",
       "keep_rate" -> "kr", "signal_corr" -> "sg",
       "cypher_wsp" -> "cg", "cypher_asp" -> "cj",
-      "cypher_fulltext" -> "fx",
+      "cypher_fulltext" -> "fx", "cypher_path" -> "pn",
       // AFTER cypher_wsp (rule order: a bare "wsp" rule first would
       // rewrite "cypher_wsp" before its whole-name rule can match)
       "wsp" -> "wp",

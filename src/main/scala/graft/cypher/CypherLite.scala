@@ -86,6 +86,19 @@ import graft.operators.TextPipeline
   *   skip       := SKIP n   -- after ORDER BY, before LIMIT (pagination)
   *   limit      := LIMIT n
   *
+  * Outside the linear grammar (dispatched by dedicated compilers):
+  *   - MATCH p = shortestPath(…) RETURN length(p)|wlength(p) — frontier
+  *     BFS / bounded Bellman-Ford (runShortestPath)
+  *   - MATCH p = shortestPath(…) RETURN length(p), nodes(p) — the
+  *     witness path via canonical min-pred (runWitnessPath, round 9)
+  *   - MATCH p = allShortestPaths(…) RETURN length(p), count(p) —
+  *     layered path-counting BFS (runAllShortestPaths)
+  *   - CALL db.index.fulltext.queryNodes(idx, q, {limit:k}) YIELD
+  *     node, score RETURN … — the reference serving loop's literal
+  *     entity lookup (runFulltext, round 9)
+  *   - date(…)/datetime(…) predicate wrappers unwrap to the
+  *     equivalent ISO-string compare (unwrapTemporal, round 9)
+  *
   * The LLM that *writes* the Cypher stays external (as in the
   * reference); this module is the engine that executes it. Each edge
   * hop is an equi-join on uid keys — Catalyst broadcasts the tiny
@@ -598,7 +611,34 @@ object CypherLite {
     PathPat(nodes, rels)
   }
 
-  private def parseSimplePred(w: String): Pred = {
+  /** Temporal wrappers (round 9): `date(v.prop) >= date('2024-01-02')`
+    * and `datetime(…)` unwrap to the plain lexicographic string
+    * compare — provably equivalent for the stored format (Article
+    * publishing_date is a pure 'YYYY-MM-DD' string, where
+    * lexicographic = chronological and date() is the identity).
+    * Neo4j-trained LLMs emit these constantly for "articles from last
+    * week"; before this they failed to parse. Literals must be
+    * date-only ISO: a time component would compare midnight-extended
+    * against date-only stored values and silently diverge from Neo4j
+    * semantics, so it throws instead.
+    */
+  private val DateFnLit = """(?i)\b(?:datetime|date)\(\s*'([^']*)'\s*\)""".r
+  private val DateFnProp = """(?i)\b(?:datetime|date)\(\s*(\w+\.\w+)\s*\)""".r
+
+  private def unwrapTemporal(w: String): String = {
+    val w1 = DateFnLit.replaceAllIn(w, mm => {
+      val lit = mm.group(1)
+      require(lit.matches("""\d{4}-\d{2}-\d{2}"""),
+        s"temporal literal '$lit' must be a date-only ISO string " +
+          "(YYYY-MM-DD) — time components would diverge from the " +
+          "stored date-only format under string comparison")
+      scala.util.matching.Regex.quoteReplacement(s"'$lit'")
+    })
+    DateFnProp.replaceAllIn(w1, "$1")
+  }
+
+  private def parseSimplePred(w0: String): Pred = {
+    val w = unwrapTemporal(w0)
     val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
@@ -1360,6 +1400,77 @@ object CypherLite {
     }
   }
 
+  /** `MATCH p = shortestPath(…) RETURN length(p) AS l, nodes(p) AS
+    * path` — the WITNESS form (round 9): the "SHOW me how X and Y are
+    * connected" answer a graph-RAG context actually renders, where
+    * length() alone only said how far. Cypher returns SOME shortest
+    * path; CypherLite pins the canonical lexicographic-min witness so
+    * the oracle can replay it cross-engine: every node's predecessor
+    * is its minimal-uid neighbor one BFS layer closer to the seed,
+    * and the path walks those predecessors back from the target.
+    *
+    * Scale shape: the BFS is the same one-equi-join-per-round
+    * frontier loop as length(); predecessors come from ONE extra
+    * edge join against the settled distance table (min aggregate —
+    * never a path enumeration, deg^hi of which would be the wrong
+    * plan anywhere); the walk-back is `hi` 1-row⋈V lookups on the
+    * checkpointed predecessor table. nodes(p) renders as the
+    * '->'-joined uid string (the engine's array-valued collect
+    * convention).
+    */
+  private val SpPathRe =
+    ("""^MATCH\s+(\w+)\s*=\s*shortestPath\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)\s*,\s*nodes\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  private def runWitnessPath(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
+      "length()/nodes() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+    val srcUid = s"$srcLabel:$srcName"
+    val dstUid = s"$dstLabel:$dstName"
+    var dist = spark.range(1)
+      .select(lit(srcUid).as("node"), lit(0L).as("dist"))
+    for (i <- 1 to hi) {
+      val relaxed = dist.join(e, dist("node") === e("src_uid"))
+        .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+    }
+    // Canonical predecessor: the minimal-uid neighbor one layer
+    // closer. A BFS layer's frontier is exactly the dist=i-1 set, so
+    // this post-hoc join equals carrying min-pred through the loop —
+    // and costs one edge join instead of per-round state.
+    val byDist = dist.select(col("node").as("sn"), col("dist").as("sd"))
+    val preds = dist.join(e, dist("node") === e("dst_uid"))
+      .join(byDist, col("src_uid") === col("sn") && col("sd") === col("dist") - 1L)
+      .groupBy(col("node")).agg(min(col("src_uid")).as("pred"))
+      .localCheckpoint(false)
+    var w = dist.filter(col("node") === dstUid && col("dist") >= lo)
+      .select(col("dist").as("len"), col("node").as("cur"),
+        array(col("node")).as("path"))
+    for (s <- 1 to hi) {
+      // fresh column names per step: re-joining one DataFrame
+      // instance in a loop leaves ambiguous/stale references
+      val lk = preds.select(col("node").as(s"pn$s"), col("pred").as(s"pp$s"))
+      w = w.join(lk, w("cur") === col(s"pn$s"), "left")
+        .select(col("len"),
+          coalesce(col(s"pp$s"), col("cur")).as("cur"),
+          when(col(s"pp$s").isNotNull,
+            concat(array(col(s"pp$s")), col("path")))
+            .otherwise(col("path")).as("path"))
+    }
+    w.select(col("len").as(m.group(10)),
+      concat_ws("->", col("path")).as(m.group(12)))
+  }
+
   /** `MATCH p = allShortestPaths((a:L {name:'x'})-[:REL*lo..hi]-(b:L
     * {name:'y'})) RETURN length(p) AS l, count(p) AS n` — how many
     * distinct shortest paths join the anchors (Neo4j's
@@ -1418,13 +1529,16 @@ object CypherLite {
     val trimmed = cypher.trim
     FtRe.findFirstMatchIn(trimmed) match {
       case Some(m) => runFulltext(spark, dir, m)
-      case None => SpRe.findFirstMatchIn(trimmed) match {
-        case Some(m) => runShortestPath(spark, dir, m)
-        case None => AspRe.findFirstMatchIn(trimmed) match {
-          case Some(m) => runAllShortestPaths(spark, dir, m)
-          case None =>
-            parse(cypher).map(q => compile(spark, dir, q))
-              .reduce((a, b) => a.union(b).distinct())
+      case None => SpPathRe.findFirstMatchIn(trimmed) match {
+        case Some(m) => runWitnessPath(spark, dir, m)
+        case None => SpRe.findFirstMatchIn(trimmed) match {
+          case Some(m) => runShortestPath(spark, dir, m)
+          case None => AspRe.findFirstMatchIn(trimmed) match {
+            case Some(m) => runAllShortestPaths(spark, dir, m)
+            case None =>
+              parse(cypher).map(q => compile(spark, dir, q))
+                .reduce((a, b) => a.union(b).distinct())
+          }
         }
       }
     }
@@ -1725,6 +1839,19 @@ object CypherLite {
       "WHERE o2.name = org " +
       "RETURN org, n, count(DISTINCT a) AS n_articles ORDER BY org"
 
+  /** Temporal predicate wrappers (round 9) — "articles from that
+    * January week": `date()` on both sides, compiled to the
+    * lexicographic ISO-string compare it is provably equivalent to
+    * for the stored date-only format (see unwrapTemporal). The shape
+    * Neo4j-trained LLMs emit for every time-scoped question.
+    */
+  val Ex31: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE date(a.publishing_date) >= date('2024-01-02') " +
+      "AND date(a.publishing_date) < date('2024-01-09') " +
+      "RETURN a.uid, a.publishing_date, count(c) AS n_chunks " +
+      "ORDER BY a.uid LIMIT 15"
+
   /** The reference serving loop's literal entity-lookup CALL
     * (graph.py:158-166) with the parameters inlined exactly as
     * get_entity_candidates binds them: index = f"{label}Name"
@@ -1739,8 +1866,19 @@ object CypherLite {
       "{limit: 10}) YIELD node, score " +
       "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score"
 
+  /** The witness form of Ex23 — "SHOW me how X and Y are connected":
+    * the actual node sequence of one canonical shortest path (see
+    * runWitnessPath for the lexicographic-min determinism rule).
+    */
+  val ExSpPath: String =
+    "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
+      "RETURN length(p) AS len, nodes(p) AS path"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cypher_fulltext" -> ((s, d) => run(s, d, ExFt)),
+    "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
+    "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
     "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
@@ -1778,6 +1916,17 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex31" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |arts AS (
+         |  SELECT doc_id, ${Props.PublishingDateSql} AS pd FROM documents
+         |  WHERE ${Props.PublishingDateSql} >= '2024-01-02'
+         |    AND ${Props.PublishingDateSql} < '2024-01-09')
+         |SELECT 'Article:' || a.doc_id AS a_uid, a.pd AS a_publishing_date,
+         |  count(*) AS n_chunks
+         |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
+         |GROUP BY a.doc_id, a.pd
+         |ORDER BY a_uid LIMIT 15""".stripMargin,
     "q_cypher_fulltext" ->
       s"""WITH $M,
          |cand AS MATERIALIZED (
@@ -1879,6 +2028,47 @@ object CypherLite {
          |$iters
          |SELECT CAST(dist AS BIGINT) AS len FROM d$hops
          |WHERE node = 'column column' AND dist >= 1""".stripMargin
+    },
+    "q_cypher_path" -> {
+      // q_cypher_sp's layered BFS + the canonical min-pred witness:
+      // pred(n) = min src among n's neighbors one layer closer; the
+      // walk-back is unrolled as `hops` correlated scalar lookups
+      // (NULL-correlated rows yield NULL — the walk stops at the
+      // seed, whose pred row does not exist).
+      val hops = 4
+      val iters = (1 to hops).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val walk = (1 to hops).map { s =>
+        val prevCol = if (s == 1) "n0" else s"p${s - 1}"
+        s"""s$s AS (SELECT s${s - 1}.*,
+           |  (SELECT min(pred) FROM pr WHERE pr.node = s${s - 1}.$prevCol) AS p$s
+           |  FROM s${s - 1})""".stripMargin
+      }.mkString(",\n")
+      val rev = (hops to 1 by -1).map(s => s"p$s").mkString(", ")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |d0 AS (SELECT 'spark group' AS node, CAST(0 AS BIGINT) AS dist),
+         |$iters,
+         |pr AS MATERIALIZED (
+         |  SELECT d.node, min(e.src) AS pred
+         |  FROM d$hops d JOIN edges e ON e.dst = d.node
+         |  JOIN d$hops s ON s.node = e.src AND s.dist = d.dist - 1
+         |  GROUP BY d.node),
+         |s0 AS (SELECT CAST(dist AS BIGINT) AS len, node AS n0 FROM d$hops
+         |  WHERE node = 'column column' AND dist >= 1),
+         |$walk
+         |SELECT len,
+         |  array_to_string(list_transform(
+         |    list_filter([$rev, n0], x -> x IS NOT NULL),
+         |    x -> 'Entity:' || x), '->') AS path
+         |FROM s$hops""".stripMargin
     },
     "q_cypher_wsp" -> {
       // qWsp's Bellman-Ford CTEs, selected down to the anchored target

@@ -759,6 +759,90 @@ class CypherLiteSpec extends AnyFunSuite {
       "fixture must produce multi-path targets or the test is vacuous")
   }
 
+  // ---------- temporal predicate wrappers (round 9) ----------
+
+  test("date() wrappers compile to the equivalent string compare (Ex31)") {
+    val got = CypherLite.run(spark, TestSpark.sf, Ex31).collect()
+    // the unwrapped twin — provably equivalent for the date-only
+    // stored format (lexicographic = chronological)
+    val want = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        "WHERE a.publishing_date >= '2024-01-02' " +
+        "AND a.publishing_date < '2024-01-09' " +
+        "RETURN a.uid, a.publishing_date, count(c) AS n_chunks " +
+        "ORDER BY a.uid LIMIT 15").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+      "date() form must equal the plain string-compare form")
+    assert(got.nonEmpty, "fixture must have articles in the window")
+    got.foreach { r =>
+      val pd = r.getAs[String]("a_publishing_date")
+      assert(pd >= "2024-01-02" && pd < "2024-01-09", s"out of range: $pd")
+    }
+  }
+
+  test("temporal literals with time components throw instead of diverging") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WHERE datetime(a.publishing_date) >= datetime('2024-01-02T00:00:00') " +
+          "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    }
+  }
+
+  // ---------- shortestPath witness (round 9) ----------
+
+  test("nodes(p) returns a real shortest path: edges exist, length matches BFS") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExSpPath).collect()
+    assert(got.length == 1, s"expected one witness row, got ${got.toSeq}")
+    val len = got(0).getAs[Long]("len")
+    val path = got(0).getAs[String]("path").split("->").toSeq
+    // endpoints anchor the pattern; length(p) = hops = nodes - 1
+    assert(path.head == "Entity:spark group" && path.last == "Entity:column column",
+      s"wrong endpoints: $path")
+    assert(path.length.toLong == len + 1, s"len=$len but ${path.length} nodes")
+    // the length agrees with the scalar shortestPath compile
+    val sp = CypherLite.run(spark, TestSpark.sf, Ex23).head().getAs[Long]("len")
+    assert(len == sp, s"witness len=$len vs scalar len=$sp")
+    // every consecutive pair is a real edge of the co-occurrence graph
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect()
+      .map(r => (s"Entity:${r.getString(0)}", s"Entity:${r.getString(1)}")).toSet
+    path.sliding(2).foreach { case Seq(a, b) =>
+      assert(edges((a, b)), s"witness step $a -> $b is not an edge")
+    }
+    // no node repeats (a shortest path is simple)
+    assert(path.distinct.length == path.length, s"witness revisits a node: $path")
+  }
+
+  test("witness path is the canonical min-pred walk (deterministic rule replay)") {
+    // Replay the determinism rule in pure Scala over the collected
+    // edge list: BFS layers from the seed, pred(n) = min neighbor one
+    // layer closer, walk back from the target.
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1)))
+    val radj = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSet }
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val seed = "spark group"; val target = "column column"
+    val dist = collection.mutable.Map(seed -> 0)
+    var frontier = Set(seed)
+    for (i <- 1 to 4) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = i)
+    }
+    var cur = target
+    var want = List(target)
+    while (cur != seed) {
+      val pred = radj(cur).filter(p => dist.get(p).contains(dist(cur) - 1)).min
+      want = pred :: want
+      cur = pred
+    }
+    val got = CypherLite.run(spark, TestSpark.sf, ExSpPath)
+      .head().getAs[String]("path").split("->").toSeq
+    assert(got == want.map("Entity:" + _),
+      s"canonical walk diverged:\n  got  $got\n  want $want")
+  }
+
   // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
 
   test("fulltext CALL compiles the reference's literal entity-lookup query") {
