@@ -58,6 +58,9 @@ object Bench {
       // anf_hll MUST precede anf (sequential replace would rewrite
       // the prefix first and orphan the whole-name rule)
       "anf_hll" -> "ah", "anf" -> "an",
+      // _topk twins MUST precede their base-name rules (sequential
+      // replace would rewrite the prefix first and orphan these)
+      "dedup_simhash_topk" -> "hk", "dedup_embedding_topk" -> "ek",
       "zorder_scan" -> "zs", "bootstrap_ci" -> "bi",
       "session_paths" -> "sq", "entity_trends" -> "et",
       "dedup_cdc" -> "cz", "winnow" -> "wn",

@@ -442,7 +442,11 @@ object Dedup {
   val EmbLshTables = 8
   val EmbLshBits = 4
 
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** The SRP-LSH-blocked, cosine-verified pair stream behind
+    * q_dedup_embedding and its capped twin — factored so both consume
+    * ONE pipeline definition.
+    */
+  private def embPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -465,8 +469,63 @@ object Dedup {
         Similarity.dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= CosineThreshold)
       .select("vec_id_a", "vec_id_b", "cosine")
-      .orderBy("vec_id_a", "vec_id_b")
   }
+
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embPairs(spark, dir).orderBy("vec_id_a", "vec_id_b")
+
+  /** Per-doc partner cap for the bounded pair-stream twins (round 9):
+    * at 100 TB an unbounded τ-similar pair stream is its own scale
+    * problem even when the candidate JOIN is blocked — the round-7
+    * 10× sweep measured output ×103 on the dense corpus, because the
+    * corpus genuinely contains quadratically many τ-similar pairs.
+    * The capped twins keep each doc's K best partners through the
+    * TopKPerGroup heap (map-side partial combine, never a
+    * corpus-sized window) and carry the EXACT per-doc partner count
+    * in a stats column, so the cap bounds the OUTPUT without
+    * silently losing what it cut.
+    */
+  val PairTopK = 5
+
+  /** Symmetric per-doc view of an undirected (a<b) pair stream, cut
+    * to the K best partners per doc: best = smallest value
+    * (hamming) or largest (cosine); ties broken by partner id. The
+    * rank window runs on ≤K rows per doc (the heap cut first);
+    * n_partners is exact over the full stream.
+    */
+  private[graft] def cappedPartners(pairs0: DataFrame, outCol: String, aCol: String,
+      bCol: String, simCol: String, bestIsSmallest: Boolean): DataFrame = {
+    val pairs = pairs0.localCheckpoint(false) // the sym union reads it twice
+    val sym = pairs.select(col(aCol).as(outCol), col(bCol).as("partner"), col(simCol))
+      .unionByName(
+        pairs.select(col(bCol).as(outCol), col(aCol).as("partner"), col(simCol)))
+    val keyed = sym.withColumn("ord",
+      if (bestIsSmallest) -col(simCol) else col(simCol))
+    val top = graft.plans.TopKPerGroup.topK(
+      keyed, PairTopK, Seq(outCol), orderCol = "ord", tieCol = "partner")
+    val ordCols =
+      if (bestIsSmallest) Seq(col(simCol).asc, col("partner").asc)
+      else Seq(col(simCol).desc, col("partner").asc)
+    val stats = sym.groupBy(outCol).agg(count(lit(1)).as("n_partners"))
+    top.withColumn("rk",
+        row_number().over(Window.partitionBy(outCol).orderBy(ordCols: _*)))
+      .drop("ord")
+      .join(stats, outCol)
+      .orderBy(outCol, "rk")
+  }
+
+  def qDedupSimhashTopk(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("sig", expr(SimhashSigSql))
+      .select("doc_id", "sig")
+      .localCheckpoint(false)
+    cappedPartners(simhashPairs(sigs, SimhashBits, HammingMax),
+      "doc_id", "doc_id_a", "doc_id_b", "hamming", bestIsSmallest = true)
+  }
+
+  def qDedupEmbeddingTopk(spark: SparkSession, dir: String): DataFrame =
+    cappedPartners(embPairs(spark, dir),
+      "vec_id", "vec_id_a", "vec_id_b", "cosine", bestIsSmallest = false)
 
   val SemTau = 0.4 // within-cluster cosine above this = semantic dup
 
@@ -1113,6 +1172,8 @@ object Dedup {
     "q_neardup_candidates" -> qNeardupCandidates,
     "q_dedup_temporal" -> qDedupTemporal,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_topk" -> qDedupSimhashTopk,
+    "q_dedup_embedding_topk" -> qDedupEmbeddingTopk,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_substring" -> qDedupSubstring,
@@ -1556,6 +1617,62 @@ object Dedup {
          |  SELECT doc_id, sig, seg_idx, ${segCaseSql(SimhashBits, HammingMax)} AS seg_val
          |  FROM sigs, (SELECT unnest(generate_series(0, $HammingMax)) AS seg_idx))
          |${bandedPairsSql(HammingMax)}""".stripMargin,
+    "q_dedup_simhash_topk" ->
+      s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
+         |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),
+         |sigs AS MATERIALIZED (SELECT doc_id, $SimhashDuckSql AS sig FROM docs),
+         |seg AS MATERIALIZED (
+         |  SELECT doc_id, sig, seg_idx, ${segCaseSql(SimhashBits, HammingMax)} AS seg_val
+         |  FROM sigs, (SELECT unnest(generate_series(0, $HammingMax)) AS seg_idx)),
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    bit_count(xor(a.sig, b.sig)) AS hamming
+         |  FROM seg a JOIN seg b
+         |    ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax),
+         |sym AS MATERIALIZED (
+         |  SELECT da AS doc_id, db AS partner, hamming FROM prs
+         |  UNION ALL SELECT db, da, hamming FROM prs),
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners
+         |  FROM sym GROUP BY doc_id)
+         |SELECT doc_id, partner, hamming, rk, n_partners FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hamming, partner) AS rk FROM sym) r
+         |JOIN st USING (doc_id)
+         |WHERE rk <= $PairTopK ORDER BY doc_id, rk""".stripMargin,
+    "q_dedup_embedding_topk" -> {
+      val dot = Similarity.dotDuckSql("ea.v", "eb.v")
+      val sigCase = (0 until EmbLshTables).map(t =>
+        s"WHEN $t THEN ${Similarity.srpSigSql("v", t * EmbLshBits until (t + 1) * EmbLshBits)}")
+        .mkString(" ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings)),
+         |bk AS MATERIALIZED (
+         |  SELECT vec_id, t, CASE t $sigCase END AS bucket
+         |  FROM e, (SELECT unnest(generate_series(0, ${EmbLshTables - 1})) AS t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |prs AS MATERIALIZED (
+         |  SELECT vec_id_a, vec_id_b,
+         |    round($dot / (ea.nrm * eb.nrm), 6) AS cosine
+         |  FROM cand JOIN e ea ON ea.vec_id = vec_id_a JOIN e eb ON eb.vec_id = vec_id_b
+         |  WHERE round($dot / (ea.nrm * eb.nrm), 6) >= $CosineThreshold),
+         |sym AS MATERIALIZED (
+         |  SELECT vec_id_a AS vec_id, vec_id_b AS partner, cosine FROM prs
+         |  UNION ALL SELECT vec_id_b, vec_id_a, cosine FROM prs),
+         |st AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_partners
+         |  FROM sym GROUP BY vec_id)
+         |SELECT vec_id, partner, cosine, rk, n_partners FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cosine DESC, partner) AS rk FROM sym) r
+         |JOIN st USING (vec_id)
+         |WHERE rk <= $PairTopK ORDER BY vec_id, rk""".stripMargin
+    },
     "q_dedup_ngram" ->
       s"""WITH $ShinglesSql,
          |keyed AS (
