@@ -66,6 +66,51 @@ object Amplify {
       col("event_type"), col("value"), col("props"))
   }
 
+  /** Planted-cluster embedding corpus (round 9) — the NON-isotropic
+    * fixture the recall audits need: the driver's synthetic embeddings
+    * carry no neighborhood structure (neighbor label-coherence ≈
+    * chance), so recall measured on them is structurally
+    * coverage-bound and says little about serving a corpus where
+    * near-neighbors MEAN something. Deterministic integer-grid
+    * construction (exactly representable as FLOAT, replayable in any
+    * engine, no RNG):
+    *
+    *   v(i,d) = cent(i mod C, d)·8 + pert(i,d)
+    *   cent(k,d) = (((k·37 + d)·(k + d·41 + 7) mod 97) mod 9) − 4  ∈ [−4, 4]
+    *   pert(i,d) = ((i·13 + d·7) mod 5) − 2                        ∈ [−2, 2]
+    *
+    * The mod-97 mixing stage matters: anything of the form
+    * `polynomial(k,d) mod 9` is periodic in k with period 9, which
+    * silently merges clusters k and k+9 into ONE centroid (the first
+    * cut did exactly that — 9 distinct centroids for 32 labels, and
+    * label coherence read 0.24). The k·d cross term under a prime
+    * modulus larger than C keeps every cluster's centroid sequence
+    * distinct; the spec's coherence gate (≥ 0.99) is the regression
+    * guard.
+    *
+    * Within-cluster cosine ≈ 1 (±2 perturbation on ±32-scale
+    * coordinates); cross-cluster ≈ 0 — so each probe's true top-K IS
+    * its own cluster, and `label` = cluster id makes coherence
+    * directly checkable (ClusteredRecallSpec pins it ≫ chance).
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, clusters: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${graft.operators.Similarity.Dim - 1}), d -> " +
+        s"CAST(((((id % $clusters) * 37 + d) * ((id % $clusters) + d * 41 + 7)) % 97 % 9 - 4) * 8 + " +
+        s"((id * 13 + d * 7) % 5 - 2) AS FLOAT))").as("embedding"),
+      (col("id") % clusters).cast("int").as("label"))
+
+  /** Writes the clustered corpus as an `embeddings.parquet` table so
+    * the UNCHANGED ANN audit pipeline (qAnnRecall and every index it
+    * builds) runs against it by just pointing `dir` at the fixture.
+    */
+  def writeClustered(spark: SparkSession, out: String, n: Long, clusters: Int): String = {
+    clusteredEmbeddings(spark, n, clusters)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_AMP_OUT", "/root/repo/target/amp/x10")

@@ -116,9 +116,33 @@ object Similarity {
     * driver-side k-means per query and holding correctness together
     * only by training determinism).
     */
+  /** True when the amortized conf points at `dir` AND the standing
+    * IVF pair is COMPLETE. A conf that matches with only ONE of the
+    * two tables present (the materializeAnn crash window) FAILS
+    * LOUDLY instead of silently retraining in-plan: the silent
+    * fallback would serve vectors added via mergeVectors from a
+    * DIFFERENT quantizer than the standing index they were encoded
+    * under — they'd simply disappear from ANN serving until someone
+    * noticed. Same contract as mergeVectors' bootstrap require.
+    */
+  private def ivfPairServed(spark: SparkSession, dir: String): Boolean = {
+    val confMatches = spark.conf.getOption(MaterializedConf).contains(dir)
+    val haveCents = spark.catalog.tableExists("graft_ivf_centroids")
+    val haveIdx = spark.catalog.tableExists("graft_ivf")
+    if (confMatches && haveCents != haveIdx)
+      throw new IllegalStateException(
+        "amortized ANN serving is configured " +
+          s"($MaterializedConf=$dir) but the standing IVF pair is " +
+          s"incomplete (graft_ivf_centroids=$haveCents, graft_ivf=$haveIdx) " +
+          "— a crashed materializeAnn leaves this state; rerun " +
+          "Catalog.materializeAnn to restore the quantizer+index pair " +
+          "atomically (in-plan retraining here would silently drop " +
+          "mergeVectors-ingested vectors from serving)")
+    confMatches && haveCents && haveIdx
+  }
+
   private def ivfCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    if (materialized(spark, dir, "graft_ivf_centroids") &&
-        spark.catalog.tableExists("graft_ivf"))
+    if (ivfPairServed(spark, dir))
       (spark.table("graft_ivf_centroids"), spark.table("graft_ivf"))
     else {
       val cents = ivfCentroids(spark, dir).localCheckpoint(false)
@@ -127,25 +151,37 @@ object Similarity {
 
   /** (cid, cv, cnrm) only — for consumers that never touch cell
     * membership (the serving probe pick). Same pinned-when-
-    * materialized rule.
+    * materialized rule, including the incomplete-pair guard.
     */
   private def ivfCentsCk(spark: SparkSession, dir: String): DataFrame =
-    if (materialized(spark, dir, "graft_ivf_centroids"))
+    if (ivfPairServed(spark, dir))
       spark.table("graft_ivf_centroids")
     else ivfCentroids(spark, dir)
 
   /** ((vec_id, m, code), (m, k, c0, c1)) — stored PQ codes + trained
-    * codebook when materialized, else trained/encoded in-plan.
+    * codebook when materialized, else trained/encoded in-plan. Same
+    * incomplete-pair guard as the IVF side: codes decoded under a
+    * codebook they were not encoded with are garbage, so a conf that
+    * matches with only one table present fails loudly.
     */
-  private def pqIndexCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    if (materialized(spark, dir, "graft_pq_codes") &&
-        spark.catalog.tableExists("graft_pq_codebook"))
+  private def pqIndexCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val confMatches = spark.conf.getOption(MaterializedConf).contains(dir)
+    val haveCodes = spark.catalog.tableExists("graft_pq_codes")
+    val haveCb = spark.catalog.tableExists("graft_pq_codebook")
+    if (confMatches && haveCodes != haveCb)
+      throw new IllegalStateException(
+        "amortized ANN serving is configured " +
+          s"($MaterializedConf=$dir) but the standing PQ pair is " +
+          s"incomplete (graft_pq_codes=$haveCodes, graft_pq_codebook=$haveCb) " +
+          "— rerun Catalog.materializeAnn to restore codes+codebook atomically")
+    if (confMatches && haveCodes && haveCb)
       (spark.table("graft_pq_codes"), spark.table("graft_pq_codebook"))
     else {
       val subs = pqSubspaces(vectors(spark, dir))
       val cb = pqTrainCodebook(subs)
       (pqEncode(subs, cb), cb)
     }
+  }
 
   private val QVecSql = "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
 

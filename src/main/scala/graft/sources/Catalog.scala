@@ -853,18 +853,28 @@ object Catalog {
     def liveFor(e: ManifestEntry): Boolean = {
       val numOk = ranges.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall { case (mn, mx) =>
-          try { !(mx.toLong < lo || mn.toLong > hi) }
-          catch { case _: NumberFormatException => true } // unknown → keep
+          // toDoubleOption, not toLong: decimal-string stats ("7.5")
+          // must still prune numerically — the toLong version threw
+          // and kept every file for non-integer numeric columns
+          (mn.toDoubleOption, mx.toDoubleOption) match {
+            case (Some(a), Some(b)) => !(b < lo || a > hi)
+            case _ => true // unknown → keep
+          }
         }
       }
       // numeric-looking stats compare as numbers (lexicographic "7" >
-      // "30" would wrongly prune a file containing doc_id 7); true
-      // string columns fall back to lexicographic containment
+      // "30" would wrongly prune a file containing doc_id 7) — for
+      // ANY numeric encoding, integer or decimal. Lexicographic
+      // containment applies only when bounds AND value are all
+      // non-numeric (true string columns, whose stats really are
+      // lexicographic min/max); a mixed case has no sound compare, so
+      // it keeps the file — absence of evidence never prunes.
       val eqOk = eqs.forall { case (c, value) =>
         e.stats.get(c).forall { case (mn, mx) =>
-          try { mn.toLong <= value.toLong && value.toLong <= mx.toLong }
-          catch {
-            case _: NumberFormatException => mn <= value && value <= mx
+          (mn.toDoubleOption, mx.toDoubleOption, value.toDoubleOption) match {
+            case (Some(a), Some(b), Some(v)) => a <= v && v <= b
+            case (None, None, None) => mn <= value && value <= mx
+            case _ => true
           }
         }
       }

@@ -515,6 +515,18 @@ object EventStream {
     * sized (it USED to grow one row per key forever); the window
     * column is dropped after each agg because screen keys arrive
     * once.
+    *
+    * OUTPUT CONTRACT (public, every `ingestStamped` screen): rows are
+    * per-(ingest-window, key) PARTIALS. A key whose contributing rows
+    * arrive in windows more than [[IngestWindow]] apart emits one row
+    * per window, not one cumulative row — the price of bounded state.
+    * All screen counters are additive (counts and sums), so a
+    * consumer that needs cumulative per-key totals re-aggregates by
+    * key (`groupBy(key).agg(sum(…))`); a consumer treating each row
+    * as a standalone observation (the screening/alerting shape these
+    * exist for) uses them as-is. Keys that arrive within one window —
+    * the overwhelmingly common crawl shape, where a doc's rows all
+    * ride its own micro-batch — emit exactly one row.
     */
   private val IngestWindow = "10 minutes"
   private def ingestStamped(df: DataFrame): DataFrame =
@@ -535,17 +547,42 @@ object EventStream {
     * StreamingSpec splits the query stream mid-batch and matches
     * qKnnJoinIvf exactly.
     */
+  /** The usable-query screen annProbeStream applies, factored so the
+    * serving stream and its reject side output can never drift: a
+    * null/wrong-dim/zero-norm query would null-poison the probe pick
+    * and silently emit garbage top-k.
+    */
+  private def annQueryUsable: Column =
+    col("qv").isNotNull &&
+      size(col("qv")) === graft.operators.Similarity.Dim &&
+      col("qnrm") > 0 && !isnan(col("qnrm"))
+
+  /** The observable reject side of annProbeStream (round 9): a
+    * malformed query produces NO serving row, which is
+    * indistinguishable from a query with zero candidates — so
+    * rejects get their own output stream with a reason column,
+    * mirroring writeTextDocs' observable-malformed-skip principle.
+    * Stateless narrow filter: run it against the same query stream
+    * (or its batch frame) alongside the serving stream.
+    */
+  def annProbeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!coalesce(annQueryUsable, lit(false)))
+      .select(col("query_id"),
+        when(col("qv").isNull, lit("null_vector"))
+          .when(size(col("qv")) =!= graft.operators.Similarity.Dim,
+            lit("wrong_dim"))
+          .otherwise(lit("zero_or_nan_norm")).as("reason"))
+
   def annProbeStream(queries: DataFrame, centArray: DataFrame,
       index: DataFrame,
       k: Int = graft.operators.Similarity.KnnK): DataFrame = {
-    import graft.operators.Similarity.{Dim, IvfProbes}
+    import graft.operators.Similarity.IvfProbes
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     // the prepVectors screen the batch path gets for free (its queries
-    // come from vectors()): a null/wrong-dim/zero-norm query would
-    // null-poison the probe pick and silently emit garbage top-k
-    val screened = queries.filter(col("qv").isNotNull &&
-      size(col("qv")) === Dim && col("qnrm") > 0 && !isnan(col("qnrm")))
+    // come from vectors()); rejected rows are OBSERVABLE through
+    // annProbeRejects, never silently absent
+    val screened = queries.filter(annQueryUsable)
     val probed = screened.withColumn("one", lit(1))
       .join(broadcast(centArray.withColumn("one", lit(1))), "one")
       // per-row probe pick: sort (−qcos, cid) structs ascending =

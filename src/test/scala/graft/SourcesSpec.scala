@@ -99,6 +99,37 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.MaterializedConf)
   }
 
+  test("incomplete standing ANN pairs fail loudly instead of silently retraining") {
+    import graft.operators.Similarity
+    // the materializeAnn crash window: the conf points at the dir but
+    // only ONE of quantizer/index (or codes/codebook) survived — a
+    // silent in-plan retrain would serve mergeVectors-ingested rows
+    // from a different quantizer than the standing index (ADVICE r8)
+    Catalog.materializeAnn(spark, TestSpark.sf)
+    spark.conf.set(Similarity.MaterializedConf, TestSpark.sf)
+    try {
+      spark.sql("DROP TABLE graft_ivf")
+      val e1 = intercept[IllegalStateException] {
+        Similarity.qAnnIvf(spark, TestSpark.sf).collect()
+      }
+      assert(e1.getMessage.contains("materializeAnn"),
+        "the error must name the rebuild step")
+      spark.sql("DROP TABLE graft_pq_codebook")
+      val e2 = intercept[IllegalStateException] {
+        Similarity.qAnnPq(spark, TestSpark.sf).collect()
+      }
+      assert(e2.getMessage.contains("materializeAnn"))
+      // with the conf pointing elsewhere the same tables are simply
+      // ignored — the in-plan path serves (no false positives)
+      spark.conf.unset(Similarity.MaterializedConf)
+      assert(Similarity.qAnnIvf(spark, TestSpark.sf).collect().nonEmpty)
+    } finally {
+      spark.conf.unset(Similarity.MaterializedConf)
+      // restore the complete standing state for later suites
+      Catalog.materializeAnn(spark, TestSpark.sf)
+    }
+  }
+
   test("mergeVectors: incremental adds assign against the PINNED quantizer") {
     import graft.operators.Similarity
     val sf = TestSpark.sf

@@ -781,6 +781,34 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("annProbeRejects makes screened-out queries observable with reasons") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = graft.operators.Similarity.Dim
+    val good = (1L, Seq.fill(dim)(1.0), math.sqrt(dim))
+    val wrongDim = (2L, Seq.fill(dim - 3)(1.0), 1.0)
+    val zeroNorm = (3L, Seq.fill(dim)(0.0), 0.0)
+    val input = MemoryStream[(Long, Seq[Double], Double)]
+    val q = EventStream.annProbeRejects(
+        input.toDF().toDF("query_id", "qv", "qnrm"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ann_rejects").start()
+    try {
+      input.addData(good, wrongDim, zeroNorm); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_rejects").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "wrong_dim", 3L -> "zero_or_nan_norm"),
+      s"reject stream diverged: $got")
+    // null vectors (batch frame — MemoryStream tuples can't carry
+    // null seqs) report as null_vector
+    val batch = Seq((4L, null: Seq[Double], 1.0)).toDF("query_id", "qv", "qnrm")
+    val b = EventStream.annProbeRejects(batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == Map(4L -> "null_vector"))
+  }
+
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
     val ids = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
     val fromSql = ids.toDF("user_id")

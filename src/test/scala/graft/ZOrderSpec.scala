@@ -163,4 +163,27 @@ class ZOrderSpec extends AnyFunSuite {
     assert(langKept.isEmpty || langKept.size < total,
       "an impossible lang literal should prune aggressively")
   }
+
+  test("decimal-string stats prune numerically, never lexicographically") {
+    // A DOUBLE-typed stat column records bounds like "5.5"/"30.5".
+    // The old eq compare tried toLong, threw, and fell back to
+    // lexicographic containment — which reads "30.5" < "7.5" and
+    // WRONGLY prunes the file containing 7.5 (the same bug class the
+    // integer path already fixed). Numeric parse must go through
+    // toDouble on both paths.
+    import spark.implicits._
+    val table = Files.createTempDirectory("decimal_prune").toString + "/t"
+    val df = Seq(5.5, 7.5, 30.5).toDF("doc_id").coalesce(1)
+    assert(Catalog.snapshotCommit(spark, df, table) === 1)
+    val (kept, total) = Catalog.prunedSnapshotFiles(
+      table, Map.empty, eqs = Map("doc_id" -> "7.5"))
+    assert(total == 1 && kept.size == 1,
+      s"7.5 is inside [5.5, 30.5] — lexicographic fallback pruned it: $kept")
+    // long ranges against decimal bounds overlap numerically
+    val (kept2, _) = Catalog.prunedSnapshotFiles(table, Map("doc_id" -> (6L, 8L)))
+    assert(kept2.size == 1, "range [6,8] overlaps [5.5,30.5]")
+    // and a genuinely disjoint range still prunes
+    val (kept3, _) = Catalog.prunedSnapshotFiles(table, Map("doc_id" -> (1000L, 2000L)))
+    assert(kept3.isEmpty, "disjoint ranges must still prune decimal-stat files")
+  }
 }
