@@ -126,7 +126,7 @@ object Bench {
       "media_manifest" -> "mm", "ktruss_peel" -> "kt",
       "dau_stickiness" -> "da", "passage_rank" -> "pg",
       "keep_rate" -> "kr", "signal_corr" -> "sg",
-      "cypher_wsp" -> "cg", "cypher_asp" -> "cj",
+      "cypher_wsp" -> "cg", "cypher_asp_paths" -> "aw", "cypher_asp" -> "cj",
       "cypher_fulltext" -> "fx", "cypher_path" -> "pn",
       // AFTER cypher_wsp (rule order: a bare "wsp" rule first would
       // rewrite "cypher_wsp" before its whole-name rule can match)

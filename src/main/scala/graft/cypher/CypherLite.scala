@@ -1524,6 +1524,109 @@ object CypherLite {
         col("cnt").as(m.group(12)))
   }
 
+  /** Witness cap for the allShortestPaths node-sequence form: the
+    * path COUNT between two well-connected hubs grows combinatorially
+    * with the DAG's branching, so emitting every witness is the same
+    * unbounded-output trap the capped dedup twins close — the bounded
+    * form returns the [[AspPathCap]] lexicographically-smallest
+    * witnesses plus the EXACT total count, so nothing is silently
+    * lost.
+    */
+  val AspPathCap = 5
+
+  /** `MATCH p = allShortestPaths(…) RETURN length(p) AS l, count(p)
+    * AS n, nodes(p) AS path` — the witness-SET form (round 9,
+    * composing the round-8 path counting with the round-9 witness
+    * discipline): one row per returned witness, carrying the shared
+    * (length, exact-count) pair.
+    */
+  private val AspPathRe =
+    ("""^MATCH\s+(\w+)\s*=\s*allShortestPaths\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)\s*,\s*count\((\w+)\)\s+AS\s+(\w+)""" +
+      """\s*,\s*nodes\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  /** Enumeration would be deg^hi paths — the wrong plan at any scale.
+    * Instead: forward BFS (dist + σ path counts) and reverse BFS
+    * (dist only) shrink the edge set to the shortest-path DAG (edge
+    * (u,v) survives iff distF(u) + 1 + distR(v) = L), then a partial-
+    * path frontier expands layer by layer, cut to the
+    * [[AspPathCap]] lexicographically-smallest prefixes per layer
+    * (array-wise compare — element order, NOT joined-string order,
+    * which space-carrying names would break). Same-layer prefixes
+    * order all their completions, so the per-layer cut is exact: the
+    * kept K completions ARE the K smallest witnesses. Work per layer
+    * is ≤ cap·branching rows; the DAG filter guarantees every kept
+    * prefix completes (no dead ends).
+    */
+  private def runAspPaths(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11) &&
+      m.group(1) == m.group(13),
+      "length()/count()/nodes() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
+    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+    val srcUid = s"$srcLabel:$srcName"
+    val dstUid = s"$dstLabel:$dstName"
+    // forward BFS: first-reach layer + σ path counts (the r8 loop)
+    def bfs(seed: String): DataFrame = {
+      var frontier = spark.range(1)
+        .select(lit(seed).as("node"), lit(1L).as("cnt"))
+      var reached = frontier.select(col("node"), lit(0).as("dist"), col("cnt"))
+        .localCheckpoint(false)
+      for (i <- 1 to hi) {
+        val nxt = frontier.join(e, frontier("node") === e("src_uid"))
+          .groupBy(col("dst_uid").as("node"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .join(reached.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        reached = reached
+          .unionByName(nxt.select(col("node"), lit(i).as("dist"), col("cnt")))
+          .localCheckpoint(false)
+        frontier = nxt
+      }
+      reached
+    }
+    val fw = bfs(srcUid)
+    val rv = bfs(dstUid)
+    // the (L, n_paths) pair — empty when dst is unreachable in hi
+    val lrow = fw.filter(col("node") === dstUid &&
+        col("dist") >= lo && col("dist") <= hi)
+      .select(col("dist").as("l"), col("cnt").as("n"))
+      .localCheckpoint(false)
+    // shortest-path DAG: distF(u) + 1 + distR(v) = L
+    val dag = e
+      .join(fw.select(col("node").as("src_uid"), col("dist").as("du")), "src_uid")
+      .join(rv.select(col("node").as("dst_uid"), col("dist").as("rv_d")), "dst_uid")
+      .join(broadcast(lrow), col("du") + 1 + col("rv_d") === col("l"))
+      .select(col("src_uid").as("u"), col("dst_uid").as("v"), col("du"))
+      .localCheckpoint(false) // read by every expansion layer
+    var w = lrow.select(lit(srcUid).as("cur"),
+      array(lit(srcUid)).as("path"), lit(0).as("d"))
+    for (i <- 1 to hi) {
+      // completed witnesses pass through (dst has no outgoing DAG
+      // edges — du(dst) = L never satisfies du + 1 + rdv = L)
+      val dagI = dag.filter(col("du") === i - 1)
+        .select(col("u").as("cur"), col("v"))
+      val ext = w.filter(col("cur") =!= dstUid)
+        .join(dagI, "cur")
+        .select(col("v").as("cur"),
+          concat(col("path"), array(col("v"))).as("path"), lit(i).as("d"))
+      w = w.filter(col("cur") === dstUid).unionByName(ext)
+        .orderBy(col("path")).limit(AspPathCap) // per-layer prefix cut
+    }
+    w.filter(col("cur") === dstUid)
+      .crossJoin(broadcast(lrow))
+      .orderBy(col("path")) // array-wise — the canonical witness order
+      .select(col("l").cast("long").as(m.group(10)),
+        col("n").as(m.group(12)),
+        concat_ws("->", col("path")).as(m.group(14)))
+  }
+
   /** Parse + compile (UNION = distinct union of branch plans). */
   def run(spark: SparkSession, dir: String, cypher: String): DataFrame = {
     val trimmed = cypher.trim
@@ -1533,12 +1636,15 @@ object CypherLite {
         case Some(m) => runWitnessPath(spark, dir, m)
         case None => SpRe.findFirstMatchIn(trimmed) match {
           case Some(m) => runShortestPath(spark, dir, m)
+          case None => AspPathRe.findFirstMatchIn(trimmed) match {
+          case Some(m) => runAspPaths(spark, dir, m)
           case None => AspRe.findFirstMatchIn(trimmed) match {
             case Some(m) => runAllShortestPaths(spark, dir, m)
             case None =>
               parse(cypher).map(q => compile(spark, dir, q))
                 .reduce((a, b) => a.union(b).distinct())
           }
+        }
         }
       }
     }
@@ -1754,6 +1860,16 @@ object CypherLite {
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
       "RETURN length(p) AS len, count(p) AS n_paths"
 
+  /** The witness-SET form of ExAsp (round 9) — "SHOW me the ways X
+    * and Y are connected": the AspPathCap lexicographically-smallest
+    * shortest paths, each row carrying the shared (length,
+    * exact-count) pair so the cap loses no information.
+    */
+  val ExAspPaths: String =
+    "MATCH p = allShortestPaths((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
+      "RETURN length(p) AS len, count(p) AS n_paths, nodes(p) AS path"
+
   /** Relationship variable + property — the co-occurrence weight made
     * readable through the compiled path (`-[r:CO_OCCURS]->` …
     * `r.weight`): "how STRONGLY is X connected", the graph-RAG
@@ -1879,6 +1995,7 @@ object CypherLite {
     "q_cypher_fulltext" -> ((s, d) => run(s, d, ExFt)),
     "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
+    "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
     "q_cypher_ex27" -> ((s, d) => run(s, d, Ex27)),
@@ -2115,6 +2232,71 @@ object CypherLite {
          |r AS ($hits)
          |SELECT CAST(dist AS BIGINT) AS len, cnt AS n_paths FROM r
          |WHERE dist >= 1 ORDER BY dist LIMIT 1""".stripMargin
+    },
+    "q_cypher_asp_paths" -> {
+      // forward dist+σ-count CTEs (the asp oracle's), a reverse
+      // min-dist BFS, the shortest-path DAG filter, then NAIVE path
+      // enumeration over the DAG (oracle-side only — the engine keeps
+      // the per-layer lexicographic-prefix cut) ordered by the node
+      // list and cut to the cap
+      val hops = 4
+      val fwd = (1 to hops).map { i =>
+        val prev = i - 1
+        s"""f$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, CAST(sum(f.cnt) AS BIGINT) AS cnt
+           |  FROM f$prev f JOIN edges e ON f.node = e.src
+           |  WHERE e.dst NOT IN (SELECT node FROM s$prev)
+           |  GROUP BY e.dst),
+           |s$i AS MATERIALIZED (
+           |  SELECT node FROM s$prev UNION ALL SELECT node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val rev = (1 to hops).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val fd = (1 to hops).map(i => s"SELECT node, $i AS dist FROM f$i")
+        .mkString(" UNION ALL ")
+      val hits = (1 to hops)
+        .map(i => s"SELECT $i AS dist, cnt FROM f$i WHERE node = 'column column'")
+        .mkString(" UNION ALL ")
+      val walk = (1 to hops).map { i =>
+        s"""p$i AS (
+           |  SELECT list_append(p.path, g.v) AS path, g.v AS cur, $i AS d
+           |  FROM p${i - 1} p JOIN dag g ON g.u = p.cur AND g.du = p.d
+           |  WHERE p.cur <> 'column column'
+           |  UNION ALL
+           |  SELECT path, cur, d FROM p${i - 1} WHERE cur = 'column column')""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |f0 AS (SELECT 'spark group' AS node, CAST(1 AS BIGINT) AS cnt),
+         |s0 AS (SELECT node FROM f0),
+         |$fwd,
+         |r0 AS (SELECT 'column column' AS node, 0 AS dist),
+         |$rev,
+         |fd AS MATERIALIZED (SELECT node, 0 AS dist FROM f0 UNION ALL $fd),
+         |lrow AS MATERIALIZED (
+         |  SELECT CAST(dist AS BIGINT) AS l, cnt AS n FROM ($hits)
+         |  WHERE dist >= 1 ORDER BY dist LIMIT 1),
+         |dag AS MATERIALIZED (
+         |  SELECT e.src AS u, e.dst AS v, fu.dist AS du
+         |  FROM edges e
+         |  JOIN fd fu ON fu.node = e.src
+         |  JOIN r$hops rv ON rv.node = e.dst, lrow
+         |  WHERE fu.dist + 1 + rv.dist = lrow.l),
+         |p0 AS (SELECT ['spark group'] AS path, 'spark group' AS cur, 0 AS d FROM lrow),
+         |$walk
+         |SELECT len, n_paths, path FROM (
+         |  SELECT lrow.l AS len, lrow.n AS n_paths,
+         |    array_to_string(list_transform(p.path, x -> 'Entity:' || x), '->') AS path,
+         |    p.path AS plist
+         |  FROM p$hops p, lrow WHERE p.cur = 'column column')
+         |ORDER BY plist LIMIT $AspPathCap""".stripMargin
     },
     "q_cypher_ex21" ->
       s"""WITH $M,

@@ -843,6 +843,37 @@ class CypherLiteSpec extends AnyFunSuite {
       s"canonical walk diverged:\n  got  $got\n  want $want")
   }
 
+  test("allShortestPaths witness set: the cap-smallest real paths + exact count") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExAspPaths).collect()
+    assert(got.nonEmpty && got.length <= CypherLite.AspPathCap)
+    val len = got(0).getAs[Long]("len")
+    val n = got(0).getAs[Long]("n_paths")
+    // shared pair agrees with the scalar allShortestPaths compile
+    val scalar = CypherLite.run(spark, TestSpark.sf, ExAsp).head()
+    assert(len == scalar.getAs[Long]("len") && n == scalar.getAs[Long]("n_paths"))
+    assert(got.length == math.min(CypherLite.AspPathCap, n).toInt,
+      s"cap must emit min(cap, count) witnesses: ${got.length} of $n")
+    // enumerate ALL shortest paths in pure Scala and pin the exact set
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    val all = collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(cur: String, path: List[String]): Unit =
+      if (path.length - 1 == len) { if (cur == "column column") all += path.reverse }
+      else adj.getOrElse(cur, Seq.empty).foreach(nx => walk(nx, nx :: path))
+    walk("spark group", List("spark group"))
+    // every enumerated length-len walk ending at the target that never
+    // reached it earlier is a shortest path; at minimal length none
+    // can revisit the target, so `all` IS the shortest-path set
+    assert(all.size.toLong == n, s"enumerated ${all.size} paths but count(p)=$n")
+    val want = all.map(_.map("Entity:" + _)).sortBy(identity)(
+      Ordering.Implicits.seqOrdering[Seq, String])
+      .take(CypherLite.AspPathCap)
+      .map(_.mkString("->"))
+    assert(got.map(_.getAs[String]("path")).toSeq == want.toSeq,
+      s"witness set diverged:\n  got  ${got.map(_.getAs[String]("path")).toSeq}\n  want $want")
+  }
+
   // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
 
   test("fulltext CALL compiles the reference's literal entity-lookup query") {
