@@ -1612,7 +1612,12 @@ object CypherLite {
       // edges — du(dst) = L never satisfies du + 1 + rdv = L)
       val dagI = dag.filter(col("du") === i - 1)
         .select(col("u").as("cur"), col("v"))
-      val ext = w.filter(col("cur") =!= dstUid)
+      // broadcast the ≤cap-row frontier: on round 1 the join key is a
+      // folded literal (the seed), which Catalyst rewrites to a
+      // condition-less join — without the hint that plans as a
+      // CartesianProduct (the node type the smoke guard forbids);
+      // with it, a broadcast nested-loop over the filtered DAG layer
+      val ext = broadcast(w.filter(col("cur") =!= dstUid))
         .join(dagI, "cur")
         .select(col("v").as("cur"),
           concat(col("path"), array(col("v"))).as("path"), lit(i).as("d"))
