@@ -415,13 +415,36 @@ object Bench {
     // second pass — a surface that fits pays zero overhead for the
     // escape hatch.
     val dictBudget = budget - qpackField.length
+    def clampedOf(keptKeys: Set[String]): Int =
+      // a clamped entry (> QpackCap ds) carried ONLY by qpack reads
+      // as exactly 129.5 s — its true value is lost even though the
+      // key is "carried"; count them so a load-inflated run can never
+      // silently understate its expensive tail (clamped entries sort
+      // first, so under any sane budget they take the dict; this
+      // fires only when MANY queries blow the cap at once)
+      sorted.count { case (k, d, _, e) =>
+        e.isEmpty && d > QpackCap && packKeys.contains(k) &&
+          !keptKeys.contains(k)
+      }
     val full = fill(dictBudget)
+    // Two further self-reports widen the line only when they bite
+    // (same two-pass rule as always): reserve their worst-case width
+    // on the second pass, and note both counts are monotone in a
+    // SHRINKING dict budget, so the re-fill can only confirm them.
+    val firstDropped = full.size < dictEntries.size
+    val firstClamped = clampedOf(full.map(_._1).toSet) > 0
+    // reserve BOTH fields' widths whenever either bites: the clamped
+    // reservation alone can push dict entries out and surface a
+    // dropped field the budget never accounted for
     val kept =
-      if (full.size == dictEntries.size) full
+      if (!firstDropped && !firstClamped) full
       else fill(dictBudget -
-        s""","nq":${named.size},"dropped":${named.size}""".length)
-    val carried = packKeys ++ kept.map(_._1)
+        s""","nq":${named.size},"dropped":${named.size}""".length -
+        s""","clamped":${named.size}""".length)
+    val keptKeys = kept.map(_._1).toSet
+    val carried = packKeys ++ keptKeys
     val dropped = sorted.count { case (k, _, _, _) => !carried.contains(k) }
+    val clamped = clampedOf(keptKeys)
     // "nq" rides the line ONLY when truncation bites: on a full line
     // the count is recoverable from the carriers, so the 9 chars it
     // cost were pure overhead. When entries are dropped, nq + dropped
@@ -430,6 +453,7 @@ object Bench {
       s""","qunit":"ds"""" + qpackField +
       (if (dropped > 0) s""","nq":${named.size},"dropped":$dropped"""
        else "") +
+      (if (clamped > 0) s""","clamped":$clamped""" else "") +
       errField + sfField
   }
 

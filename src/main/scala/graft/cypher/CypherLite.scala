@@ -634,7 +634,18 @@ object CypherLite {
           "stored date-only format under string comparison")
       scala.util.matching.Regex.quoteReplacement(s"'$lit'")
     })
-    DateFnProp.replaceAllIn(w1, "$1")
+    DateFnProp.replaceAllIn(w1, mm => {
+      val prop = mm.group(1)
+      // the unwrap is provably sound ONLY for date-carrying string
+      // properties; date(a.title) is a Neo4j type error, and silently
+      // compiling it to a lexicographic title compare would return
+      // wrong rows — throw instead (the same loud-fail discipline the
+      // literal side applies to time components)
+      require(prop.toLowerCase.contains("date"),
+        s"date()/datetime() on non-temporal property '$prop' — only " +
+          "date-carrying properties (e.g. publishing_date) compile")
+      scala.util.matching.Regex.quoteReplacement(prop)
+    })
   }
 
   private def parseSimplePred(w0: String): Pred = {
@@ -1492,19 +1503,16 @@ object CypherLite {
       """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
       """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)\s*,\s*count\((\w+)\)\s+AS\s+(\w+)$""").r
 
-  private def runAllShortestPaths(spark: SparkSession, dir: String,
-      m: scala.util.matching.Regex.Match): DataFrame = {
-    val (srcLabel, srcName) = (m.group(2), m.group(3))
-    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
-    val (dstLabel, dstName) = (m.group(7), m.group(8))
-    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
-      "length()/count() must reference the path variable")
-    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
-    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
-    val srcUid = s"$srcLabel:$srcName"
-    val dstUid = s"$dstLabel:$dstName"
+  /** Layered path-counting BFS from `seed`: one row per reached node
+    * with its first-reach layer and σ shortest-path count. ONE
+    * implementation shared by the scalar allShortestPaths form and
+    * the witness-set form — their (length, count) pairs must match by
+    * contract, so they must run the same loop.
+    */
+  private def countingBfs(spark: SparkSession, e: DataFrame,
+      seed: String, hi: Int): DataFrame = {
     var frontier = spark.range(1)
-      .select(lit(srcUid).as("node"), lit(1L).as("cnt"))
+      .select(lit(seed).as("node"), lit(1L).as("cnt"))
     var reached = frontier.select(col("node"), lit(0).as("dist"), col("cnt"))
       .localCheckpoint(false)
     for (i <- 1 to hi) {
@@ -1518,7 +1526,44 @@ object CypherLite {
         .localCheckpoint(false)
       frontier = nxt
     }
-    reached.filter(col("node") === dstUid &&
+    reached
+  }
+
+  /** Dist-only BFS (distinct frontier, no σ aggregation) — the
+    * witness-set DAG filter's reverse pass needs only layers, so it
+    * skips the per-layer sum the counting loop pays.
+    */
+  private def distBfs(spark: SparkSession, e: DataFrame,
+      seed: String, hi: Int): DataFrame = {
+    var frontier = spark.range(1).select(lit(seed).as("node"))
+    var reached = frontier.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(false)
+    for (i <- 1 to hi) {
+      val nxt = frontier.join(e, frontier("node") === e("src_uid"))
+        .select(col("dst_uid").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      reached = reached
+        .unionByName(nxt.select(col("node"), lit(i).as("dist")))
+        .localCheckpoint(false)
+      frontier = nxt
+    }
+    reached
+  }
+
+  private def runAllShortestPaths(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
+      "length()/count() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
+    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+    val srcUid = s"$srcLabel:$srcName"
+    val dstUid = s"$dstLabel:$dstName"
+    countingBfs(spark, e, srcUid, hi)
+      .filter(col("node") === dstUid &&
         col("dist") >= lo && col("dist") <= hi)
       .select(col("dist").cast("long").as(m.group(10)),
         col("cnt").as(m.group(12)))
@@ -1572,27 +1617,11 @@ object CypherLite {
     val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
     val srcUid = s"$srcLabel:$srcName"
     val dstUid = s"$dstLabel:$dstName"
-    // forward BFS: first-reach layer + σ path counts (the r8 loop)
-    def bfs(seed: String): DataFrame = {
-      var frontier = spark.range(1)
-        .select(lit(seed).as("node"), lit(1L).as("cnt"))
-      var reached = frontier.select(col("node"), lit(0).as("dist"), col("cnt"))
-        .localCheckpoint(false)
-      for (i <- 1 to hi) {
-        val nxt = frontier.join(e, frontier("node") === e("src_uid"))
-          .groupBy(col("dst_uid").as("node"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .join(reached.select("node"), Seq("node"), "left_anti")
-          .localCheckpoint(false)
-        reached = reached
-          .unionByName(nxt.select(col("node"), lit(i).as("dist"), col("cnt")))
-          .localCheckpoint(false)
-        frontier = nxt
-      }
-      reached
-    }
-    val fw = bfs(srcUid)
-    val rv = bfs(dstUid)
+    // forward: first-reach layer + σ path counts (the SAME loop the
+    // scalar form runs — their (length, count) must match by
+    // contract); reverse: layers only, the DAG filter needs no counts
+    val fw = countingBfs(spark, e, srcUid, hi)
+    val rv = distBfs(spark, e, dstUid, hi)
     // the (L, n_paths) pair — empty when dst is unreachable in hi
     val lrow = fw.filter(col("node") === dstUid &&
         col("dist") >= lo && col("dist") <= hi)

@@ -125,21 +125,26 @@ object Similarity {
     * under — they'd simply disappear from ANN serving until someone
     * noticed. Same contract as mergeVectors' bootstrap require.
     */
-  private def ivfPairServed(spark: SparkSession, dir: String): Boolean = {
+  private def pairServed(spark: SparkSession, dir: String,
+      tblA: String, tblB: String, what: String): Boolean = {
     val confMatches = spark.conf.getOption(MaterializedConf).contains(dir)
-    val haveCents = spark.catalog.tableExists("graft_ivf_centroids")
-    val haveIdx = spark.catalog.tableExists("graft_ivf")
-    if (confMatches && haveCents != haveIdx)
+    val haveA = spark.catalog.tableExists(tblA)
+    val haveB = spark.catalog.tableExists(tblB)
+    if (confMatches && haveA != haveB)
       throw new IllegalStateException(
         "amortized ANN serving is configured " +
-          s"($MaterializedConf=$dir) but the standing IVF pair is " +
-          s"incomplete (graft_ivf_centroids=$haveCents, graft_ivf=$haveIdx) " +
-          "— a crashed materializeAnn leaves this state; rerun " +
-          "Catalog.materializeAnn to restore the quantizer+index pair " +
-          "atomically (in-plan retraining here would silently drop " +
-          "mergeVectors-ingested vectors from serving)")
-    confMatches && haveCents && haveIdx
+          s"($MaterializedConf=$dir) but the standing $what pair is " +
+          s"incomplete ($tblA=$haveA, $tblB=$haveB) — a crashed " +
+          "materializeAnn leaves this state; rerun " +
+          "Catalog.materializeAnn to restore the pair atomically " +
+          "(silent in-plan retraining would serve mergeVectors-" +
+          "ingested vectors from a different artifact than the " +
+          "standing one)")
+    confMatches && haveA && haveB
   }
+
+  private def ivfPairServed(spark: SparkSession, dir: String): Boolean =
+    pairServed(spark, dir, "graft_ivf_centroids", "graft_ivf", "IVF quantizer+index")
 
   private def ivfCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     if (ivfPairServed(spark, dir))
@@ -164,24 +169,15 @@ object Similarity {
     * codebook they were not encoded with are garbage, so a conf that
     * matches with only one table present fails loudly.
     */
-  private def pqIndexCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val confMatches = spark.conf.getOption(MaterializedConf).contains(dir)
-    val haveCodes = spark.catalog.tableExists("graft_pq_codes")
-    val haveCb = spark.catalog.tableExists("graft_pq_codebook")
-    if (confMatches && haveCodes != haveCb)
-      throw new IllegalStateException(
-        "amortized ANN serving is configured " +
-          s"($MaterializedConf=$dir) but the standing PQ pair is " +
-          s"incomplete (graft_pq_codes=$haveCodes, graft_pq_codebook=$haveCb) " +
-          "— rerun Catalog.materializeAnn to restore codes+codebook atomically")
-    if (confMatches && haveCodes && haveCb)
+  private def pqIndexCk(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    if (pairServed(spark, dir, "graft_pq_codes", "graft_pq_codebook",
+        "PQ codes+codebook"))
       (spark.table("graft_pq_codes"), spark.table("graft_pq_codebook"))
     else {
       val subs = pqSubspaces(vectors(spark, dir))
       val cb = pqTrainCodebook(subs)
       (pqEncode(subs, cb), cb)
     }
-  }
 
   private val QVecSql = "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
 

@@ -571,6 +571,7 @@ object EventStream {
         when(col("qv").isNull, lit("null_vector"))
           .when(size(col("qv")) =!= graft.operators.Similarity.Dim,
             lit("wrong_dim"))
+          .when(col("qnrm").isNull, lit("null_norm"))
           .otherwise(lit("zero_or_nan_norm")).as("reason"))
 
   def annProbeStream(queries: DataFrame, centArray: DataFrame,

@@ -64,6 +64,8 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains(""""qpack":""""), "qpack must carry the full surface")
     assert(!line.contains("\"dropped\":"),
       "current surface must fit whole — add keys deliberately or shrink values")
+    assert(!line.contains("\"clamped\":"),
+      "no green sub-cap run may pay the clamped field")
     val missing = allNames.filterNot(n => carried(line, n, "2r"))
     assert(missing.isEmpty, s"keys missing from both carriers: $missing")
   }
@@ -106,6 +108,26 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.b36(1295L) == "zz")
     assert(Bench.b36(5000L) == "zz", "past-cap values clamp to the marker")
     assert(Bench.b36(-10L) == "00", "negative (failed-entry) values clamp to 0")
+  }
+
+  test("mass-clamp runs self-report entries carried only at clamp precision") {
+    // 300 queries all past the 129.5 s qpack cap: the dict can hold
+    // only ~55 exact values, so the rest read as exactly "zz" —
+    // without the clamped field a load-inflated run would silently
+    // understate its expensive tail. The line must flag the count and
+    // still fit the budget.
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val names = for (a <- alpha; b <- alpha) yield s"$a$b"
+    val synth = names.take(300).map(n => (n, 200.0, None: Option[String]))
+    val line = Bench.metricLine(synth, 60000.0, "sf0.1")
+    assert(line.length <= Bench.LineBudget,
+      s"mass-clamp line is ${line.length} chars; budget ${Bench.LineBudget}")
+    assert(line.contains("\"clamped\":"),
+      "clamp-precision-only carriage must be self-reported")
+    assert(!line.contains("\"dropped\":"),
+      "every key is still carried (qpack) — clamped, not dropped")
+    val missing = synth.map(_._1).filterNot(n => carried(line, n, "zz"))
+    assert(missing.isEmpty, s"keys missing from both carriers: $missing")
   }
 
   test("clamped qpack entries get exact dict values with priority") {

@@ -789,6 +789,17 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("date() on a non-temporal property throws instead of compiling nonsense") {
+    // Neo4j raises a type error for date(a.title); silently unwrapping
+    // to a lexicographic title compare would return wrong rows
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WHERE date(a.title) >= date('2024-01-02') " +
+          "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    }
+  }
+
   // ---------- shortestPath witness (round 9) ----------
 
   test("nodes(p) returns a real shortest path: edges exist, length matches BFS") {

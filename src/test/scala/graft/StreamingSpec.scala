@@ -801,12 +801,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "wrong_dim", 3L -> "zero_or_nan_norm"),
       s"reject stream diverged: $got")
-    // null vectors (batch frame — MemoryStream tuples can't carry
-    // null seqs) report as null_vector
-    val batch = Seq((4L, null: Seq[Double], 1.0)).toDF("query_id", "qv", "qnrm")
+    // null vectors / null norms (batch frame — MemoryStream tuples
+    // can't carry nulls) get their OWN reasons: a null norm labeled
+    // zero_or_nan_norm sends triage hunting for zero vectors instead
+    // of the missing-norm producer
+    val batch = Seq((4L, null: Seq[Double], java.lang.Double.valueOf(1.0)),
+        (5L, Seq.fill(dim)(1.0), null: java.lang.Double))
+      .toDF("query_id", "qv", "qnrm")
     val b = EventStream.annProbeRejects(batch).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(b == Map(4L -> "null_vector"))
+    assert(b == Map(4L -> "null_vector", 5L -> "null_norm"))
   }
 
   test("JVM kmvHash matches the Catalyst md5 hash expression bit-for-bit") {
