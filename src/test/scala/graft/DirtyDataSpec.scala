@@ -118,6 +118,18 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExWsp))
   runs("cypher allShortestPaths over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExAsp))
+  // round-9 forms: anchors absent from the dirty corpus → empty
+  // results, never a throwing task; the fulltext CALL scores whatever
+  // person names the dirt yields (unicode included)
+  runs("cypher witness shortestPath over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExSpPath))
+  runs("cypher allShortestPaths witness set over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExAspPaths))
+  runs("cypher fulltext CALL over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExFt))
+  runs("cypher temporal range over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex31))
+  runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 
   test("exact dedup still pairs the surviving identical docs") {

@@ -83,6 +83,7 @@ class DirtyEventsSpec extends AnyFunSuite {
   runs("q_ann_binary")(operators.Similarity.qAnnBinary(spark, dir))
   runs("q_lsh_tune")(operators.Similarity.qLshTune(spark, dir))
   runs("q_dedup_embedding")(operators.Dedup.qDedupEmbedding(spark, dir))
+  runs("q_dedup_embedding_topk")(operators.Dedup.qDedupEmbeddingTopk(spark, dir))
   runs("q_embed_outliers")(operators.Training.qEmbedOutliers(spark, dir))
   runs("q_quantize_embeddings")(
     operators.Training.qQuantizeEmbeddings(spark, dir))
