@@ -981,6 +981,33 @@ object Similarity {
       (s, q) => bit_count(s.bitwiseXOR(q)) <= LshProbeHd)
   }
 
+  /** Planted-cluster audit corpus parameters (shared with
+    * Amplify.clusteredEmbeddings' callers and ClusteredRecallSpec).
+    */
+  val ClusteredN = 2000L
+  val ClusteredC = 32
+
+  /** The recall audit on the planted-cluster corpus — deliberately
+    * SF-INDEPENDENT (the `dir` argument is unused): the driver's
+    * synthetic embeddings are isotropic (neighbor label-coherence ≈
+    * chance), so recall measured on them is coverage-bound by
+    * construction; this key measures the same seven serving paths on
+    * a corpus where true neighbors exist (Amplify.clusteredEmbeddings
+    * — deterministic integer-grid clusters, written once per JVM
+    * tmpdir) and is what makes "the index finds planted neighbors"
+    * an ORACLE-CHECKED claim rather than a spec note. The DuckDB
+    * twin regenerates the identical corpus from the same integer
+    * formula (exact FLOAT-representable values), then replays the
+    * full audit.
+    */
+  def qAnnRecallClustered(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-clustered-$ClusteredN-$ClusteredC").getAbsolutePath
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
+      graft.Amplify.writeClustered(spark, out, ClusteredN, ClusteredC)
+    qAnnRecall(spark, out)
+  }
+
   /** ANN recall audit — MULTI-PROBE recall@K of every approximate
     * index against the per-probe exact brute-force top-K: ProbeBatch
     * deterministic probes run through each method's batched serving
@@ -1400,6 +1427,7 @@ object Similarity {
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_refine" -> qAnnIvfPqRefine,
     "q_ann_recall" -> qAnnRecall,
+    "q_ann_recall_clustered" -> qAnnRecallClustered,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_topk" -> qCosineTopk,
     "q_cosine_topk_filtered" -> qCosineTopkFiltered,
@@ -1516,7 +1544,22 @@ object Similarity {
     * row_number windows over the SAME deterministic probe set —
     * per-method mean/min recall from identical integer hit counts.
     */
-  private def annRecallSql: String = {
+  /** DuckDB twin of Amplify.clusteredEmbeddings: the identical
+    * integer-grid formula regenerated in SQL (every value is an
+    * integer |x| ≤ 34, exactly representable as FLOAT, so the
+    * written-parquet path and this generated path are bit-equal).
+    */
+  private def clusteredVecSql: String =
+    s"""e AS MATERIALIZED (
+       |  SELECT i AS vec_id, CAST(i % $ClusteredC AS INT) AS label,
+       |    list_transform(generate_series(0, ${Dim - 1}), d ->
+       |      CAST(((((i % $ClusteredC) * 37 + d) * ((i % $ClusteredC) + d * 41 + 7)) % 97 % 9 - 4) * 8
+       |        + ((i * 13 + d * 7) % 5 - 2) AS DOUBLE)) AS v
+       |  FROM range($ClusteredN) t(i))""".stripMargin
+
+  private def annRecallSql: String = annRecallSqlFor(VecSql)
+
+  private def annRecallSqlFor(vecCte: String): String = {
     val d2 = "(s.x0-c.c0)*(s.x0-c.c0)+(s.x1-c.c1)*(s.x1-c.c1)"
     def adcTopkCte(name: String, src: String, k: Int) =
       s"""$name AS MATERIALIZED (
@@ -1545,7 +1588,7 @@ object Similarity {
     val hit = (0 until LshTables)
       .map(t => s"bit_count(xor(s.sig$t, qsig$t)) <= $LshProbeHd")
       .mkString(" OR ")
-    s"""WITH $VecSql,
+    s"""WITH $vecCte,
        |qs AS MATERIALIZED (
        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeBatch),
        |ex AS MATERIALIZED (
@@ -2078,5 +2121,7 @@ object Similarity {
          |WHERE rk <= $KnnK ORDER BY rk""".stripMargin)
 
   val oracles: Map[String, String] =
-    baseOracles + ("q_ann_recall" -> annRecallSql)
+    baseOracles +
+      ("q_ann_recall" -> annRecallSql) +
+      ("q_ann_recall_clustered" -> annRecallSqlFor(clusteredVecSql))
 }

@@ -18,14 +18,8 @@ import graft.operators.Similarity
 class ClusteredRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val N = 2000L
-  private val Clusters = 32
-
-  private lazy val dir: String = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-clustered-$N-$Clusters").getAbsolutePath
-    Amplify.writeClustered(spark, out, N, Clusters)
-  }
+  private val N = Similarity.ClusteredN
+  private val Clusters = Similarity.ClusteredC
 
   test("planted-cluster fixture is genuinely non-isotropic: top-K label coherence ≈ 1") {
     // brute-force exact top-10 per probe in pure Scala, then check the
@@ -53,7 +47,8 @@ class ClusteredRecallSpec extends AnyFunSuite {
   }
 
   test("clustered audit: ivf and ivfpq_refine serve ≥0.9 mean recall; all legs measured") {
-    val got = Similarity.qAnnRecall(spark, dir).collect()
+    // through the ORACLE KEY's own path (fixture write included)
+    val got = Similarity.qAnnRecallClustered(spark, TestSpark.sf).collect()
       .map(r => r.getAs[String]("method") ->
         ((r.getAs[Double]("mean_recall"), r.getAs[Double]("min_recall")))).toMap
     assert(got.keySet == Set("binary", "ivf", "ivfpq", "ivfpq_refine", "lsh", "pq", "sq8"))
