@@ -40,7 +40,9 @@ import graft.operators.TextPipeline
   *                 | v.prop <|<=|>|>= 'str'  -- lexicographic (the
   *                   ISO-date-string range idiom)
   *                 | [exists(](v)-[:REL]->(:Label [{prop:'x'}])[)]
-  *                   -- semi-join; top-level AND conjunct only
+  *                 | EXISTS { (v)-[:REL]->(:Label [{prop:'x'}]) }
+  *                   -- semi-join (fn or Neo4j-5 brace form);
+  *                   top-level AND conjunct only
   *                 | NOT pred  -- plain boolean negation (numeric <>
   *                   also accepted directly: v.prop <> n)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
@@ -662,6 +664,13 @@ object CypherLite {
     // to the anti-join BEFORE notSimpleRe wraps it in a NotPred the
     // column compiler rightly rejects for pattern predicates
     val notExistsPatRe = (s"(?i)NOT\\s+exists\\(\\s*$patBody\\s*\\)").r
+    // Neo4j-5 existential subquery braces (round 9): `EXISTS {
+    // (v)-[:R]->(:L)} ` — the form newer Neo4j-trained LLMs emit;
+    // identical semi/anti-join semantics as the exists() function
+    // (the bare-pattern body, no embedded MATCH — a braced MATCH
+    // keyword would collide with the stage slicer)
+    val existsBraceRe = (s"(?i)EXISTS\\s*\\{\\s*$patBody\\s*\\}").r
+    val notExistsBraceRe = (s"(?i)NOT\\s+EXISTS\\s*\\{\\s*$patBody\\s*\\}").r
     val barePatRe = patBody.r
     val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
     val strCmpRe = """(\w+)\.(\w+)\s*(<=|>=|<|>)\s*'([^']*)'""".r
@@ -678,10 +687,14 @@ object CypherLite {
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
       case notExistsPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case notExistsBraceRe(v, rel, lbl, prop, value) =>
+        NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notSimpleRe(rest) => NotPred(parseSimplePred(rest))
       case existsPatRe(v, rel, lbl, prop, value) =>
+        ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case existsBraceRe(v, rel, lbl, prop, value) =>
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case barePatRe(v, rel, lbl, prop, value) =>
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))

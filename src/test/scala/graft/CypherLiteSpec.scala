@@ -789,6 +789,27 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("EXISTS { pattern } braces compile to the same semi/anti-joins as exists()") {
+    // Neo4j-5 existential subquery syntax — newer LLMs emit the
+    // braced form; both spellings must produce identical plans/rows
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val fn = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE exists((c)-[:MENTIONS]->(:Person)) " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val br = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { (c)-[:MENTIONS]->(:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    assert(fn.nonEmpty && fn == br, "braced EXISTS diverged from exists()")
+    val nfn = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE NOT exists((c)-[:MENTIONS]->(:Person)) " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val nbr = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE NOT EXISTS { (c)-[:MENTIONS]->(:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    assert(nfn.nonEmpty && nfn == nbr, "braced NOT EXISTS diverged")
+  }
+
   test("date() on a non-temporal property throws instead of compiling nonsense") {
     // Neo4j raises a type error for date(a.title); silently unwrapping
     // to a lexicographic title compare would return wrong rows

@@ -77,7 +77,13 @@ class InvarianceSpec extends AnyFunSuite {
       "q_zorder_scan", "q_bootstrap_ci",
       // round-8 extension: frontier pair counts + HLL register max
       // with delta propagation — both merge-order-free by design
-      "q_anf", "q_anf_hll")
+      "q_anf", "q_anf_hll",
+      // round-9 additions: the canonical min-pred witness and the
+      // lexicographic witness SET must be partition-independent or
+      // "canonical" means nothing; fulltext top-k ties break on
+      // (score, name, uid); capped twins rank through the heap
+      "q_cypher_path", "q_cypher_asp_paths", "q_cypher_fulltext",
+      "q_cypher_ex31", "q_dedup_simhash_topk", "q_dedup_embedding_topk")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
