@@ -1448,17 +1448,14 @@ object CypherLite {
       """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
       """RETURN\s+length\((\w+)\)\s+AS\s+(\w+)\s*,\s*nodes\((\w+)\)\s+AS\s+(\w+)$""").r
 
-  private def runWitnessPath(spark: SparkSession, dir: String,
-      m: scala.util.matching.Regex.Match): DataFrame = {
-    val (srcLabel, srcName) = (m.group(2), m.group(3))
-    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
-    val (dstLabel, dstName) = (m.group(7), m.group(8))
-    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
-      "length()/nodes() must reference the path variable")
-    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
-    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
-    val srcUid = s"$srcLabel:$srcName"
-    val dstUid = s"$dstLabel:$dstName"
+  /** The witness-path core on an explicit both-direction edge table —
+    * package-visible so PropertySpec can drive it over GENERATED
+    * graphs (the fixed corpus can't produce tie/disconnection shapes
+    * on demand). Output: (len: long, path: '->'-joined uid string).
+    */
+  private[graft] def witnessPathOn(spark: SparkSession, e0: DataFrame,
+      srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
+    val e = e0.localCheckpoint(false)
     var dist = spark.range(1)
       .select(lit(srcUid).as("node"), lit(0L).as("dist"))
     for (i <- 1 to hi) {
@@ -1491,8 +1488,20 @@ object CypherLite {
             concat(array(col(s"pp$s")), col("path")))
             .otherwise(col("path")).as("path"))
     }
-    w.select(col("len").as(m.group(10)),
-      concat_ws("->", col("path")).as(m.group(12)))
+    w.select(col("len"), concat_ws("->", col("path")).as("path"))
+  }
+
+  private def runWitnessPath(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
+      "length()/nodes() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    witnessPathOn(spark, edges(spark, dir, rel, dstLabel),
+      s"$srcLabel:$srcName", s"$dstLabel:$dstName", lo, hi)
+      .select(col("len").as(m.group(10)), col("path").as(m.group(12)))
   }
 
   /** `MATCH p = allShortestPaths((a:L {name:'x'})-[:REL*lo..hi]-(b:L
@@ -1618,18 +1627,14 @@ object CypherLite {
     * is ≤ cap·branching rows; the DAG filter guarantees every kept
     * prefix completes (no dead ends).
     */
-  private def runAspPaths(spark: SparkSession, dir: String,
-      m: scala.util.matching.Regex.Match): DataFrame = {
-    val (srcLabel, srcName) = (m.group(2), m.group(3))
-    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
-    val (dstLabel, dstName) = (m.group(7), m.group(8))
-    require(m.group(1) == m.group(9) && m.group(1) == m.group(11) &&
-      m.group(1) == m.group(13),
-      "length()/count()/nodes() must reference the path variable")
-    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
-    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
-    val srcUid = s"$srcLabel:$srcName"
-    val dstUid = s"$dstLabel:$dstName"
+  /** The witness-set core on an explicit both-direction edge table —
+    * package-visible for PropertySpec's generated-graph battery.
+    * Output: (len: long, n_paths: long, path: '->'-joined string),
+    * ≤ AspPathCap rows in canonical (array-wise) order.
+    */
+  private[graft] def aspPathsOn(spark: SparkSession, e0: DataFrame,
+      srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
+    val e = e0.localCheckpoint(false)
     // forward: first-reach layer + σ path counts (the SAME loop the
     // scalar form runs — their (length, count) must match by
     // contract); reverse: layers only, the DAG filter needs no counts
@@ -1669,9 +1674,24 @@ object CypherLite {
     w.filter(col("cur") === dstUid)
       .crossJoin(broadcast(lrow))
       .orderBy(col("path")) // array-wise — the canonical witness order
-      .select(col("l").cast("long").as(m.group(10)),
-        col("n").as(m.group(12)),
-        concat_ws("->", col("path")).as(m.group(14)))
+      .select(col("l").cast("long").as("len"),
+        col("n").as("n_paths"),
+        concat_ws("->", col("path")).as("path"))
+  }
+
+  private def runAspPaths(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11) &&
+      m.group(1) == m.group(13),
+      "length()/count()/nodes() must reference the path variable")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
+    aspPathsOn(spark, edges(spark, dir, rel, dstLabel),
+      s"$srcLabel:$srcName", s"$dstLabel:$dstName", lo, hi)
+      .select(col("len").as(m.group(10)), col("n_paths").as(m.group(12)),
+        col("path").as(m.group(14)))
   }
 
   /** Parse + compile (UNION = distinct union of branch plans). */

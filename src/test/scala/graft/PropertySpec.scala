@@ -332,4 +332,98 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: ANF $got != BFS replay $want")
     }
   }
+
+  /** Random symmetric digraphs for the path-witness battery: node
+    * names deliberately include PREFIX-OVERLAPPING, space-carrying
+    * shapes ("a", "a b", "a-") — the class that breaks joined-string
+    * lexicographic ordering and only array-wise compare survives.
+    */
+  private def randomGraph(seed: Long): (Seq[(String, String)], Int) = {
+    val names = Seq("a", "a b", "a-", "b", "b c", "c", "cd", "d", "e f", "f")
+    val n = 6 + (seed % 5).toInt // 6..10 nodes
+    val nodes = names.take(n)
+    val rnd = new scala.util.Random(seed)
+    val edges = (for {
+      i <- nodes.indices; j <- nodes.indices if i != j && rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))).distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    (sym, n)
+  }
+
+  test("witness path is a canonical shortest path on random generated graphs") {
+    import spark.implicits._
+    for (trial <- 0 until 10) {
+      val (sym, n) = randomGraph(1000L + trial)
+      val names = Seq("a", "a b", "a-", "b", "b c", "c", "cd", "d", "e f", "f").take(n)
+      val (src, dst) = (names.head, names.last)
+      val e = sym.toDF("src_uid", "dst_uid")
+      val adj = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+      // reference BFS dist + canonical min-pred walk in pure Scala
+      val dist = collection.mutable.Map(src -> 0)
+      var frontier = Set(src)
+      for (i <- 1 to 6) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(x => dist(x) = i)
+      }
+      val got = graft.cypher.CypherLite
+        .witnessPathOn(spark, e, src, dst, 1, 6).collect()
+      if (!dist.contains(dst) || dst == src) {
+        assert(got.isEmpty, s"trial $trial: unreachable/self must be empty, got ${got.toSeq}")
+      } else {
+        assert(got.length == 1, s"trial $trial: one witness expected, got ${got.toSeq}")
+        val len = got(0).getAs[Long]("len")
+        assert(len.toInt == dist(dst), s"trial $trial: len $len != BFS ${dist(dst)}")
+        var want = List(dst); var cur = dst
+        while (cur != src) {
+          val pred = sym.filter(_._2 == cur).map(_._1)
+            .filter(p => dist.get(p).contains(dist(cur) - 1)).min
+          want = pred :: want; cur = pred
+        }
+        assert(got(0).getAs[String]("path").split("->").toSeq == want,
+          s"trial $trial: canonical walk diverged")
+      }
+    }
+  }
+
+  test("witness SET is the cap-smallest exact path set on random generated graphs") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val (sym, n) = randomGraph(2000L + trial)
+      val names = Seq("a", "a b", "a-", "b", "b c", "c", "cd", "d", "e f", "f").take(n)
+      val (src, dst) = (names.head, names.last)
+      val e = sym.toDF("src_uid", "dst_uid")
+      val adj = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+      val dist = collection.mutable.Map(src -> 0)
+      var frontier = Set(src)
+      for (i <- 1 to 6) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Seq.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(x => dist(x) = i)
+      }
+      val got = graft.cypher.CypherLite
+        .aspPathsOn(spark, e, src, dst, 1, 6).collect()
+      if (!dist.contains(dst) || dst == src) {
+        assert(got.isEmpty, s"trial $trial: unreachable/self must be empty")
+      } else {
+        val len = dist(dst)
+        // enumerate ALL shortest paths
+        val all = collection.mutable.ArrayBuffer.empty[Seq[String]]
+        def walk(cur: String, path: List[String]): Unit =
+          if (path.length - 1 == len) { if (cur == dst) all += path.reverse }
+          else adj.getOrElse(cur, Seq.empty).foreach(nx => walk(nx, nx :: path))
+        walk(src, List(src))
+        val cap = graft.cypher.CypherLite.AspPathCap
+        assert(got.length == math.min(cap, all.size),
+          s"trial $trial: ${got.length} rows for ${all.size} paths")
+        assert(got.forall(_.getAs[Long]("n_paths") == all.size.toLong),
+          s"trial $trial: count diverged")
+        val want = all.sortBy(identity)(
+          Ordering.Implicits.seqOrdering[Seq, String]).take(cap)
+          .map(_.mkString("->"))
+        assert(got.map(_.getAs[String]("path")).toSeq == want.toSeq,
+          s"trial $trial: witness set diverged\n  got  ${got.map(_.getAs[String]("path")).toSeq}\n  want $want")
+      }
+    }
+  }
 }
