@@ -565,4 +565,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graph.Analytics.qEntityTrends(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
+
+  test("fulltext CALL is TakeOrdered over the name dim — never a full sort") {
+    val p = plan(cypher.CypherLite.run(spark, TestSpark.sf, cypher.CypherLite.ExFt))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fulltext plan:\n$p")
+  }
+
+  test("capped pair twins rank through the heap operator, not a corpus window") {
+    for (df <- Seq(operators.Dedup.qDedupSimhashTopk(spark, TestSpark.sf),
+      operators.Dedup.qDedupEmbeddingTopk(spark, TestSpark.sf))) {
+      val p = plan(df)
+      assert(p.contains("TopKPerGroup"), s"expected heap cut:\n$p")
+      // the only window left runs AFTER the heap cut (≤K rows/doc):
+      // in the top-down plan print the Window node sits ABOVE the
+      // heap exec it consumes — the pair stream itself never hits a
+      // rank window
+      assert(!p.contains("Window") ||
+        p.indexOf("Window") < p.indexOf("TopKPerGroup"),
+        s"window must consume the heap's output, not the pair stream:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in capped twin:\n$p")
+    }
+  }
 }
