@@ -61,7 +61,7 @@ object Bench {
       // _topk twins MUST precede their base-name rules (sequential
       // replace would rewrite the prefix first and orphan these)
       "dedup_simhash_topk" -> "hk", "dedup_embedding_topk" -> "ek",
-      "ann_recall_clustered" -> "rx",
+      "dedup_minhash_topk" -> "mk", "ann_recall_clustered" -> "rx",
       "zorder_scan" -> "zs", "bootstrap_ci" -> "bi",
       "session_paths" -> "sq", "entity_trends" -> "et",
       "dedup_cdc" -> "cz", "winnow" -> "wn",

@@ -257,7 +257,10 @@ object Dedup {
     * deduped BEFORE the shingle arrays are joined back for
     * verification, so text-sized payloads never ride the LSH shuffle.
     */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The LSH-banded, Jaccard-verified pair stream behind
+    * q_dedup_minhash and its capped twin — one pipeline definition.
+    */
+  private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
     val r = MinhashK / LshBands
     // one split/shingle pass, read by BOTH the signature fold and the
     // verification join (was two full corpus scans)
@@ -281,8 +284,17 @@ object Dedup {
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-      .orderBy("doc_id_a", "doc_id_b")
   }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsDf(spark, dir).orderBy("doc_id_a", "doc_id_b")
+
+  /** Capped twin for the MinHash family — the third pair emitter
+    * under the bounded-output discipline (see PairTopK).
+    */
+  def qDedupMinhashTopk(spark: SparkSession, dir: String): DataFrame =
+    cappedPartners(minhashPairsDf(spark, dir),
+      "doc_id", "doc_id_a", "doc_id_b", "jaccard", bestIsSmallest = false)
 
   val TemporalWindow = 7 // days — the same-story re-publication horizon
 
@@ -1174,6 +1186,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_topk" -> qDedupSimhashTopk,
     "q_dedup_embedding_topk" -> qDedupEmbeddingTopk,
+    "q_dedup_minhash_topk" -> qDedupMinhashTopk,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_substring" -> qDedupSubstring,
@@ -1617,6 +1630,21 @@ object Dedup {
          |  SELECT doc_id, sig, seg_idx, ${segCaseSql(SimhashBits, HammingMax)} AS seg_val
          |  FROM sigs, (SELECT unnest(generate_series(0, $HammingMax)) AS seg_idx))
          |${bandedPairsSql(HammingMax)}""".stripMargin,
+    "q_dedup_minhash_topk" ->
+      s"""WITH $MinhashPairsCtes,
+         |prs AS MATERIALIZED (
+         |  SELECT doc_id_a, doc_id_b, jaccard FROM verified
+         |  WHERE jaccard >= $JaccardThreshold),
+         |sym AS MATERIALIZED (
+         |  SELECT doc_id_a AS doc_id, doc_id_b AS partner, jaccard FROM prs
+         |  UNION ALL SELECT doc_id_b, doc_id_a, jaccard FROM prs),
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners
+         |  FROM sym GROUP BY doc_id)
+         |SELECT doc_id, partner, jaccard, rk, n_partners FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jaccard DESC, partner) AS rk FROM sym) r
+         |JOIN st USING (doc_id)
+         |WHERE rk <= $PairTopK ORDER BY doc_id, rk""".stripMargin,
     "q_dedup_simhash_topk" ->
       s"""WITH docs AS (SELECT doc_id, list_transform(string_split(text, ' '),
          |    w -> CAST('0x' || substr(md5(w), 1, 4) AS INTEGER)) AS hs FROM documents),

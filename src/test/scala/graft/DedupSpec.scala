@@ -314,6 +314,18 @@ class DedupSpec extends AnyFunSuite {
     checkCapped(full, capped, bestIsSmallest = false, requireBite = false)
   }
 
+  test("capped minhash twin: complete under the cap, exact stats, K most-similar") {
+    val full = Dedup.qDedupMinhash(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val capped = Dedup.qDedupMinhashTopk(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("partner"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("rk"),
+        r.getAs[Long]("n_partners"))).toSeq
+    // bite is pinned by the synthetic test below; this checks the
+    // real-pipeline wiring end to end
+    checkCapped(full, capped, bestIsSmallest = false, requireBite = false)
+  }
+
   test("cappedPartners cuts to the K best on a dense synthetic pair set") {
     import spark.implicits._
     // a hub (doc 0) with 8 partners — over the cap — plus a 2-partner
