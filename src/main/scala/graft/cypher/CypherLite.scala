@@ -627,6 +627,11 @@ object CypherLite {
   private val DateFnLit = """(?i)\b(?:datetime|date)\(\s*'([^']*)'\s*\)""".r
   private val DateFnProp = """(?i)\b(?:datetime|date)\(\s*(\w+\.\w+)\s*\)""".r
 
+  /** The schema's date-carrying string properties — the ONLY ones
+    * date()/datetime() may wrap (see unwrapTemporal).
+    */
+  private val DateProps = Set("publishing_date")
+
   private def unwrapTemporal(w: String): String = {
     val w1 = DateFnLit.replaceAllIn(w, mm => {
       val lit = mm.group(1)
@@ -642,10 +647,15 @@ object CypherLite {
       // properties; date(a.title) is a Neo4j type error, and silently
       // compiling it to a lexicographic title compare would return
       // wrong rows — throw instead (the same loud-fail discipline the
-      // literal side applies to time components)
-      require(prop.toLowerCase.contains("date"),
+      // literal side applies to time components). WHITELIST, not a
+      // name heuristic (r9 ADVICE): a substring check would wrongly
+      // accept 'update_notes' and wrongly refuse a date-typed
+      // property not named *date*. publishing_date is the one
+      // date-carrying node property in the schema (graph.py:31-42);
+      // extend this set when the property metadata grows.
+      require(DateProps.contains(prop.split("\\.")(1)),
         s"date()/datetime() on non-temporal property '$prop' — only " +
-          "date-carrying properties (e.g. publishing_date) compile")
+          s"the date-carrying properties ${DateProps.mkString(", ")} compile")
       scala.util.matching.Regex.quoteReplacement(prop)
     })
   }
@@ -1456,15 +1466,15 @@ object CypherLite {
   private[graft] def witnessPathOn(spark: SparkSession, e0: DataFrame,
       srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
     val e = e0.localCheckpoint(false)
-    var dist = spark.range(1)
-      .select(lit(srcUid).as("node"), lit(0L).as("dist"))
-    for (i <- 1 to hi) {
-      val relaxed = dist.join(e, dist("node") === e("src_uid"))
-        .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
-    }
+    // Frontier + anti-join BFS (round 10, per the r9 verdict): the
+    // previous shape re-unioned and re-aggregated the ENTIRE settled
+    // dist table per round (Σ|settled_i|·deg); distBfs expands only
+    // the newly-reached frontier (Σ|frontier_i|·deg) — for unit-cost
+    // BFS a node's first-reach layer IS its min distance, so the
+    // tables are identical by construction.
+    // (distBfs's result is already checkpointed; the cast is lazy)
+    val dist = distBfs(spark, e, srcUid, hi)
+      .select(col("node"), col("dist").cast("long").as("dist"))
     // Canonical predecessor: the minimal-uid neighbor one layer
     // closer. A BFS layer's frontier is exactly the dist=i-1 set, so
     // this post-hoc join equals carrying min-pred through the loop —

@@ -1001,11 +1001,34 @@ object Similarity {
     * full audit.
     */
   def qAnnRecallClustered(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-clustered-$ClusteredN-$ClusteredC").getAbsolutePath
-    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
-      graft.Amplify.writeClustered(spark, out, ClusteredN, ClusteredC)
-    qAnnRecall(spark, out)
+    // Cache key carries EVERY fixture parameter (N, C, Dim — a stale
+    // fixture written under a different Dim would be silently screened
+    // out by vectors(), quietly changing the audit), and the write
+    // goes to a unique temp dir then renames into place so a
+    // concurrent JVM sharing java.io.tmpdir can never read a
+    // half-written fixture behind an earlier writer's _SUCCESS.
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-clustered-$ClusteredN-$ClusteredC-$Dim")
+    def complete(d: java.io.File): Boolean =
+      new java.io.File(d, "embeddings.parquet/_SUCCESS").exists()
+    if (!complete(base)) {
+      val tmp = new java.io.File(base.getParentFile,
+        s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      graft.Amplify.writeClustered(spark, tmp.getAbsolutePath, ClusteredN, ClusteredC)
+      if (!complete(base)) { // a concurrent writer may have finished first
+        deleteRec(base) // stale half-written fixture from a crash, if any
+        if (!tmp.renameTo(base))
+          require(complete(base),
+            s"clustered-recall fixture rename lost the race AND $base is " +
+              "incomplete — remove the directory and rerun")
+      }
+      deleteRec(tmp) // no-op when the rename won
+    }
+    qAnnRecall(spark, base.getAbsolutePath)
   }
 
   /** ANN recall audit — MULTI-PROBE recall@K of every approximate

@@ -819,6 +819,16 @@ class CypherLiteSpec extends AnyFunSuite {
           "WHERE date(a.title) >= date('2024-01-02') " +
           "RETURN a.uid, count(c) AS n ORDER BY a.uid")
     }
+    // the guard is a WHITELIST, not a substring heuristic (r9 ADVICE):
+    // 'update_notes' CONTAINS 'date' but is not a temporal property —
+    // the old name heuristic would have silently compiled it to a
+    // lexicographic string compare
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WHERE date(a.update_notes) >= date('2024-01-02') " +
+          "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    }
   }
 
   // ---------- shortestPath witness (round 9) ----------

@@ -83,7 +83,10 @@ class InvarianceSpec extends AnyFunSuite {
       // "canonical" means nothing; fulltext top-k ties break on
       // (score, name, uid); capped twins rank through the heap
       "q_cypher_path", "q_cypher_asp_paths", "q_cypher_fulltext",
-      "q_cypher_ex31", "q_dedup_simhash_topk", "q_dedup_embedding_topk")
+      "q_cypher_ex31", "q_dedup_simhash_topk", "q_dedup_embedding_topk",
+      // the third capped twin runs the same cappedPartners rank path
+      // whose canonical ordering this sweep exists to pin (r9 ADVICE)
+      "q_dedup_minhash_topk")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
