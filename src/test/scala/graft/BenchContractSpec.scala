@@ -70,6 +70,23 @@ class BenchContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"keys missing from both carriers: $missing")
   }
 
+  test("probe_pr rides the line when provided, inside the budget, zero loss") {
+    // The round-10 drift-normalization field: the solo q_pagerank
+    // deciseconds measured after warm-up. Its width is part of the
+    // fixed epilogue, so carrying it can never silently evict a
+    // query entry past the budget.
+    val named = allNames.map(n => (n, 9.9, None: Option[String]))
+    val line = Bench.metricLine(named, 10000.0, "sf0.1", Some(27L))
+    assert(line.contains(""""probe_pr":27"""),
+      "the canonical host-speed probe must ride the line")
+    assert(line.length <= Bench.LineBudget)
+    assert(!line.contains("\"dropped\":"))
+    val missing = allNames.filterNot(n => carried(line, n, "2r"))
+    assert(missing.isEmpty, s"keys missing from both carriers: $missing")
+    // absent probe (SPARK_GRAFT_ONLY iteration runs) costs zero chars
+    assert(!Bench.metricLine(named, 10000.0, "sf0.1").contains("probe_pr"))
+  }
+
   test("capacity: a 320-key surface is carried whole, even with the failure epilogue") {
     // The round-8 cliff: 228 keys were the dict's EXACT capacity, so
     // key #229 started silently dropping entries. Pin the round-9 fix
