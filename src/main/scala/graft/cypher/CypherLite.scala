@@ -78,6 +78,10 @@ import graft.operators.TextPipeline
   *                   to 6 decimals (summation-order determinism)
   *                 | v{.prop, key: w.prop, ...} [AS alias]  -- map
   *                   projection, emitted as a compact JSON string
+  *                 | 'lit' + v.prop + ... [AS alias]  -- string
+  *                   concatenation (round 10); literals carry \n/\t
+  *                   escapes, props concatenate as strings; groups
+  *                   like a plain prop
   *                 -- aggregates group implicitly by the plain props
   *   orderby    := ORDER BY key [ASC|DESC] (, key [ASC|DESC])*
   *                 where key := v.prop | bare-alias | count(…) |
@@ -399,6 +403,19 @@ object CypherLite {
     */
   case class MapItem(v: String, entries: Seq[(String, (String, String))],
     alias: Option[String] = None) extends RetItem
+  /** String concatenation `'lit' + v.prop + …` (round 10) — the
+    * reference retrieval_query's presentation shape
+    * (vector_index.ipynb retrieval_query cell: `'Title: ' + a.title +
+    * '\nText: ' + chunk.text as text`) and the single most common
+    * LLM-emitted presentation idiom. Parts are single-quoted string
+    * literals (\n/\t/\\/\' escapes unwrapped — Cypher string-literal
+    * semantics) or v.prop references cast to string; at least one
+    * part must be a literal (all-prop `+` would be Cypher arithmetic,
+    * which this engine refuses rather than guesses). Groups like a
+    * plain prop when aggregates sit alongside.
+    */
+  case class ConcatItem(parts: Seq[Either[String, (String, String)]],
+    alias: Option[String] = None) extends RetItem
   /** Bare column reference (an alias introduced by a WITH stage). */
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
   /** `type(r)` — the relationship type of a bound rel variable (reads
@@ -572,21 +589,98 @@ object CypherLite {
       elseRaw.map(strip), numeric, alias)
   }
 
-  /** Split on commas at brace/paren depth 0 (map projections and
-    * count()/collect() carry commas of their own).
+  /** Split on commas at brace/paren depth 0 outside single-quoted
+    * literals (map projections and count()/collect() carry commas of
+    * their own; concat literals may carry commas, braces, parens).
     */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var inQ = false
     s.foreach {
-      case c @ ('{' | '(') => depth += 1; cur.append(c)
-      case c @ ('}' | ')') => depth -= 1; cur.append(c)
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case '\'' => inQ = !inQ; cur.append('\'')
+      case c @ ('{' | '(') if !inQ => depth += 1; cur.append(c)
+      case c @ ('}' | ')') if !inQ => depth -= 1; cur.append(c)
+      case ',' if depth == 0 && !inQ => out += cur.result(); cur.clear()
       case c => cur.append(c)
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split on `+` at depth 0 outside single-quoted literals — the
+    * concat-item part splitter (see [[ConcatItem]]).
+    */
+  private def splitPlus(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur.append('\'')
+      case c @ ('{' | '(') if !inQ => depth += 1; cur.append(c)
+      case c @ ('}' | ')') if !inQ => depth -= 1; cur.append(c)
+      case '+' if depth == 0 && !inQ => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.result().map(_.trim)
+  }
+
+  /** Cypher string-literal escapes: the reference's retrieval_query
+    * carries a literal `\n` (two characters in the query TEXT) that
+    * Neo4j unescapes to a newline in the VALUE. Unknown escapes pass
+    * through verbatim (Cypher leaves them alone too).
+    */
+  private def unescapeCypher(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case _ => sb.append('\\'); i += 1
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val ConcatLitRe = """(?s)^'(.*)'$""".r
+  private val ConcatPropRe = """^(\w+)\.(\w+)$""".r
+
+  /** Parse a RETURN item with ≥2 top-level `+`-joined parts into a
+    * [[ConcatItem]]; None when the item carries no top-level `+`
+    * (so the ordinary item regexes get it). A `+` item whose parts
+    * are not literal/prop shaped THROWS — `+` has no other meaning in
+    * this subset, so falling through would mis-parse it.
+    */
+  private def parseConcat(raw: String): Option[RetItem] = {
+    val parts0 = splitPlus(raw)
+    if (parts0.size < 2) return None
+    def part(s: String): Option[Either[String, (String, String)]] = s match {
+      // the literal body must not itself contain a quote: a stray
+      // match like «'a' AS x + 'b'» must not silently re-literalize
+      case ConcatLitRe(l) if !l.contains("'") => Some(Left(unescapeCypher(l)))
+      case ConcatPropRe(v, p) => Some(Right((v, p)))
+      case _ => None
+    }
+    val aliasRe = """(?is)^(.*\S)\s+AS\s+(\w+)$""".r
+    val (lastRaw, alias) = parts0.last match {
+      case aliasRe(c, a) if part(c.trim).isDefined => (c.trim, Some(a))
+      case other => (other, None)
+    }
+    val parts = (parts0.init :+ lastRaw).map(s => part(s).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported concat part '$s' (expected a string literal or v.prop)")))
+    require(parts.exists(_.isLeft),
+      s"all-property '+' is Cypher arithmetic, which this subset does not " +
+        s"compile — concat needs at least one string literal: $raw")
+    Some(ConcatItem(parts, alias))
   }
 
   def parse(cypher: String): Seq[Query] =
@@ -850,7 +944,11 @@ object CypherLite {
     val retS = section(retSrc, "RETURN", Seq("ORDER", "SKIP", "LIMIT")).getOrElse(
       throw new IllegalArgumentException(s"no RETURN in: $q0"))
     val retDistinct = retS.matches("(?is)\\s*DISTINCT\\b.*")
+    // concat items are tried FIRST (a top-level `+` has no other
+    // meaning in this subset, and the per-part alias regexes below
+    // would otherwise mis-slice `'lit' + v.prop AS x`)
     val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
+      raw0 => parseConcat(raw0).getOrElse(raw0 match {
       case SizeCollectRe(distinct, v, prop, alias) =>
         sizeCollect(distinct, v, prop, alias)
       case CountRe(distinct, v, prop, alias) =>
@@ -879,6 +977,7 @@ object CypherLite {
       case PropRe(v, p, alias) => PropItem(v, p, Option(alias))
       case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
+    })
     }
     // ORDER BY keys: props, bare aliases, or INLINE AGGREGATES
     // (`ORDER BY count(c) DESC`) — the latter resolve against the
@@ -1114,6 +1213,7 @@ object CypherLite {
       case AggFnItem(fn, v, p, a) =>
         a.getOrElse(p.fold(s"${fn}_$v")(pp => s"${fn}_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
+      case ConcatItem(_, a) => a.getOrElse("concat")
       case BareItem(n, a) => a.getOrElse(n)
       case TypeItem(r, a) => a.getOrElse(s"type_$r")
       case LabelsItem(v, a) => a.getOrElse(s"labels_$v")
@@ -1126,6 +1226,13 @@ object CypherLite {
       case MapItem(_, entries, _) =>
         to_json(struct(entries.map { case (k, (w, p)) =>
           col(s"${w}_$p").as(k) }: _*)).as(outName(it))
+      case ConcatItem(parts, _) =>
+        // props cast to string (Cypher's string + int concatenates);
+        // NULL poisons the whole value on both engines
+        concat(parts.map {
+          case Left(l) => lit(l)
+          case Right((w, p)) => col(s"${w}_$p").cast("string")
+        }: _*).as(outName(it))
       case BareItem(n, _) => col(n).as(outName(it))
       case TypeItem(r, _) => col(s"${r}_type").as(outName(it))
       case LabelsItem(v, _) =>
@@ -1264,6 +1371,7 @@ object CypherLite {
       val keys = q.ret.collect {
         case it: PropItem => itemCol(it)
         case it: MapItem => itemCol(it)
+        case it: ConcatItem => itemCol(it)
         case it: BareItem => itemCol(it)
         case it: CoalesceItem => itemCol(it)
         case it: TypeItem => itemCol(it)
@@ -2045,6 +2153,20 @@ object CypherLite {
       "RETURN a.uid, a.publishing_date, count(c) AS n_chunks " +
       "ORDER BY a.uid LIMIT 15"
 
+  /** String-concatenation RETURN items (round 10) — the reference
+    * retrieval_query's presentation shape (vector_index.ipynb:
+    * `'Title: ' + a.title + '\nText: ' + chunk.text as text`) as a
+    * standalone grammar row: literal parts carry Cypher escapes (the
+    * `\n` below is two characters in the query text, a newline in the
+    * value — exactly what Neo4j does), property parts concatenate as
+    * strings.
+    */
+  val Ex32: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.doc_id < 5 " +
+      "RETURN a.uid, c.position, " +
+      "'Title: ' + a.title + '\\nText: ' + c.text AS header " +
+      "ORDER BY a.uid, c.position LIMIT 12"
+
   /** The reference serving loop's literal entity-lookup CALL
     * (graph.py:158-166) with the parameters inlined exactly as
     * get_entity_candidates binds them: index = f"{label}Name"
@@ -2072,6 +2194,7 @@ object CypherLite {
     "q_cypher_fulltext" -> ((s, d) => run(s, d, ExFt)),
     "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
+    "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
@@ -2110,6 +2233,14 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_ex32" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |arts AS (SELECT doc_id, ${Props.TitleSql} AS title
+         |  FROM documents WHERE doc_id < 5)
+         |SELECT 'Article:' || a.doc_id AS a_uid, c.chunk_id AS c_position,
+         |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
+         |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
+         |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
     "q_cypher_ex31" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |arts AS (

@@ -780,6 +780,35 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  // ---------- string-concat RETURN items (round 10) ----------
+
+  test("concat items compile (Ex32) and match the concat-free twin") {
+    val got = CypherLite.run(spark, TestSpark.sf, Ex32).collect()
+    assert(got.nonEmpty, "fixture must produce rows")
+    // the twin fetches the parts separately; the header is rebuilt in
+    // Scala — proving the compiled concat (including the \n escape)
+    // against plain-prop retrieval the suite already trusts
+    val twin = CypherLite.run(spark, TestSpark.sf,
+      "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) WHERE a.doc_id < 5 " +
+        "RETURN a.uid, c.position, a.title, c.text " +
+        "ORDER BY a.uid, c.position LIMIT 12").collect()
+    assert(got.length == twin.length)
+    got.zip(twin).foreach { case (g, t) =>
+      assert(g.getAs[String]("a_uid") == t.getAs[String]("a_uid"))
+      assert(g.getAs[String]("header") ==
+        s"Title: ${t.getAs[String]("a_title")}\nText: ${t.getAs[String]("c_text")}",
+        "compiled concat must equal the hand-built header (with a REAL newline)")
+    }
+  }
+
+  test("all-property '+' (Cypher arithmetic) is refused loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "RETURN a.doc_id + c.position AS x LIMIT 1")
+    }
+  }
+
   test("temporal literals with time components throw instead of diverging") {
     intercept[IllegalArgumentException] {
       CypherLite.run(spark, TestSpark.sf,
