@@ -995,13 +995,87 @@ object CypherLite {
 
   // ---------- compiler ----------
 
+  /** The fixed endpoint labels of the bipartite relationship types —
+    * the label-inference table for UNLABELED variables whose
+    * properties are read (round 10): the reference retrieval_query
+    * writes `(chunk)<-[:CONTAINS]-(a)<-[:PUBLISHED]-(s)` with no
+    * labels and reads a.title / s.name, exactly as Neo4j resolves
+    * props from the store regardless of pattern labels. MENTIONS is
+    * absent deliberately — its destination label is genuinely
+    * ambiguous (Person/Organization/Location) and must be written.
+    */
+  private val EdgeSchema: Map[String, (String, String)] = Map(
+    "CONTAINS" -> ("Article", "Chunk"),
+    "PUBLISHED" -> ("Source", "Article"),
+    "AUTHORED" -> ("Person", "Article"),
+    "HAS_TOPIC" -> ("Article", "Topic"),
+    "CO_OCCURS" -> ("Entity", "Entity"))
+
+  /** Variables referenced with a non-uid property anywhere in the
+    * query — the ones label inference must resolve. A var referenced
+    * ONLY by uid (or not at all) keeps its cheap uid-only edge-column
+    * binding, so no pre-round-10 plan changes shape.
+    */
+  private def propVars(q: Query): Set[String] = {
+    def fromPred(p: Pred): Seq[String] = p match {
+      case InPred(v, pr, _) if pr != "uid" => Seq(v)
+      case EqPred(v, pr, _) if pr != "uid" => Seq(v)
+      case EqColPred(v, pr, _) if pr != "uid" => Seq(v)
+      case NeqPred(v, pr, _) if pr != "uid" => Seq(v)
+      case StrPred(v, pr, _, _) if pr != "uid" => Seq(v)
+      case LowerPred(v, pr, _, _) if pr != "uid" => Seq(v)
+      case RegexPred(v, pr, _) if pr != "uid" => Seq(v)
+      case StrCmpPred(v, pr, _, _) if pr != "uid" => Seq(v)
+      case NumPred(v, pr, _, _) if pr != "uid" => Seq(v)
+      case IsNullPred(v, pr, _) if pr.exists(_ != "uid") => Seq(v)
+      case OrPred(ps) => ps.flatMap(fromPred)
+      case NotPred(p0) => fromPred(p0)
+      case _ => Nil
+    }
+    def fromItem(it: RetItem): Seq[String] = it match {
+      case PropItem(v, p, _) if p != "uid" => Seq(v)
+      case MapItem(_, entries, _) =>
+        entries.collect { case (_, (w, p)) if p != "uid" => w }
+      case ConcatItem(parts, _) =>
+        parts.collect { case Right((w, p)) if p != "uid" => w }
+      case CountItem(v, _, _, Some(p)) if p != "uid" => Seq(v)
+      case CollectItem(v, Some(p), _, _) if p != "uid" => Seq(v)
+      case SumItem(v, Some(p), _) if p != "uid" => Seq(v)
+      case AggFnItem(_, v, Some(p), _) if p != "uid" => Seq(v)
+      case CoalesceItem(v, p, _, _) if p != "uid" => Seq(v)
+      case CaseItem(whens, _, _, _) => whens.flatMap(w => fromPred(w._1))
+      case _ => Nil
+    }
+    val stageItems = q.stages.flatMap {
+      case wc: WithClause => wc.items ++ wc.orderBy.map(_._1)
+      case _ => Nil
+    }
+    val stagePreds = q.stages.flatMap {
+      case wc: WithClause => wc.preds
+      case wm: WithMatch => wm.preds
+      case _ => Nil
+    }
+    ((q.where ++ stagePreds).flatMap(fromPred) ++
+      (q.ret ++ stageItems ++ q.orderBy.map(_._1)).flatMap(fromItem)).toSet
+  }
+
   /** Compile one parsed query to a DataFrame plan. Node columns are
     * prefixed `<var>_`; each hop joins the edge table then the next
     * node table. Comma-patterns extend the same join pipeline through
     * their shared variables (each hop must touch an already-bound
     * variable — no cartesian pattern products).
     */
-  def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
+  def compile(spark: SparkSession, dir: String, q: Query): DataFrame =
+    compile(spark, dir, q, None)
+
+  /** preSeed: an externally-built relation pre-binding ONE variable
+    * (var name, its node label, a DataFrame whose node columns are
+    * `<var>_*` plus any carried bare columns like `score`) — the
+    * CALL-procedure composition hook (runVector composes the vector
+    * top-k seed with the retrieval_query suffix through it).
+    */
+  private def compile(spark: SparkSession, dir: String, q: Query,
+      preSeed: Option[(String, String, DataFrame)]): DataFrame = {
     val stageMatchPaths = q.stages.collect { case wm: WithMatch => wm.paths }.flatten
     // a post-WITH MATCH binds FRESH variables (re-binding a head var
     // after aggregation destroyed its columns would silently resolve
@@ -1011,16 +1085,36 @@ object CypherLite {
     require(clash.isEmpty,
       s"post-WITH MATCH must use fresh variables; reused: ${clash.mkString(", ")}")
     val allNodes = (q.paths ++ q.optPaths ++ stageMatchPaths).flatMap(_.nodes)
+    // Label inference (round 10): a prop-referenced var left unlabeled
+    // in every pattern takes the fixed endpoint label of a single-type
+    // hop it sits on (EdgeSchema). Before this, such vars were
+    // uid-only-bound and their prop reads failed loudly — inference
+    // only makes previously-refused queries run, never changes a
+    // working plan. Explicit labels and the preSeed var's label win.
+    val needProps = propVars(q)
+    val inferred: Map[String, String] =
+      (q.paths ++ q.optPaths ++ stageMatchPaths).flatMap { path =>
+        path.rels.zipWithIndex.flatMap { case (rp, i) =>
+          if (rp.types.size != 1) Nil
+          else EdgeSchema.get(rp.types.head).toSeq.flatMap { case (srcL, dstL) =>
+            val here = path.nodes(i)
+            val next = path.nodes(i + 1)
+            val (srcV, dstV) = if (rp.reversed) (next.v, here.v) else (here.v, next.v)
+            Seq(srcV -> srcL, dstV -> dstL)
+          }
+        }
+      }.filter { case (v, _) => needProps.contains(v) }.toMap
     val labelOf: Map[String, String] =
-      allNodes.flatMap(n => n.label.map(n.v -> _)).toMap
+      inferred ++ preSeed.map(s => s._1 -> s._2).toMap ++
+        allNodes.flatMap(n => n.label.map(n.v -> _)).toMap
     def nodeDf(v: String): DataFrame = {
       val lbl = labelOf.getOrElse(v,
         throw new IllegalArgumentException(s"variable $v is never labeled in MATCH"))
       val d = nodes(spark, dir, lbl)
       d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"${v}_$c"))
     }
-    var df: DataFrame = null
-    var bound = Set.empty[String]
+    var df: DataFrame = preSeed.map(_._3).orNull
+    var bound = preSeed.fold(Set.empty[String])(s => Set(s._1))
     // inline {prop:'v'} filters apply AT BIND TIME, not after all the
     // joins: the predicate reaches the node scan, and every subsequent
     // hop expands only the filtered frontier (load-bearing for the
@@ -1416,6 +1510,61 @@ object CypherLite {
       """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
       """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
       """RETURN\s+(length|wlength)\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  // ---------- CALL db.index.vector.queryNodes (round 10) ----------
+
+  /** The literal vector-retrieval query the reference serves EVERY
+    * question with: langchain's Neo4jVector composes `CALL
+    * db.index.vector.queryNodes($index, $k, $embedding) YIELD node,
+    * score` with the user's retrieval_query suffix
+    * (vector_index.ipynb retrieval_query cell) — the vector twin of
+    * the round-9 fulltext CALL. The $embedding parameter stays a
+    * PARAMETER in the query text (exactly what Neo4j receives — the
+    * binding is driver-side) and resolves to the engine's
+    * deterministic probe (the vec_id-0 embedding, the same probe
+    * every vector operator serves); k inlines as the literal the
+    * driver substitutes (similarity_search(k=5)). The suffix after
+    * `WITH node AS <v>, score` compiles through the ORDINARY
+    * grammar with <v> pre-bound to the scored top-k seed, so any
+    * retrieval_query a user writes composes — not just the
+    * reference's.
+    */
+  private val VecCallRe =
+    ("""(?is)^CALL\s+db\.index\.vector\.queryNodes\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*\$(\w+)\s*\)\s+""" +
+      """YIELD\s+node\s*,\s*score\s+""" +
+      """WITH\s+node\s+AS\s+(\w+)\s*,\s*score\s+(MATCH\s.*)$""").r
+
+  /** Compiles the vector CALL: brute-force cosine top-k against the
+    * probe (Similarity.vectorQueryTopk — broadcast probe + TakeOrdered,
+    * the same plan qCosineTopk serves), the score attached to the
+    * document's representative chunk (the synthetic corpus embeds one
+    * vector per document; the Chunk-label node the reference's
+    * chunkEmbedding index holds), then the retrieval_query suffix
+    * compiled with that k-row seed pre-bound and broadcast into the
+    * expansion joins. Output order is Neo4jVector's score-descending
+    * with remaining columns as the deterministic tiebreak.
+    */
+  private def runVector(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    require(m.group(1).equalsIgnoreCase("chunkEmbedding"),
+      s"unknown vector index '${m.group(1)}' (the reference creates chunkEmbedding)")
+    val k = m.group(2).toInt
+    require(k >= 1 && k <= 1000, s"unsupported vector top-k $k")
+    require(m.group(3) == "embedding",
+      s"unknown vector parameter $$${m.group(3)} — the serving loop binds $$embedding")
+    val v = m.group(4)
+    val chunk = nodes(spark, dir, "Chunk")
+    val seed = broadcast(
+        graft.operators.Similarity.vectorQueryTopk(spark, dir, k)
+          .withColumn("suid", concat(lit("Chunk:"), col("doc_id"), lit(":0"))))
+      .join(chunk, col("suid") === chunk("uid"))
+      .select(chunk.columns.map(c => chunk(c).as(s"${v}_$c")).toSeq :+ col("score"): _*)
+    val out = compile(spark, dir, parseOne(m.group(5).trim), Some((v, "Chunk", seed)))
+    require(out.columns.contains("score"),
+      "the vector CALL's RETURN must carry score through (Neo4jVector reads it)")
+    out.orderBy(col("score").desc +:
+      out.columns.filterNot(_ == "score").map(col).toSeq: _*)
+  }
 
   // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
 
@@ -1815,6 +1964,10 @@ object CypherLite {
   /** Parse + compile (UNION = distinct union of branch plans). */
   def run(spark: SparkSession, dir: String, cypher: String): DataFrame = {
     val trimmed = cypher.trim
+    VecCallRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => return runVector(spark, dir, m)
+      case None => ()
+    }
     FtRe.findFirstMatchIn(trimmed) match {
       case Some(m) => runFulltext(spark, dir, m)
       case None => SpPathRe.findFirstMatchIn(trimmed) match {
@@ -2181,6 +2334,25 @@ object CypherLite {
       "{limit: 10}) YIELD node, score " +
       "RETURN node.uid AS uid, node.name AS name, labels(node)[0] AS label, score"
 
+  /** The reference's literal production retrieval query (round 10):
+    * the CALL langchain's Neo4jVector issues for EVERY vector search,
+    * composed with the user's retrieval_query suffix exactly as
+    * vector_index.ipynb's retrieval_query cell writes it (string
+    * concatenation, the `\n` escape, the unlabeled CONTAINS/PUBLISHED
+    * expansion, the map-projection metadata). k = 5
+    * (similarity_search(k=5)); $embedding stays the parameter name
+    * the driver binds.
+    */
+  val ExVec: String =
+    "CALL db.index.vector.queryNodes('chunkEmbedding', 5, $embedding) " +
+      "YIELD node, score " +
+      "WITH node as chunk, score " +
+      "MATCH (chunk)<-[:CONTAINS]-(a)<-[:PUBLISHED]-(s) " +
+      "WITH chunk, score, a, s " +
+      "RETURN 'Title: ' + a.title + '\\nText: ' + chunk.text as text, score, " +
+      "chunk{.position, .section, .category, date: a.publishing_date, " +
+      "url:a.url, source: s.name} as metadata"
+
   /** The witness form of Ex23 — "SHOW me how X and Y are connected":
     * the actual node sequence of one canonical shortest path (see
     * runWitnessPath for the lexicographic-min determinism rule).
@@ -2195,6 +2367,7 @@ object CypherLite {
     "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
     "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
+    "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
@@ -2233,6 +2406,30 @@ object CypherLite {
   private val P = TextPipeline.PipelineSql
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_vector" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |top AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id,
+         |    round(${graft.operators.Similarity.cosineDuckSql("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY score DESC, vec_id LIMIT 5),
+         |arts AS (SELECT doc_id, ${Props.TitleSql} AS title,
+         |  ${Props.PublishingDateSql} AS publishing_date,
+         |  ${Props.UrlSql} AS url, source FROM documents)
+         |SELECT 'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS text,
+         |  t.score,
+         |  to_json({position: c.chunk_id,
+         |    section: ${Props.SectionSql},
+         |    category: ${Props.CategorySql},
+         |    date: a.publishing_date, url: a.url, source: a.source}) AS metadata
+         |FROM top t
+         |JOIN arts a ON a.doc_id = t.doc_id
+         |JOIN chunks c ON c.doc_id = t.doc_id AND c.chunk_id = 0
+         |ORDER BY t.score DESC, text, metadata""".stripMargin,
     "q_cypher_ex32" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |arts AS (SELECT doc_id, ${Props.TitleSql} AS title

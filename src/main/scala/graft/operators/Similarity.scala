@@ -191,6 +191,24 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(TopK)
 
+  /** Top-k (doc_id, score) by cosine against the deterministic probe —
+    * the serving seed for CypherLite's vector-CALL compilation
+    * (db.index.vector.queryNodes, round 10). The synthetic corpus
+    * embeds one vector per document (embeddings.vec_id =
+    * documents.doc_id, the same mapping qCosineTopkFiltered serves);
+    * the caller attaches the score to the document's representative
+    * chunk. Plan shape = qCosineTopk's broadcast-probe scan +
+    * TakeOrdered.
+    */
+  def vectorQueryTopk(spark: SparkSession, dir: String, k: Int): DataFrame =
+    vectors(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
   val FilterLang = "en"
 
   /** Filtered vector search (vector_index.ipynb passes a metadata

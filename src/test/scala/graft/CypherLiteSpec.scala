@@ -780,6 +780,51 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  // ---------- vector CALL (round 10) ----------
+
+  test("the literal vector-retrieval serving query matches q_expand_retrieval") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExVec).collect()
+    assert(got.length == 5, s"k=5 seed must survive the expansion, got ${got.length}")
+    // same probe, same k, same scoring: the CALL's (doc, score) set
+    // must equal the expand-retrieval top-5 — the suffix only adds
+    // presentation (doc recovered from the metadata url)
+    val docRe = """articles/(\d+)""".r
+    val gotPairs = got.map { r =>
+      val doc = docRe.findFirstMatchIn(r.getAs[String]("metadata")).get.group(1).toLong
+      (doc, r.getAs[Double]("score"))
+    }.toSet
+    val want = graft.operators.Similarity.qExpandRetrieval(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    assert(gotPairs == want, s"vector CALL diverged from expand retrieval:\n$gotPairs\n$want")
+    // presentation: 'Title: ' + title + REAL newline + 'Text: ' + text
+    got.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(t.startsWith("Title: ") && t.contains("\nText: "), s"bad header: $t")
+      val meta = r.getAs[String]("metadata")
+      Seq("position", "section", "category", "date", "url", "source").foreach(k =>
+        assert(meta.contains(s""""$k""""), s"metadata missing $k: $meta"))
+    }
+  }
+
+  test("vector CALL: unknown index / parameter / dropped score fail loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        ExVec.replace("chunkEmbedding", "bogusIndex"))
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        ExVec.replace("$embedding", "$query_vector"))
+    }
+    intercept[IllegalArgumentException] {
+      // a retrieval_query that drops score breaks the Neo4jVector
+      // contract (it reads score) — refuse instead of guessing order
+      CypherLite.run(spark, TestSpark.sf,
+        "CALL db.index.vector.queryNodes('chunkEmbedding', 5, $embedding) " +
+          "YIELD node, score WITH node AS chunk, score " +
+          "MATCH (chunk)<-[:CONTAINS]-(a) RETURN a.uid")
+    }
+  }
+
   // ---------- string-concat RETURN items (round 10) ----------
 
   test("concat items compile (Ex32) and match the concat-free twin") {

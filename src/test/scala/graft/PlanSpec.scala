@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == exact)
   }
 
+  test("vector CALL: TakeOrdered seed, no cartesian in the expansion") {
+    // the probe crossJoin(broadcast(1 row)) is the accepted
+    // BroadcastNestedLoop probe shape (qCosineTopk's); the k-row seed
+    // must rank through TakeOrdered and the CONTAINS/PUBLISHED
+    // expansion must stay equi-join — no CartesianProduct anywhere
+    val p = plan(cypher.CypherLite.run(spark, TestSpark.sf,
+      cypher.CypherLite.ExVec))
+    assert(p.contains("TakeOrderedAndProject"), s"seed not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"vector CALL has a cartesian:\n$p")
+  }
+
   test("RRF legs are TakeOrdered pools; fusion never windows the corpus") {
     val p = plan(operators.Retrieval.qRrf(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered legs:\n$p")
