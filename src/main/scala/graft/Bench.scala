@@ -129,6 +129,8 @@ object Bench {
       "keep_rate" -> "kr", "signal_corr" -> "sg",
       "cypher_wsp" -> "cg", "cypher_asp_paths" -> "aw", "cypher_asp" -> "cj",
       "cypher_fulltext" -> "fx", "cypher_path" -> "pn",
+      // round-10 keys: the vector CALL and the weighted witness path
+      "cypher_vector" -> "vq", "cypher_wpath" -> "wq",
       // AFTER cypher_wsp (rule order: a bare "wsp" rule first would
       // rewrite "cypher_wsp" before its whole-name rule can match)
       "wsp" -> "wp",

@@ -1771,6 +1771,106 @@ object CypherLite {
       .select(col("len").as(m.group(10)), col("path").as(m.group(12)))
   }
 
+  /** `MATCH p = shortestPath(…) RETURN wlength(p) AS c, nodes(p) AS
+    * path, relationships(p) AS rels` — the WEIGHTED witness (round
+    * 10): "how STRONGLY are X and Y connected, step by step". The
+    * wcost is exactly runShortestPath's wlength (same Bellman-Ford
+    * min over the reciprocal-weight cost 1000000 div weight); the
+    * witness is pinned canonical so the oracle replays it: each
+    * node's final predecessor is the min (cost, pred-uid) candidate
+    * across all relaxations — carried IN-LOOP as a struct-min
+    * (unlike the unit-cost witness, a post-hoc "one layer closer"
+    * join does not exist for costs: hop-bounded Bellman-Ford tables
+    * need not satisfy the optimality equation edge-wise).
+    * relationships(p) renders each traversed edge with its weight
+    * riding (`REL{weight:w}->…`), so the spec can prove the weights'
+    * reciprocal costs sum to wcost.
+    */
+  private val WSpPathRe =
+    ("""^MATCH\s+(\w+)\s*=\s*shortestPath\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+wlength\((\w+)\)\s+AS\s+(\w+)\s*,\s*nodes\((\w+)\)\s+AS\s+(\w+)""" +
+      """\s*,\s*relationships\((\w+)\)\s+AS\s+(\w+)$""").r
+
+  /** The weighted-witness core on an explicit (src_uid, dst_uid,
+    * weight) edge table — package-visible for PropertySpec's
+    * generated-graph battery. Output: (wcost: long, path: '->'-joined
+    * uids, rels: '->'-joined `rel{weight:w}` tokens). One row when dst
+    * is reachable within hi relaxation rounds AND the canonical pred
+    * chain closes within hi steps; empty otherwise (Cypher's no-match).
+    *
+    * Scale shape: the relaxation is the SAME one-equi-join-per-round
+    * loop as wlength() with a 3-column struct-min instead of a plain
+    * min (pred + edge weight ride the aggregate — never a path
+    * enumeration); the walk-back is hi 1-row⋈V lookups.
+    */
+  private[graft] def weightedWitnessOn(spark: SparkSession, e0: DataFrame,
+      rel: String, srcUid: String, dstUid: String, hi: Int): DataFrame = {
+    val e = e0.selectExpr("src_uid", "dst_uid", "weight",
+        "1000000 div weight AS cost")
+      .localCheckpoint(false)
+    var dist = spark.range(1)
+      .select(lit(srcUid).as("node"), lit(0L).as("dist"),
+        lit(null).cast("string").as("pred"), lit(null).cast("long").as("pw"))
+    for (i <- 1 to hi) {
+      val relaxed = dist.join(e, dist("node") === e("src_uid"))
+        .select(col("dst_uid").as("node"), (col("dist") + col("cost")).as("dist"),
+          dist("node").as("pred"), col("weight").as("pw"))
+      // canonical rule: min (cost, pred-uid) — pw rides determined by
+      // (pred, node), so the third field never decides; the seed row
+      // (0, null, null) always wins its node on the first field
+      dist = dist.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("pred"), col("pw"))).as("s"))
+        .select(col("node"), col("s.dist").as("dist"),
+          col("s.pred").as("pred"), col("s.pw").as("pw"))
+      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+    }
+    var w = dist.filter(col("node") === dstUid && col("dist") > 0L)
+      .select(col("dist").as("wcost"), col("node").as("cur"),
+        array(col("node")).as("path"),
+        array().cast("array<bigint>").as("wts"))
+    for (s <- 1 to hi) {
+      // fresh column names per step (stale-reference loop hygiene)
+      val lk = dist.select(col("node").as(s"pn$s"), col("pred").as(s"pp$s"),
+        col("pw").as(s"pw$s"))
+      w = w.join(lk, w("cur") === col(s"pn$s"), "left")
+        .select(col("wcost"),
+          coalesce(col(s"pp$s"), col("cur")).as("cur"),
+          when(col(s"pp$s").isNotNull,
+            concat(array(col(s"pp$s")), col("path")))
+            .otherwise(col("path")).as("path"),
+          when(col(s"pp$s").isNotNull,
+            concat(array(col(s"pw$s")), col("wts")))
+            .otherwise(col("wts")).as("wts"))
+    }
+    w.filter(col("cur") === srcUid) // pred chain closed at the seed
+      .select(col("wcost"),
+        concat_ws("->", col("path")).as("path"),
+        concat_ws("->", transform(col("wts"),
+          x => concat(lit(s"$rel{weight:"), x.cast("string"), lit("}"))))
+          .as("rels"))
+  }
+
+  private def runWeightedWitness(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9) && m.group(1) == m.group(11) &&
+      m.group(1) == m.group(13),
+      "wlength()/nodes()/relationships() must reference the path variable")
+    require(rel == "CO_OCCURS", s"wlength needs a weighted relationship, not $rel")
+    require(lo == 1, "wlength supports *1..k bounds only")
+    require(hi >= 1 && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    weightedWitnessOn(spark,
+      edgesWithProps(spark, dir, rel, None).select("src_uid", "dst_uid", "weight"),
+      rel, s"$srcLabel:$srcName", s"$dstLabel:$dstName", hi)
+      .select(col("wcost").as(m.group(10)), col("path").as(m.group(12)),
+        col("rels").as(m.group(14)))
+  }
+
   /** `MATCH p = allShortestPaths((a:L {name:'x'})-[:REL*lo..hi]-(b:L
     * {name:'y'})) RETURN length(p) AS l, count(p) AS n` — how many
     * distinct shortest paths join the anchors (Neo4j's
@@ -1966,6 +2066,10 @@ object CypherLite {
     val trimmed = cypher.trim
     VecCallRe.findFirstMatchIn(trimmed) match {
       case Some(m) => return runVector(spark, dir, m)
+      case None => ()
+    }
+    WSpPathRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => return runWeightedWitness(spark, dir, m)
       case None => ()
     }
     FtRe.findFirstMatchIn(trimmed) match {
@@ -2208,6 +2312,18 @@ object CypherLite {
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
       "RETURN length(p) AS len, count(p) AS n_paths, nodes(p) AS path"
 
+  /** The weighted witness composition of ExWsp (round 10) — "how
+    * STRONGLY are X and Y connected, STEP BY STEP": wlength's minimum
+    * reciprocal-weight cost, the node sequence of the canonical
+    * min-cost path, and the edge sequence with each co-occurrence
+    * weight riding (relationships(p) — the form that finally reads
+    * r.weight through a path function).
+    */
+  val ExWspPath: String =
+    "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..6]-(b:Entity {name:'column column'})) " +
+      "RETURN wlength(p) AS wcost, nodes(p) AS path, relationships(p) AS rels"
+
   /** Relationship variable + property — the co-occurrence weight made
     * readable through the compiled path (`-[r:CO_OCCURS]->` …
     * `r.weight`): "how STRONGLY is X connected", the graph-RAG
@@ -2368,6 +2484,7 @@ object CypherLite {
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
     "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
+    "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
     "q_cypher_ex29" -> ((s, d) => run(s, d, Ex29)),
@@ -2591,6 +2708,57 @@ object CypherLite {
          |    list_filter([$rev, n0], x -> x IS NOT NULL),
          |    x -> 'Entity:' || x), '->') AS path
          |FROM s$hops""".stripMargin
+    },
+    "q_cypher_wpath" -> {
+      // the wsp oracle's Bellman-Ford rounds with the canonical
+      // (cost, pred) struct-min carried per round (row_number over
+      // dist, pred, pw — NULLS FIRST matching Spark's null-first
+      // struct ordering; only the seed row carries nulls and its
+      // dist 0 decides alone), then the walk-back unrolled as
+      // correlated pred/pw lookups exactly like the q_cypher_path
+      // oracle
+      val rounds = 6
+      val iters = (1 to rounds).map { i =>
+        val prev = s"w${i - 1}"
+        s"""w$i AS MATERIALIZED (
+           |  SELECT node, dist, pred, pw FROM (
+           |    SELECT node, dist, pred, pw, row_number() OVER (
+           |      PARTITION BY node
+           |      ORDER BY dist, pred NULLS FIRST, pw NULLS FIRST) AS rn
+           |    FROM (
+           |      SELECT node, dist, pred, pw FROM $prev
+           |      UNION ALL
+           |      SELECT e.dst AS node, p.dist + e.cost AS dist,
+           |        p.node AS pred, e.weight AS pw
+           |      FROM $prev p JOIN ec e ON p.node = e.src))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val walk = (1 to rounds).map { s =>
+        val prevCol = if (s == 1) "n0" else s"p${s - 1}"
+        s"""s$s AS (SELECT s${s - 1}.*,
+           |  (SELECT pred FROM w$rounds d WHERE d.node = s${s - 1}.$prevCol) AS p$s,
+           |  (SELECT pw FROM w$rounds d WHERE d.node = s${s - 1}.$prevCol) AS g$s
+           |  FROM s${s - 1})""".stripMargin
+      }.mkString(",\n")
+      val revN = (rounds to 1 by -1).map(s => s"p$s").mkString(", ")
+      val revG = (rounds to 1 by -1).map(s => s"g$s").mkString(", ")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |ec AS MATERIALIZED (
+         |  SELECT src, dst, weight, 1000000 // weight AS cost FROM edges),
+         |w0 AS (SELECT 'spark group' AS node, CAST(0 AS BIGINT) AS dist,
+         |  CAST(NULL AS VARCHAR) AS pred, CAST(NULL AS BIGINT) AS pw),
+         |$iters,
+         |s0 AS (SELECT CAST(dist AS BIGINT) AS wcost, node AS n0 FROM w$rounds
+         |  WHERE node = 'column column' AND dist > 0),
+         |$walk
+         |SELECT wcost,
+         |  array_to_string(list_transform(
+         |    list_filter([$revN, n0], x -> x IS NOT NULL),
+         |    x -> 'Entity:' || x), '->') AS path,
+         |  array_to_string(list_transform(
+         |    list_filter([$revG], x -> x IS NOT NULL),
+         |    x -> 'CO_OCCURS{weight:' || x || '}'), '->') AS rels
+         |FROM s$rounds""".stripMargin
     },
     "q_cypher_wsp" -> {
       // qWsp's Bellman-Ford CTEs, selected down to the anchored target

@@ -780,6 +780,38 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  // ---------- weighted witness (round 10) ----------
+
+  test("weighted witness: real edges, weights sum to wcost, wcost equals wlength") {
+    val got = CypherLite.run(spark, TestSpark.sf, ExWspPath).collect()
+    assert(got.length == 1, s"expected one weighted witness row, got ${got.toSeq}")
+    val wcost = got(0).getAs[Long]("wcost")
+    val path = got(0).getAs[String]("path").split("->").toSeq
+    val rels = got(0).getAs[String]("rels")
+    assert(path.head == "Entity:spark group" && path.last == "Entity:column column",
+      s"wrong endpoints: $path")
+    val wRe = """CO_OCCURS\{weight:(\d+)\}""".r
+    val weights = wRe.findAllMatchIn(rels).map(_.group(1).toLong).toSeq
+    assert(weights.length == path.length - 1,
+      s"${weights.length} rels for ${path.length} nodes")
+    // the weights' reciprocal costs sum to exactly the wlength cost
+    assert(weights.map(1000000L / _).sum == wcost,
+      s"edge costs ${weights.map(1000000L / _)} do not sum to $wcost")
+    // wcost equals the scalar wlength compile (same anchors, same hi)
+    val scalar = CypherLite.run(spark, TestSpark.sf, ExWsp).collect()
+    assert(scalar.length == 1 && scalar(0).getAs[Long]("wcost") == wcost,
+      "weighted witness cost diverged from the scalar wlength form")
+    // every traversed edge exists in the property edge table WITH the
+    // reported weight
+    val ew = CypherLite.edgesWithProps(spark, TestSpark.sf, "CO_OCCURS", None)
+      .collect().map(r => (r.getAs[String]("src_uid"), r.getAs[String]("dst_uid")) ->
+        r.getAs[Long]("weight")).toMap
+    path.sliding(2).zip(weights.iterator).foreach { case (Seq(u, v), w) =>
+      assert(ew.get((u, v)).contains(w) || ew.get((v, u)).contains(w),
+        s"witness edge $u->$v with weight $w not in the edge table")
+    }
+  }
+
   // ---------- vector CALL (round 10) ----------
 
   test("the literal vector-retrieval serving query matches q_expand_retrieval") {

@@ -87,9 +87,10 @@ class InvarianceSpec extends AnyFunSuite {
       // the third capped twin runs the same cappedPartners rank path
       // whose canonical ordering this sweep exists to pin (r9 ADVICE)
       "q_dedup_minhash_topk",
-      // round-10 additions: the vector CALL's score-desc/text tiebreak
-      // and the concat item's value must not depend on partitioning
-      "q_cypher_vector", "q_cypher_ex32")
+      // round-10 additions: the vector CALL's score-desc/text tiebreak,
+      // the concat item's value, and the weighted witness's canonical
+      // (cost, pred) chain must not depend on partitioning
+      "q_cypher_vector", "q_cypher_ex32", "q_cypher_wpath")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)

@@ -426,4 +426,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("weighted witness replays the canonical Bellman-Ford on random weighted graphs") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val (sym0, n) = randomGraph(3000L + trial)
+      val names = Seq("a", "a b", "a-", "b", "b c", "c", "cd", "d", "e f", "f").take(n)
+      val (src, dst) = (names.head, names.last)
+      val rnd = new scala.util.Random(7000L + trial)
+      // symmetric weights, like CO_OCCURS (weight(u,v) = weight(v,u))
+      val wOf = sym0.filter(p => p._1 < p._2)
+        .map { case (u, v) => (u, v) -> (1L + rnd.nextInt(5)) }.toMap
+      val sym = sym0.map { case (u, v) =>
+        (u, v, wOf.getOrElse((u, v), wOf.getOrElse((v, u), 1L)))
+      }
+      val e = sym.toDF("src_uid", "dst_uid", "weight")
+      // reference loop in pure Scala: per round, min (dist, pred, pw)
+      // per node — the engine's exact in-loop struct-min rule
+      var table = Map[String, (Long, Option[String], Option[Long])](
+        src -> ((0L, None, None)))
+      for (_ <- 1 to 6) {
+        val relaxed = table.toSeq.flatMap { case (u, (d, _, _)) =>
+          sym.collect { case (`u`, v, w) =>
+            v -> ((d + 1000000L / w, Option(u), Option(w))) }
+        }
+        table = (table.toSeq ++ relaxed).groupBy(_._1).map { case (k, vs) =>
+          k -> vs.map(_._2).minBy { case (d, p, w) =>
+            (d, p.getOrElse(""), w.getOrElse(0L)) }
+        }
+      }
+      val got = graft.cypher.CypherLite
+        .weightedWitnessOn(spark, e, "CO_OCCURS", src, dst, 6).collect()
+      if (!table.contains(dst) || dst == src) {
+        assert(got.isEmpty, s"trial $trial: unreachable/self must be empty")
+      } else {
+        val wc = table(dst)._1
+        var cur = dst; var path = List(dst)
+        var wts = List.empty[Long]; var steps = 0
+        while (cur != src && steps < 6) {
+          table(cur)._2 match {
+            case Some(p) =>
+              wts = table(cur)._3.get :: wts; path = p :: path; cur = p; steps += 1
+            case None => steps = 6
+          }
+        }
+        if (cur != src) {
+          // pred chain did not close within hi — the engine emits
+          // nothing rather than a partial walk
+          assert(got.isEmpty, s"trial $trial: unclosed chain must be empty")
+        } else {
+          assert(got.length == 1, s"trial $trial: one witness expected, got ${got.toSeq}")
+          assert(got(0).getAs[Long]("wcost") == wc,
+            s"trial $trial: wcost ${got(0).getAs[Long]("wcost")} != $wc")
+          assert(got(0).getAs[String]("path").split("->").toSeq == path,
+            s"trial $trial: canonical weighted walk diverged")
+          val wRe = """\{weight:(\d+)\}""".r
+          assert(wRe.findAllMatchIn(got(0).getAs[String]("rels"))
+            .map(_.group(1).toLong).toSeq == wts,
+            s"trial $trial: rels weights diverged")
+        }
+      }
+    }
+  }
 }
