@@ -43,6 +43,11 @@ import graft.operators.TextPipeline
   *                 | EXISTS { (v)-[:REL]->(:Label [{prop:'x'}]) }
   *                   -- semi-join (fn or Neo4j-5 brace form);
   *                   top-level AND conjunct only
+  *                 | [NOT] EXISTS { MATCH pattern (, pattern)*
+  *                   [WHERE term (AND term)*] }  -- FULL existential
+  *                   subquery (round 10): body compiles as its own
+  *                   pipeline, correlated by shared variable names,
+  *                   semi/anti-joined; top-level AND conjunct only
   *                 | NOT pred  -- plain boolean negation (numeric <>
   *                   also accepted directly: v.prop <> n)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
@@ -361,6 +366,16 @@ object CypherLite {
     */
   case class NotPatPred(v: String, rel: String, dstLabel: String,
     dstProp: Option[(String, String)]) extends Pred
+  /** `[NOT] EXISTS { MATCH <patterns> [WHERE <preds>] }` — the FULL
+    * Neo4j-5 existential subquery (round 10; the braces previously
+    * accepted only bare-pattern bodies). The body compiles as its own
+    * join pipeline and the outer rows LEFT SEMI (or ANTI) join it on
+    * the variables the body shares with the outer MATCH — Cypher's
+    * correlation-by-name scoping. Top-level AND conjunct of the head
+    * WHERE only; body variables must be named (the MATCH grammar).
+    */
+  case class ExistsSubPred(paths: Seq[PathPat], preds: Seq[Pred],
+    negated: Boolean) extends Pred
   /** `v [IS NOT NULL | IS NULL]` / `v.prop IS [NOT] NULL` — the
     * OPTIONAL-MATCH anti-join idiom (`OPTIONAL MATCH …(p) WHERE p IS
     * NULL`). A bare variable checks its uid column. Like every WHERE
@@ -818,15 +833,86 @@ object CypherLite {
     }
   }
 
+  /** Extract every `[NOT] EXISTS { MATCH … [WHERE …] }` FULL
+    * existential subquery from a WHERE string (round 10), replacing
+    * each with a `__EXSUB<i>__` token so the AND/OR conjunct splitters
+    * cannot slice inside the braces (the body's own WHERE may carry
+    * AND/OR). Brace matching is a linear depth scan — bodies contain
+    * `{prop: 'x'}` inline-map braces. Brace bodies WITHOUT a leading
+    * MATCH keyword are left in place for the bare-pattern single-hop
+    * regexes in parseSimplePred (round 9's form — unchanged). A
+    * RETURN or WITH inside the body throws: Neo4j discards an
+    * existential projection anyway, and a braced pipeline would have
+    * already collided with the outer stage slicer — loud beats
+    * mangled. Body WHEREs recurse through parsePreds, so nested
+    * EXISTS subqueries compile too.
+    */
+  private val ExSubOpenRe = """(?is)\b(NOT\s+)?EXISTS\s*\{""".r
+
+  private def extractExistsSubs(ws: String): (String, Map[String, Pred]) = {
+    val out = new StringBuilder
+    val subs = Map.newBuilder[String, Pred]
+    var rest = ws
+    var n = 0
+    var m = ExSubOpenRe.findFirstMatchIn(rest)
+    while (m.isDefined) {
+      val mm = m.get
+      var depth = 1
+      var j = mm.end
+      while (depth > 0 && j < rest.length) {
+        rest.charAt(j) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ => ()
+        }
+        j += 1
+      }
+      require(depth == 0, s"unbalanced EXISTS braces in: $ws")
+      val body = rest.substring(mm.end, j - 1).trim
+      if (body.matches("(?is)^MATCH\\b.*")) {
+        require(!body.matches("(?is).*\\bRETURN\\b.*"),
+          s"RETURN inside EXISTS {} is not compiled (Neo4j discards the projection; drop it): $body")
+        require(!body.matches("(?is).*(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b.*"),
+          s"WITH pipelines inside EXISTS {} are not compiled: $body")
+        val afterMatch = body.replaceFirst("(?is)^MATCH\\b", "").trim
+        val (patPart, predPart) =
+          "(?i)\\bWHERE\\b".r.findFirstMatchIn(afterMatch) match {
+            case Some(w) =>
+              (afterMatch.substring(0, w.start), Some(afterMatch.substring(w.end)))
+            case None => (afterMatch, None)
+          }
+        val paths = patPart.split(",\\s*(?=\\()").map(_.trim)
+          .filter(_.nonEmpty).map(parsePath).toSeq
+        require(paths.nonEmpty, s"EXISTS {{ MATCH }} body has no pattern: $body")
+        val tok = s"__EXSUB${n}__"
+        subs += tok -> ExistsSubPred(paths,
+          predPart.toSeq.flatMap(parsePreds), mm.group(1) != null)
+        out.append(rest.substring(0, mm.start)).append(tok)
+        n += 1
+      } else {
+        out.append(rest.substring(0, j))
+      }
+      rest = rest.substring(j)
+      m = ExSubOpenRe.findFirstMatchIn(rest)
+    }
+    out.append(rest)
+    (out.toString, subs.result())
+  }
+
   /** AND-conjunction of terms; a term may be an OR-disjunction of
     * simple predicates (Cypher precedence: AND binds tighter). IN
-    * lists never contain AND/OR so the flat splits are safe.
+    * lists never contain AND/OR so the flat splits are safe. FULL
+    * EXISTS subqueries are tokenized out first (their body WHERE may
+    * carry AND/OR) and resolved at the disjunct level.
     */
-  private def parsePreds(ws: String): Seq[Pred] =
+  private def parsePreds(ws0: String): Seq[Pred] = {
+    val (ws, subs) = extractExistsSubs(ws0)
     ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
-      val disjuncts = w.split("(?i)\\s+OR\\s+").map(parseSimplePred).toSeq
+      val disjuncts = w.split("(?i)\\s+OR\\s+").map(_.trim)
+        .map(d => subs.getOrElse(d, parseSimplePred(d))).toSeq
       if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
     }.toSeq
+  }
 
   private def parseOne(q0raw: String): Query = {
     // Leading UNWIND ['a','b'] AS x — the literal-list parameter shape
@@ -1250,6 +1336,8 @@ object CypherLite {
         "NOT (pattern) is only supported as a top-level AND conjunct")
       case _: ExistsPatPred => throw new IllegalArgumentException(
         "(pattern) predicates are only supported as top-level AND conjuncts")
+      case _: ExistsSubPred => throw new IllegalArgumentException(
+        "EXISTS { MATCH … } subqueries are only supported as top-level AND conjuncts")
     }
     // UNWIND: the literal list becomes a tiny broadcast relation; the
     // WHERE predicates referencing its alias are the join condition
@@ -1292,6 +1380,31 @@ object CypherLite {
         }
         df = df.join(hop.select(col("src_uid").as(s"${v}_uid")).distinct(),
           Seq(s"${v}_uid"), "left_semi")
+      // FULL existential subquery (round 10): the body compiles as
+      // its own join pipeline — the SAME compile, recursively —
+      // projected to the uid columns of the variables it shares with
+      // the outer MATCH (Cypher correlation-by-name), and the outer
+      // rows LEFT SEMI (EXISTS) or LEFT ANTI (NOT EXISTS) join it.
+      // Semi/anti never fan out, so outer multiplicity matches Neo4j
+      // exactly regardless of how many body matches exist; the body
+      // frame is edge-sized (its own hops filter it), never
+      // outer-row-sized. Shared vars the body leaves unlabeled
+      // inherit the OUTER label — same variable, same node.
+      case ExistsSubPred(paths0, preds, negated) =>
+        val paths = paths0.map(p => p.copy(nodes = p.nodes.map(nd =>
+          if (nd.label.isEmpty && labelOf.contains(nd.v))
+            nd.copy(label = Some(labelOf(nd.v)))
+          else nd)))
+        val shared = paths.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
+        require(shared.nonEmpty,
+          "EXISTS { MATCH … } shares no variable with the outer MATCH " +
+            "(an uncorrelated existential gate would be a cartesian product)")
+        val subQ = Query(paths = paths, optPaths = Seq.empty, where = preds,
+          stages = Seq.empty, retDistinct = false,
+          ret = shared.map(v => PropItem(v, "uid", Some(s"${v}_uid"))),
+          orderBy = Seq.empty, limit = None)
+        df = df.join(compile(spark, dir, subQ),
+          shared.map(v => s"${v}_uid"), if (negated) "left_anti" else "left_semi")
       case p => df = df.filter(predCol(p))
     }
     def outName(it: RetItem): String = it match {
@@ -2436,6 +2549,22 @@ object CypherLite {
       "'Title: ' + a.title + '\\nText: ' + c.text AS header " +
       "ORDER BY a.uid, c.position LIMIT 12"
 
+  /** FULL existential subqueries (round 10) — `[NOT] EXISTS { MATCH …
+    * [WHERE …] }` with a real body (Neo4j-5 syntax; round 9's braces
+    * accepted only bare single-hop patterns): articles' chunks that
+    * mention a 'group'-named organization but no person at all. The
+    * positive body carries a WHERE no inline `{prop: 'x'}` equality
+    * can express (CONTAINS); the negative body is a plain hop. Both
+    * compile to semi/anti joins — never fan-out joins, so the outer
+    * row count is unchanged by body multiplicity, exactly Neo4j's
+    * existential semantics.
+    */
+  val Ex33: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(o:Organization) WHERE o.name CONTAINS 'group' } " +
+      "AND NOT EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
+      "RETURN a.uid, count(c) AS n_chunks ORDER BY a.uid LIMIT 15"
+
   /** The reference serving loop's literal entity-lookup CALL
     * (graph.py:158-166) with the parameters inlined exactly as
     * get_entity_candidates binds them: index = f"{label}Name"
@@ -2483,6 +2612,7 @@ object CypherLite {
     "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
     "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
+    "q_cypher_ex33" -> ((s, d) => run(s, d, Ex33)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2555,6 +2685,20 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex33" ->
+      s"""WITH $M,
+         |org_c AS (
+         |  SELECT DISTINCT doc_id, chunk_id FROM mentions
+         |  WHERE label = 'organization' AND name LIKE '%group%'),
+         |per_c AS (
+         |  SELECT DISTINCT doc_id, chunk_id FROM mentions
+         |  WHERE label = 'person')
+         |SELECT 'Article:' || o.doc_id AS a_uid, count(*) AS n_chunks
+         |FROM org_c o
+         |WHERE NOT EXISTS (SELECT 1 FROM per_c p
+         |  WHERE p.doc_id = o.doc_id AND p.chunk_id = o.chunk_id)
+         |GROUP BY o.doc_id
+         |ORDER BY a_uid LIMIT 15""".stripMargin,
     "q_cypher_ex31" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |arts AS (

@@ -916,6 +916,96 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(nfn.nonEmpty && nfn == nbr, "braced NOT EXISTS diverged")
   }
 
+  test("EXISTS { MATCH … } full subquery: parity with the bare-brace form") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // a full body carrying only the label filter must equal the
+    // round-9 bare-pattern brace form — same semi/anti semantics
+    val full = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val bare = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { (c)-[:MENTIONS]->(:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    assert(full.nonEmpty && full == bare,
+      "full-body EXISTS diverged from the bare-pattern brace form")
+    val nfull = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE NOT EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val nbare = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE NOT EXISTS { (c)-[:MENTIONS]->(:Person) } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    assert(nfull.nonEmpty && nfull == nbare,
+      "full-body NOT EXISTS diverged from the bare-pattern brace form")
+  }
+
+  test("EXISTS { MATCH … WHERE … } body predicate: no fan-out, semi-join semantics") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // the existential form must count each chunk ONCE however many
+    // 'group' orgs it mentions — i.e. equal the count(DISTINCT c) of
+    // the fan-out MATCH twin (Neo4j's existential semantics)
+    val ex = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val twin = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk)" +
+      "-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' " +
+      "RETURN a.uid, count(DISTINCT c) AS n ORDER BY a.uid")
+    assert(ex.nonEmpty && ex == twin,
+      s"existential body-WHERE diverged from the DISTINCT fan-out twin: $ex vs $twin")
+  }
+
+  test("nested EXISTS subqueries compile recursively with inherited labels") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // chunks mentioning an org that NO position>=3 chunk mentions —
+    // the inner body leaves o unlabeled (inherits Organization) and
+    // correlates through the middle pipeline, two levels deep
+    val got = rows("MATCH (c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(o:Organization) " +
+      "WHERE NOT EXISTS { MATCH (d:Chunk)-[:MENTIONS]->(o) " +
+      "WHERE d.position >= 3 } } " +
+      "RETURN c.uid ORDER BY c.uid").map(_.head.toString)
+    // expected, assembled from primitive queries + set algebra
+    val pairs = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "RETURN DISTINCT c.uid, o.name ORDER BY c.uid, o.name")
+      .map(r => (r(0).toString, r(1).toString))
+    val banned = rows("MATCH (d:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE d.position >= 3 RETURN DISTINCT o.name ORDER BY o.name")
+      .map(_.head.toString).toSet
+    val want = pairs.filterNot(p => banned.contains(p._2))
+      .map(_._1).distinct.sorted
+    assert(banned.nonEmpty, "vacuous fixture: no banned orgs")
+    assert(got == want, s"nested EXISTS diverged: got $got want $want")
+    assert(got.size < pairs.map(_._1).distinct.size,
+      "vacuous fixture: inner NOT EXISTS filtered nothing")
+  }
+
+  test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
+    val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
+    assert(ex33.collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article) WHERE EXISTS { MATCH (a)-[:CONTAINS]->(c:Chunk) " +
+          "RETURN c } RETURN a.uid ORDER BY a.uid")
+    }
+    intercept[IllegalArgumentException] {
+      // uncorrelated body: no shared variable with the outer MATCH
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article) WHERE EXISTS { MATCH (x:Chunk)-[:MENTIONS]->(y:Person) } " +
+          "RETURN a.uid ORDER BY a.uid").collect()
+    }
+    intercept[IllegalArgumentException] {
+      // OR-level existential — only top-level AND conjuncts compile
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WHERE a.doc_id < 2 OR EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
+          "RETURN a.uid ORDER BY a.uid").collect()
+    }
+  }
+
   test("date() on a non-temporal property throws instead of compiling nonsense") {
     // Neo4j raises a type error for date(a.title); silently unwrapping
     // to a lexicographic title compare would return wrong rows

@@ -90,7 +90,10 @@ class InvarianceSpec extends AnyFunSuite {
       // round-10 additions: the vector CALL's score-desc/text tiebreak,
       // the concat item's value, and the weighted witness's canonical
       // (cost, pred) chain must not depend on partitioning
-      "q_cypher_vector", "q_cypher_ex32", "q_cypher_wpath")
+      "q_cypher_vector", "q_cypher_ex32", "q_cypher_wpath",
+      // full existential subqueries: semi/anti joins must be
+      // partition-count-independent like every other plan here
+      "q_cypher_ex33")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
