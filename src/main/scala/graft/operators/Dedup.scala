@@ -260,7 +260,8 @@ object Dedup {
   /** The LSH-banded, Jaccard-verified pair stream behind
     * q_dedup_minhash and its capped twin — one pipeline definition.
     */
-  private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashPairsDf(spark: SparkSession, dir: String,
+      guard: Boolean = false): DataFrame = {
     val r = MinhashK / LshBands
     // one split/shingle pass, read by BOTH the signature fold and the
     // verification join (was two full corpus scans)
@@ -271,6 +272,11 @@ object Dedup {
           array_join(slice(col("sig"), band * r + 1, lit(r)), "|"),
           lit("#"), band.cast("string")))))
       .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
+      // barrier: the sig fold runs ONCE for the guard + both join
+      // sides (narrow rows: doc_id + 16-byte band key)
+      .localCheckpoint(false)
+    if (guard)
+      pairLoadGuard(bands, Seq("bkey"), "q_dedup_minhash", "q_dedup_minhash_topk")
     val cand = bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
       .join(bands.select(col("doc_id").as("doc_id_b"), col("bkey")), Seq("bkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -287,7 +293,7 @@ object Dedup {
   }
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsDf(spark, dir).orderBy("doc_id_a", "doc_id_b")
+    minhashPairsDf(spark, dir, guard = true).orderBy("doc_id_a", "doc_id_b")
 
   /** Capped twin for the MinHash family — the third pair emitter
     * under the bounded-output discipline (see PairTopK).
@@ -378,6 +384,17 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
+  /** The pigeonhole (doc_id, sig, seg_idx, seg_val) bucket relation
+    * behind simhashPairs — factored so the pair-load guard can
+    * profile the SAME keys the join buckets on.
+    */
+  private[graft] def segKeys(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val segVals = array(pigeonholeSegments(bits, maxHamming).map { case (off, w) =>
+      shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1)) }: _*)
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(segVals).as(Seq("seg_idx", "seg_val")))
+  }
+
   /** Banded near-dup pairs over integer `sig`natures: explode the
     * pigeonhole segments, equi-join on the segment key, verify true
     * hamming. Provably the SAME pairs as the all-pairs filter
@@ -385,10 +402,7 @@ object Dedup {
     * (PlanSpec asserts that).
     */
   private[graft] def simhashPairs(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
-    val segVals = array(pigeonholeSegments(bits, maxHamming).map { case (off, w) =>
-      shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1)) }: _*)
-    val seg = sigs.select(col("doc_id"), col("sig"),
-      posexplode(segVals).as(Seq("seg_idx", "seg_val")))
+    val seg = segKeys(sigs, bits, maxHamming)
     seg.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"),
         col("seg_idx"), col("seg_val"))
       .join(seg.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"),
@@ -400,11 +414,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Runtime budget for the UNCAPPED pair emitters' predicted
+    * candidate-pair load (round 10, the 100 TB operational guard).
+    * Default 1e9: far above every bench scale factor (sf0.1 measures
+    * in the low millions), far below the quadratic mass a hot-bucket
+    * 100 TB corpus would feed a verification join — the operator
+    * family that can quietly cost 10,000× now refuses loudly instead.
+    */
+  val MaxPairsConf = "spark.graft.dedup.maxCandidatePairs"
+  val MaxPairsDefault = 1000000000L
+
+  /** Exact candidate-pair load a bucket self-join will generate:
+    * Σ_buckets c·(c−1)/2 — one map-side-combined aggregate over the
+    * SAME narrow bucket relation the join scans (the emitters
+    * checkpoint it, so nothing heavy recomputes).
+    */
+  private[graft] def predictedPairs(buckets: DataFrame, keyCols: Seq[String]): Long = {
+    val r = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("p"))
+      .first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Loud refusal when an uncapped pair emitter's predicted candidate
+    * load exceeds the budget — verification compute is Ω(candidates)
+    * by definition, so past the budget the right answers are the
+    * capped twin (bounded output) or tighter blocking, not a silently
+    * 10,000× job. The capped twins do NOT guard: they are the escape
+    * hatch the refusal points to.
+    */
+  private[graft] def pairLoadGuard(buckets: DataFrame, keyCols: Seq[String],
+      op: String, cappedTwin: String): Unit = {
+    val budget = buckets.sparkSession.conf
+      .get(MaxPairsConf, MaxPairsDefault.toString).toLong
+    val predicted = predictedPairs(buckets, keyCols)
+    if (predicted > budget) throw new IllegalStateException(
+      s"$op refused: predicted candidate-pair load $predicted exceeds the " +
+        s"$MaxPairsConf budget $budget. Use $cappedTwin (bounded output), " +
+        "tighten the blocking, or raise the budget after profiling with " +
+        "q_lsh_bucket_stats / q_skew_report.")
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", expr(SimhashSigSql))
       .select("doc_id", "sig")
       .localCheckpoint(false)   // barrier: the sig fold runs once (see minhashSigs)
+    pairLoadGuard(segKeys(sigs, SimhashBits, HammingMax), Seq("seg_idx", "seg_val"),
+      "q_dedup_simhash", "q_dedup_simhash_topk")
     simhashPairs(sigs, SimhashBits, HammingMax)
       .orderBy("doc_id_a", "doc_id_b")
   }
@@ -458,7 +516,8 @@ object Dedup {
     * q_dedup_embedding and its capped twin — factored so both consume
     * ONE pipeline definition.
     */
-  private def embPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def embPairs(spark: SparkSession, dir: String,
+      guard: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -468,6 +527,9 @@ object Dedup {
       Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
     val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
       .localCheckpoint(false)   // 32 plane projections once per vector
+    if (guard)
+      pairLoadGuard(buckets, Seq("t", "bucket"),
+        "q_dedup_embedding", "q_dedup_embedding_topk")
     val cand = buckets.select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_id_b"), col("t"), col("bucket")),
         Seq("t", "bucket"))
@@ -484,7 +546,7 @@ object Dedup {
   }
 
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embPairs(spark, dir).orderBy("vec_id_a", "vec_id_b")
+    embPairs(spark, dir, guard = true).orderBy("vec_id_a", "vec_id_b")
 
   /** Per-doc partner cap for the bounded pair-stream twins (round 9):
     * at 100 TB an unbounded τ-similar pair stream is its own scale

@@ -345,4 +345,60 @@ class DedupSpec extends AnyFunSuite {
     assert(hub.map(_._2).toSeq == (1L to 5L))
     assert(hub.forall(_._5 == 8L))
   }
+
+  test("predictedPairs is exactly the bucket-join candidate mass") {
+    import spark.implicits._
+    // bucket sizes 4, 3, 1 → 6 + 3 + 0 = 9 candidate pairs
+    val buckets = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("doc_id", "k")
+    assert(Dedup.predictedPairs(buckets, Seq("k")) == 9L)
+    assert(Dedup.predictedPairs(buckets.filter(col("k") === "zzz"), Seq("k")) == 0L)
+  }
+
+  test("pair-load guard: uncapped emitters refuse over budget, capped twins are exempt") {
+    val conf = spark.conf
+    try {
+      conf.set(Dedup.MaxPairsConf, "0")
+      val err = intercept[IllegalStateException] {
+        Dedup.qDedupSimhash(spark, TestSpark.sf).collect()
+      }
+      assert(err.getMessage.contains("q_dedup_simhash_topk"),
+        s"refusal must direct callers to the capped twin: ${err.getMessage}")
+      assert(err.getMessage.contains(Dedup.MaxPairsConf))
+      intercept[IllegalStateException] {
+        Dedup.qDedupMinhash(spark, TestSpark.sf).collect()
+      }
+      intercept[IllegalStateException] {
+        Dedup.qDedupEmbedding(spark, TestSpark.sf).collect()
+      }
+      // the capped twins are the escape hatch — they must still run
+      // under the same zero budget
+      assert(Dedup.qDedupSimhashTopk(spark, TestSpark.sf).collect().nonEmpty)
+    } finally conf.unset(Dedup.MaxPairsConf)
+    // default budget: the emitter runs
+    assert(Dedup.qDedupSimhash(spark, TestSpark.sf).collect().nonEmpty)
+  }
+
+  test("pair-load guard fires on the 10×-amplified corpus and passes at 1×") {
+    val base = Tables.documents(spark, TestSpark.sf)
+    val one = Dedup.predictedPairs(Dedup.bandKeysOfDocs(base), Seq("bkey"))
+    val dense = Dedup.predictedPairs(
+      Dedup.bandKeysOfDocs(Amplify.documents(base, 10)), Seq("bkey"))
+    assert(one > 0 && dense > one, s"vacuous fixture: one=$one dense=$dense")
+    // a budget BETWEEN the two masses: 1× runs, 10× refuses — the
+    // operational shape the guard exists for (same knob, same corpus
+    // family, only the scale differs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-guard-").toString
+    Amplify.documents(base, 10).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val conf = spark.conf
+    try {
+      conf.set(Dedup.MaxPairsConf, ((one + dense) / 2).toString)
+      assert(Dedup.qDedupMinhash(spark, TestSpark.sf).collect().nonEmpty)
+      val err = intercept[IllegalStateException] {
+        Dedup.qDedupMinhash(spark, tmp).collect()
+      }
+      assert(err.getMessage.contains("q_dedup_minhash_topk"))
+    } finally conf.unset(Dedup.MaxPairsConf)
+  }
 }
