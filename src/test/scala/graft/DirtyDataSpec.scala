@@ -35,6 +35,28 @@ class DirtyDataSpec extends AnyFunSuite {
     add(7L, "a perfectly ordinary document about spark clusters", "en", "c")
     spark.createDataFrame(rows, schema)
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // dirty embeddings beside the dirty documents (round 10): the
+    // vector CALL expands its top-k seed through BOTH tables, so its
+    // dirty row needs vectors here — null / empty / wrong-dim / zero /
+    // NaN rows that the vectors() choke point must screen
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true), nullable = true),
+      StructField("label", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val em = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def vec(id: Long, v: Seq[Float], l: Int): Unit =
+      em.add(org.apache.spark.sql.Row(id, v, l))
+    vec(0L, Seq.tabulate(operators.Similarity.Dim)(i => (i % 7).toFloat / 7f), 0)
+    vec(1L, Seq.tabulate(operators.Similarity.Dim)(i => (i % 5).toFloat / 5f), 1)
+    vec(2L, null, 0)                       // NULL embedding
+    vec(3L, Seq.empty[Float], 1)           // empty vector
+    vec(4L, Seq(1f, 2f, 3f), 0)            // wrong dimension
+    vec(5L, Seq.tabulate(operators.Similarity.Dim)(_ => 0f), 1) // zero norm
+    vec(6L, Seq.tabulate(operators.Similarity.Dim)(
+      i => if (i == 0) Float.NaN else 0.5f), 0) // NaN component
+    spark.createDataFrame(em, embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -129,6 +151,19 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExFt))
   runs("cypher temporal range over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex31))
+  // round-10 forms: concat NULL-poisons instead of throwing;
+  // existential bodies over dirt yield empty/unfiltered rows, never a
+  // throwing task; the weighted witness's anchors are absent → empty;
+  // the vector CALL screens null/short/zero/NaN vectors at the
+  // vectors() choke point and expands whatever survives
+  runs("cypher concat RETURN over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex32))
+  runs("cypher EXISTS subqueries over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex33))
+  runs("cypher weighted witness path over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExWspPath))
+  runs("cypher vector CALL over dirty docs and vectors")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExVec))
   runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 

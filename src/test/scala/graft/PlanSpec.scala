@@ -598,4 +598,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"cartesian in capped twin:\n$p")
     }
   }
+
+  test("EXISTS subqueries plan as LeftSemi/LeftAnti — never fan-out or cartesian") {
+    val p = plan(cypher.CypherLite.run(spark, TestSpark.sf, cypher.CypherLite.Ex33))
+    assert(p.contains("LeftSemi"), s"expected a LeftSemi existential join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected a LeftAnti for NOT EXISTS:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in EXISTS plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in EXISTS plan:\n$p")
+  }
 }
