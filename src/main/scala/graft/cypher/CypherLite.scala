@@ -1391,19 +1391,45 @@ object CypherLite {
       // outer-row-sized. Shared vars the body leaves unlabeled
       // inherit the OUTER label — same variable, same node.
       case ExistsSubPred(paths0, preds, negated) =>
-        val paths = paths0.map(p => p.copy(nodes = p.nodes.map(nd =>
-          if (nd.label.isEmpty && labelOf.contains(nd.v))
-            nd.copy(label = Some(labelOf(nd.v)))
-          else nd)))
-        val shared = paths.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
+        // Anchor each body path at a LABELED end: when the written
+        // head is an unlabeled shared var but the tail carries a
+        // label, reverse the pattern so the pipeline binds from the
+        // (small) labeled node table and the shared var rides
+        // uid-only on the edge column. The semi/anti join makes a
+        // label re-check on shared vars redundant — the outer rows
+        // are already label-filtered — so joining the outer var's
+        // often corpus-sized node table inside the body would be
+        // pure waste at scale.
+        val paths1 = paths0.map { p =>
+          if (p.rels.nonEmpty && p.nodes.head.label.isEmpty &&
+              bound.contains(p.nodes.head.v) && p.nodes.last.label.isDefined)
+            PathPat(p.nodes.reverse,
+              p.rels.reverse.map(r => r.copy(reversed = !r.reversed)))
+          else p
+        }
+        val shared = paths1.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
         require(shared.nonEmpty,
           "EXISTS { MATCH … } shares no variable with the outer MATCH " +
             "(an uncorrelated existential gate would be a cartesian product)")
-        val subQ = Query(paths = paths, optPaths = Seq.empty, where = preds,
+        val draft = Query(paths = paths1, optPaths = Seq.empty, where = preds,
           stages = Seq.empty, retDistinct = false,
           ret = shared.map(v => PropItem(v, "uid", Some(s"${v}_uid"))),
           orderBy = Seq.empty, limit = None)
-        df = df.join(compile(spark, dir, subQ),
+        // labels the body pipeline GENUINELY needs, inherited from
+        // the outer MATCH: its anchor (the first path's head),
+        // prop-referenced vars, and MENTIONS destinations (that edge
+        // table is stored label-partitioned). Everything else binds
+        // uid-only from its edge column.
+        val mentionsDsts = paths1.flatMap(p => p.rels.zipWithIndex.collect {
+          case (rp, i) if rp.types == Seq("MENTIONS") =>
+            if (rp.reversed) p.nodes(i).v else p.nodes(i + 1).v
+        }).toSet
+        val needLabel = propVars(draft) ++ mentionsDsts + paths1.head.nodes.head.v
+        val paths = paths1.map(p => p.copy(nodes = p.nodes.map(nd =>
+          if (nd.label.isEmpty && needLabel.contains(nd.v) && labelOf.contains(nd.v))
+            nd.copy(label = Some(labelOf(nd.v)))
+          else nd)))
+        df = df.join(compile(spark, dir, draft.copy(paths = paths)),
           shared.map(v => s"${v}_uid"), if (negated) "left_anti" else "left_semi")
       case p => df = df.filter(predCol(p))
     }
