@@ -48,6 +48,12 @@ import graft.operators.TextPipeline
   *                   subquery (round 10): body compiles as its own
   *                   pipeline, correlated by shared variable names,
   *                   semi/anti-joined; top-level AND conjunct only
+  *                 | COUNT { MATCH … [WHERE …] } <op> n  -- COUNT
+  *                   subquery comparison (round 10): grouped body
+  *                   count LEFT OUTER joined (absent → 0), filtered;
+  *                   top-level AND conjunct of the head WHERE only.
+  *                   Also a RETURN item: COUNT { MATCH … } [AS x] —
+  *                   a per-row scalar, grouping key beside aggregates
   *                 | NOT pred  -- plain boolean negation (numeric <>
   *                   also accepted directly: v.prop <> n)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
@@ -376,6 +382,15 @@ object CypherLite {
     */
   case class ExistsSubPred(paths: Seq[PathPat], preds: Seq[Pred],
     negated: Boolean) extends Pred
+  /** `COUNT { MATCH <patterns> [WHERE <preds>] } <op> n` — the
+    * Neo4j-5 COUNT subquery as a WHERE comparison ("articles with at
+    * least 4 chunks"). The body compiles like [[ExistsSubPred]]'s,
+    * grouped to a per-shared-binding match count, LEFT OUTER joined
+    * (absent → 0), and filtered — one row per outer row, never a
+    * fan-out. Top-level AND conjunct of the head WHERE only.
+    */
+  case class CountSubPred(paths: Seq[PathPat], preds: Seq[Pred],
+    op: String, n: Long) extends Pred
   /** `v [IS NOT NULL | IS NULL]` / `v.prop IS [NOT] NULL` — the
     * OPTIONAL-MATCH anti-join idiom (`OPTIONAL MATCH …(p) WHERE p IS
     * NULL`). A bare variable checks its uid column. Like every WHERE
@@ -433,6 +448,16 @@ object CypherLite {
     alias: Option[String] = None) extends RetItem
   /** Bare column reference (an alias introduced by a WITH stage). */
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
+  /** `COUNT { MATCH … [WHERE …] } [AS alias]` as a RETURN item — a
+    * PER-ROW subquery scalar (Neo4j 5), NOT an aggregate: the body's
+    * grouped match count LEFT OUTER joins in before projection
+    * (absent → 0); alongside aggregates it becomes a grouping key
+    * exactly like a plain prop. `idx` is the item's position in the
+    * RETURN list — it names the private join column, so two COUNT
+    * items never collide.
+    */
+  case class CountSubItem(paths: Seq[PathPat], preds: Seq[Pred],
+    alias: Option[String] = None, idx: Int = 0) extends RetItem
   /** `type(r)` — the relationship type of a bound rel variable (reads
     * the `r_type` tag the hop compiler attaches; the idiom that makes
     * multi-type `[:A|B]` hops distinguishable).
@@ -667,6 +692,13 @@ object CypherLite {
 
   private val ConcatLitRe = """(?s)^'(.*)'$""".r
   private val ConcatPropRe = """^(\w+)\.(\w+)$""".r
+  /** `COUNT { MATCH … } [AS alias]` as a whole RETURN item (splitTop
+    * is brace-aware, so the item arrives intact). Greedy `.*` + the
+    * closing `\}` backtracks over inline-map braces correctly because
+    * the body's braces are balanced.
+    */
+  private val CountSubItemRe =
+    """(?is)^COUNT\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
 
   /** Parse a RETURN item with ≥2 top-level `+`-joined parts into a
     * [[ConcatItem]]; None when the item carries no top-level `+`
@@ -833,28 +865,53 @@ object CypherLite {
     }
   }
 
-  /** Extract every `[NOT] EXISTS { MATCH … [WHERE …] }` FULL
-    * existential subquery from a WHERE string (round 10), replacing
-    * each with a `__EXSUB<i>__` token so the AND/OR conjunct splitters
-    * cannot slice inside the braces (the body's own WHERE may carry
-    * AND/OR). Brace matching is a linear depth scan — bodies contain
-    * `{prop: 'x'}` inline-map braces. Brace bodies WITHOUT a leading
-    * MATCH keyword are left in place for the bare-pattern single-hop
-    * regexes in parseSimplePred (round 9's form — unchanged). A
-    * RETURN or WITH inside the body throws: Neo4j discards an
-    * existential projection anyway, and a braced pipeline would have
-    * already collided with the outer stage slicer — loud beats
-    * mangled. Body WHEREs recurse through parsePreds, so nested
-    * EXISTS subqueries compile too.
+  /** Parse a `MATCH <patterns> [WHERE <preds>]` subquery body (the
+    * shared grammar of EXISTS {} and COUNT {}). RETURN inside throws
+    * (Neo4j discards an existential projection anyway; for COUNT it
+    * would change what is counted); WITH pipelines inside throw too
+    * (they would have already collided with the outer stage slicer —
+    * loud beats mangled). Body WHEREs recurse through parsePreds, so
+    * nested subqueries compile.
     */
-  private val ExSubOpenRe = """(?is)\b(NOT\s+)?EXISTS\s*\{""".r
+  private def parseSubBody(body: String): (Seq[PathPat], Seq[Pred]) = {
+    require(!body.matches("(?is).*\\bRETURN\\b.*"),
+      s"RETURN inside a {{ MATCH }} subquery is not compiled: $body")
+    require(!body.matches("(?is).*(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b.*"),
+      s"WITH pipelines inside a {{ MATCH }} subquery are not compiled: $body")
+    val afterMatch = body.replaceFirst("(?is)^MATCH\\b", "").trim
+    val (patPart, predPart) =
+      "(?i)\\bWHERE\\b".r.findFirstMatchIn(afterMatch) match {
+        case Some(w) =>
+          (afterMatch.substring(0, w.start), Some(afterMatch.substring(w.end)))
+        case None => (afterMatch, None)
+      }
+    val paths = patPart.split(",\\s*(?=\\()").map(_.trim)
+      .filter(_.nonEmpty).map(parsePath).toSeq
+    require(paths.nonEmpty, s"{{ MATCH }} subquery body has no pattern: $body")
+    (paths, predPart.toSeq.flatMap(parsePreds))
+  }
 
-  private def extractExistsSubs(ws: String): (String, Map[String, Pred]) = {
+  /** Extract every `[NOT] EXISTS { MATCH … }` / `COUNT { MATCH … }`
+    * FULL subquery from a WHERE string (round 10), replacing each
+    * with a `__EXSUB<i>__` / `__CNTSUB<i>__` token so the AND/OR
+    * conjunct splitters cannot slice inside the braces (the body's
+    * own WHERE may carry AND/OR). Brace matching is a linear depth
+    * scan — bodies contain `{prop: 'x'}` inline-map braces. EXISTS
+    * brace bodies WITHOUT a leading MATCH keyword are left in place
+    * for the bare-pattern single-hop regexes in parseSimplePred
+    * (round 9's form — unchanged); a COUNT body must start with
+    * MATCH.
+    */
+  private val SubOpenRe = """(?is)\b(NOT\s+)?(EXISTS|COUNT)\s*\{""".r
+
+  private def extractSubqueries(ws: String): (String, Map[String, Pred],
+      Map[String, (Seq[PathPat], Seq[Pred])]) = {
     val out = new StringBuilder
-    val subs = Map.newBuilder[String, Pred]
+    val exSubs = Map.newBuilder[String, Pred]
+    val cntSubs = Map.newBuilder[String, (Seq[PathPat], Seq[Pred])]
     var rest = ws
     var n = 0
-    var m = ExSubOpenRe.findFirstMatchIn(rest)
+    var m = SubOpenRe.findFirstMatchIn(rest)
     while (m.isDefined) {
       val mm = m.get
       var depth = 1
@@ -867,49 +924,48 @@ object CypherLite {
         }
         j += 1
       }
-      require(depth == 0, s"unbalanced EXISTS braces in: $ws")
+      require(depth == 0, s"unbalanced subquery braces in: $ws")
       val body = rest.substring(mm.end, j - 1).trim
+      val isCount = mm.group(2).equalsIgnoreCase("COUNT")
       if (body.matches("(?is)^MATCH\\b.*")) {
-        require(!body.matches("(?is).*\\bRETURN\\b.*"),
-          s"RETURN inside EXISTS {} is not compiled (Neo4j discards the projection; drop it): $body")
-        require(!body.matches("(?is).*(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b.*"),
-          s"WITH pipelines inside EXISTS {} are not compiled: $body")
-        val afterMatch = body.replaceFirst("(?is)^MATCH\\b", "").trim
-        val (patPart, predPart) =
-          "(?i)\\bWHERE\\b".r.findFirstMatchIn(afterMatch) match {
-            case Some(w) =>
-              (afterMatch.substring(0, w.start), Some(afterMatch.substring(w.end)))
-            case None => (afterMatch, None)
-          }
-        val paths = patPart.split(",\\s*(?=\\()").map(_.trim)
-          .filter(_.nonEmpty).map(parsePath).toSeq
-        require(paths.nonEmpty, s"EXISTS {{ MATCH }} body has no pattern: $body")
-        val tok = s"__EXSUB${n}__"
-        subs += tok -> ExistsSubPred(paths,
-          predPart.toSeq.flatMap(parsePreds), mm.group(1) != null)
+        require(!(isCount && mm.group(1) != null),
+          s"NOT COUNT {{ … }} is not a boolean — compare the count instead: $ws")
+        val (paths, preds) = parseSubBody(body)
+        val tok = if (isCount) s"__CNTSUB${n}__" else s"__EXSUB${n}__"
+        if (isCount) cntSubs += tok -> ((paths, preds))
+        else exSubs += tok -> ExistsSubPred(paths, preds, mm.group(1) != null)
         out.append(rest.substring(0, mm.start)).append(tok)
         n += 1
       } else {
+        require(!isCount, s"COUNT {{ }} body must start with MATCH: $body")
         out.append(rest.substring(0, j))
       }
       rest = rest.substring(j)
-      m = ExSubOpenRe.findFirstMatchIn(rest)
+      m = SubOpenRe.findFirstMatchIn(rest)
     }
     out.append(rest)
-    (out.toString, subs.result())
+    (out.toString, exSubs.result(), cntSubs.result())
   }
+
+  private val CntCmpRe = """(__CNTSUB\d+__)\s*(<=|>=|<>|<|>|=)\s*(\d+)""".r
 
   /** AND-conjunction of terms; a term may be an OR-disjunction of
     * simple predicates (Cypher precedence: AND binds tighter). IN
     * lists never contain AND/OR so the flat splits are safe. FULL
-    * EXISTS subqueries are tokenized out first (their body WHERE may
-    * carry AND/OR) and resolved at the disjunct level.
+    * EXISTS/COUNT subqueries are tokenized out first (their body
+    * WHERE may carry AND/OR) and resolved at the disjunct level.
     */
   private def parsePreds(ws0: String): Seq[Pred] = {
-    val (ws, subs) = extractExistsSubs(ws0)
+    val (ws, exSubs, cntSubs) = extractSubqueries(ws0)
     ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
-      val disjuncts = w.split("(?i)\\s+OR\\s+").map(_.trim)
-        .map(d => subs.getOrElse(d, parseSimplePred(d))).toSeq
+      val disjuncts = w.split("(?i)\\s+OR\\s+").map(_.trim).map {
+        case d if exSubs.contains(d) => exSubs(d)
+        case CntCmpRe(tok, op, nv) =>
+          val (paths, preds) = cntSubs.getOrElse(tok,
+            throw new IllegalArgumentException(s"unknown subquery token $tok"))
+          CountSubPred(paths, preds, op, nv.toLong)
+        case d => parseSimplePred(d)
+      }.toSeq
       if (disjuncts.size == 1) disjuncts.head else OrPred(disjuncts)
     }.toSeq
   }
@@ -1033,8 +1089,11 @@ object CypherLite {
     // concat items are tried FIRST (a top-level `+` has no other
     // meaning in this subset, and the per-part alias regexes below
     // would otherwise mis-slice `'lit' + v.prop AS x`)
-    val items = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
+    val items0 = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
       raw0 => parseConcat(raw0).getOrElse(raw0 match {
+      case CountSubItemRe(body, alias) =>
+        val (ps, prs) = parseSubBody(body.trim)
+        CountSubItem(ps, prs, Option(alias))
       case SizeCollectRe(distinct, v, prop, alias) =>
         sizeCollect(distinct, v, prop, alias)
       case CountRe(distinct, v, prop, alias) =>
@@ -1064,6 +1123,12 @@ object CypherLite {
       case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     })
+    }
+    // COUNT {} items take their RETURN-list position as idx — it
+    // names their private join column, so two COUNT items never share
+    val items = items0.zipWithIndex.map {
+      case (c: CountSubItem, i) => c.copy(idx = i)
+      case (it, _) => it
     }
     // ORDER BY keys: props, bare aliases, or INLINE AGGREGATES
     // (`ORDER BY count(c) DESC`) — the latter resolve against the
@@ -1297,6 +1362,48 @@ object CypherLite {
       case "=" => c === value
       case "<>" => c =!= value
     }
+    /** Compile a `{ MATCH … [WHERE …] }` subquery body into its own
+      * pipeline frame (one row PER MATCH, so COUNT can aggregate it
+      * and EXISTS can semi-join it), projected to the uid columns of
+      * the variables shared with the outer MATCH — Cypher's
+      * correlation-by-name. Anchoring: a body path whose written head
+      * is an unlabeled SHARED var but whose tail carries a label is
+      * REVERSED, so the pipeline binds from the (small) labeled node
+      * table and the shared var rides uid-only on its edge column —
+      * the outer rows are already label-filtered, so re-joining the
+      * outer var's often corpus-sized node table inside the body
+      * would be pure waste at scale. Outer labels are inherited only
+      * where the body genuinely needs a node table: its anchor (the
+      * first path's head), prop-referenced vars, and MENTIONS
+      * destinations (that edge table is stored label-partitioned).
+      */
+    def subFrame(paths0: Seq[PathPat], preds: Seq[Pred]): (DataFrame, Seq[String]) = {
+      val paths1 = paths0.map { p =>
+        if (p.rels.nonEmpty && p.nodes.head.label.isEmpty &&
+            bound.contains(p.nodes.head.v) && p.nodes.last.label.isDefined)
+          PathPat(p.nodes.reverse,
+            p.rels.reverse.map(r => r.copy(reversed = !r.reversed)))
+        else p
+      }
+      val shared = paths1.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
+      require(shared.nonEmpty,
+        "a { MATCH … } subquery must share a variable with the outer MATCH " +
+          "(an uncorrelated subquery gate would be a cartesian product)")
+      val draft = Query(paths = paths1, optPaths = Seq.empty, where = preds,
+        stages = Seq.empty, retDistinct = false,
+        ret = shared.map(v => PropItem(v, "uid", Some(s"${v}_uid"))),
+        orderBy = Seq.empty, limit = None)
+      val mentionsDsts = paths1.flatMap(p => p.rels.zipWithIndex.collect {
+        case (rp, i) if rp.types == Seq("MENTIONS") =>
+          if (rp.reversed) p.nodes(i).v else p.nodes(i + 1).v
+      }).toSet
+      val needLabel = propVars(draft) ++ mentionsDsts + paths1.head.nodes.head.v
+      val paths = paths1.map(p => p.copy(nodes = p.nodes.map(nd =>
+        if (nd.label.isEmpty && needLabel.contains(nd.v) && labelOf.contains(nd.v))
+          nd.copy(label = Some(labelOf(nd.v)))
+        else nd)))
+      (compile(spark, dir, draft.copy(paths = paths)), shared.map(v => s"${v}_uid"))
+    }
     def predCol(p: Pred): Column = p match {
       case InPred(v, pr, vals) => col(s"${v}_$pr").isin(vals.map(lit): _*)
       case EqPred(v, pr, value) => col(s"${v}_$pr") === value
@@ -1338,6 +1445,9 @@ object CypherLite {
         "(pattern) predicates are only supported as top-level AND conjuncts")
       case _: ExistsSubPred => throw new IllegalArgumentException(
         "EXISTS { MATCH … } subqueries are only supported as top-level AND conjuncts")
+      case _: CountSubPred => throw new IllegalArgumentException(
+        "COUNT { MATCH … } comparisons are only supported as top-level " +
+          "AND conjuncts of the head WHERE")
     }
     // UNWIND: the literal list becomes a tiny broadcast relation; the
     // WHERE predicates referencing its alias are the join condition
@@ -1391,46 +1501,18 @@ object CypherLite {
       // outer-row-sized. Shared vars the body leaves unlabeled
       // inherit the OUTER label — same variable, same node.
       case ExistsSubPred(paths0, preds, negated) =>
-        // Anchor each body path at a LABELED end: when the written
-        // head is an unlabeled shared var but the tail carries a
-        // label, reverse the pattern so the pipeline binds from the
-        // (small) labeled node table and the shared var rides
-        // uid-only on the edge column. The semi/anti join makes a
-        // label re-check on shared vars redundant — the outer rows
-        // are already label-filtered — so joining the outer var's
-        // often corpus-sized node table inside the body would be
-        // pure waste at scale.
-        val paths1 = paths0.map { p =>
-          if (p.rels.nonEmpty && p.nodes.head.label.isEmpty &&
-              bound.contains(p.nodes.head.v) && p.nodes.last.label.isDefined)
-            PathPat(p.nodes.reverse,
-              p.rels.reverse.map(r => r.copy(reversed = !r.reversed)))
-          else p
-        }
-        val shared = paths1.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
-        require(shared.nonEmpty,
-          "EXISTS { MATCH … } shares no variable with the outer MATCH " +
-            "(an uncorrelated existential gate would be a cartesian product)")
-        val draft = Query(paths = paths1, optPaths = Seq.empty, where = preds,
-          stages = Seq.empty, retDistinct = false,
-          ret = shared.map(v => PropItem(v, "uid", Some(s"${v}_uid"))),
-          orderBy = Seq.empty, limit = None)
-        // labels the body pipeline GENUINELY needs, inherited from
-        // the outer MATCH: its anchor (the first path's head),
-        // prop-referenced vars, and MENTIONS destinations (that edge
-        // table is stored label-partitioned). Everything else binds
-        // uid-only from its edge column.
-        val mentionsDsts = paths1.flatMap(p => p.rels.zipWithIndex.collect {
-          case (rp, i) if rp.types == Seq("MENTIONS") =>
-            if (rp.reversed) p.nodes(i).v else p.nodes(i + 1).v
-        }).toSet
-        val needLabel = propVars(draft) ++ mentionsDsts + paths1.head.nodes.head.v
-        val paths = paths1.map(p => p.copy(nodes = p.nodes.map(nd =>
-          if (nd.label.isEmpty && needLabel.contains(nd.v) && labelOf.contains(nd.v))
-            nd.copy(label = Some(labelOf(nd.v)))
-          else nd)))
-        df = df.join(compile(spark, dir, draft.copy(paths = paths)),
-          shared.map(v => s"${v}_uid"), if (negated) "left_anti" else "left_semi")
+        val (body, keys) = subFrame(paths0, preds)
+        df = df.join(body, keys, if (negated) "left_anti" else "left_semi")
+      // COUNT subquery comparison: the body's grouped match count
+      // LEFT OUTER joins in (absent → 0) and the comparison filters —
+      // the grouped side is one row per shared binding, so the join
+      // never fans out
+      case CountSubPred(paths0, preds, op, n) =>
+        val (body, keys) = subFrame(paths0, preds)
+        df = df.join(body.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__cntsub_w")), keys, "left_outer")
+          .filter(cmp(coalesce(col("__cntsub_w"), lit(0L)), op, n))
+          .drop("__cntsub_w")
       case p => df = df.filter(predCol(p))
     }
     def outName(it: RetItem): String = it match {
@@ -1447,6 +1529,7 @@ object CypherLite {
         a.getOrElse(p.fold(s"${fn}_$v")(pp => s"${fn}_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
       case ConcatItem(_, a) => a.getOrElse("concat")
+      case CountSubItem(_, _, a, i) => a.getOrElse(s"count_sub$i")
       case BareItem(n, a) => a.getOrElse(n)
       case TypeItem(r, a) => a.getOrElse(s"type_$r")
       case LabelsItem(v, a) => a.getOrElse(s"labels_$v")
@@ -1466,6 +1549,10 @@ object CypherLite {
           case Left(l) => lit(l)
           case Right((w, p)) => col(s"${w}_$p").cast("string")
         }: _*).as(outName(it))
+      case c: CountSubItem =>
+        // the grouped body count was LEFT OUTER joined in before
+        // projection (see the q.ret pass below); absent → 0
+        coalesce(col(s"__cntsub_${c.idx}"), lit(0L)).as(outName(it))
       case BareItem(n, _) => col(n).as(outName(it))
       case TypeItem(r, _) => col(s"${r}_type").as(outName(it))
       case LabelsItem(v, _) =>
@@ -1597,6 +1684,19 @@ object CypherLite {
           df = df.orderBy(resolveOrder(wc.orderBy, wc.items): _*)
         wc.limit.foreach(n => df = df.limit(n))
     }
+    // COUNT { MATCH … } RETURN items (round 10): each body's grouped
+    // match count joins in as a PER-ROW scalar column before the
+    // projection/grouping (Neo4j semantics: a subquery expression,
+    // not an aggregate — alongside aggregates it becomes a grouping
+    // key like any plain prop). The grouped side is one row per
+    // shared binding, so the join never fans out.
+    q.ret.foreach {
+      case it: CountSubItem =>
+        val (body, keys) = subFrame(it.paths, it.preds)
+        df = df.join(body.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(s"__cntsub_${it.idx}")), keys, "left_outer")
+      case _ => ()
+    }
     val aggExprs: Seq[Column] = q.ret.flatMap(aggCol)
     if (aggExprs.nonEmpty) {
       // Cypher's implicit grouping: plain props (and map projections /
@@ -1605,6 +1705,7 @@ object CypherLite {
         case it: PropItem => itemCol(it)
         case it: MapItem => itemCol(it)
         case it: ConcatItem => itemCol(it)
+        case it: CountSubItem => itemCol(it)
         case it: BareItem => itemCol(it)
         case it: CoalesceItem => itemCol(it)
         case it: TypeItem => itemCol(it)
@@ -2591,6 +2692,20 @@ object CypherLite {
       "AND NOT EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
       "RETURN a.uid, count(c) AS n_chunks ORDER BY a.uid LIMIT 15"
 
+  /** COUNT subqueries (round 10) — Neo4j-5's replacement for the
+    * deprecated `size((a)-->())` pattern-count, and the shape LLMs
+    * emit for every "at least N" question: a WHERE comparison gate
+    * AND a per-row RETURN scalar (NOT an aggregate — beside
+    * aggregates it would group like a plain prop). Both compile to
+    * grouped LEFT OUTER joins of the body pipeline (absent → 0);
+    * neither can fan out.
+    */
+  val Ex34: String =
+    "MATCH (a:Article) " +
+      "WHERE COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk) } >= 4 " +
+      "RETURN a.uid, COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } AS n_topics " +
+      "ORDER BY a.uid LIMIT 12"
+
   /** The reference serving loop's literal entity-lookup CALL
     * (graph.py:158-166) with the parameters inlined exactly as
     * get_entity_candidates binds them: index = f"{label}Name"
@@ -2639,6 +2754,7 @@ object CypherLite {
     "q_cypher_ex31" -> ((s, d) => run(s, d, Ex31)),
     "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
     "q_cypher_ex33" -> ((s, d) => run(s, d, Ex33)),
+    "q_cypher_ex34" -> ((s, d) => run(s, d, Ex34)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2711,6 +2827,16 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex34" ->
+      s"""WITH $P,
+         |${NewsGraph.ArticleTopicsSql},
+         |cc AS (SELECT doc_id, count(*) AS nch FROM chunks GROUP BY doc_id),
+         |tc AS (SELECT doc_id, count(*) AS nt FROM topics GROUP BY doc_id)
+         |SELECT 'Article:' || cc.doc_id AS a_uid,
+         |  CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_topics
+         |FROM cc LEFT JOIN tc ON tc.doc_id = cc.doc_id
+         |WHERE cc.nch >= 4
+         |ORDER BY a_uid LIMIT 12""".stripMargin,
     "q_cypher_ex33" ->
       s"""WITH $M,
          |org_c AS (

@@ -983,6 +983,63 @@ class CypherLiteSpec extends AnyFunSuite {
       "vacuous fixture: inner NOT EXISTS filtered nothing")
   }
 
+  test("COUNT { MATCH … } gate: parity with the WITH-count HAVING twin") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val sub = rows("MATCH (a:Article) " +
+      "WHERE COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk) } >= 3 " +
+      "RETURN a.uid ORDER BY a.uid")
+    val twin = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n WHERE n >= 3 " +
+      "RETURN a.uid ORDER BY a.uid")
+    assert(sub.nonEmpty && sub == twin,
+      s"COUNT{} gate diverged from the WITH-count twin: $sub vs $twin")
+  }
+
+  test("COUNT { } RETURN item: per-row scalar, zero-filled, grouping key beside aggregates") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val item = rows("MATCH (a:Article) " +
+      "RETURN a.uid, COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk) } AS n " +
+      "ORDER BY a.uid")
+    val agg = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    val itemMap = item.map(r => r(0) -> r(1)).toMap
+    assert(agg.nonEmpty && agg.forall(r => itemMap(r(0)) == r(1)),
+      "per-row COUNT{} diverged from the aggregate twin on matched articles")
+    // the subquery item keeps zero-match rows the MATCH twin drops
+    assert(item.size >= agg.size)
+    assert(item.forall(r => r(1).asInstanceOf[Long] >= 0L))
+    // beside an aggregate it groups like a plain prop — one row per
+    // article, not a fan-out
+    val mixed = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "RETURN a.uid, COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } AS nt, " +
+      "count(c) AS nch ORDER BY a.uid")
+    assert(mixed.nonEmpty && mixed.map(_.head).distinct.size == mixed.size,
+      "COUNT{} beside count(c) must group per article")
+  }
+
+  test("COUNT { } loud failures: NOT, OR placement, non-MATCH body") {
+    val ex34 = CypherLite.run(spark, TestSpark.sf, Ex34)
+    assert(ex34.collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article) WHERE NOT COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk) } " +
+          "RETURN a.uid ORDER BY a.uid")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article) WHERE a.doc_id < 2 OR " +
+          "COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk) } >= 3 " +
+          "RETURN a.uid ORDER BY a.uid").collect()
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article) WHERE COUNT { (a)-[:CONTAINS]->(:Chunk) } >= 3 " +
+          "RETURN a.uid ORDER BY a.uid")
+    }
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)

@@ -93,7 +93,9 @@ class InvarianceSpec extends AnyFunSuite {
       "q_cypher_vector", "q_cypher_ex32", "q_cypher_wpath",
       // full existential subqueries: semi/anti joins must be
       // partition-count-independent like every other plan here
-      "q_cypher_ex33")
+      "q_cypher_ex33",
+      // COUNT subqueries: grouped left-outer joins, same requirement
+      "q_cypher_ex34")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
