@@ -378,7 +378,9 @@ object CypherLite {
     * join pipeline and the outer rows LEFT SEMI (or ANTI) join it on
     * the variables the body shares with the outer MATCH — Cypher's
     * correlation-by-name scoping. Top-level AND conjunct of the head
-    * WHERE only; body variables must be named (the MATCH grammar).
+    * WHERE or of a WITH-stage WHERE (the correlated variable must be
+    * carried through the stage); body variables must be named (the
+    * MATCH grammar).
     */
   case class ExistsSubPred(paths: Seq[PathPat], preds: Seq[Pred],
     negated: Boolean) extends Pred
@@ -387,7 +389,8 @@ object CypherLite {
     * least 4 chunks"). The body compiles like [[ExistsSubPred]]'s,
     * grouped to a per-shared-binding match count, LEFT OUTER joined
     * (absent → 0), and filtered — one row per outer row, never a
-    * fan-out. Top-level AND conjunct of the head WHERE only.
+    * fan-out. Top-level AND conjunct of the head WHERE or of a
+    * WITH-stage WHERE.
     */
   case class CountSubPred(paths: Seq[PathPat], preds: Seq[Pred],
     op: String, n: Long) extends Pred
@@ -949,6 +952,17 @@ object CypherLite {
 
   private val CntCmpRe = """(__CNTSUB\d+__)\s*(<=|>=|<>|<|>|=)\s*(\d+)""".r
 
+  /** First occurrence of keyword `kw` at brace depth 0 — the
+    * stage-slicer's MATCH finder must not fire on a MATCH inside an
+    * EXISTS/COUNT subquery body (round 10: subqueries are legal in
+    * WITH-stage WHEREs, so stage bodies can carry braced MATCHes).
+    */
+  private def topLevelKw(s: String, kw: String): Option[scala.util.matching.Regex.Match] =
+    ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(s).find { m =>
+      val pre = s.substring(0, m.start)
+      pre.count(_ == '{') == pre.count(_ == '}')
+    }
+
   /** AND-conjunction of terms; a term may be an OR-disjunction of
     * simple predicates (Cypher precedence: AND binds tighter). IN
     * lists never contain AND/OR so the flat splits are safe. FULL
@@ -1023,8 +1037,10 @@ object CypherLite {
     val stages: Seq[WithStage] = stageBodies.flatMap { b0 =>
       // `WITH … MATCH pattern [WHERE …]` — a post-aggregation MATCH
       // (the two-phase expand) splits off as its own stage; the WITH
-      // items/ORDER/LIMIT parse from the text before the MATCH
-      val mM = "(?i)\\bMATCH\\b".r.findFirstMatchIn(b0)
+      // items/ORDER/LIMIT parse from the text before the MATCH. The
+      // finder is brace-depth-aware: a MATCH inside an EXISTS/COUNT
+      // subquery body in the stage's WHERE must not split the stage.
+      val mM = topLevelKw(b0, "MATCH")
       val (b, matchStage) = mM match {
         case Some(m) =>
           val right = b0.substring(m.end)
@@ -1377,15 +1393,16 @@ object CypherLite {
       * first path's head), prop-referenced vars, and MENTIONS
       * destinations (that edge table is stored label-partitioned).
       */
-    def subFrame(paths0: Seq[PathPat], preds: Seq[Pred]): (DataFrame, Seq[String]) = {
+    def subFrame(paths0: Seq[PathPat], preds: Seq[Pred],
+        avail: String => Boolean = bound.contains): (DataFrame, Seq[String]) = {
       val paths1 = paths0.map { p =>
         if (p.rels.nonEmpty && p.nodes.head.label.isEmpty &&
-            bound.contains(p.nodes.head.v) && p.nodes.last.label.isDefined)
+            avail(p.nodes.head.v) && p.nodes.last.label.isDefined)
           PathPat(p.nodes.reverse,
             p.rels.reverse.map(r => r.copy(reversed = !r.reversed)))
         else p
       }
-      val shared = paths1.flatMap(_.nodes.map(_.v)).distinct.filter(bound.contains)
+      val shared = paths1.flatMap(_.nodes.map(_.v)).distinct.filter(avail)
       require(shared.nonEmpty,
         "a { MATCH … } subquery must share a variable with the outer MATCH " +
           "(an uncorrelated subquery gate would be a cartesian product)")
@@ -1447,7 +1464,7 @@ object CypherLite {
         "EXISTS { MATCH … } subqueries are only supported as top-level AND conjuncts")
       case _: CountSubPred => throw new IllegalArgumentException(
         "COUNT { MATCH … } comparisons are only supported as top-level " +
-          "AND conjuncts of the head WHERE")
+          "AND conjuncts of a WHERE")
     }
     // UNWIND: the literal list becomes a tiny broadcast relation; the
     // WHERE predicates referencing its alias are the join condition
@@ -1679,7 +1696,31 @@ object CypherLite {
           if (aggs.isEmpty) df.select(keys: _*)
           else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
           else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-        wc.preds.foreach(p => df = df.filter(predCol(p)))
+        // stage-level EXISTS/COUNT subqueries (round 10): legal in a
+        // WITH WHERE when the correlated variable was carried through
+        // the stage (its `v_uid` columns survive the aggregation) —
+        // "top articles, now only those that mention X". The post-agg
+        // frame is small, so Catalyst broadcasts it into the body's
+        // semi/anti/grouped join.
+        val (subPreds, plainPreds) = wc.preds.partition {
+          case _: ExistsSubPred | _: CountSubPred => true
+          case _ => false
+        }
+        plainPreds.foreach(p => df = df.filter(predCol(p)))
+        subPreds.foreach {
+          case ExistsSubPred(ps, prs, neg) =>
+            val (body, jk) = subFrame(ps, prs,
+              v => df.columns.contains(s"${v}_uid"))
+            df = df.join(body, jk, if (neg) "left_anti" else "left_semi")
+          case CountSubPred(ps, prs, op, n) =>
+            val (body, jk) = subFrame(ps, prs,
+              v => df.columns.contains(s"${v}_uid"))
+            df = df.join(body.groupBy(jk.map(col): _*)
+                .agg(count(lit(1)).as("__cntsub_s")), jk, "left_outer")
+              .filter(cmp(coalesce(col("__cntsub_s"), lit(0L)), op, n))
+              .drop("__cntsub_s")
+          case _ => ()
+        }
         if (wc.orderBy.nonEmpty)
           df = df.orderBy(resolveOrder(wc.orderBy, wc.items): _*)
         wc.limit.foreach(n => df = df.limit(n))
@@ -2706,6 +2747,21 @@ object CypherLite {
       "RETURN a.uid, COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } AS n_topics " +
       "ORDER BY a.uid LIMIT 12"
 
+  /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
+    * aggregate first ("articles with ≥3 chunks"), THEN keep only the
+    * survivors whose article carries the organization topic — the
+    * rollup-then-screen shape that needs a post-aggregation
+    * existential, not a head predicate (filtering the head would
+    * change the counts). The brace-depth-aware stage slicer keeps the
+    * body's MATCH out of the two-phase-expand splitter.
+    */
+  val Ex35: String =
+    "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks " +
+      "WHERE n_chunks >= 3 AND " +
+      "EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) } " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid LIMIT 10"
+
   /** The reference serving loop's literal entity-lookup CALL
     * (graph.py:158-166) with the parameters inlined exactly as
     * get_entity_candidates binds them: index = f"{label}Name"
@@ -2755,6 +2811,7 @@ object CypherLite {
     "q_cypher_ex32" -> ((s, d) => run(s, d, Ex32)),
     "q_cypher_ex33" -> ((s, d) => run(s, d, Ex33)),
     "q_cypher_ex34" -> ((s, d) => run(s, d, Ex34)),
+    "q_cypher_ex35" -> ((s, d) => run(s, d, Ex35)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2827,6 +2884,15 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex35" ->
+      s"""WITH $P,
+         |${NewsGraph.ArticleTopicsSql},
+         |cc AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+         |org AS (SELECT DISTINCT doc_id FROM topics WHERE topic = 'organization')
+         |SELECT 'Article:' || cc.doc_id AS a_uid, cc.n_chunks
+         |FROM cc JOIN org ON org.doc_id = cc.doc_id
+         |WHERE cc.n_chunks >= 3
+         |ORDER BY a_uid LIMIT 10""".stripMargin,
     "q_cypher_ex34" ->
       s"""WITH $P,
          |${NewsGraph.ArticleTopicsSql},

@@ -1040,6 +1040,52 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("stage-level EXISTS/COUNT: post-aggregation screens match their head twins") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // the HAS_TOPIC existential never fans out, so screening before
+    // or after the count aggregation is provably the same query —
+    // the stage form must equal the head form row-for-row
+    val stage = rows(CypherLite.Ex35)
+    val head = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) } " +
+      "WITH a, count(c) AS n_chunks WHERE n_chunks >= 3 " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid LIMIT 10")
+    assert(stage.nonEmpty && stage == head,
+      s"stage EXISTS diverged from the head twin: $stage vs $head")
+    // stage COUNT >= 1 ≡ stage EXISTS
+    val cnt = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks " +
+      "WHERE n_chunks >= 3 AND " +
+      "COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) } >= 1 " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid LIMIT 10")
+    assert(cnt == stage, s"stage COUNT>=1 diverged from stage EXISTS: $cnt")
+    // stage NOT EXISTS is the complement on the aggregated frame
+    val neg = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks " +
+      "WHERE n_chunks >= 3 AND " +
+      "NOT EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) } " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid")
+    val all = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks WHERE n_chunks >= 3 " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid")
+    assert(neg.map(_.head).toSet.intersect(stage.map(_.head).toSet).isEmpty)
+    assert(neg.size + rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n_chunks " +
+      "WHERE n_chunks >= 3 AND " +
+      "EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic {name: 'organization'}) } " +
+      "RETURN a.uid, n_chunks ORDER BY a.uid").size == all.size)
+    // a stage subquery on a variable NOT carried through the stage
+    // throws (its uid columns did not survive the aggregation)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WITH a.uid AS uid, count(c) AS n WHERE n >= 3 AND " +
+          "EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } " +
+          "RETURN uid, n ORDER BY uid").collect()
+    }
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)

@@ -166,6 +166,8 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExVec))
   runs("cypher COUNT subqueries over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex34))
+  runs("cypher stage-level EXISTS over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex35))
   runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 

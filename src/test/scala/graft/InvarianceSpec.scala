@@ -95,7 +95,9 @@ class InvarianceSpec extends AnyFunSuite {
       // partition-count-independent like every other plan here
       "q_cypher_ex33",
       // COUNT subqueries: grouped left-outer joins, same requirement
-      "q_cypher_ex34")
+      "q_cypher_ex34",
+      // stage-level EXISTS after aggregation
+      "q_cypher_ex35")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
