@@ -51,9 +51,13 @@ import graft.operators.TextPipeline
   *                 | COUNT { MATCH … [WHERE …] } <op> n  -- COUNT
   *                   subquery comparison (round 10): grouped body
   *                   count LEFT OUTER joined (absent → 0), filtered;
-  *                   top-level AND conjunct of the head WHERE only.
-  *                   Also a RETURN item: COUNT { MATCH … } [AS x] —
-  *                   a per-row scalar, grouping key beside aggregates
+  *                   top-level AND conjunct of a WHERE (head or WITH
+  *                   stage). Also a RETURN item: COUNT { MATCH … }
+  *                   [AS x] — a per-row scalar, grouping key beside
+  *                   aggregates
+  *                 | size((v)-[:R]->([:Label])) [<op> n]  -- the
+  *                   Neo4j-4 pattern-count spelling; same CountSub
+  *                   compilation (WHERE gate and RETURN item forms)
   *                 | NOT pred  -- plain boolean negation (numeric <>
   *                   also accepted directly: v.prop <> n)
   *                 | NOT (v)-[:REL]->(:Label [{prop:'x'}])  -- anti-join;
@@ -703,6 +707,27 @@ object CypherLite {
   private val CountSubItemRe =
     """(?is)^COUNT\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
 
+  /** `size((a)-[:R]->())` — the Neo4j-4 pattern-count spelling that
+    * COUNT {} replaced, still the most common form in LLM training
+    * data; compiles to the same CountSub machinery. Anonymous nodes
+    * (`()` / `(:Label [{…}])`) get fresh `__szN` variables so
+    * parsePath's named-node grammar takes the pattern whole (both
+    * arrow directions, inline props).
+    */
+  private val SizePatItemRe =
+    """(?is)^size\(\s*(\(.*\))\s*\)(?:\s+AS\s+(\w+))?\s*$""".r
+  private val SizePatCmpRe =
+    """(?is)^size\(\s*(\(.*\))\s*\)\s*(<=|>=|<>|<|>|=)\s*(\d+)$""".r
+
+  private def parseSizePattern(inner: String): Seq[PathPat] = {
+    var n = 0
+    val named = """\(\s*\)|\(\s*:""".r.replaceAllIn(inner, m => {
+      n += 1
+      if (m.matched.endsWith(":")) s"(__sz$n:" else s"(__sz$n)"
+    })
+    Seq(parsePath(named))
+  }
+
   /** Parse a RETURN item with ≥2 top-level `+`-joined parts into a
     * [[ConcatItem]]; None when the item carries no top-level `+`
     * (so the ordinary item regexes get it). A `+` item whose parts
@@ -839,6 +864,10 @@ object CypherLite {
       case lowerRe(v, p, op, value) =>
         LowerPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
+      // size((v)-[:R]->()) <op> n — the Neo4j-4 pattern-count gate;
+      // same CountSub compilation as COUNT { MATCH … } <op> n
+      case SizePatCmpRe(inner, op, nv) =>
+        CountSubPred(parseSizePattern(inner), Seq.empty, op, nv.toLong)
       case notExistsPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notExistsBraceRe(v, rel, lbl, prop, value) =>
@@ -1110,6 +1139,8 @@ object CypherLite {
       case CountSubItemRe(body, alias) =>
         val (ps, prs) = parseSubBody(body.trim)
         CountSubItem(ps, prs, Option(alias))
+      case SizePatItemRe(inner, alias) =>
+        CountSubItem(parseSizePattern(inner), Seq.empty, Option(alias))
       case SizeCollectRe(distinct, v, prop, alias) =>
         sizeCollect(distinct, v, prop, alias)
       case CountRe(distinct, v, prop, alias) =>
@@ -2747,6 +2778,17 @@ object CypherLite {
       "RETURN a.uid, COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } AS n_topics " +
       "ORDER BY a.uid LIMIT 12"
 
+  /** The Neo4j-4 pattern-count spelling (round 10) — `size((a)-[:R]->
+    * ())` in WHERE and RETURN: byte-for-byte the same semantics as
+    * Ex34's COUNT {} (the oracle IS Ex34's), through the same grouped
+    * left-outer joins. Anonymous endpoints get fresh variables.
+    */
+  val Ex36: String =
+    "MATCH (a:Article) " +
+      "WHERE size((a)-[:CONTAINS]->()) >= 4 " +
+      "RETURN a.uid, size((a)-[:HAS_TOPIC]->()) AS n_topics " +
+      "ORDER BY a.uid LIMIT 12"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -2812,6 +2854,7 @@ object CypherLite {
     "q_cypher_ex33" -> ((s, d) => run(s, d, Ex33)),
     "q_cypher_ex34" -> ((s, d) => run(s, d, Ex34)),
     "q_cypher_ex35" -> ((s, d) => run(s, d, Ex35)),
+    "q_cypher_ex36" -> ((s, d) => run(s, d, Ex36)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2850,6 +2893,21 @@ object CypherLite {
 
   private val M = TextPipeline.MentionsSql
   private val P = TextPipeline.PipelineSql
+
+  /** Shared by q_cypher_ex34 (COUNT {} spelling) and q_cypher_ex36
+    * (size((pattern)) spelling) — the two forms compile to the same
+    * grouped left-outer joins, so one oracle checks both.
+    */
+  private val CountSubOracleSql: String =
+    s"""WITH $P,
+       |${NewsGraph.ArticleTopicsSql},
+       |cc AS (SELECT doc_id, count(*) AS nch FROM chunks GROUP BY doc_id),
+       |tc AS (SELECT doc_id, count(*) AS nt FROM topics GROUP BY doc_id)
+       |SELECT 'Article:' || cc.doc_id AS a_uid,
+       |  CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_topics
+       |FROM cc LEFT JOIN tc ON tc.doc_id = cc.doc_id
+       |WHERE cc.nch >= 4
+       |ORDER BY a_uid LIMIT 12""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_cypher_vector" ->
@@ -2893,16 +2951,10 @@ object CypherLite {
          |FROM cc JOIN org ON org.doc_id = cc.doc_id
          |WHERE cc.n_chunks >= 3
          |ORDER BY a_uid LIMIT 10""".stripMargin,
-    "q_cypher_ex34" ->
-      s"""WITH $P,
-         |${NewsGraph.ArticleTopicsSql},
-         |cc AS (SELECT doc_id, count(*) AS nch FROM chunks GROUP BY doc_id),
-         |tc AS (SELECT doc_id, count(*) AS nt FROM topics GROUP BY doc_id)
-         |SELECT 'Article:' || cc.doc_id AS a_uid,
-         |  CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_topics
-         |FROM cc LEFT JOIN tc ON tc.doc_id = cc.doc_id
-         |WHERE cc.nch >= 4
-         |ORDER BY a_uid LIMIT 12""".stripMargin,
+    "q_cypher_ex34" -> CountSubOracleSql,
+    // size((a)-[:R]->()) is the Neo4j-4 spelling of Ex34's COUNT {}
+    // — provably the same query, so it replays the SAME oracle
+    "q_cypher_ex36" -> CountSubOracleSql,
     "q_cypher_ex33" ->
       s"""WITH $M,
          |org_c AS (

@@ -1086,6 +1086,29 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("size((pattern)) is row-identical to its COUNT {} twin, both forms") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val sz = rows(CypherLite.Ex36)
+    val cs = rows(CypherLite.Ex34)
+    assert(sz.nonEmpty && sz == cs,
+      s"size((pattern)) diverged from COUNT {{}}: $sz vs $cs")
+    // labeled anonymous endpoint + reversed arrow through parsePath
+    val lbl = rows("MATCH (c:Chunk) " +
+      "WHERE size((c)-[:MENTIONS]->(:Person)) >= 1 " +
+      "RETURN c.uid ORDER BY c.uid")
+    val ex = rows("MATCH (c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(p:Person) } " +
+      "RETURN c.uid ORDER BY c.uid")
+    assert(lbl.nonEmpty && lbl == ex,
+      "size((c)-[:MENTIONS]->(:Person)) >= 1 must equal the EXISTS form")
+    val rev = rows("MATCH (a:Article) " +
+      "RETURN a.uid, size((a)<-[:PUBLISHED]-(:Source)) AS n_pub " +
+      "ORDER BY a.uid LIMIT 8")
+    assert(rev.nonEmpty && rev.forall(_.last.asInstanceOf[Long] == 1L),
+      s"every article has exactly one publisher: $rev")
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)
