@@ -851,6 +851,20 @@ object CypherLite {
     val existsBraceRe = (s"(?i)EXISTS\\s*\\{\\s*$patBody\\s*\\}").r
     val notExistsBraceRe = (s"(?i)NOT\\s+EXISTS\\s*\\{\\s*$patBody\\s*\\}").r
     val barePatRe = patBody.r
+    // var-to-var pattern predicates (round 10): `[NOT] (v)-[:R]->(w)`
+    // with BOTH endpoints bound — the open-triangle / link-prediction
+    // gate ("co-occurs with a co-occurrer but not directly"). Maps
+    // onto the EXISTS-subquery semi/anti machinery, correlated on
+    // both uids.
+    val varPatBody = """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->\s*\(\s*(\w+)\s*\)"""
+    val notVarPatRe = (s"(?i)NOT\\s+$varPatBody").r
+    val notExistsVarPatRe = (s"(?i)NOT\\s+exists\\(\\s*$varPatBody\\s*\\)").r
+    val existsVarPatRe = (s"(?i)exists\\(\\s*$varPatBody\\s*\\)").r
+    val bareVarPatRe = varPatBody.r
+    def varPat(v: String, rel: String, w: String, negated: Boolean): Pred =
+      ExistsSubPred(Seq(PathPat(
+        Seq(NodePat(v, None), NodePat(w, None)),
+        Seq(RelPat(None, Seq(rel), reversed = false, None)))), Seq.empty, negated)
     val isNullRe = """(?i)(\w+)(?:\.(\w+))?\s+IS\s+(NOT\s+)?NULL""".r
     val strCmpRe = """(\w+)\.(\w+)\s*(<=|>=|<|>)\s*'([^']*)'""".r
     val numRe = """(\w+)\.(\w+)\s*(<=|>=|<>|<|>|=)\s*(\d+)""".r
@@ -874,6 +888,8 @@ object CypherLite {
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case notPatRe(v, rel, lbl, prop, value) =>
         NotPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case notExistsVarPatRe(v, rel, w) => varPat(v, rel, w, negated = true)
+      case notVarPatRe(v, rel, w) => varPat(v, rel, w, negated = true)
       case notSimpleRe(rest) => NotPred(parseSimplePred(rest))
       case existsPatRe(v, rel, lbl, prop, value) =>
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
@@ -881,6 +897,8 @@ object CypherLite {
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
       case barePatRe(v, rel, lbl, prop, value) =>
         ExistsPatPred(v, rel, lbl, Option(prop).map(_ -> value))
+      case existsVarPatRe(v, rel, w) => varPat(v, rel, w, negated = false)
+      case bareVarPatRe(v, rel, w) => varPat(v, rel, w, negated = false)
       case strCmpRe(v, p, op, value) => StrCmpPred(v, p, op, value)
       case isNullRe(v, prop, not) =>
         IsNullPred(v, Option(prop), not != null)
@@ -2789,6 +2807,19 @@ object CypherLite {
       "RETURN a.uid, size((a)-[:HAS_TOPIC]->()) AS n_topics " +
       "ORDER BY a.uid LIMIT 12"
 
+  /** Var-to-var pattern predicate (round 10) — `NOT (e1)-[:CO_OCCURS]
+    * ->(e3)` with both endpoints bound: the OPEN-TRIANGLE gate, i.e.
+    * link-prediction candidates ("co-occurs with a co-occurrer of X
+    * but never with X directly" — exactly the common-neighbors
+    * candidate set q_link_prediction scores). Compiles through the
+    * EXISTS-subquery machinery, anti-joined on BOTH uids.
+    */
+  val Ex37: String =
+    "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS]->(e2:Entity)" +
+      "-[:CO_OCCURS]->(e3:Entity) " +
+      "WHERE NOT (e1)-[:CO_OCCURS]->(e3) AND e3.name <> 'spark group' " +
+      "RETURN DISTINCT e3.name ORDER BY e3.name LIMIT 10"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -2855,6 +2886,7 @@ object CypherLite {
     "q_cypher_ex34" -> ((s, d) => run(s, d, Ex34)),
     "q_cypher_ex35" -> ((s, d) => run(s, d, Ex35)),
     "q_cypher_ex36" -> ((s, d) => run(s, d, Ex36)),
+    "q_cypher_ex37" -> ((s, d) => run(s, d, Ex37)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2942,6 +2974,15 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex37" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |n1 AS MATERIALIZED (
+         |  SELECT DISTINCT dst FROM edges WHERE src = 'spark group')
+         |SELECT DISTINCT e.dst AS e3_name
+         |FROM n1 JOIN edges e ON e.src = n1.dst
+         |WHERE e.dst <> 'spark group'
+         |  AND e.dst NOT IN (SELECT dst FROM n1)
+         |ORDER BY e3_name LIMIT 10""".stripMargin,
     "q_cypher_ex35" ->
       s"""WITH $P,
          |${NewsGraph.ArticleTopicsSql},

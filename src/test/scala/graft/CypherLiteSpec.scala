@@ -1109,6 +1109,26 @@ class CypherLiteSpec extends AnyFunSuite {
       s"every article has exactly one publisher: $rev")
   }
 
+  test("var-to-var pattern predicates partition the triangle: bare/exists()/NOT forms") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val base = "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS]->(e2:Entity)" +
+      "-[:CO_OCCURS]->(e3:Entity) WHERE e3.name <> 'spark group' "
+    val ret = "RETURN DISTINCT e3.name ORDER BY e3.name"
+    val all = rows(base + ret)
+    val open = rows(base.replace("WHERE ",
+      "WHERE NOT (e1)-[:CO_OCCURS]->(e3) AND ") + ret)
+    val closed = rows(base.replace("WHERE ",
+      "WHERE (e1)-[:CO_OCCURS]->(e3) AND ") + ret)
+    assert(open.nonEmpty && closed.nonEmpty, s"vacuous fixture: $open / $closed")
+    assert((open ++ closed).sorted == all.sorted,
+      "NOT pattern and its positive twin must partition the candidates")
+    assert(open.toSet.intersect(closed.toSet).isEmpty)
+    val exq = rows(base.replace("WHERE ",
+      "WHERE exists((e1)-[:CO_OCCURS]->(e3)) AND ") + ret)
+    assert(exq == closed, "exists((v)-[:R]->(w)) diverged from the bare form")
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)

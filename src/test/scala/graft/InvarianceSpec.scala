@@ -96,8 +96,9 @@ class InvarianceSpec extends AnyFunSuite {
       "q_cypher_ex33",
       // COUNT subqueries: grouped left-outer joins, same requirement
       "q_cypher_ex34",
-      // stage-level EXISTS after aggregation; size((pattern)) twin
-      "q_cypher_ex35", "q_cypher_ex36")
+      // stage-level EXISTS after aggregation; size((pattern)) twin;
+      // var-to-var anti-join triangle gate
+      "q_cypher_ex35", "q_cypher_ex36", "q_cypher_ex37")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
