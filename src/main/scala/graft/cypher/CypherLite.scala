@@ -576,6 +576,11 @@ object CypherLite {
             SumItem(v, Option(prop), Option(alias))
           case AggFnRe(fn, v, prop, alias) =>
             AggFnItem(fn.toLowerCase, v, Option(prop), Option(alias))
+          // inline pattern-count sort key (`ORDER BY size((a)-[:R]->())
+          // DESC`) — resolves against the structurally-matching RETURN
+          // item, like inline aggregates
+          case SizePatItemRe(inner, alias) =>
+            CountSubItem(parseSizePattern(inner), Seq.empty, Option(alias))
           case ss if ss.matches("""\w+\.\w+""") =>
             val Array(v, p) = ss.split("\\."); PropItem(v, p)
           case ss if ss.matches("""\w+""") =>
@@ -1676,6 +1681,10 @@ object CypherLite {
         case c: CountItem => c.copy(alias = None)
         case c: SumItem => c.copy(alias = None)
         case c: AggFnItem => c.copy(alias = None)
+        // idx is the item's RETURN position — an ORDER BY key parsed
+        // standalone carries the default 0, so strip both for the
+        // structural match
+        case c: CountSubItem => c.copy(alias = None, idx = 0)
         case other => other
       }
       keys.map { case (o, desc) =>

@@ -1107,6 +1107,15 @@ class CypherLiteSpec extends AnyFunSuite {
       "ORDER BY a.uid LIMIT 8")
     assert(rev.nonEmpty && rev.forall(_.last.asInstanceOf[Long] == 1L),
       s"every article has exactly one publisher: $rev")
+    // inline pattern-count sort key resolves against the RETURN item
+    val inline = rows("MATCH (a:Article) " +
+      "RETURN a.uid, size((a)-[:CONTAINS]->()) AS n " +
+      "ORDER BY size((a)-[:CONTAINS]->()) DESC, a.uid LIMIT 6")
+    val viaAlias = rows("MATCH (a:Article) " +
+      "RETURN a.uid, size((a)-[:CONTAINS]->()) AS n " +
+      "ORDER BY n DESC, a.uid LIMIT 6")
+    assert(inline.nonEmpty && inline == viaAlias,
+      "inline size() sort key diverged from the alias spelling")
   }
 
   test("var-to-var pattern predicates partition the triangle: bare/exists()/NOT forms") {
