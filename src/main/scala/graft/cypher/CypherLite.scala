@@ -2829,6 +2829,20 @@ object CypherLite {
       "WHERE NOT (e1)-[:CO_OCCURS]->(e3) AND e3.name <> 'spark group' " +
       "RETURN DISTINCT e3.name ORDER BY e3.name LIMIT 10"
 
+  /** Weighted open triangles (round 10) — relationship-variable
+    * predicates INSIDE a subquery body: entities two STRONG hops from
+    * the anchor with no strong direct edge ("strongly implied but
+    * unobserved links" — q_link_prediction's candidate set with edge
+    * strength respected). The body binds `[r3:CO_OCCURS]` through
+    * edgesWithProps and filters r3.weight before the anti join.
+    */
+  val Ex38: String =
+    "MATCH (e1:Entity {name: 'spark group'})-[r1:CO_OCCURS]->(e2:Entity)" +
+      "-[r2:CO_OCCURS]->(e3:Entity) " +
+      "WHERE r1.weight >= 2 AND r2.weight >= 2 AND e3.name <> 'spark group' " +
+      "AND NOT EXISTS { MATCH (e1)-[r3:CO_OCCURS]->(e3) WHERE r3.weight >= 2 } " +
+      "RETURN DISTINCT e3.name ORDER BY e3.name LIMIT 10"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -2896,6 +2910,7 @@ object CypherLite {
     "q_cypher_ex35" -> ((s, d) => run(s, d, Ex35)),
     "q_cypher_ex36" -> ((s, d) => run(s, d, Ex36)),
     "q_cypher_ex37" -> ((s, d) => run(s, d, Ex37)),
+    "q_cypher_ex38" -> ((s, d) => run(s, d, Ex38)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -2983,6 +2998,18 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex38" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |s AS MATERIALIZED (
+         |  SELECT DISTINCT dst FROM edges
+         |  WHERE src = 'spark group' AND weight >= 2)
+         |SELECT DISTINCT e.dst AS e3_name
+         |FROM s JOIN edges e ON e.src = s.dst AND e.weight >= 2
+         |WHERE e.dst <> 'spark group'
+         |  AND e.dst NOT IN (
+         |    SELECT dst FROM edges
+         |    WHERE src = 'spark group' AND weight >= 2)
+         |ORDER BY e3_name LIMIT 10""".stripMargin,
     "q_cypher_ex37" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql},
          |n1 AS MATERIALIZED (

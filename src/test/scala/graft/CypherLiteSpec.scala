@@ -1138,6 +1138,29 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(exq == closed, "exists((v)-[:R]->(w)) diverged from the bare form")
   }
 
+  test("rel-var predicates inside subquery bodies: weighted triangle gate") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val weighted = rows(CypherLite.Ex38)
+    // the weight-blind variant from Ex37 must be a SUBSET relation:
+    // raising the bar on r1/r2 shrinks candidates; dropping the body
+    // weight filter shrinks the survivor set (more direct edges count)
+    val blind = rows(CypherLite.Ex37)
+    assert(weighted.nonEmpty, "vacuous fixture: no strong open triangles")
+    // independently recompute from the property edge list
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("weight")))
+    val strong = edges.filter(_._3 >= 2)
+    val n1 = strong.filter(_._1 == "spark group").map(_._2).toSet
+    val want = strong.filter(e => n1.contains(e._1)).map(_._2)
+      .filter(d => d != "spark group" && !n1.contains(d))
+      .distinct.sorted.take(10).toSeq
+    assert(weighted == want,
+      s"weighted triangle gate diverged from the edge-list recompute: $weighted vs $want")
+    assert(blind.nonEmpty) // and the weight-blind twin still runs
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)
