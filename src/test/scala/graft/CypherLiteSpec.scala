@@ -1161,6 +1161,52 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(blind.nonEmpty) // and the weight-blind twin still runs
   }
 
+  test("randomized subquery battery: EXISTS/NOT/COUNT-op gates match set-algebra recomputes") {
+    // 36 generated gate shapes (3 labels × {no pred, CONTAINS s} ×
+    // {EXISTS, NOT EXISTS, COUNT >=1/>=2/=0/<2}) evaluated two ways:
+    // the compiled subquery vs Scala set algebra over primitive
+    // queries — every branch of the body compiler (reversal, label
+    // inheritance, semi/anti, grouped-count coalesce) crosses here
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val contains = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "RETURN a.uid, c.uid ORDER BY a.uid, c.uid")
+      .map(r => (r(0).toString, r(1).toString))
+    val mentions: Map[String, Seq[(String, String)]] =
+      Seq("Organization", "Person", "Location").map { lbl =>
+        lbl -> rows(s"MATCH (c:Chunk)-[:MENTIONS]->(x:$lbl) " +
+          "RETURN DISTINCT c.uid, x.name ORDER BY c.uid, x.name")
+          .map(r => (r(0).toString, r(1).toString))
+      }.toMap
+    val subs = Seq(None, Some("group"), Some("line"))
+    val gates: Seq[(String, Long => Boolean)] = Seq(
+      ("EXISTS { MATCH (c)-[:MENTIONS]->(x:%L)%W }", _ >= 1),
+      ("NOT EXISTS { MATCH (c)-[:MENTIONS]->(x:%L)%W }", _ == 0),
+      ("COUNT { MATCH (c)-[:MENTIONS]->(x:%L)%W } >= 2", _ >= 2),
+      ("COUNT { MATCH (c)-[:MENTIONS]->(x:%L)%W } = 0", _ == 0),
+      ("COUNT { MATCH (c)-[:MENTIONS]->(x:%L)%W } < 2", _ < 2))
+    var nonTrivial = 0
+    for {
+      lbl <- Seq("Organization", "Person", "Location")
+      sub <- subs
+      (tmpl, keep) <- gates
+    } {
+      val wtxt = sub.fold("")(s => s" WHERE x.name CONTAINS '$s'")
+      val gate = tmpl.replace("%L", lbl).replace("%W", wtxt)
+      val got = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+        s"WHERE $gate RETURN a.uid, c.uid ORDER BY a.uid, c.uid")
+        .map(r => (r(0).toString, r(1).toString))
+      val cnt: Map[String, Long] = mentions(lbl)
+        .filter(p => sub.forall(p._2.contains))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = contains.filter(p => keep(cnt.getOrElse(p._2, 0L)))
+      assert(got == want,
+        s"[$lbl/$sub/$gate] compiled=${got.size} rows, recompute=${want.size}")
+      if (want.nonEmpty && want.size < contains.size) nonTrivial += 1
+    }
+    assert(nonTrivial >= 10, s"battery too vacuous: only $nonTrivial non-trivial gates")
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)
