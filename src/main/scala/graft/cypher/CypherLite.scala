@@ -645,17 +645,43 @@ object CypherLite {
     * literals (map projections and count()/collect() carry commas of
     * their own; concat literals may carry commas, braces, parens).
     */
+  /** Same-length copy of `s` with every character INSIDE a
+    * single-quoted literal replaced by '_' (quotes kept) — the
+    * keyword/brace scanners search THIS, so literal text like
+    * 'meeting with {someone}' can never fake a WITH keyword or an
+    * unbalanced brace, while every match offset stays valid in the
+    * original string. A quote escaped as \' inside a literal does
+    * not close it (matching unescapeCypher).
+    */
+  private def maskLiterals(s: String): String = {
+    val out = s.toCharArray
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !(inQ && i > 0 && s.charAt(i - 1) == '\\')) inQ = !inQ
+      else if (inQ) out(i) = '_'
+      i += 1
+    }
+    new String(out)
+  }
+
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inQ = false
-    s.foreach {
-      case '\'' => inQ = !inQ; cur.append('\'')
-      case c @ ('{' | '(') if !inQ => depth += 1; cur.append(c)
-      case c @ ('}' | ')') if !inQ => depth -= 1; cur.append(c)
-      case ',' if depth == 0 && !inQ => out += cur.result(); cur.clear()
-      case c => cur.append(c)
+    var prev = ' '
+    s.foreach { c =>
+      c match {
+        // an escaped \' inside a literal is content, not a boundary
+        case '\'' if !(inQ && prev == '\\') => inQ = !inQ; cur.append('\'')
+        case '{' | '(' if !inQ => depth += 1; cur.append(c)
+        case '}' | ')' if !inQ => depth -= 1; cur.append(c)
+        case ',' if depth == 0 && !inQ => out += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      prev = c
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -669,12 +695,17 @@ object CypherLite {
     val cur = new StringBuilder
     var depth = 0
     var inQ = false
-    s.foreach {
-      case '\'' => inQ = !inQ; cur.append('\'')
-      case c @ ('{' | '(') if !inQ => depth += 1; cur.append(c)
-      case c @ ('}' | ')') if !inQ => depth -= 1; cur.append(c)
-      case '+' if depth == 0 && !inQ => out += cur.result(); cur.clear()
-      case c => cur.append(c)
+    var prev = ' '
+    s.foreach { c =>
+      c match {
+        // an escaped \' inside a literal is content, not a boundary
+        case '\'' if !(inQ && prev == '\\') => inQ = !inQ; cur.append('\'')
+        case '{' | '(' if !inQ => depth += 1; cur.append(c)
+        case '}' | ')' if !inQ => depth -= 1; cur.append(c)
+        case '+' if depth == 0 && !inQ => out += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      prev = c
     }
     out += cur.result()
     out.result().map(_.trim)
@@ -743,9 +774,11 @@ object CypherLite {
     val parts0 = splitPlus(raw)
     if (parts0.size < 2) return None
     def part(s: String): Option[Either[String, (String, String)]] = s match {
-      // the literal body must not itself contain a quote: a stray
-      // match like «'a' AS x + 'b'» must not silently re-literalize
-      case ConcatLitRe(l) if !l.contains("'") => Some(Left(unescapeCypher(l)))
+      // the literal body must not contain an UNESCAPED quote: a stray
+      // match like «'a' AS x + 'b'» must not silently re-literalize —
+      // but \' (which unescapeCypher unwraps) is legitimate content
+      case ConcatLitRe(l) if !l.matches("""(?s).*(?<!\\)'.*""") =>
+        Some(Left(unescapeCypher(l)))
       case ConcatPropRe(v, p) => Some(Right((v, p)))
       case _ => None
     }
@@ -929,13 +962,18 @@ object CypherLite {
     * nested subqueries compile.
     */
   private def parseSubBody(body: String): (Seq[PathPat], Seq[Pred]) = {
-    require(!body.matches("(?is).*\\bRETURN\\b.*"),
+    // keyword checks run on the LITERAL-MASKED text ('meeting with X'
+    // must not read as a WITH pipeline), with STARTS/ENDS WITH string
+    // operators removed first (any run of spaces — the lookbehind
+    // trick can't span variable whitespace)
+    val checked = maskLiterals(body).replaceAll("(?i)\\b(STARTS|ENDS)\\s+WITH\\b", "")
+    require(!checked.matches("(?is).*\\bRETURN\\b.*"),
       s"RETURN inside a {{ MATCH }} subquery is not compiled: $body")
-    require(!body.matches("(?is).*(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b.*"),
+    require(!checked.matches("(?is).*\\bWITH\\b.*"),
       s"WITH pipelines inside a {{ MATCH }} subquery are not compiled: $body")
     val afterMatch = body.replaceFirst("(?is)^MATCH\\b", "").trim
     val (patPart, predPart) =
-      "(?i)\\bWHERE\\b".r.findFirstMatchIn(afterMatch) match {
+      "(?i)\\bWHERE\\b".r.findFirstMatchIn(maskLiterals(afterMatch)) match {
         case Some(w) =>
           (afterMatch.substring(0, w.start), Some(afterMatch.substring(w.end)))
         case None => (afterMatch, None)
@@ -966,13 +1004,16 @@ object CypherLite {
     val cntSubs = Map.newBuilder[String, (Seq[PathPat], Seq[Pred])]
     var rest = ws
     var n = 0
-    var m = SubOpenRe.findFirstMatchIn(rest)
+    // keyword find + brace depth both run on the literal-masked text
+    // (same offsets): '{' inside a string value must not open a level
+    var masked = maskLiterals(rest)
+    var m = SubOpenRe.findFirstMatchIn(masked)
     while (m.isDefined) {
       val mm = m.get
       var depth = 1
       var j = mm.end
-      while (depth > 0 && j < rest.length) {
-        rest.charAt(j) match {
+      while (depth > 0 && j < masked.length) {
+        masked.charAt(j) match {
           case '{' => depth += 1
           case '}' => depth -= 1
           case _ => ()
@@ -996,7 +1037,8 @@ object CypherLite {
         out.append(rest.substring(0, j))
       }
       rest = rest.substring(j)
-      m = SubOpenRe.findFirstMatchIn(rest)
+      masked = maskLiterals(rest)
+      m = SubOpenRe.findFirstMatchIn(masked)
     }
     out.append(rest)
     (out.toString, exSubs.result(), cntSubs.result())
@@ -1009,11 +1051,13 @@ object CypherLite {
     * EXISTS/COUNT subquery body (round 10: subqueries are legal in
     * WITH-stage WHEREs, so stage bodies can carry braced MATCHes).
     */
-  private def topLevelKw(s: String, kw: String): Option[scala.util.matching.Regex.Match] =
-    ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(s).find { m =>
-      val pre = s.substring(0, m.start)
+  private def topLevelKw(s: String, kw: String): Option[scala.util.matching.Regex.Match] = {
+    val masked = maskLiterals(s)
+    ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(masked).find { m =>
+      val pre = masked.substring(0, m.start)
       pre.count(_ == '{') == pre.count(_ == '}')
     }
+  }
 
   /** AND-conjunction of terms; a term may be an OR-disjunction of
     * simple predicates (Cypher precedence: AND binds tighter). IN
@@ -1052,15 +1096,20 @@ object CypherLite {
     // keyword slicing alone is ambiguous). Each WITH starts a new
     // pipeline stage; the RETURN terminates the chain.
     // `STARTS WITH` / `ENDS WITH` string predicates contain the WITH
-    // keyword — the lookbehinds keep them out of the stage slicing
-    val withMs = "(?i)(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b".r.findAllMatchIn(q0).toSeq
-    val retStart = "(?i)\\bRETURN\\b".r.findFirstMatchIn(q0).map(_.start)
+    // keyword — the lookbehinds keep them out of the stage slicing.
+    // All keyword scans run on the LITERAL-MASKED text (same offsets
+    // as q0): a string value like 'meeting with {x} return' must
+    // never slice a stage, end a section, or unbalance a brace.
+    val q0m = maskLiterals(q0)
+    val withMs = "(?i)(?<!STARTS\\s)(?<!ENDS\\s)\\bWITH\\b".r.findAllMatchIn(q0m).toSeq
+    val retStart = "(?i)\\bRETURN\\b".r.findFirstMatchIn(q0m).map(_.start)
     val head = q0.substring(0,
       withMs.headOption.map(_.start).orElse(retStart).getOrElse(q0.length))
     def section(src: String, start: String, enders: Seq[String]): Option[String] = {
-      val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(src).map(_.end)
+      val srcM = maskLiterals(src)
+      val si = ("(?i)\\b" + start + "\\b").r.findFirstMatchIn(srcM).map(_.end)
       si.map { s =>
-        val ends = enders.flatMap(e => ("(?i)\\b" + e + "\\b").r.findFirstMatchIn(src.substring(s)).map(_.start + s))
+        val ends = enders.flatMap(e => ("(?i)\\b" + e + "\\b").r.findFirstMatchIn(srcM.substring(s)).map(_.start + s))
         src.substring(s, if (ends.isEmpty) src.length else ends.min).trim
       }
     }
@@ -1096,7 +1145,8 @@ object CypherLite {
       val (b, matchStage) = mM match {
         case Some(m) =>
           val right = b0.substring(m.end)
-          val (patPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(right) match {
+          val (patPart, predPart) =
+            "(?i)\\bWHERE\\b".r.findFirstMatchIn(maskLiterals(right)) match {
             case Some(w) => (right.substring(0, w.start), Some(right.substring(w.end)))
             case None => (right, None)
           }
@@ -1112,19 +1162,20 @@ object CypherLite {
         // WITH … [WHERE …] [ORDER BY …] [LIMIT n] — the mid-pipeline
         // top-N stage ("top 5 orgs by count, THEN …"); slice the tail
         // clauses off right-to-left before the items/WHERE split
-        val liM = "(?i)\\bLIMIT\\b".r.findFirstMatchIn(b)
+        val liM = "(?i)\\bLIMIT\\b".r.findFirstMatchIn(maskLiterals(b))
         val (bNoLimit, stageLimit) = liM match {
           case Some(m) => (b.substring(0, m.start),
             Some(b.substring(m.end).trim.toInt))
           case None => (b, None)
         }
-        val obM = "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(bNoLimit)
+        val obM = "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(maskLiterals(bNoLimit))
         val (bCore, stageOrder) = obM match {
           case Some(m) => (bNoLimit.substring(0, m.start),
             parseOrderKeys(bNoLimit.substring(m.end)))
           case None => (bNoLimit, Seq.empty[(RetItem, Boolean)])
         }
-        val (itemsPart, predPart) = "(?i)\\bWHERE\\b".r.findFirstMatchIn(bCore) match {
+        val (itemsPart, predPart) =
+          "(?i)\\bWHERE\\b".r.findFirstMatchIn(maskLiterals(bCore)) match {
           case Some(m) => (bCore.substring(0, m.start), Some(bCore.substring(m.end)))
           case None => (bCore, None)
         }
@@ -1791,7 +1842,12 @@ object CypherLite {
     // shared binding, so the join never fans out.
     q.ret.foreach {
       case it: CountSubItem =>
-        val (body, keys) = subFrame(it.paths, it.preds)
+        // correlate on the columns that actually SURVIVED the WITH
+        // pipeline, not the head-pattern bound set — a head var a
+        // stage aggregated away must not resolve (Neo4j would treat
+        // it as fresh; we refuse loudly via subFrame's shared check)
+        val (body, keys) = subFrame(it.paths, it.preds,
+          v => df.columns.contains(s"${v}_uid"))
         df = df.join(body.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as(s"__cntsub_${it.idx}")), keys, "left_outer")
       case _ => ()
@@ -3249,7 +3305,14 @@ object CypherLite {
          |  array_to_string(list_transform(
          |    list_filter([$revG], x -> x IS NOT NULL),
          |    x -> 'CO_OCCURS{weight:' || x || '}'), '->') AS rels
-         |FROM s$rounds""".stripMargin
+         |FROM s$rounds
+         |-- the engine emits a row only when the pred walk CLOSES at
+         |-- the seed within the hop bound (weightedWitnessOn filters
+         |-- cur = src; PropertySpec pins unclosed ⇒ empty) — replay
+         |-- that: once the chain reaches the seed every later pred is
+         |-- NULL, so membership is exactly closure
+         |WHERE list_contains(list_filter([$revN], x -> x IS NOT NULL),
+         |  'spark group')""".stripMargin
     },
     "q_cypher_wsp" -> {
       // qWsp's Bellman-Ford CTEs, selected down to the anchored target

@@ -244,6 +244,10 @@ object Dedup {
   def qNeardupCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandKeysOfDocs(Tables.documents(spark, dir))
       .localCheckpoint(false) // one shingle/sig pass; both join sides read it
+    // the same band self-join shape as q_dedup_minhash — same guard
+    // (review finding: this emitter was left outside the refusal)
+    pairLoadGuard(bands, Seq("bkey"),
+      "q_neardup_candidates", "q_dedup_minhash_topk")
     bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
       .join(bands.select(col("doc_id").as("doc_id_b"), col("bkey")), Seq("bkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))

@@ -181,12 +181,20 @@ object Similarity {
 
   private val QVecSql = "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
 
-  /** Brute-force cosine top-k against the probe vector. */
-  def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
+  /** The ONE broadcast-probe scored scan both brute-force top-ks cut
+    * from (review finding: the serving seed used to duplicate this
+    * pipeline verbatim — a scoring change would have had to land
+    * twice or the serving path silently diverges).
+    */
+  private def scoredScan(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .filter(col("vec_id") =!= 0)
       .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+
+  /** Brute-force cosine top-k against the probe vector. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    scoredScan(spark, dir)
       .select("vec_id", "label", "score")
       .orderBy(col("score").desc, col("vec_id"))
       .limit(TopK)
@@ -197,14 +205,10 @@ object Similarity {
     * embeds one vector per document (embeddings.vec_id =
     * documents.doc_id, the same mapping qCosineTopkFiltered serves);
     * the caller attaches the score to the document's representative
-    * chunk. Plan shape = qCosineTopk's broadcast-probe scan +
-    * TakeOrdered.
+    * chunk. Same scoredScan as qCosineTopk + TakeOrdered.
     */
   def vectorQueryTopk(spark: SparkSession, dir: String, k: Int): DataFrame =
-    vectors(spark, dir)
-      .crossJoin(broadcast(queryVec(spark, dir)))
-      .filter(col("vec_id") =!= 0)
-      .withColumn("score", round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    scoredScan(spark, dir)
       .select(col("vec_id").as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

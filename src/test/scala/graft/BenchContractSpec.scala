@@ -103,6 +103,17 @@ class BenchContractSpec extends AnyFunSuite {
       "320 keys must ride the carriers with zero loss")
     val missing = synth.map(_._1).filterNot(n => carried(line, n, "2r"))
     assert(missing.isEmpty, s"keys missing from both carriers: $missing")
+    // the capacity guarantee must also hold with probe_pr occupying
+    // the fixed epilogue (round-10 review finding: the probe shrinks
+    // the carrier budget by ~4 entries and the 320-key pin never
+    // exercised it)
+    val lineP = Bench.metricLine(synth, 3168.0, "sf0.1", Some(33L))
+    assert(lineP.length <= Bench.LineBudget,
+      s"320-key line with probe_pr is ${lineP.length} chars; budget ${Bench.LineBudget}")
+    assert(!lineP.contains("\"dropped\":") && lineP.contains("\"probe_pr\":33"),
+      "320 keys + probe_pr must ride with zero loss")
+    val missingP = synth.map(_._1).filterNot(n => carried(lineP, n, "2r"))
+    assert(missingP.isEmpty, s"keys missing with probe_pr riding: $missingP")
     // and the line must survive the driver's 2000-char tail with the
     // sbt success epilogue after it
     val tail = Seq("…earlier…", line,

@@ -1207,6 +1207,59 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(nonTrivial >= 10, s"battery too vacuous: only $nonTrivial non-trivial gates")
   }
 
+  test("string literals cannot fake keywords or braces (masked scanners)") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // a literal carrying WITH / RETURN / MATCH / { } must parse as
+    // VALUE text, not as clause structure (review finding: the brace
+    // scan and keyword checks used to read inside literals)
+    val trap = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'meeting with {return' } " +
+      "RETURN a.uid ORDER BY a.uid")
+    assert(trap.isEmpty, "no org name contains the trap literal")
+    // the same body with a REAL match must still work after masking
+    val real = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { MATCH (c)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' } " +
+      "RETURN a.uid, count(c) AS n ORDER BY a.uid")
+    assert(real.nonEmpty)
+    // head-WHERE literal with clause keywords; result must equal the
+    // trap-free twin (the filter matches nothing OR'd in)
+    val twin = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' OR o.name = 'with return match limit' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    val base = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    assert(twin == base, s"keyword-bearing literal changed the parse: $twin vs $base")
+    // escaped apostrophe inside a concat literal compiles and unwraps
+    val apos = rows("MATCH (a:Article) WHERE a.doc_id < 2 " +
+      "RETURN 'it\\'s: ' + a.uid AS t ORDER BY t")
+    assert(apos.nonEmpty && apos.forall(_.head.toString.startsWith("it's: ")),
+      s"escaped apostrophe mis-unwrapped: $apos")
+  }
+
+  test("RETURN COUNT{} after a WITH stage correlates on CARRIED columns only") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // `a` is carried whole through the stage → the item resolves
+    val ok = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WITH a, count(c) AS n " +
+      "RETURN a.uid, n, COUNT { MATCH (a)-[:HAS_TOPIC]->(t:Topic) } AS nt " +
+      "ORDER BY a.uid LIMIT 5")
+    assert(ok.nonEmpty && ok.forall(_.size == 3))
+    // `c` was aggregated away → refuse LOUDLY with our message, not a
+    // raw missing-column AnalysisException (review finding)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+          "WITH a, count(c) AS n " +
+          "RETURN a.uid, n, COUNT { MATCH (c)-[:MENTIONS]->(p:Person) } AS np " +
+          "ORDER BY a.uid").collect()
+    }
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)

@@ -371,6 +371,11 @@ class DedupSpec extends AnyFunSuite {
       intercept[IllegalStateException] {
         Dedup.qDedupEmbedding(spark, TestSpark.sf).collect()
       }
+      // the raw candidate-stream emitter runs the same band self-join
+      // — it must refuse too (review finding: it was left unguarded)
+      intercept[IllegalStateException] {
+        Dedup.qNeardupCandidates(spark, TestSpark.sf).collect()
+      }
       // the capped twins are the escape hatch — they must still run
       // under the same zero budget
       assert(Dedup.qDedupSimhashTopk(spark, TestSpark.sf).collect().nonEmpty)
