@@ -606,4 +606,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in EXISTS plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in EXISTS plan:\n$p")
   }
+
+  test("COUNT subqueries plan as grouped LeftOuter joins — no fan-out, no cartesian") {
+    for (q <- Seq(cypher.CypherLite.Ex34, cypher.CypherLite.Ex36)) {
+      val p = plan(cypher.CypherLite.run(spark, TestSpark.sf, q))
+      // the grouped body (one row per shared binding) left-outer
+      // joins in — multiplicities can only come from the outer side
+      assert(p.contains("LeftOuter"), s"expected grouped LeftOuter:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in COUNT plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in COUNT plan:\n$p")
+    }
+  }
 }
