@@ -461,10 +461,12 @@ object CypherLite {
     * (absent → 0); alongside aggregates it becomes a grouping key
     * exactly like a plain prop. `idx` is the item's position in the
     * RETURN list — it names the private join column, so two COUNT
-    * items never collide.
+    * items never collide. asBool = the `RETURN EXISTS { … } AS flag`
+    * spelling: the same machinery projected as count > 0.
     */
   case class CountSubItem(paths: Seq[PathPat], preds: Seq[Pred],
-    alias: Option[String] = None, idx: Int = 0) extends RetItem
+    alias: Option[String] = None, idx: Int = 0,
+    asBool: Boolean = false) extends RetItem
   /** `type(r)` — the relationship type of a bound rel variable (reads
     * the `r_type` tag the hop compiler attaches; the idiom that makes
     * multi-type `[:A|B]` hops distinguishable).
@@ -742,6 +744,11 @@ object CypherLite {
     */
   private val CountSubItemRe =
     """(?is)^COUNT\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
+  /** `EXISTS { MATCH … } [AS flag]` as a RETURN item — the boolean
+    * per-row spelling, sharing CountSubItem's machinery (count > 0).
+    */
+  private val ExistsSubItemRe =
+    """(?is)^EXISTS\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
 
   /** `size((a)-[:R]->())` — the Neo4j-4 pattern-count spelling that
     * COUNT {} replaced, still the most common form in LLM training
@@ -1213,6 +1220,9 @@ object CypherLite {
       case CountSubItemRe(body, alias) =>
         val (ps, prs) = parseSubBody(body.trim)
         CountSubItem(ps, prs, Option(alias))
+      case ExistsSubItemRe(body, alias) =>
+        val (ps, prs) = parseSubBody(body.trim)
+        CountSubItem(ps, prs, Option(alias), asBool = true)
       case SizePatItemRe(inner, alias) =>
         CountSubItem(parseSizePattern(inner), Seq.empty, Option(alias))
       case SizeCollectRe(distinct, v, prop, alias) =>
@@ -1651,7 +1661,8 @@ object CypherLite {
         a.getOrElse(p.fold(s"${fn}_$v")(pp => s"${fn}_${v}_$pp"))
       case MapItem(v, _, a) => a.getOrElse(s"${v}_map")
       case ConcatItem(_, a) => a.getOrElse("concat")
-      case CountSubItem(_, _, a, i) => a.getOrElse(s"count_sub$i")
+      case CountSubItem(_, _, a, i, asBool) =>
+        a.getOrElse(if (asBool) s"exists_sub$i" else s"count_sub$i")
       case BareItem(n, a) => a.getOrElse(n)
       case TypeItem(r, a) => a.getOrElse(s"type_$r")
       case LabelsItem(v, a) => a.getOrElse(s"labels_$v")
@@ -1673,8 +1684,10 @@ object CypherLite {
         }: _*).as(outName(it))
       case c: CountSubItem =>
         // the grouped body count was LEFT OUTER joined in before
-        // projection (see the q.ret pass below); absent → 0
-        coalesce(col(s"__cntsub_${c.idx}"), lit(0L)).as(outName(it))
+        // projection (see the q.ret pass below); absent → 0; the
+        // EXISTS spelling projects the boolean count > 0
+        val cnt = coalesce(col(s"__cntsub_${c.idx}"), lit(0L))
+        (if (c.asBool) cnt > 0 else cnt).as(outName(it))
       case BareItem(n, _) => col(n).as(outName(it))
       case TypeItem(r, _) => col(s"${r}_type").as(outName(it))
       case LabelsItem(v, _) =>
@@ -2899,6 +2912,18 @@ object CypherLite {
       "AND NOT EXISTS { MATCH (e1)-[r3:CO_OCCURS]->(e3) WHERE r3.weight >= 2 } " +
       "RETURN DISTINCT e3.name ORDER BY e3.name LIMIT 10"
 
+  /** `RETURN EXISTS { … } AS flag` (round 10) — the boolean per-row
+    * projection of an existential ("does this article mention any
+    * person, as a COLUMN"), through the CountSubItem machinery as
+    * count > 0. The two-hop body anchors at the Person table after
+    * reversal; a and c ride uid-only on their edges.
+    */
+  val Ex39: String =
+    "MATCH (a:Article) " +
+      "RETURN a.uid, " +
+      "EXISTS { MATCH (a)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(p:Person) } AS has_person " +
+      "ORDER BY a.uid LIMIT 15"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -2967,6 +2992,7 @@ object CypherLite {
     "q_cypher_ex36" -> ((s, d) => run(s, d, Ex36)),
     "q_cypher_ex37" -> ((s, d) => run(s, d, Ex37)),
     "q_cypher_ex38" -> ((s, d) => run(s, d, Ex38)),
+    "q_cypher_ex39" -> ((s, d) => run(s, d, Ex39)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -3054,6 +3080,13 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex39" ->
+      s"""WITH $M,
+         |pc AS (SELECT DISTINCT doc_id FROM mentions WHERE label = 'person')
+         |SELECT 'Article:' || d.doc_id AS a_uid,
+         |  (pc.doc_id IS NOT NULL) AS has_person
+         |FROM documents d LEFT JOIN pc ON pc.doc_id = d.doc_id
+         |ORDER BY a_uid LIMIT 15""".stripMargin,
     "q_cypher_ex38" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql},
          |s AS MATERIALIZED (

@@ -1260,6 +1260,51 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("RETURN EXISTS {} items: boolean twin of COUNT > 0 and of the WHERE gate") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val flag = rows(CypherLite.Ex39)
+    assert(flag.nonEmpty && flag.exists(_.last == true) && flag.exists(_.last == false),
+      s"vacuous fixture: has_person must vary: $flag")
+    // ≡ COUNT{} > 0 column
+    val cnt = rows("MATCH (a:Article) " +
+      "RETURN a.uid, COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk)" +
+      "-[:MENTIONS]->(p:Person) } AS n ORDER BY a.uid LIMIT 15")
+    assert(flag.map(r => (r.head, r.last)) ==
+      cnt.map(r => (r.head, r.last.asInstanceOf[Long] > 0)),
+      "EXISTS item diverged from COUNT > 0")
+    // the true rows ≡ the WHERE-gated twin
+    val gated = rows("MATCH (a:Article) " +
+      "WHERE EXISTS { MATCH (a)-[:CONTAINS]->(c:Chunk)" +
+      "-[:MENTIONS]->(p:Person) } RETURN a.uid ORDER BY a.uid LIMIT 15")
+    assert(flag.filter(_.last == true).map(_.head).take(gated.size) ==
+      gated.map(_.head).take(flag.count(_.last == true)))
+  }
+
+  test("var-length hops inside subquery bodies: *1..2 ≡ 1-hop OR 2-hop twins") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val base = "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS]->(e2:Entity)" +
+      "-[:CO_OCCURS]->(e3:Entity) "
+    val ret = "RETURN DISTINCT e3.name ORDER BY e3.name"
+    val vl = rows(base +
+      "WHERE EXISTS { MATCH (e1)-[:CO_OCCURS*1..2]->(e3) } " + ret)
+    val one = rows(base + "WHERE (e1)-[:CO_OCCURS]->(e3) " + ret)
+    val two = rows(base +
+      "WHERE EXISTS { MATCH (e1)-[:CO_OCCURS]->(m)-[:CO_OCCURS]->(e3) } " + ret)
+    assert(vl.nonEmpty && one.nonEmpty && two.nonEmpty)
+    // the var-length expansion enforces Cypher's RELATIONSHIP
+    // UNIQUENESS: the e1→m→e1 backtrack reuses the (undirected) edge
+    // and is rightly excluded, so e3 = e1 appears in the explicit
+    // two-hop twin (independent joins) but never in *1..2 — drop the
+    // self row from the twin before comparing
+    val want = (one ++ two).distinct.filterNot(_ == "spark group").sorted
+    assert(!vl.contains("spark group"),
+      "*1..2 must not reach the anchor by backtracking its own edge")
+    assert(vl == want,
+      s"var-length body diverged from the hop-union twin: $vl vs $want")
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)
