@@ -13,7 +13,8 @@ import graft.operators.TextPipeline
   *
   * Supported grammar (one line, case-sensitive keywords):
   *   query      := [unwind] match [where] [with] return [orderby] [skip] [limit]
-  *                 | query UNION query
+  *                 | query UNION [ALL] query  -- UNION dedups, ALL
+  *                   keeps duplicates (mixing the two forms throws)
   *   unwind     := UNWIND ['a','b',...] AS alias  -- literal list; the
   *                 alias joins via a WHERE `v.prop = alias` predicate
   *                 (broadcast relation, one output row per list match)
@@ -803,8 +804,28 @@ object CypherLite {
     Some(ConcatItem(parts, alias))
   }
 
-  def parse(cypher: String): Seq[Query] =
-    cypher.split("(?i)\\bUNION\\b").map(q => parseOne(q.trim)).toSeq
+  /** Split on UNION / UNION ALL at the top level (literal-masked —
+    * a string value carrying 'union' must not split the query) and
+    * parse each branch; returns the branches and whether ALL was
+    * used. Before round 10 `UNION ALL` silently parsed as plain
+    * UNION with the `ALL` dropped — dedup semantics applied where
+    * Cypher keeps duplicates, a silent wrong answer. Mixing UNION
+    * and UNION ALL in one query is not Cypher (Neo4j refuses too).
+    */
+  def parseBranches(cypher: String): (Seq[Query], Boolean) = {
+    val masked = maskLiterals(cypher)
+    val sepRe = "(?i)\\bUNION(\\s+ALL)?\\b".r
+    val seps = sepRe.findAllMatchIn(masked).toSeq
+    val alls = seps.map(_.group(1) != null)
+    require(alls.distinct.size <= 1,
+      "mixing UNION and UNION ALL in one query is not Cypher")
+    val starts = 0 +: seps.map(_.end)
+    val ends = seps.map(_.start) :+ cypher.length
+    val branches = starts.zip(ends).map { case (s, e) => cypher.substring(s, e).trim }
+    (branches.map(parseOne), alls.headOption.getOrElse(false))
+  }
+
+  def parse(cypher: String): Seq[Query] = parseBranches(cypher)._1
 
   private def parsePath(p: String): PathPat = {
     val nodes = NodeRe.findAllMatchIn(p).map(m =>
@@ -2491,8 +2512,10 @@ object CypherLite {
           case None => AspRe.findFirstMatchIn(trimmed) match {
             case Some(m) => runAllShortestPaths(spark, dir, m)
             case None =>
-              parse(cypher).map(q => compile(spark, dir, q))
-                .reduce((a, b) => a.union(b).distinct())
+              val (qs, all) = parseBranches(cypher)
+              val u = qs.map(q => compile(spark, dir, q)).reduce(_ union _)
+              // Cypher: UNION dedups, UNION ALL keeps duplicates
+              if (all || qs.size == 1) u else u.distinct()
           }
         }
         }
@@ -2924,6 +2947,20 @@ object CypherLite {
       "EXISTS { MATCH (a)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(p:Person) } AS has_person " +
       "ORDER BY a.uid LIMIT 15"
 
+  /** UNION ALL (round 10) — duplicate-KEEPING branch union: chunks
+    * matching either screen, once per (branch, entity) match. Before
+    * this the `ALL` silently dropped and dedup semantics applied — a
+    * silent wrong answer for any LLM-emitted UNION ALL. A chunk
+    * mentioning BOTH a 'group' org and a 'row' location keeps both
+    * rows here; plain UNION would collapse them.
+    */
+  val Ex40: String =
+    "MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' RETURN c.uid AS uid " +
+      "UNION ALL " +
+      "MATCH (c:Chunk)-[:MENTIONS]->(l:Location) " +
+      "WHERE l.name CONTAINS 'row' RETURN c.uid AS uid"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -2993,6 +3030,7 @@ object CypherLite {
     "q_cypher_ex37" -> ((s, d) => run(s, d, Ex37)),
     "q_cypher_ex38" -> ((s, d) => run(s, d, Ex38)),
     "q_cypher_ex39" -> ((s, d) => run(s, d, Ex39)),
+    "q_cypher_ex40" -> ((s, d) => run(s, d, Ex40)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
@@ -3080,6 +3118,16 @@ object CypherLite {
          |  'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS header
          |FROM arts a JOIN chunks c ON c.doc_id = a.doc_id
          |ORDER BY a_uid, c_position LIMIT 12""".stripMargin,
+    "q_cypher_ex40" ->
+      s"""WITH $M,
+         |a AS (SELECT DISTINCT doc_id, chunk_id, name FROM mentions
+         |  WHERE label = 'organization' AND name LIKE '%group%'),
+         |b AS (SELECT DISTINCT doc_id, chunk_id, name FROM mentions
+         |  WHERE label = 'location' AND name LIKE '%row%')
+         |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM a
+         |UNION ALL
+         |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM b
+         |ORDER BY uid""".stripMargin,
     "q_cypher_ex39" ->
       s"""WITH $M,
          |pc AS (SELECT DISTINCT doc_id FROM mentions WHERE label = 'person')

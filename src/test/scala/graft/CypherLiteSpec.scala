@@ -1305,6 +1305,29 @@ class CypherLiteSpec extends AnyFunSuite {
       s"var-length body diverged from the hop-union twin: $vl vs $want")
   }
 
+  test("UNION ALL keeps duplicates; UNION dedups; mixing throws; literal 'union' is value text") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val all = rows(CypherLite.Ex40)
+    val dedup = rows(CypherLite.Ex40.replace("UNION ALL", "UNION"))
+    assert(all.size > dedup.size,
+      s"UNION ALL must keep the cross-branch duplicates: ${all.size} vs ${dedup.size}")
+    assert(all.distinct.sorted == dedup.sorted,
+      "the two forms must agree on the distinct row set")
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf, CypherLite.Ex40 +
+        " UNION MATCH (c:Chunk)-[:MENTIONS]->(p:Person) RETURN c.uid AS uid")
+    }
+    // 'union' inside a string literal must not split the query
+    val lit = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' OR o.name = 'union all of them' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    val base = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    assert(lit == base, s"literal 'union' split the query: $lit vs $base")
+  }
+
   test("EXISTS { MATCH } loud failures: RETURN/WITH bodies, uncorrelated, OR placement") {
     val ex33 = CypherLite.run(spark, TestSpark.sf, Ex33)
     assert(ex33.collect().nonEmpty)

@@ -100,7 +100,9 @@ class InvarianceSpec extends AnyFunSuite {
       // var-to-var anti-join triangle gate
       "q_cypher_ex35", "q_cypher_ex36", "q_cypher_ex37",
       // rel-var predicate inside the anti-join body; boolean EXISTS item
-      "q_cypher_ex38", "q_cypher_ex39")
+      "q_cypher_ex38", "q_cypher_ex39",
+      // UNION ALL branch union (dedup-free)
+      "q_cypher_ex40")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Seq[(String, Seq[org.apache.spark.sql.Row])] =
       names.map(n => n -> SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
