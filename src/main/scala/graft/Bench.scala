@@ -263,8 +263,13 @@ object Bench {
     val base = k.stripPrefix("q_") match {
       case cypherNum(n) =>
         val i = n.toInt
+        require(i < 50, s"cypher example key scheme exhausted at ex$i")
         if (i < 10) s"c$i" else if (i < 20) s"y${i - 10}"
-        else if (i < 30) s"z${i - 20}" else s"x${i - 30}"
+        else if (i < 30) s"z${i - 20}"
+        else if (i < 40) s"x${i - 30}"
+        // ex40+ : 'u' decade (a 3-char x10 would fall off the qpack
+        // carrier into the dict — legal but budget-wasteful)
+        else s"u${i - 40}"
       case b => b
     }
     abbrev.foldLeft(base) { case (s, (a, b)) => s.replace(a, b) }
