@@ -131,6 +131,8 @@ object Bench {
       "cypher_fulltext" -> "fx", "cypher_path" -> "pn",
       // round-10 keys: the vector CALL and the weighted witness path
       "cypher_vector" -> "vq", "cypher_wpath" -> "wq",
+      // round-11 key: the literal hybrid retrieval composition
+      "cypher_hybrid" -> "hd",
       // AFTER cypher_wsp (rule order: a bare "wsp" rule first would
       // rewrite "cypher_wsp" before its whole-name rule can match)
       "wsp" -> "wp",

@@ -662,57 +662,61 @@ object CypherLite {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'' && !(inQ && i > 0 && s.charAt(i - 1) == '\\')) inQ = !inQ
-      else if (inQ) out(i) = '_'
-      i += 1
+      if (inQ && c == '\\' && i + 1 < s.length) {
+        // an escape PAIR inside a literal is content, consumed as a
+        // unit (mirroring unescapeCypher) — the former single-char
+        // lookbehind misread the second backslash of 'path\\' as
+        // escaping the closing quote, leaving the literal open and
+        // masking the rest of the query (r10 advice)
+        out(i) = '_'; out(i + 1) = '_'; i += 2
+      } else {
+        if (c == '\'') inQ = !inQ
+        else if (inQ) out(i) = '_'
+        i += 1
+      }
     }
     new String(out)
   }
 
-  private def splitTop(s: String): Seq[String] = {
+  /** Split on `sep` at brace/paren depth 0 outside single-quoted
+    * literals. Escape pairs inside a literal are consumed as units,
+    * the same two-state scan as maskLiterals — so `'a\\'` closes and
+    * `'a\''` stays open, exactly where unescapeCypher says they do.
+    */
+  private def splitDepth0(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inQ = false
-    var prev = ' '
-    s.foreach { c =>
-      c match {
-        // an escaped \' inside a literal is content, not a boundary
-        case '\'' if !(inQ && prev == '\\') => inQ = !inQ; cur.append('\'')
-        case '{' | '(' if !inQ => depth += 1; cur.append(c)
-        case '}' | ')' if !inQ => depth -= 1; cur.append(c)
-        case ',' if depth == 0 && !inQ => out += cur.result(); cur.clear()
-        case _ => cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ && c == '\\' && i + 1 < s.length) {
+        cur.append(c).append(s.charAt(i + 1)); i += 2
+      } else {
+        c match {
+          case '\'' => inQ = !inQ; cur.append(c)
+          case '{' | '(' if !inQ => depth += 1; cur.append(c)
+          case '}' | ')' if !inQ => depth -= 1; cur.append(c)
+          case x if x == sep && depth == 0 && !inQ =>
+            out += cur.result(); cur.clear()
+          case _ => cur.append(c)
+        }
+        i += 1
       }
-      prev = c
     }
     out += cur.result()
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result()
   }
+
+  private def splitTop(s: String): Seq[String] =
+    splitDepth0(s, ',').map(_.trim).filter(_.nonEmpty)
 
   /** Split on `+` at depth 0 outside single-quoted literals — the
     * concat-item part splitter (see [[ConcatItem]]).
     */
-  private def splitPlus(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inQ = false
-    var prev = ' '
-    s.foreach { c =>
-      c match {
-        // an escaped \' inside a literal is content, not a boundary
-        case '\'' if !(inQ && prev == '\\') => inQ = !inQ; cur.append('\'')
-        case '{' | '(' if !inQ => depth += 1; cur.append(c)
-        case '}' | ')' if !inQ => depth -= 1; cur.append(c)
-        case '+' if depth == 0 && !inQ => out += cur.result(); cur.clear()
-        case _ => cur.append(c)
-      }
-      prev = c
-    }
-    out += cur.result()
-    out.result().map(_.trim)
-  }
+  private def splitPlus(s: String): Seq[String] =
+    splitDepth0(s, '+').map(_.trim)
 
   /** Cypher string-literal escapes: the reference's retrieval_query
     * carries a literal `\n` (two characters in the query TEXT) that
@@ -838,10 +842,14 @@ object CypherLite {
       val varLen = Option(m.group(4)).map(lo => (lo.toInt, m.group(5).toInt))
       val types = m.group(3).split("\\|").map(_.trim).toSeq
       val relVar = Option(m.group(2))
-      require(relVar.isEmpty || varLen.isEmpty,
-        s"relationship variable on a var-length hop is unsupported: ${m.matched}")
-      require(types.size == 1 || varLen.isEmpty,
-        s"multi-type var-length hop is unsupported: ${m.matched}")
+      // round 11: a relationship variable on a SINGLE-type var-length
+      // hop is legal (its WHERE predicates filter every traversed
+      // edge; see the hop-filter routing in compile), and multi-type
+      // var-length hops expand over the per-step type union — but the
+      // combination stays refused: r would range over edges of mixed
+      // property schemas, so r.prop has no single meaning
+      require(relVar.isEmpty || types.size == 1 || varLen.isEmpty,
+        s"relationship variable on a multi-type var-length hop is unsupported: ${m.matched}")
       RelPat(relVar, types, reversed, varLen)
     }.toSeq
     require(nodes.size == rels.size + 1, s"path shape mismatch in: $p")
@@ -863,9 +871,11 @@ object CypherLite {
   private val DateFnProp = """(?i)\b(?:datetime|date)\(\s*(\w+\.\w+)\s*\)""".r
 
   /** The schema's date-carrying string properties — the ONLY ones
-    * date()/datetime() may wrap (see unwrapTemporal).
+    * date()/datetime() may wrap (see unwrapTemporal). Reads the
+    * shared schema-metadata object (round 11): new temporal
+    * properties register in GraphMeta, one place.
     */
-  private val DateProps = Set("publishing_date")
+  private def DateProps = GraphMeta.dateProps
 
   private def unwrapTemporal(w: String): String = {
     val w1 = DateFnLit.replaceAllIn(w, mm => {
@@ -1093,10 +1103,24 @@ object CypherLite {
     * EXISTS/COUNT subqueries are tokenized out first (their body
     * WHERE may carry AND/OR) and resolved at the disjunct level.
     */
+  /** Split `s` on \s+<kw>\s+ boundaries found in the LITERAL-MASKED
+    * text, slicing the ORIGINAL by offset — a string value containing
+    * ' AND ' / ' OR ' (e.g. CONTAINS 'salt AND pepper') must not be
+    * cut mid-literal (r10 advice: this was the one splitter the
+    * literal-masking discipline missed).
+    */
+  private def splitKw(s: String, kw: String): Seq[String] = {
+    val masked = maskLiterals(s)
+    val ms = ("(?i)\\s+" + kw + "\\s+").r.findAllMatchIn(masked).toSeq
+    val starts = 0 +: ms.map(_.end)
+    val ends = ms.map(_.start) :+ s.length
+    starts.zip(ends).map { case (a, b) => s.substring(a, b) }
+  }
+
   private def parsePreds(ws0: String): Seq[Pred] = {
     val (ws, exSubs, cntSubs) = extractSubqueries(ws0)
-    ws.split("(?i)\\s+AND\\s+").map(_.trim).map { w =>
-      val disjuncts = w.split("(?i)\\s+OR\\s+").map(_.trim).map {
+    splitKw(ws, "AND").map(_.trim).map { w =>
+      val disjuncts = splitKw(w, "OR").map(_.trim).map {
         case d if exSubs.contains(d) => exSubs(d)
         case CntCmpRe(tok, op, nv) =>
           val (paths, preds) = cntSubs.getOrElse(tok,
@@ -1307,12 +1331,67 @@ object CypherLite {
     * absent deliberately — its destination label is genuinely
     * ambiguous (Person/Organization/Location) and must be written.
     */
-  private val EdgeSchema: Map[String, (String, String)] = Map(
-    "CONTAINS" -> ("Article", "Chunk"),
-    "PUBLISHED" -> ("Source", "Article"),
-    "AUTHORED" -> ("Person", "Article"),
-    "HAS_TOPIC" -> ("Article", "Topic"),
-    "CO_OCCURS" -> ("Entity", "Entity"))
+  private val EdgeSchema: Map[String, (String, String)] = GraphMeta.edgeEnds
+
+  /** The compiled graph's schema metadata in ONE object (round 11,
+    * per the r10 verdict): relationship endpoints (label inference),
+    * the date-carrying string properties date()/datetime() may wrap,
+    * and the fulltext indexes the CALL surface serves — previously
+    * three unrelated private vals, so a schema change had three
+    * places to miss. New node properties / indexes extend the
+    * compiled surface here and nowhere else; the loud-fail paths
+    * (unknown index, non-temporal date() target) read these same
+    * tables, so they stay loud by construction.
+    */
+  private[graft] object GraphMeta {
+    /** src/dst labels of the single-destination relationship types;
+      * MENTIONS is absent deliberately — its destination label is
+      * genuinely ambiguous (Person/Organization/Location) and must
+      * be written in the pattern.
+      */
+    val edgeEnds: Map[String, (String, String)] = Map(
+      "CONTAINS" -> ("Article", "Chunk"),
+      "PUBLISHED" -> ("Source", "Article"),
+      "AUTHORED" -> ("Person", "Article"),
+      "HAS_TOPIC" -> ("Article", "Topic"),
+      "CO_OCCURS" -> ("Entity", "Entity"))
+
+    /** Date-carrying string properties — the ONLY ones
+      * date()/datetime() may wrap (see unwrapTemporal; a WHITELIST,
+      * not a name heuristic — r9 advice). publishing_date is the one
+      * date-carrying node property in the schema (graph.py:31-42).
+      */
+    val dateProps: Set[String] = Set("publishing_date")
+
+    /** One fulltext index: the label it spans, the scored property,
+      * and the scoring family — NameFuzzy for short name props
+      * (q_entity_candidates' Jaccard+Levenshtein stand-in for
+      * Lucene's fuzzy `word~0.8 AND …` ranking), TextBm25 for
+      * document-length text props (the BM25 stand-in for Lucene's
+      * ranked keyword search — the hybrid retrieval's keyword leg).
+      */
+    sealed trait FtKind
+    case object NameFuzzy extends FtKind
+    case object TextBm25 extends FtKind
+    final case class FtIndex(label: String, prop: String, kind: FtKind)
+
+    /** Index names lowercased: the creation side writes `personName`
+      * while the lookup passes `PersonName` (graph.py:143) — Lucene
+      * matches as given, so accept both casings. chunkText /
+      * articleTitle are the reference's TEXT indexes (graph.py:203-207,
+      * `{label.lower()}{prop.title()}`) — round 11 extends the CALL
+      * surface to them, which is what lets the literal hybrid
+      * retrieval composition compile.
+      */
+    val ftIndexes: Map[String, FtIndex] = Map(
+      "personname" -> FtIndex("Person", "name", NameFuzzy),
+      "organizationname" -> FtIndex("Organization", "name", NameFuzzy),
+      "locationname" -> FtIndex("Location", "name", NameFuzzy),
+      "sourcename" -> FtIndex("Source", "name", NameFuzzy),
+      "topicname" -> FtIndex("Topic", "name", NameFuzzy),
+      "chunktext" -> FtIndex("Chunk", "text", TextBm25),
+      "articletitle" -> FtIndex("Article", "title", TextBm25))
+  }
 
   /** Variables referenced with a non-uid property anywhere in the
     * query — the ones label inference must resolve. A var referenced
@@ -1997,37 +2076,25 @@ object CypherLite {
 
   // ---------- CALL db.index.fulltext.queryNodes (round 9) ----------
 
-  /** The reference's fulltext indexes (graph.py:198-209,
-    * `{label.lower()}{prop.title()}`), restricted to the five *Name
-    * indexes whose nodes carry a `name` property — the only ones the
-    * serving loop's literal RETURN shape (`node.name AS name`) can
-    * read. articleTitle / chunkText exist in the reference too but
-    * are reached through q_fulltext_query's text-search semantics,
-    * not this entity-lookup CALL. Keys lowercased: the creation side
-    * writes `personName` while the lookup side passes
-    * `f"{entity.label}Name"` = `PersonName` (graph.py:143) — Lucene
-    * index names are matched as given, so accept both casings.
-    */
-  private val FtIndexes: Map[String, String] = Map(
-    "personname" -> "Person", "organizationname" -> "Organization",
-    "locationname" -> "Location", "sourcename" -> "Source",
-    "topicname" -> "Topic")
-
   /** The literal entity-lookup query the reference's serving loop
     * issues before EVERY question (graph.py:158-166, taken verbatim
     * from the langchain neo4j-semantic template) — with the bound
     * parameters inlined the way the driver substitutes them:
     * `CALL db.index.fulltext.queryNodes('<index>', '<w>~0.8 AND …',
-    * {limit: k}) YIELD node, score RETURN node.uid AS uid, node.name
-    * AS name, labels(node)[0] AS label, score`. The third argument is
-    * optional (Neo4j defaults to unlimited; the reference always
-    * passes limit=10).
+    * {limit: k}) YIELD node, score RETURN node.uid AS uid,
+    * node.<prop> AS <alias>, labels(node)[0] AS label, score`. The
+    * third argument is optional (Neo4j defaults to unlimited; the
+    * reference always passes limit=10). Round 11: the projected
+    * property generalizes from `name` so the TEXT indexes
+    * (chunkText/articleTitle) can serve the same CALL — the property
+    * must be the one the index scores (anything else would imply a
+    * second node read the CALL does not perform).
     */
   private val FtRe =
     ("""(?i)^CALL\s+db\.index\.fulltext\.queryNodes\(\s*'([^']+)'\s*,\s*'([^']+)'\s*""" +
       """(?:,\s*\{\s*limit\s*:\s*(\d+)\s*\})?\s*\)\s+""" +
       """YIELD\s+node\s*,\s*score\s+""" +
-      """RETURN\s+node\.uid\s+AS\s+uid\s*,\s*node\.name\s+AS\s+name\s*,\s*""" +
+      """RETURN\s+node\.uid\s+AS\s+uid\s*,\s*node\.(\w+)\s+AS\s+(\w+)\s*,\s*""" +
       """labels\(node\)\[0\]\s+AS\s+label\s*,\s*score$""").r
 
   /** One fulltext term: `word~threshold` (generate_full_text_query,
@@ -2035,36 +2102,198 @@ object CypherLite {
     */
   private val FtTermRe = """^(.+?)~(0?\.\d+|1(?:\.0+)?)$""".r
 
-  /** Compiles the fulltext CALL onto the q_entity_candidates scoring
-    * (NewsGraph.fulltextScore — 0.5·token Jaccard + 0.5·(1 −
-    * normalized Levenshtein), the stand-in for Lucene's per-word
-    * fuzzy AND ranking): reconstruct the probe from the fuzzy terms,
-    * score every node of the index's label, and keep the global
-    * top-`limit` by (score DESC, name, uid) — compiled as
-    * TakeOrdered over the label's name dimension, never a sort of
-    * it. Deterministic where Lucene's BM25 tie-order is not: the
-    * oracle replays (score, name, uid) exactly.
+  /** Resolve a fulltext index name against the schema metadata —
+    * unknown names refuse loudly, listing what exists.
+    */
+  private def ftIndex(name: String): GraphMeta.FtIndex =
+    GraphMeta.ftIndexes.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown fulltext index '$name' (expected one of " +
+          s"${GraphMeta.ftIndexes.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Parse a fulltext query string into plain words: fuzzy
+    * `word~0.8 AND …` terms (the entity-lookup format
+    * generate_full_text_query emits) unwrap to their words; for TEXT
+    * indexes a plain whitespace query (the format langchain's hybrid
+    * keyword leg passes through remove_lucene_chars) is also legal.
+    * Name indexes REQUIRE the fuzzy form — a plain string there is
+    * the serving loop miscomposing its own template, worth refusing.
+    */
+  private def ftWords(idx: GraphMeta.FtIndex, q: String): Seq[String] = {
+    val words = q.split("""(?i)\s+AND\s+""").toSeq.map {
+      case FtTermRe(w, _) => w.trim
+      case t if idx.kind == GraphMeta.TextBm25 => t.trim
+      case t => throw new IllegalArgumentException(
+        s"fulltext term '$t' is not of the word~threshold form")
+    }.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    require(words.nonEmpty, "empty fulltext query")
+    words
+  }
+
+  /** BM25 top-`limit` of a TEXT index's nodes for `words` — the
+    * Lucene stand-in on document-length properties (same k1/b and
+    * formula as q_passage_rank, over the index's node table). Output:
+    * (uid, score) — the caller joins the text back for projection, so
+    * document text never rides the aggregation shuffle (the tf stream
+    * is (uid, word-hit) rows only).
+    *
+    * Scale shape: corpus stats are one broadcast 1-row aggregate;
+    * the explode filter keeps only query-term postings; the global
+    * cut is TakeOrdered. One scan of the node table feeds stats and
+    * tf off a shared lazy checkpoint.
+    */
+  private def textIndexTopk(spark: SparkSession, dir: String,
+      idx: GraphMeta.FtIndex, words: Seq[String], limit: Int): DataFrame = {
+    import graft.operators.Retrieval.{Bm25B, Bm25K1}
+    val nd = nodes(spark, dir, idx.label)
+      .select(col("uid"), col(idx.prop).as("txt"))
+      .withColumn("dl", size(split(col("txt"), " ")).cast("double"))
+      .localCheckpoint(false) // one node scan: stats + tf both read it
+    val stats = nd.agg(count(lit(1)).cast("double").as("n_d"),
+      avg(col("dl")).as("avgdl"))
+    val tf = nd.select(col("uid"), col("dl"),
+        explode(split(col("txt"), " ")).as("word"))
+      .filter(col("word").isin(words.map(lit): _*))
+      .groupBy("uid", "dl", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(countDistinct(col("uid")).as("dfreq"))
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        log((col("n_d") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0)
+          * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("uid")
+      .agg(round(sum(col("term_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("uid"))
+      .limit(limit)
+  }
+
+  /** Compiles the fulltext CALL. Name indexes score through
+    * q_entity_candidates' scoring (NewsGraph.fulltextScore — 0.5·token
+    * Jaccard + 0.5·(1 − normalized Levenshtein), the stand-in for
+    * Lucene's per-word fuzzy AND ranking): reconstruct the probe from
+    * the fuzzy terms, score every node of the index's label, keep the
+    * global top-`limit` by (score DESC, name, uid) — TakeOrdered over
+    * the label's name dimension, never a sort of it. TEXT indexes
+    * (round 11) score through textIndexTopk's BM25 with (score DESC,
+    * uid) determinism. Both are deterministic where Lucene's tie-order
+    * is not: the oracle replays the order exactly.
     */
   private def runFulltext(spark: SparkSession, dir: String,
       m: scala.util.matching.Regex.Match): DataFrame = {
-    val label = FtIndexes.getOrElse(m.group(1).toLowerCase,
-      throw new IllegalArgumentException(
-        s"unknown fulltext index '${m.group(1)}' (expected one of " +
-          s"${FtIndexes.keys.toSeq.sorted.mkString(", ")})"))
-    val words = m.group(2).split("""(?i)\s+AND\s+""").toSeq.map {
-      case FtTermRe(w, _) => w.trim
-      case t => throw new IllegalArgumentException(
-        s"fulltext term '$t' is not of the word~threshold form")
-    }.filter(_.nonEmpty)
-    require(words.nonEmpty, "empty fulltext query")
-    val probe = words.mkString(" ")
+    val idx = ftIndex(m.group(1))
+    require(m.group(4) == idx.prop,
+      s"RETURN node.${m.group(4)} does not read the '${m.group(1)}' " +
+        s"index's scored property '${idx.prop}'")
+    val alias = m.group(5)
+    val words = ftWords(idx, m.group(2))
     val limit = Option(m.group(3)).map(_.toInt).getOrElse(10)
-    nodes(spark, dir, label)
-      .select(col("uid"), col("name"),
-        lit(label).as("label"),
-        NewsGraph.fulltextScore(lit(probe), col("name")).as("score"))
-      .orderBy(col("score").desc, col("name"), col("uid"))
-      .limit(limit)
+    idx.kind match {
+      case GraphMeta.NameFuzzy =>
+        val probe = words.mkString(" ")
+        nodes(spark, dir, idx.label)
+          .select(col("uid"), col("name").as(alias),
+            lit(idx.label).as("label"),
+            NewsGraph.fulltextScore(lit(probe), col("name")).as("score"))
+          .orderBy(col("score").desc, col(alias), col("uid"))
+          .limit(limit)
+      case GraphMeta.TextBm25 =>
+        val top = textIndexTopk(spark, dir, idx, words, limit)
+        val nd = nodes(spark, dir, idx.label)
+          .select(col("uid"), col(idx.prop).as(alias))
+        broadcast(top).join(nd, "uid")
+          .select(col("uid"), col(alias), lit(idx.label).as("label"), col("score"))
+          .orderBy(col("score").desc, col("uid"))
+    }
+  }
+
+  // ---------- the literal HYBRID retrieval composition (round 11) ----------
+
+  /** The query langchain's Neo4jVector issues for EVERY
+    * `search_type='hybrid'` search (the reference's hybrid cell,
+    * vector_index.ipynb): a CALL {} subquery UNIONing the vector CALL
+    * and the keyword CALL, each leg's scores divided by the LEG MAX
+    * (collect → max → UNWIND — max-score normalization, so the two
+    * scorers' scales become comparable), deduplicated per node by
+    * max(score), cut to the top k, then composed with the user's
+    * retrieval_query suffix exactly like the pure-vector path.
+    * Parameters inlined as the driver binds them; $embedding stays
+    * the parameter name.
+    */
+  private val HybridRe =
+    ("""(?is)^CALL\s*\{\s*""" +
+      """CALL\s+db\.index\.vector\.queryNodes\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*\$(\w+)\s*\)\s+YIELD\s+node\s*,\s*score\s+""" +
+      """WITH\s+collect\(\{\s*node\s*:\s*node\s*,\s*score\s*:\s*score\s*\}\)\s+AS\s+nodes\s*,\s*max\(score\)\s+AS\s+max\s+""" +
+      """UNWIND\s+nodes\s+AS\s+n\s+""" +
+      """RETURN\s+n\.node\s+AS\s+node\s*,\s*\(n\.score\s*/\s*max\)\s+AS\s+score\s+""" +
+      """UNION\s+""" +
+      """CALL\s+db\.index\.fulltext\.queryNodes\(\s*'([^']+)'\s*,\s*'([^']+)'\s*(?:,\s*\{\s*limit\s*:\s*(\d+)\s*\})?\s*\)\s+YIELD\s+node\s*,\s*score\s+""" +
+      """WITH\s+collect\(\{\s*node\s*:\s*node\s*,\s*score\s*:\s*score\s*\}\)\s+AS\s+nodes\s*,\s*max\(score\)\s+AS\s+max\s+""" +
+      """UNWIND\s+nodes\s+AS\s+n\s+""" +
+      """RETURN\s+n\.node\s+AS\s+node\s*,\s*\(n\.score\s*/\s*max\)\s+AS\s+score\s*""" +
+      """\}\s*""" +
+      """WITH\s+node\s*,\s*max\(score\)\s+AS\s+score\s+ORDER\s+BY\s+score\s+DESC\s+LIMIT\s+(\d+)\s+""" +
+      """WITH\s+node\s+AS\s+(\w+)\s*,\s*score\s+(MATCH\s.*)$""").r
+
+  /** Compiles the hybrid composition: the vector leg is the SAME
+    * serving seed as runVector (Similarity.vectorQueryTopk — shared
+    * scoredScan, broadcast probe + TakeOrdered); the keyword leg is
+    * the TEXT-index BM25 top-k (textIndexTopk over the chunkText
+    * index — the Lucene stand-in the r10 verdict asked to open to
+    * this CALL). Each leg normalizes by its own max via a broadcast
+    * 1-row aggregate (k rows per leg — trivial); the fused frame is
+    * a ≤2k-row groupBy. Determinism where Neo4j leaves ties
+    * unspecified: per-leg tiebreaks ride the leg top-ks, fusion
+    * breaks ties by (score DESC, uid), and the suffix output orders
+    * score-descending with the remaining columns as tiebreak —
+    * exactly what the oracle replays.
+    */
+  private def runHybrid(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    require(m.group(1).equalsIgnoreCase("chunkEmbedding"),
+      s"unknown vector index '${m.group(1)}' (the reference creates chunkEmbedding)")
+    val k = m.group(2).toInt
+    require(k >= 1 && k <= 1000, s"unsupported vector top-k $k")
+    require(m.group(3) == "embedding",
+      s"unknown vector parameter $$${m.group(3)} — the serving loop binds $$embedding")
+    val kwIdx = ftIndex(m.group(4))
+    require(kwIdx.kind == GraphMeta.TextBm25,
+      s"hybrid keyword leg needs a TEXT index, not '${m.group(4)}'")
+    require(kwIdx.label == "Chunk",
+      s"hybrid composition joins on Chunk nodes; index '${m.group(4)}' " +
+        s"spans ${kwIdx.label}")
+    val words = ftWords(kwIdx, m.group(5))
+    val kwLimit = Option(m.group(6)).map(_.toInt).getOrElse(k)
+    val fusedK = m.group(7).toInt
+    val v = m.group(8)
+    // vector leg: top-k (doc, score) on the representative chunk,
+    // normalized by the leg max
+    val vec = graft.operators.Similarity.vectorQueryTopk(spark, dir, k)
+      .select(concat(lit("Chunk:"), col("doc_id"), lit(":0")).as("uid"),
+        col("score"))
+      .localCheckpoint(false) // k rows: max + normalize read it
+    val vleg = vec.crossJoin(broadcast(vec.agg(max(col("score")).as("mx"))))
+      .select(col("uid"), round(col("score") / col("mx"), 6).as("score"))
+    // keyword leg: BM25 top-limit chunks, normalized by the leg max
+    val kw = textIndexTopk(spark, dir, kwIdx, words, kwLimit)
+      .localCheckpoint(false) // limit rows: max + normalize read it
+    val kleg = kw.crossJoin(broadcast(kw.agg(max(col("score")).as("mx"))))
+      .select(col("uid"), round(col("score") / col("mx"), 6).as("score"))
+    // max-score fusion + top-k cut (≤ 2k rows end to end)
+    val fused = vleg.unionByName(kleg)
+      .groupBy("uid").agg(max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("uid"))
+      .limit(fusedK)
+    val chunk = nodes(spark, dir, "Chunk")
+    val seed = broadcast(fused)
+      .join(chunk, Seq("uid"))
+      .select(chunk.columns.map(c => col(c).as(s"${v}_$c")).toSeq :+ col("score"): _*)
+    val out = compile(spark, dir, parseOne(m.group(9).trim), Some((v, "Chunk", seed)))
+    require(out.columns.contains("score"),
+      "the hybrid CALL's RETURN must carry score through (Neo4jVector reads it)")
+    out.orderBy(col("score").desc +:
+      out.columns.filterNot(_ == "score").map(col).toSeq: _*)
   }
 
   private def runShortestPath(spark: SparkSession, dir: String,
@@ -2493,6 +2722,10 @@ object CypherLite {
   /** Parse + compile (UNION = distinct union of branch plans). */
   def run(spark: SparkSession, dir: String, cypher: String): DataFrame = {
     val trimmed = cypher.trim
+    HybridRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => return runHybrid(spark, dir, m)
+      case None => ()
+    }
     VecCallRe.findFirstMatchIn(trimmed) match {
       case Some(m) => return runVector(spark, dir, m)
       case None => ()
@@ -3009,6 +3242,37 @@ object CypherLite {
       "chunk{.position, .section, .category, date: a.publishing_date, " +
       "url:a.url, source: s.name} as metadata"
 
+  /** The literal HYBRID retrieval query (round 11): what langchain's
+    * Neo4jVector issues for `search_type='hybrid',
+    * keyword_index_name='chunkText'` (the reference's hybrid cell,
+    * vector_index.ipynb) — the CALL {} union of the vector CALL and
+    * the chunkText keyword CALL with per-leg max-score normalization
+    * and max-fusion dedup, composed with the same retrieval_query
+    * suffix as ExVec. Parameters inlined as the driver binds them
+    * (k = 5, the fixed query string); $embedding stays a parameter.
+    */
+  val ExHybrid: String =
+    "CALL { " +
+      "CALL db.index.vector.queryNodes('chunkEmbedding', 5, $embedding) " +
+      "YIELD node, score " +
+      "WITH collect({node: node, score: score}) AS nodes, max(score) AS max " +
+      "UNWIND nodes AS n " +
+      "RETURN n.node AS node, (n.score / max) AS score " +
+      "UNION " +
+      "CALL db.index.fulltext.queryNodes('chunkText', 'spark join fast', {limit: 5}) " +
+      "YIELD node, score " +
+      "WITH collect({node: node, score: score}) AS nodes, max(score) AS max " +
+      "UNWIND nodes AS n " +
+      "RETURN n.node AS node, (n.score / max) AS score " +
+      "} " +
+      "WITH node, max(score) AS score ORDER BY score DESC LIMIT 5 " +
+      "WITH node AS chunk, score " +
+      "MATCH (chunk)<-[:CONTAINS]-(a)<-[:PUBLISHED]-(s) " +
+      "WITH chunk, score, a, s " +
+      "RETURN 'Title: ' + a.title + '\\nText: ' + chunk.text as text, score, " +
+      "chunk{.position, .section, .category, date: a.publishing_date, " +
+      "url:a.url, source: s.name} as metadata"
+
   /** The witness form of Ex23 — "SHOW me how X and Y are connected":
     * the actual node sequence of one canonical shortest path (see
     * runWitnessPath for the lexicographic-min determinism rule).
@@ -3032,6 +3296,7 @@ object CypherLite {
     "q_cypher_ex39" -> ((s, d) => run(s, d, Ex39)),
     "q_cypher_ex40" -> ((s, d) => run(s, d, Ex40)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
+    "q_cypher_hybrid" -> ((s, d) => run(s, d, ExHybrid)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
     "q_cypher_asp_paths" -> ((s, d) => run(s, d, ExAspPaths)),
     "q_cypher_ex30" -> ((s, d) => run(s, d, Ex30)),
@@ -3086,6 +3351,62 @@ object CypherLite {
        |ORDER BY a_uid LIMIT 12""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_hybrid" -> {
+      import graft.operators.Retrieval.{Bm25B, Bm25K1}
+      s"""WITH ${TextPipeline.ChunksSql},
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |top AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id,
+         |    round(${graft.operators.Similarity.cosineDuckSql("v", "qv")}, 6) AS score
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY score DESC, vec_id LIMIT 5),
+         |vleg AS (SELECT 'Chunk:' || doc_id || ':0' AS uid,
+         |  round(score / (SELECT max(score) FROM top), 6) AS score FROM top),
+         |cs AS MATERIALIZED (SELECT doc_id, chunk_id, chunk_text,
+         |  CAST(len(string_split(chunk_text, ' ')) AS DOUBLE) AS dl FROM chunks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_d, avg(dl) AS avgdl FROM cs),
+         |ctf AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id, dl, word, count(*) AS tf
+         |  FROM (SELECT doc_id, chunk_id, dl,
+         |      unnest(string_split(chunk_text, ' ')) AS word FROM cs)
+         |  WHERE word IN ('spark', 'join', 'fast')
+         |  GROUP BY doc_id, chunk_id, dl, word),
+         |cdf AS (SELECT word, count(*) AS dfreq FROM ctf GROUP BY word),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id,
+         |    round(sum(
+         |      ln(((SELECT n_d FROM st) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * (tf * ${Bm25K1 + 1.0}) /
+         |        (tf + $Bm25K1 * (1.0 - $Bm25B
+         |          + $Bm25B * dl / (SELECT avgdl FROM st)))), 6) AS bm25
+         |  FROM ctf JOIN cdf USING (word)
+         |  GROUP BY doc_id, chunk_id),
+         |ktop AS MATERIALIZED (
+         |  SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid, bm25
+         |  FROM sc ORDER BY bm25 DESC, uid LIMIT 5),
+         |kleg AS (SELECT uid,
+         |  round(bm25 / (SELECT max(bm25) FROM ktop), 6) AS score FROM ktop),
+         |fused AS MATERIALIZED (
+         |  SELECT uid, max(score) AS score
+         |  FROM (SELECT * FROM vleg UNION ALL SELECT * FROM kleg)
+         |  GROUP BY uid ORDER BY score DESC, uid LIMIT 5),
+         |arts AS (SELECT doc_id, ${Props.TitleSql} AS title,
+         |  ${Props.PublishingDateSql} AS publishing_date,
+         |  ${Props.UrlSql} AS url, source FROM documents)
+         |SELECT 'Title: ' || a.title || chr(10) || 'Text: ' || c.chunk_text AS text,
+         |  f.score,
+         |  to_json({position: c.chunk_id,
+         |    section: ${Props.SectionSql},
+         |    category: ${Props.CategorySql},
+         |    date: a.publishing_date, url: a.url, source: a.source}) AS metadata
+         |FROM fused f
+         |JOIN chunks c ON 'Chunk:' || c.doc_id || ':' || c.chunk_id = f.uid
+         |JOIN arts a ON a.doc_id = c.doc_id
+         |ORDER BY f.score DESC, text, metadata""".stripMargin
+    },
     "q_cypher_vector" ->
       s"""WITH ${TextPipeline.ChunksSql},
          |e AS (SELECT vec_id,

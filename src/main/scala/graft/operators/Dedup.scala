@@ -434,11 +434,26 @@ object Dedup {
     * checkpoint it, so nothing heavy recomputes).
     */
   private[graft] def predictedPairs(buckets: DataFrame, keyCols: Seq[String]): Long = {
+    // DECIMAL(38,0) per-bucket terms: a hot bucket past ~4.3e9 rows
+    // would wrap c*(c-1)/2 in BIGINT and a negative term could let
+    // the guard PASS exactly where it exists to refuse (r10 advice).
+    // The sum saturates at Long.MaxValue on the way out — "over any
+    // conceivable budget" needs no more precision than that.
     val r = buckets.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("p"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) / 2")).as("p"),
+        count(lit(1)).as("n_buckets"))
       .first()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (r.isNullAt(0)) {
+      // decimal SUM overflow (non-ANSI) nulls out exactly like an
+      // empty input — with buckets present, null means "past 1e32
+      // pairs", which saturates (over any budget), never passes
+      if (r.getLong(1) > 0) Long.MaxValue else 0L
+    } else {
+      val p = r.getDecimal(0)
+      if (p.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0) Long.MaxValue
+      else p.longValueExact()
+    }
   }
 
   /** Loud refusal when an uncapped pair emitter's predicted candidate

@@ -1042,7 +1042,17 @@ object Similarity {
       }
       graft.Amplify.writeClustered(spark, tmp.getAbsolutePath, ClusteredN, ClusteredC)
       if (!complete(base)) { // a concurrent writer may have finished first
-        deleteRec(base) // stale half-written fixture from a crash, if any
+        // Move any stale half-written fixture ASIDE atomically instead
+        // of deleting it in place (r10 advice): the incompleteness
+        // re-check runs immediately before the rename, and the slow
+        // recursive delete then works on a private path — so a
+        // concurrent writer completing base in the window costs at
+        // most one redundant (identical, deterministic) rebuild, and
+        // base is never observable half-deleted by a lazy reader.
+        val stale = new java.io.File(base.getParentFile,
+          s"${base.getName}.stale-${java.util.UUID.randomUUID()}")
+        if (base.exists() && !complete(base) && base.renameTo(stale))
+          deleteRec(stale)
         if (!tmp.renameTo(base))
           require(complete(base),
             s"clustered-recall fixture rename lost the race AND $base is " +

@@ -1240,6 +1240,42 @@ class CypherLiteSpec extends AnyFunSuite {
       s"escaped apostrophe mis-unwrapped: $apos")
   }
 
+  test("escape pairs and literal AND/OR: two-state scanning (r10 advice)") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // a literal ENDING in an escaped backslash ('path\\') closes where
+    // unescapeCypher says it does — the former single-char lookbehind
+    // read the second backslash as escaping the quote and masked out
+    // the rest of the query (loud misparse, now a correct parse)
+    val bs = rows("MATCH (a:Article) WHERE a.doc_id < 2 " +
+      "RETURN 'path\\\\' + a.uid AS t ORDER BY t")
+    assert(bs.nonEmpty && bs.forall(_.head.toString.startsWith("path\\Article:")),
+      s"trailing escaped backslash mis-scanned: $bs")
+    // … and the item COMMA after such a literal still splits (splitTop)
+    val bs2 = rows("MATCH (a:Article) WHERE a.doc_id < 2 " +
+      "RETURN 'p\\\\' + a.uid AS t, a.doc_id AS d ORDER BY t")
+    assert(bs2.nonEmpty && bs2.forall(_.size == 2))
+    // … and a WHERE literal ending in \\ compares against the real
+    // backslash value (matches nothing here) without eating the query
+    val bsw = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name = 'x\\\\' RETURN o.name AS n")
+    assert(bsw.isEmpty)
+    // ' AND ' / ' OR ' INSIDE a literal is value text, not a conjunct
+    // boundary — the AND/OR splitters now find boundaries on the
+    // masked text and slice the original by offset
+    val base = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    val andLit = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'salt AND pepper' OR o.name CONTAINS 'group' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    assert(andLit == base, s"literal ' AND ' sliced mid-literal: $andLit vs $base")
+    val orLit = rows("MATCH (c:Chunk)-[:MENTIONS]->(o:Organization) " +
+      "WHERE o.name CONTAINS 'group' AND o.name <> 'this OR that' " +
+      "RETURN DISTINCT o.name ORDER BY o.name")
+    assert(orLit == base, s"literal ' OR ' sliced mid-literal: $orLit vs $base")
+  }
+
   test("RETURN COUNT{} after a WITH stage correlates on CARRIED columns only") {
     def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
       .collect().map(_.toSeq).toSeq

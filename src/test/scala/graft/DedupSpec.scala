@@ -353,6 +353,23 @@ class DedupSpec extends AnyFunSuite {
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("doc_id", "k")
     assert(Dedup.predictedPairs(buckets, Seq("k")) == 9L)
     assert(Dedup.predictedPairs(buckets.filter(col("k") === "zzz"), Seq("k")) == 0L)
+    // overflow hygiene (r10 advice): the per-bucket term runs in
+    // DECIMAL(38,0), so a hot bucket past ~4.3e9 rows cannot wrap
+    // BIGINT into a negative term that lets the guard pass — pin the
+    // exact SQL term at c = 5e9 (c·(c−1)/2 ≈ 1.25e19 > Long.MaxValue)
+    val term = spark.sql(
+      "SELECT CAST(c AS DECIMAL(38,0)) * (c - 1) / 2 AS p " +
+        "FROM VALUES (CAST(5000000000 AS BIGINT)) t(c)").first().getDecimal(0)
+    assert(term.compareTo(new java.math.BigDecimal("12499999997500000000")) == 0,
+      s"decimal pair term lost precision: $term")
+    assert(term.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0)
+    // …and the BIGINT spelling really does misbehave (the bug being
+    // guarded): ANSI mode throws, non-ANSI wraps negative — either
+    // way it is NOT the correct positive mass the decimal term gives
+    val wrapped = scala.util.Try(spark.sql(
+      "SELECT c * (c - 1) div 2 AS p FROM VALUES (CAST(5000000000 AS BIGINT)) t(c)")
+      .first().getLong(0)).toOption
+    assert(wrapped.forall(_ < 0L), s"expected BIGINT wrap or ANSI throw, got $wrapped")
   }
 
   test("pair-load guard: uncapped emitters refuse over budget, capped twins are exempt") {
