@@ -30,7 +30,15 @@ import graft.operators.TextPipeline
   *                 :A|B is the multi-type union; *a..b is a
   *                 variable-length hop (1 <= a <= b <= 3) with Cypher
   *                 semantics: one output row PER PATH, and a
-  *                 relationship may not repeat within a path
+  *                 relationship may not repeat within a path.
+  *                 Round 11: :A|B composes with *a..b (per-step type
+  *                 union), and `-[r:R*a..b]->` binds r as the path's
+  *                 relationship LIST — readable ONLY through per-edge
+  *                 WHERE filters (`r.prop <op> n` shorthand or
+  *                 `ALL(x IN r WHERE x.prop <op> n)`), which apply to
+  *                 the edge table BEFORE expansion; projecting r, or
+  *                 combining a variable with a multi-type var-length
+  *                 hop, refuses loudly
   *   where      := WHERE term (AND term)*
   *   term       := pred (OR pred)*        -- AND binds tighter (Cypher)
   *   pred       := v.prop IN ['a','b'] | v.prop = 'a'
@@ -117,7 +125,14 @@ import graft.operators.TextPipeline
   *     layered path-counting BFS (runAllShortestPaths)
   *   - CALL db.index.fulltext.queryNodes(idx, q, {limit:k}) YIELD
   *     node, score RETURN … — the reference serving loop's literal
-  *     entity lookup (runFulltext, round 9)
+  *     entity lookup (runFulltext, round 9); round 11 extends idx to
+  *     the TEXT indexes chunkText/articleTitle (BM25 scoring,
+  *     GraphMeta.ftIndexes)
+  *   - CALL { vector CALL … UNION fulltext CALL … } WITH node,
+  *     max(score) … — the literal HYBRID retrieval composition
+  *     langchain issues for search_type='hybrid' (runHybrid, round 11)
+  *   - MATCH p = shortestPath(…) RETURN p — the whole interleaved
+  *     node-relationship path value (runPathValue, round 11)
   *   - date(…)/datetime(…) predicate wrappers unwrap to the
   *     equivalent ISO-string compare (unwrapTemporal, round 9)
   *
@@ -950,7 +965,18 @@ object CypherLite {
       """(CONTAINS|STARTS\s+WITH|ENDS\s+WITH|=|<>)\s*'([^']*)'""").r
     val regexRe = """(\w+)\.(\w+)\s*=~\s*'([^']*)'""".r
     val notSimpleRe = """(?is)NOT\s+(.*)""".r
+    // `ALL(x IN r WHERE x.prop <op> n)` — the proper Cypher spelling
+    // of a per-edge filter on a var-length relationship list (round
+    // 11); normalizes to the same NumPred as the `r.prop <op> n`
+    // shorthand LLMs emit, and the compile routes both onto the hop's
+    // edge table BEFORE expansion (see the var-length hop filters)
+    val allInRe =
+      """(?i)ALL\(\s*(\w+)\s+IN\s+(\w+)\s+WHERE\s+(\w+)\.(\w+)\s*(<=|>=|<>|<|>|=)\s*(\d+)\s*\)""".r
     w.trim match {
+      case allInRe(x, r, x2, prop, op, nv) =>
+        require(x == x2,
+          s"ALL() predicate must test its own iteration variable: $x vs $x2")
+        NumPred(r, prop, op, nv.toLong)
       case lowerRe(v, p, op, value) =>
         LowerPred(v, p, op.toUpperCase.replaceAll("\\s+", " "), value)
       case regexRe(v, p, pat) => RegexPred(v, p, pat)
@@ -1503,6 +1529,73 @@ object CypherLite {
     // seed-anchored var-length expansion below)
     val inlineOf: Map[String, (String, String)] =
       allNodes.flatMap(n => n.inlineProp.map(n.v -> _)).toMap
+    // Var-length relationship filters (round 11): `-[r:CO_OCCURS*1..2]->`
+    // with `WHERE r.weight >= k` (or the proper `ALL(x IN r WHERE …)`)
+    // filters EVERY traversed edge — r binds a LIST of relationships
+    // in Cypher, so per-edge predicates are the only readable form.
+    // The filters route onto the hop's edge table BEFORE varLenExpand
+    // (expansion then runs on the filtered, usually much sparser edge
+    // layer — at scale this is the difference between expanding the
+    // strong subgraph and expanding everything to filter after), and
+    // the variable is NOT projectable downstream (no single r.prop
+    // value exists for a multi-edge path).
+    val varLenRelVars: Set[String] =
+      (q.paths ++ q.optPaths ++ stageMatchPaths).flatMap(_.rels)
+        .filter(r => r.varLen.isDefined && r.variable.isDefined)
+        .flatMap(_.variable).toSet
+    def refsVarLenRel(p: Pred): Boolean = p match {
+      case NumPred(v, _, _, _) => varLenRelVars.contains(v)
+      case EqPred(v, _, _) => varLenRelVars.contains(v)
+      case NeqPred(v, _, _) => varLenRelVars.contains(v)
+      case StrPred(v, _, _, _) => varLenRelVars.contains(v)
+      case StrCmpPred(v, _, _, _) => varLenRelVars.contains(v)
+      case LowerPred(v, _, _, _) => varLenRelVars.contains(v)
+      case RegexPred(v, _, _) => varLenRelVars.contains(v)
+      case InPred(v, _, _) => varLenRelVars.contains(v)
+      case IsNullPred(v, _, _) => varLenRelVars.contains(v)
+      case EqColPred(v, _, _) => varLenRelVars.contains(v)
+      case OrPred(ps) => ps.exists(refsVarLenRel)
+      case NotPred(p0) => refsVarLenRel(p0)
+      case _ => false
+    }
+    val (vlPreds, wherePreds) = q.where.partition(refsVarLenRel)
+    val hopFilters: Map[String, Seq[NumPred]] = vlPreds.map {
+      case np: NumPred => np
+      case other => throw new IllegalArgumentException(
+        s"only numeric r.prop comparisons (or ALL(x IN r WHERE x.prop <op> n)) " +
+          s"can filter a var-length relationship variable: $other")
+    }.groupBy(_.v)
+    require(!q.stages.flatMap {
+        case wc: WithClause => wc.preds
+        case wm: WithMatch => wm.preds
+        case _ => Nil
+      }.exists(refsVarLenRel),
+      "var-length relationship filters must live in the head WHERE " +
+        "(the relationship list does not survive a WITH stage)")
+    locally {
+      def itemRefs(it: RetItem): Seq[String] = it match {
+        case PropItem(v, _, _) => Seq(v)
+        case TypeItem(r, _) => Seq(r)
+        case CountItem(v, _, _, _) => Seq(v)
+        case CollectItem(v, _, _, _) => Seq(v)
+        case SumItem(v, _, _) => Seq(v)
+        case AggFnItem(_, v, _, _) => Seq(v)
+        case CoalesceItem(v, _, _, _) => Seq(v)
+        case MapItem(v, entries, _) => v +: entries.map(_._2._1).toSeq
+        case ConcatItem(parts, _) => parts.collect { case Right((w, _)) => w }
+        case _ => Nil
+      }
+      val stageItems = q.stages.flatMap {
+        case wc: WithClause => wc.items
+        case _ => Nil
+      }
+      val projected = (q.ret ++ stageItems).flatMap(itemRefs).toSet
+        .intersect(varLenRelVars)
+      require(projected.isEmpty,
+        s"var-length relationship variables are not projectable " +
+          s"(a path binds a LIST of relationships): ${projected.mkString(", ")} " +
+          "— filter with r.prop in WHERE instead")
+    }
     def bind(v: String, joinType: String = "inner"): Unit = if (!bound.contains(v)) {
       if (df != null && !labelOf.contains(v) && !inlineOf.contains(v)) {
         // uid-only variable (`(x)` labeled nowhere): its rows come
@@ -1557,7 +1650,23 @@ object CypherLite {
             val seed = if (df != null && bound.contains(srcV))
               Some(df.select(col(s"${srcV}_uid").as("src_uid")).distinct())
             else None
-            varLenExpand(base, lo, hi, seed)
+            // per-edge filters on the bound relationship variable
+            // apply to the edge TABLE, before any composition — every
+            // traversed edge satisfies them (Cypher's ALL(x IN r …));
+            // expansion then runs on the filtered layer. The edge
+            // table is projected to its endpoints either way: a
+            // var-length row has no single rel-property value, and
+            // varLenExpand's leg union needs uniform columns (the
+            // multi-type union carries a type tag that must not ride).
+            val filtered = rp.variable.fold(base) { rv =>
+              hopFilters.getOrElse(rv, Seq.empty).foldLeft(base) { (acc, np) =>
+                require(acc.columns.contains(np.prop),
+                  s"relationship ${rp.types.mkString("|")} has no property " +
+                    s"'${np.prop}' to filter $rv on")
+                acc.filter(cmp(col(np.prop), np.op, np.value))
+              }
+            }
+            varLenExpand(filtered.select("src_uid", "dst_uid"), lo, hi, seed)
           }
           // a bound relationship variable prefixes every non-endpoint
           // column (`r_weight`, `r_type`) so r.prop / type(r) compile
@@ -1685,12 +1794,14 @@ object CypherLite {
     // WHERE predicates referencing its alias are the join condition
     // (each list element fans out its matching rows — Cypher's row
     // semantics), the rest stay ordinary filters.
+    // wherePreds, not q.where: the var-length relationship filters
+    // were consumed by the hop expansion above
     val (uwPreds, restPreds) = q.unwind match {
-      case Some((_, alias)) => q.where.partition {
+      case Some((_, alias)) => wherePreds.partition {
         case EqColPred(_, _, ref) => ref == alias
         case _ => false
       }
-      case None => (Seq.empty[Pred], q.where)
+      case None => (Seq.empty[Pred], wherePreds)
     }
     q.unwind.foreach { case (vals, alias) =>
       require(uwPreds.nonEmpty, s"UNWIND alias $alias is never referenced in WHERE")
@@ -2379,6 +2490,15 @@ object CypherLite {
     * on demand). Output: (len: long, path: '->'-joined uid string).
     */
   private[graft] def witnessPathOn(spark: SparkSession, e0: DataFrame,
+      srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame =
+    witnessPathArr(spark, e0, srcUid, dstUid, lo, hi)
+      .select(col("len"), concat_ws("->", col("path")).as("path"))
+
+  /** witnessPathOn's core with the node sequence still an ARRAY —
+    * the whole-path projection (bare `RETURN p`, round 11) needs the
+    * elements to interleave relationship tokens between.
+    */
+  private def witnessPathArr(spark: SparkSession, e0: DataFrame,
       srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
     val e = e0.localCheckpoint(false)
     // Frontier + anti-join BFS (round 10, per the r9 verdict): the
@@ -2413,7 +2533,7 @@ object CypherLite {
             concat(array(col(s"pp$s")), col("path")))
             .otherwise(col("path")).as("path"))
     }
-    w.select(col("len"), concat_ws("->", col("path")).as("path"))
+    w.select(col("len"), col("path"))
   }
 
   private def runWitnessPath(spark: SparkSession, dir: String,
@@ -2427,6 +2547,64 @@ object CypherLite {
     witnessPathOn(spark, edges(spark, dir, rel, dstLabel),
       s"$srcLabel:$srcName", s"$dstLabel:$dstName", lo, hi)
       .select(col("len").as(m.group(10)), col("path").as(m.group(12)))
+  }
+
+  /** Bare `RETURN p` (round 11) — the whole-path projection: Neo4j's
+    * interleaved node-relationship path value, the last witness form
+    * a graph-RAG answer renderer requests ("show the connection,
+    * edges and all"). Rendered as
+    * `(uid)-[:REL{weight:w}]->(uid)-…` — by construction the exact
+    * composition of nodes(p) (the witness node sequence, canonical
+    * lexicographic-min predecessors) and relationships(p) (the
+    * per-step rel tokens, weight riding for the weighted
+    * relationship) — CypherLiteSpec pins that identity against the
+    * decomposed forms. Weightless relationships render `-[:REL]->`.
+    */
+  private val PathRetRe =
+    ("""^MATCH\s+(\w+)\s*=\s*shortestPath\(\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)""" +
+      """-\[:(\w+)\*(\d+)\.\.(\d+)\]-""" +
+      """\(\w+:(\w+)\s*\{name:\s*'([^']*)'\}\)\)\s+""" +
+      """RETURN\s+(\w+)$""").r
+
+  /** Compiles bare `RETURN p`: the SAME witness BFS as nodes(p)
+    * (witnessPathArr — frontier-delta layers + canonical min-pred
+    * walk-back), then one broadcast join of the ≤hi consecutive node
+    * pairs against the property edge table for the relationship
+    * tokens, re-assembled in step order. The pair join broadcasts
+    * the (≤hi)-row pair side against one edge scan — never a path
+    * enumeration, and the render work is O(path length).
+    */
+  private def runPathValue(spark: SparkSession, dir: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val (srcLabel, srcName) = (m.group(2), m.group(3))
+    val (rel, lo, hi) = (m.group(4), m.group(5).toInt, m.group(6).toInt)
+    val (dstLabel, dstName) = (m.group(7), m.group(8))
+    require(m.group(1) == m.group(9),
+      s"RETURN ${m.group(9)} must reference the path variable ${m.group(1)}")
+    require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
+    val wp = witnessPathArr(spark, edges(spark, dir, rel, dstLabel),
+        s"$srcLabel:$srcName", s"$dstLabel:$dstName", lo, hi)
+      .localCheckpoint(false) // ≤1 row; the pair explode + head render read it
+    val pairs = wp.select(posexplode(expr(
+        "transform(sequence(0, int(size(path)) - 2), " +
+          "i -> struct(path[i] AS a, path[i + 1] AS b))")).as(Seq("pos", "st")))
+      .select(col("pos"), col("st.a").as("a"), col("st.b").as("b"))
+    val segs =
+      if (rel == "CO_OCCURS")
+        edgesWithProps(spark, dir, rel, None)
+          .select(col("src_uid").as("a"), col("dst_uid").as("b"), col("weight"))
+          .join(broadcast(pairs), Seq("a", "b"))
+          .select(col("pos"), concat(lit(s"-[:$rel{weight:"),
+            col("weight").cast("string"), lit("}]->("), col("b"), lit(")")).as("seg"))
+      else
+        pairs.select(col("pos"),
+          concat(lit(s"-[:$rel]->("), col("b"), lit(")")).as("seg"))
+    val tail = segs.agg(concat_ws("",
+      transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg"))).as("tail"))
+    wp.select(concat(lit("("), element_at(col("path"), 1), lit(")")).as("head"))
+      .crossJoin(broadcast(tail))
+      .select(concat(col("head"), col("tail")).as(m.group(1)))
   }
 
   /** `MATCH p = shortestPath(…) RETURN wlength(p) AS c, nodes(p) AS
@@ -2732,6 +2910,10 @@ object CypherLite {
     }
     WSpPathRe.findFirstMatchIn(trimmed) match {
       case Some(m) => return runWeightedWitness(spark, dir, m)
+      case None => ()
+    }
+    PathRetRe.findFirstMatchIn(trimmed) match {
+      case Some(m) => return runPathValue(spark, dir, m)
       case None => ()
     }
     FtRe.findFirstMatchIn(trimmed) match {
@@ -3194,6 +3376,31 @@ object CypherLite {
       "MATCH (c:Chunk)-[:MENTIONS]->(l:Location) " +
       "WHERE l.name CONTAINS 'row' RETURN c.uid AS uid"
 
+  /** Relationship variable on a var-length hop (round 11) — the
+    * weighted neighborhood expansion LLMs emit: entities within two
+    * STRONG co-occurrence hops of the anchor, where `ALL(x IN r WHERE
+    * x.weight >= 2)` filters EVERY traversed edge (r binds a LIST on
+    * a var-length hop; the `r.weight >= 2` shorthand parses to the
+    * same per-hop filter — CypherLiteSpec pins the equivalence). The
+    * filter applies to the edge table BEFORE expansion, so the BFS
+    * walks only the strong subgraph.
+    */
+  val Ex41: String =
+    "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..2]->(e2:Entity) " +
+      "WHERE ALL(x IN r WHERE x.weight >= 2) AND e2.name <> 'spark group' " +
+      "RETURN DISTINCT e2.name ORDER BY e2.name LIMIT 15"
+
+  /** Multi-type var-length hop (round 11) — `[:PUBLISHED|CONTAINS*1..2]`
+    * expands over the per-step type UNION: everything src3 published,
+    * down to the chunks of those articles (1-hop = its articles via
+    * PUBLISHED; 2-hop = PUBLISHED∘CONTAINS chunks — the CONTAINS
+    * first leg is empty from a Source, which is exactly the union
+    * semantics). x rides uid-only off the edge columns.
+    */
+  val Ex42: String =
+    "MATCH (s:Source {name: 'src3'})-[:PUBLISHED|CONTAINS*1..2]->(x) " +
+      "RETURN x.uid AS uid ORDER BY uid LIMIT 20"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -3282,6 +3489,15 @@ object CypherLite {
       "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
       "RETURN length(p) AS len, nodes(p) AS path"
 
+  /** Bare `RETURN p` on the SAME anchors as ExSpPath (round 11) —
+    * the whole interleaved path value; CypherLiteSpec pins p ≡
+    * nodes(p) ∘ relationships(p) against the decomposed twins.
+    */
+  val Ex43: String =
+    "MATCH p = shortestPath((a:Entity {name:'spark group'})" +
+      "-[:CO_OCCURS*1..4]-(b:Entity {name:'column column'})) " +
+      "RETURN p"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cypher_fulltext" -> ((s, d) => run(s, d, ExFt)),
     "q_cypher_path" -> ((s, d) => run(s, d, ExSpPath)),
@@ -3295,6 +3511,9 @@ object CypherLite {
     "q_cypher_ex38" -> ((s, d) => run(s, d, Ex38)),
     "q_cypher_ex39" -> ((s, d) => run(s, d, Ex39)),
     "q_cypher_ex40" -> ((s, d) => run(s, d, Ex40)),
+    "q_cypher_ex41" -> ((s, d) => run(s, d, Ex41)),
+    "q_cypher_ex42" -> ((s, d) => run(s, d, Ex42)),
+    "q_cypher_ex43" -> ((s, d) => run(s, d, Ex43)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_hybrid" -> ((s, d) => run(s, d, ExHybrid)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
@@ -3449,6 +3668,26 @@ object CypherLite {
          |UNION ALL
          |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM b
          |ORDER BY uid""".stripMargin,
+    "q_cypher_ex41" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |w AS MATERIALIZED (
+         |  SELECT src, dst FROM edges WHERE weight >= 2),
+         |h1 AS (SELECT dst FROM w WHERE src = 'spark group'),
+         |h2 AS (SELECT e2.dst FROM w e1 JOIN w e2 ON e2.src = e1.dst
+         |  WHERE e1.src = 'spark group' AND e2.dst <> 'spark group')
+         |SELECT DISTINCT dst AS e2_name
+         |FROM (SELECT dst FROM h1 UNION ALL SELECT dst FROM h2)
+         |WHERE dst <> 'spark group'
+         |ORDER BY e2_name LIMIT 15""".stripMargin,
+    "q_cypher_ex42" ->
+      s"""WITH ${TextPipeline.ChunksSql},
+         |h1 AS (SELECT 'Article:' || doc_id AS uid FROM documents
+         |  WHERE source = 'src3'),
+         |h2 AS (SELECT 'Chunk:' || c.doc_id || ':' || c.chunk_id AS uid
+         |  FROM documents d JOIN chunks c ON c.doc_id = d.doc_id
+         |  WHERE d.source = 'src3')
+         |SELECT uid FROM (SELECT uid FROM h1 UNION ALL SELECT uid FROM h2)
+         |ORDER BY uid LIMIT 20""".stripMargin,
     "q_cypher_ex39" ->
       s"""WITH $M,
          |pc AS (SELECT DISTINCT doc_id FROM mentions WHERE label = 'person')
@@ -3616,6 +3855,52 @@ object CypherLite {
          |$iters
          |SELECT CAST(dist AS BIGINT) AS len FROM d$hops
          |WHERE node = 'column column' AND dist >= 1""".stripMargin
+    },
+    "q_cypher_ex43" -> {
+      // the q_cypher_path oracle's BFS + min-pred walk, then the
+      // interleaved path value: consecutive walk pairs (non-null
+      // prefix of the reversed pred chain) join the weighted edge
+      // list for the rel tokens, assembled in step order
+      val hops = 4
+      val iters = (1 to hops).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val walk = (1 to hops).map { s =>
+        val prevCol = if (s == 1) "n0" else s"p${s - 1}"
+        s"""s$s AS (SELECT s${s - 1}.*,
+           |  (SELECT min(pred) FROM pr WHERE pr.node = s${s - 1}.$prevCol) AS p$s
+           |  FROM s${s - 1})""".stripMargin
+      }.mkString(",\n")
+      val steps = (hops to 1 by -1).map { s =>
+        val b = if (s == 1) "n0" else s"p${s - 1}"
+        s"SELECT ${hops - s + 1} AS i, p$s AS a, $b AS b FROM s$hops WHERE p$s IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      val headN = (hops to 1 by -1).map(s => s"p$s").mkString(", ")
+      s"""WITH ${graft.graph.Analytics.CooccurSql},
+         |d0 AS (SELECT 'spark group' AS node, CAST(0 AS BIGINT) AS dist),
+         |$iters,
+         |pr AS MATERIALIZED (
+         |  SELECT d.node, min(e.src) AS pred
+         |  FROM d$hops d JOIN edges e ON e.dst = d.node
+         |  JOIN d$hops s ON s.node = e.src AND s.dist = d.dist - 1
+         |  GROUP BY d.node),
+         |s0 AS (SELECT node AS n0 FROM d$hops
+         |  WHERE node = 'column column' AND dist >= 1),
+         |$walk,
+         |steps AS (
+         |  $steps)
+         |SELECT '(Entity:' || coalesce($headN, n0) || ')' || string_agg(
+         |  '-[:CO_OCCURS{weight:' || e.weight || '}]->(Entity:' || st.b || ')',
+         |  '' ORDER BY st.i) AS p
+         |FROM s$hops, steps st JOIN edges e ON e.src = st.a AND e.dst = st.b
+         |GROUP BY coalesce($headN, n0)""".stripMargin
     },
     "q_cypher_path" -> {
       // q_cypher_sp's layered BFS + the canonical min-pred witness:

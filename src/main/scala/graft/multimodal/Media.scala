@@ -125,6 +125,14 @@ object Media {
     val sigs = mediaTable(spark, dir).toDF()
       .select(col("doc_id"), sig.as("sig"))
       .localCheckpoint(false)   // one histogram pass; both band-join sides read it
+    // round 11 (r10 verdict #6): the pigeonhole band join is the
+    // same quadratic-capable shape as text SimHash — guard it on the
+    // same segment keys (no capped media twin exists; the remedy is
+    // tighter blocking via more PhashBits)
+    graft.operators.Dedup.pairLoadGuard(
+      graft.operators.Dedup.segKeys(sigs, PhashBits, PhashHammingMax),
+      Seq("seg_idx", "seg_val"), "q_media_phash",
+      "tighter blocking (raise PhashBits)")
     graft.operators.Dedup.simhashPairs(sigs, PhashBits, PhashHammingMax)
       .orderBy("doc_id_a", "doc_id_b")
   }

@@ -335,6 +335,14 @@ object Dedup {
       .withColumn("day", col("doc_id") * 37 % 365)
       .withColumn("bucket", expr(s"day div $TemporalWindow"))
       .select(col("doc_id"), col("day"), col("bucket"), explode(col("bkeys")).as("bkey"))
+      // barrier: the sig fold runs once for the guard + both join sides
+      .localCheckpoint(false)
+    // round 11 (r10 verdict #6): guard on the UN-exploded (bkey,
+    // bucket) blocking key — the ±1-bucket probe explode multiplies
+    // the true candidate mass by at most 3× over this prediction,
+    // well inside the order-of-magnitude rail the budget draws
+    pairLoadGuard(bands, Seq("bkey", "bucket"),
+      "q_dedup_temporal", "q_dedup_minhash_topk")
     val probe = bands.select(col("doc_id").as("doc_id_a"), col("day").as("day_a"),
       col("bkey"), explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
         .as("bucket"))
@@ -464,13 +472,13 @@ object Dedup {
     * hatch the refusal points to.
     */
   private[graft] def pairLoadGuard(buckets: DataFrame, keyCols: Seq[String],
-      op: String, cappedTwin: String): Unit = {
+      op: String, remedy: String): Unit = {
     val budget = buckets.sparkSession.conf
       .get(MaxPairsConf, MaxPairsDefault.toString).toLong
     val predicted = predictedPairs(buckets, keyCols)
     if (predicted > budget) throw new IllegalStateException(
       s"$op refused: predicted candidate-pair load $predicted exceeds the " +
-        s"$MaxPairsConf budget $budget. Use $cappedTwin (bounded output), " +
+        s"$MaxPairsConf budget $budget. Use $remedy (bounded output), " +
         "tighten the blocking, or raise the budget after profiling with " +
         "q_lsh_bucket_stats / q_skew_report.")
   }
@@ -494,6 +502,11 @@ object Dedup {
     val keyed = shinglesCk(spark, dir) // standing table when amortized
       .withColumn("block", array_min(transform(col("s"), x => md5(x))))
       .localCheckpoint(false)   // barrier: see minhashSigs
+    // round 11 (r10 verdict #6): the min-shingle block self-join joins
+    // the load-proved family — a boilerplate block shared corpus-wide
+    // is exactly the hot-bucket shape the guard refuses
+    pairLoadGuard(keyed.select("doc_id", "block"), Seq("block"),
+      "q_dedup_ngram", "q_dedup_minhash_topk")
     val cand = keyed.select(col("doc_id").as("doc_id_a"), col("block"))
       .join(keyed.select(col("doc_id").as("doc_id_b"), col("block")), Seq("block"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -982,6 +995,13 @@ object Dedup {
       .filter(col("df") <= ContainMaxDf && col("df") >= 2)
       .select("h")
     val discriminative = sampled.join(rare, "h")
+      // narrow (doc_id, h) rows — the guard + both join sides read it
+      .localCheckpoint(false)
+    // round 11 (r10 verdict #6): the DF cap bounds each bucket at
+    // ContainMaxDf but not the bucket COUNT — the total mass still
+    // needs the load proof before the self-join runs
+    pairLoadGuard(discriminative, Seq("h"),
+      "q_dedup_containment", "q_dedup_minhash_topk")
     val cand = discriminative.select(col("doc_id").as("doc_id_a"), col("h"))
       .join(discriminative.select(col("doc_id").as("doc_id_b"), col("h")), Seq("h"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -1175,6 +1195,11 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
       .select("fp")
     val ee = e.join(rare, "fp")
+      // narrow (doc_id, fp) rows — the guard + both join sides read it
+      .localCheckpoint(false)
+    // round 11 (r10 verdict #6): same load proof as containment —
+    // per-fingerprint DF is capped, fingerprint count is not
+    pairLoadGuard(ee, Seq("fp"), "q_winnow", "q_dedup_minhash_topk")
     val cand = ee.select(col("doc_id").as("doc_id_a"), col("fp"))
       .join(ee.select(col("doc_id").as("doc_id_b"), col("fp")), Seq("fp"))
       .filter(col("doc_id_a") < col("doc_id_b"))

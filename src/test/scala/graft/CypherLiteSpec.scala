@@ -1240,6 +1240,142 @@ class CypherLiteSpec extends AnyFunSuite {
       s"escaped apostrophe mis-unwrapped: $apos")
   }
 
+  test("var-length relationship filters: ALL() ≡ shorthand ≡ filtered-edge recompute") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val allForm = rows(CypherLite.Ex41)
+    val shorthand = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..2]->(e2:Entity) " +
+        "WHERE r.weight >= 2 AND e2.name <> 'spark group' " +
+        "RETURN DISTINCT e2.name ORDER BY e2.name LIMIT 15")
+    assert(allForm == shorthand,
+      "ALL(x IN r WHERE …) and the r.prop shorthand must compile identically")
+    // independent recompute over the weight-filtered edge list
+    val edges = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("weight")))
+    val strong = edges.filter(_._3 >= 2)
+    val h1 = strong.filter(_._1 == "spark group").map(_._2).toSet
+    val h2 = strong.filter(e => h1.contains(e._1)).map(_._2).toSet - "spark group"
+    val want = (h1 ++ h2 - "spark group").toSeq.sorted.take(15)
+    assert(allForm == want,
+      s"per-hop-filtered expansion diverged from the edge-list recompute: $allForm vs $want")
+    assert(allForm.nonEmpty)
+    // non-vacuity: the filter must actually prune vs the unfiltered hop
+    val unfNames = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS*1..2]->(e2:Entity) " +
+        "WHERE e2.name <> 'spark group' RETURN DISTINCT e2.name ORDER BY e2.name")
+    val fNames = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..2]->(e2:Entity) " +
+        "WHERE r.weight >= 2 AND e2.name <> 'spark group' " +
+        "RETURN DISTINCT e2.name ORDER BY e2.name")
+    assert(fNames.toSet.subsetOf(unfNames.toSet) && fNames.size < unfNames.size,
+      s"vacuous fixture: filtering on weight must prune (${fNames.size} vs ${unfNames.size})")
+    // refusals stay loud: projection, multi-type+variable, OR-mixing
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..2]->(e2:Entity) " +
+          "RETURN e2.name, r.weight ORDER BY e2.name")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (a:Article)-[r:CONTAINS|HAS_TOPIC*1..2]->(x) RETURN x.uid AS u")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..2]->(e2:Entity) " +
+          "WHERE r.weight >= 2 OR e2.name = 'row' RETURN DISTINCT e2.name")
+    }
+  }
+
+  test("multi-type var-length: per-step union ≡ single-type composition twins") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val got = rows(CypherLite.Ex42)
+    val arts = rows("MATCH (s:Source {name: 'src3'})-[:PUBLISHED]->(a:Article) " +
+      "RETURN a.uid ORDER BY a.uid")
+    val chunks = rows("MATCH (s:Source {name: 'src3'})-[:PUBLISHED]->(a:Article)" +
+      "-[:CONTAINS]->(c:Chunk) RETURN c.uid ORDER BY c.uid")
+    assert(arts.nonEmpty && chunks.nonEmpty, "vacuous fixture: both legs must match")
+    val want = (arts ++ chunks).sorted.take(20)
+    assert(got == want,
+      s"multi-type expansion diverged from the single-type union: $got vs $want")
+  }
+
+  test("bare RETURN p: identity with the nodes(p)/relationships decomposition") {
+    val p = CypherLite.run(spark, TestSpark.sf, CypherLite.Ex43)
+      .collect().map(_.getString(0)).toSeq
+    assert(p.size == 1, s"one witness path expected: $p")
+    val sp = CypherLite.run(spark, TestSpark.sf, CypherLite.ExSpPath).collect().head
+    val wNodes = sp.getAs[String]("path").split("->").toSeq
+    // node sequence is EXACTLY the canonical witness
+    val pNodes = """\(([^)]+)\)""".r.findAllMatchIn(p.head).map(_.group(1)).toSeq
+    assert(pNodes == wNodes,
+      s"path-value nodes diverged from nodes(p): $pNodes vs $wNodes")
+    // relationship tokens carry the true edge weights, one per step
+    val ws = """-\[:CO_OCCURS\{weight:(\d+)\}\]->""".r
+      .findAllMatchIn(p.head).map(_.group(1).toLong).toSeq
+    assert(ws.size == wNodes.size - 1, s"one rel token per step: ${p.head}")
+    val ew = graft.graph.Analytics.edges(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("weight")).toMap
+    def bare(u: String) = u.stripPrefix("Entity:")
+    wNodes.sliding(2).zip(ws.iterator).foreach { case (Seq(a, b), w) =>
+      assert(ew((bare(a), bare(b))) == w,
+        s"weight token $w does not match the $a->$b edge")
+    }
+  }
+
+  test("hybrid CALL: fusion replays from the two serving legs; text indexes serve the CALL") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = CypherLite.run(spark, TestSpark.sf, CypherLite.ExHybrid).collect()
+    assert(out.length == 5 && out.forall(_.getAs[String]("text").startsWith("Title: ")))
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "hybrid output must be score-descending")
+    assert(math.abs(scores.head - 1.0) < 1e-9,
+      s"max-score normalization pins the top fused score at 1.0: $scores")
+    // vector leg: the shared serving seed; keyword leg: the standalone
+    // chunkText CALL (round 11's text-index surface) — fuse them
+    // independently and the hybrid's score column must replay exactly
+    val vec = graft.operators.Similarity.vectorQueryTopk(spark, TestSpark.sf, 5)
+      .collect().map(r => (s"Chunk:${r.get(0)}:0", r.getAs[Double]("score")))
+    val vmax = vec.map(_._2).max
+    val vleg = vec.map { case (u, s) => (u, r6(s / vmax)) }
+    val kwRows = CypherLite.run(spark, TestSpark.sf,
+      "CALL db.index.fulltext.queryNodes('chunkText', 'spark join fast', {limit: 5}) " +
+        "YIELD node, score RETURN node.uid AS uid, node.text AS text, " +
+        "labels(node)[0] AS label, score").collect()
+    assert(kwRows.nonEmpty && kwRows.forall(_.getAs[String]("label") == "Chunk"))
+    val kw = kwRows.map(r => (r.getAs[String]("uid"), r.getAs[Double]("score")))
+    val kmax = kw.map(_._2).max
+    val kleg = kw.map { case (u, s) => (u, r6(s / kmax)) }
+    val fused = (vleg ++ kleg).groupBy(_._1).view.mapValues(_.map(_._2).max)
+      .toSeq.sortBy { case (u, s) => (-s, u) }.take(5)
+    assert(scores == fused.map(_._2),
+      s"hybrid fusion diverged from the independent leg replay: $scores vs $fused")
+    // the articleTitle index serves the same CALL shape
+    val at = CypherLite.run(spark, TestSpark.sf,
+      "CALL db.index.fulltext.queryNodes('articleTitle', 'spark', {limit: 3}) " +
+        "YIELD node, score RETURN node.uid AS uid, node.title AS title, " +
+        "labels(node)[0] AS label, score").collect()
+    assert(at.forall(_.getAs[String]("label") == "Article"))
+    // schema-driven refusals stay loud
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "CALL db.index.fulltext.queryNodes('chunkBody', 'x', {limit: 3}) " +
+          "YIELD node, score RETURN node.uid AS uid, node.text AS text, " +
+          "labels(node)[0] AS label, score")
+    }
+    intercept[IllegalArgumentException] {
+      // projecting a property the index does not score
+      CypherLite.run(spark, TestSpark.sf,
+        "CALL db.index.fulltext.queryNodes('chunkText', 'x', {limit: 3}) " +
+          "YIELD node, score RETURN node.uid AS uid, node.name AS name, " +
+          "labels(node)[0] AS label, score")
+    }
+  }
+
   test("escape pairs and literal AND/OR: two-state scanning (r10 advice)") {
     def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
       .collect().map(_.toSeq).toSeq

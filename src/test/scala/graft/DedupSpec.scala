@@ -393,6 +393,31 @@ class DedupSpec extends AnyFunSuite {
       intercept[IllegalStateException] {
         Dedup.qNeardupCandidates(spark, TestSpark.sf).collect()
       }
+      // round 11 (r10 verdict #6): the remaining pair emitters join
+      // the load-proved family. q_dedup_ngram's block mass is
+      // positive at this SF, so budget 0 trips it like the LSH three
+      intercept[IllegalStateException] {
+        Dedup.qDedupNgram(spark, TestSpark.sf).collect()
+      }
+      // the tighter-blocked emitters (time-bucketed bands, DF-capped
+      // rare keys) can have ZERO predicted mass on the tiny fixture —
+      // budget -1 proves the guard WIRING regardless (0 > -1 refuses)
+      conf.set(Dedup.MaxPairsConf, "-1")
+      intercept[IllegalStateException] {
+        Dedup.qDedupTemporal(spark, TestSpark.sf).collect()
+      }
+      intercept[IllegalStateException] {
+        Dedup.qDedupContainment(spark, TestSpark.sf).collect()
+      }
+      intercept[IllegalStateException] {
+        Dedup.qWinnow(spark, TestSpark.sf).collect()
+      }
+      val mErr = intercept[IllegalStateException] {
+        multimodal.Media.qMediaPhash(spark, TestSpark.sf).collect()
+      }
+      assert(mErr.getMessage.contains("PhashBits"),
+        s"media refusal must name its blocking remedy: ${mErr.getMessage}")
+      conf.set(Dedup.MaxPairsConf, "0")
       // the capped twins are the escape hatch — they must still run
       // under the same zero budget
       assert(Dedup.qDedupSimhashTopk(spark, TestSpark.sf).collect().nonEmpty)

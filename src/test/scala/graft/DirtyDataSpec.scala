@@ -168,6 +168,19 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex34))
   runs("cypher stage-level EXISTS over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex35))
+  // round-11 forms: the hybrid composition's keyword leg scores
+  // whatever chunk text the dirt yields (possibly zero hits → the
+  // vector leg alone survives the fusion); filtered/multi-type
+  // var-length expansion over absent anchors is empty, never a
+  // throwing task; the bare path value renders only a closed witness
+  runs("cypher hybrid CALL over dirty docs and vectors")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.ExHybrid))
+  runs("cypher filtered var-length over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex41))
+  runs("cypher multi-type var-length over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex42))
+  runs("cypher bare RETURN p over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex43))
   runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 

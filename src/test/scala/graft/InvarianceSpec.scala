@@ -100,7 +100,13 @@ class InvarianceSpec extends AnyFunSuite {
       // var-to-var anti-join triangle gate
       "q_cypher_ex35", "q_cypher_ex36", "q_cypher_ex37",
       // rel-var predicate inside the anti-join body; boolean EXISTS item
-      "q_cypher_ex38", "q_cypher_ex39")
+      "q_cypher_ex38", "q_cypher_ex39",
+      // round-11 additions: max-normalized hybrid fusion (per-leg
+      // top-ks + ≤2k-row max-fusion), per-hop-filtered var-length
+      // expansion, multi-type var-length union, and the interleaved
+      // path value (witness + pair-ordered rel tokens) must all be
+      // partition-count-independent
+      "q_cypher_hybrid", "q_cypher_ex41", "q_cypher_ex42", "q_cypher_ex43")
     // q_cypher_ex40 (UNION ALL) is deliberately NOT in the
     // sequence-equality sweep: its contract is a MULTISET (no final
     // ORDER BY — the gate sorts rows before hashing), so row order

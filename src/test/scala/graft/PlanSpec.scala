@@ -160,6 +160,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"vector CALL has a cartesian:\n$p")
   }
 
+  test("hybrid CALL and round-11 cypher plans: TakeOrdered legs, equi-join only") {
+    // hybrid: both legs rank through TakeOrdered; the fusion +
+    // expansion stay equi-join (the broadcast probe / 1-row max
+    // crossJoins are the accepted BroadcastNestedLoop shapes)
+    val ph = plan(cypher.CypherLite.run(spark, TestSpark.sf,
+      cypher.CypherLite.ExHybrid))
+    assert(ph.contains("TakeOrderedAndProject"), s"legs not TakeOrdered:\n$ph")
+    assert(!ph.contains("CartesianProduct"), s"hybrid CALL has a cartesian:\n$ph")
+    // per-hop-filtered + multi-type var-length expansions and the
+    // path-value render: equi-joins only, no NL joins beyond the
+    // broadcast pair lookup
+    for ((name, q) <- Seq("ex41" -> cypher.CypherLite.Ex41,
+        "ex42" -> cypher.CypherLite.Ex42, "ex43" -> cypher.CypherLite.Ex43)) {
+      val p = plan(cypher.CypherLite.run(spark, TestSpark.sf, q))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+  }
+
   test("RRF legs are TakeOrdered pools; fusion never windows the corpus") {
     val p = plan(operators.Retrieval.qRrf(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered legs:\n$p")
