@@ -56,7 +56,14 @@ import graft.operators.TextPipeline
   *                   [WHERE term (AND term)*] }  -- FULL existential
   *                   subquery (round 10): body compiles as its own
   *                   pipeline, correlated by shared variable names,
-  *                   semi/anti-joined; top-level AND conjunct only
+  *                   semi/anti-joined; top-level AND conjunct only.
+  *                   Round 11: the MATCH keyword is optional (the
+  *                   Neo4j-5 bare-pattern shorthand) for EXISTS and
+  *                   COUNT bodies alike, in WHERE gates and RETURN
+  *                   items — multi-hop, WHERE-carrying, and
+  *                   var-length bodies included; the round-9
+  *                   single-hop inline-prop forms keep their
+  *                   dedicated semi/anti fast path
   *                 | COUNT { MATCH … [WHERE …] } <op> n  -- COUNT
   *                   subquery comparison (round 10): grouped body
   *                   count LEFT OUTER joined (absent → 0), filtered;
@@ -763,12 +770,22 @@ object CypherLite {
     * the body's braces are balanced.
     */
   private val CountSubItemRe =
-    """(?is)^COUNT\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
+    """(?is)^COUNT\s*\{\s*((?:MATCH\b|\().*)\}\s*(?:AS\s+(\w+))?\s*$""".r
   /** `EXISTS { MATCH … } [AS flag]` as a RETURN item — the boolean
     * per-row spelling, sharing CountSubItem's machinery (count > 0).
+    * Both item forms also take the Neo4j-5 BARE-pattern body (round
+    * 11, no MATCH keyword) — normalized by subItemBody.
     */
   private val ExistsSubItemRe =
-    """(?is)^EXISTS\s*\{\s*(MATCH\b.*)\}\s*(?:AS\s+(\w+))?\s*$""".r
+    """(?is)^EXISTS\s*\{\s*((?:MATCH\b|\().*)\}\s*(?:AS\s+(\w+))?\s*$""".r
+
+  /** Normalize a subquery RETURN-item body: a bare-pattern body gets
+    * its implicit MATCH (Neo4j-5 shorthand).
+    */
+  private def subItemBody(body: String): String = {
+    val b = body.trim
+    if (b.startsWith("(")) "MATCH " + b else b
+  }
 
   /** `size((a)-[:R]->())` — the Neo4j-4 pattern-count spelling that
     * COUNT {} replaced, still the most common form in LLM training
@@ -920,14 +937,24 @@ object CypherLite {
     })
   }
 
+  /** The round-9 bare-pattern single-hop shapes, shared by
+    * parseSimplePred's regexes and extractSubqueries' legacy test
+    * (a brace body matching one of these keeps its dedicated
+    * semi/anti compilation; anything else `(`-shaped compiles
+    * through the FULL subquery machinery — round 11).
+    */
+  private val PatBodyStr = """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
+    """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)"""
+  private val VarPatBodyStr =
+    """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->\s*\(\s*(\w+)\s*\)"""
+
   private def parseSimplePred(w0: String): Pred = {
     val w = unwrapTemporal(w0)
     val inRe = """(\w+)\.(\w+)\s+IN\s+\[([^\]]*)\]""".r
     val eqRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
     val neqRe = """(\w+)\.(\w+)\s*<>\s*'([^']*)'""".r
     val strRe = """(?i)(\w+)\.(\w+)\s+(CONTAINS|STARTS\s+WITH|ENDS\s+WITH)\s+'([^']*)'""".r
-    val patBody = """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->""" +
-      """\s*\(\s*:(\w+)\s*(?:\{\s*(\w+)\s*:\s*'([^']*)'\s*\})?\s*\)"""
+    val patBody = PatBodyStr
     val notPatRe = (s"(?i)NOT\\s+$patBody").r
     val existsPatRe = (s"(?i)exists\\(\\s*$patBody\\s*\\)").r
     // NOT exists((v)-[:R]->(:L)) ≡ NOT (v)-[:R]->(:L) — must resolve
@@ -947,7 +974,7 @@ object CypherLite {
     // gate ("co-occurs with a co-occurrer but not directly"). Maps
     // onto the EXISTS-subquery semi/anti machinery, correlated on
     // both uids.
-    val varPatBody = """\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*->\s*\(\s*(\w+)\s*\)"""
+    val varPatBody = VarPatBodyStr
     val notVarPatRe = (s"(?i)NOT\\s+$varPatBody").r
     val notExistsVarPatRe = (s"(?i)NOT\\s+exists\\(\\s*$varPatBody\\s*\\)").r
     val existsVarPatRe = (s"(?i)exists\\(\\s*$varPatBody\\s*\\)").r
@@ -1087,18 +1114,34 @@ object CypherLite {
       require(depth == 0, s"unbalanced subquery braces in: $ws")
       val body = rest.substring(mm.end, j - 1).trim
       val isCount = mm.group(2).equalsIgnoreCase("COUNT")
-      if (body.matches("(?is)^MATCH\\b.*")) {
-        require(!(isCount && mm.group(1) != null),
-          s"NOT COUNT {{ … }} is not a boolean — compare the count instead: $ws")
-        val (paths, preds) = parseSubBody(body)
-        val tok = if (isCount) s"__CNTSUB${n}__" else s"__EXSUB${n}__"
-        if (isCount) cntSubs += tok -> ((paths, preds))
-        else exSubs += tok -> ExistsSubPred(paths, preds, mm.group(1) != null)
-        out.append(rest.substring(0, mm.start)).append(tok)
-        n += 1
-      } else {
-        require(!isCount, s"COUNT {{ }} body must start with MATCH: $body")
-        out.append(rest.substring(0, j))
+      // Bare-pattern brace bodies (round 11): Neo4j 5 allows
+      // `COUNT { (a)-[:R]->(c) }` / `EXISTS { (a)-[:R]->(c) WHERE … }`
+      // with no MATCH keyword — the form LLMs emit most. A body that
+      // matches the round-9 single-hop shapes keeps its dedicated
+      // semi/anti fast path (left in place for parseSimplePred);
+      // everything else `(`-shaped compiles as an implicit MATCH
+      // through the FULL subquery machinery. COUNT always rewrites
+      // (it never had a legacy path — it used to refuse).
+      val legacy = !isCount && body.startsWith("(") &&
+        (body.matches(s"(?s)^$PatBodyStr$$") ||
+          body.matches(s"(?s)^$VarPatBodyStr$$"))
+      val bodyNorm =
+        if (body.matches("(?is)^MATCH\\b.*")) Some(body)
+        else if (body.startsWith("(") && !legacy) Some("MATCH " + body)
+        else None
+      bodyNorm match {
+        case Some(b) =>
+          require(!(isCount && mm.group(1) != null),
+            s"NOT COUNT {{ … }} is not a boolean — compare the count instead: $ws")
+          val (paths, preds) = parseSubBody(b)
+          val tok = if (isCount) s"__CNTSUB${n}__" else s"__EXSUB${n}__"
+          if (isCount) cntSubs += tok -> ((paths, preds))
+          else exSubs += tok -> ExistsSubPred(paths, preds, mm.group(1) != null)
+          out.append(rest.substring(0, mm.start)).append(tok)
+          n += 1
+        case None =>
+          require(!isCount, s"COUNT {{ }} body must be a MATCH or a pattern: $body")
+          out.append(rest.substring(0, j))
       }
       rest = rest.substring(j)
       masked = maskLiterals(rest)
@@ -1289,10 +1332,10 @@ object CypherLite {
     val items0 = splitTop(retS.replaceAll("(?i)^\\s*DISTINCT", "")).map {
       raw0 => parseConcat(raw0).getOrElse(raw0 match {
       case CountSubItemRe(body, alias) =>
-        val (ps, prs) = parseSubBody(body.trim)
+        val (ps, prs) = parseSubBody(subItemBody(body))
         CountSubItem(ps, prs, Option(alias))
       case ExistsSubItemRe(body, alias) =>
-        val (ps, prs) = parseSubBody(body.trim)
+        val (ps, prs) = parseSubBody(subItemBody(body))
         CountSubItem(ps, prs, Option(alias), asBool = true)
       case SizePatItemRe(inner, alias) =>
         CountSubItem(parseSizePattern(inner), Seq.empty, Option(alias))
@@ -3401,6 +3444,20 @@ object CypherLite {
     "MATCH (s:Source {name: 'src3'})-[:PUBLISHED|CONTAINS*1..2]->(x) " +
       "RETURN x.uid AS uid ORDER BY uid LIMIT 20"
 
+  /** BARE-pattern subquery bodies (round 11) — the Neo4j-5 shorthand
+    * LLMs emit most: `COUNT { (a)-[:R]->(c) }` / `EXISTS { (a)-[:R]
+    * ->(t) WHERE … }` with NO MATCH keyword. Multi-hop COUNT gate +
+    * single-hop-with-WHERE EXISTS item, both through the full
+    * subquery machinery with an implicit MATCH (the round-9
+    * single-hop inline-prop forms keep their dedicated fast path).
+    */
+  val Ex44: String =
+    "MATCH (a:Article) " +
+      "WHERE COUNT { (a)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(p:Person) } >= 2 " +
+      "RETURN a.uid, " +
+      "EXISTS { (a)-[:HAS_TOPIC]->(t:Topic) WHERE t.name = 'organization' } AS has_org " +
+      "ORDER BY a.uid LIMIT 12"
+
   /** Stage-level subqueries (round 10) — EXISTS in a WITH-stage WHERE:
     * aggregate first ("articles with ≥3 chunks"), THEN keep only the
     * survivors whose article carries the organization topic — the
@@ -3514,6 +3571,7 @@ object CypherLite {
     "q_cypher_ex41" -> ((s, d) => run(s, d, Ex41)),
     "q_cypher_ex42" -> ((s, d) => run(s, d, Ex42)),
     "q_cypher_ex43" -> ((s, d) => run(s, d, Ex43)),
+    "q_cypher_ex44" -> ((s, d) => run(s, d, Ex44)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_hybrid" -> ((s, d) => run(s, d, ExHybrid)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
@@ -3668,6 +3726,19 @@ object CypherLite {
          |UNION ALL
          |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM b
          |ORDER BY uid""".stripMargin,
+    "q_cypher_ex44" ->
+      s"""WITH $P,
+         |${NewsGraph.ArticleTopicsSql},
+         |pc AS (SELECT doc_id, count(*) AS n FROM (
+         |  SELECT DISTINCT doc_id, chunk_id, name FROM mentions
+         |  WHERE label = 'person') GROUP BY doc_id),
+         |org AS (SELECT DISTINCT doc_id FROM topics
+         |  WHERE topic = 'organization')
+         |SELECT 'Article:' || pc.doc_id AS a_uid,
+         |  (org.doc_id IS NOT NULL) AS has_org
+         |FROM pc LEFT JOIN org ON org.doc_id = pc.doc_id
+         |WHERE pc.n >= 2
+         |ORDER BY a_uid LIMIT 12""".stripMargin,
     "q_cypher_ex41" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql},
          |w AS MATERIALIZED (

@@ -1376,6 +1376,43 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("bare-pattern subquery bodies ≡ their MATCH-spelled twins") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    // the flagship: bare multi-hop COUNT gate + bare EXISTS-with-WHERE item
+    val bare = rows(CypherLite.Ex44)
+    val spelled = rows(
+      "MATCH (a:Article) " +
+        "WHERE COUNT { MATCH (a)-[:CONTAINS]->(c:Chunk)-[:MENTIONS]->(p:Person) } >= 2 " +
+        "RETURN a.uid, " +
+        "EXISTS { MATCH (a)-[:HAS_TOPIC]->(t:Topic) WHERE t.name = 'organization' } AS has_org " +
+        "ORDER BY a.uid LIMIT 12")
+    assert(bare.nonEmpty && bare == spelled,
+      s"bare-pattern bodies diverged from the MATCH spelling: $bare vs $spelled")
+    assert(bare.exists(_.last == true) && bare.exists(_.last == false),
+      s"vacuous fixture: has_org must vary: $bare")
+    // bare var-length body (NO MATCH keyword) ≡ the MATCH spelling
+    val vb = rows("MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS]->(e2:Entity)" +
+      "-[:CO_OCCURS]->(e3:Entity) " +
+      "WHERE EXISTS { (e1)-[:CO_OCCURS*1..2]->(e3) } " +
+      "RETURN DISTINCT e3.name ORDER BY e3.name")
+    val vm = rows("MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS]->(e2:Entity)" +
+      "-[:CO_OCCURS]->(e3:Entity) " +
+      "WHERE EXISTS { MATCH (e1)-[:CO_OCCURS*1..2]->(e3) } " +
+      "RETURN DISTINCT e3.name ORDER BY e3.name")
+    assert(vb.nonEmpty && vb == vm)
+    // the round-9 single-hop inline-prop brace form keeps its fast
+    // path AND its answer (gate vs gate twin)
+    val legacy = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { (c)-[:MENTIONS]->(:Organization) } " +
+      "RETURN DISTINCT a.uid ORDER BY a.uid")
+    val full = rows("MATCH (a:Article)-[:CONTAINS]->(c:Chunk) " +
+      "WHERE EXISTS { (c)-[:MENTIONS]->(o:Organization) } " +
+      "RETURN DISTINCT a.uid ORDER BY a.uid")
+    assert(legacy.nonEmpty && legacy == full,
+      "legacy single-hop brace and full-machinery bare body must agree")
+  }
+
   test("escape pairs and literal AND/OR: two-state scanning (r10 advice)") {
     def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
       .collect().map(_.toSeq).toSeq
