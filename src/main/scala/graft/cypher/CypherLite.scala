@@ -28,9 +28,11 @@ import graft.operators.TextPipeline
   *                 (r.prop readable: MENTIONS start_pos/n_tokens/
   *                 n_mentions, CO_OCCURS weight; type(r) always);
   *                 :A|B is the multi-type union; *a..b is a
-  *                 variable-length hop (1 <= a <= b <= 3) with Cypher
-  *                 semantics: one output row PER PATH, and a
-  *                 relationship may not repeat within a path.
+  *                 variable-length hop (0 <= a <= b <= 3; a=0 is the
+  *                 self-inclusive neighborhood, requiring a bound
+  *                 start) with Cypher semantics: one output row PER
+  *                 PATH, and a relationship may not repeat within a
+  *                 path.
   *                 Round 11: :A|B composes with *a..b (per-step type
   *                 union), and `-[r:R*a..b]->` binds r as the path's
   *                 relationship LIST — readable ONLY through per-edge
@@ -307,7 +309,20 @@ object CypherLite {
     */
   private def varLenExpand(e0: DataFrame, lo: Int, hi: Int,
       seed: Option[DataFrame]): DataFrame = {
-    require(lo >= 1 && lo <= hi && hi <= 3, s"unsupported var-length bounds *$lo..$hi")
+    require(lo >= 0 && lo <= hi && hi <= 3, s"unsupported var-length bounds *$lo..$hi")
+    if (lo == 0) {
+      // `*0..b` (round 11): the ZERO-length leg binds the node to
+      // itself (Neo4j's "within b hops, including the node"). It
+      // exists only relative to an already-matched source set, so the
+      // hop must start at a bound variable — the identity pairs come
+      // from the seed frontier, and any per-edge filters are vacuous
+      // over the empty relationship list (ALL() on [] is true).
+      val s = seed.getOrElse(throw new IllegalArgumentException(
+        "*0.. var-length hops must start at a bound variable " +
+          "(the zero-length leg binds the matched node to itself)"))
+      val id = s.select(col("src_uid"), col("src_uid").as("dst_uid"))
+      return if (hi == 0) id else id.unionByName(varLenExpand(e0, 1, hi, seed))
+    }
     // The edge table is referenced by several plan branches below
     // (seeded first leg, the legs of each composition); without
     // a barrier each reference re-executes the whole upstream pipeline
@@ -3444,6 +3459,17 @@ object CypherLite {
     "MATCH (s:Source {name: 'src3'})-[:PUBLISHED|CONTAINS*1..2]->(x) " +
       "RETURN x.uid AS uid ORDER BY uid LIMIT 20"
 
+  /** Zero-length var-hops (round 11): `*0..b` — "within b hops,
+    * INCLUDING the node itself" (the self-inclusive neighborhood
+    * LLMs reach for with `*0..2`). The zero leg is the seed
+    * frontier's identity pairs; 1..b legs are the ordinary unrolled
+    * compositions. Per-path row semantics throughout (no DISTINCT —
+    * the identity row rides beside every 1-hop and 2-hop path row).
+    */
+  val Ex45: String =
+    "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS*0..2]->(e2:Entity) " +
+      "RETURN e2.name ORDER BY e2.name LIMIT 15"
+
   /** BARE-pattern subquery bodies (round 11) — the Neo4j-5 shorthand
     * LLMs emit most: `COUNT { (a)-[:R]->(c) }` / `EXISTS { (a)-[:R]
     * ->(t) WHERE … }` with NO MATCH keyword. Multi-hop COUNT gate +
@@ -3572,6 +3598,7 @@ object CypherLite {
     "q_cypher_ex42" -> ((s, d) => run(s, d, Ex42)),
     "q_cypher_ex43" -> ((s, d) => run(s, d, Ex43)),
     "q_cypher_ex44" -> ((s, d) => run(s, d, Ex44)),
+    "q_cypher_ex45" -> ((s, d) => run(s, d, Ex45)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_hybrid" -> ((s, d) => run(s, d, ExHybrid)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
@@ -3726,6 +3753,16 @@ object CypherLite {
          |UNION ALL
          |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM b
          |ORDER BY uid""".stripMargin,
+    "q_cypher_ex45" ->
+      s"""WITH ${graft.graph.Analytics.CooccurSql}
+         |SELECT name AS e2_name FROM (
+         |  SELECT 'spark group' AS name
+         |  UNION ALL
+         |  SELECT dst FROM edges WHERE src = 'spark group'
+         |  UNION ALL
+         |  SELECT e2.dst FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+         |  WHERE e1.src = 'spark group' AND e2.dst <> 'spark group')
+         |ORDER BY e2_name LIMIT 15""".stripMargin,
     "q_cypher_ex44" ->
       s"""WITH $P,
          |${NewsGraph.ArticleTopicsSql},

@@ -1376,6 +1376,41 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("*0..b zero-length var-hops: identity ∪ *1..b; unanchored refuses") {
+    def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.get(0).toString).toSeq
+    val zero = rows(CypherLite.Ex45)
+    val oneTwo = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS*1..2]->(e2:Entity) " +
+        "RETURN e2.name ORDER BY e2.name")
+    // per-path multiset: *0..2 = the anchor itself + every *1..2 path
+    val want = ("spark group" +: oneTwo).sorted.take(15)
+    assert(zero == want, s"*0..2 diverged from identity ∪ *1..2: $zero vs $want")
+    // degenerate *0..0: exactly the anchor, nothing else
+    assert(rows("MATCH (e1:Entity {name: 'spark group'})-[:CO_OCCURS*0..0]->(e2:Entity) " +
+      "RETURN e2.name") == Seq("spark group"),
+      "*0..0 must bind the matched node to itself and nothing else")
+    // per-edge filters are vacuous on the identity leg (ALL() over [])
+    val strong = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*0..1]->(e2:Entity) " +
+        "WHERE ALL(x IN r WHERE x.weight >= 2) " +
+        "RETURN e2.name ORDER BY e2.name")
+    assert(strong.contains("spark group"),
+      "the anchor survives a per-edge filter (empty relationship list)")
+    val strong1 = rows(
+      "MATCH (e1:Entity {name: 'spark group'})-[r:CO_OCCURS*1..1]->(e2:Entity) " +
+        "WHERE ALL(x IN r WHERE x.weight >= 2) " +
+        "RETURN e2.name ORDER BY e2.name")
+    assert(strong == ("spark group" +: strong1).sorted)
+    // a *0.. hop whose SOURCE is unbound (reversed hop into an
+    // edge-only variable) has no node set to be identical to — refuse
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH (e2:Entity {name: 'spark group'})<-[:CO_OCCURS*0..1]-(x) " +
+          "RETURN count(*) AS n").collect()
+    }
+  }
+
   test("bare-pattern subquery bodies ≡ their MATCH-spelled twins") {
     def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
       .collect().map(_.toSeq).toSeq

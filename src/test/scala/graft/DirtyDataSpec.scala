@@ -183,6 +183,8 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex43))
   runs("cypher bare-pattern subqueries over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex44))
+  runs("cypher zero-length var-hops over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex45))
   runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 
