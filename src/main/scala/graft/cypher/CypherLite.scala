@@ -18,9 +18,15 @@ import graft.operators.TextPipeline
   *   unwind     := UNWIND ['a','b',...] AS alias  -- literal list; the
   *                 alias joins via a WHERE `v.prop = alias` predicate
   *                 (broadcast relation, one output row per list match)
-  *   match      := MATCH pattern (, pattern)*
+  *   match      := MATCH [p =] pattern (, pattern)*
   *                 [OPTIONAL MATCH pattern (, pattern)*]*  -- left-
-  *                 outer hops anchored on a bound variable
+  *                 outer hops anchored on a bound variable; `p =`
+  *                 (round 11) binds the FIRST fixed-shape pattern as
+  *                 a path variable: RETURN p renders the interleaved
+  *                 node-rel path value, length(p)/nodes(p) the hop
+  *                 count / uid sequence — all pure column
+  *                 expressions (var-length hops refuse; the
+  *                 shortestPath forms own those)
   *   pattern    := (v[:Label])(-[[r]:REL[|REL2...][*a..b]]->(v[:Label]))*
   *                 -- bare (v) re-binds a variable labeled in another
   *                 pattern, or (if labeled nowhere) binds uid-only
@@ -493,6 +499,15 @@ object CypherLite {
     alias: Option[String] = None) extends RetItem
   /** Bare column reference (an alias introduced by a WITH stage). */
   case class BareItem(name: String, alias: Option[String] = None) extends RetItem
+  /** `length(p)` / `nodes(p)` over an ordinary linear-MATCH path
+    * variable (round 11): both compile to expressions over the
+    * already-bound uid columns — length is the pattern's constant
+    * hop count, nodes the '->'-joined uid sequence (the witness
+    * rendering convention). The whole-path projection (`RETURN p`)
+    * rides BareItem, resolved against Query.pathVar at compile.
+    */
+  case class PathFnItem(fn: String, v: String,
+    alias: Option[String] = None) extends RetItem
   /** `COUNT { MATCH … [WHERE …] } [AS alias]` as a RETURN item — a
     * PER-ROW subquery scalar (Neo4j 5), NOT an aggregate: the body's
     * grouped match count LEFT OUTER joins in before projection
@@ -577,7 +592,8 @@ object CypherLite {
     orderBy: Seq[(RetItem, Boolean)], // (key, descending)
     limit: Option[Int],
     unwind: Option[(Seq[String], String)] = None, // UNWIND [...] AS alias
-    skip: Option[Int] = None) // SKIP n (applies after ORDER BY, before LIMIT)
+    skip: Option[Int] = None, // SKIP n (applies after ORDER BY, before LIMIT)
+    pathVar: Option[String] = None) // MATCH p = <first path> (round 11)
 
   // ---------- parser (regex-token recursive descent) ----------
 
@@ -653,6 +669,8 @@ object CypherLite {
   private val MapRe = """(\w+)\s*\{([^}]*)\}(?:\s+(?i:AS)\s+(\w+))?""".r
   private val BareNameRe = """(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r
   private val TypeRe = """(?i)type\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
+  private val PathFnRe =
+    """(?i)(length|nodes)\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
   private val LabelsRe = """(?i)labels\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?""".r
   private val CaseRe = """(?is)CASE\s+(.*?\bEND)(?:\s+AS\s+(\w+))?""".r
 
@@ -1258,7 +1276,24 @@ object CypherLite {
     def parsePaths(s: String): Seq[PathPat] =
       s.split(",\\s*(?=\\()").map(_.trim).filter(_.nonEmpty)
         .map(parsePath).toSeq
-    val paths = parsePaths(optSplit.head)
+    // `MATCH p = (a)-[:R]->(b)…` (round 11): the path variable binds
+    // the FIRST required pattern; length(p)/nodes(p)/bare p compile
+    // as expressions over its already-bound uid columns. Var-length
+    // hops refuse (midpoints are not materialized per row — the
+    // shortestPath() forms own those).
+    val pvRe = """(?s)^\s*(\w+)\s*=\s*(\(.*)$""".r
+    val (headMatch, pathVar) = optSplit.head match {
+      case pvRe(pv, rest) => (rest, Some(pv))
+      case other => (other, None)
+    }
+    val paths = parsePaths(headMatch)
+    pathVar.foreach { pv =>
+      require(paths.head.rels.nonEmpty,
+        s"path variable $pv needs at least one relationship hop")
+      require(paths.head.rels.forall(_.varLen.isEmpty),
+        s"path variable $pv over a var-length hop is only supported " +
+          "through the shortestPath()/allShortestPaths() forms")
+    }
     val optPaths = optSplit.tail.toSeq.flatMap(parsePaths)
 
     val where: Seq[Pred] =
@@ -1379,6 +1414,7 @@ object CypherLite {
           case other => throw new IllegalArgumentException(s"unsupported map entry: $other")
         }.toSeq
         MapItem(v, entries, Option(alias))
+      case PathFnRe(fn, v, alias) => PathFnItem(fn.toLowerCase, v, Option(alias))
       case PropRe(v, p, alias) => PropItem(v, p, Option(alias))
       case BareNameRe(n, alias) => BareItem(n, Option(alias))
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
@@ -1401,7 +1437,7 @@ object CypherLite {
     val skip = section(retSrc, "SKIP", Seq("LIMIT")).map(_.trim.toInt)
     val limit = section(retSrc, "LIMIT", Seq.empty).map(_.trim.toInt)
     Query(paths, optPaths, where, stages, retDistinct, items, orderBy, limit,
-      unwind, skip)
+      unwind, skip, pathVar)
   }
 
   // ---------- compiler ----------
@@ -1916,6 +1952,22 @@ object CypherLite {
           .drop("__cntsub_w")
       case p => df = df.filter(predCol(p))
     }
+    // ordinary-MATCH path variable (round 11): the bound pattern's
+    // structure, resolved for length(p)/nodes(p)/bare-p items
+    def pathOf(v: String): PathPat = {
+      require(q.pathVar.contains(v),
+        s"$v is not a bound path variable (write MATCH $v = (…)…)")
+      q.paths.head
+    }
+    def pathValueCol(p0: PathPat): Column = {
+      val parts = Seq(lit("("), col(s"${p0.nodes.head.v}_uid"), lit(")")) ++
+        p0.rels.zipWithIndex.flatMap { case (rp, i) =>
+          val t = rp.types.mkString("|")
+          val open = if (rp.reversed) s"<-[:$t]-(" else s"-[:$t]->("
+          Seq(lit(open), col(s"${p0.nodes(i + 1).v}_uid"), lit(")"))
+        }
+      concat(parts: _*)
+    }
     def outName(it: RetItem): String = it match {
       case PropItem(v, p, a) => a.getOrElse(s"${v}_$p")
       case CountItem("*", _, a, _) => a.getOrElse("count_all")
@@ -1933,6 +1985,7 @@ object CypherLite {
       case CountSubItem(_, _, a, i, asBool) =>
         a.getOrElse(if (asBool) s"exists_sub$i" else s"count_sub$i")
       case BareItem(n, a) => a.getOrElse(n)
+      case PathFnItem(fn, v, a) => a.getOrElse(s"${fn}_$v")
       case TypeItem(r, a) => a.getOrElse(s"type_$r")
       case LabelsItem(v, a) => a.getOrElse(s"labels_$v")
       case CaseItem(_, _, _, a) => a.getOrElse("case_when")
@@ -1957,7 +2010,19 @@ object CypherLite {
         // EXISTS spelling projects the boolean count > 0
         val cnt = coalesce(col(s"__cntsub_${c.idx}"), lit(0L))
         (if (c.asBool) cnt > 0 else cnt).as(outName(it))
+      case BareItem(n, _) if q.pathVar.contains(n) =>
+        // whole-path projection: Neo4j's interleaved node-rel path
+        // value over the pattern's constant shape — pure column
+        // concatenation, no extra joins
+        pathValueCol(pathOf(n)).as(outName(it))
       case BareItem(n, _) => col(n).as(outName(it))
+      case PathFnItem(fn, v, _) =>
+        val p0 = pathOf(v)
+        (fn match {
+          case "length" => lit(p0.rels.size.toLong)
+          case "nodes" =>
+            concat_ws("->", p0.nodes.map(n => col(s"${n.v}_uid")): _*)
+        }).as(outName(it))
       case TypeItem(r, _) => col(s"${r}_type").as(outName(it))
       case LabelsItem(v, _) =>
         val lbl = labelOf.getOrElse(v, throw new IllegalArgumentException(
@@ -2144,6 +2209,7 @@ object CypherLite {
         case it: ConcatItem => itemCol(it)
         case it: CountSubItem => itemCol(it)
         case it: BareItem => itemCol(it)
+        case it: PathFnItem => itemCol(it)
         case it: CoalesceItem => itemCol(it)
         case it: TypeItem => itemCol(it)
         case it: LabelsItem => itemCol(it)
@@ -3459,6 +3525,20 @@ object CypherLite {
     "MATCH (s:Source {name: 'src3'})-[:PUBLISHED|CONTAINS*1..2]->(x) " +
       "RETURN x.uid AS uid ORDER BY uid LIMIT 20"
 
+  /** Path variables on an ordinary linear MATCH (round 11): `MATCH
+    * p = (s)-[:R]->(a)-[:R2]->(c) RETURN p, length(p)` — the
+    * whole-path projection and path functions over a FIXED-shape
+    * pattern (no shortestPath needed): length is the pattern's
+    * constant hop count, nodes/p are concatenations of the bound uid
+    * columns — zero extra joins, zero shuffles beyond the MATCH
+    * itself. Var-length hops refuse (those belong to the
+    * shortestPath forms, where the engine materializes a witness).
+    */
+  val Ex46: String =
+    "MATCH p = (s:Source {name: 'src3'})-[:PUBLISHED]->(a:Article)" +
+      "-[:CONTAINS]->(c:Chunk) " +
+      "RETURN p, length(p) AS len ORDER BY p LIMIT 12"
+
   /** Zero-length var-hops (round 11): `*0..b` — "within b hops,
     * INCLUDING the node itself" (the self-inclusive neighborhood
     * LLMs reach for with `*0..2`). The zero leg is the seed
@@ -3599,6 +3679,7 @@ object CypherLite {
     "q_cypher_ex43" -> ((s, d) => run(s, d, Ex43)),
     "q_cypher_ex44" -> ((s, d) => run(s, d, Ex44)),
     "q_cypher_ex45" -> ((s, d) => run(s, d, Ex45)),
+    "q_cypher_ex46" -> ((s, d) => run(s, d, Ex46)),
     "q_cypher_vector" -> ((s, d) => run(s, d, ExVec)),
     "q_cypher_hybrid" -> ((s, d) => run(s, d, ExHybrid)),
     "q_cypher_wpath" -> ((s, d) => run(s, d, ExWspPath)),
@@ -3753,6 +3834,14 @@ object CypherLite {
          |UNION ALL
          |SELECT 'Chunk:' || doc_id || ':' || chunk_id AS uid FROM b
          |ORDER BY uid""".stripMargin,
+    "q_cypher_ex46" ->
+      s"""WITH ${TextPipeline.ChunksSql}
+         |SELECT '(Source:src3)-[:PUBLISHED]->(Article:' || d.doc_id ||
+         |    ')-[:CONTAINS]->(Chunk:' || c.doc_id || ':' || c.chunk_id || ')' AS p,
+         |  CAST(2 AS BIGINT) AS len
+         |FROM documents d JOIN chunks c ON c.doc_id = d.doc_id
+         |WHERE d.source = 'src3'
+         |ORDER BY p LIMIT 12""".stripMargin,
     "q_cypher_ex45" ->
       s"""WITH ${graft.graph.Analytics.CooccurSql}
          |SELECT name AS e2_name FROM (

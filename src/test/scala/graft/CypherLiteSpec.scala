@@ -1376,6 +1376,42 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("path variables on ordinary MATCH: p ≡ uid composition; length is the hop count") {
+    def rows(q: String) = CypherLite.run(spark, TestSpark.sf, q)
+      .collect().map(_.toSeq).toSeq
+    val got = rows(CypherLite.Ex46)
+    assert(got.nonEmpty && got.forall(_.last == 2L), "length(p) is the constant hop count")
+    // the path value decomposes to the plain uid projection
+    val twin = rows("MATCH (s:Source {name: 'src3'})-[:PUBLISHED]->(a:Article)" +
+      "-[:CONTAINS]->(c:Chunk) RETURN s.uid, a.uid, c.uid")
+      .map(r => s"(${r(0)})-[:PUBLISHED]->(${r(1)})-[:CONTAINS]->(${r(2)})")
+      .sorted.take(12)
+    assert(got.map(_.head.toString) == twin,
+      s"path value diverged from the uid composition: ${got.map(_.head)} vs $twin")
+    // nodes(p) is the '->'-joined uid sequence
+    val nd = rows("MATCH p = (s:Source {name: 'src3'})-[:PUBLISHED]->(a:Article)" +
+      "-[:CONTAINS]->(c:Chunk) RETURN nodes(p) AS ns, s.uid, a.uid, c.uid LIMIT 5")
+    assert(nd.nonEmpty && nd.forall(r =>
+      r.head == s"${r(1)}->${r(2)}->${r(3)}"), s"nodes(p) mis-rendered: $nd")
+    // reversed arrows render in pattern direction
+    val rev = rows("MATCH p = (a:Article)<-[:AUTHORED]-(x:Person {name: 'src3'}) " +
+      "RETURN p ORDER BY p LIMIT 3").map(_.head.toString)
+    assert(rev.nonEmpty && rev.forall(s =>
+      s.matches("""\(Article:\d+\)<-\[:AUTHORED\]-\(Person:src3\)""")),
+      s"reversed hop mis-rendered: $rev")
+    // refusals: var-length path vars and unknown path functions
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH p = (e1:Entity {name: 'spark group'})-[:CO_OCCURS*1..2]->(e2:Entity) " +
+          "RETURN p LIMIT 3").collect()
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(spark, TestSpark.sf,
+        "MATCH p = (a:Article)<-[:AUTHORED]-(x:Person {name: 'src3'}) " +
+          "RETURN length(q) AS l LIMIT 3").collect()
+    }
+  }
+
   test("*0..b zero-length var-hops: identity ∪ *1..b; unanchored refuses") {
     def rows(q: String): Seq[String] = CypherLite.run(spark, TestSpark.sf, q)
       .collect().map(_.get(0).toString).toSeq

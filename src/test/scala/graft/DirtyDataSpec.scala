@@ -185,6 +185,8 @@ class DirtyDataSpec extends AnyFunSuite {
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex44))
   runs("cypher zero-length var-hops over dirty docs")(
     cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex45))
+  runs("cypher ordinary-MATCH path values over dirty docs")(
+    cypher.CypherLite.run(spark, dir, cypher.CypherLite.Ex46))
   runs("q_dedup_simhash_topk")(operators.Dedup.qDedupSimhashTopk(spark, dir))
   runs("q_rag_context")(graph.NewsGraph.qRagContext(spark, dir))
 

@@ -109,7 +109,9 @@ class InvarianceSpec extends AnyFunSuite {
       "q_cypher_hybrid", "q_cypher_ex41", "q_cypher_ex42", "q_cypher_ex43",
       // bare-pattern subquery bodies ride the same subquery joins;
       // zero-length hops add a seed-identity union leg
-      "q_cypher_ex44", "q_cypher_ex45")
+      "q_cypher_ex44", "q_cypher_ex45",
+      // ordinary-MATCH path values are pure column concatenations
+      "q_cypher_ex46")
     // q_cypher_ex40 (UNION ALL) is deliberately NOT in the
     // sequence-equality sweep: its contract is a MULTISET (no final
     // ORDER BY — the gate sorts rows before hashing), so row order
