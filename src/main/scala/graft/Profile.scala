@@ -1,0 +1,91 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job profiling harness for optimization work (guide §1): runs one
+  * or more queries exactly the way Bench times them (same session
+  * config, warm-up, count() action) and prints a per-job breakdown —
+  * job wall time, description, stage count, task count, shuffle bytes —
+  * so the expensive seconds inside a 4-6 s query can be attributed to
+  * specific jobs/stages instead of guessed at.
+  *
+  * Usage: runMain graft.Profile q_louvain[,q_x,...] [sfDir] [reps]
+  */
+object Profile {
+  private case class JobRow(id: Int, desc: String, ms: Long, stages: Int,
+      tasks: Int, shufR: Long, shufW: Long)
+
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("q_pagerank"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("OFF")
+
+    val jobs = ArrayBuffer.empty[JobRow]
+    val starts = scala.collection.mutable.Map.empty[Int, (Long, String, Int)]
+    var stageTasks = scala.collection.mutable.Map.empty[Int, (Int, Long, Long)]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts(js.jobId) = (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse(""),
+          js.stageIds.size)
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        stageTasks(sc.stageInfo.stageId) = (sc.stageInfo.numTasks,
+          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, d, ns) =>
+          jobs += JobRow(je.jobId, d, (System.nanoTime() - t0) / 1000000, ns, 0, 0, 0)
+        }
+    }
+
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      org.apache.spark.graft.MemoryRelease.dropBroadcasts()
+    }
+
+    // identical warm-up discipline to Bench (codegen caches, plan shapes)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    release()
+
+    spark.sparkContext.addSparkListener(listener)
+    names.foreach { n =>
+      (1 to reps).foreach { r =>
+        jobs.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.MemoryRelease.drainListeners(spark.sparkContext)
+        release()
+        println(f"== $n rep $r: $dt%.2f s, ${jobs.size} jobs ==")
+        val byDesc = jobs.groupBy(_.desc).toSeq
+          .map { case (d, rows) => (d, rows.map(_.ms).sum, rows.size) }
+          .sortBy(-_._2)
+        byDesc.take(30).foreach { case (d, ms, n2) =>
+          println(f"  $ms%6d ms  x$n2%-4d ${d.take(110)}")
+        }
+        val tail = jobs.sortBy(-_.ms).take(15)
+        println("  -- slowest single jobs --")
+        tail.foreach(j => println(f"  job ${j.id}%4d ${j.ms}%6d ms  stages=${j.stages}%3d  ${j.desc.take(90)}"))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -29,4 +29,11 @@ object MemoryRelease {
       .distinct
       .foreach(id => master.removeBroadcast(id, removeFromMaster = true, blocking = true))
   }
+
+  /** Drain the listener bus so a profiling listener has seen every
+    * event of the job that just finished (graft.Profile only — the
+    * bus is private[spark], same shim rationale as above).
+    */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
