@@ -522,6 +522,16 @@ object Bench {
     // (same plan shapes, tiny data) — whole-stage codegen compiles and
     // Janino caches once here, and the timed pass below measures
     // steady-state execution, not who-ran-first compilation order.
+    //
+    // Round 11 negative results, kept for the record: warming at
+    // sf0.01 (365.0 s) and at sf0.1 itself (360.2 s) measured NO
+    // better than this sf0.001 pass (347.4 s baseline, same-day, all
+    // probe_pr 38-41). Per-query back-to-back reps ARE 1.3-1.9×
+    // faster than first runs (graft.Profile), but that warmth does
+    // not survive 253 other queries between a query's warm and timed
+    // runs: the codegen class cache is soft-referenced and a heavier
+    // warm pass evicts exactly what it warmed (the System.gc()
+    // pathology documented at MemoryRelease.dropBroadcasts).
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     // Optional comma-separated subset for local iteration; the driver

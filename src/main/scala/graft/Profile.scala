@@ -24,26 +24,37 @@ object Profile {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B config overrides for experiments: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("OFF")
 
     val jobs = ArrayBuffer.empty[JobRow]
+    val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long)]
     val starts = scala.collection.mutable.Map.empty[Int, (Long, String, Int)]
-    var stageTasks = scala.collection.mutable.Map.empty[Int, (Int, Long, Long)]
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts(js.jobId) = (System.nanoTime(),
-          Option(js.properties.getProperty("spark.job.description")).getOrElse(""),
-          js.stageIds.size)
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // Attribute the job to its terminal stage's call site — the
+        // source line whose action submitted it (setJobDescription is
+        // not threaded through the operators, call sites are free).
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        starts(js.jobId) = (System.nanoTime(), site, js.stageIds.size)
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        stageTasks(sc.stageInfo.stageId) = (sc.stageInfo.numTasks,
-          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten)
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
+        stages += ((i.stageId, i.name, i.numTasks, wall,
+          m.executorRunTime, m.executorCpuTime / 1000000))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, d, ns) =>
@@ -69,6 +80,7 @@ object Profile {
     names.foreach { n =>
       (1 to reps).foreach { r =>
         jobs.clear()
+        stages.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -84,6 +96,14 @@ object Profile {
         val tail = jobs.sortBy(-_.ms).take(15)
         println("  -- slowest single jobs --")
         tail.foreach(j => println(f"  job ${j.id}%4d ${j.ms}%6d ms  stages=${j.stages}%3d  ${j.desc.take(90)}"))
+        val nst = stages.size
+        val stWall = stages.map(_._4).sum
+        val stRun = stages.map(_._5).sum
+        val stCpu = stages.map(_._6).sum
+        println(f"  -- $nst stages, wall=$stWall ms, taskRun=$stRun ms, taskCpu=$stCpu ms --")
+        stages.sortBy(-_._4).take(12).foreach { case (id, nm, nt, wall, run, cpu) =>
+          println(f"  stage $id%4d $wall%6d ms (run=$run%6d cpu=$cpu%6d tasks=$nt%3d) ${nm.take(80)}")
+        }
       }
     }
     spark.stop()

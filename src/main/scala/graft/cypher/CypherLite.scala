@@ -332,18 +332,25 @@ object CypherLite {
     // The edge table is referenced by several plan branches below
     // (seeded first leg, the legs of each composition); without
     // a barrier each reference re-executes the whole upstream pipeline
-    // (mentions → co-occur for CO_OCCURS). Lazy, so 1-hop-only
-    // expansions pay a barrier, not an extra job.
-    val e0c = e0.localCheckpoint(false)
+    // (mentions → co-occur for CO_OCCURS). Round 11: the barrier is
+    // EAGER exactly when the table is referenced from more than one
+    // branch of the final union (hi ≥ 2) — a lazy checkpoint's first
+    // materialization happens INSIDE the consuming job, where the
+    // union's branches run as concurrent stages and each computes the
+    // un-materialized pipeline for itself (measured on q_cypher_ex41:
+    // ~16 s of task CPU for a plan whose edge build costs ~5 s once).
+    // 1-hop-only expansions keep the lazy barrier: single reference,
+    // no extra job.
+    val e0c = if (hi >= 2) e0.localCheckpoint() else e0.localCheckpoint(false)
     val e0s = seed.fold(e0c)(s => e0c.join(s, Seq("src_uid"), "left_semi"))
     // the 2-hop frame (midpoint retained) is shared by legs 2 and 3 —
-    // lazy, so *1..1 never builds it; the lazy barrier keeps a *1..3
-    // plan from running the seeded first join twice across branches
+    // lazy val, so *1..1 never builds it; eager when BOTH legs read it
+    // (hi = 3), same shared-branch rule as e0c
     lazy val hop2 = e0s.select(col("src_uid"), col("dst_uid").as("m1_uid"))
       .join(e0c.select(col("src_uid").as("m1_uid"),
         col("dst_uid").as("m2_uid")), "m1_uid")
       .filter(col("m2_uid") =!= col("src_uid"))
-      .localCheckpoint(false)
+      .localCheckpoint(hi >= 3)
     val legs = (lo to hi).map {
       case 1 => e0s
       case 2 => hop2.select(col("src_uid"), col("m2_uid").as("dst_uid"))

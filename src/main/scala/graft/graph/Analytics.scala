@@ -1062,13 +1062,20 @@ object Analytics {
       // references its input twice, so unchecked lineage re-evaluates
       // the whole prefix 2^rounds times (12 s measured at 3-round
       // checkpointing vs ~2 s per-round).
+      // LAZY checkpoint fused with the normalizer action: the first()
+      // below is the half-round's ONE materializer (strictly
+      // sequential — no second stage can race the un-materialized
+      // checkpoint into a duplicate compute, unlike the loop-state
+      // case), so eager-then-act's second driver round trip per
+      // half-round (24 jobs/query of barrier latency) is saved.
+      // Measured (graft.Profile, min of 3): 93 → 80 jobs, 3.06 → 2.88 s.
       val ar = e.join(hub, "source").groupBy("name")
-        .agg(sum(col("hub")).as("r")).localCheckpoint()
+        .agg(sum(col("hub")).as("r")).localCheckpoint(false)
       val az = Option(ar.agg(max(col("r"))).first().getAs[java.lang.Double](0))
         .fold(1.0)(_.doubleValue())
       auth = ar.select(col("name"), round(col("r") / lit(az), 9).as("auth"))
       val hr = e.join(auth, "name").groupBy("source")
-        .agg(sum(col("auth")).as("r")).localCheckpoint()
+        .agg(sum(col("auth")).as("r")).localCheckpoint(false)
       val hz = Option(hr.agg(max(col("r"))).first().getAs[java.lang.Double](0))
         .fold(1.0)(_.doubleValue())
       hub = hr.select(col("source"), round(col("r") / lit(hz), 9).as("hub"))

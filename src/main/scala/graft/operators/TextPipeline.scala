@@ -104,7 +104,15 @@ object TextPipeline {
 
   /** Chunk rows for an arbitrary documents batch (see wordsOf). */
   private[graft] def chunksOf(docs: DataFrame): DataFrame =
-    withChunkId(wordsOf(docs))
+    chunksOfWords(withChunkId(wordsOf(docs)))
+
+  /** The chunk aggregation over an already-built chunked-words table —
+    * split out so Catalog.materializeGraph can derive chunks AND
+    * mentions from ONE checkpointed words pass instead of re-running
+    * the word-explode + offset window per table (round 11).
+    */
+  private[graft] def chunksOfWords(words: DataFrame): DataFrame =
+    words
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(
         concat_ws(" ", graft.functions.SortedField.sorted_field(
@@ -242,10 +250,16 @@ object TextPipeline {
       .getOrElse(mentionsOf(Tables.documents(spark, dir)))
 
   /** Mention rows for an arbitrary documents batch (see wordsOf). */
-  private[graft] def mentionsOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  private[graft] def mentionsOf(docs: DataFrame): DataFrame =
+    mentionsOfWords(withChunkId(wordsOf(docs)))
+
+  /** Mention aggregation over an already-built chunked-words table
+    * (see chunksOfWords — the shared-pass seam for materializeGraph).
+    */
+  private[graft] def mentionsOfWords(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
     val gaz = Gazetteer.toDF("word", "label")
-    val hits = withChunkId(wordsOf(docs))
+    val hits = words
       .join(broadcast(gaz), "word")
     val isl = Window.partitionBy("doc_id", "chunk_id", "label").orderBy("pos")
     hits

@@ -44,19 +44,45 @@ object Catalog {
     f.delete(): Unit
   }
 
-  /** Write chunks + mentions as bucketed, sorted tables. */
+  /** Write chunks + mentions as bucketed, sorted tables.
+    *
+    * Round 11: both tables derive from ONE checkpointed chunked-words
+    * pass (the explode + offset window used to run once per table),
+    * and the two independent writes run overlapped from a 2-thread
+    * pool (guide §2.6 — the second write's tasks back-fill executors
+    * the first write's tail leaves idle; job-description/thread
+    * isolation is Spark's documented concurrent-jobs model).
+    */
   def materializeGraph(spark: SparkSession, dir: String,
       chunksTable: String = "graft_chunks",
       mentionsTable: String = "graft_mentions"): Unit = {
     Seq(chunksTable, mentionsTable).foreach(dropManaged(spark, _))
-    TextPipeline.chunks(spark, dir)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
-      .saveAsTable(chunksTable)
-    TextPipeline.mentions(spark, dir)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
-      .saveAsTable(mentionsTable)
+    val words = TextPipeline
+      .withChunkId(TextPipeline.wordsOf(Tables.documents(spark, dir)))
+      .localCheckpoint()
+    inParallel(
+      () => TextPipeline.chunksOfWords(words)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
+        .saveAsTable(chunksTable),
+      () => TextPipeline.mentionsOfWords(words)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
+        .saveAsTable(mentionsTable))
+  }
+
+  /** Run independent Spark jobs overlapped (guide §2.6): a bounded
+    * pool, fail-fast on the first error, all side effects awaited
+    * before returning. Used by the materializers, whose table writes
+    * form independent dependency chains.
+    */
+  private def inParallel(work: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf): Unit
+    finally pool.shutdown()
   }
 
   /** Incremental graph ingest — the materialized-graph counterpart of
@@ -262,41 +288,49 @@ object Catalog {
     // ONE pinned vector frame feeds every artifact (previously four
     // independent vectors() scans re-ran the screen per table)
     val e = Similarity.vectors(spark, dir).localCheckpoint()
-    // the quantized serving twins: int8 codes + 8-byte sign words,
-    // per-vector pure encodes (round 8 — q_ann_sq8 / q_ann_binary
-    // read these instead of re-encoding the corpus per query)
-    Similarity.sq8Codes(e)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(sq8Table)
-    Similarity.binSigs(e)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(bsigTable)
-    // the coarse quantizer is its OWN artifact (as in FAISS): k-means
-    // TRAINED once at build time (Similarity.ivfCentroids) and pinned,
-    // so later mergeVectors batches assign against the same centroids
-    // the standing index was built under — quantizer drift is the
-    // caller's retrain-policy decision, never an accident. The
-    // serving index assigns against the JUST-WRITTEN table (it used
-    // to call ivfServingIndex, which re-trained its own centroid
-    // copy — double k-means per build, held together only by
-    // training determinism)
-    Similarity.ivfCentroids(spark, dir)
-      .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
-    Similarity.assignToCells(e, spark.table(centroidsTable))
-      .join(e.select("vec_id", "v", "nrm"), "vec_id")
-      .select("cid", "vec_id", "v", "nrm")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
-      .saveAsTable(ivfTable)
-    val subs = Similarity.pqSubspaces(e)
-    val cb = Similarity.pqTrainCodebook(subs)
-    cb.write.mode(SaveMode.Overwrite).saveAsTable(codebookTable)
-    Similarity.pqEncode(subs, cb)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
-      .saveAsTable(codesTable)
+    // Round 11: the four independent write CHAINS — {sq8}, {binary
+    // sigs}, {centroids → IVF index}, {PQ codebook → PQ codes} — run
+    // overlapped (guide §2.6). Within-chain order is preserved (the
+    // serving index still assigns against the JUST-WRITTEN pinned
+    // centroid table — the FAISS train-once contract; codes still
+    // encode under the just-trained codebook), but no chain waits for
+    // an unrelated one's write tail.
+    inParallel(
+      // the quantized serving twins: int8 codes + 8-byte sign words,
+      // per-vector pure encodes (round 8 — q_ann_sq8 / q_ann_binary
+      // read these instead of re-encoding the corpus per query)
+      () => Similarity.sq8Codes(e)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(sq8Table),
+      () => Similarity.binSigs(e)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(bsigTable),
+      // the coarse quantizer is its OWN artifact (as in FAISS): k-means
+      // TRAINED once at build time (Similarity.ivfCentroids) and pinned,
+      // so later mergeVectors batches assign against the same centroids
+      // the standing index was built under — quantizer drift is the
+      // caller's retrain-policy decision, never an accident.
+      () => {
+        Similarity.ivfCentroids(spark, dir)
+          .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
+        Similarity.assignToCells(e, spark.table(centroidsTable))
+          .join(e.select("vec_id", "v", "nrm"), "vec_id")
+          .select("cid", "vec_id", "v", "nrm")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(Buckets, "cid").sortBy("cid", "vec_id")
+          .saveAsTable(ivfTable)
+      },
+      () => {
+        val subs = Similarity.pqSubspaces(e)
+        val cb = Similarity.pqTrainCodebook(subs)
+        cb.write.mode(SaveMode.Overwrite).saveAsTable(codebookTable)
+        Similarity.pqEncode(subs, cb)
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
+          .saveAsTable(codesTable)
+      })
   }
 
   /** Incremental ANN ingest — FAISS add() semantics: new vectors join
