@@ -41,6 +41,14 @@ object Profile {
     val jobs = ArrayBuffer.empty[JobRow]
     val stages = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long)]
     val starts = scala.collection.mutable.Map.empty[Int, (Long, String, Int)]
+    // stageId → owning jobId (known at job start), and per-job stage
+    // metric accumulators so JobRow.tasks/shufR/shufW report real
+    // values instead of the r11 hardcoded zeros (ADVICE). Job wall
+    // times are listener-delivery timestamps off the async bus —
+    // treat them as ±bus-latency and overlapping across concurrent
+    // jobs; the per-stage table below is the precise record.
+    val stageJob = scala.collection.mutable.Map.empty[Int, Int]
+    val jobAgg = scala.collection.mutable.Map.empty[Int, (Int, Long, Long)]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         // Attribute the job to its terminal stage's call site — the
@@ -48,6 +56,7 @@ object Profile {
         // not threaded through the operators, call sites are free).
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
         starts(js.jobId) = (System.nanoTime(), site, js.stageIds.size)
+        js.stageIds.foreach(sid => stageJob(sid) = js.jobId)
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
@@ -55,10 +64,16 @@ object Profile {
         val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
         stages += ((i.stageId, i.name, i.numTasks, wall,
           m.executorRunTime, m.executorCpuTime / 1000000))
+        stageJob.get(i.stageId).foreach { jid =>
+          val (t, r, w) = jobAgg.getOrElse(jid, (0, 0L, 0L))
+          jobAgg(jid) = (t + i.numTasks, r + m.shuffleReadMetrics.totalBytesRead,
+            w + m.shuffleWriteMetrics.bytesWritten)
+        }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, d, ns) =>
-          jobs += JobRow(je.jobId, d, (System.nanoTime() - t0) / 1000000, ns, 0, 0, 0)
+          val (t, r, w) = jobAgg.getOrElse(je.jobId, (0, 0L, 0L))
+          jobs += JobRow(je.jobId, d, (System.nanoTime() - t0) / 1000000, ns, t, r, w)
         }
     }
 
@@ -81,6 +96,8 @@ object Profile {
       (1 to reps).foreach { r =>
         jobs.clear()
         stages.clear()
+        stageJob.clear()
+        jobAgg.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

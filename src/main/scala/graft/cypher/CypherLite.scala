@@ -344,13 +344,15 @@ object CypherLite {
     val e0c = if (hi >= 2) e0.localCheckpoint() else e0.localCheckpoint(false)
     val e0s = seed.fold(e0c)(s => e0c.join(s, Seq("src_uid"), "left_semi"))
     // the 2-hop frame (midpoint retained) is shared by legs 2 and 3 —
-    // lazy val, so *1..1 never builds it; eager when BOTH legs read it
-    // (hi = 3), same shared-branch rule as e0c
+    // lazy val, so *1..1 never builds it; eager ONLY when both legs
+    // actually read it (lo ≤ 2 AND hi = 3 — for *3..3 leg 3 is the
+    // sole consumer and eagerness would pay an extra job for nothing),
+    // same shared-branch rule as e0c
     lazy val hop2 = e0s.select(col("src_uid"), col("dst_uid").as("m1_uid"))
       .join(e0c.select(col("src_uid").as("m1_uid"),
         col("dst_uid").as("m2_uid")), "m1_uid")
       .filter(col("m2_uid") =!= col("src_uid"))
-      .localCheckpoint(hi >= 3)
+      .localCheckpoint(lo <= 2 && hi == 3)
     val legs = (lo to hi).map {
       case 1 => e0s
       case 2 => hop2.select(col("src_uid"), col("m2_uid").as("dst_uid"))

@@ -60,7 +60,11 @@ object Catalog {
     val words = TextPipeline
       .withChunkId(TextPipeline.wordsOf(Tables.documents(spark, dir)))
       .localCheckpoint()
-    inParallel(
+    // unpersist once both writes land (or fail): the exploded-words
+    // frame is only an ingest intermediate — without this it stays
+    // pinned in executor storage through the amortized query segment
+    // that follows (which reads the bucketed tables, not words)
+    try inParallel(
       () => TextPipeline.chunksOfWords(words)
         .write.mode(SaveMode.Overwrite)
         .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
@@ -69,20 +73,27 @@ object Catalog {
         .write.mode(SaveMode.Overwrite)
         .bucketBy(Buckets, "doc_id").sortBy("doc_id", "chunk_id")
         .saveAsTable(mentionsTable))
+    finally words.unpersist(blocking = false): Unit
   }
 
   /** Run independent Spark jobs overlapped (guide §2.6): a bounded
-    * pool, fail-fast on the first error, all side effects awaited
-    * before returning. Used by the materializers, whose table writes
-    * form independent dependency chains.
+    * pool, ALL side effects awaited before returning — even on
+    * failure — then the first error is rethrown. (A fail-fast
+    * Future.sequence rethrows while sibling saveAsTable chains still
+    * run: the zombie write would pollute the caller's next timed
+    * segment and race any retry's dropManaged/rmTree.) Used by the
+    * materializers, whose table writes form independent chains.
     */
   private def inParallel(work: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf): Unit
-    finally pool.shutdown()
+    try {
+      val fs = work.map(w => Future(w()))
+      fs.foreach(f => Await.ready(f, Duration.Inf))
+      fs.foreach(_.value.get.get)
+    } finally pool.shutdown()
   }
 
   /** Incremental graph ingest — the materialized-graph counterpart of
@@ -286,8 +297,11 @@ object Catalog {
         sq8Table, bsigTable)
       .foreach(dropManaged(spark, _))
     // ONE pinned vector frame feeds every artifact (previously four
-    // independent vectors() scans re-ran the screen per table)
+    // independent vectors() scans re-ran the screen per table);
+    // unpersisted once the writes settle (same reason as
+    // materializeGraph's words frame)
     val e = Similarity.vectors(spark, dir).localCheckpoint()
+    try {
     // Round 11: the four independent write CHAINS — {sq8}, {binary
     // sigs}, {centroids → IVF index}, {PQ codebook → PQ codes} — run
     // overlapped (guide §2.6). Within-chain order is preserved (the
@@ -331,6 +345,7 @@ object Catalog {
           .bucketBy(Buckets, "vec_id").sortBy("vec_id", "m")
           .saveAsTable(codesTable)
       })
+    } finally e.unpersist(blocking = false): Unit
   }
 
   /** Incremental ANN ingest — FAISS add() semantics: new vectors join
