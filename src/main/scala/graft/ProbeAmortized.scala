@@ -37,6 +37,9 @@ object ProbeAmortized {
     try {
       gq.foreach(time("amort1", _))
       gq.foreach(time("amort2", _))
+      // the §2.6 overlapped shape the Bench segment runs (round 12)
+      timeThunk("amort_par")(Bench.countOverlapped(spark, gq, sfDir))
+      timeThunk("amort_par2")(Bench.countOverlapped(spark, gq, sfDir))
     } finally spark.conf.unset(operators.TextPipeline.MaterializedConf)
     // same protocol for the DEDUP segment (xad6q — historically the
     // widest run-to-run swing in the suite; this isolates whether a
@@ -51,6 +54,8 @@ object ProbeAmortized {
     try {
       dq.foreach(time("dd_amort1", _))
       dq.foreach(time("dd_amort2", _))
+      timeThunk("dd_amort_par")(Bench.countOverlapped(spark, dq, sfDir))
+      timeThunk("dd_amort_par2")(Bench.countOverlapped(spark, dq, sfDir))
     } finally spark.conf.unset(operators.Dedup.MaterializedConf)
     // same protocol for the ANN segment (standing IVF + PQ index)
     val aq = Bench.AnnAmortizedQs
@@ -62,6 +67,8 @@ object ProbeAmortized {
     try {
       aq.foreach(time("ann_amort1", _))
       aq.foreach(time("ann_amort2", _))
+      timeThunk("ann_amort_par")(Bench.countOverlapped(spark, aq, sfDir))
+      timeThunk("ann_amort_par2")(Bench.countOverlapped(spark, aq, sfDir))
     } finally spark.conf.unset(operators.Similarity.MaterializedConf)
     // ANF register artifact: rebuild vs serve vs incremental maintain.
     // The merge batch's edges are already standing (full-corpus
