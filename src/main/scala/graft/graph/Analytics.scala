@@ -711,7 +711,6 @@ object Analytics {
           col("community").as("c")), "dst")
         .groupBy(col("src").as("node"), col("c"))
         .agg(sum("weight").cast("long").as("w"))
-        .localCheckpoint(false) // read by candidates AND the stay gain
       val gains = wic
         .join(com, "node")
         .join(kdeg, "node")
@@ -722,22 +721,28 @@ object Analytics {
         .withColumn("gain",
           expr("w * 1000000 div tw" +
             " - ((k * 1000000 div tw) * (tot_adj * 1000000 div tw)) div 1000000"))
+      // Round 12 (fewer exchanges per round, guide §2.4): the stay
+      // gain RIDES the same aggregate that picks the best candidate —
+      // for c = community the gain formula IS the stay gain (tot_adj
+      // = tot − k and w = w_own by construction), and wic is grouped
+      // on (node, c) so at most ONE such row exists per node. The
+      // separate stay chain (a second wic consumer + two more joins
+      // per round) is gone; only a node with NO neighbor in its own
+      // community lacks the ridden value, and its w0 = 0 stay gain is
+      // computed in the update join from the same tot/kdeg/totW
+      // tables (0·10⁶ div tw = 0, so the first term vanishes —
+      // exact-integer identical to the old stay expression).
       val best = gains.groupBy("node")
-        .agg(min(struct((-col("gain")).as("ng"), col("c").as("l"))).as("b"))
-        .select(col("node"), col("b.l").as("best_c"), (-col("b.ng")).as("best_gain"))
-      val stay = com.join(kdeg, "node")
-        .join(tot, "community")
-        .join(wic.withColumnRenamed("c", "community"),
-          Seq("node", "community"), "left")
-        .crossJoin(broadcast(totW))
-        .withColumn("w0", coalesce(col("w"), lit(0L)))
-        .withColumn("tot_adj", col("tot") - col("k"))
-        .withColumn("stay_gain",
-          expr("w0 * 1000000 div tw" +
-            " - ((k * 1000000 div tw) * (tot_adj * 1000000 div tw)) div 1000000"))
-        .select("node", "stay_gain")
+        .agg(min(struct((-col("gain")).as("ng"), col("c").as("l"))).as("b"),
+          max(when(col("c") === col("community"), col("gain"))).as("sg0"))
+        .select(col("node"), col("b.l").as("best_c"),
+          (-col("b.ng")).as("best_gain"), col("sg0"))
       com = com.join(best, Seq("node"), "left")
-        .join(stay, "node")
+        .join(kdeg, "node")
+        .join(tot, "community")
+        .crossJoin(broadcast(totW))
+        .withColumn("stay_gain", coalesce(col("sg0"),
+          expr("0L - ((k * 1000000 div tw) * ((tot - k) * 1000000 div tw)) div 1000000")))
         .select(col("node"),
           when(col("best_gain") > col("stay_gain"), col("best_c"))
             .otherwise(col("community")).as("community"))
