@@ -1,5 +1,6 @@
 package graft.cypher
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -341,7 +342,7 @@ object CypherLite {
     // ~16 s of task CPU for a plan whose edge build costs ~5 s once).
     // 1-hop-only expansions keep the lazy barrier: single reference,
     // no extra job.
-    val e0c = if (hi >= 2) e0.localCheckpoint() else e0.localCheckpoint(false)
+    val e0c = if (hi >= 2) e0.barrier() else e0.barrier(false)
     val e0s = seed.fold(e0c)(s => e0c.join(s, Seq("src_uid"), "left_semi"))
     // the 2-hop frame (midpoint retained) is shared by legs 2 and 3 —
     // lazy val, so *1..1 never builds it; eager ONLY when both legs
@@ -352,7 +353,7 @@ object CypherLite {
       .join(e0c.select(col("src_uid").as("m1_uid"),
         col("dst_uid").as("m2_uid")), "m1_uid")
       .filter(col("m2_uid") =!= col("src_uid"))
-      .localCheckpoint(lo <= 2 && hi == 3)
+      .barrier(lo <= 2 && hi == 3)
     val legs = (lo to hi).map {
       case 1 => e0s
       case 2 => hop2.select(col("src_uid"), col("m2_uid").as("dst_uid"))
@@ -2392,7 +2393,7 @@ object CypherLite {
     val nd = nodes(spark, dir, idx.label)
       .select(col("uid"), col(idx.prop).as("txt"))
       .withColumn("dl", size(split(col("txt"), " ")).cast("double"))
-      .localCheckpoint(false) // one node scan: stats + tf both read it
+      .barrier(false) // one node scan: stats + tf both read it
     val stats = nd.agg(count(lit(1)).cast("double").as("n_d"),
       avg(col("dl")).as("avgdl"))
     val tf = nd.select(col("uid"), col("dl"),
@@ -2516,12 +2517,12 @@ object CypherLite {
     val vec = graft.operators.Similarity.vectorQueryTopk(spark, dir, k)
       .select(concat(lit("Chunk:"), col("doc_id"), lit(":0")).as("uid"),
         col("score"))
-      .localCheckpoint(false) // k rows: max + normalize read it
+      .barrier(false) // k rows: max + normalize read it
     val vleg = vec.crossJoin(broadcast(vec.agg(max(col("score")).as("mx"))))
       .select(col("uid"), round(col("score") / col("mx"), 6).as("score"))
     // keyword leg: BM25 top-limit chunks, normalized by the leg max
     val kw = textIndexTopk(spark, dir, kwIdx, words, kwLimit)
-      .localCheckpoint(false) // limit rows: max + normalize read it
+      .barrier(false) // limit rows: max + normalize read it
     val kleg = kw.crossJoin(broadcast(kw.agg(max(col("score")).as("mx"))))
       .select(col("uid"), round(col("score") / col("mx"), 6).as("score"))
     // max-score fusion + top-k cut (≤ 2k rows end to end)
@@ -2565,7 +2566,7 @@ object CypherLite {
       require(lo == 1, "wlength supports *1..k bounds only")
       val e = edgesWithProps(spark, dir, rel, None)
         .selectExpr("src_uid", "dst_uid", "1000000 div weight AS cost")
-        .localCheckpoint(false)
+        .barrier(false)
       var dist = spark.range(1)
         .select(lit(srcUid).as("node"), lit(0L).as("dist"))
       for (i <- 1 to hi) {
@@ -2573,12 +2574,12 @@ object CypherLite {
           .select(col("dst_uid").as("node"), (col("dist") + col("cost")).as("dist"))
         dist = dist.unionByName(relaxed)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-        if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+        if (i % 3 == 0 || i == hi) dist = dist.barrier(false)
       }
       dist.filter(col("node") === dstUid)
         .select(col("dist").as(m.group(11)))
     } else {
-      val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+      val e = edges(spark, dir, rel, dstLabel).barrier(false)
       var dist = spark.range(1)
         .select(lit(srcUid).as("node"), lit(0L).as("dist"))
       for (i <- 1 to hi) {
@@ -2586,7 +2587,7 @@ object CypherLite {
           .select(col("dst_uid").as("node"), (col("dist") + 1L).as("dist"))
         dist = dist.unionByName(relaxed)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-        if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+        if (i % 3 == 0 || i == hi) dist = dist.barrier(false)
       }
       dist.filter(col("node") === dstUid && col("dist") >= lo)
         .select(col("dist").as(m.group(11)))
@@ -2633,7 +2634,7 @@ object CypherLite {
     */
   private def witnessPathArr(spark: SparkSession, e0: DataFrame,
       srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
-    val e = e0.localCheckpoint(false)
+    val e = e0.barrier(false)
     // Frontier + anti-join BFS (round 10, per the r9 verdict): the
     // previous shape re-unioned and re-aggregated the ENTIRE settled
     // dist table per round (Σ|settled_i|·deg); distBfs expands only
@@ -2651,7 +2652,7 @@ object CypherLite {
     val preds = dist.join(e, dist("node") === e("dst_uid"))
       .join(byDist, col("src_uid") === col("sn") && col("sd") === col("dist") - 1L)
       .groupBy(col("node")).agg(min(col("src_uid")).as("pred"))
-      .localCheckpoint(false)
+      .barrier(false)
     var w = dist.filter(col("node") === dstUid && col("dist") >= lo)
       .select(col("dist").as("len"), col("node").as("cur"),
         array(col("node")).as("path"))
@@ -2717,7 +2718,7 @@ object CypherLite {
     require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported shortestPath bounds *$lo..$hi")
     val wp = witnessPathArr(spark, edges(spark, dir, rel, dstLabel),
         s"$srcLabel:$srcName", s"$dstLabel:$dstName", lo, hi)
-      .localCheckpoint(false) // ≤1 row; the pair explode + head render read it
+      .barrier(false) // ≤1 row; the pair explode + head render read it
     val pairs = wp.select(posexplode(expr(
         "transform(sequence(0, int(size(path)) - 2), " +
           "i -> struct(path[i] AS a, path[i + 1] AS b))")).as(Seq("pos", "st")))
@@ -2778,7 +2779,7 @@ object CypherLite {
       rel: String, srcUid: String, dstUid: String, hi: Int): DataFrame = {
     val e = e0.selectExpr("src_uid", "dst_uid", "weight",
         "1000000 div weight AS cost")
-      .localCheckpoint(false)
+      .barrier(false)
     var dist = spark.range(1)
       .select(lit(srcUid).as("node"), lit(0L).as("dist"),
         lit(null).cast("string").as("pred"), lit(null).cast("long").as("pw"))
@@ -2794,7 +2795,7 @@ object CypherLite {
         .agg(min(struct(col("dist"), col("pred"), col("pw"))).as("s"))
         .select(col("node"), col("s.dist").as("dist"),
           col("s.pred").as("pred"), col("s.pw").as("pw"))
-      if (i % 3 == 0 || i == hi) dist = dist.localCheckpoint(false)
+      if (i % 3 == 0 || i == hi) dist = dist.barrier(false)
     }
     var w = dist.filter(col("node") === dstUid && col("dist") > 0L)
       .select(col("dist").as("wcost"), col("node").as("cur"),
@@ -2872,16 +2873,16 @@ object CypherLite {
     var frontier = spark.range(1)
       .select(lit(seed).as("node"), lit(1L).as("cnt"))
     var reached = frontier.select(col("node"), lit(0).as("dist"), col("cnt"))
-      .localCheckpoint(false)
+      .barrier(false)
     for (i <- 1 to hi) {
       val nxt = frontier.join(e, frontier("node") === e("src_uid"))
         .groupBy(col("dst_uid").as("node"))
         .agg(sum(col("cnt")).as("cnt"))
         .join(reached.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(false) // read by reached AND the next round
+        .barrier(false) // read by reached AND the next round
       reached = reached
         .unionByName(nxt.select(col("node"), lit(i).as("dist"), col("cnt")))
-        .localCheckpoint(false)
+        .barrier(false)
       frontier = nxt
     }
     reached
@@ -2895,15 +2896,15 @@ object CypherLite {
       seed: String, hi: Int): DataFrame = {
     var frontier = spark.range(1).select(lit(seed).as("node"))
     var reached = frontier.select(col("node"), lit(0).as("dist"))
-      .localCheckpoint(false)
+      .barrier(false)
     for (i <- 1 to hi) {
       val nxt = frontier.join(e, frontier("node") === e("src_uid"))
         .select(col("dst_uid").as("node")).distinct()
         .join(reached.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .barrier(false)
       reached = reached
         .unionByName(nxt.select(col("node"), lit(i).as("dist")))
-        .localCheckpoint(false)
+        .barrier(false)
       frontier = nxt
     }
     reached
@@ -2917,7 +2918,7 @@ object CypherLite {
     require(m.group(1) == m.group(9) && m.group(1) == m.group(11),
       "length()/count() must reference the path variable")
     require(lo >= 1 && lo <= hi && hi <= 8, s"unsupported allShortestPaths bounds *$lo..$hi")
-    val e = edges(spark, dir, rel, dstLabel).localCheckpoint(false)
+    val e = edges(spark, dir, rel, dstLabel).barrier(false)
     val srcUid = s"$srcLabel:$srcName"
     val dstUid = s"$dstLabel:$dstName"
     countingBfs(spark, e, srcUid, hi)
@@ -2970,7 +2971,7 @@ object CypherLite {
     */
   private[graft] def aspPathsOn(spark: SparkSession, e0: DataFrame,
       srcUid: String, dstUid: String, lo: Int, hi: Int): DataFrame = {
-    val e = e0.localCheckpoint(false)
+    val e = e0.barrier(false)
     // forward: first-reach layer + σ path counts (the SAME loop the
     // scalar form runs — their (length, count) must match by
     // contract); reverse: layers only, the DAG filter needs no counts
@@ -2980,14 +2981,14 @@ object CypherLite {
     val lrow = fw.filter(col("node") === dstUid &&
         col("dist") >= lo && col("dist") <= hi)
       .select(col("dist").as("l"), col("cnt").as("n"))
-      .localCheckpoint(false)
+      .barrier(false)
     // shortest-path DAG: distF(u) + 1 + distR(v) = L
     val dag = e
       .join(fw.select(col("node").as("src_uid"), col("dist").as("du")), "src_uid")
       .join(rv.select(col("node").as("dst_uid"), col("dist").as("rv_d")), "dst_uid")
       .join(broadcast(lrow), col("du") + 1 + col("rv_d") === col("l"))
       .select(col("src_uid").as("u"), col("dst_uid").as("v"), col("du"))
-      .localCheckpoint(false) // read by every expansion layer
+      .barrier(false) // read by every expansion layer
     var w = lrow.select(lit(srcUid).as("cur"),
       array(lit(srcUid)).as("path"), lit(0).as("d"))
     for (i <- 1 to hi) {

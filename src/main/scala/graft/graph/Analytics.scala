@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,7 +141,7 @@ object Analytics {
       .groupBy("doc_id", "chunk_id")
       .agg(array_sort(collect_set(col("name"))).as("ents"))
       .filter(size(col("ents")) <= MaxEntitiesPerChunk)
-      .localCheckpoint(false) // read 3×: total, entity counts, pairs
+      .barrier(false) // read 3×: total, entity counts, pairs
     // the chunk total folds in as a broadcast 1-row aggregate (house
     // discipline: no extra driver action, no scalar folded into the plan)
     val tot = chunkEnts.agg(count(lit(1)).as("t_chunks"))
@@ -178,8 +179,8 @@ object Analytics {
     * (no dangling mass).
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).barrier()
     val n = deg.count()
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to PrIters) {
@@ -193,7 +194,7 @@ object Analytics {
           (lit((1.0 - Damping) / n) + lit(Damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
       // Truncate lineage every few rounds — every round costs a full
       // eager job; never truncating costs quadratic re-analysis.
-      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
+      if (i % 3 == 0 || i == PrIters) pr = pr.barrier()
     }
     pr.select(col("node").as("name"), round(col("rank"), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("name"))
@@ -239,7 +240,7 @@ object Analytics {
     * driver-scalar pattern).
     */
   def qKatz(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(false)
+    val e = edges(spark, dir).barrier(false)
     val maxWd = Option(
       e.groupBy("src").agg(sum("weight").cast("long").as("wd"))
         .agg(max(col("wd"))).first().getAs[java.lang.Long](0))
@@ -260,7 +261,7 @@ object Analytics {
         .join(inc, Seq("node"), "left")
         .select(col("node"),
           (lit(1000000L) + coalesce(col("v"), lit(0L))).as("s"))
-      if (i % 2 == 0 || i == KatzIters) x = x.localCheckpoint()
+      if (i % 2 == 0 || i == KatzIters) x = x.barrier()
     }
     x.select(col("node").as("name"),
         round(col("s") / lit(1e6), 6).as("katz"))
@@ -298,9 +299,9 @@ object Analytics {
     * once from the degree table.
     */
   def qPagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint()
+    val e = edges(spark, dir).barrier()
     val deg = e.groupBy("src")
-      .agg(sum(col("weight")).cast("long").as("wd")).localCheckpoint()
+      .agg(sum(col("weight")).cast("long").as("wd")).barrier()
     val n = deg.count()
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to PrIters) {
@@ -313,7 +314,7 @@ object Analytics {
         .join(inc, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - Damping) / n) + lit(Damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
-      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
+      if (i % 3 == 0 || i == PrIters) pr = pr.barrier()
     }
     pr.select(col("node").as("name"), round(col("rank"), 6).as("wpagerank"))
       .orderBy(col("wpagerank").desc, col("name"))
@@ -342,7 +343,7 @@ object Analytics {
     * propagation (label = lexicographic min entity name reachable).
     */
   def qComponents(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     var lbl = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     for (i <- 1 to CcIters) {
@@ -351,7 +352,7 @@ object Analytics {
         .agg(min(col("comp")).as("nbr_comp"))
       lbl = lbl.join(nbrMin, lbl("node") === col("node2"), "left")
         .select(col("node"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      if (i % 3 == 0 || i == CcIters) lbl = lbl.localCheckpoint()
+      if (i % 3 == 0 || i == CcIters) lbl = lbl.barrier()
     }
     lbl.select(col("node").as("name"), col("comp"))
       .orderBy("name")
@@ -381,7 +382,7 @@ object Analytics {
     * checkpointed every 2 rounds.
     */
   def qLpaCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(false)
+    val e = edges(spark, dir).barrier(false)
     val fin = lpaLabels(e)
     val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
     fin.join(sizes, "community")
@@ -399,7 +400,7 @@ object Analytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(col("d").desc, col("src")).limit(LpaSeeds)
       .select(col("src").as("node"), col("src").as("slbl"))
-      .localCheckpoint(false) // K rows; read every round as the freeze mask
+      .barrier(false) // K rows; read every round as the freeze mask
     var lbl = e.select(col("src").as("node")).distinct()
       .join(seeds, Seq("node"), "left")
       .select(col("node"), col("slbl").as("lbl"), col("slbl").isNotNull.as("seed"))
@@ -417,7 +418,7 @@ object Analytics {
           when(col("seed"), col("node"))
             .otherwise(coalesce(col("new_lbl"), col("lbl"))).as("lbl"),
           col("seed"))
-      if (i % 2 == 0 || i == LpaIters) lbl = lbl.localCheckpoint()
+      if (i % 2 == 0 || i == LpaIters) lbl = lbl.barrier()
     }
     lbl.select(col("node"), coalesce(col("lbl"), col("node")).as("community"))
   }
@@ -476,9 +477,9 @@ object Analytics {
     * #communities rows; the 1-row total weight is a broadcast cross.
     */
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(false)
+    val e = edges(spark, dir).barrier(false)
     val com = lpaLabels(e)
-      .localCheckpoint(false) // read by both endpoint joins
+      .barrier(false) // read by both endpoint joins
     modularityBreakdown(e, com)
   }
 
@@ -563,7 +564,7 @@ object Analytics {
     * checkpointed per round like the other iterative ops.
     */
   def qLouvain(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(false)
+    val e = edges(spark, dir).barrier(false)
     val fin = louvainLabels(e)
     val sizes = fin.groupBy("community").agg(count(lit(1)).as("community_size"))
     fin.join(sizes, "community")
@@ -601,13 +602,13 @@ object Analytics {
 
   private[graft] def louvainLabels(e: DataFrame): DataFrame = {
     val com1 = louvainMoveRounds(e, lpaLabels(e), LouvainRounds)
-      .localCheckpoint(false) // read by the contraction AND the mapback
+      .barrier(false) // read by the contraction AND the mapback
     val superE = e
       .join(com1.select(col("node").as("src"), col("community").as("cs")), "src")
       .join(com1.select(col("node").as("dst"), col("community").as("cd")), "dst")
       .groupBy(col("cs").as("src"), col("cd").as("dst"))
       .agg(sum("weight").cast("long").as("weight"))
-      .localCheckpoint(false)
+      .barrier(false)
     val spark = e.sparkSession
     val nSuperEdges = superE.count()
     val com2 =
@@ -700,9 +701,9 @@ object Analytics {
       rounds: Int): DataFrame = {
     val kdeg = e.groupBy("src").agg(sum("weight").cast("long").as("k"))
       .select(col("src").as("node"), col("k"))
-      .localCheckpoint(false) // read twice per round
+      .barrier(false) // read twice per round
     val totW = e.agg(sum("weight").cast("long").as("tw"))
-    var com = init.localCheckpoint(false)
+    var com = init.barrier(false)
     for (_ <- 1 to rounds) {
       val tot = com.join(kdeg, "node")
         .groupBy("community").agg(sum("k").cast("long").as("tot"))
@@ -746,7 +747,7 @@ object Analytics {
         .select(col("node"),
           when(col("best_gain") > col("stay_gain"), col("best_c"))
             .otherwise(col("community")).as("community"))
-        .localCheckpoint()
+        .barrier()
     }
     com
   }
@@ -883,7 +884,7 @@ object Analytics {
     val co = cooccur(spark, dir).select("e1", "e2")
     val deg = co.select(col("e1").as("n")).unionByName(co.select(col("e2").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .localCheckpoint(false)   // degree table read by orientation AND the final report
+      .barrier(false)   // degree table read by orientation AND the final report
     val lt = struct(col("d1"), col("e1")) < struct(col("d2"), col("e2"))
     val o = co
       .join(deg.select(col("n").as("e1"), col("d").as("d1")), "e1")
@@ -892,7 +893,7 @@ object Analytics {
         when(lt, col("e1")).otherwise(col("e2")).as("u"),
         when(lt, col("e2")).otherwise(col("e1")).as("v"),
         when(lt, col("d2")).otherwise(col("d1")).as("dv"))
-      .localCheckpoint(false)   // oriented edges read by both wedge arms AND the closure probe
+      .barrier(false)   // oriented edges read by both wedge arms AND the closure probe
     val wedges = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
       .join(o.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
@@ -923,7 +924,7 @@ object Analytics {
     * stops when the frontier empties).
     */
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     var dist = e.sparkSession.range(1)
       .select(lit(BfsSeed).as("node"), lit(0).as("dist"))
     for (i <- 1 to BfsHops) {
@@ -931,7 +932,7 @@ object Analytics {
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == BfsHops) dist = dist.localCheckpoint()
+      if (i % 3 == 0 || i == BfsHops) dist = dist.barrier()
     }
     dist.select(col("node").as("name"), col("dist"))
       .orderBy("dist", "name")
@@ -962,7 +963,7 @@ object Analytics {
   def qWeightedShortestPath(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
       .selectExpr("src", "dst", "1000000 div weight AS cost")
-      .localCheckpoint()
+      .barrier()
     var dist = spark.range(1)
       .select(lit(BfsSeed).as("node"), lit(0L).as("dist"))
     for (i <- 1 to WspRounds) {
@@ -970,7 +971,7 @@ object Analytics {
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == WspRounds) dist = dist.localCheckpoint()
+      if (i % 3 == 0 || i == WspRounds) dist = dist.barrier()
     }
     dist.select(col("node").as("name"), col("dist").as("wdist"))
       .orderBy("wdist", "name")
@@ -989,8 +990,8 @@ object Analytics {
     * by the unrolled-CTE oracle.
     */
   def qPagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).barrier()
     val nodes = deg.select(col("src").as("node"))
     var pr = nodes.withColumn("rank",
       when(col("node") === BfsSeed, 1.0).otherwise(0.0))
@@ -1003,7 +1004,7 @@ object Analytics {
         .select(col("node"),
           (when(col("node") === BfsSeed, lit(PprAlpha)).otherwise(lit(0.0))
             + lit(1.0 - PprAlpha) * coalesce(col("inc"), lit(0.0))).as("rank"))
-      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint()
+      if (i % 3 == 0 || i == PrIters) pr = pr.barrier()
     }
     pr.filter(col("rank") > 0)
       .select(col("node").as("name"), round(col("rank"), 6).as("ppr"))
@@ -1052,7 +1053,7 @@ object Analytics {
     val e = TextPipeline.mentions(spark, dir)
       .join(graft.Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .select("source", "name").distinct()
-      .localCheckpoint()
+      .barrier()
     var hub = e.select(col("source")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (i <- 1 to HitsIters) {
@@ -1075,12 +1076,12 @@ object Analytics {
       // half-round (24 jobs/query of barrier latency) is saved.
       // Measured (graft.Profile, min of 3): 93 → 80 jobs, 3.06 → 2.88 s.
       val ar = e.join(hub, "source").groupBy("name")
-        .agg(sum(col("hub")).as("r")).localCheckpoint(false)
+        .agg(sum(col("hub")).as("r")).barrier(false)
       val az = Option(ar.agg(max(col("r"))).first().getAs[java.lang.Double](0))
         .fold(1.0)(_.doubleValue())
       auth = ar.select(col("name"), round(col("r") / lit(az), 9).as("auth"))
       val hr = e.join(auth, "name").groupBy("source")
-        .agg(sum(col("auth")).as("r")).localCheckpoint(false)
+        .agg(sum(col("auth")).as("r")).barrier(false)
       val hz = Option(hr.agg(max(col("r"))).first().getAs[java.lang.Double](0))
         .fold(1.0)(_.doubleValue())
       hub = hr.select(col("source"), round(col("r") / lit(hz), 9).as("hub"))
@@ -1135,8 +1136,8 @@ object Analytics {
     * join; degrees ride broadcast-sized joins.
     */
   def qLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint(false)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
+    val e = edges(spark, dir).select("src", "dst").barrier(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).barrier(false)
     val ctr = e.join(deg.filter(col("d") <= LpMaxDeg), "src")
     val wedges = ctr.select(col("src").as("z"), col("dst").as("u"), col("d").as("dz"))
       .join(ctr.select(col("src").as("z"), col("dst").as("v")), "z")
@@ -1198,14 +1199,14 @@ object Analytics {
     * edge list only ever shrinks, so later rounds get cheaper.
     */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    var e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    var e = edges(spark, dir).select("src", "dst").barrier()
     for (i <- 1 to KcIters) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= KcoreK).select("src")
       e = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
-      if (i % 2 == 0 || i == KcIters) e = e.localCheckpoint()
+      if (i % 2 == 0 || i == KcIters) e = e.barrier()
     }
     e.groupBy(col("src").as("name")).agg(count(lit(1)).as("core_degree"))
       .orderBy("name")
@@ -1247,13 +1248,13 @@ object Analytics {
     */
   def qWalks(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     val adjN = e.withColumn("idx",
         row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
       .select(col("src").as("node"), col("idx").cast("long").as("idx"), col("dst"))
-      .localCheckpoint(false)
+      .barrier(false)
     val degN = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(false)
+      .barrier(false)
     var frontier = degN.select(col("node").as("seed"), col("node"))
     var out = frontier.withColumn("step", lit(0))
     for (t <- 1 to WalkSteps) {
@@ -1264,7 +1265,7 @@ object Analytics {
             .cast("long") % col("d"))
         .join(adjN, Seq("node", "idx"))
         .select(col("seed"), col("dst").as("node"))
-        .localCheckpoint(false)
+        .barrier(false)
       out = out.unionByName(frontier.withColumn("step", lit(t)))
     }
     out.select("seed", "step", "node").orderBy("seed", "step")
@@ -1322,7 +1323,7 @@ object Analytics {
     */
   def qNode2vec(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     var frontier = e.select(col("src").as("seed")).distinct()
       .select(col("seed"), lit(null).cast("string").as("prev"),
         col("seed").as("node"))
@@ -1346,7 +1347,7 @@ object Analytics {
             1, 8), 16, 10).cast("long") % col("tot"))
         .filter(col("r") >= col("cum") - col("w") && col("r") < col("cum"))
         .select(col("seed"), col("node").as("prev"), col("dst").as("node"))
-        .localCheckpoint(false)
+        .barrier(false)
       frontier = picked
       out = out.unionByName(picked.select(col("seed"), lit(t).as("step"), col("node")))
     }
@@ -1411,7 +1412,7 @@ object Analytics {
     def h(tag: String, cols: Column*): Column =
       conv(substring(md5(concat_ws("#", (lit(tag) +: cols): _*)), 1, 8), 16, 10)
         .cast("long")
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     val h1 = graft.plans.TopKPerGroup.topK(
         e.select(col("src").as("seed"), col("dst").as("n1"))
           .withColumn("nh", -h("ns1", col("seed"), col("n1"))),
@@ -1477,14 +1478,14 @@ object Analytics {
     * and not a 100 TB operation for any engine).
     */
   def qBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     val seeds = e.groupBy("src").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(BtwSeeds)
       .select(col("src").as("root"))
     val l0 = seeds.select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint(false)
+      .barrier(false)
     var layers = Vector(l0)
-    var visited = l0.select("root", "node").localCheckpoint(false)
+    var visited = l0.select("root", "node").barrier(false)
     for (_ <- 1 to BtwDepth) {
       val next = layers.last
         .select(col("root"), col("node").as("src"), col("sigma"))
@@ -1492,9 +1493,9 @@ object Analytics {
         .select(col("root"), col("dst").as("node"), col("sigma"))
         .join(visited, Seq("root", "node"), "left_anti")
         .groupBy("root", "node").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(false)
+        .barrier(false)
       layers :+= next
-      visited = visited.unionByName(next.select("root", "node")).localCheckpoint(false)
+      visited = visited.unionByName(next.select("root", "node")).barrier(false)
     }
     var delta: DataFrame = null
     var parts = Vector.empty[DataFrame]
@@ -1516,7 +1517,7 @@ object Analytics {
         .groupBy(col("root"), col("src"))
         .agg(sum("term").as("delta"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(false)
+        .barrier(false)
       parts :+= delta
     }
     parts.map(_.select("node", "delta")).reduce(_ unionByName _)
@@ -1613,7 +1614,7 @@ object Analytics {
     * are combined, so this costs one mentions pass at any scale.
     */
   def qGraphSummary(spark: SparkSession, dir: String): DataFrame = {
-    val co = cooccur(spark, dir).localCheckpoint(false)
+    val co = cooccur(spark, dir).barrier(false)
     val deg = co.select(col("e1").as("n")).unionByName(co.select(col("e2").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
@@ -1635,7 +1636,7 @@ object Analytics {
     // ONE co-occurrence pipeline: the both-direction edge list derives
     // from the checkpointed pair table (edges(spark, dir) would re-run
     // the mentions scan a second time — the qKtrussPeel shape)
-    val co = cooccur(spark, dir).localCheckpoint(false)
+    val co = cooccur(spark, dir).barrier(false)
     val e = co.select(col("e1").as("src"), col("e2").as("dst"))
       .unionByName(co.select(col("e2").as("src"), col("e1").as("dst")))
     co.join(supportOf(co.select("e1", "e2"), e), Seq("e1", "e2"))
@@ -1656,14 +1657,14 @@ object Analytics {
     * list (the convergence pattern qKcore uses for degree peeling).
     */
   def qKtrussPeel(spark: SparkSession, dir: String): DataFrame = {
-    val co = cooccur(spark, dir).localCheckpoint(false)
+    val co = cooccur(spark, dir).barrier(false)
     def bothDir(c: DataFrame) =
       c.select(col("e1").as("src"), col("e2").as("dst"))
         .unionByName(c.select(col("e2").as("src"), col("e1").as("dst")))
     val s1 = supportOf(co.select("e1", "e2"), bothDir(co))
       .withColumnRenamed("support", "s1")
     val surv = co.join(s1.filter(col("s1") >= TrussSupport), Seq("e1", "e2"))
-      .localCheckpoint(false)
+      .barrier(false)
     val s2 = supportOf(surv.select("e1", "e2"), bothDir(surv))
       .withColumnRenamed("support", "s2")
     surv.join(s2, Seq("e1", "e2"))
@@ -1683,12 +1684,12 @@ object Analytics {
     * edge list; frontiers carry (root, node) pairs only.
     */
   def qCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     val seeds = e.groupBy("src").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(CloseSeeds)
       .select(col("src").as("root"))
     var visited = seeds.select(col("root"), col("root").as("node"))
-      .localCheckpoint(false)
+      .barrier(false)
     var frontier = visited
     var acc: DataFrame = null
     for (l <- 1 to CloseDepth) {
@@ -1697,11 +1698,11 @@ object Analytics {
         .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint(false)
+        .barrier(false)
       val contrib = next.groupBy("root")
         .agg((count(lit(1)) * lit(1000000L / l)).as("h"))
       acc = if (acc == null) contrib else acc.unionByName(contrib)
-      visited = visited.unionByName(next).localCheckpoint(false)
+      visited = visited.unionByName(next).barrier(false)
       frontier = next
     }
     val reached = visited.groupBy("root")
@@ -1764,13 +1765,13 @@ object Analytics {
     * exact visited set with fixed-width register state.
     */
   def qAnf(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     val seeds = e.select("src").distinct()
       .orderBy(md5(col("src")), col("src")).limit(AnfSeeds)
       .select(col("src").as("root"))
-      .localCheckpoint(false) // read by the pair init AND the seed count
+      .barrier(false) // read by the pair init AND the seed count
     var visited = seeds.select(col("root"), col("root").as("node"))
-      .localCheckpoint(false)
+      .barrier(false)
     var frontier = visited
     var counts = visited.agg(count(lit(1)).as("n_pairs"))
       .withColumn("hop", lit(0L))
@@ -1780,8 +1781,8 @@ object Analytics {
         .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint(false)
-      visited = visited.unionByName(next).localCheckpoint(false)
+        .barrier(false)
+      visited = visited.unionByName(next).barrier(false)
       frontier = next
       counts = counts.unionByName(
         visited.agg(count(lit(1)).as("n_pairs")).withColumn("hop", lit(h.toLong)))
@@ -1930,9 +1931,9 @@ object Analytics {
     anfEstByHop(r.withColumn("hop", lit(hop.toLong)))
 
   def qAnfHll(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).select("src", "dst").localCheckpoint()
+    val e = edges(spark, dir).select("src", "dst").barrier()
     var regs = anfRegInit(e.select(col("src").as("node")).distinct())
-      .localCheckpoint(false)
+      .barrier(false)
     // Systolic delta propagation (the HyperANF paper's key trick):
     // only registers that IMPROVED last round cross the edge join.
     // Register merge is a monotone max-lattice, so a value absorbed
@@ -1949,12 +1950,12 @@ object Analytics {
         .select(col("dst").as("node"), col("reg"), col("mrho"))
       val merged = regs.unionByName(prop)
         .groupBy("node", "reg").agg(max("mrho").as("mrho"))
-        .localCheckpoint(false)
+        .barrier(false)
       changed = merged
         .join(regs.withColumnRenamed("mrho", "old"), Seq("node", "reg"), "left")
         .filter(col("old").isNull || col("mrho") > col("old"))
         .select("node", "reg", "mrho")
-        .localCheckpoint(false)
+        .barrier(false)
       regs = merged
       out = out.unionByName(anfEstAt(regs, h))
     }
@@ -2060,7 +2061,7 @@ object Analytics {
   def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).select("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(false) // read by both endpoint joins
+      .barrier(false) // read by both endpoint joins
     val xy = e
       .join(deg.select(col("src"), col("d").as("x")), "src")
       .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -152,9 +153,9 @@ object NewsGraph {
   def qGraphSchema(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val chunks = TextPipeline.chunks(spark, dir)
-      .select("doc_id", "chunk_id").localCheckpoint()
+      .select("doc_id", "chunk_id").barrier()
     val mentions = TextPipeline.mentions(spark, dir)
-      .select("doc_id", "label", "name").localCheckpoint()
+      .select("doc_id", "label", "name").barrier()
     // Person = gazetteer persons ∪ author-persons (publisher fallback)
     val personNames = mentions.filter(col("label") === "person")
       .select(col("name")).union(docs.select(col("source"))).distinct()
@@ -365,7 +366,7 @@ object NewsGraph {
     val ents = TextPipeline.mentions(spark, dir)
       .groupBy(col("name"), col("label"))
       .agg(count(lit(1)).cast("long").as("n_mentions"))
-      .localCheckpoint(false) // entity dim; read by blocking, scoring, and the report
+      .barrier(false) // entity dim; read by blocking, scoring, and the report
     val toks = ents.select(col("name"), col("label"),
       explode(array_distinct(split(col("name"), " "))).as("tok"))
     val tokDf = toks.groupBy("tok", "label").agg(count(lit(1)).as("dfc"))

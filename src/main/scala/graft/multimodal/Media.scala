@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -124,7 +125,7 @@ object Media {
       lit(0), (acc, x) => acc + x)
     val sigs = mediaTable(spark, dir).toDF()
       .select(col("doc_id"), sig.as("sig"))
-      .localCheckpoint(false)   // one histogram pass; both band-join sides read it
+      .barrier(false)   // one histogram pass; both band-join sides read it
     // round 11 (r10 verdict #6): the pigeonhole band join is the
     // same quadratic-capable shape as text SimHash — guard it on the
     // same segment keys (no capped media twin exists; the remedy is

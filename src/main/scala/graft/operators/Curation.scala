@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -182,7 +183,7 @@ object Curation {
     val d = bucketed(spark, dir)
     val grams = decontamGrams(d)
     val evalGrams = grams.filter(col("bucket") >= EvalBucket).select("gh").distinct()
-      .localCheckpoint(false)   // benchmark-sized; feeds the bloom AND the exact confirm join
+      .barrier(false)   // benchmark-sized; feeds the bloom AND the exact confirm join
     val bloom = evalGrams.agg(shims.column(
       new BloomFilterAggregate(shims.expression(xxhash64(col("gh"))), BloomNumItems)
         .toAggregateExpression()).as("bf"))
@@ -277,7 +278,7 @@ object Curation {
     */
   def qGramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramsOfDocs(Tables.documents(spark, dir))
-      .localCheckpoint(false) // read by the DF count AND the per-doc rollup
+      .barrier(false) // read by the DF count AND the per-doc rollup
     val df = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     grams.join(df, "gh")
       .groupBy("doc_id")
@@ -422,7 +423,7 @@ object Curation {
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy("source").agg(sum("n_tokens").as("tk"))
-      .localCheckpoint(false) // feeds 3 tiny aggregates below
+      .barrier(false) // feeds 3 tiny aggregates below
     val ranked = st.withColumn("i",
       row_number().over(Window.orderBy(col("tk"), col("source"))))
     val cum = st.withColumn("cum", sum("tk").over(Window

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -80,7 +81,7 @@ object Dedup {
   private def shinglesCk(spark: SparkSession, dir: String): DataFrame =
     if (spark.conf.getOption(MaterializedConf).contains(dir)
         && spark.catalog.tableExists("graft_shingles")) spark.table("graft_shingles")
-    else shingles(spark, dir).localCheckpoint(false)
+    else shingles(spark, dir).barrier(false)
 
   /** Canonical-URL dedup — the crawl-frontier screen that runs BEFORE
     * any text is fetched or compared: raw crawl URLs carry protocol /
@@ -169,7 +170,7 @@ object Dedup {
       // 300-step fold into the 4 per-band slice references (fold
       // re-evaluated per band; ~30× slowdown measured on the pattern).
       // Lazy, so only queries that use it pay.
-      .localCheckpoint(false)
+      .barrier(false)
 
   /** Portable HOF twin of the native MinHashSig expression (the
     * executable spec of the signature arithmetic; DedupSpec proves
@@ -243,7 +244,7 @@ object Dedup {
     */
   def qNeardupCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandKeysOfDocs(Tables.documents(spark, dir))
-      .localCheckpoint(false) // one shingle/sig pass; both join sides read it
+      .barrier(false) // one shingle/sig pass; both join sides read it
     // the same band self-join shape as q_dedup_minhash — same guard
     // (review finding: this emitter was left outside the refusal)
     pairLoadGuard(bands, Seq("bkey"),
@@ -278,7 +279,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("bkeys")).as("bkey"))
       // barrier: the sig fold runs ONCE for the guard + both join
       // sides (narrow rows: doc_id + 16-byte band key)
-      .localCheckpoint(false)
+      .barrier(false)
     if (guard)
       pairLoadGuard(bands, Seq("bkey"), "q_dedup_minhash", "q_dedup_minhash_topk")
     val cand = bands.select(col("doc_id").as("doc_id_a"), col("bkey"))
@@ -336,7 +337,7 @@ object Dedup {
       .withColumn("bucket", expr(s"day div $TemporalWindow"))
       .select(col("doc_id"), col("day"), col("bucket"), explode(col("bkeys")).as("bkey"))
       // barrier: the sig fold runs once for the guard + both join sides
-      .localCheckpoint(false)
+      .barrier(false)
     // round 11 (r10 verdict #6): guard on the UN-exploded (bkey,
     // bucket) blocking key — the ±1-bucket probe explode multiplies
     // the true candidate mass by at most 3× over this prediction,
@@ -487,7 +488,7 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", expr(SimhashSigSql))
       .select("doc_id", "sig")
-      .localCheckpoint(false)   // barrier: the sig fold runs once (see minhashSigs)
+      .barrier(false)   // barrier: the sig fold runs once (see minhashSigs)
     pairLoadGuard(segKeys(sigs, SimhashBits, HammingMax), Seq("seg_idx", "seg_val"),
       "q_dedup_simhash", "q_dedup_simhash_topk")
     simhashPairs(sigs, SimhashBits, HammingMax)
@@ -501,7 +502,7 @@ object Dedup {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val keyed = shinglesCk(spark, dir) // standing table when amortized
       .withColumn("block", array_min(transform(col("s"), x => md5(x))))
-      .localCheckpoint(false)   // barrier: see minhashSigs
+      .barrier(false)   // barrier: see minhashSigs
     // round 11 (r10 verdict #6): the min-shingle block self-join joins
     // the load-proved family — a boilerplate block shared corpus-wide
     // is exactly the hot-bucket shape the guard refuses
@@ -554,11 +555,11 @@ object Dedup {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.normCol(col("v")))
-      .localCheckpoint(false)   // barrier: vectors + norms materialized once
+      .barrier(false)   // barrier: vectors + norms materialized once
     val sigArr = array((0 until EmbLshTables).map(t =>
       Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
     val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
-      .localCheckpoint(false)   // 32 plane projections once per vector
+      .barrier(false)   // 32 plane projections once per vector
     if (guard)
       pairLoadGuard(buckets, Seq("t", "bucket"),
         "q_dedup_embedding", "q_dedup_embedding_topk")
@@ -601,7 +602,7 @@ object Dedup {
     */
   private[graft] def cappedPartners(pairs0: DataFrame, outCol: String, aCol: String,
       bCol: String, simCol: String, bestIsSmallest: Boolean): DataFrame = {
-    val pairs = pairs0.localCheckpoint(false) // the sym union reads it twice
+    val pairs = pairs0.barrier(false) // the sym union reads it twice
     val sym = pairs.select(col(aCol).as(outCol), col(bCol).as("partner"), col(simCol))
       .unionByName(
         pairs.select(col(bCol).as(outCol), col(aCol).as("partner"), col(simCol)))
@@ -624,7 +625,7 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", expr(SimhashSigSql))
       .select("doc_id", "sig")
-      .localCheckpoint(false)
+      .barrier(false)
     cappedPartners(simhashPairs(sigs, SimhashBits, HammingMax),
       "doc_id", "doc_id_a", "doc_id_b", "hamming", bestIsSmallest = true)
   }
@@ -666,7 +667,7 @@ object Dedup {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.normCol(col("v")))
-      .localCheckpoint(false) // vectors + norms once; read by assign AND verify
+      .barrier(false) // vectors + norms once; read by assign AND verify
     val cents = Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
@@ -681,7 +682,7 @@ object Dedup {
       .groupBy("vec_id")
       .agg(min(struct((-col("cc")).as("nc"), col("label").as("l"))).as("b"))
       .select(col("vec_id"), col("b.l").as("cluster"), (-col("b.nc")).as("cent_cos"))
-      .localCheckpoint(false) // read by blocking/threshold, keep rules, reports
+      .barrier(false) // read by blocking/threshold, keep rules, reports
     (e, assigned)
   }
 
@@ -691,7 +692,7 @@ object Dedup {
       Similarity.srpSigNative(col("v"), t * EmbLshBits until (t + 1) * EmbLshBits)): _*)
     val buckets = e.select(col("vec_id"), posexplode(sigArr).as(Seq("t", "bucket")))
       .join(assigned.select("vec_id", "cluster"), "vec_id")
-      .localCheckpoint(false) // 32 plane projections once; both sides of the self-join
+      .barrier(false) // 32 plane projections once; both sides of the self-join
     val cand = buckets
       .select(col("vec_id").as("vec_id_a"), col("t"), col("bucket"), col("cluster"))
       .join(buckets.select(col("vec_id").as("vec_id_b"), col("t"),
@@ -707,7 +708,7 @@ object Dedup {
       .filter(round(Similarity.dotCol(col("va"), col("vb"))
         / (col("na") * col("nb")), 6) >= SemTau)
       .select("vec_id_a", "vec_id_b")
-      .localCheckpoint(false) // dup-sized; read by the partner count AND the keep rule
+      .barrier(false) // dup-sized; read by the partner count AND the keep rule
     val sym = pairs.select(col("vec_id_a").as("vec_id"), col("vec_id_b").as("partner"))
       .unionByName(pairs.select(col("vec_id_b").as("vec_id"),
         col("vec_id_a").as("partner")))
@@ -739,7 +740,7 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .withColumn("sig", graft.functions.SimHash64.simhash64(split(col("text"), " ")))
       .select("doc_id", "sig")
-      .localCheckpoint(false)   // barrier: one native-sig pass, reused by both join sides
+      .barrier(false)   // barrier: one native-sig pass, reused by both join sides
     simhashPairs(sigs, 60, Hamming64Max)
       .orderBy("doc_id_a", "doc_id_b")
   }
@@ -833,7 +834,7 @@ object Dedup {
     // materialize the (tiny) pair list ONCE — both union branches and
     // every propagation round read the checkpoint, not the LSH pipeline
     val pairs = qDedupMinhash(spark, dir)
-      .select("doc_id_a", "doc_id_b").localCheckpoint()
+      .select("doc_id_a", "doc_id_b").barrier()
     val edges = pairs
       .union(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
       .toDF("src", "dst")
@@ -846,7 +847,7 @@ object Dedup {
       lbl = lbl.join(nbrMin, lbl("node") === col("node2"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      if (i % 3 == 0 || i == ClusterIters) lbl = lbl.localCheckpoint()
+      if (i % 3 == 0 || i == ClusterIters) lbl = lbl.barrier()
     }
     lbl
   }
@@ -989,14 +990,14 @@ object Dedup {
       .withColumn("h", conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
       .filter(col("h") % ContainSampleMod === 0)
       .select("doc_id", "h")
-      .localCheckpoint(false)   // one shingle-hash pass; df agg + both join sides read it
+      .barrier(false)   // one shingle-hash pass; df agg + both join sides read it
     val rare = sampled.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= ContainMaxDf && col("df") >= 2)
       .select("h")
     val discriminative = sampled.join(rare, "h")
       // narrow (doc_id, h) rows — the guard + both join sides read it
-      .localCheckpoint(false)
+      .barrier(false)
     // round 11 (r10 verdict #6): the DF cap bounds each bucket at
     // ContainMaxDf but not the bucket COUNT — the total mass still
     // needs the load proof before the self-join runs
@@ -1055,14 +1056,14 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("words")) - SubW),
           i => md5(concat_ws(" ", slice(col("words"), i + 1, lit(SubW))))))
           .as(Seq("pos", "gh")))
-      .localCheckpoint(false)   // one split/md5 pass, read by dup-set agg AND the mark join
+      .barrier(false)   // one split/md5 pass, read by dup-set agg AND the mark join
     val dup = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("gh")
     val hits = grams.join(dup, "gh")
       .select("doc_id", "pos")
-      .localCheckpoint(false)   // duplication-sized; read by the span count AND the coverage pass
+      .barrier(false)   // duplication-sized; read by the span count AND the coverage pass
     val nDup = hits.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
     val cover = hits
       .select(col("doc_id"), explode(sequence(col("pos") + 1, col("pos") + SubW)).as("p"))
@@ -1118,7 +1119,7 @@ object Dedup {
     val perDoc = lineHashesOfDocs(Tables.documents(spark, dir))
       .groupBy("doc_id", "h")
       .agg(count(lit(1)).as("n_occ"), sum(col("n_chars")).as("occ_chars"))
-      .localCheckpoint(false) // read by the DF agg AND the mark join
+      .barrier(false) // read by the DF agg AND the mark join
     val boiler = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= LineDupDocs)
       .select(col("h"), lit(1L).as("is_b"))
@@ -1185,7 +1186,7 @@ object Dedup {
       .withColumn("fps",
         graft.functions.WinnowFps.winnow_fps(col("words"), WinnowK, WinnowW))
       .select(col("doc_id"), col("fps"), size(col("fps")).cast("long").as("nf"))
-      .localCheckpoint(false)  // one hash pass; DF cap, both join sides, sizes all read it
+      .barrier(false)  // one hash pass; DF cap, both join sides, sizes all read it
     // candidates from DF-capped fingerprints (the stop-fp guard);
     // VERIFY on the FULL fingerprint sets — same two-phase shape as
     // qDedupContainment, so a pair of identical docs always scores
@@ -1196,7 +1197,7 @@ object Dedup {
       .select("fp")
     val ee = e.join(rare, "fp")
       // narrow (doc_id, fp) rows — the guard + both join sides read it
-      .localCheckpoint(false)
+      .barrier(false)
     // round 11 (r10 verdict #6): same load proof as containment —
     // per-fingerprint DF is capped, fingerprint count is not
     pairLoadGuard(ee, Seq("fp"), "q_winnow", "q_dedup_minhash_topk")

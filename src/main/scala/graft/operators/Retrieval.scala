@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -245,7 +246,7 @@ object Retrieval {
           i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)).cast("double"))
           .as("v"))
       .withColumn("nrm", Similarity.normCol(col("v")))
-      .localCheckpoint(false) // read by the probe side AND the corpus scan
+      .barrier(false) // read by the probe side AND the corpus scan
     val probes = vecs.filter(col("doc_id") < DsProbes)
       .select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val scored = vecs.crossJoin(broadcast(probes))

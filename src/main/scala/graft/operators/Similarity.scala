@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -150,7 +151,7 @@ object Similarity {
     if (ivfPairServed(spark, dir))
       (spark.table("graft_ivf_centroids"), spark.table("graft_ivf"))
     else {
-      val cents = ivfCentroids(spark, dir).localCheckpoint(false)
+      val cents = ivfCentroids(spark, dir).barrier(false)
       (cents, ivfServingIndex(spark, dir, cents))
     }
 
@@ -417,14 +418,14 @@ object Similarity {
       .orderBy(col("qs").desc, col("vec_id"))
       .limit(TopK)
       .select("vec_id", "v", "nrm", "qs")
-      .localCheckpoint(false) // TopK rows: feeds the sim matrix + every greedy round
+      .barrier(false) // TopK rows: feeds the sim matrix + every greedy round
     val sim = cand.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
       .crossJoin(broadcast(
         cand.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))))
       .filter(col("a") =!= col("b"))
       .withColumn("s", micro(dotCol(col("va"), col("vb")) / (col("na") * col("nb"))))
       .select("a", "b", "s")
-      .localCheckpoint(false) // ≤ TopK² rows, re-read each round
+      .barrier(false) // ≤ TopK² rows, re-read each round
     var sel = cand
       .orderBy(col("qs").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), (lit(MmrLambdaX10) * col("qs")).as("mmr"),
@@ -443,7 +444,7 @@ object Similarity {
       // next round (union, pen join, anti-join) — uncheckpointed, the
       // final plan holds ~3^(MmrK-1) copies of the round-1 subtree and
       // plan size explodes with any MmrK increase
-      sel = sel.unionByName(next).localCheckpoint(false)
+      sel = sel.unionByName(next).barrier(false)
     }
     sel.select("rk", "vec_id", "mmr").orderBy("rk")
   }
@@ -1085,16 +1086,16 @@ object Similarity {
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val qs = probeBatch(spark, dir)
-      .localCheckpoint(false) // ProbeBatch rows; every leg broadcasts it
+      .barrier(false) // ProbeBatch rows; every leg broadcasts it
     val (cents0, idx0) = ivfCk(spark, dir)
     val cents = cents0
-      .localCheckpoint(false) // IvfK rows; ONE k-means training
+      .barrier(false) // IvfK rows; ONE k-means training
     val idx = idx0
-      .localCheckpoint(false) // ONE assignment pass; ivf + ivfpq legs
+      .barrier(false) // ONE assignment pass; ivf + ivfpq legs
     val (enc0, cb) = pqIndexCk(spark, dir) // ONE codebook training
-    val enc = enc0.localCheckpoint(false)  // pq + ivfpq legs
+    val enc = enc0.barrier(false)  // pq + ivfpq legs
     val qd = adcTablesBatch(spark, dir, cb)
-      .localCheckpoint(false) // ProbeBatch·M·K rows
+      .barrier(false) // ProbeBatch·M·K rows
     val probed = graft.plans.TopKPerGroup.topK(
         cents.crossJoin(broadcast(qs))
           .withColumn("qcos",
@@ -1102,7 +1103,7 @@ object Similarity {
           .select("query_id", "cid", "qcos"),
         IvfProbes, Seq("query_id"), orderCol = "qcos", tieCol = "cid")
       .select("query_id", "cid")
-      .localCheckpoint(false) // ProbeBatch·IvfProbes rows; two legs
+      .barrier(false) // ProbeBatch·IvfProbes rows; two legs
     def score(df: DataFrame): DataFrame = df
       .withColumn("score",
         round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
@@ -1110,7 +1111,7 @@ object Similarity {
     val exact = topkPerQuery(score(
         vectors(spark, dir).filter(col("vec_id") >= ProbeBatch)
           .crossJoin(broadcast(qs))))
-      .localCheckpoint(false) // ProbeBatch·K rows; joined by all five methods
+      .barrier(false) // ProbeBatch·K rows; joined by all five methods
     val ivfK = topkPerQuery(score(idx.join(probed, "cid")
       .filter(col("vec_id") >= ProbeBatch)
       .join(broadcast(qs), "query_id")))
@@ -1122,12 +1123,12 @@ object Similarity {
     val cellAdc = enc.join(members, "vec_id")
       .join(broadcast(qd), Seq("query_id", "m", "code"))
       .groupBy("query_id", "vec_id").agg(sum("qmicro").as("adc_micro"))
-      .localCheckpoint(false) // read by the ivfpq top-k AND the refine shortlist
+      .barrier(false) // read by the ivfpq top-k AND the refine shortlist
     val refineK = topkPerQuery(score(vectors(spark, dir)
       .join(broadcast(adcTopk(cellAdc, KnnK * RefineFactor)), "vec_id")
       .join(broadcast(qs), "query_id")))
     // sq8 leg: flat int8 scan per probe (qAnnSq8's shape)
-    val q8 = sq8Ck(spark, dir).localCheckpoint(false)
+    val q8 = sq8Ck(spark, dir).barrier(false)
     val q8p = q8.filter(col("vec_id") < ProbeBatch)
       .select(col("vec_id").as("query_id"),
         col("qv8").as("pv8"), col("qnrm8").as("pnrm8"))
@@ -1137,7 +1138,7 @@ object Similarity {
         intDot(col("qv8"), col("pv8")) / (col("qnrm8") * col("pnrm8")), 6))
       .select("query_id", "vec_id", "score"))
     // binary leg: per-probe Hamming shortlist + exact re-rank
-    val sigB = binSigCk(spark, dir).localCheckpoint(false)
+    val sigB = binSigCk(spark, dir).barrier(false)
     val bqp = sigB.filter(col("vec_id") < ProbeBatch)
       .select(col("vec_id").as("query_id"),
         col("blo").as("qlo"), col("bhi").as("qhi"))
@@ -1409,15 +1410,15 @@ object Similarity {
     * LOAD is computed from bucket sizes, not by emitting pairs.
     */
   def qLshTune(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir).localCheckpoint(false)
-    val qs = probeBatch(spark, dir).localCheckpoint(false)
+    val e = vectors(spark, dir).barrier(false)
+    val qs = probeBatch(spark, dir).barrier(false)
     val exact = topkPerQuery(
         e.filter(col("vec_id") >= ProbeBatch)
           .crossJoin(broadcast(qs))
           .withColumn("score",
             round(dotCol(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
           .select("query_id", "vec_id", "score"))
-      .localCheckpoint(false) // joined by every layout's recall leg
+      .barrier(false) // joined by every layout's recall leg
     val probeIds = qs.select("query_id")
     LshLayouts.map { case (nt, bits) =>
       var sigs = e
@@ -1425,7 +1426,7 @@ object Similarity {
         sigs = sigs.withColumn(s"s$t",
           srpSigNative(col("v"), t * bits until (t + 1) * bits))
       }
-      sigs = sigs.localCheckpoint(false) // read by the load AND recall legs
+      sigs = sigs.barrier(false) // read by the load AND recall legs
       val load = (0 until nt).map(t =>
           sigs.groupBy(col(s"s$t").as("sig")).agg(count(lit(1)).as("c"))
             .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p")))

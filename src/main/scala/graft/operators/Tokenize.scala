@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -163,7 +164,7 @@ object Tokenize {
       .withColumn("syms", concat(
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         array(lit("</w>"))))
-    var vocab = v0.localCheckpoint(false)
+    var vocab = v0.barrier(false)
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to BpeRounds) {
       // fully-merged single-symbol words contribute no pairs: Spark's
@@ -183,7 +184,7 @@ object Tokenize {
         .agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .select(col("a").as("pa"), col("b").as("pb"), col("cnt"))
-        .localCheckpoint(false) // 1 row: read by the merge fold AND the output
+        .barrier(false) // 1 row: read by the merge fold AND the output
       merges += best.select(lit(r).as("step"), col("pa").as("lft"),
         col("pb").as("rgt"), concat(col("pa"), col("pb")).as("merged"),
         col("cnt").as("pair_count"))
@@ -197,7 +198,7 @@ object Tokenize {
               array(concat(col("pa"), col("pb")))))
             .otherwise(concat(out, array(x)))))
         .select("word", "freq", "syms")
-        .localCheckpoint(false) // vocabulary-sized; flattens per-round lineage
+        .barrier(false) // vocabulary-sized; flattens per-round lineage
     }
     (merges.result().reduce(_ unionByName _).orderBy("step"), vocab)
   }

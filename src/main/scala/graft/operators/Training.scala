@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -75,7 +76,7 @@ object Training {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint(false) // read by every assign + recenter round
+      .barrier(false) // read by every assign + recenter round
     var cents = e
       .filter(col("vec_id") % KmStride === 0 && col("vec_id") < KmStride * KmK)
       .select(expr(s"CAST(vec_id div $KmStride AS INT)").as("k"), col("v").as("cv"))
@@ -93,7 +94,7 @@ object Training {
         .groupBy("k")
         .agg(graft.functions.SortedField.sorted_field(
           collect_list(struct(col("dim"), col("c"))), 1).as("cv"))
-        .localCheckpoint(false) // K rows; keeps per-round lineage flat
+        .barrier(false) // K rows; keeps per-round lineage flat
     }
     assigned.select(col("vec_id"), col("k").as("cluster"), col("d2"))
   }
@@ -522,7 +523,7 @@ object Training {
       // survivors only (doc_id, n_tokens, bkt) — checkpointed so the
       // curation subplan runs ONCE, not once per consumer (the offsets
       // aggregate and the packing window both read it)
-      .localCheckpoint(false)
+      .barrier(false)
     val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
@@ -572,17 +573,17 @@ object Training {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
-      .localCheckpoint(false) // read by the mean AND every round's pass
+      .barrier(false) // read by the mean AND every round's pass
     val mu = e.select(posexplode(col("xq")).as(Seq("dim", "x")))
       .groupBy("dim").agg(expr("sum(x) div count(*)").as("m"))
       .agg(graft.functions.SortedField.sorted_field(
         collect_list(struct(col("dim"), col("m"))), 1).as("mu"))
-      .localCheckpoint(false) // 1 row
+      .barrier(false) // 1 row
     var w = mu.select(
         expr("transform(sequence(0, size(mu) - 1), " +
           "i -> CAST(CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS BIGINT))").as("wq"),
         col("mu"))
-      .localCheckpoint(false)
+      .barrier(false)
     for (_ <- 1 to PcaRounds) {
       val sums = e.crossJoin(broadcast(w))
         .withColumn("ds", expr(
@@ -601,7 +602,7 @@ object Training {
         .crossJoin(broadcast(mu))
         .select(expr("transform(sv, x -> CAST(round(x / nrm * 1000000) AS BIGINT))").as("wq"),
           col("mu"))
-        .localCheckpoint(false) // 1 row; flattens per-round lineage
+        .barrier(false) // 1 row; flattens per-round lineage
     }
     w.select(posexplode(col("wq")).as(Seq("dim", "l_micro")))
       .select(col("dim"), col("l_micro"),

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,7 +60,7 @@ object Catalog {
     Seq(chunksTable, mentionsTable).foreach(dropManaged(spark, _))
     val words = TextPipeline
       .withChunkId(TextPipeline.wordsOf(Tables.documents(spark, dir)))
-      .localCheckpoint()
+      .barrier()
     // unpersist once both writes land (or fail): the exploded-words
     // frame is only an ingest intermediate — without this it stays
     // pinned in executor storage through the amortized query segment
@@ -300,7 +301,7 @@ object Catalog {
     // independent vectors() scans re-ran the screen per table);
     // unpersisted once the writes settle (same reason as
     // materializeGraph's words frame)
-    val e = Similarity.vectors(spark, dir).localCheckpoint()
+    val e = Similarity.vectors(spark, dir).barrier()
     try {
     // Round 11: the four independent write CHAINS — {sq8}, {binary
     // sigs}, {centroids → IVF index}, {PQ codebook → PQ codes} — run
@@ -379,7 +380,7 @@ object Catalog {
         "run materializeAnn once before merging batches")
     Seq(ivfTable, codesTable, sq8Table, bsigTable)
       .foreach(healSwap(spark, _))
-    val e = Similarity.prepVectors(batch).localCheckpoint(false)
+    val e = Similarity.prepVectors(batch).barrier(false)
     val cents = spark.table(centroidsTable)
     Similarity.assignToCells(e, cents)
       .join(e.select("vec_id", "v", "nrm"), "vec_id")
@@ -422,13 +423,13 @@ object Catalog {
     import graft.graph.Analytics
     Seq(regsTable, edgesTable).foreach(dropManaged(spark, _))
     val e = Analytics.edges(spark, dir).select("src", "dst").distinct()
-      .localCheckpoint()
+      .barrier()
     e.write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "src").sortBy("src", "dst")
       .saveAsTable(edgesTable)
     var regs = Analytics
       .anfRegInit(e.select(col("src").as("node")).distinct())
-      .localCheckpoint()
+      .barrier()
     def layer(r: DataFrame, hop: Int): DataFrame =
       r.select(lit(hop).as("hop"), col("node"), col("reg"), col("mrho"))
     layer(regs, 0).write.mode(SaveMode.Overwrite)
@@ -439,7 +440,7 @@ object Catalog {
         .select(col("dst").as("node"), col("reg"), col("mrho"))
       regs = regs.unionByName(prop)
         .groupBy("node", "reg").agg(max("mrho").as("mrho"))
-        .localCheckpoint()
+        .barrier()
       layer(regs, h).write.mode(SaveMode.Append)
         .bucketBy(Buckets, "node").sortBy("node", "reg")
         .saveAsTable(regsTable)
@@ -513,11 +514,11 @@ object Catalog {
         "run materializeAnf once before merging batches")
     // eager: pinned BEFORE the edge append below rewrites the table
     // the anti-join reads
-    val batchEdges = Analytics.edgesOf(batch).localCheckpoint()
+    val batchEdges = Analytics.edgesOf(batch).barrier()
     if (batchEdges.isEmpty) return
     val newEdges = batchEdges
       .join(spark.table(edgesTable), Seq("src", "dst"), "left_anti")
-      .localCheckpoint()
+      .barrier()
     if (!newEdges.isEmpty)
       newEdges.write.mode(SaveMode.Append)
         .bucketBy(Buckets, "src").sortBy("src", "dst")
@@ -551,15 +552,15 @@ object Catalog {
     // hop 0: registers for nodes layer 0 does not know yet (eager
     // before its own append)
     val batchNodes = batchEdges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .barrier()
     val newNodes = batchNodes
       .join(anfRegsAt(spark, 0, regsTable).select("node").distinct(),
         Seq("node"), "left_anti")
-    appendLayer(Analytics.anfRegInit(newNodes).localCheckpoint(), 0)
+    appendLayer(Analytics.anfRegInit(newNodes).barrier(), 0)
     // cone at hop 0 = the batch nodes' (post-append) layer-0 rows
     var touched = anfRegsAt(spark, 0, regsTable)
       .join(batchNodes, Seq("node"))
-      .localCheckpoint()
+      .barrier()
     for (h <- 1 to Analytics.AnfHops) {
       // post-append view: r_{h-1}_new = old layer ∪ its improvements
       val prevFull = anfRegsAt(spark, h - 1, regsTable)
@@ -571,13 +572,13 @@ object Catalog {
           .join(batchEdges, "src")
           .select(col("dst").as("node"), col("reg"), col("mrho")))
         .groupBy("node", "reg").agg(max("mrho").as("mrho"))
-        .localCheckpoint() // eager before this layer's append
+        .barrier() // eager before this layer's append
       val improved = cand
         .join(anfRegsAt(spark, h, regsTable).withColumnRenamed("mrho", "old"),
           Seq("node", "reg"), "left")
         .filter(col("old").isNull || col("mrho") > col("old"))
         .select("node", "reg", "mrho")
-        .localCheckpoint()
+        .barrier()
       appendLayer(improved, h)
       touched = cand
     }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -428,7 +429,7 @@ object EventStream {
         !s.table(ledgerTable).filter(col("batch_id") === batchId).isEmpty)
       return // fully committed — replay is a no-op
     val batch = batch0.dropDuplicates("doc_id")
-      .localCheckpoint(false) // read by up to three screens + merges
+      .barrier(false) // read by up to three screens + merges
     def freshFor(table: String): DataFrame = {
       // heal BEFORE the existence check: a compaction swap that died
       // mid-rename leaves the live name absent — an unhealed screen
@@ -442,7 +443,7 @@ object EventStream {
         else batch
       // eager: the isEmpty probe and the merge's write would otherwise
       // run the standing-table-sized screen join twice per micro-batch
-      screened.localCheckpoint()
+      screened.barrier()
     }
     val c = freshFor("graft_chunks")
     if (!c.isEmpty) graft.sources.Catalog.mergeChunks(s, c)

@@ -140,4 +140,27 @@ class InvarianceSpec extends AnyFunSuite {
         "q_cypher_ex40 multiset differs between 2 and default shuffle partitions")
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
+
+  test("reliable-checkpoint seam is result-identical to local mode") {
+    // Ckpt.barrier (round 12): with spark.graft.checkpoint.reliableDir
+    // set, every operator barrier becomes a reliable checkpoint() —
+    // the cluster fault-tolerance posture. The seam must not change a
+    // single row; exercised on barrier-heavy representatives (an
+    // iterative loop, a var-length cypher expansion, a banded dedup).
+    val names = Seq("q_pagerank", "q_cypher_ex41", "q_dedup_minhash")
+    val local = names.map(n =>
+      SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Ckpt.ReliableDirConf, dir)
+    try {
+      val reliable = names.map(n =>
+        SparkEntry.queries(n)(spark, TestSpark.sf).collect().toSeq)
+      names.lazyZip(local).lazyZip(reliable).foreach { (n, a, b) =>
+        assert(a == b, s"$n differs between local and reliable checkpoints")
+      }
+    } finally {
+      spark.conf.unset(Ckpt.ReliableDirConf)
+      graft.sources.Catalog.rmTree(new java.io.File(dir))
+    }
+  }
 }
